@@ -1,0 +1,251 @@
+"""Geospatial cell functions: geohash codec + web-Mercator tiles/quadkeys.
+
+Semantics pinned to the reference:
+- tile math & quadkey interleave: /root/reference/src/main/java/util/QuadHash.java:8-30
+  (x = floor((lon+180)/360*2^z); y from the Mercator formula; quadkey digit i =
+  bit i of x plus 2 * bit i of y, most-significant first).
+- bbox tile cover: QuadHash.java:32-50 — note y grows *southward*: the minTile
+  comes from (south, west)… actually (bottomRightLat, topLeftLon) and maxTile
+  from (topLeftLat, bottomRightLon); x runs min→max while y runs maxTile.y→minTile.y.
+  Output sorted lexicographically.
+- geohash truncation as cell id: IngestStream.java:316 (substring(0, precision)).
+- geohash children enumeration: QueryingController.java:264-282 (base-32 expansion
+  of a prefix). In Spark we replace the 32^k point lookups with a startswith
+  predicate (strictly better — SURVEY.md §4), but the enumeration is kept for
+  wire/tests parity.
+
+The geohash codec itself is a from-scratch implementation of the public geohash
+algorithm (Niemeyer 2008); the reference uses com.github.davidmoten:geo for it.
+
+Driver-side covers are pure functions (a bbox cover at zoom 14 is ≤ a few
+thousand cells — trivially driver-computable, then pushed down as an `isin`
+filter or broadcast-joined when large). Per-row cell derivation is exposed as
+**native Column expressions** (bit arithmetic / substring), not Python UDFs, so
+the hot path stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Geohash (base-32, even bit = longitude first)
+# ---------------------------------------------------------------------------
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_BASE32_IDX = {c: i for i, c in enumerate(_BASE32)}
+
+
+def geohash_encode(lat: float, lon: float, precision: int = 12) -> str:
+    """Encode (lat, lon) to a geohash of `precision` characters."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    even = True  # longitude bit first
+    while len(bits) < precision * 5:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    chars = []
+    for i in range(0, len(bits), 5):
+        idx = 0
+        for b in bits[i : i + 5]:
+            idx = (idx << 1) | b
+        chars.append(_BASE32[idx])
+    return "".join(chars)
+
+
+def geohash_decode_bbox(gh: str) -> Tuple[float, float, float, float]:
+    """Decode a geohash to its bounding box (lat_lo, lat_hi, lon_lo, lon_hi)."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    even = True
+    for c in gh:
+        idx = _BASE32_IDX[c]
+        for shift in range(4, -1, -1):
+            bit = (idx >> shift) & 1
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if bit:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if bit:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return lat_lo, lat_hi, lon_lo, lon_hi
+
+
+def geohash_decode(gh: str) -> Tuple[float, float]:
+    """Decode a geohash to its centroid (lat, lon) — parity with
+    GeoHash.decodeHash used at IngestStream.java:313."""
+    lat_lo, lat_hi, lon_lo, lon_hi = geohash_decode_bbox(gh)
+    return (lat_lo + lat_hi) / 2, (lon_lo + lon_hi) / 2
+
+
+def geohash_children(prefix: str, precision: int) -> List[str]:
+    """All geohashes of length `precision` under `prefix`, sorted.
+
+    Parity with the base-32 expansion at QueryingController.java:264-282.
+    Size is 32^(precision-len(prefix)) — only use for small deltas; the engine
+    query path uses a startswith predicate instead.
+    """
+    if len(prefix) >= precision:
+        return [prefix[:precision]]
+    out = [prefix]
+    for _ in range(precision - len(prefix)):
+        out = [p + c for p in out for c in _BASE32]
+    return sorted(out)
+
+
+def geohash_cover_bbox(
+    north: float, west: float, south: float, east: float, precision: int
+) -> List[str]:
+    """All geohashes at `precision` intersecting the bbox, sorted.
+
+    Parity with GeoHash.coverBoundingBox (library call at
+    QueryingController.java:240-244): walk the lat/lon grid in steps of the
+    cell size, encoding each sample point.
+    """
+    # cell extents at this precision: lon bits = ceil(5p/2), lat bits = floor(5p/2)
+    total_bits = precision * 5
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    lat_step = 180.0 / (1 << lat_bits)
+    lon_step = 360.0 / (1 << lon_bits)
+    hashes = set()
+    lat = south
+    while True:
+        lon = west
+        while True:
+            hashes.add(geohash_encode(lat, lon, precision))
+            if lon >= east:
+                break
+            lon = min(lon + lon_step, east)
+        if lat >= north:
+            break
+        lat = min(lat + lat_step, north)
+    return sorted(hashes)
+
+
+# ---------------------------------------------------------------------------
+# Web-Mercator tiles / quadkeys (QuadHash.java parity)
+# ---------------------------------------------------------------------------
+
+
+def latlon_to_tile(lat: float, lon: float, zoom: int) -> Tuple[int, int]:
+    """(x, y) tile containing (lat, lon) at `zoom` — QuadHash.java:8-13."""
+    n = 2.0**zoom
+    xtile = int(math.floor((lon + 180.0) / 360.0 * n))
+    lat_rad = math.radians(lat)
+    ytile = int(math.floor((1.0 - math.log(math.tan(lat_rad) + 1.0 / math.cos(lat_rad)) / math.pi) / 2.0 * n))
+    return xtile, ytile
+
+
+def tile_to_quadkey(x: int, y: int, zoom: int) -> str:
+    """Interleave x/y bits → base-4 quadkey string — QuadHash.java:15-30."""
+    digits = []
+    for i in range(zoom, 0, -1):
+        mask = 1 << (i - 1)
+        d = 0
+        if x & mask:
+            d += 1
+        if y & mask:
+            d += 2
+        digits.append(str(d))
+    return "".join(digits)
+
+
+def quadkey(lat: float, lon: float, zoom: int) -> str:
+    x, y = latlon_to_tile(lat, lon, zoom)
+    return tile_to_quadkey(x, y, zoom)
+
+
+def quadkey_cover_bbox(
+    north: float, west: float, south: float, east: float, zoom: int
+) -> List[str]:
+    """Quadkeys of all tiles covering the bbox, sorted — QuadHash.java:32-50.
+
+    y grows southward, so the y-range endpoints come from opposite corners:
+    minTile = tile(south, west) has the *larger* y; maxTile = tile(north, east)
+    the smaller. Replicates the reference loop exactly.
+    """
+    min_x, min_y = latlon_to_tile(south, west, zoom)  # minTile (bottom-left)
+    max_x, max_y = latlon_to_tile(north, east, zoom)  # maxTile (top-right)
+    keys = []
+    for x in range(min_x, max_x + 1):
+        for y in range(max_y, min_y + 1):
+            keys.append(tile_to_quadkey(x, y, zoom))
+    return sorted(keys)
+
+
+# ---------------------------------------------------------------------------
+# Column-expression builders (JVM-side, codegen-friendly — no Python UDFs)
+# ---------------------------------------------------------------------------
+
+
+def geohash_cell_col(geohash_col: Column | str, precision: int) -> Column:
+    """Cell id = geohash prefix — IngestStream.java:316."""
+    col = F.col(geohash_col) if isinstance(geohash_col, str) else geohash_col
+    return F.substring(col, 1, precision)
+
+
+def tile_x_col(lon_col: Column, zoom: int) -> Column:
+    return F.floor((lon_col + F.lit(180.0)) / F.lit(360.0) * F.lit(float(2**zoom))).cast("int")
+
+
+def tile_y_col(lat_col: Column, zoom: int) -> Column:
+    lat_rad = F.radians(lat_col)
+    merc = F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad))
+    return F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.lit(float(2**zoom))).cast("int")
+
+
+def quadkey_col(x_col: Column, y_col: Column, zoom: int) -> Column:
+    """Quadkey as native bit arithmetic (stays in whole-stage codegen)."""
+    digits = []
+    for i in range(zoom, 0, -1):
+        d = (F.shiftright(x_col, i - 1).bitwiseAND(F.lit(1))
+             + F.shiftright(y_col, i - 1).bitwiseAND(F.lit(1)) * F.lit(2))
+        digits.append(F.char(d + F.lit(48)))
+    return F.concat(*digits)
+
+
+def quadkey_from_latlon_col(lat_col: Column, lon_col: Column, zoom: int) -> Column:
+    return quadkey_col(tile_x_col(lon_col, zoom), tile_y_col(lat_col, zoom), zoom)
+
+
+def quadkey_sql(lat_expr: str, lon_expr: str, zoom: int) -> str:
+    """ANSI-SQL (DuckDB-compatible) rendering of the same quadkey math, used to
+    build oracle queries that mirror `quadkey_from_latlon_col` exactly."""
+    x = f"CAST(floor(({lon_expr} + 180.0) / 360.0 * {float(2 ** zoom)}) AS INTEGER)"
+    y = (
+        f"CAST(floor((1.0 - ln(tan(radians({lat_expr})) + 1.0 / cos(radians({lat_expr})))"
+        f" / pi()) / 2.0 * {float(2 ** zoom)}) AS INTEGER)"
+    )
+    digits = [
+        f"chr(48 + (({x} >> {i - 1}) & 1) + 2 * (({y} >> {i - 1}) & 1))"
+        for i in range(zoom, 0, -1)
+    ]
+    return "(" + " || ".join(digits) + ")"

@@ -1,0 +1,150 @@
+"""Materialized view lattice: count/sum/avg per (metric, cell, time bucket).
+
+The reference maintains one RocksDB store per metric × precision × {min, hour,
+day, month} via M·P·4 independent Kafka Streams subtopologies, each re-reading
+the stream (IngestStream.java:302-394; aggregator :84-92). Because count/sum
+are decomposable (merge algebra util/Aggregator.java:19-32), this engine builds
+ONE finest-grain aggregation and derives every coarser view by rolling up the
+previous level — each raw row is shuffled once, and every subsequent level
+aggregates the (much smaller) previous level:
+
+    readings ──groupBy(metric, cell@maxP, minute)──► base
+    base     ──date_trunc rollup──► hour ──► day ──► month      (per precision)
+    level@P  ──substring(cell, p) rollup──► level@p              (per resolution)
+
+`avg` is always derived sum/count *after* the final merge (never an average of
+averages — SURVEY.md §7 "hard parts").
+
+At 100 TB: the base aggregation is the only shuffle proportional to raw data;
+its key space (metric × cell × minute) is bounded and well-distributed (cells
+are hash-like strings). Rollups shuffle only aggregated rows. Materialized
+tables are partitioned by (metric_id, precision, res) — the query layer's
+view-selection columns (L1) — and sorted by (gh, ts) within partitions so the
+parquet scan prunes to one view and min/max-skips to the requested cells.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.timeutil import RES_TO_UNIT, VIEW_RESOLUTIONS, truncate_ts_col
+
+#: dev-default geohash precisions (AppConfig.java:13, Dockerfile:26-27)
+DEFAULT_PRECISIONS = (6, 7)
+
+def _agg_cols():
+    return [F.sum("count").alias("count"), F.sum("sum").alias("sum")]
+
+
+def _with_avg(df: DataFrame) -> DataFrame:
+    return df.withColumn("avg", F.col("sum") / F.col("count"))
+
+
+def base_view(readings: DataFrame, precision: int, res: str = "min") -> DataFrame:
+    """Finest-grain aggregation straight from readings (the only raw-data shuffle).
+
+    Output: metric_id, gh, ts(timestamp), count, sum.
+    """
+    return (
+        readings.select(
+            "metric_id",
+            F.substring("geohash", 1, precision).alias("gh"),
+            truncate_ts_col("ts", res).alias("ts"),
+            "value",
+        )
+        .groupBy("metric_id", "gh", "ts")
+        .agg(F.count("*").alias("count"), F.sum("value").alias("sum"))
+    )
+
+
+def rollup_time(view: DataFrame, res: str) -> DataFrame:
+    """Coarsen the time grain of an aggregated view (A2 merge algebra)."""
+    return (
+        view.withColumn("ts", F.date_trunc(RES_TO_UNIT[res], F.col("ts")))
+        .groupBy("metric_id", "gh", "ts")
+        .agg(*_agg_cols())
+    )
+
+
+def rollup_space(view: DataFrame, precision: int) -> DataFrame:
+    """Coarsen the cell precision of an aggregated view (prefix truncation)."""
+    return (
+        view.withColumn("gh", F.substring("gh", 1, precision))
+        .groupBy("metric_id", "gh", "ts")
+        .agg(*_agg_cols())
+    )
+
+
+def view_lattice(
+    readings: DataFrame,
+    precisions: Sequence[int] = DEFAULT_PRECISIONS,
+    resolutions: Iterable[str] = VIEW_RESOLUTIONS,
+) -> DataFrame:
+    """The full multi-resolution lattice as one DataFrame.
+
+    Output: metric_id, precision(int), res(string), gh, ts(timestamp),
+    count(long), sum(double), avg(double). Replaces the reference's M·P·4
+    stores (IngestStream.java:372-394) with a rollup cascade.
+    """
+    resolutions = [r for r in VIEW_RESOLUTIONS if r in set(resolutions)]  # keep grain order
+    precisions = sorted(precisions, reverse=True)
+    pieces = []
+    finest = base_view(readings, precisions[0], "min")
+    level = finest
+    for i, p in enumerate(precisions):
+        if i > 0:
+            level = rollup_space(level, p)
+        v = level
+        for res in resolutions:
+            if res != "min":
+                v = rollup_time(v, res)
+            pieces.append(
+                _with_avg(v).select(
+                    "metric_id",
+                    F.lit(p).cast("int").alias("precision"),
+                    F.lit(res).alias("res"),
+                    "gh",
+                    "ts",
+                    "count",
+                    "sum",
+                    "avg",
+                )
+            )
+    out = pieces[0]
+    for piece in pieces[1:]:
+        out = out.unionByName(piece)
+    return out
+
+
+def materialize_views(lattice: DataFrame, path: str) -> None:
+    """Write the lattice partitioned for query-time pruning.
+
+    Partition columns = the view-selection keys (L1: metric, precision, res);
+    within files, rows sorted by (gh, ts) so parquet min/max stats replace the
+    reference's RocksDB key-range scans (QueryingController.java:212-230).
+    """
+    (
+        lattice.repartition("metric_id", "precision", "res")
+        .sortWithinPartitions("gh", "ts")
+        .write.mode("overwrite")
+        .partitionBy("metric_id", "precision", "res")
+        .parquet(path)
+    )
+
+
+def incremental_update(existing: DataFrame, delta_lattice: DataFrame) -> DataFrame:
+    """Merge a new micro-batch's lattice into an existing one (A2 algebra).
+
+    Batch twin of the streaming foreachBatch MERGE (streaming/pipeline.py);
+    parity with the per-record incremental aggregator IngestStream.java:84-92.
+    """
+    return (
+        existing.select("metric_id", "precision", "res", "gh", "ts", "count", "sum")
+        .unionByName(delta_lattice.select("metric_id", "precision", "res", "gh", "ts", "count", "sum"))
+        .groupBy("metric_id", "precision", "res", "gh", "ts")
+        .agg(*_agg_cols())
+        .transform(_with_avg)
+    )

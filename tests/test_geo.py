@@ -1,0 +1,114 @@
+"""Golden tests for the pure geo module (semantics pinned by
+/root/reference/src/main/java/util/QuadHash.java and the public geohash spec)."""
+
+import math
+
+from explora_kafka_spark.functions import geo
+
+# Antwerp load-test bbox (sim_api_load.sh:2): N, W, S, E
+ANTWERP = (51.311646, 4.306641, 51.168823, 4.504395)
+
+
+def test_tile_known_values():
+    # Antwerp city center; cross-checked against the asinh form of the OSM
+    # slippy-map formula (tile row 5469 spans lat 51.2069..51.2206).
+    assert geo.latlon_to_tile(51.2194, 4.4025, 14) == (8392, 5469)
+    # the equator/prime-meridian boundary belongs to the south-east tile
+    assert geo.latlon_to_tile(0.0, 0.0, 1) == (1, 1)
+    assert geo.latlon_to_tile(0.0001, 0.0001, 1) == (1, 0)
+    assert geo.latlon_to_tile(-0.0001, -0.0001, 1) == (0, 1)
+    # zoom 0: whole world is tile (0, 0)
+    assert geo.latlon_to_tile(51.2194, 4.4025, 0) == (0, 0)
+
+
+def test_quadkey_interleave():
+    # From the Bing tile-system spec: tile (3, 5) @ zoom 3 → "213"
+    assert geo.tile_to_quadkey(3, 5, 3) == "213"
+    assert geo.tile_to_quadkey(0, 0, 3) == "000"
+    assert geo.tile_to_quadkey(7, 7, 3) == "333"
+    # digit = xbit + 2*ybit, MSB first
+    assert geo.tile_to_quadkey(1, 0, 1) == "1"
+    assert geo.tile_to_quadkey(0, 1, 1) == "2"
+
+
+def test_quadkey_roundtrip_tile_bits():
+    x, y, zoom = 8392, 5467, 14
+    qk = geo.tile_to_quadkey(x, y, zoom)
+    assert len(qk) == zoom
+    rx = ry = 0
+    for c in qk:
+        d = int(c)
+        rx = (rx << 1) | (d & 1)
+        ry = (ry << 1) | (d >> 1)
+    assert (rx, ry) == (x, y)
+
+
+def test_quadkey_cover_bbox_antwerp():
+    n, w, s, e = ANTWERP
+    cover = geo.quadkey_cover_bbox(n, w, s, e, 14)
+    # expected grid size from the tile corners
+    min_x, min_y = geo.latlon_to_tile(s, w, 14)
+    max_x, max_y = geo.latlon_to_tile(n, e, 14)
+    assert len(cover) == (max_x - min_x + 1) * (min_y - max_y + 1)
+    assert cover == sorted(cover)
+    assert len(set(cover)) == len(cover)
+    # every member tile's centroid quadkey is in the cover
+    assert geo.quadkey(51.24, 4.40, 14) in cover
+
+
+def test_cover_single_tile():
+    # degenerate bbox → exactly the containing tile
+    cover = geo.quadkey_cover_bbox(51.2194, 4.4025, 51.2194, 4.4025, 14)
+    assert cover == [geo.tile_to_quadkey(8392, 5469, 14)]
+
+
+def test_geohash_known_values():
+    # Public geohash test vectors
+    assert geo.geohash_encode(57.64911, 10.40744, 11) == "u4pruydqqvj"
+    assert geo.geohash_encode(42.6, -5.6, 5) == "ezs42"
+    lat, lon = geo.geohash_decode("ezs42")
+    assert abs(lat - 42.60498) < 0.022
+    assert abs(lon - (-5.60303)) < 0.044
+
+
+def test_geohash_roundtrip():
+    for lat, lon in [(51.2194, 4.4025), (-33.86, 151.21), (0.0, 0.0), (89.9, -179.9)]:
+        gh = geo.geohash_encode(lat, lon, 12)
+        dlat, dlon = geo.geohash_decode(gh)
+        assert abs(dlat - lat) < 1e-6
+        assert abs(dlon - lon) < 1e-6
+
+
+def test_geohash_children():
+    kids = geo.geohash_children("u4pr", 5)
+    assert len(kids) == 32
+    assert all(k.startswith("u4pr") and len(k) == 5 for k in kids)
+    assert kids == sorted(kids)
+    assert geo.geohash_children("u4pruydqqvjb", 5) == ["u4pru"]
+
+
+def test_geohash_cover_bbox_antwerp():
+    n, w, s, e = ANTWERP
+    cover = geo.geohash_cover_bbox(n, w, s, e, 5)
+    assert cover == sorted(cover)
+    # every corner + center cell present
+    for lat, lon in [(n, w), (n, e), (s, w), (s, e), ((n + s) / 2, (w + e) / 2)]:
+        assert geo.geohash_encode(lat, lon, 5) in cover
+    # no cell entirely outside the bbox
+    for gh in cover:
+        lat_lo, lat_hi, lon_lo, lon_hi = geo.geohash_decode_bbox(gh)
+        assert lat_hi >= s and lat_lo <= n and lon_hi >= w and lon_lo <= e
+
+
+def test_quadkey_column_matches_pure(spark):
+    """Native bit-arithmetic Column == pure-Python quadkey, row by row."""
+    from pyspark.sql import functions as F
+    rows = [(51.2194, 4.4025), (51.17, 4.31), (-33.86, 151.21), (40.0, -74.0), (0.1, 0.1)]
+    df = spark.createDataFrame(rows, "lat double, lon double")
+    got = (
+        df.withColumn("qk", geo.quadkey_from_latlon_col(F.col("lat"), F.col("lon"), 14))
+        .select("lat", "lon", "qk")
+        .collect()
+    )
+    for r in got:
+        assert r.qk == geo.quadkey(r.lat, r.lon, 14), (r.lat, r.lon)
