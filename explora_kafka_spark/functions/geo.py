@@ -236,6 +236,80 @@ def quadkey_from_latlon_col(lat_col: Column, lon_col: Column, zoom: int) -> Colu
     return quadkey_col(tile_x_col(lon_col, zoom), tile_y_col(lat_col, zoom), zoom)
 
 
+def _geohash_bit_layout(precision: int):
+    """(lon_bits, lat_bits, per-char bit specs) for a geohash of `precision`.
+
+    Each of the 5·precision interleaved bits (even = longitude, odd = latitude,
+    MSB first — Niemeyer base-32 geohash) maps to one bit of the integer cell
+    index along its axis."""
+    total = precision * 5
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    chars = []
+    for k in range(precision):
+        spec = []  # (axis, shift) per bit, MSB→LSB within the char
+        for t in range(5):
+            b = 5 * k + t
+            if b % 2 == 0:
+                spec.append(("lon", lon_bits - 1 - b // 2))
+            else:
+                spec.append(("lat", lat_bits - 1 - (b - 1) // 2))
+        chars.append(spec)
+    return lon_bits, lat_bits, chars
+
+
+def geohash_col(lat_col: Column, lon_col: Column, precision: int) -> Column:
+    """Geohash of (lat, lon) as a native Column expression (no Python UDF).
+
+    Same bit math as `geohash_encode` (axis index = floor of the scaled
+    coordinate, clamped at the top edge), composed from floor/shift/substring
+    so the hot path stays inside whole-stage codegen. Mirrored exactly by
+    `geohash_sql` for DuckDB oracles. Valid domain: lat ∈ [-90, 90],
+    lon ∈ [-180, 180] (top edges clamp; out-of-range inputs are undefined,
+    matching geohash_encode)."""
+    lon_bits, lat_bits, chars = _geohash_bit_layout(precision)
+    lon_idx = F.least(
+        F.floor((lon_col + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
+        F.lit((1 << lon_bits) - 1),
+    ).cast("long")
+    lat_idx = F.least(
+        F.floor((lat_col + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
+        F.lit((1 << lat_bits) - 1),
+    ).cast("long")
+    axis = {"lon": lon_idx, "lat": lat_idx}
+    out = []
+    for spec in chars:
+        idx = F.lit(0)
+        for pos, (ax, shift) in enumerate(spec):
+            idx = idx + F.shiftright(axis[ax], shift).bitwiseAND(F.lit(1)) * F.lit(1 << (4 - pos))
+        out.append(F.substring(F.lit(_BASE32), idx.cast("int") + F.lit(1), F.lit(1)))
+    return F.concat(*out)
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
+    """ANSI-SQL (DuckDB-compatible) mirror of `geohash_col` — used to build
+    oracle queries that derive the identical cell id."""
+    lon_bits, lat_bits, chars = _geohash_bit_layout(precision)
+    lon_idx = (
+        f"least(CAST(floor(({lon_expr} + 180.0) / 360.0 * {float(1 << lon_bits)}) AS BIGINT), "
+        f"{(1 << lon_bits) - 1})"
+    )
+    lat_idx = (
+        f"least(CAST(floor(({lat_expr} + 90.0) / 180.0 * {float(1 << lat_bits)}) AS BIGINT), "
+        f"{(1 << lat_bits) - 1})"
+    )
+    axis = {"lon": lon_idx, "lat": lat_idx}
+    parts = []
+    for spec in chars:
+        terms = [
+            f"(({axis[ax]} >> {shift}) & 1) * {1 << (4 - pos)}"
+            for pos, (ax, shift) in enumerate(spec)
+        ]
+        idx = " + ".join(terms)
+        parts.append(f"substr('{_BASE32}', CAST({idx} AS INTEGER) + 1, 1)")
+    return "(" + " || ".join(parts) + ")"
+
+
 def quadkey_sql(lat_expr: str, lon_expr: str, zoom: int) -> str:
     """ANSI-SQL (DuckDB-compatible) rendering of the same quadkey math, used to
     build oracle queries that mirror `quadkey_from_latlon_col` exactly."""
