@@ -23,6 +23,9 @@ from pyspark.sql import functions as F
 
 from explora_kafka_spark.functions import geo
 from explora_kafka_spark.functions.timeutil import composite_key_col, ts_ms_col
+from explora_kafka_spark.operators import dedup as D
+from explora_kafka_spark.operators import similarity as S
+from explora_kafka_spark.operators import text as T
 from explora_kafka_spark.plans import query as Q
 from explora_kafka_spark.plans import views as V
 from explora_kafka_spark.session import configure
@@ -290,6 +293,69 @@ def q_join_rollup_nation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark, sf_dir):
+    """Token counting + quality scoring over documents (all native fns)."""
+    return T.with_text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (marker-stopword argmax)."""
+    return T.with_lang_id(load_table(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 digest + min-shingle-hash."""
+    return T.with_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized-text digest."""
+    return D.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_near(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidate pairs (bucketed join).
+    Bigram shingles + 8 bands × 2 rows: the synthetic corpus has a tiny
+    vocabulary, so unigram token sets are all near-identical (est≈1.0
+    for every pair — saturated and O(n²)); bigrams spread the estimate
+    over (0.125..1.0] with a sparse candidate set."""
+    return D.dedup_near(load_table(spark, sf_dir, "documents"),
+                        shingle_n=2, num_bands=8)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact bigram Jaccard rerank of the LSH candidates."""
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
+                                 shingle_n=2, num_bands=8)
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprint per document."""
+    return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_ann_topk_brute(spark, sf_dir):
+    """Brute-force cosine top-5 (broadcast query side, exact)."""
+    return S.ann_topk_brute(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Sign-LSH bucketed approximate top-5 (equi-join on bucket)."""
+    return S.ann_topk_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within LSH buckets. τ=0.3 is tuned
+    to the synthetic corpus (random 64-dim vectors: in-bucket cosine tops
+    out ≈0.41, so a production-style τ=0.9 would be vacuously empty)."""
+    return S.embedding_near_dup(load_table(spark, sf_dir, "embeddings"), tau=0.3)
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -319,6 +385,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_bbox_quad": q_snapshot_bbox_quad,
         "snapshot_bbox_geohash": q_snapshot_bbox_geohash,
         "join_rollup_nation": q_join_rollup_nation,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_near": q_dedup_near,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "ann_topk_brute": q_ann_topk_brute,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -451,4 +527,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1 ORDER BY 1
         """,
+        "text_stats": T.text_stats_sql(),
+        "lang_id": T.lang_id_sql(),
+        "fingerprint": T.fingerprint_sql(),
+        "dedup_exact": D.dedup_exact_sql(),
+        "dedup_near": D.dedup_near_sql(shingle_n=2, num_bands=8),
+        "ngram_jaccard": D.ngram_jaccard_sql(shingle_n=2, num_bands=8),
+        "simhash": D.simhash_sql(),
+        "ann_topk_brute": S.ann_topk_brute_sql(),
+        "ann_topk_lsh": S.ann_topk_lsh_sql(),
+        "embedding_near_dup": S.embedding_near_dup_sql(tau=0.3),
     }

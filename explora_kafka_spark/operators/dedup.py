@@ -1,0 +1,325 @@
+"""Deduplication operators over `documents(doc_id, text, ...)`:
+
+- exact dedup: md5 digest of normalized text, hash-groupBy (one shuffle)
+- near dedup: MinHash signatures + LSH banding — candidate pairs come
+  from an equi-join on (band_idx, band_key) buckets, NEVER an all-pairs
+  crossJoin, so the plan scales as O(collisions), not O(n²)
+- exact n-gram Jaccard rerank of the LSH candidates
+- SimHash fingerprints (portable bit-count construction)
+
+All hashing is md5-based (`h_i(s) = int64(md5(i || '|' || s)[:15])`) so
+every value has an exact DuckDB mirror (the `*_sql` builders) — the
+driver's oracle gate checks values, not just shapes. At 100 TB the same
+plans hold: digest/minhash are embarrassingly parallel projections; the
+LSH join shuffles on band keys (bounded by bucket collisions); AQE skew
+handling covers hot buckets.
+
+No counterpart exists in the reference (it has no text pipeline); these
+are the LLM-data-pipeline extensions the task brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import norm_sql, tokens_sql
+
+#: MinHash configuration: 16 hashes, 2 bands × 8 rows. r=8 keeps the
+#: candidate set sparse even when baseline Jaccard is high (word-salad
+#: corpora): P(collision) = 1 - (1 - j^8)^2.
+NUM_HASHES = 16
+NUM_BANDS = 2
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+
+def _hash_expr_spark(i: int, var: str) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('{i}|', {var})), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def _hash_expr_duck(i: int, var: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{i}|', {var})), 1, 15)) AS BIGINT)"
+    )
+
+
+def _shingles_expr_spark(n: int) -> str:
+    """Word n-gram shingle array from a `_toks` column (n=1 → token set)."""
+    if n == 1:
+        return "_toks"
+    return (
+        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+        f" i -> array_join(slice(_toks, i, {n}), ' '))"
+    )
+
+
+def _shingles_expr_duck(toks: str, n: int) -> str:
+    if n == 1:
+        return toks
+    return (
+        f"[array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')"
+        f" FOR i IN range(1, greatest(len({toks}) - {n - 1}, 1) + 1)]"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5 of normalized text. Returns one row
+    per distinct content: (digest, keep_doc_id = min, n_dups). A single
+    hash-partitioned shuffle on the digest; partial aggregation runs
+    map-side, so at scale the shuffle carries one row per distinct digest
+    per task."""
+    return (
+        docs.select("doc_id", F.md5(F.expr(_NORM_SPARK)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+_NORM_SPARK = r"trim(regexp_replace(lower(text), '\\s+', ' '))"
+
+
+def dedup_exact_sql(table: str = "documents") -> str:
+    return f"""
+        SELECT md5({norm_sql('text')}) AS digest,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS n_dups
+        FROM {table}
+        GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = NUM_HASHES, shingle_n: int = 1
+) -> DataFrame:
+    """(doc_id, sig array<long>[num_hashes]) — min over shingle hashes per
+    hash family. Pure projection: distributes with zero shuffles."""
+    sh = _shingles_expr_spark(shingle_n)
+    mins = ", ".join(
+        f"array_min(transform(_sh, s -> {_hash_expr_spark(i, 's')}))"
+        for i in range(num_hashes)
+    )
+    return (
+        docs.withColumn("_toks", F.expr(f"split({_NORM_SPARK}, ' ')"))
+        .withColumn("_sh", F.expr(f"array_distinct({sh})"))
+        .select("doc_id", F.expr(f"array({mins})").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    num_bands: int = NUM_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """LSH banding: band key = md5 of one signature slice; docs sharing
+    any band bucket become a candidate pair (doc_a < doc_b) with
+    est_jaccard = matching-component fraction.
+
+    Plan shape: explode to num_bands rows/doc, shuffle on the band key
+    (equi-join), distinct pairs. No cartesian product anywhere — the
+    driver test asserts CartesianProduct/BroadcastNestedLoopJoin absent.
+    """
+    bands = F.array(*[
+        F.md5(F.concat_ws(",", F.expr(
+            f"slice(sig, {b * rows_per_band + 1}, {rows_per_band})"
+        ))) for b in range(num_bands)
+    ])
+    banded = sigs.select(
+        "doc_id", "sig", F.posexplode(bands).alias("band_idx", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n = F.size("sig_a")
+    matches = F.size(F.expr(
+        "filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)"
+    ))
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.round(matches / n, 6).alias("est_jaccard"),
+    )
+
+
+def dedup_near(
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_n: int = 1,
+    min_est: float = 0.0,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs, sorted for stable
+    output. `min_est` filters by estimated Jaccard."""
+    sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands)
+    if min_est > 0:
+        pairs = pairs.filter(F.col("est_jaccard") >= min_est)
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def dedup_near_sql(
+    table: str = "documents",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_n: int = 1,
+    min_est: float = 0.0,
+) -> str:
+    """DuckDB mirror of dedup_near (same hashes, bands, ordering)."""
+    rows = num_hashes // num_bands
+    toks = tokens_sql("text")
+    sh = _shingles_expr_duck("_toks", shingle_n)
+    mins = ", ".join(
+        f"list_min([{_hash_expr_duck(i, 's')} FOR s IN _sh])"
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        f"md5(array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], ','))"
+        for b in range(num_bands)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS _toks FROM {table}),
+        s AS (SELECT doc_id, list_distinct({sh}) AS _sh FROM t),
+        sig AS (SELECT doc_id, [{mins}] AS sig FROM s),
+        banded AS (
+            SELECT doc_id, sig, u.b AS band_idx, [{band_keys}][u.b] AS band_key
+            FROM sig, unnest(range(1, {num_bands} + 1)) AS u(b)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(len([i FOR i IN range(1, {num_hashes} + 1)
+                          IF sig_a[i] = sig_b[i]]) / {num_hashes}.0, 6)
+                   AS est_jaccard
+        FROM pairs
+        WHERE round(len([i FOR i IN range(1, {num_hashes} + 1)
+                         IF sig_a[i] = sig_b[i]]) / {num_hashes}.0, 6)
+              >= {min_est}
+        ORDER BY doc_a, doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (rerank of LSH candidates)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 1,
+                        min_est: float = 0.0,
+                        num_hashes: int = NUM_HASHES,
+                        num_bands: int = NUM_BANDS) -> DataFrame:
+    """LSH candidates reranked with EXACT Jaccard over distinct word
+    n-gram sets. The exact computation touches only candidate pairs —
+    the standard two-phase near-dup pipeline (cheap recall, exact
+    precision)."""
+    sh = _shingles_expr_spark(shingle_n)
+    shingled = (
+        docs.withColumn("_toks", F.expr(f"split({_NORM_SPARK}, ' ')"))
+        .select("doc_id", F.expr(f"array_distinct({sh})").alias("shingles"))
+    )
+    cand = dedup_near(docs, num_hashes=num_hashes, num_bands=num_bands,
+                      shingle_n=shingle_n, min_est=min_est)
+    a = shingled.alias("sa")
+    b = shingled.alias("sb")
+    joined = (
+        cand.join(a, cand.doc_a == F.col("sa.doc_id"))
+        .join(b, cand.doc_b == F.col("sb.doc_id"))
+    )
+    inter = F.size(F.expr("array_intersect(sa.shingles, sb.shingles)"))
+    union = F.size(F.expr("array_union(sa.shingles, sb.shingles)"))
+    return joined.select(
+        "doc_a", "doc_b", "est_jaccard",
+        F.round(inter / union, 6).alias("jaccard"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def ngram_jaccard_sql(table: str = "documents", shingle_n: int = 1,
+                      min_est: float = 0.0,
+                      num_hashes: int = NUM_HASHES,
+                      num_bands: int = NUM_BANDS) -> str:
+    inner = dedup_near_sql(table, num_hashes=num_hashes,
+                           num_bands=num_bands,
+                           shingle_n=shingle_n, min_est=min_est)
+    toks = tokens_sql("text")
+    sh = _shingles_expr_duck("_toks", shingle_n)
+    return f"""
+        WITH cand AS ({inner}),
+        t AS (SELECT doc_id, {toks} AS _toks FROM {table}),
+        sh AS (SELECT doc_id, list_distinct({sh}) AS shingles FROM t)
+        SELECT cand.doc_a, cand.doc_b, cand.est_jaccard,
+               round(len(list_intersect(sa.shingles, sb.shingles))
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles))),
+                     6) AS jaccard
+        FROM cand
+        JOIN sh sa ON cand.doc_a = sa.doc_id
+        JOIN sh sb ON cand.doc_b = sb.doc_id
+        ORDER BY doc_a, doc_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash long): bit j set iff more than half of the
+    document's distinct tokens have bit j set in their 60-bit md5-derived
+    hash. Pure projection — no shuffle."""
+    terms = []
+    for j in range(bits):
+        ones = (
+            f"size(filter(_hs, h -> (h >> {j}) % 2 = 1))"
+        )
+        terms.append(f"CAST(IF({ones} * 2 > size(_hs), {1 << j}, 0) AS BIGINT)")
+    return (
+        docs.withColumn("_toks", F.expr(f"array_distinct(split({_NORM_SPARK}, ' '))"))
+        .withColumn("_hs", F.expr(
+            f"transform(_toks, t -> {_hash_expr_spark(0, 't')})"
+        ))
+        .select("doc_id", F.expr(" + ".join(terms)).alias("simhash"))
+    )
+
+
+def simhash_sql(table: str = "documents", bits: int = 32) -> str:
+    toks = tokens_sql("text")
+    terms = []
+    for j in range(bits):
+        ones = f"len(list_filter(_hs, h -> (h >> {j}) % 2 = 1))"
+        terms.append(
+            f"CAST(CASE WHEN {ones} * 2 > len(_hs) THEN {1 << j} ELSE 0 END AS BIGINT)"
+        )
+    return f"""
+        WITH t AS (SELECT doc_id, list_distinct({toks}) AS _toks FROM {table}),
+        h AS (SELECT doc_id, [{_hash_expr_duck(0, 't')} FOR t IN _toks] AS _hs
+              FROM t)
+        SELECT doc_id, {" + ".join(terms)} AS simhash FROM h
+    """

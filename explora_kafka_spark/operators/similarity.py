@@ -1,0 +1,298 @@
+"""Similarity search over `embeddings(vec_id, embedding array<float>,
+label)`: brute-force cosine top-k (the exact baseline) and a sign-LSH
+bucketed variant (the scale path).
+
+Design for 100 TB:
+- brute-force = broadcast the (small) query set against the full vector
+  table — one pass, no shuffle of the big side, exact results. Linear in
+  corpus size; use only when the query set is small.
+- LSH = random-hyperplane sign buckets. Hyperplane weights are
+  DETERMINISTIC (derived from md5, computed once driver-side and inlined
+  as literals), so bucketing is a pure projection on both sides and the
+  candidate join is an equi-join on the bucket id — no cartesian
+  product, shuffle bounded by bucket collisions. Determinism also makes
+  the whole operator expressible in ANSI SQL, so even the approximate
+  path is value-checked by the DuckDB oracle (same algorithm, same
+  buckets, same result).
+
+Cosine is computed in float64 with strict left-to-right summation on
+both engines (Spark `aggregate`, DuckDB `list_sum` over an ordered
+comprehension) so values agree to rounding.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64
+NUM_PLANES = 8
+
+
+def _plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1): 60 bits of
+    md5(f"{p}|{d}") scaled. Same constants are inlined in the SQL oracle."""
+    h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:15]
+    return int(h, 16) / float(1 << 59) - 1.0
+
+
+def hyperplanes(num_planes: int = NUM_PLANES, dim: int = DIM) -> list[list[float]]:
+    return [[_plane_weight(p, d) for d in range(dim)] for p in range(num_planes)]
+
+
+# ---------------------------------------------------------------------------
+# expression builders (Spark expr + DuckDB mirror)
+# ---------------------------------------------------------------------------
+
+
+def _dot_spark(a: str, b: str) -> str:
+    """Strict sequential float64 dot product."""
+    return (
+        f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>),"
+        f" (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_expr_spark(a: str, b: str) -> str:
+    return (
+        f"({_dot_spark(a, b)}) / (sqrt({_dot_spark(a, a)}) * sqrt({_dot_spark(b, b)}))"
+    )
+
+
+def _dot_duck(a: str, b: str, dim: int = DIM) -> str:
+    return (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+        f" FOR i IN range(1, {dim} + 1)])"
+    )
+
+
+def cosine_expr_duck(a: str, b: str, dim: int = DIM) -> str:
+    return (
+        f"({_dot_duck(a, b, dim)}) / "
+        f"(sqrt({_dot_duck(a, a, dim)}) * sqrt({_dot_duck(b, b, dim)}))"
+    )
+
+
+def _plane_dot_spark(planes: list[list[float]], p: int) -> str:
+    lits = ", ".join(f"CAST({w!r} AS DOUBLE)" for w in planes[p])
+    return (
+        f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), array({lits}),"
+        f" (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def bucket_expr_spark(planes: list[list[float]]) -> str:
+    """Sign-LSH bucket id = bits of sign(embedding · plane_p)."""
+    bits = [
+        f"CAST(IF({_plane_dot_spark(planes, p)} >= 0, {1 << p}, 0) AS INT)"
+        for p in range(len(planes))
+    ]
+    return " + ".join(bits)
+
+
+def bucket_expr_duck(planes: list[list[float]], dim: int = DIM) -> str:
+    bits = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(repr(w) for w in plane)
+        dot = (
+            f"list_sum([CAST(embedding[i] AS DOUBLE) * ([{lits}])[i]"
+            f" FOR i IN range(1, {dim} + 1)])"
+        )
+        bits.append(f"CAST(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END AS INT)")
+    return " + ".join(bits)
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+
+def ann_topk_brute(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the query subset
+    (vec_id % query_mod == 0) against the whole corpus.
+
+    Plan: broadcast the tiny query side into a nested-loop join over the
+    corpus — the right brute-force shape (one corpus scan, no shuffle of
+    the big side), then a per-query top-k window on the small result.
+    """
+    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    sim = F.expr(cosine_expr_spark("q_emb", "n_emb"))
+    scored = (
+        cand.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(sim, round_to).alias("sim"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_topk_brute_sql(
+    table: str = "embeddings",
+    query_mod: int = 50,
+    k: int = 5,
+    round_to: int = 6,
+    dim: int = DIM,
+) -> str:
+    cos = cosine_expr_duck("q.embedding", "n.embedding", dim)
+    return f"""
+        WITH q AS (SELECT vec_id, embedding FROM {table}
+                   WHERE vec_id % {query_mod} = 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   round({cos}, {round_to}) AS sim
+            FROM q CROSS JOIN {table} n
+            WHERE q.vec_id != n.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    num_planes: int = NUM_PLANES,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign-LSH bucket;
+    exact cosine rerank within the bucket. Equi-join on bucket id — at
+    scale the corpus is hash-partitioned by bucket and never broadcast.
+    Recall < 1 by construction; the oracle runs the identical algorithm
+    so results still match exactly."""
+    planes = hyperplanes(num_planes)
+    bucketed = embeddings.withColumn("bucket", F.expr(bucket_expr_spark(planes)))
+    q = bucketed.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    cand = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        "bucket",
+    )
+    sim = F.expr(cosine_expr_spark("q_emb", "n_emb"))
+    scored = (
+        cand.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(sim, round_to).alias("sim"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_topk_lsh_sql(
+    table: str = "embeddings",
+    query_mod: int = 50,
+    k: int = 5,
+    num_planes: int = NUM_PLANES,
+    round_to: int = 6,
+    dim: int = DIM,
+) -> str:
+    planes = hyperplanes(num_planes)
+    bucket = bucket_expr_duck(planes, dim)
+    cos = cosine_expr_duck("q.embedding", "n.embedding", dim)
+    return f"""
+        WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM {table}),
+        q AS (SELECT * FROM b WHERE vec_id % {query_mod} = 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   round({cos}, {round_to}) AS sim
+            FROM q JOIN b n USING (bucket)
+            WHERE q.vec_id != n.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    tau: float = 0.9,
+    num_planes: int = NUM_PLANES,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket equi-join
+    (vec_a < vec_b) + exact cosine filter at threshold `tau`. The
+    all-pairs comparison never happens — only within-bucket pairs are
+    scored."""
+    planes = hyperplanes(num_planes)
+    bucketed = embeddings.withColumn("bucket", F.expr(bucket_expr_spark(planes)))
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("a_emb"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("b_emb"), "bucket"
+    )
+    sim = F.expr(cosine_expr_spark("a_emb", "b_emb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(sim, round_to).alias("sim"))
+        .filter(F.col("sim") >= tau)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_near_dup_sql(
+    table: str = "embeddings",
+    tau: float = 0.9,
+    num_planes: int = NUM_PLANES,
+    round_to: int = 6,
+    dim: int = DIM,
+) -> str:
+    planes = hyperplanes(num_planes)
+    bucket = bucket_expr_duck(planes, dim)
+    cos = cosine_expr_duck("a.embedding", "b.embedding", dim)
+    return f"""
+        WITH buck AS (SELECT vec_id, embedding, {bucket} AS bucket FROM {table})
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({cos}, {round_to}) AS sim
+        FROM buck a JOIN buck b USING (bucket)
+        WHERE a.vec_id < b.vec_id
+          AND round({cos}, {round_to}) >= {tau}
+        ORDER BY vec_a, vec_b
+    """

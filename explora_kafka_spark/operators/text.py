@@ -1,0 +1,206 @@
+"""Text-analysis operators over a `documents(doc_id, text, lang, source,
+n_chars)` table: token counting, quality scoring, language-ID heuristic,
+and document fingerprinting.
+
+Everything here is native `pyspark.sql.functions` (whole-stage codegen;
+no Python UDFs), and every derivation has an exact ANSI-SQL mirror
+(`*_sql` helpers) so DuckDB oracles reproduce values bit-for-bit.
+
+The reference system has no text operators — these extend the engine for
+LLM training-data pipelines (task brief), following the same design rule
+as the geo module (`functions/geo.py`): pure Column expression + SQL
+mirror + driver-oracle check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny embedded stopword lists per language — marker words for the
+#: n-gram/stopword language-ID heuristic. Deterministic and portable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "zu"),
+}
+
+#: English stopwords used by the quality score (subset is enough for a
+#: deterministic ratio feature).
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "of", "and", "or", "to", "in", "on", "is", "it",
+    "for", "with", "as", "at", "by",
+)
+
+
+# ---------------------------------------------------------------------------
+# normalization + tokens
+# ---------------------------------------------------------------------------
+
+
+def norm_col(text: Column | str) -> Column:
+    """Lowercase, collapse runs of whitespace to single spaces, trim."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def norm_sql(expr: str) -> str:
+    return rf"trim(regexp_replace(lower({expr}), '\s+', ' ', 'g'))"
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokenization of the normalized text."""
+    return F.split(norm_col(text), " ")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"string_split({norm_sql(expr)}, ' ')"
+
+
+# ---------------------------------------------------------------------------
+# token stats + quality score
+# ---------------------------------------------------------------------------
+
+
+def with_text_stats(docs: DataFrame) -> DataFrame:
+    """doc_id + deterministic per-document features:
+
+    n_tokens, n_chars_norm, avg_token_len, punct_ratio, stopword_ratio,
+    quality_score ∈ [0, 1]. The quality score is a fixed linear blend of
+    (stopword presence, length saturation, non-punctuation share) — the
+    standard cheap heuristics a pretraining filter uses.
+    """
+    toks = tokens_col("text")
+    norm = norm_col("text")
+    n_tokens = F.size(toks)
+    n_chars = F.length(norm)
+    punct = F.length(F.regexp_replace(norm, r"[a-z0-9 ]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    punct_ratio = F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(stop / F.greatest(n_tokens, F.lit(1)), 6)
+    quality = F.round(
+        0.4 * (stop / F.greatest(n_tokens, F.lit(1)))
+        + 0.3 * F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1.0 - punct / F.greatest(n_chars, F.lit(1))),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_norm"),
+        F.round(
+            (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1)), 6
+        ).alias("avg_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def text_stats_sql(table: str = "documents") -> str:
+    norm = norm_sql("text")
+    toks = tokens_sql("text")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_tokens = f"len({toks})"
+    n_chars = f"len({norm})"
+    punct = rf"len(regexp_replace({norm}, '[a-z0-9 ]', '', 'g'))"
+    stop = f"len(list_filter({toks}, t -> t IN ({stop_list})))"
+    return f"""
+        SELECT doc_id,
+               {n_tokens} AS n_tokens,
+               {n_chars} AS n_chars_norm,
+               round(({n_chars} - ({n_tokens} - 1)) / greatest({n_tokens}, 1), 6)
+                   AS avg_token_len,
+               round({punct} / greatest({n_chars}, 1), 6) AS punct_ratio,
+               round({stop} / greatest({n_tokens}, 1), 6) AS stopword_ratio,
+               round(0.4 * ({stop} / greatest({n_tokens}, 1))
+                   + 0.3 * least({n_tokens} / 100.0, 1.0)
+                   + 0.3 * (1.0 - {punct} / greatest({n_chars}, 1)), 6)
+                   AS quality_score
+        FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# language ID
+# ---------------------------------------------------------------------------
+
+
+def with_lang_id(docs: DataFrame) -> DataFrame:
+    """Predict language by marker-stopword hit counts (argmax; ties break
+    by language code order; zero hits everywhere → 'und')."""
+    toks = tokens_col("text")
+    langs = sorted(LANG_MARKERS)
+
+    def _hits(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    hits = {lang: _hits(LANG_MARKERS[lang]) for lang in langs}
+    best = F.greatest(*hits.values())
+    pred = F.lit("und")
+    # reverse order so that earlier lang codes win ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (hits[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return docs.select("doc_id", F.col("lang").alias("labeled_lang"),
+                       pred.alias("pred_lang"))
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    toks = tokens_sql("text")
+    langs = sorted(LANG_MARKERS)
+    hit = {
+        lang: (
+            f"len(list_filter({toks}, t -> t IN "
+            f"({', '.join(repr(w) for w in LANG_MARKERS[lang])})))"
+        )
+        for lang in langs
+    }
+    best = "greatest(" + ", ".join(hit[lang] for lang in langs) + ")"
+    case = "CASE "
+    for lang in langs:
+        case += f"WHEN {best} > 0 AND {hit[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+        SELECT doc_id, lang AS labeled_lang, {case} AS pred_lang
+        FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def with_fingerprint(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Document fingerprints: full digest (md5 of normalized text) plus a
+    shingle fingerprint = min md5 over all character k-shingles — a
+    1-hash MinHash, stable under small edits away from the minimizing
+    shingle (winnowing-lite)."""
+    shingle_hashes = F.expr(
+        f"transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)),"
+        f" i -> md5(substring(_norm, i, {k})))"
+    )
+    return (
+        docs.withColumn("_norm", norm_col("text"))
+        .select(
+            "doc_id",
+            F.md5("_norm").alias("digest"),
+            F.array_min(shingle_hashes).alias("shingle_fp"),
+        )
+    )
+
+
+def fingerprint_sql(table: str = "documents", k: int = 8) -> str:
+    norm = norm_sql("text")
+    return f"""
+        WITH n AS (SELECT doc_id, {norm} AS _norm FROM {table})
+        SELECT doc_id,
+               md5(_norm) AS digest,
+               list_min([md5(substr(_norm, i, {k}))
+                         FOR i IN range(1, greatest(len(_norm) - {k - 1}, 1) + 1)])
+                   AS shingle_fp
+        FROM n
+    """

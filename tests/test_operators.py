@@ -1,0 +1,166 @@
+"""Operator tests: dedup / similarity / text over the driver's
+documents+embeddings tables (sf0.001). Focus: semantic invariants and
+plan-shape guarantees (no cartesian products in the LSH paths)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from explora_kafka_spark.operators import dedup as D
+from explora_kafka_spark.operators import similarity as S
+from explora_kafka_spark.operators import text as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_exact_finds_injected_duplicates(spark, docs):
+    # duplicate every doc under a shifted id; whitespace/case noise must
+    # normalize away
+    noisy = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).withColumn(
+        "text", F.upper(F.concat(F.lit("  "), F.col("text"), F.lit("   ")))
+    )
+    groups = D.dedup_exact(docs.unionByName(noisy))
+    assert groups.filter(F.col("n_dups") != 2).count() == 0
+    # keeper is always the original (smaller) id
+    assert groups.filter(F.col("keep_doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = D.minhash_signatures(docs, shingle_n=2)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = D.minhash_signatures(docs.unionByName(dup), shingle_n=2)
+    a = {r.doc_id: r.sig for r in both.collect()}
+    for i in range(20):
+        assert a[i] == a[i + 1_000_000]
+    assert sigs.select(F.size("sig")).distinct().collect()[0][0] == D.NUM_HASHES
+
+
+def test_lsh_no_cartesian_product(docs):
+    plan = _physical_plan(D.dedup_near(docs, shingle_n=2, num_bands=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_duplicate_pair_has_est_one(spark, docs):
+    one = docs.filter(F.col("doc_id") == 3)
+    pair_input = one.unionByName(
+        one.withColumn("doc_id", F.lit(1_000_003))
+    )
+    pairs = D.dedup_near(pair_input, shingle_n=2).collect()
+    assert len(pairs) == 1
+    assert pairs[0].est_jaccard == 1.0
+
+
+def test_ngram_jaccard_bounds(docs):
+    rows = D.ngram_jaccard_pairs(docs, shingle_n=2, num_bands=8).collect()
+    assert rows, "LSH candidates expected on this corpus"
+    for r in rows:
+        assert 0.0 <= r.jaccard <= 1.0
+        assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_simhash_stable_and_bounded(docs):
+    rows = D.simhash(docs).collect()
+    assert all(0 <= r.simhash < (1 << 32) for r in rows)
+    # identical text → identical simhash
+    again = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    assert {r.doc_id: r.simhash for r in rows} == again
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_brute_topk_shape_and_self_exclusion(emb):
+    rows = S.ann_topk_brute(emb, query_mod=100, k=3).collect()
+    by_q = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_is_subset_quality(emb):
+    brute = S.ann_topk_brute(emb, query_mod=100, k=3).collect()
+    lsh = S.ann_topk_lsh(emb, query_mod=100, k=3).collect()
+    # every LSH result's sim is <= the brute-force best for that query
+    best = {}
+    for r in brute:
+        best.setdefault(r.query_id, r.sim)
+    for r in lsh:
+        assert r.sim <= best[r.query_id] + 1e-9
+
+
+def test_lsh_join_is_bucketed_not_cartesian(emb):
+    plan = _physical_plan(S.ann_topk_lsh(emb))
+    assert "CartesianProduct" not in plan
+    plan2 = _physical_plan(S.embedding_near_dup(emb, tau=0.3))
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_bucket_determinism(emb):
+    planes = S.hyperplanes()
+    b1 = emb.withColumn("b", F.expr(S.bucket_expr_spark(planes))).collect()
+    assert all(0 <= r.b < (1 << S.NUM_PLANES) for r in b1)
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def test_text_stats_ranges(docs):
+    for r in T.with_text_stats(docs).collect():
+        assert r.n_tokens > 0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_lang_id_known_phrases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a test of the system"),
+            (2, "le chat est sur la table et il est un animal"),
+            (3, "el gato es un animal y la mesa es de madera"),
+            (4, "der hund ist ein tier und die katze ist zu hause"),
+            (5, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("?"))
+    got = {r.doc_id: r.pred_lang for r in T.with_lang_id(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "es", 4: "de", 5: "und"}
+
+
+def test_fingerprint_invariant_to_case_and_spacing(spark, docs):
+    noisy = docs.withColumn(
+        "text", F.upper(F.concat(F.lit(" "), F.col("text"), F.lit("  ")))
+    )
+    fp1 = {r.doc_id: (r.digest, r.shingle_fp) for r in T.with_fingerprint(docs).collect()}
+    fp2 = {r.doc_id: (r.digest, r.shingle_fp) for r in T.with_fingerprint(noisy).collect()}
+    assert fp1 == fp2
