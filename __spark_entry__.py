@@ -292,6 +292,34 @@ def q_join_rollup_nation(spark, sf_dir):
     )
 
 
+_STREAMED: dict[str, DataFrame] = {}
+
+
+def q_stream_view_hour(spark, sf_dir):
+    """S1-S5 streaming path: readings split into 3 parquet files → file
+    micro-batch source (one file per trigger) → foreachBatch delta-lattice
+    MERGE (A2 algebra) → hour/p6 slice of the resulting store. The oracle
+    is the plain batch SQL — stream/batch equivalence IS the check."""
+    from explora_kafka_spark.streaming import pipeline as SP
+
+    if sf_dir not in _STREAMED:
+        configure(spark)
+        d = tempfile.mkdtemp(prefix="explora_stream_")
+        _TMPDIRS.append(d)
+        load_readings(spark, sf_dir).repartition(3).write.mode("overwrite").parquet(
+            f"{d}/in"
+        )
+        _STREAMED[sf_dir] = SP.run_file_pipeline_available_now(
+            spark, f"{d}/in", f"{d}/store", f"{d}/ckpt",
+            precisions=(6,), resolutions=("min", "hour"),
+        )
+    v = _STREAMED[sf_dir].filter(F.col("res") == "hour")
+    return v.select(
+        "metric_id", "gh", ts_ms_col("ts").alias("bucket_ms"),
+        F.col("count").alias("count"), _r6("sum").alias("sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -385,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_bbox_quad": q_snapshot_bbox_quad,
         "snapshot_bbox_geohash": q_snapshot_bbox_geohash,
         "join_rollup_nation": q_join_rollup_nation,
+        "stream_view_hour": q_stream_view_hour,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -526,6 +555,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "stream_view_hour": f"""
+            {_R}
+            SELECT metric_id, substr(geohash, 1, 6) AS gh,
+                   epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+                   count(*) AS count, round(sum(value), 6) AS sum
+            FROM readings GROUP BY 1, 2, 3
         """,
         "text_stats": T.text_stats_sql(),
         "lang_id": T.lang_id_sql(),

@@ -120,6 +120,32 @@ def geohash_children(prefix: str, precision: int) -> List[str]:
     return sorted(out)
 
 
+def geohash_cover_size(
+    north: float, west: float, south: float, east: float, precision: int
+) -> int:
+    """Exact cell count `geohash_cover_bbox` would produce, in O(1) —
+    lets the query planner pick a cover precision BEFORE enumerating
+    (a precision-6 cover of a continent is ~10^8 cells; enumerating it
+    driver-side is the scale bug, not just shipping it)."""
+    total_bits = precision * 5
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    lat_step = 180.0 / (1 << lat_bits)
+    lon_step = 360.0 / (1 << lon_bits)
+    lat_cells = int((north + 90.0) / lat_step) - int((south + 90.0) / lat_step) + 1
+    lon_cells = int((east + 180.0) / lon_step) - int((west + 180.0) / lon_step) + 1
+    return max(lat_cells, 1) * max(lon_cells, 1)
+
+
+def quadkey_cover_size(
+    north: float, west: float, south: float, east: float, zoom: int
+) -> int:
+    """Exact tile count `quadkey_cover_bbox` would produce, in O(1)."""
+    min_x, min_y = latlon_to_tile(south, west, zoom)
+    max_x, max_y = latlon_to_tile(north, east, zoom)
+    return max(max_x - min_x + 1, 1) * max(min_y - max_y + 1, 1)
+
+
 def geohash_cover_bbox(
     north: float, west: float, south: float, east: float, precision: int
 ) -> List[str]:

@@ -204,6 +204,31 @@ def snapshot_raw(
     return _agg_projection(merged, aggregate, "gh").orderBy("gh")
 
 
+#: max cells a driver-side bbox cover may enumerate. Above this the cover
+#: is computed at a coarser precision and applied as a PREFIX filter — a
+#: zoom-14 country bbox is millions of tiles; enumerating them driver-side
+#: is itself the scale failure, not just shipping the list.
+COVER_ENUM_LIMIT = 65536
+
+
+def _prefix_cover_filter(view: DataFrame, cover: list[str], plen: int,
+                         full_len: int) -> DataFrame:
+    """Filter cells whose length-`plen` prefix is in `cover` (small set →
+    isin on substring; large → broadcast semi-join on the prefix)."""
+    if plen >= full_len:
+        return _filter_cells(view, cover, None)
+    pref = F.substring("gh", 1, plen)
+    if len(cover) <= BROADCAST_COVER_THRESHOLD:
+        return view.filter(pref.isin(cover))
+    spark = view.sparkSession
+    cov = spark.createDataFrame([(c,) for c in cover], "_pref: string")
+    return (
+        view.withColumn("_pref", pref)
+        .join(F.broadcast(cov), on="_pref", how="left_semi")
+        .drop("_pref")
+    )
+
+
 def snapshot_bbox_quadtiling(
     lattice: DataFrame,
     metric: str,
@@ -216,11 +241,27 @@ def snapshot_bbox_quadtiling(
     south: float,
     east: float,
 ) -> DataFrame:
-    """Snapshot over a bbox in quad-tiling mode: driver-side tile cover (Q4,
-    util/QuadHash.java:32-50) → isin pushdown (replaces per-quadkey point gets,
-    QueryingController.java:248-262)."""
-    cover = geo.quadkey_cover_bbox(north, west, south, east, zoom)
-    return snapshot(lattice, metric, aggregate, zoom, res, ts_ms, cells=cover)
+    """Snapshot over a bbox in quad-tiling mode (Q4, util/QuadHash.java:32-50
+    → isin/broadcast pushdown replacing per-quadkey point gets,
+    QueryingController.java:248-262).
+
+    When the exact-zoom cover exceeds COVER_ENUM_LIMIT, the cover is taken
+    at the coarsest sufficient zoom and applied as a quadkey-prefix filter
+    (a tile's quadkey prefix IS its ancestor tile's quadkey). Matches the
+    reference's coarse-cover + children-enumeration semantics
+    (QueryingController.java:240-282): edge tiles outside the bbox may be
+    included."""
+    cover_zoom = zoom
+    while cover_zoom > 1 and geo.quadkey_cover_size(
+        north, west, south, east, cover_zoom
+    ) > COVER_ENUM_LIMIT:
+        cover_zoom -= 1
+    cover = geo.quadkey_cover_bbox(north, west, south, east, cover_zoom)
+    t = truncate_ts_ms(ts_ms, res)
+    view = _select_view(lattice, metric, zoom, res).filter(ts_ms_col("ts") == t)
+    view = _prefix_cover_filter(view, cover, cover_zoom, zoom)
+    merged = view.groupBy("gh").agg(*_merge_cols())
+    return _agg_projection(merged, aggregate, "gh").orderBy("gh")
 
 
 def snapshot_bbox_geohashing(
@@ -235,8 +276,19 @@ def snapshot_bbox_geohashing(
     south: float,
     east: float,
 ) -> DataFrame:
-    """Snapshot over a bbox in geohashing mode: geohash cover (Q5) → isin
-    (replaces cover + base-32 children enumeration,
-    QueryingController.java:240-282)."""
-    cover = geo.geohash_cover_bbox(north, west, south, east, precision)
-    return snapshot(lattice, metric, aggregate, precision, res, ts_ms, cells=cover)
+    """Snapshot over a bbox in geohashing mode (Q5 → isin/broadcast,
+    replacing cover + base-32 children enumeration,
+    QueryingController.java:240-282). Same adaptive coarse-cover prefix
+    strategy as the quad-tiling path when the exact-precision cover would
+    exceed COVER_ENUM_LIMIT."""
+    cover_p = precision
+    while cover_p > 1 and geo.geohash_cover_size(
+        north, west, south, east, cover_p
+    ) > COVER_ENUM_LIMIT:
+        cover_p -= 1
+    cover = geo.geohash_cover_bbox(north, west, south, east, cover_p)
+    t = truncate_ts_ms(ts_ms, res)
+    view = _select_view(lattice, metric, precision, res).filter(ts_ms_col("ts") == t)
+    view = _prefix_cover_filter(view, cover, cover_p, precision)
+    merged = view.groupBy("gh").agg(*_merge_cols())
+    return _agg_projection(merged, aggregate, "gh").orderBy("gh")

@@ -1,0 +1,112 @@
+"""Streaming pipeline tests — the SURVEY §5 stream/batch equivalence
+gate: feeding the readings through micro-batches + foreachBatch MERGE
+must produce exactly the batch lattice."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from explora_kafka_spark.plans.views import view_lattice
+from explora_kafka_spark.sources.tables import load_readings
+from explora_kafka_spark.streaming import pipeline as P
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _lattice_rows(df):
+    return {
+        (r.metric_id, r.precision, r.res, r.gh, str(r.ts), r["count"],
+         round(r["sum"], 6))
+        for r in df.collect()
+    }
+
+
+def test_stream_batch_equivalence(spark, tmp_path):
+    """3 micro-batches through foreachBatch MERGE == one batch groupBy."""
+    readings = load_readings(spark, SF_DIR)
+    # split into 3 files → 3 triggers → 3 delta merges
+    readings.repartition(3).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    streamed = P.run_file_pipeline_available_now(
+        spark,
+        str(tmp_path / "in"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        precisions=(6,),
+        resolutions=("min", "hour", "day"),
+    )
+    batch = view_lattice(
+        readings, precisions=(6,), resolutions=("min", "hour", "day"),
+        persist=False,
+    )
+    assert _lattice_rows(streamed) == _lattice_rows(batch)
+
+
+def test_multi_batch_merge_order_independent(spark, tmp_path):
+    """MERGE algebra is associative/commutative: 1-batch and 3-batch
+    ingestion produce identical stores (IngestStream.java:84-92 parity)."""
+    readings = load_readings(spark, SF_DIR)
+    readings.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "one"))
+    one = P.run_file_pipeline_available_now(
+        spark, str(tmp_path / "one"), str(tmp_path / "s1"), str(tmp_path / "c1"),
+        precisions=(6,), resolutions=("min",),
+    )
+    readings.repartition(3).write.mode("overwrite").parquet(str(tmp_path / "three"))
+    three = P.run_file_pipeline_available_now(
+        spark, str(tmp_path / "three"), str(tmp_path / "s3"), str(tmp_path / "c3"),
+        precisions=(6,), resolutions=("min",),
+    )
+    assert _lattice_rows(one) == _lattice_rows(three)
+
+
+def test_json_decode_malformed_to_dead_letter(spark):
+    rows = [
+        (json.dumps({"metricId": "m", "timestamp": 1000, "geohash": "abc",
+                     "value": 1.5, "sourceId": "s"}),),
+        ("{not json",),
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    decoded = P.decode_readings(raw).collect()
+    ok = [r for r in decoded if not r._corrupt]
+    bad = [r for r in decoded if r._corrupt]
+    assert len(ok) == 1 and ok[0].metricId == "m" and ok[0].value == 1.5
+    assert len(bad) == 1 and bad[0]._raw == "{not json"
+
+
+def test_json_decode_ignores_unknown_fields(spark):
+    raw = spark.createDataFrame(
+        [(json.dumps({"metricId": "m", "timestamp": 5, "extra_field": 42}),)],
+        "value string",
+    )
+    r = P.decode_readings(raw).collect()[0]
+    assert not r._corrupt and r.metricId == "m" and r.timestamp == 5
+
+
+def test_encode_decode_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1000, "m1", 2000, "s1", "u4pruyd", 7, 3.5, 9.9, "ms")],
+        schema=P.READING_SCHEMA,
+    )
+    encoded = P.encode_readings(df)
+    decoded = P.decode_readings(encoded)
+    r = decoded.collect()[0]
+    assert (r.metricId, r.timestamp, r.geohash, r.value) == ("m1", 2000, "u4pruyd", 9.9)
+
+
+def test_event_time_extract_drops_negative(spark):
+    df = spark.createDataFrame(
+        [("m", 1_700_000_000_000), ("m", -5)], "metric_id string, timestamp long"
+    )
+    out = P.with_event_time(df).collect()
+    assert len(out) == 1
+    assert str(out[0].ts).startswith("2023-11-14")
+
+
+def test_metric_whitelist(spark):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("c",)], "metric_id string"
+    )
+    assert P.filter_metrics(df, ["a", "c"]).count() == 2
+    assert P.filter_metrics(df, None).count() == 3
