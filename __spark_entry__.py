@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from explora_kafka_spark.functions import geo
 from explora_kafka_spark.functions.timeutil import composite_key_col, ts_ms_col
 from explora_kafka_spark.operators import dedup as D
+from explora_kafka_spark.operators import multimodal as _MM
 from explora_kafka_spark.operators import similarity as S
 from explora_kafka_spark.operators import text as T
 from explora_kafka_spark.plans import query as Q
@@ -376,6 +377,15 @@ def q_ann_topk_lsh(spark, sf_dir):
     return S.ann_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → Arrow-batched
+    mapInPandas metadata extraction (byte length + md5 digest)."""
+    from explora_kafka_spark.operators import multimodal as M
+
+    media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return M.extract_meta(media)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within LSH buckets. τ=0.3 is tuned
     to the synthetic corpus (random 64-dim vectors: in-bucket cosine tops
@@ -424,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_brute": q_ann_topk_brute,
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -573,4 +584,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_brute": S.ann_topk_brute_sql(),
         "ann_topk_lsh": S.ann_topk_lsh_sql(),
         "embedding_near_dup": S.embedding_near_dup_sql(tau=0.3),
+        "multimodal_meta": _MM.meta_sql(),
     }

@@ -28,9 +28,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
-    # Lattice build + materialization (ingestion path), timed once.
+    # Lattice builds + materialization (the ingestion path every view-backed
+    # query amortizes), timed once: main readings lattice + the two
+    # geo-derived lattices used by the bbox snapshot queries.
     t0 = time.time()
     E._views(spark, SF_DIR)
+    E._geo_lattice(spark, SF_DIR, "quad", 6, 6)
+    E._geo_lattice(spark, SF_DIR, "geohash", 5, 3)
     timings["view_build"] = round(time.time() - t0, 3)
 
     for name, fn in E.queries().items():

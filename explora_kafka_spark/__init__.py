@@ -17,11 +17,12 @@ that algebra Spark-first:
   native Column bit-arithmetic (whole-stage codegen) for per-row keys.
 
 Layout:
-    functions/   scalar modules: geo codecs, time truncation, text metrics
+    functions/   scalar modules: geo codecs, time truncation
     sources/     table loaders + bronze "readings" derivations
     plans/       view-lattice builder, history/snapshot query builders
     operators/   extension ops: dedup, similarity search, text, multimodal
-    streaming/   structured-streaming ingestion + upsert sink
+    streaming/   micro-batch ingestion + foreachBatch MERGE view store
+    api.py       param validation (L5), dispatch, Message envelope (S7)
 """
 
 __version__ = "0.1.0"

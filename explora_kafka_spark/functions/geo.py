@@ -239,10 +239,16 @@ def geohash_cell_col(geohash_col: Column | str, precision: int) -> Column:
 
 
 def tile_x_col(lon_col: Column, zoom: int) -> Column:
+    """Valid domain: lon ∈ [-180, 180). lon=180 yields tile 2^zoom (out of
+    range) — parity with QuadHash.java:8-13, which does not clamp either."""
     return F.floor((lon_col + F.lit(180.0)) / F.lit(360.0) * F.lit(float(2**zoom))).cast("int")
 
 
 def tile_y_col(lat_col: Column, zoom: int) -> Column:
+    """Valid domain: |lat| < ~85.0511 (Web-Mercator). Outside it the
+    projection diverges: the scalar twin returns out-of-range tiles and
+    this Column path yields null (NaN cast). Deliberate QuadHash.java
+    parity — callers clamp inputs if they accept open-domain data."""
     lat_rad = F.radians(lat_col)
     merc = F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad))
     return F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.lit(float(2**zoom))).cast("int")

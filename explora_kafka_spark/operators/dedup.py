@@ -20,6 +20,8 @@ are the LLM-data-pipeline extensions the task brief mandates.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -32,17 +34,41 @@ NUM_HASHES = 16
 NUM_BANDS = 2
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 
+#: Mersenne prime 2^31 - 1: the universal-hash family h_i(x) =
+#: (a_i·x + b_i) mod P over a 31-bit base hash. With a_i < P and x < 2^31
+#: the product stays < 2^62 — no int64 overflow on either engine (DuckDB
+#: errors on overflow; Spark non-ANSI silently wraps — both avoided).
+_P = (1 << 31) - 1
+
+
+def _family_params(i: int) -> tuple[int, int]:
+    a = int(hashlib.md5(f"a{i}".encode()).hexdigest()[:15], 16) % (_P - 1) + 1
+    b = int(hashlib.md5(f"b{i}".encode()).hexdigest()[:15], 16) % _P
+    return a, b
+
+
+def _base_hash_spark(var: str) -> str:
+    """One md5 per shingle; 31-bit base value. The 16 family members are
+    cheap affine transforms of this — not 16 separate md5 passes."""
+    return (
+        f"CAST(conv(substring(md5({var}), 1, 15), 16, 10) AS BIGINT) & {_P}"
+    )
+
+
+def _base_hash_duck(var: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({var}), 1, 15)) AS BIGINT) & {_P}"
+    )
+
 
 def _hash_expr_spark(i: int, var: str) -> str:
-    return (
-        f"CAST(conv(substring(md5(concat('{i}|', {var})), 1, 15), 16, 10) AS BIGINT)"
-    )
+    a, b = _family_params(i)
+    return f"(({a} * ({_base_hash_spark(var)}) + {b}) % {_P})"
 
 
 def _hash_expr_duck(i: int, var: str) -> str:
-    return (
-        f"CAST(concat('0x', substr(md5(concat('{i}|', {var})), 1, 15)) AS BIGINT)"
-    )
+    a, b = _family_params(i)
+    return f"(({a} * ({_base_hash_duck(var)}) + {b}) % {_P})"
 
 
 def _shingles_expr_spark(n: int) -> str:
@@ -107,12 +133,16 @@ def minhash_signatures(
     hash family. Pure projection: distributes with zero shuffles."""
     sh = _shingles_expr_spark(shingle_n)
     mins = ", ".join(
-        f"array_min(transform(_sh, s -> {_hash_expr_spark(i, 's')}))"
+        "array_min(transform(_bh, h -> (({a} * h + {b}) % {p})))".format(
+            a=_family_params(i)[0], b=_family_params(i)[1], p=_P
+        )
         for i in range(num_hashes)
     )
     return (
         docs.withColumn("_toks", F.expr(f"split({_NORM_SPARK}, ' ')"))
         .withColumn("_sh", F.expr(f"array_distinct({sh})"))
+        # one md5 per shingle; families are affine transforms of _bh
+        .withColumn("_bh", F.expr(f"transform(_sh, s -> {_base_hash_spark('s')})"))
         .select("doc_id", F.expr(f"array({mins})").alias("sig"))
     )
 
@@ -193,7 +223,9 @@ def dedup_near_sql(
     toks = tokens_sql("text")
     sh = _shingles_expr_duck("_toks", shingle_n)
     mins = ", ".join(
-        f"list_min([{_hash_expr_duck(i, 's')} FOR s IN _sh])"
+        "list_min([(({a} * h + {b}) % {p}) FOR h IN _bh])".format(
+            a=_family_params(i)[0], b=_family_params(i)[1], p=_P
+        )
         for i in range(num_hashes)
     )
     band_keys = ", ".join(
@@ -203,7 +235,9 @@ def dedup_near_sql(
     return f"""
         WITH t AS (SELECT doc_id, {toks} AS _toks FROM {table}),
         s AS (SELECT doc_id, list_distinct({sh}) AS _sh FROM t),
-        sig AS (SELECT doc_id, [{mins}] AS sig FROM s),
+        bh AS (SELECT doc_id,
+                      [{_base_hash_duck('s')} FOR s IN _sh] AS _bh FROM s),
+        sig AS (SELECT doc_id, [{mins}] AS sig FROM bh),
         banded AS (
             SELECT doc_id, sig, u.b AS band_idx, [{band_keys}][u.b] AS band_key
             FROM sig, unnest(range(1, {num_bands} + 1)) AS u(b)

@@ -99,7 +99,10 @@ def history(
 
     Q1 (range scan) + Q6 (multi-cell union) + A3 (rollup across cells) + Q7
     (sorted). `cells=None, cell_prefix=None` scans all cells. Open-ended ranges
-    mirror the reference (from=None → epoch, to=None → unbounded/now —
+    mirror the reference (from=None → epoch; to=None → unbounded at THIS
+    layer, deliberately: the reference clamps a null 'to' to
+    currentTimeMillis, which the API layer reproduces by injecting now_ms
+    (api.handle_history) so the plan layer stays deterministic —
     QueryingController.java:213-218).
     """
     view = _filter_cells(_select_view(lattice, metric, precision, res), cells, cell_prefix)

@@ -38,7 +38,10 @@ READINGS_SQL = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver's events.parquet stores TIMESTAMP(NANOS) which Spark's reader
     # rejects by default; read nanos as long, then truncate to micros (exactly
-    # what DuckDB does, keeping oracle value-parity)
+    # what DuckDB does, keeping oracle value-parity). NOTE: the conf is
+    # session-global and intentionally left set — any nanos-timestamp parquet
+    # read in this session comes back as bigint (only events.parquet uses
+    # nanos here; scoping save/restore would race with Spark's lazy scans).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -1,0 +1,72 @@
+"""Multimodal plumbing tests: Arrow batch shape, 1-to-many frame
+sampling, gated real decoder, deterministic fake decode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from explora_kafka_spark.operators import multimodal as M
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return M.media_from_documents(docs)
+
+
+def test_payload_is_binary(media):
+    assert dict(media.dtypes)["payload"] == "binary"
+
+
+def test_extract_meta_values(spark, media):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {r.media_id: (r.n_bytes, r.digest) for r in M.extract_meta(media).collect()}
+    want = {
+        r.doc_id: (r.n_bytes, r.digest)
+        for r in docs.select(
+            "doc_id",
+            F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            F.md5(F.encode("text", "UTF-8")).alias("digest"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_extract_meta_respects_arrow_batch_size(spark, media):
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "32")
+    try:
+        assert M.extract_meta(media).count() == media.count()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+
+
+def test_fake_decode_deterministic_and_bounded(media):
+    a = {r.media_id: (r.width, r.height, r.n_channels)
+         for r in M.fake_decode(media).collect()}
+    b = {r.media_id: (r.width, r.height, r.n_channels)
+         for r in M.fake_decode(media.repartition(7)).collect()}
+    assert a == b
+    for w, h, c in a.values():
+        assert 16 <= w < 256 and 16 <= h < 256 and 1 <= c <= 4
+
+
+def test_real_decode_is_gated(media):
+    with pytest.raises(NotImplementedError):
+        M.decode_media(media)
+
+
+def test_frame_sample_one_to_many(media):
+    frames = M.frame_sample(media, every_n_bytes=64, max_frames=8)
+    rows = frames.collect()
+    per_media: dict[int, list[int]] = {}
+    for r in rows:
+        per_media.setdefault(r.media_id, []).append(r.frame_idx)
+    n_media = media.count()
+    assert len(per_media) == n_media
+    assert len(rows) > n_media  # genuinely 1-to-many
+    for idxs in per_media.values():
+        assert sorted(idxs) == list(range(len(idxs)))
+        assert 1 <= len(idxs) <= 8
