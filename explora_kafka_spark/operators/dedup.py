@@ -126,12 +126,20 @@ def dedup_exact_sql(table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signatures(
-    docs: DataFrame, num_hashes: int = NUM_HASHES, shingle_n: int = 1
-) -> DataFrame:
-    """(doc_id, sig array<long>[num_hashes]) — min over shingle hashes per
-    hash family. Pure projection: distributes with zero shuffles."""
+def shingle_sets(docs: DataFrame, shingle_n: int = 1) -> DataFrame:
+    """(doc_id, shingles array<string>) — distinct word n-gram sets.
+    Pure projection; the shared first stage of MinHash and exact-Jaccard."""
     sh = _shingles_expr_spark(shingle_n)
+    return (
+        docs.withColumn("_toks", F.expr(f"split({_NORM_SPARK}, ' ')"))
+        .select("doc_id", F.expr(f"array_distinct({sh})").alias("shingles"))
+    )
+
+
+def signatures_from_shingles(
+    shingled: DataFrame, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, sig array<long>[num_hashes]) from a `shingles` column."""
     mins = ", ".join(
         "array_min(transform(_bh, h -> (({a} * h + {b}) % {p})))".format(
             a=_family_params(i)[0], b=_family_params(i)[1], p=_P
@@ -139,12 +147,20 @@ def minhash_signatures(
         for i in range(num_hashes)
     )
     return (
-        docs.withColumn("_toks", F.expr(f"split({_NORM_SPARK}, ' ')"))
-        .withColumn("_sh", F.expr(f"array_distinct({sh})"))
         # one md5 per shingle; families are affine transforms of _bh
-        .withColumn("_bh", F.expr(f"transform(_sh, s -> {_base_hash_spark('s')})"))
+        shingled.withColumn(
+            "_bh", F.expr(f"transform(shingles, s -> {_base_hash_spark('s')})")
+        )
         .select("doc_id", F.expr(f"array({mins})").alias("sig"))
     )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = NUM_HASHES, shingle_n: int = 1
+) -> DataFrame:
+    """(doc_id, sig array<long>[num_hashes]) — min over shingle hashes per
+    hash family. Pure projection: distributes with zero shuffles."""
+    return signatures_from_shingles(shingle_sets(docs, shingle_n), num_hashes)
 
 
 def lsh_candidate_pairs(
@@ -273,14 +289,20 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 1,
     """LSH candidates reranked with EXACT Jaccard over distinct word
     n-gram sets. The exact computation touches only candidate pairs —
     the standard two-phase near-dup pipeline (cheap recall, exact
-    precision)."""
-    sh = _shingles_expr_spark(shingle_n)
-    shingled = (
-        docs.withColumn("_toks", F.expr(f"split({_NORM_SPARK}, ' ')"))
-        .select("doc_id", F.expr(f"array_distinct({sh})").alias("shingles"))
-    )
-    cand = dedup_near(docs, num_hashes=num_hashes, num_bands=num_bands,
-                      shingle_n=shingle_n, min_est=min_est)
+    precision).
+
+    The shingle sets are computed ONCE and persisted: signatures, the
+    band join, and the rerank join all reuse them (without the persist,
+    Spark re-derives the shingle arrays for each of the four lineage
+    branches)."""
+    from pyspark import StorageLevel
+
+    shingled = shingle_sets(docs, shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = signatures_from_shingles(shingled, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands)
+    if min_est > 0:
+        pairs = pairs.filter(F.col("est_jaccard") >= min_est)
+    cand = pairs  # no intermediate sort — the rerank join would destroy it
     a = shingled.alias("sa")
     b = shingled.alias("sb")
     joined = (

@@ -42,6 +42,13 @@ BROADCAST_COVER_THRESHOLD = 1024
 def _merge_cols():
     return [F.sum("count").alias("count"), F.sum("sum").alias("sum")]
 
+def _ts_at(ms: int):
+    """Timestamp literal from epoch-ms: comparing the raw `ts` column with a
+    literal (instead of wrapping it in unix_millis) keeps the predicate
+    pushable to the parquet scan (row-group min/max skipping on ts)."""
+    return F.timestamp_millis(F.lit(ms))
+
+
 
 def _filter_cells(
     df: DataFrame,
@@ -107,9 +114,9 @@ def history(
     """
     view = _filter_cells(_select_view(lattice, metric, precision, res), cells, cell_prefix)
     if from_ms is not None:
-        view = view.filter(ts_ms_col("ts") >= from_ms)
+        view = view.filter(F.col("ts") >= _ts_at(from_ms))
     if to_ms is not None:
-        view = view.filter(ts_ms_col("ts") <= to_ms)
+        view = view.filter(F.col("ts") <= _ts_at(to_ms))
     merged = view.groupBy(ts_ms_col("ts").alias("timestamp")).agg(*_merge_cols())
     return _agg_projection(merged, aggregate, "timestamp").orderBy("timestamp")
 
@@ -149,7 +156,7 @@ def snapshot(
     Q7). `ts_ms` is truncated to the view grain first (L4 — the engine always
     truncates; distributed-path semantics, QueryingController.java:102)."""
     t = truncate_ts_ms(ts_ms, res)
-    view = _select_view(lattice, metric, precision, res).filter(ts_ms_col("ts") == t)
+    view = _select_view(lattice, metric, precision, res).filter(F.col("ts") == _ts_at(t))
     view = _filter_cells(view, cells, cell_prefix)
     merged = view.groupBy("gh").agg(*_merge_cols())
     return _agg_projection(merged, aggregate, "gh").orderBy("gh")
@@ -178,9 +185,9 @@ def history_raw(
         df = df.withColumn("gh", F.substring("geohash", 1, precision))
         df = _filter_cells(df, cells, cell_prefix)
     if from_ms is not None:
-        df = df.filter(ts_ms_col("ts") >= from_ms)
+        df = df.filter(F.col("ts") >= _ts_at(from_ms))
     if to_ms is not None:
-        df = df.filter(ts_ms_col("ts") <= to_ms)
+        df = df.filter(F.col("ts") <= _ts_at(to_ms))
     merged = df.groupBy(ts_ms_col("ts").alias("timestamp")).agg(
         F.count("*").alias("count"), F.sum("value").alias("sum")
     )
@@ -199,7 +206,7 @@ def snapshot_raw(
     """Snapshot from bronze readings (`src=raw`): exact-instant lookup grouped
     by cell prefix — the raw twin of `snapshot` (QueryingController.java:103-104)."""
     df = (
-        readings.filter((F.col("metric_id") == metric) & (ts_ms_col("ts") == ts_ms))
+        readings.filter((F.col("metric_id") == metric) & (F.col("ts") == _ts_at(ts_ms)))
         .withColumn("gh", F.substring("geohash", 1, precision))
     )
     df = _filter_cells(df, cells, cell_prefix)
@@ -261,7 +268,7 @@ def snapshot_bbox_quadtiling(
         cover_zoom -= 1
     cover = geo.quadkey_cover_bbox(north, west, south, east, cover_zoom)
     t = truncate_ts_ms(ts_ms, res)
-    view = _select_view(lattice, metric, zoom, res).filter(ts_ms_col("ts") == t)
+    view = _select_view(lattice, metric, zoom, res).filter(F.col("ts") == _ts_at(t))
     view = _prefix_cover_filter(view, cover, cover_zoom, zoom)
     merged = view.groupBy("gh").agg(*_merge_cols())
     return _agg_projection(merged, aggregate, "gh").orderBy("gh")
@@ -291,7 +298,7 @@ def snapshot_bbox_geohashing(
         cover_p -= 1
     cover = geo.geohash_cover_bbox(north, west, south, east, cover_p)
     t = truncate_ts_ms(ts_ms, res)
-    view = _select_view(lattice, metric, precision, res).filter(ts_ms_col("ts") == t)
+    view = _select_view(lattice, metric, precision, res).filter(F.col("ts") == _ts_at(t))
     view = _prefix_cover_filter(view, cover, cover_p, precision)
     merged = view.groupBy("gh").agg(*_merge_cols())
     return _agg_projection(merged, aggregate, "gh").orderBy("gh")
