@@ -272,6 +272,65 @@ def q_snapshot_bbox_geohash(spark, sf_dir):
     return df
 
 
+def q_lattice_minmax_day(spark, sf_dir):
+    """A1/A2 extension: min/max carried through the rollup cascade (engine
+    extension beyond the reference's avg/sum/count whitelist)."""
+    v = _views(spark, sf_dir).filter((F.col("precision") == 6) & (F.col("res") == "day"))
+    return v.select(
+        "metric_id", "gh", ts_ms_col("ts").alias("bucket_ms"),
+        _r6("min").alias("min"), _r6("max").alias("max"),
+    )
+
+
+def q_history_max_day(spark, sf_dir):
+    """History with the max aggregate (engine extension)."""
+    return Q.history(_views(spark, sf_dir), "click", "max", 6, "day",
+                     from_ms=_FROM_MS, to_ms=_TO_MS).withColumn("max", _r6("max"))
+
+
+def q_window_top_orders(spark, sf_dir):
+    """Window functions (SURVEY §2.7: none in the reference — engine ships
+    them free): top-3 orders per customer by total price."""
+    from pyspark.sql.window import Window
+
+    configure(spark)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", _r6("o_totalprice").alias("price"), "rank")
+        .orderBy("o_custkey", "rank")
+    )
+
+
+def q_distinct_users_daily(spark, sf_dir):
+    """Distinct aggregation (not in the reference): exact daily uniques.
+    At 100 TB swap for approx_count_distinct (HLL) — exact here because the
+    oracle compares values."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(ts_ms_col(F.date_trunc("day", "ts")).alias("day_ms"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("day_ms")
+    )
+
+
+def q_json_props_extract(spark, sf_dir):
+    """JSON scalar extraction over events.props (get_json_object ≙
+    json_extract) + aggregation by the extracted key."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), _r6(F.sum("value")).alias("sum_value"))
+        .orderBy("k_bucket")
+    )
+
+
 def q_join_rollup_nation(spark, sf_dir):
     """Join coverage (SURVEY §2.7): revenue per nation — broadcast dim joins
     (nation, customer) into the lineitem fact."""
@@ -423,6 +482,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_bbox_quad": q_snapshot_bbox_quad,
         "snapshot_bbox_geohash": q_snapshot_bbox_geohash,
         "join_rollup_nation": q_join_rollup_nation,
+        "lattice_minmax_day": q_lattice_minmax_day,
+        "history_max_day": q_history_max_day,
+        "window_top_orders": q_window_top_orders,
+        "distinct_users_daily": q_distinct_users_daily,
+        "json_props_extract": q_json_props_extract,
         "stream_view_hour": q_stream_view_hour,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -566,6 +630,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "lattice_minmax_day": f"""
+            {_R}
+            SELECT metric_id, substr(geohash, 1, 6) AS gh,
+                   epoch_ms(date_trunc('day', ts)) AS bucket_ms,
+                   round(min(value), 6) AS min, round(max(value), 6) AS max
+            FROM readings GROUP BY 1, 2, 3
+        """,
+        "history_max_day": f"""
+            {_R}
+            SELECT epoch_ms(date_trunc('day', ts)) AS timestamp,
+                   round(max(value), 6) AS max
+            FROM readings
+            WHERE metric_id = 'click'
+              AND epoch_ms(date_trunc('day', ts)) BETWEEN {_FROM_MS} AND {_TO_MS}
+            GROUP BY 1 ORDER BY 1
+        """,
+        "window_top_orders": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS price, rank
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rank
+                FROM orders
+            )
+            WHERE rank <= 3 ORDER BY o_custkey, rank
+        """,
+        "distinct_users_daily": """
+            SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "json_props_extract": """
+            SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "stream_view_hour": f"""
             {_R}

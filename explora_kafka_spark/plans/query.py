@@ -40,7 +40,12 @@ BROADCAST_COVER_THRESHOLD = 1024
 
 
 def _merge_cols():
-    return [F.sum("count").alias("count"), F.sum("sum").alias("sum")]
+    return [
+        F.sum("count").alias("count"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    ]
 
 def _ts_at(ms: int):
     """Timestamp literal from epoch-ms: comparing the raw `ts` column with a
@@ -87,6 +92,10 @@ def _agg_projection(df: DataFrame, aggregate: str, key_col: str) -> DataFrame:
         "count": F.col("count").cast("long"),
         "sum": F.col("sum"),
         "avg": F.col("sum") / F.col("count"),
+        # engine extensions beyond the reference's whitelist
+        # (AppConfig.java:10) — same decomposable merge algebra
+        "min": F.col("min"),
+        "max": F.col("max"),
     }[aggregate]
     return df.select(F.col(key_col), value.alias(aggregate))
 
@@ -189,7 +198,8 @@ def history_raw(
     if to_ms is not None:
         df = df.filter(F.col("ts") <= _ts_at(to_ms))
     merged = df.groupBy(ts_ms_col("ts").alias("timestamp")).agg(
-        F.count("*").alias("count"), F.sum("value").alias("sum")
+        F.count("*").alias("count"), F.sum("value").alias("sum"),
+        F.min("value").alias("min"), F.max("value").alias("max"),
     )
     return _agg_projection(merged, aggregate, "timestamp").orderBy("timestamp")
 
@@ -210,7 +220,10 @@ def snapshot_raw(
         .withColumn("gh", F.substring("geohash", 1, precision))
     )
     df = _filter_cells(df, cells, cell_prefix)
-    merged = df.groupBy("gh").agg(F.count("*").alias("count"), F.sum("value").alias("sum"))
+    merged = df.groupBy("gh").agg(
+        F.count("*").alias("count"), F.sum("value").alias("sum"),
+        F.min("value").alias("min"), F.max("value").alias("max"),
+    )
     return _agg_projection(merged, aggregate, "gh").orderBy("gh")
 
 

@@ -1,4 +1,8 @@
-"""Materialized view lattice: count/sum/avg per (metric, cell, time bucket).
+"""Materialized view lattice: count/sum/avg/min/max per (metric, cell, time bucket).
+
+min/max extend the reference's (count, sum, avg) aggregate set (scoped at
+AppConfig.java:10) — they share the same decomposable merge algebra, so the
+rollup cascade stays exact.
 
 The reference maintains one RocksDB store per metric × precision × {min, hour,
 day, month} via M·P·4 independent Kafka Streams subtopologies, each re-reading
@@ -36,7 +40,12 @@ from ..functions.timeutil import RES_TO_UNIT, VIEW_RESOLUTIONS, truncate_ts_col
 DEFAULT_PRECISIONS = (6, 7)
 
 def _agg_cols():
-    return [F.sum("count").alias("count"), F.sum("sum").alias("sum")]
+    return [
+        F.sum("count").alias("count"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    ]
 
 
 def _with_avg(df: DataFrame) -> DataFrame:
@@ -56,7 +65,12 @@ def base_view(readings: DataFrame, precision: int, res: str = "min") -> DataFram
             "value",
         )
         .groupBy("metric_id", "gh", "ts")
-        .agg(F.count("*").alias("count"), F.sum("value").alias("sum"))
+        .agg(
+            F.count("*").alias("count"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
     )
 
 
@@ -124,6 +138,8 @@ def view_lattice(
                     "count",
                     "sum",
                     "avg",
+                    "min",
+                    "max",
                 )
             )
     out = pieces[0]
@@ -161,8 +177,10 @@ def incremental_update(existing: DataFrame, delta_lattice: DataFrame) -> DataFra
     parity with the per-record incremental aggregator IngestStream.java:84-92.
     """
     return (
-        existing.select("metric_id", "precision", "res", "gh", "ts", "count", "sum")
-        .unionByName(delta_lattice.select("metric_id", "precision", "res", "gh", "ts", "count", "sum"))
+        existing.select("metric_id", "precision", "res", "gh", "ts",
+                        "count", "sum", "min", "max")
+        .unionByName(delta_lattice.select("metric_id", "precision", "res", "gh",
+                                          "ts", "count", "sum", "min", "max"))
         .groupBy("metric_id", "precision", "res", "gh", "ts")
         .agg(*_agg_cols())
         .transform(_with_avg)
