@@ -25,6 +25,7 @@ from explora_kafka_spark.functions import geo
 from explora_kafka_spark.functions.timeutil import composite_key_col, ts_ms_col
 from explora_kafka_spark.operators import dedup as D
 from explora_kafka_spark.operators import multimodal as _MM
+from explora_kafka_spark.streaming import sessions as _SS
 from explora_kafka_spark.operators import similarity as S
 from explora_kafka_spark.operators import text as T
 from explora_kafka_spark.plans import query as Q
@@ -352,6 +353,14 @@ def q_join_rollup_nation(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based session windows per user (gaps-and-islands; 30-min gap).
+    The applyInPandasWithState streaming twin is equivalence-tested in
+    tests/test_sessions.py."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return _SS.batch_sessions(ev)
+
+
 _STREAMED: dict[str, DataFrame] = {}
 
 
@@ -488,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_daily": q_distinct_users_daily,
         "json_props_extract": q_json_props_extract,
         "stream_view_hour": q_stream_view_hour,
+        "sessionize": q_sessionize,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -676,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count, round(sum(value), 6) AS sum
             FROM readings GROUP BY 1, 2, 3
         """,
+        "sessionize": _SS.sessions_sql(),
         "text_stats": T.text_stats_sql(),
         "lang_id": T.lang_id_sql(),
         "fingerprint": T.fingerprint_sql(),

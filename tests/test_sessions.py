@@ -1,0 +1,90 @@
+"""Sessionization tests: batch gaps-and-islands vs the
+applyInPandasWithState streaming operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from explora_kafka_spark.sources.tables import load_table
+from explora_kafka_spark.streaming import sessions as S
+
+SF_DIR = "/root/testdata/sf0.001"
+GAP = 30 * 60 * 1000
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_DIR, "events").select("user_id", "ts", "value")
+
+
+def _rows(df):
+    return {
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events,
+         round(r.sum_value, 6))
+        for r in df.collect()
+    }
+
+
+def test_batch_sessions_invariants(events):
+    rows = S.batch_sessions(events, GAP).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r.session_start_ms <= r.session_end_ms
+        assert r.n_events >= 1
+        by_user.setdefault(r.user_id, []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r.session_start_ms)
+        for a, b in zip(sess, sess[1:]):
+            # consecutive sessions are separated by more than the gap
+            assert b.session_start_ms - a.session_end_ms > GAP
+    # total events preserved
+    assert sum(r.n_events for r in rows) == events.count()
+
+
+def test_stream_batch_session_equivalence(spark, events, tmp_path):
+    """Streamed CLOSED sessions == batch sessions minus each user's last
+    (which stays open in state). Files are split by time range so
+    micro-batches replay in event-time order."""
+    ms = F.unix_millis("ts")
+    bounds = events.select(
+        F.min(ms).alias("lo"), F.max(ms).alias("hi")
+    ).collect()[0]
+    step = (bounds.hi - bounds.lo) // 3 + 1
+    for i in range(3):
+        (
+            events.filter(
+                (ms >= bounds.lo + i * step) & (ms < bounds.lo + (i + 1) * step)
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / "in" / f"batch_{i}"))
+        )
+    schema = events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in" / "*"))
+    )
+    out = S.streaming_sessions(stream, GAP)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = _rows(spark.table("sessions_test"))
+
+    batch = S.batch_sessions(events, GAP)
+    last = batch.groupBy("user_id").agg(
+        F.max("session_start_ms").alias("session_start_ms")
+    )
+    closed_batch = _rows(
+        batch.join(last, ["user_id", "session_start_ms"], "left_anti")
+    )
+    assert streamed == closed_batch
+    assert streamed, "expected some closed sessions"
