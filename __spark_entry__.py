@@ -353,6 +353,44 @@ def q_join_rollup_nation(spark, sf_dir):
     )
 
 
+def q_median_value_by_metric(spark, sf_dir):
+    """Exact percentile aggregation (Spark `percentile` ≙ DuckDB
+    quantile_cont, both linear-interpolating)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("metric_id"))
+        .agg(_r6(F.expr("percentile(value, 0.5)")).alias("median_value"),
+             _r6(F.expr("percentile(value, 0.9)")).alias("p90_value"))
+        .orderBy("metric_id")
+    )
+
+
+def q_topk_events(spark, sf_dir):
+    """Sort + LIMIT top-k (deterministic tiebreak on event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "event_type", _r6("value").alias("value"))
+        .orderBy(F.col("value").desc(), "event_id")
+        .limit(100)
+    )
+
+
+def q_users_view_not_click(spark, sf_dir):
+    """Set difference: users with a high-value 'view' but no high-value
+    'click' (value > 95 keeps the sets selective enough to differ — with
+    no threshold every user has every event type in this dense corpus)."""
+    ev = load_table(spark, sf_dir, "events")
+    viewers = (
+        ev.filter((F.col("event_type") == "view") & (F.col("value") > 95))
+        .select("user_id").distinct()
+    )
+    clickers = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 95))
+        .select("user_id").distinct()
+    )
+    return viewers.exceptAll(clickers).orderBy("user_id")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based session windows per user (gaps-and-islands; 30-min gap).
     The applyInPandasWithState streaming twin is equivalence-tested in
@@ -498,6 +536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_extract": q_json_props_extract,
         "stream_view_hour": q_stream_view_hour,
         "sessionize": q_sessionize,
+        "median_value_by_metric": q_median_value_by_metric,
+        "topk_events": q_topk_events,
+        "users_view_not_click": q_users_view_not_click,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -687,6 +728,24 @@ def oracle_sql() -> dict[str, str]:
             FROM readings GROUP BY 1, 2, 3
         """,
         "sessionize": _SS.sessions_sql(),
+        "median_value_by_metric": """
+            SELECT event_type AS metric_id,
+                   round(quantile_cont(value, 0.5), 6) AS median_value,
+                   round(quantile_cont(value, 0.9), 6) AS p90_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "topk_events": """
+            SELECT event_id, event_type, round(value, 6) AS value
+            FROM events ORDER BY value DESC, event_id LIMIT 100
+        """,
+        "users_view_not_click": """
+            SELECT user_id FROM events
+            WHERE event_type = 'view' AND value > 95
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_type = 'click' AND value > 95
+            ORDER BY user_id
+        """,
         "text_stats": T.text_stats_sql(),
         "lang_id": T.lang_id_sql(),
         "fingerprint": T.fingerprint_sql(),

@@ -1,0 +1,70 @@
+"""Plan-shape audit over the ENTIRE driver query registry: every
+`queries()` entry is checked for scale anti-patterns — unconditional
+cartesian products, missing partition pruning on lattice scans, and
+driver-side collects. This is the regression gate for "would this plan
+survive a 100× scale-up"."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries whose plan legitimately contains a nested-loop/cross join:
+#: brute-force ANN broadcasts a tiny query side against the corpus by
+#: design (the exact baseline; the LSH variant is the scale path).
+CROSS_JOIN_OK = {"ann_topk_brute"}
+
+#: lattice-backed queries that must show partition pruning on the
+#: materialized view scan
+LATTICE_QUERIES = {
+    "base_view_min_p7", "lattice_hour_p6", "lattice_month_p7",
+    "history_range_hour", "history_cells_day", "history_prefix_hour",
+    "history_interval_1day", "snapshot_day", "snapshot_prefix_day",
+    "lattice_minmax_day", "history_max_day",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in E.queries().items():
+        df = fn(spark, SF_DIR)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_unexpected_cartesian_products(plans):
+    bad = []
+    for name, plan in plans.items():
+        if name in CROSS_JOIN_OK:
+            continue
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            bad.append(name)
+    assert not bad, f"cartesian/nested-loop joins in: {bad}"
+
+
+def test_lattice_scans_are_partition_pruned(plans):
+    missing = [
+        name for name in LATTICE_QUERIES
+        if "PartitionFilters: [" not in plans[name].replace(
+            "PartitionFilters: []", ""
+        )
+    ]
+    assert not missing, f"no partition filters in: {missing}"
+
+
+def test_dim_joins_are_broadcast(plans):
+    # the star-schema rollup must broadcast its dimension tables
+    assert "BroadcastHashJoin" in plans["join_rollup_nation"]
+
+
+def test_time_predicates_reach_the_scan(plans):
+    # pushable ts comparisons (not wrapped in unix_millis) — regression
+    # guard for the round-2 pushdown fix
+    plan = plans["history_range_hour"]
+    assert "DataFilters" in plan
+    scan_filters = plan.split("DataFilters:")[1].split("]")[0]
+    assert "ts" in scan_filters and (">=" in scan_filters or ">" in scan_filters)
