@@ -41,34 +41,34 @@ _BASE32_IDX = {c: i for i, c in enumerate(_BASE32)}
 
 
 def geohash_encode(lat: float, lon: float, precision: int = 12) -> str:
-    """Encode (lat, lon) to a geohash of `precision` characters."""
-    lat_lo, lat_hi = -90.0, 90.0
-    lon_lo, lon_hi = -180.0, 180.0
-    bits = []
-    even = True  # longitude bit first
-    while len(bits) < precision * 5:
-        if even:
-            mid = (lon_lo + lon_hi) / 2
-            if lon >= mid:
-                bits.append(1)
-                lon_lo = mid
-            else:
-                bits.append(0)
-                lon_hi = mid
-        else:
-            mid = (lat_lo + lat_hi) / 2
-            if lat >= mid:
-                bits.append(1)
-                lat_lo = mid
-            else:
-                bits.append(0)
-                lat_hi = mid
-        even = not even
+    """Encode (lat, lon) to a geohash of `precision` characters.
+
+    Uses the SAME scaled-integer arithmetic as the Column builder
+    (`geohash_col`) and the SQL mirror (`geohash_sql`): axis index =
+    floor of the scaled coordinate, top edge clamped. A bisection loop
+    (the textbook formulation) disagrees with scaled multiplication
+    within 1 ulp of cell boundaries (e.g. lon = -1e-45 bisects west but
+    scales east) — one definition everywhere keeps all three
+    implementations bit-identical, which the hypothesis property tests
+    enforce."""
+    total_bits = precision * 5
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    lon_idx = min(int((lon + 180.0) / 360.0 * (1 << lon_bits)), (1 << lon_bits) - 1)
+    lat_idx = min(int((lat + 90.0) / 180.0 * (1 << lat_bits)), (1 << lat_bits) - 1)
     chars = []
-    for i in range(0, len(bits), 5):
+    li, ai = lon_bits, lat_bits  # bits remaining per axis, MSB-first
+    for _ in range(precision):
         idx = 0
-        for b in bits[i : i + 5]:
-            idx = (idx << 1) | b
+        for t in range(5):
+            b = len(chars) * 5 + t
+            if b % 2 == 0:
+                li -= 1
+                bit = (lon_idx >> li) & 1
+            else:
+                ai -= 1
+                bit = (lat_idx >> ai) & 1
+            idx = (idx << 1) | bit
         chars.append(_BASE32[idx])
     return "".join(chars)
 
