@@ -319,6 +319,33 @@ def q_distinct_users_daily(spark, sf_dir):
     )
 
 
+def q_distinct_users_daily_salted(spark, sf_dir):
+    """Skew-safe EXACT distinct: value-hash salting splits each day's
+    user set over 16 shards (two bounded shuffles); same oracle as the
+    plain distinct — the salting must not change the answer."""
+    from explora_kafka_spark.operators import skew as SK
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day_ms", ts_ms_col(F.date_trunc("day", "ts"))
+    )
+    return (
+        SK.count_distinct_salted(ev, ["day_ms"], "user_id", alias="n_users")
+        .orderBy("day_ms")
+    )
+
+
+def q_distinct_users_daily_approx(spark, sf_dir):
+    """HLL approximate distinct (scale path) — no SQL oracle (sketch
+    estimates are engine-specific); the driver records a rows-only check."""
+    from explora_kafka_spark.operators import skew as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    day = ts_ms_col(F.date_trunc("day", "ts")).alias("day_ms")
+    return SK.approx_distinct(ev, [day], "user_id", alias="n_users_approx").orderBy(
+        "day_ms"
+    )
+
+
 def q_json_props_extract(spark, sf_dir):
     """JSON scalar extraction over events.props (get_json_object ≙
     json_extract) + aggregation by the extracted key."""
@@ -533,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "history_max_day": q_history_max_day,
         "window_top_orders": q_window_top_orders,
         "distinct_users_daily": q_distinct_users_daily,
+        "distinct_users_daily_salted": q_distinct_users_daily_salted,
+        "distinct_users_daily_approx": q_distinct_users_daily_approx,
         "json_props_extract": q_json_props_extract,
         "stream_view_hour": q_stream_view_hour,
         "sessionize": q_sessionize,
@@ -715,6 +744,14 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
         """,
+        # salted variant must produce the identical exact answer
+        "distinct_users_daily_salted": """
+            SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # distinct_users_daily_approx: intentionally NO oracle — HLL
+        # estimates are engine-specific (driver records rows-only)
         "json_props_extract": """
             SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
                    count(*) AS n, round(sum(value), 6) AS sum_value
