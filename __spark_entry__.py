@@ -91,10 +91,9 @@ def _views(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _VIEWS:
         configure(spark)
         readings = load_readings(spark, sf_dir)
-        lattice = V.view_lattice(readings, precisions=(7, 6))
         d = tempfile.mkdtemp(prefix="explora_views_")
         _TMPDIRS.append(d)
-        V.materialize_views(lattice, f"{d}/views")
+        V.build_views(readings, f"{d}/views", precisions=(7, 6))
         _VIEWS[sf_dir] = spark.read.parquet(f"{d}/views")
     return _VIEWS[sf_dir]
 
@@ -132,12 +131,10 @@ def _geo_lattice(spark, sf_dir, kind, cell_precision, view_precision) -> DataFra
     key = (sf_dir, kind, cell_precision, view_precision)
     if key not in _GEO_LATTICES:
         r = _geo_readings(spark, sf_dir, kind, cell_precision)
-        lattice = V.view_lattice(
-            r, precisions=(view_precision,), resolutions=("min", "hour", "day")
-        )
         d = tempfile.mkdtemp(prefix="explora_geoviews_")
         _TMPDIRS.append(d)
-        V.materialize_views(lattice, f"{d}/views")
+        V.build_views(r, f"{d}/views", precisions=(view_precision,),
+                      resolutions=("min", "hour", "day"))
         _GEO_LATTICES[key] = spark.read.parquet(f"{d}/views")
     return _GEO_LATTICES[key]
 
@@ -510,6 +507,31 @@ def q_ann_topk_lsh(spark, sf_dir):
     return S.ann_topk_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_docs_quality_filter(spark, sf_dir):
+    """Composed pretraining filter: text stats × language ID — keep docs
+    with quality ≥ 0.5 that the heuristic calls English. The realistic
+    'chain the operators' flow, value-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = T.with_text_stats(docs)
+    langs = T.with_lang_id(docs)
+    return (
+        stats.join(langs, "doc_id")
+        .filter((F.col("quality_score") >= 0.5) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "quality_score", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def q_snapshot_bbox_quad_z14(spark, sf_dir):
+    """Production geo config (quadtiling precision 14 —
+    kubernetes ConfigMap / BASELINE.md): the wide bbox forces the
+    adaptive coarse-cover prefix path (a zoom-14 exact cover would be
+    ~10^7 tiles)."""
+    lattice = _geo_lattice(spark, sf_dir, "quad", 14, 14)
+    return Q.snapshot_bbox_quadtiling(lattice, "view", "count", 14, "day",
+                                      _SNAP_DAY_MS, *_BBOX)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas metadata extraction (byte length + md5 digest)."""
@@ -579,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
+        "docs_quality_filter": q_docs_quality_filter,
+        "snapshot_bbox_quad_z14": q_snapshot_bbox_quad_z14,
     }
 
 
@@ -794,4 +818,32 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": S.ann_topk_lsh_sql(),
         "embedding_near_dup": S.embedding_near_dup_sql(tau=0.3),
         "multimodal_meta": _MM.meta_sql(),
+        "docs_quality_filter": f"""
+            WITH stats AS ({T.text_stats_sql()}),
+            langs AS ({T.lang_id_sql()})
+            SELECT stats.doc_id, stats.quality_score, stats.n_tokens
+            FROM stats JOIN langs ON stats.doc_id = langs.doc_id
+            WHERE stats.quality_score >= 0.5 AND langs.pred_lang = 'en'
+            ORDER BY stats.doc_id
+        """,
+        "snapshot_bbox_quad_z14": _bbox_quad_z14_sql(),
     }
+
+
+def _bbox_quad_z14_sql() -> str:
+    """Oracle for the adaptive-cover production-zoom snapshot: reproduce
+    the planner's coarse-cover choice (Q.adaptive_cover_zoom) and filter
+    zoom-14 quadkeys by their coarse-zoom prefix (a quadkey's prefix IS
+    its ancestor tile's key)."""
+    qk14 = geo.quadkey_sql(_LAT_SQL, _LON_SQL, 14)
+    z = Q.adaptive_cover_zoom(*_BBOX, 14)
+    cover = geo.quadkey_cover_bbox(*_BBOX, z)
+    cover_sql = ", ".join(f"'{c}'" for c in cover)
+    return f"""
+        SELECT {qk14} AS gh, count(*) AS count
+        FROM events
+        WHERE event_type = 'view'
+          AND date_trunc('day', ts) = TIMESTAMP '2024-01-10'
+          AND substr({qk14}, 1, {z}) IN ({cover_sql})
+        GROUP BY 1 ORDER BY 1
+    """

@@ -35,6 +35,7 @@ def main() -> None:
     E._views(spark, SF_DIR)
     E._geo_lattice(spark, SF_DIR, "quad", 6, 6)
     E._geo_lattice(spark, SF_DIR, "geohash", 5, 3)
+    E._geo_lattice(spark, SF_DIR, "quad", 14, 14)
     timings["view_build"] = round(time.time() - t0, 3)
 
     for name, fn in E.queries().items():

@@ -234,6 +234,25 @@ def snapshot_raw(
 COVER_ENUM_LIMIT = 65536
 
 
+def adaptive_cover_zoom(north: float, west: float, south: float, east: float,
+                        zoom: int) -> int:
+    """Coarsest-sufficient zoom: the finest zoom ≤ `zoom` whose bbox cover
+    stays enumerable (≤ COVER_ENUM_LIMIT tiles). Exposed so oracles can
+    reproduce the planner's choice exactly."""
+    z = zoom
+    while z > 1 and geo.quadkey_cover_size(north, west, south, east, z) > COVER_ENUM_LIMIT:
+        z -= 1
+    return z
+
+
+def adaptive_cover_precision(north: float, west: float, south: float,
+                             east: float, precision: int) -> int:
+    p = precision
+    while p > 1 and geo.geohash_cover_size(north, west, south, east, p) > COVER_ENUM_LIMIT:
+        p -= 1
+    return p
+
+
 def _prefix_cover_filter(view: DataFrame, cover: list[str], plen: int,
                          full_len: int) -> DataFrame:
     """Filter cells whose length-`plen` prefix is in `cover` (small set →
@@ -274,11 +293,7 @@ def snapshot_bbox_quadtiling(
     reference's coarse-cover + children-enumeration semantics
     (QueryingController.java:240-282): edge tiles outside the bbox may be
     included."""
-    cover_zoom = zoom
-    while cover_zoom > 1 and geo.quadkey_cover_size(
-        north, west, south, east, cover_zoom
-    ) > COVER_ENUM_LIMIT:
-        cover_zoom -= 1
+    cover_zoom = adaptive_cover_zoom(north, west, south, east, zoom)
     cover = geo.quadkey_cover_bbox(north, west, south, east, cover_zoom)
     t = truncate_ts_ms(ts_ms, res)
     view = _select_view(lattice, metric, zoom, res).filter(F.col("ts") == _ts_at(t))
@@ -304,11 +319,7 @@ def snapshot_bbox_geohashing(
     QueryingController.java:240-282). Same adaptive coarse-cover prefix
     strategy as the quad-tiling path when the exact-precision cover would
     exceed COVER_ENUM_LIMIT."""
-    cover_p = precision
-    while cover_p > 1 and geo.geohash_cover_size(
-        north, west, south, east, cover_p
-    ) > COVER_ENUM_LIMIT:
-        cover_p -= 1
+    cover_p = adaptive_cover_precision(north, west, south, east, precision)
     cover = geo.geohash_cover_bbox(north, west, south, east, cover_p)
     t = truncate_ts_ms(ts_ms, res)
     view = _select_view(lattice, metric, precision, res).filter(F.col("ts") == _ts_at(t))

@@ -92,11 +92,33 @@ def rollup_space(view: DataFrame, precision: int) -> DataFrame:
     )
 
 
+def build_views(
+    readings: DataFrame,
+    path: str,
+    precisions: Sequence[int] = DEFAULT_PRECISIONS,
+    resolutions: Iterable[str] = VIEW_RESOLUTIONS,
+) -> None:
+    """Build + materialize the lattice, releasing the cascade caches when
+    the write finishes (long-lived sessions would otherwise accumulate
+    one persisted level per build)."""
+    persisted: list[DataFrame] = []
+    lattice = view_lattice(
+        readings, precisions=precisions, resolutions=resolutions,
+        persist=True, _persisted=persisted,
+    )
+    try:
+        materialize_views(lattice, path)
+    finally:
+        for df in persisted:
+            df.unpersist()
+
+
 def view_lattice(
     readings: DataFrame,
     precisions: Sequence[int] = DEFAULT_PRECISIONS,
     resolutions: Iterable[str] = VIEW_RESOLUTIONS,
     persist: bool = True,
+    _persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The full multi-resolution lattice as one DataFrame.
 
@@ -122,12 +144,16 @@ def view_lattice(
             level = rollup_space(level, p)
         if persist:
             level = level.persist(StorageLevel.MEMORY_AND_DISK)
+            if _persisted is not None:
+                _persisted.append(level)
         v = level
         for res in resolutions:
             if res != "min":
                 v = rollup_time(v, res)
                 if persist and res != resolutions[-1]:
                     v = v.persist(StorageLevel.MEMORY_AND_DISK)
+                    if _persisted is not None:
+                        _persisted.append(v)
             pieces.append(
                 _with_avg(v).select(
                     "metric_id",
