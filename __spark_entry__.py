@@ -532,6 +532,25 @@ def q_snapshot_bbox_quad_z14(spark, sf_dir):
                                       _SNAP_DAY_MS, *_BBOX)
 
 
+def q_asof_hourly_stats(spark, sf_dir):
+    """As-of join (custom operator, task brief): each event joined to the
+    most recent hourly per-metric average at or before its timestamp.
+    Spark side = union-marker windowed merge; oracle = DuckDB's NATIVE
+    ASOF JOIN — two independent formulations of the semantics."""
+    from explora_kafka_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h_ts"))
+        .agg(_r6(F.avg("value")).alias("hourly_avg"))
+    )
+    joined = asof_join(ev, hourly, on="event_type", left_ts="ts",
+                       right_ts="h_ts", payload_cols=["hourly_avg"])
+    return joined.select("event_id", "event_type", "hourly_avg")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas metadata extraction (byte length + md5 digest)."""
@@ -603,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "docs_quality_filter": q_docs_quality_filter,
         "snapshot_bbox_quad_z14": q_snapshot_bbox_quad_z14,
+        "asof_hourly_stats": q_asof_hourly_stats,
     }
 
 
@@ -827,6 +847,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY stats.doc_id
         """,
         "snapshot_bbox_quad_z14": _bbox_quad_z14_sql(),
+        "asof_hourly_stats": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS h_ts,
+                       round(avg(value), 6) AS hourly_avg
+                FROM events GROUP BY 1, 2
+            )
+            SELECT events.event_id, events.event_type, hourly.hourly_avg
+            FROM events ASOF LEFT JOIN hourly
+              ON events.event_type = hourly.event_type
+             AND events.ts >= hourly.h_ts
+        """,
     }
 
 
