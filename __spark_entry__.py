@@ -551,6 +551,24 @@ def q_asof_hourly_stats(spark, sf_dir):
     return joined.select("event_id", "event_type", "hourly_avg")
 
 
+def q_range_join_sessions(spark, sf_dir):
+    """Range join (custom operator, task brief): bucketed point-in-interval
+    equi-join — events joined back into their sessions. Self-validating:
+    the per-session joined count must equal the session's n_events, and
+    the oracle recomputes the same join with a plain inequality."""
+    from explora_kafka_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sessions = _SS.batch_sessions(ev)
+    joined = range_join(ev, sessions, on="user_id", point_ts="ts",
+                        start_ts="session_start_ms", end_ts="session_end_ms")
+    return (
+        joined.groupBy("user_id", "session_start_ms", "n_events")
+        .agg(F.count("*").alias("n_joined"))
+        .orderBy("user_id", "session_start_ms")
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas metadata extraction (byte length + md5 digest)."""
@@ -623,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_filter": q_docs_quality_filter,
         "snapshot_bbox_quad_z14": q_snapshot_bbox_quad_z14,
         "asof_hourly_stats": q_asof_hourly_stats,
+        "range_join_sessions": q_range_join_sessions,
     }
 
 
@@ -847,6 +866,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY stats.doc_id
         """,
         "snapshot_bbox_quad_z14": _bbox_quad_z14_sql(),
+        "range_join_sessions": f"""
+            WITH sessions AS ({_SS.sessions_sql()})
+            SELECT e.user_id, s.session_start_ms, s.n_events,
+                   count(*) AS n_joined
+            FROM events e JOIN sessions s
+              ON e.user_id = s.user_id
+             AND epoch_ms(e.ts) BETWEEN s.session_start_ms AND s.session_end_ms
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2
+        """,
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,
