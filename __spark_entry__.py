@@ -356,6 +356,65 @@ def q_json_props_extract(spark, sf_dir):
     )
 
 
+def q_rollup_metric_day(spark, sf_dir):
+    """Grouping sets: native ROLLUP(metric, day) — subtotals + grand total
+    (SURVEY §2.3 notes the reference hand-rolls its cube; Spark ships the
+    operator)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.rollup(
+            F.col("event_type").alias("metric_id"),
+            ts_ms_col(F.date_trunc("day", "ts")).alias("day_ms"),
+        )
+        .agg(F.count("*").alias("n"), _r6(F.sum("value")).alias("sum_value"))
+        # sentinel-coalesce the NULL subtotal keys so value-hash
+        # comparators need no NULL ordering semantics
+        .select(
+            F.coalesce("metric_id", F.lit("<all>")).alias("metric_id"),
+            F.coalesce("day_ms", F.lit(-1)).alias("day_ms"),
+            "n", "sum_value",
+        )
+        .orderBy("metric_id", "day_ms")
+    )
+
+
+def q_pivot_daily_by_metric(spark, sf_dir):
+    """Pivot: daily event counts, one column per metric (bounded pivot
+    values declared up front — the scale-safe form)."""
+    metrics = ["click", "error", "purchase", "signup", "view"]
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(ts_ms_col(F.date_trunc("day", "ts")).alias("day_ms"))
+        .pivot("event_type", metrics)
+        .agg(F.count(F.lit(1)))
+        .orderBy("day_ms")
+    )
+
+
+def q_history_dense_day(spark, sf_dir):
+    """Gap-filled history: left-join the day buckets onto a generated
+    dense calendar (sequence ≙ generate_series) — missing buckets appear
+    with n=0 (time-series densification the sparse store omits)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_FROM_MS), F.lit(_TO_MS), F.lit(86_400_000)
+            )
+        ).alias("day_ms")
+    )
+    agg = ev.groupBy(ts_ms_col(F.date_trunc("day", "ts")).alias("day_ms")).agg(
+        F.count("*").alias("n")
+    )
+    return (
+        days.join(agg, "day_ms", "left")
+        .select("day_ms", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("day_ms")
+    )
+
+
 def q_join_rollup_nation(spark, sf_dir):
     """Join coverage (SURVEY §2.7): revenue per nation — broadcast dim joins
     (nation, customer) into the lineitem fact."""
@@ -622,6 +681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_daily_salted": q_distinct_users_daily_salted,
         "distinct_users_daily_approx": q_distinct_users_daily_approx,
         "json_props_extract": q_json_props_extract,
+        "rollup_metric_day": q_rollup_metric_day,
+        "pivot_daily_by_metric": q_pivot_daily_by_metric,
+        "history_dense_day": q_history_dense_day,
         "stream_view_hour": q_stream_view_hour,
         "sessionize": q_sessionize,
         "median_value_by_metric": q_median_value_by_metric,
@@ -866,6 +928,37 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY stats.doc_id
         """,
         "snapshot_bbox_quad_z14": _bbox_quad_z14_sql(),
+        "rollup_metric_day": """
+            SELECT coalesce(event_type, '<all>') AS metric_id,
+                   coalesce(epoch_ms(date_trunc('day', ts)), -1) AS day_ms,
+                   count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+            ORDER BY 1, 2
+        """,
+        "pivot_daily_by_metric": """
+            SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'error') AS error,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type = 'signup') AS signup,
+                   count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "history_dense_day": f"""
+            WITH days AS (
+                SELECT unnest(generate_series({_FROM_MS}, {_TO_MS},
+                                              86400000)) AS day_ms
+            ),
+            agg AS (
+                SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+                       count(*) AS n
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT days.day_ms, coalesce(agg.n, 0) AS n
+            FROM days LEFT JOIN agg ON days.day_ms = agg.day_ms
+            ORDER BY 1
+        """,
         "range_join_sessions": f"""
             WITH sessions AS ({_SS.sessions_sql()})
             SELECT e.user_id, s.session_start_ms, s.n_events,

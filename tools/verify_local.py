@@ -40,8 +40,10 @@ def _canon(v):
 
 def _rows(cols, data):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    rows = [tuple(_canon(r[i]) for i in order) for r in data]
+    # None-safe total order (rollup subtotal rows carry NULL keys)
     return sorted(
-        tuple(_canon(r[i]) for i in order) for r in data
+        rows, key=lambda t: tuple((v is None, str(type(v)), v) for v in t)
     ), [cols[i] for i in order]
 
 
