@@ -82,20 +82,23 @@ def _r6(c):
 # (the plan you'd want at 100×; VERDICT r1 #10).
 # ---------------------------------------------------------------------------
 
-_VIEWS: dict[str, DataFrame] = {}
+#: caches hold PATHS, not DataFrames — a DataFrame is bound to the
+#: session that built it, and the driver may hand a fresh SparkSession
+#: to each query; re-reading materialized parquet is lazy and cheap.
+_VIEWS: dict[str, str] = {}
 _TMPDIRS: list[str] = []
 atexit.register(lambda: [shutil.rmtree(d, ignore_errors=True) for d in _TMPDIRS])
 
 
 def _views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
     if sf_dir not in _VIEWS:
-        configure(spark)
         readings = load_readings(spark, sf_dir)
         d = tempfile.mkdtemp(prefix="explora_views_")
         _TMPDIRS.append(d)
         V.build_views(readings, f"{d}/views", precisions=(7, 6))
-        _VIEWS[sf_dir] = spark.read.parquet(f"{d}/views")
-    return _VIEWS[sf_dir]
+        _VIEWS[sf_dir] = f"{d}/views"
+    return spark.read.parquet(_VIEWS[sf_dir])
 
 
 def _readings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +125,7 @@ def _geo_readings(spark: SparkSession, sf_dir: str, kind: str, precision: int) -
     )
 
 
-_GEO_LATTICES: dict[tuple, DataFrame] = {}
+_GEO_LATTICES: dict[tuple, str] = {}
 
 
 def _geo_lattice(spark, sf_dir, kind, cell_precision, view_precision) -> DataFrame:
@@ -135,8 +138,8 @@ def _geo_lattice(spark, sf_dir, kind, cell_precision, view_precision) -> DataFra
         _TMPDIRS.append(d)
         V.build_views(r, f"{d}/views", precisions=(view_precision,),
                       resolutions=("min", "hour", "day"))
-        _GEO_LATTICES[key] = spark.read.parquet(f"{d}/views")
-    return _GEO_LATTICES[key]
+        _GEO_LATTICES[key] = f"{d}/views"
+    return spark.read.parquet(_GEO_LATTICES[key])
 
 
 def _round_agg(df: DataFrame, aggregate: str) -> DataFrame:
@@ -482,7 +485,7 @@ def q_sessionize(spark, sf_dir):
     return _SS.batch_sessions(ev)
 
 
-_STREAMED: dict[str, DataFrame] = {}
+_STREAMED: dict[str, str] = {}  # sf_dir → store path (session-independent)
 
 
 def q_stream_view_hour(spark, sf_dir):
@@ -492,18 +495,20 @@ def q_stream_view_hour(spark, sf_dir):
     is the plain batch SQL — stream/batch equivalence IS the check."""
     from explora_kafka_spark.streaming import pipeline as SP
 
+    configure(spark)
     if sf_dir not in _STREAMED:
-        configure(spark)
         d = tempfile.mkdtemp(prefix="explora_stream_")
         _TMPDIRS.append(d)
         load_readings(spark, sf_dir).repartition(3).write.mode("overwrite").parquet(
             f"{d}/in"
         )
-        _STREAMED[sf_dir] = SP.run_file_pipeline_available_now(
+        SP.run_file_pipeline_available_now(
             spark, f"{d}/in", f"{d}/store", f"{d}/ckpt",
             precisions=(6,), resolutions=("min", "hour"),
         )
-    v = _STREAMED[sf_dir].filter(F.col("res") == "hour")
+        _STREAMED[sf_dir] = f"{d}/store"
+    store = SP.ParquetViewStore(_STREAMED[sf_dir]).read(spark)
+    v = store.filter(F.col("res") == "hour")
     return v.select(
         "metric_id", "gh", ts_ms_col("ts").alias("bucket_ms"),
         F.col("count").alias("count"), _r6("sum").alias("sum"),
