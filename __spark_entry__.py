@@ -25,6 +25,7 @@ from explora_kafka_spark.functions import geo
 from explora_kafka_spark.functions.timeutil import composite_key_col, ts_ms_col
 from explora_kafka_spark.operators import dedup as D
 from explora_kafka_spark.operators import multimodal as _MM
+from explora_kafka_spark.operators import normalize as _NORM
 from explora_kafka_spark.streaming import sessions as _SS
 from explora_kafka_spark.operators import similarity as S
 from explora_kafka_spark.operators import text as T
@@ -633,6 +634,24 @@ def q_range_join_sessions(spark, sf_dir):
     )
 
 
+def q_token_frequency(spark, sf_dir):
+    """Vocabulary building: corpus token frequencies (explode + count)."""
+    return T.token_frequencies(load_table(spark, sf_dir, "documents"))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (tf join idf, broadcast df table)."""
+    return T.tfidf(load_table(spark, sf_dir, "documents"))
+
+
+def q_zscore_per_metric(spark, sf_dir):
+    """Grouped-map applyInPandas: per-metric z-score normalization
+    (pandas transform per group; oracle = window functions)."""
+    from explora_kafka_spark.operators import normalize as N
+
+    return N.zscore_per_metric(load_table(spark, sf_dir, "events"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas metadata extraction (byte length + md5 digest)."""
@@ -709,6 +728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_bbox_quad_z14": q_snapshot_bbox_quad_z14,
         "asof_hourly_stats": q_asof_hourly_stats,
         "range_join_sessions": q_range_join_sessions,
+        "token_frequency": q_token_frequency,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "zscore_per_metric": q_zscore_per_metric,
     }
 
 
@@ -974,6 +996,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY 1, 2
         """,
+        "token_frequency": T.token_frequencies_sql(),
+        "tfidf_top_terms": T.tfidf_sql(),
+        "zscore_per_metric": _NORM.zscore_sql(),
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,

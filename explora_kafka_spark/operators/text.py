@@ -204,3 +204,109 @@ def fingerprint_sql(table: str = "documents", k: int = 8) -> str:
                    AS shingle_fp
         FROM n
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus-level statistics: token frequencies, TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def token_frequencies(docs: DataFrame, top_k: int | None = None) -> DataFrame:
+    """Corpus token frequency: explode the token arrays and count —
+    the vocabulary-building primitive. One shuffle on the token; heavy
+    hitters (stopwords) are exactly the keys AQE's skew handling and
+    partial aggregation absorb."""
+    toks = tokens_col("text")
+    freq = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token"))
+    )
+    return freq.limit(top_k) if top_k else freq
+
+
+def token_frequencies_sql(table: str = "documents",
+                          top_k: int | None = None) -> str:
+    toks = tokens_sql("text")
+    limit = f"LIMIT {top_k}" if top_k else ""
+    return f"""
+        SELECT token, count(*) AS freq
+        FROM (SELECT unnest({toks}) AS token FROM {table})
+        GROUP BY 1 ORDER BY 2 DESC, 1 {limit}
+    """
+
+
+def tfidf(docs: DataFrame, top_per_doc: int = 3) -> DataFrame:
+    """Top TF-IDF terms per document: tf = in-doc count / doc length,
+    idf = ln(N / df) over distinct-doc frequency. Two shuffles (per-doc
+    term counts, then the document-frequency join — df table is tiny and
+    broadcast). Ranking window picks the top terms per doc with
+    deterministic tie-break."""
+    from pyspark.sql.window import Window
+
+    toks = tokens_col("text")
+    terms = docs.select("doc_id", F.explode(toks).alias("token"))
+    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf_count"))
+    doc_len = terms.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    df_tbl = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id")).collect()[0][0]
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(F.broadcast(df_tbl), "token")
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf_count") / F.col("doc_len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_per_doc)
+        .select("doc_id", "token", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def tfidf_sql(table: str = "documents", top_per_doc: int = 3) -> str:
+    toks = tokens_sql("text")
+    return f"""
+        WITH terms AS (
+            SELECT doc_id, unnest({toks}) AS token FROM {table}
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf_count
+            FROM terms GROUP BY 1, 2
+        ),
+        doc_len AS (
+            SELECT doc_id, count(*) AS doc_len FROM terms GROUP BY 1
+        ),
+        df_tbl AS (
+            SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+        ),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM {table}),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   round((tf.tf_count * 1.0 / doc_len.doc_len)
+                         * ln(n.n_docs * 1.0 / df_tbl.df), 6) AS tfidf
+            FROM tf
+            JOIN doc_len ON tf.doc_id = doc_len.doc_id
+            JOIN df_tbl ON tf.token = df_tbl.token
+            CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token
+            ) AS rank
+            FROM scored
+        )
+        SELECT doc_id, token, tfidf, rank FROM ranked
+        WHERE rank <= {top_per_doc}
+        ORDER BY doc_id, rank
+    """
