@@ -162,11 +162,29 @@ class ParquetViewStore:
         return os.path.join(self.path, "_CURRENT")
 
     def current_version(self) -> str | None:
+        v = self._read_pointer()
+        return v[0] if v else None
+
+    def last_batch_id(self) -> int | None:
+        """Highest micro-batch id already merged — the exactly-once
+        guard: foreachBatch re-delivers a batch after a mid-merge
+        failure, and the count/sum merge is NOT idempotent, so a replay
+        that isn't skipped double-counts. The pointer file commits
+        (version, batch_id) atomically."""
+        v = self._read_pointer()
+        return v[1] if v else None
+
+    def _read_pointer(self) -> tuple[str, int | None] | None:
         try:
             with open(self._current_file()) as f:
-                return f.read().strip() or None
+                raw = f.read().strip()
         except FileNotFoundError:
             return None
+        if not raw:
+            return None
+        parts = raw.split("\n")
+        bid = int(parts[1]) if len(parts) > 1 and parts[1] else None
+        return parts[0], bid
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         v = self.current_version()
@@ -174,7 +192,18 @@ class ParquetViewStore:
             return None
         return spark.read.parquet(os.path.join(self.path, v))
 
-    def merge(self, spark: SparkSession, delta_lattice: DataFrame) -> None:
+    def merge(
+        self,
+        spark: SparkSession,
+        delta_lattice: DataFrame,
+        batch_id: int | None = None,
+    ) -> bool:
+        """Merge a delta; returns False (no-op) when `batch_id` was
+        already applied — the replay guard that makes the non-idempotent
+        count/sum merge exactly-once under foreachBatch redelivery."""
+        last = self.last_batch_id()
+        if batch_id is not None and last is not None and batch_id <= last:
+            return False
         existing = self.read(spark)
         merged = (
             delta_lattice
@@ -186,10 +215,11 @@ class ParquetViewStore:
         old_v = self.current_version()
         tmp = self._current_file() + ".tmp"
         with open(tmp, "w") as f:
-            f.write(new_v)
+            f.write(new_v if batch_id is None else f"{new_v}\n{batch_id}")
         os.replace(tmp, self._current_file())
         if old_v:
             shutil.rmtree(os.path.join(self.path, old_v), ignore_errors=True)
+        return True
 
 
 def streaming_view_pipeline(
@@ -217,7 +247,8 @@ def streaming_view_pipeline(
             batch_df, precisions=precisions, resolutions=resolutions,
             persist=False,
         )
-        store.merge(batch_df.sparkSession, delta)
+        # batch_id makes the merge exactly-once under replays
+        store.merge(batch_df.sparkSession, delta, batch_id=batch_id)
 
     return (
         filtered.writeStream.outputMode("update")

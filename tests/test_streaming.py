@@ -110,3 +110,73 @@ def test_metric_whitelist(spark):
     )
     assert P.filter_metrics(df, ["a", "c"]).count() == 2
     assert P.filter_metrics(df, None).count() == 3
+
+
+def test_merge_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch redelivers a batch after mid-merge failure; the
+    batch_id guard must make the second delivery a no-op (the count/sum
+    merge itself is NOT idempotent — without the guard counts double)."""
+    from explora_kafka_spark.plans.views import view_lattice
+
+    readings = load_readings(spark, SF_DIR)
+    delta = view_lattice(readings, precisions=(6,), resolutions=("min",),
+                         persist=False)
+    store = P.ParquetViewStore(str(tmp_path / "store"))
+    assert store.merge(spark, delta, batch_id=0) is True
+    once = {(r.gh, str(r.ts)): r["count"] for r in store.read(spark).collect()}
+    # replay of the same batch: must be skipped
+    assert store.merge(spark, delta, batch_id=0) is False
+    replay = {(r.gh, str(r.ts)): r["count"] for r in store.read(spark).collect()}
+    assert replay == once
+    # the NEXT batch still applies
+    assert store.merge(spark, delta, batch_id=1) is True
+    nxt = {(r.gh, str(r.ts)): r["count"] for r in store.read(spark).collect()}
+    assert nxt == {k: 2 * v for k, v in once.items()}
+
+
+def test_windowed_watermark_append_mode(spark, tmp_path):
+    """Idiomatic flavor: watermarked tumbling windows in append mode emit
+    exactly the FINALIZED windows (end <= max event time at the final
+    watermark advance), matching the batch aggregation over them."""
+    from explora_kafka_spark.streaming.windowed import windowed_base_view
+
+    readings = load_readings(spark, SF_DIR)
+    readings.repartition(2).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    schema = spark.read.parquet(str(tmp_path / "in")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    out = windowed_base_view(stream, precision=6, window="1 hour",
+                             watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("windowed_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r.metric_id, r.gh, str(r.ts)): (r["count"], round(r["sum"], 6))
+        for r in spark.table("windowed_test").collect()
+    }
+    from pyspark.sql import functions as F
+
+    max_ts = readings.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        readings.groupBy(
+            "metric_id",
+            F.substring("geohash", 1, 6).alias("gh"),
+            F.date_trunc("hour", "ts").alias("ts"),
+        )
+        .agg(F.count("*").alias("count"), F.sum("value").alias("sum"))
+        .filter(F.col("ts") + F.expr("INTERVAL 1 HOUR") <= max_ts)
+    )
+    expected = {
+        (r.metric_id, r.gh, str(r.ts)): (r["count"], round(r["sum"], 6))
+        for r in batch.collect()
+    }
+    assert streamed == expected
+    assert streamed, "expected finalized windows"
