@@ -26,6 +26,7 @@ from explora_kafka_spark.functions.timeutil import composite_key_col, ts_ms_col
 from explora_kafka_spark.operators import dedup as D
 from explora_kafka_spark.operators import multimodal as _MM
 from explora_kafka_spark.operators import normalize as _NORM
+from explora_kafka_spark.operators import udtfs as _UDTF
 from explora_kafka_spark.streaming import sessions as _SS
 from explora_kafka_spark.operators import similarity as S
 from explora_kafka_spark.operators import text as T
@@ -652,6 +653,14 @@ def q_zscore_per_metric(spark, sf_dir):
     return N.zscore_per_metric(load_table(spark, sf_dir, "events"))
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Python UDTF (LATERAL table function): fixed-size token chunking —
+    context-window packing for pretraining."""
+    from explora_kafka_spark.operators import udtfs as U
+
+    return U.chunk_documents(spark, load_table(spark, sf_dir, "documents"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas metadata extraction (byte length + md5 digest)."""
@@ -731,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_frequency": q_token_frequency,
         "tfidf_top_terms": q_tfidf_top_terms,
         "zscore_per_metric": q_zscore_per_metric,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -999,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
         "token_frequency": T.token_frequencies_sql(),
         "tfidf_top_terms": T.tfidf_sql(),
         "zscore_per_metric": _NORM.zscore_sql(),
+        "chunk_documents": _UDTF.chunk_documents_sql(),
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,

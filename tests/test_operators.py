@@ -164,3 +164,30 @@ def test_fingerprint_invariant_to_case_and_spacing(spark, docs):
     fp1 = {r.doc_id: (r.digest, r.shingle_fp) for r in T.with_fingerprint(docs).collect()}
     fp2 = {r.doc_id: (r.digest, r.shingle_fp) for r in T.with_fingerprint(noisy).collect()}
     assert fp1 == fp2
+
+
+# ---------------------------------------------------------------------------
+# UDTF chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunker_reassembles_to_normalized_text(spark, docs):
+    from explora_kafka_spark.operators import udtfs as U
+
+    chunks = U.chunk_documents(spark, docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        assert 1 <= r.n_tokens <= U.CHUNK_TOKENS
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # chunks reassemble to the whitespace-normalized document
+    import pyspark.sql.functions as F
+
+    norm = {
+        r.doc_id: " ".join(r.text.strip().lower().split())
+        for r in docs.collect()
+    }
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        assert " ".join(r.chunk for r in rs) == norm[doc_id]
+    assert set(by_doc) == set(norm)
