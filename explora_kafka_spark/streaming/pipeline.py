@@ -222,6 +222,30 @@ class ParquetViewStore:
         return True
 
 
+def compact_store(spark: SparkSession, store: ParquetViewStore) -> None:
+    """Rewrite the current store version in query-optimal layout: range
+    partitioning + (gh, ts) sort within files, partitioned by the view
+    selection keys — the same layout `materialize_views` produces for
+    batch lattices. Run periodically after many incremental merges so
+    query scans regain partition pruning and min/max skipping (the
+    maintenance job a lakehouse table would schedule as OPTIMIZE)."""
+    from ..plans.views import materialize_views
+
+    current = store.read(spark)
+    if current is None:
+        return
+    new_v = f"v_{uuid.uuid4().hex[:12]}"
+    materialize_views(current, os.path.join(store.path, new_v))
+    old = store._read_pointer()
+    tmp = store._current_file() + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(new_v if old is None or old[1] is None
+                else f"{new_v}\n{old[1]}")
+    os.replace(tmp, store._current_file())
+    if old:
+        shutil.rmtree(os.path.join(store.path, old[0]), ignore_errors=True)
+
+
 def streaming_view_pipeline(
     readings_stream: DataFrame,
     store: ParquetViewStore,

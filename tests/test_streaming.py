@@ -180,3 +180,31 @@ def test_windowed_watermark_append_mode(spark, tmp_path):
     }
     assert streamed == expected
     assert streamed, "expected finalized windows"
+
+
+def test_compact_store_preserves_data_and_prunes(spark, tmp_path):
+    """Compaction rewrites the store into the partitioned/sorted layout
+    without changing a single row, and the compacted store's scans get
+    partition pruning on the view-selection keys."""
+    from explora_kafka_spark.plans.views import view_lattice
+    from pyspark.sql import functions as F
+
+    readings = load_readings(spark, SF_DIR)
+    delta = view_lattice(readings, precisions=(6,),
+                         resolutions=("min", "hour"), persist=False)
+    store = P.ParquetViewStore(str(tmp_path / "store"))
+    store.merge(spark, delta, batch_id=0)
+    before = _lattice_rows(store.read(spark))
+    P.compact_store(spark, store)
+    after_df = store.read(spark)
+    assert _lattice_rows(after_df) == before
+    # batch-id guard survives compaction
+    assert store.last_batch_id() == 0
+    # partition pruning now applies on the compacted layout
+    plan = (
+        after_df.filter((F.col("res") == "hour") & (F.col("precision") == 6))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "res" in plan.split(
+        "PartitionFilters:"
+    )[1][:200]
