@@ -13,7 +13,7 @@ reproduce Java's `NumberFormatException.getMessage()` format
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 from pyspark.sql import DataFrame
