@@ -653,6 +653,12 @@ def q_zscore_per_metric(spark, sf_dir):
     return N.zscore_per_metric(load_table(spark, sf_dir, "events"))
 
 
+def q_embedding_quantization(spark, sf_dir):
+    """Int8 embedding quantization error audit (4× storage path): per
+    vector, the max dequantization error must stay ≤ scale/2."""
+    return S.quantization_error(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_chunk_documents(spark, sf_dir):
     """Python UDTF (LATERAL table function): fixed-size token chunking —
     context-window packing for pretraining."""
@@ -741,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "zscore_per_metric": q_zscore_per_metric,
         "chunk_documents": q_chunk_documents,
+        "embedding_quantization": q_embedding_quantization,
     }
 
 
@@ -1010,6 +1017,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": T.tfidf_sql(),
         "zscore_per_metric": _NORM.zscore_sql(),
         "chunk_documents": _UDTF.chunk_documents_sql(),
+        "embedding_quantization": S.quantization_error_sql(),
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,

@@ -296,3 +296,65 @@ def embedding_near_dup_sql(
           AND round({cos}, {round_to}) >= {tau}
         ORDER BY vec_a, vec_b
     """
+
+
+# ---------------------------------------------------------------------------
+# storage quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q[i] = round(x[i] / scale) — 4× smaller storage for ANN candidate
+    stores (rerank reads the fp32 originals). Pure projection, no
+    Python; scale kept per row for exact dequantization bounds."""
+    absmax = F.expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE))))"
+    )
+    return embeddings.select(
+        "vec_id",
+        F.round(absmax / F.lit(127.0), 9).alias("scale"),
+        F.expr(
+            "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) /"
+            " (aggregate(embedding, CAST(0 AS DOUBLE),"
+            "  (acc, u) -> greatest(acc, abs(CAST(u AS DOUBLE)))) / 127.0))"
+            " AS INT))"
+        ).alias("q"),
+    )
+
+
+def quantization_error(embeddings: DataFrame) -> DataFrame:
+    """Max absolute dequantization error per vector — must be ≤ scale/2
+    by construction; the driver oracle recomputes it exactly."""
+    quant = quantize_int8(embeddings).alias("qt")
+    orig = embeddings.alias("o")
+    joined = orig.join(quant, F.col("o.vec_id") == F.col("qt.vec_id"))
+    err = F.expr(
+        "aggregate(zip_with(CAST(o.embedding AS ARRAY<DOUBLE>),"
+        " transform(qt.q, v -> v * qt.scale), (x, y) -> abs(x - y)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
+    )
+    return joined.select(
+        F.col("o.vec_id").alias("vec_id"),
+        F.round("qt.scale", 9).alias("scale"),
+        F.round(err, 9).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
+def quantization_error_sql(table: str = "embeddings", dim: int = DIM) -> str:
+    absmax = (
+        f"list_max([abs(CAST(embedding[i] AS DOUBLE))"
+        f" FOR i IN range(1, {dim} + 1)])"
+    )
+    return f"""
+        WITH s AS (
+            SELECT vec_id, embedding, {absmax} / 127.0 AS scale
+            FROM {table}
+        )
+        SELECT vec_id, round(scale, 9) AS scale,
+               round(list_max([abs(CAST(embedding[i] AS DOUBLE)
+                     - round(CAST(embedding[i] AS DOUBLE) / scale) * scale)
+                     FOR i IN range(1, {dim} + 1)]), 9) AS max_abs_err
+        FROM s ORDER BY vec_id
+    """

@@ -191,3 +191,16 @@ def test_chunker_reassembles_to_normalized_text(spark, docs):
         assert [r.chunk_idx for r in rs] == list(range(len(rs)))
         assert " ".join(r.chunk for r in rs) == norm[doc_id]
     assert set(by_doc) == set(norm)
+
+
+def test_quantization_error_bound(emb):
+    rows = S.quantization_error(emb).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert r.max_abs_err <= r.scale / 2 + 1e-9
+
+
+def test_quantized_values_fit_int8(emb):
+    q = S.quantize_int8(emb).collect()
+    for r in q:
+        assert all(-127 <= v <= 127 for v in r.q)
