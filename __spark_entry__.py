@@ -388,12 +388,16 @@ def q_pivot_daily_by_metric(spark, sf_dir):
     values declared up front — the scale-safe form)."""
     metrics = ["click", "error", "purchase", "signup", "view"]
     ev = load_table(spark, sf_dir, "events")
-    return (
+    pv = (
         ev.groupBy(ts_ms_col(F.date_trunc("day", "ts")).alias("day_ms"))
         .pivot("event_type", metrics)
         .agg(F.count(F.lit(1)))
-        .orderBy("day_ms")
     )
+    # a (day, metric) cell with no rows pivots to NULL; the oracle's
+    # count(*) FILTER yields 0 — coalesce so sparse data matches too
+    return pv.select(
+        "day_ms", *[F.coalesce(m, F.lit(0)).alias(m) for m in metrics]
+    ).orderBy("day_ms")
 
 
 def q_history_dense_day(spark, sf_dir):

@@ -36,6 +36,14 @@ def asof_join(
     """Backward as-of join: all columns of `left` plus `payload_cols`
     from the most recent `right` row at or before the left timestamp
     (null when no right row precedes)."""
+    reserved = set(left.columns) | {on, "_ts", "_is_right"}
+    clash = [c for c in payload_cols if c in reserved]
+    if clash:
+        raise ValueError(
+            f"asof_join payload_cols {clash} collide with left columns or "
+            f"the helper names _ts/_is_right; rename them on the right side "
+            f"before joining"
+        )
     l2 = left.withColumn("_ts", F.col(left_ts)).withColumn(
         "_is_right", F.lit(0)
     )

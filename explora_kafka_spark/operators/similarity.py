@@ -312,14 +312,18 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
         "aggregate(embedding, CAST(0 AS DOUBLE),"
         " (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE))))"
     )
-    return embeddings.select(
+    # hoist the per-vector scale into its own projection so quantizing is
+    # O(d) per row (inlining the absmax inside transform re-evaluates the
+    # aggregate per element → O(d²))
+    scaled = embeddings.select(
+        "vec_id", "embedding", (absmax / F.lit(127.0)).alias("_scale")
+    )
+    return scaled.select(
         "vec_id",
-        F.round(absmax / F.lit(127.0), 9).alias("scale"),
+        F.round("_scale", 9).alias("scale"),
         F.expr(
-            "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) /"
-            " (aggregate(embedding, CAST(0 AS DOUBLE),"
-            "  (acc, u) -> greatest(acc, abs(CAST(u AS DOUBLE)))) / 127.0))"
-            " AS INT))"
+            "transform(embedding,"
+            " v -> CAST(round(CAST(v AS DOUBLE) / _scale) AS INT))"
         ).alias("q"),
     )
 

@@ -250,15 +250,20 @@ def tfidf(docs: DataFrame, top_per_doc: int = 3) -> DataFrame:
     tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf_count"))
     doc_len = terms.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
     df_tbl = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.select(F.countDistinct("doc_id")).collect()[0][0]
+    # n_docs stays in-plan as a broadcast single-row cross join — no
+    # driver collect, no extra job boundary, one scan of `docs`
+    n_docs = docs.agg(
+        F.countDistinct("doc_id").cast("double").alias("_n_docs")
+    )
     scored = (
         tf.join(doc_len, "doc_id")
         .join(F.broadcast(df_tbl), "token")
+        .join(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             F.round(
                 (F.col("tf_count") / F.col("doc_len"))
-                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                * F.log(F.col("_n_docs") / F.col("df")),
                 6,
             ),
         )

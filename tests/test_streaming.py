@@ -134,6 +134,96 @@ def test_merge_replay_is_idempotent(spark, tmp_path):
     assert nxt == {k: 2 * v for k, v in once.items()}
 
 
+def _partition_inodes(store):
+    """Map leaf partition dir (relative) → frozenset of parquet inodes
+    in the CURRENT store version."""
+    import os
+
+    vdir = os.path.join(store.path, store.current_version())
+    out = {}
+    for root, _dirs, files in os.walk(vdir):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if pq:
+            rel = os.path.relpath(root, vdir)
+            out[rel] = frozenset(os.stat(os.path.join(root, f)).st_ino
+                                 for f in pq)
+    return out
+
+
+def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """The partition-pruned MERGE: a delta touching one metric must
+    hard-link (not rewrite) every other partition — per-batch cost
+    proportional to the delta, not the store (the round-2 scale seam)."""
+    readings = load_readings(spark, SF_DIR)
+    full = view_lattice(readings, precisions=(6,), resolutions=("min", "hour"),
+                        persist=False)
+    store = P.ParquetViewStore(str(tmp_path / "store"))
+    assert store.merge(spark, full, batch_id=0)
+    before = _partition_inodes(store)
+    before_rows = _lattice_rows(store.read(spark))
+
+    click_only = view_lattice(
+        readings.filter(F.col("metric_id") == "click"),
+        precisions=(6,), resolutions=("min", "hour"), persist=False,
+    )
+    assert store.merge(spark, click_only, batch_id=1)
+    after = _partition_inodes(store)
+
+    untouched_before = {k: v for k, v in before.items()
+                        if "metric_id=click" not in k}
+    untouched_after = {k: v for k, v in after.items()
+                       if "metric_id=click" not in k}
+    assert untouched_before and untouched_before == untouched_after, (
+        "untouched partitions must be hard-linked verbatim"
+    )
+    assert any("metric_id=click" in k for k in after)
+
+    # correctness: click rows doubled, everything else identical
+    expected = {
+        (m, p, res, gh, ts, c * (2 if m == "click" else 1),
+         round(s * (2 if m == "click" else 1), 6))
+        for (m, p, res, gh, ts, c, s) in before_rows
+    }
+    assert _lattice_rows(store.read(spark)) == expected
+
+
+def test_untracked_merge_preserves_batch_guard(spark, tmp_path):
+    """A merge without a batch_id (e.g. a manual backfill) must carry the
+    last recorded batch id forward, keeping the replay guard armed."""
+    readings = load_readings(spark, SF_DIR)
+    delta = view_lattice(readings, precisions=(6,), resolutions=("min",),
+                         persist=False)
+    store = P.ParquetViewStore(str(tmp_path / "store"))
+    assert store.merge(spark, delta, batch_id=3)
+    assert store.merge(spark, delta, batch_id=None)  # untracked merge
+    assert store.last_batch_id() == 3
+    assert store.merge(spark, delta, batch_id=3) is False  # still guarded
+
+
+def test_wire_to_engine_composition(spark):
+    """ADVICE r2: the documented Kafka topology must actually compose —
+    decode (wire camelCase) → engine rename → event time → whitelist →
+    view lattice."""
+    import json
+
+    rows = [
+        (json.dumps({"metricId": "no2", "timestamp": 1_700_000_000_000,
+                     "geohash": "u4pruydq", "value": 1.5, "sourceId": "s1"}),),
+        (json.dumps({"metricId": "pm10", "timestamp": 1_700_000_060_000,
+                     "geohash": "u4pruydq", "value": 2.5, "sourceId": "s1"}),),
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    engine = P.to_engine_columns(P.decode_readings(raw))
+    engine = P.with_event_time(engine)
+    engine = P.filter_metrics(engine, ["no2"])
+    lattice = view_lattice(engine, precisions=(6,), resolutions=("min",),
+                           persist=False)
+    got = lattice.collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.metric_id, r.gh, r["count"], r["sum"]) == ("no2", "u4pruy", 1, 1.5)
+
+
 def test_windowed_watermark_append_mode(spark, tmp_path):
     """Idiomatic flavor: watermarked tumbling windows in append mode emit
     exactly the FINALIZED windows (end <= max event time at the final
