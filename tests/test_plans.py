@@ -13,9 +13,14 @@ import __spark_entry__ as E
 SF_DIR = "/root/testdata/sf0.001"
 
 #: queries whose plan legitimately contains a nested-loop/cross join:
-#: brute-force ANN broadcasts a tiny query side against the corpus by
-#: design (the exact baseline; the LSH variant is the scale path).
-CROSS_JOIN_OK = {"ann_topk_brute"}
+#: - ann_topk_brute broadcasts a tiny query side against the corpus by
+#:   design (the exact baseline; the LSH variant is the scale path).
+#: - tfidf_top_terms broadcasts a SINGLE-ROW global aggregate (n_docs,
+#:   no grouping keys) onto the per-term stats; Spark plans a keyless
+#:   broadcast join as BroadcastNestedLoopJoin, but the build side is
+#:   exactly one row, so the "nested loop" is a constant-attach — the
+#:   idiomatic scale-safe replacement for the old driver-side collect.
+CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
