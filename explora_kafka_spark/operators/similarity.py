@@ -23,12 +23,39 @@ comprehension) so values agree to rounding.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DIM = 64
 NUM_PLANES = 8
+
+#: target expected bucket occupancy for adaptive plane counts — in-bucket
+#: candidate pairs then stay ~n·target/2 (linear in corpus size) instead of
+#: O(n²/2^planes) with a fixed plane count
+TARGET_BUCKET_SIZE = 16
+MAX_PLANES = 24
+
+
+def adaptive_planes(
+    n_rows: int,
+    target_bucket: int = TARGET_BUCKET_SIZE,
+    floor: int = NUM_PLANES,
+    cap: int = MAX_PLANES,
+) -> int:
+    """Hyperplane count for a corpus of `n_rows` vectors: enough sign bits
+    that expected bucket occupancy ≈ `target_bucket`, i.e.
+    planes = ceil(log2(n / target)), clamped to [floor, cap].
+
+    This is what makes sign-LSH scale-safe: candidate pairs per bucket are
+    O(occupancy²), so holding occupancy constant keeps the total candidate
+    count LINEAR in n (each 2× corpus growth adds one plane / halves each
+    bucket). At the driver's sf0.01 (500 vectors) this returns the floor
+    (8 planes), so the pinned SQL oracles are unchanged."""
+    if n_rows <= target_bucket:
+        return floor
+    return max(floor, min(cap, math.ceil(math.log2(n_rows / target_bucket))))
 
 
 def _plane_weight(p: int, d: int) -> float:
@@ -179,14 +206,21 @@ def ann_topk_lsh(
     embeddings: DataFrame,
     query_mod: int = 50,
     k: int = 5,
-    num_planes: int = NUM_PLANES,
+    num_planes: int | None = None,
     round_to: int = 6,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's sign-LSH bucket;
     exact cosine rerank within the bucket. Equi-join on bucket id — at
     scale the corpus is hash-partitioned by bucket and never broadcast.
     Recall < 1 by construction; the oracle runs the identical algorithm
-    so results still match exactly."""
+    so results still match exactly.
+
+    `num_planes=None` (default) sizes the bucket space to the corpus via
+    `adaptive_planes(count)` — one cheap metadata-scale count() job at
+    plan-build time, the same kind of driver-side decision as a bbox
+    cover. Pass an explicit count to pin the bucket space."""
+    if num_planes is None:
+        num_planes = adaptive_planes(embeddings.count())
     planes = hyperplanes(num_planes)
     bucketed = embeddings.withColumn("bucket", F.expr(bucket_expr_spark(planes)))
     q = bucketed.filter(F.col("vec_id") % query_mod == 0).select(
@@ -218,14 +252,23 @@ def ann_topk_lsh(
     )
 
 
+#: corpus size of the driver's correctness scale (sf0.01) — the SQL oracle
+#: builders are static strings, so they pin the adaptive plane count to the
+#: scale the driver actually compares at
+ORACLE_N_ROWS = 500
+
+
 def ann_topk_lsh_sql(
     table: str = "embeddings",
     query_mod: int = 50,
     k: int = 5,
-    num_planes: int = NUM_PLANES,
+    num_planes: int | None = None,
     round_to: int = 6,
     dim: int = DIM,
+    n_rows: int = ORACLE_N_ROWS,
 ) -> str:
+    if num_planes is None:
+        num_planes = adaptive_planes(n_rows)
     planes = hyperplanes(num_planes)
     bucket = bucket_expr_duck(planes, dim)
     cos = cosine_expr_duck("q.embedding", "n.embedding", dim)
@@ -252,13 +295,16 @@ def ann_topk_lsh_sql(
 def embedding_near_dup(
     embeddings: DataFrame,
     tau: float = 0.9,
-    num_planes: int = NUM_PLANES,
+    num_planes: int | None = None,
     round_to: int = 6,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-LSH bucket equi-join
     (vec_a < vec_b) + exact cosine filter at threshold `tau`. The
     all-pairs comparison never happens — only within-bucket pairs are
-    scored."""
+    scored, and `num_planes=None` sizes the bucket space to the corpus
+    (adaptive_planes) so the candidate count stays linear in n."""
+    if num_planes is None:
+        num_planes = adaptive_planes(embeddings.count())
     planes = hyperplanes(num_planes)
     bucketed = embeddings.withColumn("bucket", F.expr(bucket_expr_spark(planes)))
     a = bucketed.select(
@@ -280,10 +326,13 @@ def embedding_near_dup(
 def embedding_near_dup_sql(
     table: str = "embeddings",
     tau: float = 0.9,
-    num_planes: int = NUM_PLANES,
+    num_planes: int | None = None,
     round_to: int = 6,
     dim: int = DIM,
+    n_rows: int = ORACLE_N_ROWS,
 ) -> str:
+    if num_planes is None:
+        num_planes = adaptive_planes(n_rows)
     planes = hyperplanes(num_planes)
     bucket = bucket_expr_duck(planes, dim)
     cos = cosine_expr_duck("a.embedding", "b.embedding", dim)
@@ -295,6 +344,69 @@ def embedding_near_dup_sql(
         WHERE a.vec_id < b.vec_id
           AND round({cos}, {round_to}) >= {tau}
         ORDER BY vec_a, vec_b
+    """
+
+
+def ann_recall_lsh(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    num_planes: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """recall@k of the LSH path against the exact brute-force baseline:
+    per query, |top-k(LSH) ∩ top-k(brute)| / k. The quality audit for the
+    approximate scale path — run it on a query SAMPLE whenever the plane
+    count / corpus changes (the brute side is linear in corpus size, so
+    the audit is priced by the sample, not the corpus)."""
+    brute = ann_topk_brute(embeddings, query_mod, k, round_to)
+    lsh = ann_topk_lsh(embeddings, query_mod, k, num_planes, round_to)
+    hits = (
+        brute.select("query_id", "neighbor_id")
+        .join(lsh.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        brute.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), round_to)
+            .alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_recall_lsh_sql(
+    table: str = "embeddings",
+    query_mod: int = 50,
+    k: int = 5,
+    num_planes: int | None = None,
+    round_to: int = 6,
+    dim: int = DIM,
+    n_rows: int = ORACLE_N_ROWS,
+) -> str:
+    brute = ann_topk_brute_sql(table, query_mod, k, round_to, dim)
+    lsh = ann_topk_lsh_sql(table, query_mod, k, num_planes, round_to, dim, n_rows)
+    return f"""
+        WITH brute AS ({brute}),
+        lsh AS ({lsh}),
+        hits AS (
+            SELECT brute.query_id, count(*) AS n_hits
+            FROM brute JOIN lsh
+              ON brute.query_id = lsh.query_id
+             AND brute.neighbor_id = lsh.neighbor_id
+            GROUP BY 1
+        )
+        SELECT q.query_id,
+               round(coalesce(hits.n_hits, 0) / {float(k)}, {round_to})
+                 AS recall_at_k
+        FROM (SELECT DISTINCT query_id FROM brute) q
+        LEFT JOIN hits ON q.query_id = hits.query_id
+        ORDER BY q.query_id
     """
 
 

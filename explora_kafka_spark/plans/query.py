@@ -214,9 +214,18 @@ def snapshot_raw(
     cell_prefix: str | None = None,
 ) -> DataFrame:
     """Snapshot from bronze readings (`src=raw`): exact-instant lookup grouped
-    by cell prefix — the raw twin of `snapshot` (QueryingController.java:103-104)."""
+    by cell prefix — the raw twin of `snapshot` (QueryingController.java:103-104).
+
+    "Instant" is keyed per millisecond, matching `history_raw`'s ms buckets:
+    the filter is the half-open range [ts_ms, ts_ms+1) on the raw `ts`, which
+    hits sub-ms (micro/nano) source timestamps AND stays a pushable range
+    predicate on the parquet scan (an equality on a truncated ts would not)."""
     df = (
-        readings.filter((F.col("metric_id") == metric) & (F.col("ts") == _ts_at(ts_ms)))
+        readings.filter(
+            (F.col("metric_id") == metric)
+            & (F.col("ts") >= _ts_at(ts_ms))
+            & (F.col("ts") < _ts_at(ts_ms + 1))
+        )
         .withColumn("gh", F.substring("geohash", 1, precision))
     )
     df = _filter_cells(df, cells, cell_prefix)

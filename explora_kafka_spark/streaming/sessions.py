@@ -11,10 +11,12 @@ Two equivalent implementations:
   streaming operator via `applyInPandasWithState` (the Spark-idiomatic
   escape hatch for operators Structured Streaming lacks). State = the
   open session per user; an event farther than `gap_ms` from the open
-  session's end closes it (emits one row) and opens a new one. The last
-  open session per user stays in state (a real deployment closes it via
-  event-time timeout); tests compare the *closed* sessions against
-  batch.
+  session's end closes it (emits one row) and opens a new one. Idle
+  sessions are FINALIZED by an event-time timeout: once the watermark
+  passes `end + gap`, the session is emitted and evicted — state stays
+  bounded and tail sessions are not held forever. Only sessions still
+  open within `watermark + gap` of the stream's max event time remain
+  in state at shutdown (no stream can prove those are over).
 
 Scale: batch sessionization shuffles once on user_id (the window
 partition) — at 100 TB this is the natural key-partitioned shuffle, with
@@ -107,12 +109,26 @@ def sessions_sql(table: str = "events", gap_ms: int = DEFAULT_GAP_MS) -> str:
 
 
 def streaming_sessions(
-    events_stream: DataFrame, gap_ms: int = DEFAULT_GAP_MS
+    events_stream: DataFrame,
+    gap_ms: int = DEFAULT_GAP_MS,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Custom stateful operator: emits a session row whenever a later
-    event closes it (event-time gap). Requires per-user event-time order
-    across micro-batches (true for replayed/ordered sources; an
-    out-of-order production stream would buffer within the state)."""
+    event closes it (event-time gap), and FINALIZES idle sessions via an
+    event-time timeout — once the watermark passes `session_end + gap`,
+    no in-watermark event can extend the session, so it is emitted and
+    its state removed (bounded state; the tail session per user is not
+    held forever). Requires per-user event-time order across
+    micro-batches (true for replayed/ordered sources; an out-of-order
+    production stream would buffer within the state).
+
+    `watermark` is the allowed out-of-orderness; it delays finalization
+    by the same horizon. Sessions still open within `watermark + gap` of
+    the stream's max event time remain in state (no stream can prove
+    they are over)."""
+
+    _cols = ["user_id", "session_start_ms", "session_end_ms",
+             "n_events", "sum_value"]
 
     def _fn(
         key: Any,
@@ -120,6 +136,14 @@ def streaming_sessions(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed end+gap: the session can no longer grow
+            start, end, n, sv = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, start, end, n, round(sv, 6))], columns=_cols
+            )
+            return
         if state.exists:
             start, end, n, sv = state.get
         else:
@@ -140,17 +164,19 @@ def streaming_sessions(
                     n += 1
                     sv += float(value)
         state.update((start, end, n, sv))
+        # finalize when the watermark proves no event can extend the
+        # session (strictly-greater semantics → +1 so exactly end+gap
+        # does not fire early)
+        state.setTimeoutTimestamp(end + gap_ms + 1)
         if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start_ms", "session_end_ms",
-                         "n_events", "sum_value"],
-            )
+            yield pd.DataFrame(closed, columns=_cols)
 
-    return events_stream.groupBy("user_id").applyInPandasWithState(
+    return events_stream.withWatermark("ts", watermark).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         _fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -129,6 +129,33 @@ def test_bucket_determinism(emb):
     assert all(0 <= r.b < (1 << S.NUM_PLANES) for r in b1)
 
 
+def test_adaptive_planes_scales_with_corpus():
+    # at the oracle scale (sf0.01 = 500 vectors) the floor holds, so the
+    # pinned SQL oracles stay valid
+    assert S.adaptive_planes(500) == S.NUM_PLANES
+    # each 2× corpus growth adds ~1 plane → expected bucket occupancy
+    # (and so in-bucket candidate pairs per row) stays ~constant
+    assert S.adaptive_planes(5_000) == 9
+    assert S.adaptive_planes(10_000) == 10
+    assert S.adaptive_planes(5_000_000) == 19
+    ns = [10**3, 10**4, 10**5, 10**6, 10**9]
+    vals = [S.adaptive_planes(n) for n in ns]
+    assert vals == sorted(vals)
+    assert S.adaptive_planes(10**12) == S.MAX_PLANES
+    # occupancy bound: n / 2^planes ≤ 2·target for every n above the floor
+    for n in ns:
+        p = S.adaptive_planes(n)
+        if p < S.MAX_PLANES:
+            assert n / (1 << p) <= 2 * S.TARGET_BUCKET_SIZE
+
+
+def test_ann_recall_bounds_and_coverage(emb):
+    rows = S.ann_recall_lsh(emb, query_mod=100, k=3).collect()
+    n_queries = emb.filter(F.col("vec_id") % 100 == 0).count()
+    assert len(rows) == n_queries
+    assert all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
+
+
 # ---------------------------------------------------------------------------
 # text
 # ---------------------------------------------------------------------------
