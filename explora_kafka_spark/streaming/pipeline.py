@@ -252,11 +252,21 @@ class ParquetViewStore:
         return parts[0], bid
 
     def _read_raw(self, spark: SparkSession) -> DataFrame | None:
-        """Current version including the ts_m partition column."""
+        """Current version including the ts_m partition column.
+
+        Partition-column values come back through Spark's type inference,
+        which would turn a numeric-looking string metric_id ('123') into
+        an int and silently change the store schema between writes — pin
+        the partition columns back to their declared types."""
         v = self.current_version()
         if v is None:
             return None
-        return spark.read.parquet(os.path.join(self.path, v))
+        df = spark.read.parquet(os.path.join(self.path, v))
+        for col, typ in (("metric_id", "string"), ("precision", "int"),
+                         ("res", "string"), ("ts_m", "int")):
+            if col in df.columns:
+                df = df.withColumn(col, F.col(col).cast(typ))
+        return df
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         df = self._read_raw(spark)
@@ -272,23 +282,20 @@ class ParquetViewStore:
             shutil.rmtree(os.path.join(self.path, old_v), ignore_errors=True)
 
     @staticmethod
-    def _link_untouched(old_dir: str, new_dir: str,
-                        touched: set[tuple[str, ...]]) -> None:
-        """Hard-link every leaf partition dir of `old_dir` whose key is
-        NOT in `touched` into `new_dir` (copy fallback for filesystems
-        without links). Keys compare as strings of the partition-path
-        values, exactly as spark writes them."""
+    def _link_untouched(old_dir: str, new_dir: str) -> None:
+        """Hard-link every leaf partition dir of `old_dir` that the
+        merged write did NOT produce into `new_dir` (copy fallback for
+        filesystems without links). "Touched" is decided by what exists
+        under `new_dir` — comparing the partition paths Spark itself
+        wrote on both sides, so Spark's %-escaping of special characters
+        in partition values can never make a key miscompare (a str()-
+        built key set could: 'a:b' writes as 'a%3Ab')."""
         for root, _dirs, files in os.walk(old_dir):
             pq = [fn for fn in files if fn.endswith(".parquet")]
             if not pq:
                 continue
             rel = os.path.relpath(root, old_dir)
-            key = tuple(
-                seg.split("=", 1)[1]
-                for seg in rel.split(os.sep)
-                if "=" in seg
-            )
-            if len(key) != len(STORE_PARTITION_COLS) or key in touched:
+            if os.path.isdir(os.path.join(new_dir, rel)):
                 continue
             tgt = os.path.join(new_dir, rel)
             os.makedirs(tgt, exist_ok=True)
@@ -314,35 +321,64 @@ class ParquetViewStore:
         if batch_id is not None and last is not None and batch_id <= last:
             return False
         effective_bid = batch_id if batch_id is not None else last
+        # persist: the delta plan is executed twice below (distinct-keys
+        # collect + the merged write) — without this each micro-batch's
+        # full aggregation would run ~2×
         delta = _with_ts_month(
             delta_lattice.select(*[c for c in _LATTICE_COLS
                                    if c in delta_lattice.columns])
-        )
-        old_v = self.current_version()
-        new_v = f"v_{uuid.uuid4().hex[:12]}"
-        new_dir = os.path.join(self.path, new_v)
-        if old_v is None:
-            _write_store_layout(delta, new_dir)
-            self._commit(new_v, effective_bid, None)
+        ).persist()
+        try:
+            # ---- partition-key preflight ----
+            # null partition values are rejected up front: a null writes
+            # the __HIVE_DEFAULT_PARTITION__ dir, null == null is null so
+            # the pruning predicate would never match existing null-key
+            # rows, and the merge would silently double-count on read.
+            # Upstream with_event_time/decode already dead-letter these;
+            # failing loudly here guards direct merge() callers.
+            key_rows = delta.select(*STORE_PARTITION_COLS).distinct().collect()
+            for r in key_rows:
+                nulls = [c for c in STORE_PARTITION_COLS if r[c] is None]
+                if nulls:
+                    raise ValueError(
+                        f"delta has NULL partition key(s) {nulls}; "
+                        "route null-keyed records to a dead-letter sink "
+                        "before merging"
+                    )
+            old_v = self.current_version()
+            new_v = f"v_{uuid.uuid4().hex[:12]}"
+            new_dir = os.path.join(self.path, new_v)
+            if old_v is None:
+                _write_store_layout(delta, new_dir)
+                self._commit(new_v, effective_bid, None)
+                return True
+            old_raw = self._read_raw(spark)
+            if "ts_m" not in old_raw.columns:
+                # legacy store written before the partitioned layout: the
+                # ts_m pruning filter would raise and _link_untouched
+                # would mislink flat files — migrate with one full
+                # rewrite; every later merge is incremental again
+                merged = incremental_update(old_raw, delta.drop("ts_m"))
+                _write_store_layout(_with_ts_month(merged), new_dir)
+                self._commit(new_v, effective_bid, old_v)
+                return True
+            # ---- partition-pruned incremental path ----
+            pred = None
+            for r in key_rows:
+                conj = None
+                for c in STORE_PARTITION_COLS:
+                    term = F.col(c) == F.lit(r[c])
+                    conj = term if conj is None else (conj & term)
+                pred = conj if pred is None else (pred | conj)
+            # partition-column predicate → the scan prunes to touched dirs
+            existing_touched = old_raw.filter(pred).drop("ts_m")
+            merged = incremental_update(existing_touched, delta.drop("ts_m"))
+            _write_store_layout(_with_ts_month(merged), new_dir)
+            self._link_untouched(os.path.join(self.path, old_v), new_dir)
+            self._commit(new_v, effective_bid, old_v)
             return True
-        # ---- partition-pruned incremental path ----
-        key_rows = delta.select(*STORE_PARTITION_COLS).distinct().collect()
-        pred = None
-        touched: set[tuple[str, ...]] = set()
-        for r in key_rows:
-            conj = None
-            for c in STORE_PARTITION_COLS:
-                term = F.col(c) == F.lit(r[c])
-                conj = term if conj is None else (conj & term)
-            pred = conj if pred is None else (pred | conj)
-            touched.add(tuple(str(r[c]) for c in STORE_PARTITION_COLS))
-        # partition-column predicate → the scan prunes to touched dirs
-        existing_touched = self._read_raw(spark).filter(pred).drop("ts_m")
-        merged = incremental_update(existing_touched, delta.drop("ts_m"))
-        _write_store_layout(_with_ts_month(merged), new_dir)
-        self._link_untouched(os.path.join(self.path, old_v), new_dir, touched)
-        self._commit(new_v, effective_bid, old_v)
-        return True
+        finally:
+            delta.unpersist()
 
 
 def compact_store(spark: SparkSession, store: ParquetViewStore) -> None:

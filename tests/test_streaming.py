@@ -298,3 +298,81 @@ def test_compact_store_preserves_data_and_prunes(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "res" in plan.split(
         "PartitionFilters:"
     )[1][:200]
+
+
+def test_merge_rejects_null_partition_keys(spark, tmp_path):
+    """ADVICE r3: a NULL partition value would write the
+    __HIVE_DEFAULT_PARTITION__ dir, escape the pruning predicate
+    (null == null is null), and double-count on read — merge must refuse
+    it loudly instead."""
+    readings = load_readings(spark, SF_DIR)
+    delta = view_lattice(readings, precisions=(6,), resolutions=("min",),
+                         persist=False).withColumn(
+        "metric_id",
+        F.when(F.col("metric_id") == "click", F.lit(None)).otherwise(
+            F.col("metric_id")
+        ),
+    )
+    store = P.ParquetViewStore(str(tmp_path / "store"))
+    with pytest.raises(ValueError, match="NULL partition key"):
+        store.merge(spark, delta, batch_id=0)
+
+
+def test_merge_migrates_legacy_unpartitioned_store(spark, tmp_path):
+    """ADVICE r3: a store written by the pre-partitioned layout (flat
+    files, no ts_m) must be migrated by one full rewrite instead of
+    raising on the ts_m pruning filter or mislinking flat files."""
+    import os
+
+    readings = load_readings(spark, SF_DIR)
+    delta = view_lattice(readings, precisions=(6,), resolutions=("min",),
+                         persist=False)
+    store_path = str(tmp_path / "store")
+    # hand-build a legacy store: flat parquet version dir + pointer
+    legacy_dir = os.path.join(store_path, "v_legacy")
+    delta.write.mode("overwrite").parquet(legacy_dir)
+    os.makedirs(store_path, exist_ok=True)
+    with open(os.path.join(store_path, "_CURRENT"), "w") as f:
+        f.write("v_legacy\n0")
+    store = P.ParquetViewStore(store_path)
+    once = _lattice_rows(store.read(spark))
+
+    assert store.merge(spark, delta, batch_id=1)
+    merged = _lattice_rows(store.read(spark))
+    assert merged == {
+        (m, p, res, gh, ts, 2 * c, round(2 * s, 6))
+        for (m, p, res, gh, ts, c, s) in once
+    }
+    # and the store is now in the partitioned layout (incremental merges
+    # work from here on)
+    vdir = os.path.join(store_path, store.current_version())
+    assert any("ts_m=" in d for d, _, _ in os.walk(vdir))
+    assert store.merge(spark, delta, batch_id=2)
+
+
+def test_merge_escaped_partition_values_not_double_counted(spark, tmp_path):
+    """ADVICE r3: Spark %-escapes special characters (':' → '%3A') in
+    partition dir names. The touched-partition bookkeeping must compare
+    the escaped paths Spark wrote — a str()-built key would mismatch,
+    hard-link the old partition AND rewrite it, double-counting reads."""
+    readings = load_readings(spark, SF_DIR).withColumn(
+        "metric_id", F.concat(F.col("metric_id"), F.lit(":v1"))
+    )
+    full = view_lattice(readings, precisions=(6,), resolutions=("min",),
+                        persist=False)
+    store = P.ParquetViewStore(str(tmp_path / "store"))
+    assert store.merge(spark, full, batch_id=0)
+    once = _lattice_rows(store.read(spark))
+
+    delta = view_lattice(
+        readings.filter(F.col("metric_id") == "click:v1"),
+        precisions=(6,), resolutions=("min",), persist=False,
+    )
+    assert store.merge(spark, delta, batch_id=1)
+    merged = _lattice_rows(store.read(spark))
+    assert merged == {
+        (m, p, res, gh, ts,
+         c * (2 if m == "click:v1" else 1),
+         round(s * (2 if m == "click:v1" else 1), 6))
+        for (m, p, res, gh, ts, c, s) in once
+    }
