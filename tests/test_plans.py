@@ -20,7 +20,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   broadcast join as BroadcastNestedLoopJoin, but the build side is
 #:   exactly one row, so the "nested loop" is a constant-attach — the
 #:   idiomatic scale-safe replacement for the old driver-side collect.
-CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms"}
+#: - ann_recall_lsh contains the brute-force baseline as one side of the
+#:   recall comparison, so it inherits ann_topk_brute's deliberate BNLJ.
+CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan

@@ -60,6 +60,20 @@ def main():
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    # registry parity gate (VERDICT r3 #2): every oracle must target a
+    # registered query; every query without an oracle must be a known
+    # rows-only entry. The driver records at most the FIRST 50 entries, so
+    # list what falls past the cap to make the trade-off explicit.
+    ROWS_ONLY = {"distinct_users_daily_approx"}
+    stray = set(oracles) - set(qs)
+    assert not stray, f"oracles without a query: {sorted(stray)}"
+    no_oracle = set(qs) - set(oracles) - ROWS_ONLY
+    assert not no_oracle, f"queries missing an oracle: {sorted(no_oracle)}"
+    names = list(qs)
+    print(f"registry: {len(names)} entries "
+          f"({len(oracles)} oracle-checked, {len(ROWS_ONLY)} rows-only)")
+    if len(names) > 50:
+        print(f"past the driver's 50-row cap: {names[50:]}")
     only = set(sys.argv[1:])
     failures = []
     for name, fn in qs.items():
