@@ -547,8 +547,10 @@ def q_compact_store_effect(spark, sf_dir):
     streamed store, then serve the min/p6 slice from the compacted
     version. Compaction must be a pure physical rewrite — same rows,
     query-optimal layout (global gh range partitioning + in-file (gh, ts)
-    sort) — so the batch oracle still matches exactly. File-count
-    shrinkage is asserted in tests/test_streaming.py."""
+    sort) — so the batch oracle still matches exactly. Row preservation,
+    the batch-id replay guard, and partition pruning on the compacted
+    layout are asserted in tests/test_streaming.py::
+    test_compact_store_preserves_data_and_prunes."""
     from explora_kafka_spark.streaming import pipeline as SP
 
     path = _streamed_store(spark, sf_dir)

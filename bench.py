@@ -29,17 +29,27 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # Lattice builds + materialization (the ingestion path every view-backed
-    # query amortizes), timed once: main readings lattice + the two
-    # geo-derived lattices used by the bbox snapshot queries.
-    t0 = time.time()
-    E._views(spark, SF_DIR)
-    E._geo_lattice(spark, SF_DIR, "quad", 6, 6)
-    E._geo_lattice(spark, SF_DIR, "geohash", 5, 3)
-    E._geo_lattice(spark, SF_DIR, "quad", 14, 14)
-    # the streaming store build is ingestion too — warm it so the
-    # stream_view_hour timing measures the query, not the pipeline run
-    E.queries()["stream_view_hour"](spark, SF_DIR).count()
-    timings["view_build"] = round(time.time() - t0, 3)
+    # query amortizes), timed once with per-phase attribution so a build
+    # regression is attributable (VERDICT r3 #7). "view_build" stays the
+    # phase sum for round-over-round comparability.
+    phases: dict[str, float] = {}
+
+    def _phase(name: str, thunk) -> None:
+        t0 = time.time()
+        thunk()
+        phases[name] = round(time.time() - t0, 3)
+
+    _phase("main_lattice", lambda: E._views(spark, SF_DIR))
+    _phase("geo_quad_z6", lambda: E._geo_lattice(spark, SF_DIR, "quad", 6, 6))
+    _phase("geo_geohash_p5", lambda: E._geo_lattice(spark, SF_DIR, "geohash", 5, 3))
+    _phase("geo_quad_z14", lambda: E._geo_lattice(spark, SF_DIR, "quad", 14, 14))
+    # the streaming store / windowed builds are ingestion too — warm them
+    # so the per-query timings measure the query, not the pipeline run
+    _phase("stream_store",
+           lambda: E.queries()["stream_view_hour"](spark, SF_DIR).count())
+    _phase("windowed_sink",
+           lambda: E.queries()["windowed_base_view"](spark, SF_DIR).count())
+    timings["view_build"] = round(sum(phases.values()), 3)
 
     for name, fn in E.queries().items():
         t0 = time.time()
@@ -58,6 +68,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "build_phases": phases,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
