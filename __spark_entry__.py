@@ -108,6 +108,26 @@ def _readings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_readings(spark, sf_dir)
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """documents/embeddings ship as ONE parquet file at the test SFs, so
+    every heavy per-row stage (shingling, sig hashing, Arrow batches)
+    would run as a single task. Spread once to the session's parallelism
+    — a test-data artifact fix: at production scale the source is many
+    files/row-groups and Spark parallelizes the scan natively."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark, load_table(spark, sf_dir, "documents"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spread(spark, load_table(spark, sf_dir, "embeddings"))
+
+
 def _geo_readings(spark: SparkSession, sf_dir: str, kind: str, precision: int) -> DataFrame:
     """Readings with a real geo cell id derived from synthetic lat/lon:
     kind='geohash' → base-32 geohash via the native encoder (geo.geohash_col);
@@ -138,8 +158,11 @@ def _geo_lattice(spark, sf_dir, kind, cell_precision, view_precision) -> DataFra
         r = _geo_readings(spark, sf_dir, kind, cell_precision)
         d = tempfile.mkdtemp(prefix="explora_geoviews_")
         _TMPDIRS.append(d)
+        # every geo-lattice consumer queries res="day" only — build just
+        # that level (base_view aggregates straight to day grain: same
+        # single raw shuffle, two fewer rollup levels + writes)
         V.build_views(r, f"{d}/views", precisions=(view_precision,),
-                      resolutions=("min", "hour", "day"))
+                      resolutions=("day",))
         _GEO_LATTICES[key] = f"{d}/views"
     return spark.read.parquet(_GEO_LATTICES[key])
 
@@ -636,7 +659,12 @@ def q_ingest_serde(spark, sf_dir):
         F.when(F.col("event_id") % 97 == 0, F.substring("value", 1, 10))
         .otherwise(F.col("value")).alias("value")
     )
-    decoded = SP.decode_readings(wire)  # S2: dead-letter split
+    # persist: the decode output feeds BOTH the dead-letter stats and the
+    # engine chain — one JSON-parse pass instead of two (unpersisted
+    # below once the two tiny aggregates are materialized)
+    from pyspark import StorageLevel
+
+    decoded = SP.decode_readings(wire).persist(StorageLevel.MEMORY_AND_DISK)
     decode_stats = decoded.agg(
         F.count("*").alias("n_total"),
         F.sum(F.col("_corrupt").cast("long")).alias("n_corrupt"),
@@ -662,7 +690,13 @@ def q_ingest_serde(spark, sf_dir):
         F.lit(None).cast("long").alias("n_bad_ts"),
         "n_kept", "sum_kept",
     )
-    return a.unionByName(b)
+    out = a.unionByName(b)
+    # materialize the 2-row summary while the decode cache is hot, then
+    # release it — the returned frame is a LocalTableScan, so a later
+    # driver .collect() cannot re-trigger the JSON passes
+    rows = out.collect()
+    decoded.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_snapshot_raw(spark, sf_dir):
@@ -686,7 +720,7 @@ def q_ann_recall_lsh(spark, sf_dir):
     """Quality audit for the approximate scale path: per-query recall@5 of
     sign-LSH top-k vs the exact brute-force baseline (priced by the query
     sample, not the corpus)."""
-    return S.ann_recall_lsh(load_table(spark, sf_dir, "embeddings"))
+    return S.ann_recall_lsh(_emb(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -696,22 +730,22 @@ def q_ann_recall_lsh(spark, sf_dir):
 
 def q_text_stats(spark, sf_dir):
     """Token counting + quality scoring over documents (all native fns)."""
-    return T.with_text_stats(load_table(spark, sf_dir, "documents"))
+    return T.with_text_stats(_docs(spark, sf_dir))
 
 
 def q_lang_id(spark, sf_dir):
     """Language-ID heuristic (marker-stopword argmax)."""
-    return T.with_lang_id(load_table(spark, sf_dir, "documents"))
+    return T.with_lang_id(_docs(spark, sf_dir))
 
 
 def q_fingerprint(spark, sf_dir):
     """Document fingerprinting: md5 digest + min-shingle-hash."""
-    return T.with_fingerprint(load_table(spark, sf_dir, "documents"))
+    return T.with_fingerprint(_docs(spark, sf_dir))
 
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy on normalized-text digest."""
-    return D.dedup_exact(load_table(spark, sf_dir, "documents"))
+    return D.dedup_exact(_docs(spark, sf_dir))
 
 
 def q_dedup_near(spark, sf_dir):
@@ -720,36 +754,36 @@ def q_dedup_near(spark, sf_dir):
     vocabulary, so unigram token sets are all near-identical (est≈1.0
     for every pair — saturated and O(n²)); bigrams spread the estimate
     over (0.125..1.0] with a sparse candidate set."""
-    return D.dedup_near(load_table(spark, sf_dir, "documents"),
+    return D.dedup_near(_docs(spark, sf_dir),
                         shingle_n=2, num_bands=8)
 
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact bigram Jaccard rerank of the LSH candidates."""
-    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir),
                                  shingle_n=2, num_bands=8)
 
 
 def q_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per document."""
-    return D.simhash(load_table(spark, sf_dir, "documents"))
+    return D.simhash(_docs(spark, sf_dir))
 
 
 def q_ann_topk_brute(spark, sf_dir):
     """Brute-force cosine top-5 (broadcast query side, exact)."""
-    return S.ann_topk_brute(load_table(spark, sf_dir, "embeddings"))
+    return S.ann_topk_brute(_emb(spark, sf_dir))
 
 
 def q_ann_topk_lsh(spark, sf_dir):
     """Sign-LSH bucketed approximate top-5 (equi-join on bucket)."""
-    return S.ann_topk_lsh(load_table(spark, sf_dir, "embeddings"))
+    return S.ann_topk_lsh(_emb(spark, sf_dir))
 
 
 def q_docs_quality_filter(spark, sf_dir):
     """Composed pretraining filter: text stats × language ID — keep docs
     with quality ≥ 0.5 that the heuristic calls English. The realistic
     'chain the operators' flow, value-checked end-to-end."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     stats = T.with_text_stats(docs)
     langs = T.with_lang_id(docs)
     return (
@@ -809,12 +843,12 @@ def q_range_join_sessions(spark, sf_dir):
 
 def q_token_frequency(spark, sf_dir):
     """Vocabulary building: corpus token frequencies (explode + count)."""
-    return T.token_frequencies(load_table(spark, sf_dir, "documents"))
+    return T.token_frequencies(_docs(spark, sf_dir))
 
 
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (tf join idf, broadcast df table)."""
-    return T.tfidf(load_table(spark, sf_dir, "documents"))
+    return T.tfidf(_docs(spark, sf_dir))
 
 
 def q_zscore_per_metric(spark, sf_dir):
@@ -828,7 +862,7 @@ def q_zscore_per_metric(spark, sf_dir):
 def q_embedding_quantization(spark, sf_dir):
     """Int8 embedding quantization error audit (4× storage path): per
     vector, the max dequantization error must stay ≤ scale/2."""
-    return S.quantization_error(load_table(spark, sf_dir, "embeddings"))
+    return S.quantization_error(_emb(spark, sf_dir))
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -836,7 +870,7 @@ def q_chunk_documents(spark, sf_dir):
     context-window packing for pretraining."""
     from explora_kafka_spark.operators import udtfs as U
 
-    return U.chunk_documents(spark, load_table(spark, sf_dir, "documents"))
+    return U.chunk_documents(spark, _docs(spark, sf_dir))
 
 
 def q_multimodal_meta(spark, sf_dir):
@@ -844,7 +878,7 @@ def q_multimodal_meta(spark, sf_dir):
     mapInPandas metadata extraction (byte length + md5 digest)."""
     from explora_kafka_spark.operators import multimodal as M
 
-    media = M.media_from_documents(load_table(spark, sf_dir, "documents"))
+    media = M.media_from_documents(_docs(spark, sf_dir))
     return M.extract_meta(media)
 
 
@@ -852,7 +886,7 @@ def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within LSH buckets. τ=0.3 is tuned
     to the synthetic corpus (random 64-dim vectors: in-bucket cosine tops
     out ≈0.41, so a production-style τ=0.9 would be vacuously empty)."""
-    return S.embedding_near_dup(load_table(spark, sf_dir, "embeddings"), tau=0.3)
+    return S.embedding_near_dup(_emb(spark, sf_dir), tau=0.3)
 
 
 # ---------------------------------------------------------------------------
