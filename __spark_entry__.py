@@ -882,6 +882,22 @@ def q_multimodal_meta(spark, sf_dir):
     return M.extract_meta(media)
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal decode plumbing (gated fake decoder): binary payload →
+    mapInPandas (width, height, n_channels) — the exact schema/batch
+    shape a real image decoder plugs into (operators/multimodal.py
+    gates the Pillow path behind NotImplementedError in-sandbox)."""
+    media = _MM.media_from_documents(_docs(spark, sf_dir))
+    return _MM.fake_decode(media)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Multimodal frame sampling: 1-to-many mapInPandas (one payload →
+    up to 8 frame digests) — the video-frame-extraction batch shape."""
+    media = _MM.media_from_documents(_docs(spark, sf_dir))
+    return _MM.frame_sample(media)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within LSH buckets. τ=0.3 is tuned
     to the synthetic corpus (random 64-dim vectors: in-bucket cosine tops
@@ -954,19 +970,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
         "docs_quality_filter": q_docs_quality_filter,
         "token_frequency": q_token_frequency,
         "tfidf_top_terms": q_tfidf_top_terms,
         "zscore_per_metric": q_zscore_per_metric,
         "chunk_documents": q_chunk_documents,
-        # — skew-safe distinct family + star-schema/JSON showcases —
+        # — skew-safe distinct family + star-schema showcase —
         "distinct_users_daily": q_distinct_users_daily,
         "distinct_users_daily_salted": q_distinct_users_daily_salted,
         "distinct_users_daily_approx": q_distinct_users_daily_approx,
         "join_rollup_nation": q_join_rollup_nation,
+        # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         "json_props_extract": q_json_props_extract,
         "rollup_metric_day": q_rollup_metric_day,
-        # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         "pivot_daily_by_metric": q_pivot_daily_by_metric,
         "history_dense_day": q_history_dense_day,
         "window_top_orders": q_window_top_orders,
@@ -1239,6 +1257,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": S.ann_topk_lsh_sql(),
         "embedding_near_dup": S.embedding_near_dup_sql(tau=0.3),
         "multimodal_meta": _MM.meta_sql(),
+        "multimodal_decode": _MM.decode_sql(),
+        "multimodal_frames": _MM.frames_sql(),
         "docs_quality_filter": f"""
             WITH stats AS ({T.text_stats_sql()}),
             langs AS ({T.lang_id_sql()})

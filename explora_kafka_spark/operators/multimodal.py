@@ -149,3 +149,42 @@ def meta_sql(table: str = "documents", kind: str = "image") -> str:
                md5(text) AS digest
         FROM {table}
     """
+
+
+def decode_sql(table: str = "documents") -> str:
+    """DuckDB oracle for fake_decode: dimensions derive from the first
+    md5-digest bytes of the payload; hex-pair → int reproduces Python's
+    digest[i] byte values."""
+    d = f"md5({table}.text)"
+    return f"""
+        SELECT doc_id AS media_id,
+               CAST(16 + CAST(('0x' || substr({d}, 1, 2)) AS INTEGER) % 240
+                    AS INTEGER) AS width,
+               CAST(16 + CAST(('0x' || substr({d}, 3, 2)) AS INTEGER) % 240
+                    AS INTEGER) AS height,
+               CAST(1 + CAST(('0x' || substr({d}, 5, 2)) AS INTEGER) % 4
+                    AS INTEGER) AS n_channels
+        FROM {table}
+    """
+
+
+def frames_sql(table: str = "documents", every_n_bytes: int = 64,
+               max_frames: int = 8) -> str:
+    """DuckDB oracle for frame_sample. The Spark side slices BYTES of the
+    binary payload; this oracle slices characters — equivalent because
+    the synthetic documents fixture is pure ASCII (asserted in
+    tests/test_multimodal.py)."""
+    n = every_n_bytes
+    return f"""
+        WITH f AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       0, least(greatest(length(text) // {n}, 1),
+                                {max_frames}) - 1)) AS i
+            FROM {table}
+        )
+        SELECT doc_id AS media_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               md5(substr(text, i * {n} + 1, {n})) AS frame_digest
+        FROM f
+    """

@@ -70,3 +70,11 @@ def test_frame_sample_one_to_many(media):
     for idxs in per_media.values():
         assert sorted(idxs) == list(range(len(idxs)))
         assert 1 <= len(idxs) <= 8
+
+
+def test_documents_fixture_is_ascii(spark):
+    """frames_sql/decode_sql oracles slice VARCHAR characters while the
+    Spark operators slice payload BYTES — equivalent only while the
+    documents fixture is pure ASCII. Guard that oracle assumption."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert docs.filter(F.octet_length("text") != F.length("text")).count() == 0
