@@ -846,6 +846,13 @@ def q_token_frequency(spark, sf_dir):
     return T.token_frequencies(_docs(spark, sf_dir))
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Token counting (task brief): whitespace + BPE-ish regex
+    pretokenizer per document, with the tokens-per-word fertility ratio.
+    Same regex semantics on both engines (lookahead-free pattern)."""
+    return T.with_token_counts(_docs(spark, sf_dir))
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (tf join idf, broadcast df table)."""
     return T.tfidf(_docs(spark, sf_dir))
@@ -974,15 +981,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "docs_quality_filter": q_docs_quality_filter,
         "token_frequency": q_token_frequency,
+        "bpe_token_count": q_bpe_token_count,
         "tfidf_top_terms": q_tfidf_top_terms,
         "zscore_per_metric": q_zscore_per_metric,
         "chunk_documents": q_chunk_documents,
         # — skew-safe distinct family + star-schema showcase —
-        "distinct_users_daily": q_distinct_users_daily,
         "distinct_users_daily_salted": q_distinct_users_daily_salted,
         "distinct_users_daily_approx": q_distinct_users_daily_approx,
         "join_rollup_nation": q_join_rollup_nation,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
+        # (the plain exact distinct shares its oracle AND answer with the
+        # salted twin above, so only the showcase row is lost)
+        "distinct_users_daily": q_distinct_users_daily,
         "json_props_extract": q_json_props_extract,
         "rollup_metric_day": q_rollup_metric_day,
         "pivot_daily_by_metric": q_pivot_daily_by_metric,
@@ -1310,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1, 2
         """,
         "token_frequency": T.token_frequencies_sql(),
+        "bpe_token_count": T.token_counts_sql(),
         "tfidf_top_terms": T.tfidf_sql(),
         "zscore_per_metric": _NORM.zscore_sql(),
         "chunk_documents": _UDTF.chunk_documents_sql(),

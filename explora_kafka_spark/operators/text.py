@@ -211,6 +211,48 @@ def fingerprint_sql(table: str = "documents", k: int = 8) -> str:
 # ---------------------------------------------------------------------------
 
 
+#: BPE-ish pretokenizer (GPT-2-style pretokenization, task brief):
+#: contraction suffixes, space-prefixed letter/digit runs, space-prefixed
+#: punctuation runs. Deliberately lookahead-free so Java regex (Spark)
+#: and RE2 (DuckDB) produce identical token streams — both engines use
+#: leftmost-first alternation (probed in tests/test_operators.py).
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_tokens_col(text: Column | str) -> Column:
+    """BPE-ish pretokenization of the normalized text (the unit a byte-pair
+    vocabulary merges over — the realistic context-window cost model)."""
+    return F.regexp_extract_all(norm_col(text), F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def with_token_counts(docs: DataFrame) -> DataFrame:
+    """Token counting both ways the brief lists — whitespace and a BPE-ish
+    regex — plus their ratio (the 'tokens per word' fertility a packing
+    planner budgets with). Pure projection, no shuffle."""
+    ws = tokens_col("text")
+    bpe = bpe_tokens_col("text")
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(F.size(bpe) / F.greatest(F.size(ws), F.lit(1)), 6)
+        .alias("bpe_per_ws"),
+    )
+
+
+def token_counts_sql(table: str = "documents") -> str:
+    ws = tokens_sql("text")
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    bpe = f"regexp_extract_all({norm_sql('text')}, '{pat}')"
+    return f"""
+        SELECT doc_id,
+               len({ws}) AS n_ws_tokens,
+               len({bpe}) AS n_bpe_tokens,
+               round(len({bpe}) / greatest(len({ws}), 1), 6) AS bpe_per_ws
+        FROM {table}
+    """
+
+
 def token_frequencies(docs: DataFrame, top_k: int | None = None) -> DataFrame:
     """Corpus token frequency: explode the token arrays and count —
     the vocabulary-building primitive. One shuffle on the token; heavy

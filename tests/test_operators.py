@@ -231,3 +231,30 @@ def test_quantized_values_fit_int8(emb):
     q = S.quantize_int8(emb).collect()
     for r in q:
         assert all(-127 <= v <= 127 for v in r.q)
+
+
+def test_bpe_pretokenizer_cross_engine_agreement(spark):
+    """BPE_PRETOKEN_RE must tokenize identically under Java regex (Spark)
+    and RE2 (DuckDB) — the lookahead-free pattern guarantee the oracle
+    relies on. Probed on contraction/punctuation/number edge cases."""
+    import duckdb
+
+    texts = [
+        "it's a well-known fact, isn't it? 42 times over...",
+        "  multiple   spaces\tand\nnewlines  ",
+        "we'll re-try: pre-2024 costs $3.50!",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.toks for r in df.select(T.bpe_tokens_col("text").alias("toks")).collect()]
+    con = duckdb.connect()
+    pat = T.BPE_PRETOKEN_RE.replace("'", "''")
+    want = [
+        con.execute(
+            "SELECT regexp_extract_all("
+            f"trim(regexp_replace(lower(?), '\\s+', ' ', 'g')), '{pat}')",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
