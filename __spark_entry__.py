@@ -723,6 +723,13 @@ def q_ann_recall_lsh(spark, sf_dir):
     return S.ann_recall_lsh(_emb(spark, sf_dir))
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN (the brief's other scale path): deterministic stride-sample
+    centroids → argmax-cosine list assignment → nprobe-list exact rerank.
+    The oracle runs the identical algorithm in SQL."""
+    return S.ann_topk_ivf(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -962,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — custom operators (task brief) —
         "embedding_quantization": q_embedding_quantization,
         "ann_recall_lsh": q_ann_recall_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "sessionize": q_sessionize,
         "asof_hourly_stats": q_asof_hourly_stats,
         "range_join_sessions": q_range_join_sessions,
@@ -988,10 +996,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — skew-safe distinct family + star-schema showcase —
         "distinct_users_daily_salted": q_distinct_users_daily_salted,
         "distinct_users_daily_approx": q_distinct_users_daily_approx,
-        "join_rollup_nation": q_join_rollup_nation,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
-        # (the plain exact distinct shares its oracle AND answer with the
-        # salted twin above, so only the showcase row is lost)
+        # (join_rollup_nation's broadcast guarantee stays plan-asserted in
+        # tests/test_plans.py; the plain exact distinct shares its oracle
+        # AND answer with the salted twin above — only showcase rows lost)
+        "join_rollup_nation": q_join_rollup_nation,
         "distinct_users_daily": q_distinct_users_daily,
         "json_props_extract": q_json_props_extract,
         "rollup_metric_day": q_rollup_metric_day,
@@ -1237,6 +1246,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "ann_recall_lsh": S.ann_recall_lsh_sql(),
+        "ann_topk_ivf": S.ann_topk_ivf_sql(),
         "sessionize": _SS.sessions_sql(),
         "median_value_by_metric": """
             SELECT event_type AS metric_id,

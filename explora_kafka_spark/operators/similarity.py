@@ -474,3 +474,135 @@ def quantization_error_sql(table: str = "embeddings", dim: int = DIM) -> str:
                      FOR i IN range(1, {dim} + 1)]), 9) AS max_abs_err
         FROM s ORDER BY vec_id
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path of the task brief
+# ---------------------------------------------------------------------------
+
+IVF_MIN_LISTS = 16
+IVF_NPROBE = 2
+
+
+def ivf_params(n_rows: int, n_lists: int | None = None) -> tuple[int, int]:
+    """(n_lists, centroid_stride) for a corpus of `n_rows`: n_lists ≈ √n
+    (the classic IVF sizing — build cost n·√n flops, query cost
+    √n + nprobe·n/√n per query), centroids sampled every `stride` ids."""
+    if n_lists is None:
+        n_lists = max(IVF_MIN_LISTS, math.isqrt(n_rows))
+    return n_lists, max(n_rows // n_lists, 1)
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    n_lists: int | None = None,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 6,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """IVF ANN: training-free deterministic variant — the coarse
+    quantizer's centroids are a fixed-stride sample of the corpus itself
+    (vec_id % stride == 0; the standard random-sample initialization made
+    deterministic so the DuckDB oracle can run the IDENTICAL algorithm).
+
+    Build: one corpus scan against the broadcast centroid set, argmax
+    cosine per vector → list assignment (O(n·n_lists) flops — the normal
+    IVF assignment cost; no corpus shuffle). Query: each query probes its
+    `nprobe` nearest lists and reranks exactly within them — candidate
+    join is an EQUI-join on the list id, so the big side is hash-
+    partitioned by list, never broadcast. At scale, materialize the
+    assignment once (it is the index) instead of recomputing per query
+    batch, and re-sample centroids only on distribution drift."""
+    from pyspark.sql.window import Window
+
+    if n_rows is None:
+        n_rows = embeddings.count()
+    _, stride = ivf_params(n_rows, n_lists)
+    cent = embeddings.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    csim = F.round(F.expr(cosine_expr_spark("embedding", "c_emb")), round_to)
+    assigned = (
+        embeddings.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", csim.alias("csim"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    ranked = assigned.withColumn("crank", F.row_number().over(wc))
+    lists = ranked.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        "cid",
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") % query_mod == 0) & (F.col("crank") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"),
+             F.col("embedding").alias("q_emb"), "cid")
+    sim = F.expr(cosine_expr_spark("q_emb", "n_emb"))
+    scored = (
+        lists.join(probes, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(sim, round_to).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_topk_ivf_sql(
+    table: str = "embeddings",
+    query_mod: int = 50,
+    k: int = 5,
+    n_lists: int | None = None,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 6,
+    dim: int = DIM,
+    n_rows: int = ORACLE_N_ROWS,
+) -> str:
+    _, stride = ivf_params(n_rows, n_lists)
+    ccos = cosine_expr_duck("e.embedding", "cent.c_emb", dim)
+    qcos = cosine_expr_duck("p.q_emb", "l.n_emb", dim)
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding AS c_emb FROM {table}
+            WHERE vec_id % {stride} = 0
+        ),
+        assigned AS (
+            SELECT e.vec_id, e.embedding, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({ccos}, {round_to}) DESC, cent.cid
+                   ) AS crank
+            FROM {table} e CROSS JOIN cent
+        ),
+        lists AS (
+            SELECT vec_id AS neighbor_id, embedding AS n_emb, cid
+            FROM assigned WHERE crank = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, cid
+            FROM assigned
+            WHERE vec_id % {query_mod} = 0 AND crank <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, l.neighbor_id,
+                   round({qcos}, {round_to}) AS sim
+            FROM lists l JOIN probes p USING (cid)
+            WHERE p.query_id != l.neighbor_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """

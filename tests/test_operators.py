@@ -258,3 +258,23 @@ def test_bpe_pretokenizer_cross_engine_agreement(spark):
         for t in texts
     ]
     assert got == want
+
+
+def test_ann_ivf_shape_and_recall(emb):
+    """IVF: ≤k ranked neighbors per query, sims in [-1,1], and the
+    nprobe=all limit degenerates to the exact brute-force answer (with
+    every list probed, rerank covers the whole corpus)."""
+    rows = S.ann_topk_ivf(emb, query_mod=100, k=3).collect()
+    assert rows
+    per_q = {}
+    for r in rows:
+        assert -1.0 <= r.sim <= 1.0
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(ranks == list(range(1, len(ranks) + 1))
+               for ranks in per_q.values())
+    n = emb.count()
+    exhaustive = S.ann_topk_ivf(emb, query_mod=100, k=3, nprobe=n)
+    brute = S.ann_topk_brute(emb, query_mod=100, k=3)
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in exhaustive.collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank) for r in brute.collect()}
+    assert got == want

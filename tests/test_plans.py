@@ -22,7 +22,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   idiomatic scale-safe replacement for the old driver-side collect.
 #: - ann_recall_lsh contains the brute-force baseline as one side of the
 #:   recall comparison, so it inherits ann_topk_brute's deliberate BNLJ.
-CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh"}
+#: - ann_topk_ivf broadcasts the tiny centroid sample keylessly for list
+#:   assignment (O(n·√n) by design); the candidate join itself is an
+#:   equi-join on the list id.
+CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
+                 "ann_topk_ivf"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
