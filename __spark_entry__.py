@@ -26,6 +26,7 @@ from explora_kafka_spark.functions.timeutil import composite_key_col, ts_ms_col
 from explora_kafka_spark.operators import dedup as D
 from explora_kafka_spark.operators import multimodal as _MM
 from explora_kafka_spark.operators import normalize as _NORM
+from explora_kafka_spark.operators import sampling as SMP
 from explora_kafka_spark.operators import udtfs as _UDTF
 from explora_kafka_spark.streaming import sessions as _SS
 from explora_kafka_spark.operators import similarity as S
@@ -504,6 +505,55 @@ def q_users_view_not_click(spark, sf_dir):
         .select("user_id").distinct()
     )
     return viewers.exceptAll(clickers).orderBy("user_id")
+
+
+#: stratified-sample fractions: cap English at 40%, French at 80%,
+#: everything else kept whole — the "rebalance the language mix" job
+_SAMPLE_FRACTIONS = {"en": 0.4, "fr": 0.8}
+
+#: deterministic PII footer appended to each doc before redaction — the
+#: synthetic corpus is word salad with no organic PII, so the fixture
+#: plants one email + IP + phone per doc to exercise every pattern
+#: (identical expression in Spark and SQL; the operator itself is
+#: fixture-agnostic)
+_PII_FOOTER_SQL = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), "
+    "'@mail.example.com from 10.0.', CAST(doc_id % 256 AS VARCHAR), "
+    "'.7 call 555 0100 4242')"
+)
+
+
+def q_split_train_val_test(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment by doc_id hash —
+    reproducible across runs/engines/partitionings (unlike randomSplit),
+    so corpus rebuilds never leak val docs into train. Zero shuffles."""
+    return SMP.split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling by hash threshold (cap en
+    at 40%, fr at 80%): map-side filter only — the language-rebalancing
+    pass of a pretraining mix, stable under any cluster layout."""
+    return SMP.stratified_sample(
+        _docs(spark, sf_dir), _SAMPLE_FRACTIONS
+    ).select("doc_id", "lang")
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII scrub: chained native regexp_replace (email → IP → phone)
+    plus the per-doc replacement count a scrub job audits. The fixture
+    plants one of each per doc (see _PII_FOOTER_SQL)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555 0100 4242"),
+        ).alias("text"),
+    )
+    return SMP.redact_pii(docs)
 
 
 def q_sessionize(spark, sf_dir):
@@ -1010,6 +1060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_value_by_metric": q_median_value_by_metric,
         "topk_events": q_topk_events,
         "users_view_not_click": q_users_view_not_click,
+        # — training-corpus assembly: split / sample / scrub —
+        "split_train_val_test": q_split_train_val_test,
+        "stratified_sample": q_stratified_sample,
+        "redact_pii": q_redact_pii,
     }
 
 
@@ -1335,6 +1389,19 @@ def oracle_sql() -> dict[str, str]:
         "zscore_per_metric": _NORM.zscore_sql(),
         "chunk_documents": _UDTF.chunk_documents_sql(),
         "embedding_quantization": S.quantization_error_sql(),
+        "split_train_val_test": (
+            "SELECT doc_id, split FROM ("
+            + SMP.split_assign_sql("documents")
+            + ")"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM ("
+            + SMP.stratified_sample_sql("documents", _SAMPLE_FRACTIONS)
+            + ")"
+        ),
+        "redact_pii": SMP.redact_pii_sql(
+            f"(SELECT doc_id, {_PII_FOOTER_SQL} AS text FROM documents)"
+        ),
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,

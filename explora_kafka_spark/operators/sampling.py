@@ -1,0 +1,220 @@
+"""Deterministic sampling / splitting / PII redaction for training-data
+pipelines over a `documents(doc_id, text, lang, source, n_chars)` table.
+
+Three operators a 100 TB corpus pipeline needs between dedup and
+training:
+
+- `split_assign`: deterministic train/val/test assignment by content
+  hash. A hash split (vs `randomSplit`) is reproducible across runs,
+  engines, and re-partitioning, and documents keep their split when the
+  corpus is re-built — the property training pipelines rely on to avoid
+  leakage between iterations.
+- `stratified_sample`: per-stratum deterministic downsampling by hash
+  threshold (e.g. cap every language at 10%). Pure filter — no shuffle,
+  no state; at 100 TB it runs entirely map-side with predicate/column
+  pruning intact.
+- `redact_pii`: regexp-based scrub of emails / phone numbers / IPv4s
+  before training. Native `regexp_replace` (whole-stage codegen); the
+  patterns are restricted to the RE2-compatible subset so the DuckDB
+  oracle reproduces byte-identical output (no lookaround/backrefs).
+
+All bucket math is the md5 → hex-prefix → BIGINT trick shared with
+`operators/dedup.py` (`_bh`/`_bh_sql`): Spark `conv(substr(md5(x),1,15),
+16,10)` ≙ DuckDB `CAST('0x' || substr(md5(x),1,15) AS BIGINT)` — both
+positive (60-bit), so modulo buckets agree bit-for-bit.
+
+The reference system has no sampling operators — these extend the
+engine for LLM data pipelines (task brief), same design rule as
+`operators/text.py`: pure Column expression + SQL mirror + driver-oracle
+check.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket space for split/sample thresholds; 10k gives 0.01% resolution
+N_BUCKETS = 10_000
+
+
+def _bucket_col(key: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, N_BUCKETS) from a salted md5."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 15), 16, 10)
+    return (h.cast("bigint") % N_BUCKETS).alias("bucket")
+
+
+def _bucket_sql(key_expr: str, salt: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(concat('{salt}', {key_expr})), 1, 15)) "
+        f"AS BIGINT) % {N_BUCKETS}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def split_assign(
+    docs: DataFrame,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05),
+    ),
+    key: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Assign each document to a named split by hash bucket.
+
+    `weights` are (name, fraction) pairs summing to ≤ 1 (any remainder
+    falls into the last split). The assignment depends only on
+    (salt, key value) — stable under re-partitioning, engine changes,
+    and corpus growth. One projection; zero shuffles.
+    """
+    bucket = _bucket_col(F.col(key).cast("string"), salt)
+    edge = 0.0
+    # build CASE WHEN bucket < e1 THEN s1 WHEN bucket < e2 ... ELSE last
+    cases: list[tuple[int, str]] = []
+    for name, w in weights:
+        edge += w
+        cases.append((int(round(edge * N_BUCKETS)), name))
+    expr = F.lit(cases[-1][1])
+    for e, name in reversed(cases[:-1]):
+        expr = F.when(F.col("bucket") < e, F.lit(name)).otherwise(expr)
+    return (
+        docs.withColumn("bucket", bucket)
+        .withColumn("split", expr)
+        .drop("bucket")
+    )
+
+
+def split_assign_sql(
+    table: str = "documents",
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05),
+    ),
+    key: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB mirror of `split_assign` (bucket math identical)."""
+    b = _bucket_sql(f"CAST({key} AS VARCHAR)", salt)
+    edge = 0.0
+    whens = []
+    cases = []
+    for name, w in weights:
+        edge += w
+        cases.append((int(round(edge * N_BUCKETS)), name))
+    for e, name in cases[:-1]:
+        whens.append(f"WHEN ({b}) < {e} THEN '{name}'")
+    when_sql = " ".join(whens)
+    return (
+        f"SELECT *, CASE {when_sql} ELSE '{cases[-1][1]}' END AS split "
+        f"FROM {table}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key: str = "doc_id",
+    default_fraction: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic `fractions[stratum]` share of each stratum.
+
+    Spark's `sampleBy` is seeded but partitioning-dependent; this is a
+    pure hash-threshold filter — the same rows survive on any cluster
+    layout, and the filter is map-side only (no shuffle, no sort) so it
+    composes with pushdown at any scale.
+    """
+    bucket = _bucket_col(F.col(key).cast("string"), salt)
+    thresh = F.lit(int(round(default_fraction * N_BUCKETS)))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, int(round(frac * N_BUCKETS))
+        ).otherwise(thresh)
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < thresh)
+        .drop("bucket")
+    )
+
+
+def stratified_sample_sql(
+    table: str = "documents",
+    fractions: dict[str, float] | None = None,
+    strata_col: str = "lang",
+    key: str = "doc_id",
+    default_fraction: float = 1.0,
+    salt: str = "sample",
+) -> str:
+    fractions = fractions or {}
+    b = _bucket_sql(f"CAST({key} AS VARCHAR)", salt)
+    whens = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {int(round(f * N_BUCKETS))}"
+        for s, f in sorted(fractions.items())
+    )
+    thresh = f"CASE {whens} ELSE {int(round(default_fraction * N_BUCKETS))} END"
+    return f"SELECT * FROM {table} WHERE ({b}) < ({thresh})"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) — RE2-safe subset (no lookaround/backrefs) so
+#: Spark's Java regex and DuckDB's RE2 agree byte-for-byte. Applied in
+#: order, each pattern over the previous pattern's output (emails before
+#: IPs so an address's dotted host is never half-eaten by the IP rule).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\+?\d[\d -]{7,14}\d\b", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / IPv4s / phone-ish number runs with typed tags.
+
+    Output: doc_id, redacted (the scrubbed text), n_redactions (count of
+    replaced spans — the audit metric a scrub job reports). All native
+    `regexp_replace` / `regexp_extract_all`: whole-stage codegen, no
+    Python in the hot path, trivially map-side at any scale.
+    """
+    redacted = F.col(text_col)
+    n = F.lit(0)
+    for pat, tag in PII_PATTERNS:
+        n = n + F.size(F.regexp_extract_all(redacted, F.lit(pat), F.lit(0)))
+        redacted = F.regexp_replace(redacted, pat, tag)
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        n.cast("int").alias("n_redactions"),
+    )
+
+
+def redact_pii_sql(table: str = "documents", text_expr: str = "text") -> str:
+    """DuckDB mirror: chained regexp_replace with the 'g' flag (Spark's
+    regexp_replace is global by default; DuckDB's is first-match)."""
+    redacted = text_expr
+    counts = []
+    # patterns contain no single quotes; DuckDB treats backslashes in
+    # single-quoted literals literally, so they embed verbatim
+    for pat, tag in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({redacted}, '{pat}'))"
+        )
+        redacted = f"regexp_replace({redacted}, '{pat}', '{tag}', 'g')"
+    n = " + ".join(counts)
+    return (
+        f"SELECT doc_id, {redacted} AS redacted, "
+        f"CAST({n} AS INT) AS n_redactions FROM {table}"
+    )

@@ -1,0 +1,119 @@
+"""Sampling / splitting / redaction operator tests: determinism under
+re-partitioning, fraction accuracy, subset/partition invariants, and
+plan shape (all three must stay shuffle-free — map-side only)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from explora_kafka_spark.operators import sampling as SMP
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def test_split_partitions_corpus_completely(docs):
+    out = SMP.split_assign(docs)
+    n = docs.count()
+    by = {r["split"]: r["count"]
+          for r in out.groupBy("split").count().collect()}
+    assert sum(by.values()) == n
+    assert set(by) <= {"train", "val", "test"}
+    # 90/5/5 within sampling tolerance on a small corpus
+    assert by["train"] / n == pytest.approx(0.9, abs=0.06)
+
+
+def test_split_deterministic_under_repartition(docs):
+    a = {(r["doc_id"], r["split"])
+         for r in SMP.split_assign(docs).select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"])
+         for r in SMP.split_assign(docs.repartition(13))
+         .select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_split_respects_custom_weights(docs):
+    out = SMP.split_assign(docs, weights=(("a", 0.5), ("b", 0.5)))
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits == {"a", "b"}
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_is_subset_and_respects_caps(docs):
+    frac = {"en": 0.3}
+    sampled = SMP.stratified_sample(docs, frac)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    k_en = sampled.filter(F.col("lang") == "en").count()
+    assert k_en / n_en == pytest.approx(0.3, abs=0.1)
+    # non-capped strata survive whole
+    other_in = docs.filter(F.col("lang") != "en").count()
+    other_out = sampled.filter(F.col("lang") != "en").count()
+    assert other_in == other_out
+    # subset property: every sampled id exists in the input
+    assert sampled.join(docs, "doc_id", "left_anti").count() == 0
+
+
+def test_stratified_sample_deterministic(docs):
+    frac = {"en": 0.5, "fr": 0.25}
+    a = {r["doc_id"] for r in
+         SMP.stratified_sample(docs, frac).select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         SMP.stratified_sample(docs.repartition(7), frac)
+         .select("doc_id").collect()}
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    rows = [
+        (1, "mail me at alice@example.com or call 555 0100 4242 now"),
+        (2, "server at 192.168.1.77 went down"),
+        (3, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in SMP.redact_pii(df).collect()}
+    assert "<EMAIL>" in out[1]["redacted"]
+    assert "<PHONE>" in out[1]["redacted"]
+    assert "alice@example.com" not in out[1]["redacted"]
+    assert out[1]["n_redactions"] == 2
+    assert out[2]["redacted"] == "server at <IP> went down"
+    assert out[2]["n_redactions"] == 1
+    assert out[3]["redacted"] == rows[2][1]
+    assert out[3]["n_redactions"] == 0
+
+
+# ---------------------------------------------------------------------------
+# plan shape: all three operators are map-side only (no shuffle)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("build", [
+    lambda d: SMP.split_assign(d),
+    lambda d: SMP.stratified_sample(d, {"en": 0.5}),
+    lambda d: SMP.redact_pii(d),
+])
+def test_operators_are_shuffle_free(docs, build):
+    plan = _physical_plan(build(docs))
+    assert "Exchange" not in plan, plan
