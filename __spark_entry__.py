@@ -556,6 +556,16 @@ def q_redact_pii(spark, sf_dir):
     return SMP.redact_pii(docs)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup GROUPS: LSH candidates → exact-Jaccard edges (≥0.6) →
+    iterative min-label connected components (the genuinely iterative
+    distributed algorithm of the dedup pipeline). Keeping group_id ==
+    doc_id rows yields the deduplicated corpus. Oracle = recursive-CTE
+    transitive closure over the identical edge set."""
+    return D.dedup_groups(_docs(spark, sf_dir), threshold=0.6,
+                          shingle_n=2, num_bands=8)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based session windows per user (gaps-and-islands; 30-min gap).
     The applyInPandasWithState streaming twin is equivalence-tested in
@@ -1060,10 +1070,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_value_by_metric": q_median_value_by_metric,
         "topk_events": q_topk_events,
         "users_view_not_click": q_users_view_not_click,
-        # — training-corpus assembly: split / sample / scrub —
+        # — training-corpus assembly: split / sample / scrub / group —
         "split_train_val_test": q_split_train_val_test,
         "stratified_sample": q_stratified_sample,
         "redact_pii": q_redact_pii,
+        "dedup_groups": q_dedup_groups,
     }
 
 
@@ -1402,6 +1413,8 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": SMP.redact_pii_sql(
             f"(SELECT doc_id, {_PII_FOOTER_SQL} AS text FROM documents)"
         ),
+        "dedup_groups": D.dedup_groups_sql(threshold=0.6, shingle_n=2,
+                                           num_bands=8),
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,

@@ -379,3 +379,119 @@ def simhash_sql(table: str = "documents", bits: int = 32) -> str:
               FROM t)
         SELECT doc_id, {" + ".join(terms)} AS simhash FROM h
     """
+
+
+# ---------------------------------------------------------------------------
+# dedup groups: connected components over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Min-label propagation connected components (the groups step that
+    turns near-dup PAIRS into dedup GROUPS).
+
+    nodes: (doc_id), edges: (doc_a, doc_b) undirected pairs (one row per
+    pair is enough — both directions are derived here). Output: (doc_id,
+    group_id) where group_id = min doc_id of the component (singletons
+    label themselves).
+
+    Iterative MapReduce CC: each pass joins current labels to the edge
+    list, takes the min over neighbors, and lowers each node's label —
+    converging in O(component diameter) passes. Every iteration is one
+    distributed join + partial-agg shuffle; `localCheckpoint(eager)`
+    materializes each round so lineage (and the replayed join cascade)
+    doesn't grow with iteration count. Near-dup components are shallow
+    (dup clusters, not social graphs), so diameter is small; for
+    adversarially deep graphs the alternating large-star/small-star
+    variant (Kiveris et al., "Connected Components in MapReduce") halves
+    path lengths per round — same join/agg shuffle shape.
+    """
+    sym = edges.select("doc_a", "doc_b").union(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("group_id"))
+    labels = labels.localCheckpoint(eager=True)
+    try:
+        for _ in range(max_iterations):
+            nbr = (
+                sym.join(labels, sym.doc_b == labels.doc_id)
+                .groupBy("doc_a").agg(F.min("group_id").alias("_nbr_min"))
+            )
+            upd = (
+                labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
+                .select(
+                    labels.doc_id,
+                    F.col("group_id").alias("_old"),
+                    F.least(
+                        F.col("group_id"),
+                        F.coalesce(F.col("_nbr_min"), F.col("group_id")),
+                    ).alias("group_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = upd.filter(F.col("group_id") != F.col("_old")).count()
+            labels = upd.drop("_old")
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels
+
+
+def dedup_groups(docs: DataFrame, threshold: float = 0.6,
+                 shingle_n: int = 1,
+                 num_hashes: int = NUM_HASHES,
+                 num_bands: int = NUM_BANDS) -> DataFrame:
+    """Full near-dup grouping pipeline: LSH candidates → exact-Jaccard
+    edges (≥ threshold) → connected components. Output (doc_id,
+    group_id) for EVERY document; keeping `group_id == doc_id` rows
+    yields the deduplicated corpus (canonical = min doc_id per group)."""
+    pairs = ngram_jaccard_pairs(docs, shingle_n=shingle_n,
+                                num_hashes=num_hashes, num_bands=num_bands)
+    edges = (
+        pairs.filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    try:
+        edges.count()  # run the LSH+rerank pipeline exactly ONCE — the
+        # symmetrized union inside connected_components references the
+        # edge list twice, and the iteration loop many times
+        labels = connected_components(docs.select("doc_id"), edges)
+    finally:
+        # the loop's eager checkpoints materialized `labels`, so the
+        # edge cache is no longer referenced by the returned plan
+        edges.unpersist()
+    return labels.orderBy("doc_id")
+
+
+def dedup_groups_sql(table: str = "documents", threshold: float = 0.6,
+                     shingle_n: int = 1,
+                     num_hashes: int = NUM_HASHES,
+                     num_bands: int = NUM_BANDS) -> str:
+    """Recursive-CTE oracle: transitive closure over the same edge set
+    (labels = min reachable doc_id). The UNION-dedup bounds the
+    recursion; min() is taken outside the recursive term (aggregates are
+    not allowed inside one)."""
+    inner = ngram_jaccard_sql(table, shingle_n=shingle_n,
+                              num_hashes=num_hashes, num_bands=num_bands)
+    return f"""
+        WITH RECURSIVE cand AS ({inner}),
+        e AS (
+            SELECT doc_a AS a, doc_b AS b FROM cand WHERE jaccard >= {threshold}
+            UNION ALL
+            SELECT doc_b, doc_a FROM cand WHERE jaccard >= {threshold}
+        ),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM {table}
+            UNION
+            SELECT e.a, r.b FROM e JOIN reach r ON r.a = e.b
+        )
+        SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
+        ORDER BY 1
+    """

@@ -278,3 +278,38 @@ def test_ann_ivf_shape_and_recall(emb):
     got = {(r.query_id, r.neighbor_id, r.rank) for r in exhaustive.collect()}
     want = {(r.query_id, r.neighbor_id, r.rank) for r in brute.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# dedup groups (connected components)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_transitive_chain(spark):
+    # chain 1-2-3 plus isolated 4: labels must propagate transitively
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["doc_id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["group_id"]
+           for r in D.connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_connected_components_two_components(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    # component {1,2,3}, component {5,6,7} (edge order reversed on one)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (6, 5), (7, 6)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["group_id"]
+           for r in D.connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5}
+
+
+def test_dedup_groups_labels_every_doc_with_component_min(docs):
+    out = D.dedup_groups(docs, threshold=0.6, shingle_n=2, num_bands=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    # group_id is always ≤ doc_id (min-label) and refers to a real doc
+    ids = {r["doc_id"] for r in rows}
+    for r in rows:
+        assert r["group_id"] <= r["doc_id"]
+        assert r["group_id"] in ids
