@@ -363,15 +363,16 @@ class ParquetViewStore:
                 self._commit(new_v, effective_bid, old_v)
                 return True
             # ---- partition-pruned incremental path ----
-            pred = None
-            for r in key_rows:
-                conj = None
-                for c in STORE_PARTITION_COLS:
-                    term = F.col(c) == F.lit(r[c])
-                    conj = term if conj is None else (conj & term)
-                pred = conj if pred is None else (pred | conj)
-            # partition-column predicate → the scan prunes to touched dirs
-            existing_touched = old_raw.filter(pred).drop("ts_m")
+            # struct-IN over the partition columns: lands in the scan's
+            # PartitionFilters (prunes at file-listing time) like the
+            # OR-of-conjunctions form, but stays O(1) expression depth
+            # when a wide delta touches thousands of partitions
+            key_col = F.struct(*[F.col(c) for c in STORE_PARTITION_COLS])
+            key_lits = [
+                F.struct(*[F.lit(r[c]) for c in STORE_PARTITION_COLS])
+                for r in key_rows
+            ]
+            existing_touched = old_raw.filter(key_col.isin(*key_lits)).drop("ts_m")
             merged = incremental_update(existing_touched, delta.drop("ts_m"))
             _write_store_layout(_with_ts_month(merged), new_dir)
             self._link_untouched(os.path.join(self.path, old_v), new_dir)
