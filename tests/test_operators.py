@@ -313,3 +313,15 @@ def test_dedup_groups_labels_every_doc_with_component_min(docs):
     for r in rows:
         assert r["group_id"] <= r["doc_id"]
         assert r["group_id"] in ids
+
+
+def test_dedup_groups_est_prefilter_loses_no_edges(docs):
+    # the threshold-0.35 margin must not drop any true >=0.6 edge on the
+    # test corpus: compare the exact edge set with and without prefilter
+    full = {(r["doc_a"], r["doc_b"]) for r in
+            D.ngram_jaccard_pairs(docs, shingle_n=2, num_bands=8)
+            .filter(F.col("jaccard") >= 0.6).select("doc_a", "doc_b").collect()}
+    pre = {(r["doc_a"], r["doc_b"]) for r in
+           D.ngram_jaccard_pairs(docs, shingle_n=2, num_bands=8, min_est=0.25)
+           .filter(F.col("jaccard") >= 0.6).select("doc_a", "doc_b").collect()}
+    assert pre == full
