@@ -373,8 +373,16 @@ class ParquetViewStore:
                 for r in key_rows
             ]
             existing_touched = old_raw.filter(key_col.isin(*key_lits)).drop("ts_m")
-            merged = incremental_update(existing_touched, delta.drop("ts_m"))
-            _write_store_layout(_with_ts_month(merged), new_dir)
+            merged = _with_ts_month(
+                incremental_update(existing_touched, delta.drop("ts_m"))
+            ).persist()
+            try:
+                # persist before the layout write: repartitionByRange's
+                # sampling pass would otherwise execute the whole merge
+                # aggregation a second time per micro-batch
+                _write_store_layout(merged, new_dir)
+            finally:
+                merged.unpersist()
             self._link_untouched(os.path.join(self.path, old_v), new_dir)
             self._commit(new_v, effective_bid, old_v)
             return True
