@@ -422,3 +422,35 @@ def test_kafka_source_package_gated(spark):
         pytest.skip(f"spark-sql-kafka not on classpath: {exc}")
     assert stream.isStreaming
     assert {"key", "value", "topic", "partition", "offset"} <= set(stream.columns)
+
+
+def test_uncommitted_version_is_invisible(spark, tmp_path):
+    """Crash atomicity: a writer that dies AFTER writing a new version
+    directory but BEFORE the pointer swap must leave readers on the old
+    committed version, and the store must keep merging correctly
+    afterwards (the orphan dir is inert)."""
+    import os
+
+    from explora_kafka_spark.plans.views import view_lattice
+
+    readings = load_readings(spark, SF_DIR)
+    delta = view_lattice(readings, precisions=(6,), resolutions=("min",),
+                         persist=False)
+    store = P.ParquetViewStore(str(tmp_path / "store"))
+    assert store.merge(spark, delta, batch_id=0) is True
+    committed = store.current_version()
+    before = {(r.gh, str(r.ts)): r["count"] for r in store.read(spark).collect()}
+
+    # simulate the crashed writer: a fully written version dir, no commit
+    orphan = os.path.join(store.path, "v_deadbeefcafe")
+    P._write_store_layout(
+        P._with_ts_month(delta), orphan
+    )
+    assert store.current_version() == committed  # pointer untouched
+    after = {(r.gh, str(r.ts)): r["count"] for r in store.read(spark).collect()}
+    assert after == before  # reads ignore the orphan
+
+    # the next merge commits past the orphan and doubles the counts
+    assert store.merge(spark, delta, batch_id=1) is True
+    nxt = {(r.gh, str(r.ts)): r["count"] for r in store.read(spark).collect()}
+    assert nxt == {k: 2 * v for k, v in before.items()}
