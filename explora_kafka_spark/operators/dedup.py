@@ -450,6 +450,16 @@ def connected_components(
             labels = upd.drop("_old")
             if changed == 0:
                 break
+        else:
+            # partial labels are silently WRONG groups — fail loudly.
+            # Hitting this means a component with diameter > max_iterations
+            # (pathological for dup clusters); raise rather than return
+            # half-propagated labels a dedup job would act on.
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"{max_iterations} iterations; raise max_iterations or use "
+                f"star-contraction rounds for adversarially deep graphs"
+            )
     finally:
         sym.unpersist()
     return labels

@@ -325,3 +325,12 @@ def test_dedup_groups_est_prefilter_loses_no_edges(docs):
            D.ngram_jaccard_pairs(docs, shingle_n=2, num_bands=8, min_est=0.25)
            .filter(F.col("jaccard") >= 0.6).select("doc_a", "doc_b").collect()}
     assert pre == full
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 4-node path needs 3 propagation rounds; cap at 1 must raise
+    # rather than return half-propagated labels
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["doc_id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(nodes, edges, max_iterations=1)
