@@ -117,3 +117,45 @@ def test_redact_pii_scrubs_and_counts(spark):
 def test_operators_are_shuffle_free(docs, build):
     plan = _physical_plan(build(docs))
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# property-based cross-engine parity: the md5 bucket math must agree
+# between pure Python (hashlib), the Spark Column, and the SQL fragment
+# on arbitrary keys/salts — same correctness-triangle pattern as
+# tests/test_geo_properties.py
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+key_s = st.text(
+    alphabet=st.characters(min_codepoint=48, max_codepoint=122),
+    min_size=1, max_size=24,
+)
+salt_s = st.sampled_from(["split", "sample", "s2"])
+
+
+def _py_bucket(key: str, salt: str) -> int:
+    h = int(hashlib.md5((salt + key).encode()).hexdigest()[:15], 16)
+    return h % SMP.N_BUCKETS
+
+
+@settings(max_examples=25, deadline=None)
+@given(key=key_s, salt=salt_s)
+def test_bucket_sql_matches_python(key, salt):
+    sql = SMP._bucket_sql(f"'{key}'", salt)
+    got = duckdb.sql(f"SELECT {sql}").fetchone()[0]
+    assert got == _py_bucket(key, salt)
+
+
+def test_bucket_spark_matches_python(spark):
+    keys = ["0", "42", "doc-x", "ZZ99", "a b", "7e4"]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    from pyspark.sql import functions as F2
+    got = {r["k"]: r["b"] for r in df.select(
+        "k", SMP._bucket_col(F2.col("k"), "split").alias("b")).collect()}
+    assert got == {k: _py_bucket(k, "split") for k in keys}
