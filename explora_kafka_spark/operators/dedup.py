@@ -411,16 +411,17 @@ def connected_components(
     group_id) where group_id = min doc_id of the component (singletons
     label themselves).
 
-    Iterative MapReduce CC: each pass joins current labels to the edge
-    list, takes the min over neighbors, and lowers each node's label —
-    converging in O(component diameter) passes. Every iteration is one
-    distributed join + partial-agg shuffle; `localCheckpoint(eager)`
-    materializes each round so lineage (and the replayed join cascade)
-    doesn't grow with iteration count. Near-dup components are shallow
-    (dup clusters, not social graphs), so diameter is small; for
-    adversarially deep graphs the alternating large-star/small-star
-    variant (Kiveris et al., "Connected Components in MapReduce") halves
-    path lengths per round — same join/agg shuffle shape.
+    Iterative MapReduce CC with pointer jumping: each round (a) lowers
+    every node's label to the min over its neighbors' labels, then (b)
+    path-halves — label(x) ← label(label(x)) — shortcutting label chains
+    exponentially, so rounds are O(log n) even for long-path graphs
+    (plain neighbor propagation alone needs O(diameter) rounds; a
+    2000-node near-percolation random graph in the test suite exceeds 25
+    of those). Every round is two distributed joins + one partial-agg
+    shuffle over the (small) label table; `localCheckpoint(eager)`
+    materializes each round so lineage doesn't grow with iteration
+    count. The label invariant: a label is always some component
+    member's doc_id and only ever decreases, so the jump step is safe.
     """
     sym = edges.select("doc_a", "doc_b").union(
         edges.select(F.col("doc_b").alias("doc_a"),
@@ -434,7 +435,7 @@ def connected_components(
                 sym.join(labels, sym.doc_b == labels.doc_id)
                 .groupBy("doc_a").agg(F.min("group_id").alias("_nbr_min"))
             )
-            upd = (
+            half = (
                 labels.join(nbr, labels.doc_id == nbr.doc_a, "left")
                 .select(
                     labels.doc_id,
@@ -442,6 +443,23 @@ def connected_components(
                     F.least(
                         F.col("group_id"),
                         F.coalesce(F.col("_nbr_min"), F.col("group_id")),
+                    ).alias("_g"),
+                )
+            )
+            # pointer jump (doubling): follow the label one hop through
+            # the PREVIOUS round's materialized labels — label(x) <-
+            # min(label(x), label_prev(label(x))) — collapsing chains
+            # exponentially. Jumping via `labels` (checkpointed) instead
+            # of `half` keeps the nbr join single-execution per round.
+            ptr = labels.select(F.col("doc_id").alias("_pid"),
+                                F.col("group_id").alias("_pg"))
+            upd = (
+                half.join(ptr, half._g == ptr._pid, "left")
+                .select(
+                    "doc_id", "_old",
+                    F.least(
+                        F.col("_g"),
+                        F.coalesce(F.col("_pg"), F.col("_g")),
                     ).alias("group_id"),
                 )
                 .localCheckpoint(eager=True)

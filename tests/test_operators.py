@@ -334,3 +334,42 @@ def test_connected_components_raises_on_non_convergence(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(nodes, edges, max_iterations=1)
+
+
+def test_connected_components_matches_union_find_on_random_graph(spark):
+    # 2000 nodes, 1500 deterministic pseudo-random edges: the distributed
+    # min-label propagation must agree with a trivial union-find
+    import hashlib
+
+    n = 2000
+    edges_py = []
+    for i in range(1500):
+        h = hashlib.md5(f"edge{i}".encode()).hexdigest()
+        a, b = int(h[:8], 16) % n, int(h[8:16], 16) % n
+        if a != b:
+            edges_py.append((a, b))
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges_py:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for x in range(n):
+        r = find(x)
+        # canonical label = min node of the component
+        expected.setdefault(r, []).append(x)
+    want = {x: min(members) for r, members in expected.items() for x in members}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    edges = spark.createDataFrame(edges_py, ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["group_id"]
+           for r in D.connected_components(nodes, edges).collect()}
+    assert got == want
