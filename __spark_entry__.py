@@ -972,6 +972,21 @@ def q_multimodal_frames(spark, sf_dir):
     return _MM.frame_sample(media)
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Multimodal resize (deterministic thumbnailer stand-in): constant
+    target dims + per-payload transform digest via mapInPandas — the
+    binary-in/derived-out batch shape of a real image resizer."""
+    media = _MM.media_from_documents(_docs(spark, sf_dir))
+    return _MM.fake_resize(media)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal feature extraction: payload → array<double> embedding
+    (the media→similarity bridge; output composes with ann_topk_*)."""
+    media = _MM.media_from_documents(_docs(spark, sf_dir))
+    return _MM.fake_features(media)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within LSH buckets. τ=0.3 is tuned
     to the synthetic corpus (random 64-dim vectors: in-bucket cosine tops
@@ -1075,6 +1090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "redact_pii": q_redact_pii,
         "dedup_groups": q_dedup_groups,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -1415,6 +1432,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_groups": D.dedup_groups_sql(threshold=0.6, shingle_n=2,
                                            num_bands=8),
+        "multimodal_resize": _MM.resize_sql(),
+        "multimodal_features": _MM.features_sql(),
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,

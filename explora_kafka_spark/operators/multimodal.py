@@ -188,3 +188,106 @@ def frames_sql(table: str = "documents", every_n_bytes: int = 64,
                md5(substr(text, i * {n} + 1, {n})) AS frame_digest
         FROM f
     """
+
+
+#: output schema of (fake_)resize: new dims + digest of the resized
+#: payload (digest as hex string — binary columns canonicalize
+#: differently across engines, the audit value is the identity anyway)
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("resized_digest", T.StringType()),
+])
+
+#: feature-extraction dimensionality (media → embedding bridge)
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("features", T.ArrayType(T.DoubleType())),
+])
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real resize — requires an image library, absent in this
+    container. Gate, don't crash at import time."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image resize requires Pillow; use fake_resize() for the "
+            "deterministic test stand-in"
+        ) from exc
+    raise NotImplementedError("real resize path not implemented in sandbox")
+
+
+def fake_resize(media: DataFrame, width: int = 64,
+                height: int = 64) -> DataFrame:
+    """Deterministic resize stand-in: the 'resized payload' is the md5 of
+    (payload ‖ 'WxH'), digested again for the audit column — exercising
+    the binary-in/derived-out mapInPandas shape of a real thumbnailer
+    (constant target dims, per-row payload transform, no shuffle)."""
+
+    tag = f"{width}x{height}".encode()
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "width": pd.Series([width] * len(pdf), dtype="int32"),
+                "height": pd.Series([height] * len(pdf), dtype="int32"),
+                "resized_digest": pdf["payload"].map(
+                    lambda b: hashlib.md5(bytes(b) + tag).hexdigest()
+                ),
+            })
+
+    return media.mapInPandas(_batches, RESIZED_SCHEMA)
+
+
+def fake_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction stand-in: `dim` doubles in [0, 1] from the
+    payload digest's leading byte pairs — the media → embedding bridge
+    that feeds the similarity operators (`array<double>` output composes
+    directly with ann_topk_* / embedding_near_dup). Values are
+    round(byte/255, 6), reproducible bit-for-bit in SQL."""
+
+    def _feat(b: bytes) -> list[float]:
+        h = hashlib.md5(bytes(b)).hexdigest()
+        return [round(int(h[2 * i:2 * i + 2], 16) / 255, 6)
+                for i in range(dim)]
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "features": pdf["payload"].map(_feat),
+            })
+
+    return media.mapInPandas(_batches, FEATURES_SCHEMA)
+
+
+def resize_sql(table: str = "documents", width: int = 64,
+               height: int = 64) -> str:
+    """DuckDB oracle for fake_resize: md5 of (text ‖ 'WxH') — payload is
+    the utf-8 encoding of text, so string concat reproduces the bytes."""
+    return f"""
+        SELECT doc_id AS media_id,
+               CAST({width} AS INTEGER) AS width,
+               CAST({height} AS INTEGER) AS height,
+               md5(text || '{width}x{height}') AS resized_digest
+        FROM {table}
+    """
+
+
+def features_sql(table: str = "documents", dim: int = FEATURE_DIM) -> str:
+    """DuckDB oracle for fake_features: hex-pair → int → round(x/255, 6),
+    assembled into a list — identical float derivation as the Python
+    stage (exact integer division then one rounded double divide)."""
+    d = f"md5({table}.text)"
+    elems = ", ".join(
+        f"round(CAST(('0x' || substr({d}, {2 * i + 1}, 2)) AS INTEGER)"
+        f" / 255.0, 6)"
+        for i in range(dim)
+    )
+    return f"SELECT doc_id AS media_id, [{elems}] AS features FROM {table}"

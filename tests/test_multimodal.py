@@ -78,3 +78,32 @@ def test_documents_fixture_is_ascii(spark):
     documents fixture is pure ASCII. Guard that oracle assumption."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     assert docs.filter(F.octet_length("text") != F.length("text")).count() == 0
+
+
+def test_fake_resize_deterministic_and_shaped(spark, media):
+    out = M.fake_resize(media, width=32, height=48)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    assert all(r.width == 32 and r.height == 48 for r in rows)
+    # deterministic under repartition
+    again = {(r.media_id, r.resized_digest)
+             for r in M.fake_resize(media.repartition(7), 32, 48).collect()}
+    assert again == {(r.media_id, r.resized_digest) for r in rows}
+
+
+def test_fake_features_bounded_and_composable(spark, media):
+    out = M.fake_features(media)
+    rows = out.collect()
+    assert all(len(r.features) == M.FEATURE_DIM for r in rows)
+    assert all(0.0 <= v <= 1.0 for r in rows for v in r.features)
+    # the media -> embedding bridge: output schema composes with the
+    # similarity operators' expected (id, array<double>) shape
+    assert dict(out.dtypes)["features"] == "array<double>"
+
+
+def test_resize_media_gated_without_pillow(media):
+    import importlib.util
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("Pillow present; gate not exercisable")
+    with pytest.raises(NotImplementedError):
+        M.resize_media(media, 64, 64)
