@@ -1029,8 +1029,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_day": q_snapshot_day,
         "snapshot_prefix_day": q_snapshot_prefix_day,
         "snapshot_raw": q_snapshot_raw,
-        "quadkey_cells": q_quadkey_cells,
-        "geohash_cells": q_geohash_cells,
         "snapshot_bbox_quad": q_snapshot_bbox_quad,
         "snapshot_bbox_geohash": q_snapshot_bbox_geohash,
         "snapshot_bbox_quad_z14": q_snapshot_bbox_quad_z14,
@@ -1068,13 +1066,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "zscore_per_metric": q_zscore_per_metric,
         "chunk_documents": q_chunk_documents,
-        # — skew-safe distinct family + star-schema showcase —
-        "distinct_users_daily_salted": q_distinct_users_daily_salted,
+        # — training-corpus assembly: split / scrub / dedup groups —
+        # (promoted above the cap per VERDICT r5 #5; the slots come from
+        # quadkey_cells/geohash_cells — the per-row encoders stay covered
+        # by snapshot_bbox_quad/geohash + test_geo_properties — and the
+        # salted-distinct twin, which duplicated distinct_users_daily's
+        # answer)
+        "split_train_val_test": q_split_train_val_test,
+        "redact_pii": q_redact_pii,
+        "dedup_groups": q_dedup_groups,
+        # — skew-safe distinct family —
         "distinct_users_daily_approx": q_distinct_users_daily_approx,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         # (join_rollup_nation's broadcast guarantee stays plan-asserted in
-        # tests/test_plans.py; the plain exact distinct shares its oracle
-        # AND answer with the salted twin above — only showcase rows lost)
+        # tests/test_plans.py)
+        "quadkey_cells": q_quadkey_cells,
+        "geohash_cells": q_geohash_cells,
+        "distinct_users_daily_salted": q_distinct_users_daily_salted,
         "join_rollup_nation": q_join_rollup_nation,
         "distinct_users_daily": q_distinct_users_daily,
         "json_props_extract": q_json_props_extract,
@@ -1085,11 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_value_by_metric": q_median_value_by_metric,
         "topk_events": q_topk_events,
         "users_view_not_click": q_users_view_not_click,
-        # — training-corpus assembly: split / sample / scrub / group —
-        "split_train_val_test": q_split_train_val_test,
         "stratified_sample": q_stratified_sample,
-        "redact_pii": q_redact_pii,
-        "dedup_groups": q_dedup_groups,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }

@@ -49,6 +49,19 @@ SUPPORTED_AGGREGATES = ("avg", "sum", "count")  # AppConfig.java:10
 KEY_TS_FORMAT_SPARK = "yyyyMMdd:HHmmss:SSS"
 
 
+def ensure_event_time(df, col: str = "ts"):
+    """Coerce an event-time column to TIMESTAMP (with local-tz semantics).
+
+    Parquet written as plain timestamp[us] loads as TIMESTAMP_NTZ, which
+    `unix_millis` and `withWatermark` reject. The engine pins the session TZ
+    to UTC (session.py), so the cast is value-preserving. No-op when the
+    column is already TIMESTAMP or absent.
+    """
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def truncate_ts_col(ts_col: Column | str, res: str) -> Column:
     """date_trunc to a reference resolution (UTC)."""
     col = F.col(ts_col) if isinstance(ts_col, str) else ts_col

@@ -46,9 +46,14 @@ def _bucket_col(key: Column, salt: str) -> Column:
     return (h.cast("bigint") % N_BUCKETS).alias("bucket")
 
 
+def _sq(text: str) -> str:
+    """''-escape a value for embedding in a single-quoted SQL literal."""
+    return text.replace("'", "''")
+
+
 def _bucket_sql(key_expr: str, salt: str) -> str:
     return (
-        f"CAST(concat('0x', substr(md5(concat('{salt}', {key_expr})), 1, 15)) "
+        f"CAST(concat('0x', substr(md5(concat('{_sq(salt)}', {key_expr})), 1, 15)) "
         f"AS BIGINT) % {N_BUCKETS}"
     )
 
@@ -107,10 +112,10 @@ def split_assign_sql(
         edge += w
         cases.append((int(round(edge * N_BUCKETS)), name))
     for e, name in cases[:-1]:
-        whens.append(f"WHEN ({b}) < {e} THEN '{name}'")
+        whens.append(f"WHEN ({b}) < {e} THEN '{_sq(name)}'")
     when_sql = " ".join(whens)
     return (
-        f"SELECT *, CASE {when_sql} ELSE '{cases[-1][1]}' END AS split "
+        f"SELECT *, CASE {when_sql} ELSE '{_sq(cases[-1][1])}' END AS split "
         f"FROM {table}"
     )
 
@@ -159,7 +164,7 @@ def stratified_sample_sql(
     fractions = fractions or {}
     b = _bucket_sql(f"CAST({key} AS VARCHAR)", salt)
     whens = " ".join(
-        f"WHEN {strata_col} = '{s}' THEN {int(round(f * N_BUCKETS))}"
+        f"WHEN {strata_col} = '{_sq(s)}' THEN {int(round(f * N_BUCKETS))}"
         for s, f in sorted(fractions.items())
     )
     thresh = f"CASE {whens} ELSE {int(round(default_fraction * N_BUCKETS))} END"

@@ -442,18 +442,28 @@ def quantize_int8(embeddings: DataFrame) -> DataFrame:
 
 def quantization_error(embeddings: DataFrame) -> DataFrame:
     """Max absolute dequantization error per vector — must be ≤ scale/2
-    by construction; the driver oracle recomputes it exactly."""
-    quant = quantize_int8(embeddings).alias("qt")
-    orig = embeddings.alias("o")
-    joined = orig.join(quant, F.col("o.vec_id") == F.col("qt.vec_id"))
+    by construction; the driver oracle recomputes it exactly.
+
+    Dequantizes with the FULL-PRECISION scale (rounding only the output
+    columns) so the math matches `quantization_error_sql` bit-for-bit;
+    using the 9-dp-rounded storage scale here caused a ≤1e-9 divergence
+    that survived round(…, 9). Pure projection — no join, no shuffle."""
+    absmax = F.expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE))))"
+    )
+    scaled = embeddings.select(
+        "vec_id", "embedding", (absmax / F.lit(127.0)).alias("_scale")
+    )
     err = F.expr(
-        "aggregate(zip_with(CAST(o.embedding AS ARRAY<DOUBLE>),"
-        " transform(qt.q, v -> v * qt.scale), (x, y) -> abs(x - y)),"
+        "aggregate(transform(embedding,"
+        " v -> abs(CAST(v AS DOUBLE)"
+        "          - round(CAST(v AS DOUBLE) / _scale) * _scale)),"
         " CAST(0 AS DOUBLE), (acc, v) -> greatest(acc, v))"
     )
-    return joined.select(
-        F.col("o.vec_id").alias("vec_id"),
-        F.round("qt.scale", 9).alias("scale"),
+    return scaled.select(
+        "vec_id",
+        F.round("_scale", 9).alias("scale"),
         F.round(err, 9).alias("max_abs_err"),
     ).orderBy("vec_id")
 

@@ -64,10 +64,19 @@ def read_csv_readings(
         f"{f.name} {f.dataType.simpleString()}"
         for f in READING_SCHEMA.fields
     ) + ", _cr string"
-    lines = spark.read.text(path)
-    if header:
-        head = ",".join(f.name for f in READING_SCHEMA.fields)
-        lines = lines.filter(F.col("value") != head)
+    # read whole lines via the CSV reader (separator that can't occur,
+    # quoting off): its `header` option drops exactly the FIRST PHYSICAL
+    # line of each file — unlike a value filter, a data/corrupt row that
+    # happens to equal the header string survives to the serde below
+    lines = (
+        spark.read.format("csv")
+        .schema("value STRING")
+        .option("sep", "\x01")
+        .option("quote", "")
+        .option("header", "true" if header else "false")
+        .option("enforceSchema", "true")
+        .load(path)
+    )
     parsed = lines.select(
         F.from_csv(
             F.col("value"), ddl,

@@ -44,8 +44,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # nanos here; scoping save/restore would race with Spark's lazy scans).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # plain timestamp[us] parquet loads as TIMESTAMP_NTZ, which
+            # unix_millis/withWatermark reject; the session TZ is pinned UTC
+            # (session.py), so casting to TIMESTAMP is value-preserving and
+            # keeps DuckDB oracle parity (DuckDB reads it as naive-UTC too).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.timeutil import ensure_event_time
+
 DEFAULT_GAP_MS = 30 * 60 * 1000
 
 SESSION_SCHEMA = T.StructType([
@@ -61,6 +63,7 @@ def batch_sessions(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> DataFrame
     user_id, value). Output sorted by (user_id, session_start_ms)."""
     from pyspark.sql.window import Window
 
+    events = ensure_event_time(events, "ts")
     w = Window.partitionBy("user_id").orderBy("ts")
     ms = F.unix_millis("ts")
     gap_start = (
@@ -171,6 +174,7 @@ def streaming_sessions(
         if closed:
             yield pd.DataFrame(closed, columns=_cols)
 
+    events_stream = ensure_event_time(events_stream, "ts")
     return events_stream.withWatermark("ts", watermark).groupBy(
         "user_id"
     ).applyInPandasWithState(

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import ensure_event_time
+
 
 def windowed_base_view(
     readings_stream: DataFrame,
@@ -29,6 +31,7 @@ def windowed_base_view(
     (windows finalize once the watermark passes their end; records later
     than `watermark` are dropped — documented divergence from the
     reference's unbounded-late upserts, which pipeline.py preserves)."""
+    readings_stream = ensure_event_time(readings_stream, "ts")
     return (
         readings_stream.withWatermark("ts", watermark)
         .groupBy(

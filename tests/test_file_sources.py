@@ -45,6 +45,26 @@ def test_csv_roundtrip_and_dead_letter(spark, tmp_path):
     assert bad.count() == 1
 
 
+def test_csv_header_colliding_row_survives(spark, tmp_path):
+    """Only the physical first line is dropped as the header; a mid-file
+    row equal to the header string dead-letters (it can't type-parse)
+    instead of silently vanishing (VERDICT r5 carried bug)."""
+    cols = [f.name for f in READING_SCHEMA.fields]
+    head = ",".join(cols)
+    rows = [
+        head,
+        "0,no2,1700000000000,s1,u4pruyd,0,1.0,12.5,ms",
+        head,  # header-identical data row mid-file
+        "0,pm10,1700000060000,s2,u4pruyk,0,1.0,33.0,ms",
+    ]
+    p = tmp_path / "in.csv"
+    p.write_text("\n".join(rows))
+    readings, bad = FS.read_csv_readings(spark, str(p))
+    got = {(r.metric_id, r.value) for r in readings.collect()}
+    assert got == {("no2", 12.5), ("pm10", 33.0)}
+    assert [r._raw for r in bad.collect()] == [head]
+
+
 def test_sources_are_interchangeable(spark, tmp_path):
     """The same records through JSONL and CSV produce identical engine
     rows — downstream operators never see the source format."""

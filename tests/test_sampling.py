@@ -57,6 +57,39 @@ def test_split_respects_custom_weights(docs):
 # ---------------------------------------------------------------------------
 
 
+def test_oracle_sql_escapes_quotes(spark, tmp_path):
+    """A stratum / split name / salt containing a single quote must not
+    break (or worse, alter) the DuckDB oracle SQL (VERDICT r5 #7)."""
+    import duckdb
+
+    pdf = __import__("pandas").DataFrame(
+        {"doc_id": list(range(20)),
+         "lang": ["o'brien" if i % 2 else "en" for i in range(20)]}
+    )
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    frac = {"o'brien": 0.5}
+    sql = SMP.stratified_sample_sql(
+        "docs", frac, strata_col="lang", salt="sa'lt")
+    oracle = {r[0] for r in con.execute(sql).fetchall()}
+    sdf = spark.createDataFrame(pdf)
+    got = {r["doc_id"]
+           for r in SMP.stratified_sample(sdf, frac, salt="sa'lt")
+           .select("doc_id").collect()}
+    assert got == oracle
+
+    split_sql = SMP.split_assign_sql(
+        "docs", weights=(("tr'ain", 0.5), ("te'st", 0.5)), salt="sa'lt")
+    oracle_split = dict(
+        con.execute(f"SELECT doc_id, split FROM ({split_sql})").fetchall())
+    got_split = {
+        r["doc_id"]: r["split"]
+        for r in SMP.split_assign(
+            sdf, weights=(("tr'ain", 0.5), ("te'st", 0.5)), salt="sa'lt"
+        ).select("doc_id", "split").collect()}
+    assert got_split == oracle_split
+
+
 def test_stratified_sample_is_subset_and_respects_caps(docs):
     frac = {"en": 0.3}
     sampled = SMP.stratified_sample(docs, frac)

@@ -32,7 +32,10 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 4)
+        # exact — the driver hash-compares raw values; the old round(v, 4)
+        # masked a real 1e-9 divergence in embedding_quantization for two
+        # rounds (VERDICT r5 #2)
+        return v
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
     return v
