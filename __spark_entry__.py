@@ -1014,8 +1014,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry is therefore ordered by grading value: reference-surface ops
     (SURVEY §2) and LLM-pipeline ops first, generic OLAP showcases last —
     entries past #50 still run in bench.py and tools/verify_local.py,
-    they just lose their driver row."""
-    return {
+    they just lose their driver row.
+
+    Every callable is wrapped to `configure()` the session first: the
+    driver runs these on a bare local[N] session (no engine session
+    factory), and UTC + AQE + right-sized shuffle partitions must hold
+    there too."""
+
+    def _configured(fn):
+        def wrapped(spark, sf_dir, _fn=fn):
+            configure(spark)
+            return _fn(spark, sf_dir)
+        wrapped.__name__ = getattr(fn, "__name__", "q")
+        return wrapped
+
+    return {k: _configured(v) for k, v in {
         # — reference surface: keys, lattices, history/snapshot (§2) —
         "cell_bucket_key": q_cell_bucket_key,
         "base_view_min_p7": q_base_view_min_p7,
@@ -1096,7 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
-    }
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:

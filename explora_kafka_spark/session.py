@@ -48,6 +48,18 @@ def configure(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # right-size shuffles for a session left at Spark's stock default
+        # (the driver harness creates a bare local[N] session): 200-part
+        # shuffles on a small box waste more in task launch than they
+        # parallelize. Only touch the exact stock value — a deliberately
+        # configured session (any other setting) is left alone; on a real
+        # cluster the operator sizes this to the data, not the driver.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            par = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(par * 2, 8)))
     except Exception:
         pass  # immutable on some deployments; UTC is the only hard requirement
     return spark
