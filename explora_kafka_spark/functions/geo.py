@@ -227,6 +227,50 @@ def quadkey_cover_bbox(
     return sorted(keys)
 
 
+#: last-character alphabets for cover compression, by cell scheme
+QUAD_ALPHABET = "0123"
+GEOHASH_ALPHABET = _BASE32
+
+
+def compress_cover(cells: List[str], alphabet: str) -> List[str]:
+    """Collapse complete sibling groups into their parent prefix, recursively.
+
+    Input: same-length cell ids (a bbox cover, or any exact cell set).
+    Output: mixed-length prefixes whose descendant sets partition exactly the
+    input set — `cell in cells` ⇔ `any(cell.startswith(p) for p in output)`.
+
+    A length-L sibling group is complete when all `len(alphabet)` children of
+    its length-(L-1) parent are present; the group is then replaced by the
+    parent and compression re-runs one level up. Spatial covers compress
+    dramatically (a half-globe precision-3 geohash cover: 7482 → ~250
+    prefixes) because bbox interiors are full subtrees; adversarial
+    non-spatial sets may not compress at all — callers should bound the
+    result and fall back if it stays large.
+
+    This is the inverse of the reference's children enumeration
+    (QueryingController.java:264-282): instead of expanding a prefix to 32^k
+    point lookups, complete families fold back into one prefix predicate.
+    """
+    branching = len(alphabet)
+    alpha = set(alphabet)
+    out: set[str] = set(cells)
+    # group by parent, fold complete families, repeat until fixpoint; each
+    # pass only ever shrinks lengths so this terminates in ≤ max-length passes
+    changed = True
+    while changed:
+        changed = False
+        by_parent: dict[str, set[str]] = {}
+        for c in out:
+            if len(c) > 1:
+                by_parent.setdefault(c[:-1], set()).add(c[-1])
+        for parent, lasts in by_parent.items():
+            if len(lasts) == branching and lasts <= alpha:
+                out.difference_update(parent + ch for ch in lasts)
+                out.add(parent)
+                changed = True
+    return sorted(out)
+
+
 # ---------------------------------------------------------------------------
 # Column-expression builders (JVM-side, codegen-friendly — no Python UDFs)
 # ---------------------------------------------------------------------------

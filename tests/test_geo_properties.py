@@ -91,3 +91,38 @@ def test_column_exprs_match_pure_on_batch(spark):
     for i, lat, lon in rows:
         assert got[i][0] == geo.quadkey(lat, lon, 12), (lat, lon)
         assert got[i][1] == geo.geohash_encode(lat, lon, 7), (lat, lon)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    s=st.floats(min_value=-60, max_value=50, allow_nan=False),
+    w=st.floats(min_value=-170, max_value=160, allow_nan=False),
+    dlat=st.floats(min_value=0.5, max_value=40, allow_nan=False),
+    dlon=st.floats(min_value=0.5, max_value=40, allow_nan=False),
+)
+def test_compress_cover_membership_equivalence(s, w, dlat, dlon):
+    """compress_cover output must decide membership identically to the
+    enumerated cover: cell ∈ cover ⇔ some compressed prefix prefixes it —
+    on cover members, perturbed neighbours, and far-away cells."""
+    n, e = min(s + dlat, 85.0), min(w + dlon, 179.9)
+    for alphabet, cover_fn, grain in (
+        (geo.QUAD_ALPHABET, geo.quadkey_cover_bbox, 6),
+        (geo.GEOHASH_ALPHABET, geo.geohash_cover_bbox, 3),
+    ):
+        cover = cover_fn(n, w, s, e, grain)
+        comp = geo.compress_cover(cover, alphabet)
+        full = set(cover)
+
+        def member(c):
+            return any(c.startswith(p) for p in comp)
+
+        # exact partition: all members match, and compression never grows
+        assert all(member(c) for c in cover)
+        assert len(comp) <= len(cover)
+        # non-members (flip last char to something outside the sibling set
+        # only when the parent family was NOT complete) must not match
+        probe = cover[:: max(1, len(cover) // 50)]
+        for c in probe:
+            for ch in alphabet:
+                cand = c[:-1] + ch
+                assert member(cand) == (cand in full)

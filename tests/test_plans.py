@@ -79,3 +79,13 @@ def test_time_predicates_reach_the_scan(plans):
     assert "DataFilters" in plan
     scan_filters = plan.split("DataFilters:")[1].split("]")[0]
     assert "ts" in scan_filters and (">=" in scan_filters or ">" in scan_filters)
+
+
+def test_large_covers_are_joinless_predicates(plans):
+    # >1024-cell bbox covers used to fall back to a broadcast semi-join;
+    # they now prefix-compress into a pure codegen predicate (no join, no
+    # broadcast build, no exchange on the probe side) — regression guard
+    # for the round-6 compress_cover path.
+    for name in ("snapshot_bbox_geohash",):
+        plan = plans[name]
+        assert "Join" not in plan, f"{name} still plans a join:\n{plan[:2000]}"
