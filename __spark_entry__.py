@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from explora_kafka_spark.functions import geo
 from explora_kafka_spark.functions.timeutil import composite_key_col, ts_ms_col
+from explora_kafka_spark.operators import contamination as CONT
 from explora_kafka_spark.operators import dedup as D
 from explora_kafka_spark.operators import multimodal as _MM
 from explora_kafka_spark.operators import normalize as _NORM
@@ -528,6 +529,22 @@ def q_split_train_val_test(spark, sf_dir):
     reproducible across runs/engines/partitionings (unlike randomSplit),
     so corpus rebuilds never leak val docs into train. Zero shuffles."""
     return SMP.split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def q_contamination_ngram(spark, sf_dir):
+    """Train/test decontamination: fraction of each test doc's distinct
+    word 5-grams that appear anywhere in the train split (GPT-3/PaLM-style
+    n-gram overlap). Shingles join on a 60-bit md5-prefix hash so the
+    shuffle ships 8-byte keys; the train-side distinct set is the
+    materialize-once artifact at corpus scale."""
+    return CONT.contamination(_docs(spark, sf_dir))
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Within-doc repeated 3-gram ratio (boilerplate/degenerate-text
+    signal): 1 - distinct/total word trigrams. Pure projection, zero
+    shuffles."""
+    return CONT.repetition(_docs(spark, sf_dir))
 
 
 def q_stratified_sample(spark, sf_dir):
@@ -1107,6 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events": q_topk_events,
         "users_view_not_click": q_users_view_not_click,
         "stratified_sample": q_stratified_sample,
+        "contamination_ngram": q_contamination_ngram,
+        "doc_repetition": q_doc_repetition,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }.items()}
@@ -1447,6 +1466,8 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": SMP.redact_pii_sql(
             f"(SELECT doc_id, {_PII_FOOTER_SQL} AS text FROM documents)"
         ),
+        "contamination_ngram": CONT.contamination_sql("documents"),
+        "doc_repetition": CONT.repetition_sql("documents"),
         "dedup_groups": D.dedup_groups_sql(threshold=0.6, shingle_n=2,
                                            num_bands=8),
         "multimodal_resize": _MM.resize_sql(),

@@ -1,0 +1,187 @@
+"""Train/test contamination check + within-document repetition scoring.
+
+Training-corpus hygiene operators (task-brief family, beyond the reference's
+surface — the reference has no text pipeline; its closest analogue is the
+per-key dedup semantics of the view store, IngestStream.java:302-394):
+
+- **contamination**: word n-gram overlap between the deterministic train and
+  test splits (`sampling.split_assign`). A test document sharing any shingle
+  with the train corpus is (partially) contaminated; the score is the
+  fraction of its distinct shingles seen in train. This is the standard
+  decontamination primitive (e.g. GPT-3 appendix C / PaLM-style 8-gram
+  overlap), expressed as one explode + two distincts + one equi-join.
+
+- **repetition**: 1 − distinct/total word n-grams within each document —
+  the cheap boilerplate/degenerate-text signal. Pure projection, no shuffle.
+
+100 TB design: shingles are joined on a 60-bit md5-prefix hash (bigint), not
+the shingle string — the shuffle ships 8-byte keys instead of ~40-byte
+strings, and both engines (Spark `conv(substr(md5…))`, DuckDB
+`CAST(concat('0x',…))`) compute the identical hash so the DuckDB oracle stays
+exact (collisions, if any, collide identically). The distincts and the join
+are plain hash-partitioned equi-ops — AQE handles skew (stop-word shingles).
+At real scale the train-side distinct shingle set is the reusable artifact:
+materialize it once per corpus snapshot and semi-join each candidate batch.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import DEFAULT_WEIGHTS, _sq, split_assign, split_assign_sql
+from .text import norm_sql, tokens_col
+
+
+def word_shingles_col(text: Column | str, n: int) -> Column:
+    """Array of word n-grams over the normalized whitespace tokens.
+
+    Empty array when the document has fewer than `n` tokens — guarded with
+    CASE because Spark's `sequence(1, 0)` yields a DESCENDING [1, 0], not an
+    empty range (DuckDB's `range(1, 0)` is empty; the SQL mirror needs no
+    guard).
+    """
+    toks = tokens_col(text) if isinstance(text, str) else text
+    return F.when(
+        F.size(toks) >= n,
+        F.expr(
+            f"transform(sequence(1, size(_toks) - {n - 1}),"
+            f" i -> array_join(slice(_toks, i, {n}), ' '))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _shingles_list_sql(tokens_expr: str, n: int) -> str:
+    """DuckDB list comprehension mirroring `word_shingles_col` (same
+    pattern as fingerprint_sql's char shingles)."""
+    return (
+        f"[array_to_string({tokens_expr}[i:i + {n - 1}], ' ')"
+        f" FOR i IN range(1, len({tokens_expr}) - {n - 1} + 1)]"
+    )
+
+
+def _shingle_hash_col(shingle: Column) -> Column:
+    """60-bit bigint from the md5 prefix — engine-portable join key."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("bigint")
+
+
+def _shingle_hash_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def contamination(
+    docs: DataFrame,
+    n: int = 5,
+    weights: Sequence[tuple[str, float]] = DEFAULT_WEIGHTS,
+    key: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Per-test-document contamination against the train split.
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination) for every
+    test-split document with ≥1 shingle, doc_id-ascending. `contamination`
+    = n_contaminated / n_shingles over the document's DISTINCT shingles,
+    rounded to 6 dp (oracle float parity).
+    """
+    assigned = (
+        split_assign(docs, weights, key=key, salt=salt)
+        .withColumn("_toks", tokens_col("text"))
+        .select(key, "split", word_shingles_col(F.col("_toks"), n).alias("_sh"))
+    )
+    exploded = assigned.select(
+        key, "split", F.explode("_sh").alias("_shingle")
+    ).select(key, "split", _shingle_hash_col(F.col("_shingle")).alias("_h"))
+    test_sh = (
+        exploded.filter(F.col("split") == "test").select(key, "_h").distinct()
+    )
+    train_sh = (
+        exploded.filter(F.col("split") == "train")
+        .select("_h").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        test_sh.join(train_sh, on="_h", how="left")
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+        .orderBy(key)
+    )
+
+
+def contamination_sql(
+    table: str = "documents",
+    n: int = 5,
+    weights: Sequence[tuple[str, float]] = DEFAULT_WEIGHTS,
+    key: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB mirror of `contamination` (split, shingles, hash identical)."""
+    toks = f"string_split({norm_sql('text')}, ' ')"
+    shingles = _shingles_list_sql("t", n)
+    h = _shingle_hash_sql("shingle")
+    return f"""
+        WITH assigned AS ({split_assign_sql(table, weights, key=key, salt=salt)}),
+        tok AS (SELECT {key}, split, {toks} AS t FROM assigned),
+        sh AS (SELECT {key}, split, unnest({shingles}) AS shingle FROM tok),
+        tsh AS (SELECT DISTINCT {key}, {h} AS _h FROM sh WHERE split = 'test'),
+        trh AS (SELECT DISTINCT {h} AS _h FROM sh WHERE split = 'train')
+        SELECT tsh.{key} AS {key},
+               COUNT(*) AS n_shingles,
+               COUNT(trh._h) AS n_contaminated,
+               round(COUNT(trh._h) * 1.0 / COUNT(*), 6) AS contamination
+        FROM tsh LEFT JOIN trh ON tsh._h = trh._h
+        GROUP BY tsh.{key}
+        ORDER BY {key}
+    """
+
+
+def repetition(docs: DataFrame, n: int = 3, key: str = "doc_id") -> DataFrame:
+    """Within-document repeated n-gram ratio: 1 − distinct/total word
+    n-grams (0.0 for documents with < n tokens). Pure projection — no
+    shuffle, trivially scale-safe.
+
+    Output: (doc_id, n_grams, n_distinct, repetition), doc_id-ascending.
+    """
+    docs = docs.withColumn("_toks", tokens_col("text")).withColumn(
+        "_sh", word_shingles_col(F.col("_toks"), n)
+    )
+    n_grams = F.size("_sh").cast("long")
+    n_distinct = F.size(F.array_distinct("_sh")).cast("long")
+    return (
+        docs.select(
+            key,
+            n_grams.alias("n_grams"),
+            n_distinct.alias("n_distinct"),
+            F.when(
+                n_grams > 0,
+                F.round(F.lit(1.0) - n_distinct / n_grams, 6),
+            ).otherwise(F.lit(0.0)).alias("repetition"),
+        )
+        .orderBy(key)
+    )
+
+
+def repetition_sql(table: str = "documents", n: int = 3,
+                   key: str = "doc_id") -> str:
+    toks = f"string_split({norm_sql('text')}, ' ')"
+    shingles = _shingles_list_sql("t", n)
+    return f"""
+        WITH tok AS (SELECT {key}, {toks} AS t FROM {table}),
+        sh AS (SELECT {key}, {shingles} AS g FROM tok)
+        SELECT {key},
+               CAST(len(g) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+               CASE WHEN len(g) > 0
+                    THEN round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 6)
+                    ELSE 0.0 END AS repetition
+        FROM sh
+        ORDER BY {key}
+    """

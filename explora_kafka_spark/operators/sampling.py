@@ -39,6 +39,12 @@ from pyspark.sql import functions as F
 #: bucket space for split/sample thresholds; 10k gives 0.01% resolution
 N_BUCKETS = 10_000
 
+#: canonical corpus split (shared by split_assign and the contamination
+#: operator so both sides of an overlap check agree on membership)
+DEFAULT_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("train", 0.9), ("val", 0.05), ("test", 0.05),
+)
+
 
 def _bucket_col(key: Column, salt: str) -> Column:
     """Deterministic bucket in [0, N_BUCKETS) from a salted md5."""

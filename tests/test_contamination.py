@@ -1,0 +1,67 @@
+"""Contamination + repetition operator semantics (operators/contamination.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from explora_kafka_spark.operators import contamination as C
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_repetition_scores(spark):
+    df = _docs_df(spark, [
+        (1, "a b c a b c a b c"),   # 7 trigrams, 3 distinct → 1 - 3/7
+        (2, "one two three four"),  # 2 trigrams, both distinct → 0.0
+        (3, "too short"),           # < 3 tokens → 0 grams, score 0.0
+    ])
+    out = {r["doc_id"]: r.asDict() for r in C.repetition(df).collect()}
+    assert out[1]["n_grams"] == 7 and out[1]["n_distinct"] == 3
+    assert abs(out[1]["repetition"] - (1 - 3 / 7)) < 1e-6
+    assert out[2]["repetition"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["repetition"] == 0.0
+
+
+def test_shingle_guard_short_docs(spark):
+    # Spark's sequence(1, 0) is DESCENDING — the CASE guard must return an
+    # empty array, not a bogus 2-element one
+    df = _docs_df(spark, [(1, "a b c d"), (2, "a b c d e")])
+    out = (
+        df.withColumn("_toks", C.tokens_col("text"))
+        .select("doc_id", C.word_shingles_col(F.col("_toks"), 5).alias("s"))
+    )
+    got = {r["doc_id"]: r["s"] for r in out.collect()}
+    assert got[1] == []
+    assert got[2] == ["a b c d e"]
+
+
+def test_contamination_exact_duplicates_fully_contaminated(spark):
+    # 64 docs over 8 distinct texts: every text lands in train at least
+    # once w.h.p. under a 50/50 split, so every test doc that shares its
+    # text with ANY train doc must score exactly 1.0
+    texts = [
+        f"alpha bravo charlie delta echo foxtrot golf hotel {i}"
+        for i in range(8)
+    ]
+    rows = [(i, texts[i % 8]) for i in range(64)]
+    df = _docs_df(spark, rows)
+    weights = (("train", 0.5), ("test", 0.5))
+    assigned = {
+        r["doc_id"]: r["split"]
+        for r in __import__(
+            "explora_kafka_spark.operators.sampling", fromlist=["split_assign"]
+        ).split_assign(df, weights).select("doc_id", "split").collect()
+    }
+    train_texts = {texts[d % 8] for d, s in assigned.items() if s == "train"}
+    out = {
+        r["doc_id"]: r["contamination"]
+        for r in C.contamination(df, weights=weights).collect()
+    }
+    assert out, "no test docs assigned — split degenerate"
+    for doc_id, score in out.items():
+        if texts[doc_id % 8] in train_texts:
+            assert score == 1.0, (doc_id, score)
+        else:
+            assert score == 0.0, (doc_id, score)
