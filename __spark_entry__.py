@@ -169,6 +169,19 @@ def _geo_lattice(spark, sf_dir, kind, cell_precision, view_precision) -> DataFra
     return spark.read.parquet(_GEO_LATTICES[key])
 
 
+_IVF_INDEXES: dict[str, str] = {}
+
+
+def _ivf_index(spark, sf_dir) -> str:
+    """Materialized (cached) IVF index over the embeddings table."""
+    if sf_dir not in _IVF_INDEXES:
+        d = tempfile.mkdtemp(prefix="explora_ivf_")
+        _TMPDIRS.append(d)
+        S.build_ivf_index(_emb(spark, sf_dir), f"{d}/ivf")
+        _IVF_INDEXES[sf_dir] = f"{d}/ivf"
+    return _IVF_INDEXES[sf_dir]
+
+
 def _round_agg(df: DataFrame, aggregate: str) -> DataFrame:
     if aggregate == "count":
         return df
@@ -707,6 +720,31 @@ def q_windowed_base_view(spark, sf_dir):
     )
 
 
+def q_ingest_dedup(spark, sf_dir):
+    """Row-level ingestion dedup (at-least-once → exactly-once): events
+    delivered twice (simulated producer retry), deduped on event_id, then
+    summarized per event_type. The streaming flavor
+    (dropDuplicatesWithinWatermark, state bounded by the watermark
+    horizon) is pinned equivalent to this batch twin in
+    test_streaming.py::test_stream_dedup_within_watermark."""
+    from explora_kafka_spark.streaming.dedup import dedup_batch
+
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dup = ev.unionAll(ev)
+    return (
+        dedup_batch(dup)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_ingest_serde(spark, sf_dir):
     """S2 json_decode + S3 json_encode + S4 event_time_extract + P2
     filter_metric_in, audited end-to-end through the REAL operator chain
@@ -805,6 +843,13 @@ def q_ann_topk_ivf(spark, sf_dir):
     centroids → argmax-cosine list assignment → nprobe-list exact rerank.
     The oracle runs the identical algorithm in SQL."""
     return S.ann_topk_ivf(_emb(spark, sf_dir))
+
+
+def q_ann_topk_ivf_indexed(spark, sf_dir):
+    """IVF ANN served from the MATERIALIZED index (build once per corpus
+    snapshot, partition-pruned list reads) — result-identical to
+    ann_topk_ivf, so it shares that oracle."""
+    return S.ann_topk_ivf_indexed(spark, _ivf_index(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1126,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "contamination_ngram": q_contamination_ngram,
         "doc_repetition": q_doc_repetition,
+        "ingest_dedup": q_ingest_dedup,
+        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }.items()}
@@ -1365,6 +1412,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_recall_lsh": S.ann_recall_lsh_sql(),
         "ann_topk_ivf": S.ann_topk_ivf_sql(),
+        # the indexed serving path must reproduce the direct computation
+        # exactly — same oracle
+        "ann_topk_ivf_indexed": S.ann_topk_ivf_sql(),
         "sessionize": _SS.sessions_sql(),
         "median_value_by_metric": """
             SELECT event_type AS metric_id,
@@ -1468,6 +1518,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "contamination_ngram": CONT.contamination_sql("documents"),
         "doc_repetition": CONT.repetition_sql("documents"),
+        "ingest_dedup": """
+            WITH dup AS (
+                SELECT event_id, event_type, value FROM events
+                UNION ALL
+                SELECT event_id, event_type, value FROM events
+            ),
+            ded AS (SELECT DISTINCT event_id, event_type, value FROM dup)
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 6) AS sum_value
+            FROM ded GROUP BY event_type ORDER BY event_type
+        """,
         "dedup_groups": D.dedup_groups_sql(threshold=0.6, shingle_n=2,
                                            num_bands=8),
         "multimodal_resize": _MM.resize_sql(),

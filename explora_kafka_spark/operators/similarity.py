@@ -616,3 +616,103 @@ def ann_topk_ivf_sql(
         SELECT query_id, neighbor_id, sim, rank FROM ranked
         WHERE rank <= {k} ORDER BY query_id, rank
     """
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int | None = None,
+    n_rows: int | None = None,
+    round_to: int = 6,
+) -> None:
+    """Materialize the IVF index: `{path}/centroids` (cid, c_emb) and
+    `{path}/lists` (neighbor_id, n_emb) hive-partitioned by cid.
+
+    This is the "materialize the assignment once — it IS the index" scale
+    path promised in `ann_topk_ivf`'s docstring: the O(n·n_lists)
+    assignment runs once per corpus snapshot instead of once per query
+    batch, and serving reads only the probed lists (partition pruning on
+    cid). At 100 TB, √n lists ≈ tens of thousands of partitions — fine
+    for a parquet/hive layout; re-sample centroids only on distribution
+    drift."""
+    from pyspark.sql.window import Window
+
+    if n_rows is None:
+        n_rows = embeddings.count()
+    _, stride = ivf_params(n_rows, n_lists)
+    cent = embeddings.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    csim = F.round(F.expr(cosine_expr_spark("embedding", "c_emb")), round_to)
+    assigned = (
+        embeddings.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", csim.alias("csim"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    lists = (
+        assigned.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            "cid",
+        )
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        lists.repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/lists")
+    )
+
+
+def ann_topk_ivf_indexed(
+    spark,
+    index_path: str,
+    query_mod: int = 50,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 6,
+) -> DataFrame:
+    """Serve IVF ANN from a materialized index (`build_ivf_index`).
+
+    Result-identical to `ann_topk_ivf` (same centroids, assignment and
+    tie-breaks — the shared DuckDB oracle checks it), but the corpus-wide
+    assignment never reruns: queries (rows of the index itself here;
+    an external query table in general) rank the broadcast centroid set
+    to pick their `nprobe` lists, and the candidate join is an equi-join
+    on cid against the partitioned lists table — Spark's dynamic
+    partition pruning skips every unprobed list at scan time."""
+    from pyspark.sql.window import Window
+
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    lists = spark.read.parquet(f"{index_path}/lists")
+    queries = lists.filter(F.col("neighbor_id") % query_mod == 0).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("n_emb").alias("q_emb"),
+    )
+    csim = F.round(F.expr(cosine_expr_spark("q_emb", "c_emb")), round_to)
+    wc = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "cid")
+    probes = (
+        queries.join(F.broadcast(cent))
+        .select("query_id", "q_emb", "cid", csim.alias("csim"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "q_emb", "cid")
+    )
+    sim = F.expr(cosine_expr_spark("q_emb", "n_emb"))
+    scored = (
+        lists.join(probes, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(sim, round_to).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )

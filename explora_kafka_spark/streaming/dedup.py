@@ -1,0 +1,56 @@
+"""Streaming ingestion dedup: at-least-once delivery → exactly-once rows.
+
+The reference's ingest assumes Kafka delivers each reading once per
+consumer group; redelivered records double-count into every store
+(IngestStream.java:302-394 has no row-level dedup — its only guard is
+Streams' own offset commit). This engine already guards REPLAYED BATCHES
+(pipeline.py merge batch_id guard); this module adds the finer row-level
+guard for duplicated *records* (producer retries, overlapping backfills):
+
+- `dedup_stream`: `withWatermark(ts) + dropDuplicatesWithinWatermark(keys)`
+  — Spark keeps one state row per key only until the watermark passes the
+  key's event time, so state is bounded by the lateness horizon regardless
+  of stream length. Duplicates arriving within the horizon (the
+  at-least-once window of any real producer) drop exactly-once; a
+  duplicate arriving later than the horizon is by definition outside the
+  delivery-retry window.
+
+- `dedup_batch` / `dedup_batch_sql`: the batch twin (plain dropDuplicates
+  on the same keys) — the semantics an oracle can check and a backfill
+  job uses over the raw store.
+
+100 TB design: the streaming state is a hash map keyed by the dedup key,
+partitioned by key hash across executors — no shuffle beyond the one
+implied by the stateful operator; watermark bounds memory. The batch twin
+is a single hash-distinct on (key) — one shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+from ..functions.timeutil import ensure_event_time
+
+DEDUP_KEYS: tuple[str, ...] = ("event_id",)
+
+
+def dedup_stream(
+    events_stream: DataFrame,
+    keys: Sequence[str] = DEDUP_KEYS,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once rows from an at-least-once stream, state bounded by
+    `watermark`."""
+    events_stream = ensure_event_time(events_stream, ts_col)
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )
+
+
+def dedup_batch(events: DataFrame, keys: Sequence[str] = DEDUP_KEYS) -> DataFrame:
+    """Batch twin of `dedup_stream` (backfill / oracle semantics)."""
+    return events.dropDuplicates(list(keys))

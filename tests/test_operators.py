@@ -373,3 +373,16 @@ def test_connected_components_matches_union_find_on_random_graph(spark):
     got = {r["doc_id"]: r["group_id"]
            for r in D.connected_components(nodes, edges).collect()}
     assert got == want
+
+
+def test_ann_ivf_indexed_equals_direct(spark, tmp_path):
+    """Serving from the materialized IVF index must reproduce the direct
+    computation row-for-row (same centroids, assignment, tie-breaks)."""
+    from explora_kafka_spark.operators import similarity as S
+    from explora_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    S.build_ivf_index(emb, str(tmp_path / "ivf"))
+    direct = S.ann_topk_ivf(emb).collect()
+    indexed = S.ann_topk_ivf_indexed(spark, str(tmp_path / "ivf")).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]

@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from explora_kafka_spark.plans.views import view_lattice
-from explora_kafka_spark.sources.tables import load_readings
+from explora_kafka_spark.sources.tables import load_readings, load_table
 from explora_kafka_spark.streaming import pipeline as P
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -454,3 +454,34 @@ def test_uncommitted_version_is_invisible(spark, tmp_path):
     assert store.merge(spark, delta, batch_id=1) is True
     nxt = {(r.gh, str(r.ts)): r["count"] for r in store.read(spark).collect()}
     assert nxt == {k: 2 * v for k, v in before.items()}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once input (every file delivered twice) through
+    dropDuplicatesWithinWatermark == exactly-once row set."""
+    from explora_kafka_spark.streaming.dedup import dedup_batch, dedup_stream
+
+    events = load_table(spark, SF_DIR, "events").limit(400)
+    # two identical deliveries, two files → duplicates within AND across
+    # micro-batches
+    events.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    events.coalesce(1).write.mode("append").parquet(str(tmp_path / "in"))
+    schema = spark.read.parquet(str(tmp_path / "in")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    out = dedup_stream(stream, watermark="365 days")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("dedup_test")
+    expect = dedup_batch(events)
+    assert got.count() == events.count() == expect.count()
+    assert got.select("event_id").distinct().count() == got.count()
