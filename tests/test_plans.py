@@ -25,8 +25,12 @@ SF_DIR = "/root/testdata/sf0.001"
 #: - ann_topk_ivf broadcasts the tiny centroid sample keylessly for list
 #:   assignment (O(n·√n) by design); the candidate join itself is an
 #:   equi-join on the list id.
+#: - ann_topk_ivf_indexed inherits the same keyless centroid broadcast
+#:   for probe selection (queries × centroids, both tiny); the list
+#:   candidate join stays an equi-join on cid with dynamic partition
+#:   pruning.
 CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
-                 "ann_topk_ivf"}
+                 "ann_topk_ivf", "ann_topk_ivf_indexed"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
