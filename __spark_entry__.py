@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from explora_kafka_spark.functions import geo
 from explora_kafka_spark.functions.timeutil import composite_key_col, ts_ms_col
 from explora_kafka_spark.operators import contamination as CONT
+from explora_kafka_spark.operators import corpus as CORP
 from explora_kafka_spark.operators import dedup as D
 from explora_kafka_spark.operators import multimodal as _MM
 from explora_kafka_spark.operators import normalize as _NORM
@@ -594,6 +595,15 @@ def q_dedup_groups(spark, sf_dir):
     transitive closure over the identical edge set."""
     return D.dedup_groups(_docs(spark, sf_dir), threshold=0.6,
                           shingle_n=2, num_bands=8)
+
+
+def q_corpus_canonical(spark, sf_dir):
+    """End-to-end corpus assembly: near-dup groups (dedup_groups) joined
+    with quality scores (with_text_stats); each group keeps its highest-
+    quality member (tie: min doc_id). The row set a pretraining run would
+    actually train on."""
+    return CORP.assemble_corpus(_docs(spark, sf_dir), threshold=0.6,
+                                shingle_n=2, num_bands=8)
 
 
 def q_sessionize(spark, sf_dir):
@@ -1173,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "ingest_dedup": q_ingest_dedup,
         "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
+        "corpus_canonical": q_corpus_canonical,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }.items()}
@@ -1532,6 +1543,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_groups": D.dedup_groups_sql(threshold=0.6, shingle_n=2,
                                            num_bands=8),
+        "corpus_canonical": CORP.assemble_corpus_sql(
+            "documents", threshold=0.6, shingle_n=2, num_bands=8),
         "multimodal_resize": _MM.resize_sql(),
         "multimodal_features": _MM.features_sql(),
         "asof_hourly_stats": """

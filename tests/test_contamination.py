@@ -65,3 +65,21 @@ def test_contamination_exact_duplicates_fully_contaminated(spark):
             assert score == 1.0, (doc_id, score)
         else:
             assert score == 0.0, (doc_id, score)
+
+
+def test_assemble_corpus_picks_canonical(spark):
+    from explora_kafka_spark.operators.corpus import assemble_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet green forest tonight")
+    df = _docs_df(spark, [
+        (1, base), (2, base), (3, base),          # exact triplicate
+        (10, "completely different text about spark shuffles and "
+             "partition pruning in distributed aggregation engines"),
+    ])
+    out = {r["group_id"]: r.asDict() for r in assemble_corpus(df).collect()}
+    trip = out[min(out)]  # the triplicate's group labels as min doc_id = 1
+    assert trip["doc_id"] == 1 and trip["group_size"] == 3
+    assert out[10]["doc_id"] == 10 and out[10]["group_size"] == 1
+    # exactly one canonical row per group
+    assert len(out) == 2
