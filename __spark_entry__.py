@@ -1118,7 +1118,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_bbox_geohash": q_snapshot_bbox_geohash,
         "snapshot_bbox_quad_z14": q_snapshot_bbox_quad_z14,
         "lattice_minmax_day": q_lattice_minmax_day,
-        "history_max_day": q_history_max_day,
         # — streaming path: S1-S5, serde, maintenance (§2.1/§2.7) —
         "stream_view_hour": q_stream_view_hour,
         "windowed_base_view": q_windowed_base_view,
@@ -1146,7 +1145,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "docs_quality_filter": q_docs_quality_filter,
-        "token_frequency": q_token_frequency,
         "bpe_token_count": q_bpe_token_count,
         "tfidf_top_terms": q_tfidf_top_terms,
         "zscore_per_metric": q_zscore_per_metric,
@@ -1160,11 +1158,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train_val_test": q_split_train_val_test,
         "redact_pii": q_redact_pii,
         "dedup_groups": q_dedup_groups,
+        # — round-6 promotions: corpus hygiene end-to-end (slots from
+        # history_max_day, whose min/max algebra stays evidenced by
+        # lattice_minmax_day; token_frequency, evidenced by
+        # bpe_token_count + tfidf_top_terms; and the rows-only
+        # distinct_users_daily_approx, whose HLL check carries little
+        # information — all three remain below, bench- and
+        # verify_local-covered) —
+        "contamination_ngram": q_contamination_ngram,
+        "corpus_canonical": q_corpus_canonical,
+        "ingest_dedup": q_ingest_dedup,
         # — skew-safe distinct family —
-        "distinct_users_daily_approx": q_distinct_users_daily_approx,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         # (join_rollup_nation's broadcast guarantee stays plan-asserted in
         # tests/test_plans.py)
+        "history_max_day": q_history_max_day,
+        "token_frequency": q_token_frequency,
+        "distinct_users_daily_approx": q_distinct_users_daily_approx,
         "quadkey_cells": q_quadkey_cells,
         "geohash_cells": q_geohash_cells,
         "distinct_users_daily_salted": q_distinct_users_daily_salted,
@@ -1179,11 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events": q_topk_events,
         "users_view_not_click": q_users_view_not_click,
         "stratified_sample": q_stratified_sample,
-        "contamination_ngram": q_contamination_ngram,
         "doc_repetition": q_doc_repetition,
-        "ingest_dedup": q_ingest_dedup,
         "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
-        "corpus_canonical": q_corpus_canonical,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
     }.items()}
