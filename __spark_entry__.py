@@ -28,6 +28,7 @@ from explora_kafka_spark.operators import corpus as CORP
 from explora_kafka_spark.operators import dedup as D
 from explora_kafka_spark.operators import multimodal as _MM
 from explora_kafka_spark.operators import normalize as _NORM
+from explora_kafka_spark.operators import packing as PK
 from explora_kafka_spark.operators import sampling as SMP
 from explora_kafka_spark.operators import udtfs as _UDTF
 from explora_kafka_spark.streaming import sessions as _SS
@@ -1059,6 +1060,26 @@ def q_multimodal_features(spark, sf_dir):
     return _MM.fake_features(media)
 
 
+#: per-source token budgets for the mixture-sampling row — below each
+#: source's sf0.01 total (~1.4k BPE tokens) so the sample is a real prefix
+_MIX_BUDGETS = {"src0": 700, "src3": 300, "src7": 1000, "src12": 500}
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/packing.py): shard-
+    local doc concatenation cut every 256 BPE tokens; one row per
+    (pack, doc-slice). Window cumsum per shard + sequence/explode —
+    single shuffle, no Python."""
+    return PK.pack_sequences(_docs(spark, sf_dir))
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Mixture sampling to per-source token budgets: deterministic
+    hash-ordered prefix per source covering the budget (smallest such
+    prefix). Stable under corpus growth in other sources."""
+    return PK.token_budget_sample(_docs(spark, sf_dir), _MIX_BUDGETS)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within LSH buckets. τ=0.3 is tuned
     to the synthetic corpus (random 64-dim vectors: in-bucket cosine tops
@@ -1193,6 +1214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_features": q_multimodal_features,
+        "pack_sequences": q_pack_sequences,
+        "token_budget_sample": q_token_budget_sample,
     }.items()}
 
 
@@ -1554,6 +1577,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", threshold=0.6, shingle_n=2, num_bands=8),
         "multimodal_resize": _MM.resize_sql(),
         "multimodal_features": _MM.features_sql(),
+        "pack_sequences": PK.pack_sequences_sql("documents"),
+        "token_budget_sample": PK.token_budget_sample_sql(
+            _MIX_BUDGETS, "documents"),
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,

@@ -1,0 +1,239 @@
+"""Sequence packing + token-budget mixture sampling for LLM pretraining.
+
+Two operators that sit between corpus assembly (operators/corpus.py) and
+the training job, both pure DataFrame plans with exact DuckDB mirrors:
+
+- `pack_sequences`: concat-and-chunk packing — the standard pretraining
+  layout where the shard's documents are concatenated in a deterministic
+  order and cut every `budget` tokens. Emits one row per (pack, doc
+  slice): which token range of which document lands where in which pack.
+  Packing is SHARD-LOCAL by design: a single global concatenation order
+  would funnel 100 TB through one window partition (a serial scan); with
+  N hash shards every shard packs independently in parallel and only the
+  last (partial) pack per shard is padding waste — at training scale
+  shards ≫ 1000 and the waste fraction is `shards·budget/total_tokens`,
+  negligible. The window runs inside each shard partition: one shuffle
+  on `shard`, then codegen'd window + explode, no state.
+- `token_budget_sample`: mixture sampling to a per-source token budget
+  (e.g. "2B tokens of web, 0.5B of code"). Documents are ordered by a
+  salted content hash (deterministic, re-run-stable — same property as
+  `operators/sampling.py::split_assign`), token counts are cumulated per
+  source, and a document is kept while its slice STARTS inside the
+  budget — so the output is the smallest deterministic prefix covering
+  the budget. One shuffle on `source`; the window partitions are
+  per-source and the cumsum is streaming (no buffering of the
+  partition), so a skewed giant source costs a scan, not memory.
+
+Token counts use the same BPE-ish pretokenizer as `bpe_token_count`
+(operators/text.py) so the packing plan budgets in the units the
+training job consumes.
+
+The reference system has no packing operators — these extend the engine
+for LLM data pipelines (task brief), same design rule as
+`operators/text.py`: native Column expressions + SQL mirror + driver
+oracle check. No Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import bpe_tokens_col, norm_sql, BPE_PRETOKEN_RE
+
+#: shard count for the driver-checked row; real deployments size this to
+#: executor-count × a few (each shard is one window partition)
+DEFAULT_SHARDS = 8
+
+#: tokens per training sequence for the driver-checked row
+DEFAULT_BUDGET = 256
+
+
+def _bpe_count_sql(text_expr: str) -> str:
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    return f"len(regexp_extract_all({norm_sql(text_expr)}, '{pat}'))"
+
+
+def _shard_col(key, shards: int):
+    """Deterministic shard in [0, shards): md5 hex prefix → 60-bit int →
+    mod. Same trick as operators/sampling.py::_bucket_col (both engines
+    agree bit-for-bit)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10)
+    return (h.cast("bigint") % shards)
+
+
+def _shard_sql(key_expr: str, shards: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {shards}"
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = DEFAULT_BUDGET,
+    shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """Concat-and-chunk packing plan: one output row per document slice.
+
+    Within each hash shard, documents are concatenated in `doc_id` order
+    and cut every `budget` tokens. A document whose token range spans a
+    cut contributes one slice row per pack it overlaps.
+
+    Output (ordered by shard, pack_id, pack_offset):
+      shard, pack_id, doc_id, doc_offset (first token of the slice
+      within the doc), pack_offset (its position inside the pack),
+      n_slice_tokens.
+
+    The plan: projection → window cumsum per shard → sequence+explode of
+    the overlapped pack ids → arithmetic. `sequence()` length per row is
+    `1 + n_tokens/budget` — bounded by the longest single document, not
+    by data volume.
+    """
+    toks = F.size(bpe_tokens_col("text")).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    sliced = (
+        docs.select(
+            "doc_id",
+            _shard_col(F.col("doc_id"), shards).alias("shard"),
+            toks.alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn("start", F.col("cum") - F.col("n_tokens"))
+        .withColumn("first_pack", F.expr(f"start div {budget}"))
+        .withColumn("last_pack", F.expr(f"(cum - 1) div {budget}"))
+        .withColumn(
+            "pack_id", F.explode(F.sequence("first_pack", "last_pack"))
+        )
+    )
+    pack_start = F.col("pack_id") * budget
+    slice_start = F.greatest(F.col("start"), pack_start)
+    slice_end = F.least(F.col("cum"), pack_start + budget)
+    return (
+        sliced.select(
+            "shard",
+            "pack_id",
+            "doc_id",
+            (slice_start - F.col("start")).alias("doc_offset"),
+            (slice_start - pack_start).alias("pack_offset"),
+            (slice_end - slice_start).alias("n_slice_tokens"),
+        )
+        .orderBy("shard", "pack_id", "pack_offset")
+    )
+
+
+def pack_sequences_sql(
+    table: str = "documents",
+    budget: int = DEFAULT_BUDGET,
+    shards: int = DEFAULT_SHARDS,
+) -> str:
+    """DuckDB mirror of `pack_sequences` (integer math identical; DuckDB
+    `range(a, b)` is end-exclusive ≙ Spark `sequence(a, b)` inclusive)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   {_shard_sql("doc_id", shards)} AS shard,
+                   {_bpe_count_sql("text")}::BIGINT AS n_tokens
+            FROM {table}
+        ),
+        pos AS (
+            SELECT doc_id, shard, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum
+            FROM toks WHERE n_tokens > 0
+        ),
+        sliced AS (
+            SELECT doc_id, shard, n_tokens, cum,
+                   cum - n_tokens AS start,
+                   unnest(range(
+                       (cum - n_tokens) // {budget},
+                       (cum - 1) // {budget} + 1
+                   )) AS pack_id
+            FROM pos
+        )
+        SELECT shard, pack_id, doc_id,
+               greatest(start, pack_id * {budget}) - start AS doc_offset,
+               greatest(start, pack_id * {budget})
+                   - pack_id * {budget} AS pack_offset,
+               least(cum, (pack_id + 1) * {budget})
+                   - greatest(start, pack_id * {budget}) AS n_slice_tokens
+        FROM sliced
+        ORDER BY shard, pack_id, pack_offset
+    """
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source sampling to a token budget.
+
+    For each source in `budgets`, documents are ordered by a salted
+    content hash and kept while the cumulative token count BEFORE the
+    document is under the source's budget — the smallest deterministic
+    prefix whose token total covers the budget (the last kept document
+    may overshoot; training-side packing truncates). Sources not listed
+    are dropped.
+
+    Output (ordered): source, doc_id, n_tokens, cum_tokens.
+    """
+    toks = F.size(bpe_tokens_col("text")).cast("bigint")
+    order = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    budget_case = F.lit(None).cast("bigint")
+    for src, b in sorted(budgets.items()):
+        budget_case = F.when(F.col("source") == src, F.lit(b)).otherwise(
+            budget_case
+        )
+    w = Window.partitionBy("source").orderBy("ord", "doc_id")
+    return (
+        docs.select(
+            "source", "doc_id", toks.alias("n_tokens"), order.alias("ord")
+        )
+        .filter(F.col("source").isin(list(budgets)))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_case)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )
+
+
+def token_budget_sample_sql(
+    budgets: dict[str, int],
+    table: str = "documents",
+    salt: str = "mix",
+) -> str:
+    """DuckDB mirror of `token_budget_sample`."""
+    salt_sq = salt.replace("'", "''")
+    in_list = ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in sorted(budgets)
+    )
+    case = " ".join(
+        "WHEN source = '" + s.replace("'", "''") + f"' THEN {b}"
+        for s, b in sorted(budgets.items())
+    )
+    return f"""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   {_bpe_count_sql("text")}::BIGINT AS n_tokens,
+                   md5(concat('{salt_sq}', CAST(doc_id AS VARCHAR))) AS ord
+            FROM {table}
+            WHERE source IN ({in_list})
+        ),
+        cums AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY ord, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_tokens
+            FROM toks
+        )
+        SELECT source, doc_id, n_tokens, cum_tokens
+        FROM cums
+        WHERE cum_tokens - n_tokens < CASE {case} END
+        ORDER BY source, cum_tokens
+    """

@@ -1,0 +1,105 @@
+"""Sequence packing + token-budget sampling semantics (operators/packing.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from explora_kafka_spark.operators import packing as P
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id: long, text: string, source: string"
+    )
+
+
+def test_pack_slices_tile_documents_exactly(spark):
+    # "w" repeated k times pretokenizes to k BPE tokens (" w" each)
+    df = _docs_df(spark, [
+        (i, " ".join(["w"] * n), "s")
+        for i, n in [(1, 5), (2, 12), (3, 3), (4, 30), (5, 1)]
+    ])
+    out = P.pack_sequences(df, budget=8, shards=1).toPandas()
+    # every document's slices are contiguous, start at offset 0, and sum
+    # to its token count
+    tok = {1: 5, 2: 12, 3: 3, 4: 30, 5: 1}
+    for doc_id, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("doc_offset")
+        assert grp["n_slice_tokens"].sum() == tok[doc_id]
+        assert grp["doc_offset"].iloc[0] == 0
+        ends = grp["doc_offset"] + grp["n_slice_tokens"]
+        assert (grp["doc_offset"].iloc[1:].values == ends.iloc[:-1].values).all()
+
+
+def test_packs_are_full_except_the_last_per_shard(spark):
+    df = _docs_df(spark, [
+        (i, " ".join(["w"] * n), "s")
+        for i, n in [(1, 5), (2, 12), (3, 3), (4, 30), (5, 1)]
+    ])
+    budget = 8
+    out = P.pack_sequences(df, budget=budget, shards=1).toPandas()
+    per_pack = (
+        out.groupby(["shard", "pack_id"])["n_slice_tokens"].sum().reset_index()
+    )
+    last = per_pack.groupby("shard")["pack_id"].transform("max")
+    full = per_pack[per_pack["pack_id"] != last]
+    assert (full["n_slice_tokens"] == budget).all()
+    # total tokens conserved: 51 tokens → packs 0..5, last holds 51 - 48
+    assert per_pack["n_slice_tokens"].sum() == 51
+    # within a pack, slices tile [0, fill): offsets are a prefix partition
+    for (_, _), grp in out.groupby(["shard", "pack_id"]):
+        grp = grp.sort_values("pack_offset")
+        assert grp["pack_offset"].iloc[0] == 0
+        ends = grp["pack_offset"] + grp["n_slice_tokens"]
+        assert (grp["pack_offset"].iloc[1:].values == ends.iloc[:-1].values).all()
+
+
+def test_pack_sharding_is_deterministic_and_partitioned(spark):
+    df = _docs_df(spark, [(i, "a b c", "s") for i in range(40)])
+    out1 = P.pack_sequences(df, budget=4, shards=4).toPandas()
+    out2 = P.pack_sequences(df.repartition(7), budget=4, shards=4).toPandas()
+    key = ["shard", "pack_id", "doc_id"]
+    assert out1.sort_values(key).reset_index(drop=True).equals(
+        out2.sort_values(key).reset_index(drop=True)
+    )
+    assert set(out1["shard"].unique()) <= set(range(4))
+
+
+def test_empty_docs_are_dropped(spark):
+    df = _docs_df(spark, [(1, "", "s"), (2, "  ", "s"), (3, "x", "s")])
+    out = P.pack_sequences(df, budget=4, shards=1).toPandas()
+    assert set(out["doc_id"]) == {3}
+
+
+def test_token_budget_sample_covers_budget_minimally(spark):
+    df = _docs_df(spark, [
+        (i, " ".join(["w"] * 10), f"src{i % 2}") for i in range(20)
+    ])
+    out = P.token_budget_sample(df, {"src0": 35}).toPandas()
+    assert set(out["source"]) == {"src0"}
+    # smallest prefix covering 35 tokens at 10/doc = 4 docs
+    assert len(out) == 4
+    assert out["cum_tokens"].max() == 40
+    # every kept doc STARTS inside the budget
+    assert ((out["cum_tokens"] - out["n_tokens"]) < 35).all()
+
+
+def test_token_budget_sample_is_stable_under_corpus_growth(spark):
+    # adding docs to ANOTHER source never changes a source's sample
+    base = [(i, " ".join(["w"] * 10), "a") for i in range(10)]
+    extra = [(100 + i, " ".join(["w"] * 10), "b") for i in range(10)]
+    s1 = P.token_budget_sample(
+        _docs_df(spark, base), {"a": 55}
+    ).toPandas()
+    s2 = P.token_budget_sample(
+        _docs_df(spark, base + extra), {"a": 55}
+    ).toPandas()
+    assert s1.equals(s2)
+
+
+def test_pack_plan_has_single_shuffle_and_no_python_udf(spark):
+    df = _docs_df(spark, [(i, "a b c", "s") for i in range(10)])
+    plan = P.pack_sequences(df, budget=4, shards=2)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
