@@ -27,6 +27,7 @@ from explora_kafka_spark.operators import contamination as CONT
 from explora_kafka_spark.operators import corpus as CORP
 from explora_kafka_spark.operators import dedup as D
 from explora_kafka_spark.operators import multimodal as _MM
+from explora_kafka_spark.operators import anomaly as ANOM
 from explora_kafka_spark.operators import normalize as _NORM
 from explora_kafka_spark.operators import packing as PK
 from explora_kafka_spark.operators import sampling as SMP
@@ -1065,6 +1066,13 @@ def q_multimodal_features(spark, sf_dir):
 _MIX_BUDGETS = {"src0": 700, "src3": 300, "src7": 1000, "src12": 500}
 
 
+def q_metric_hour_anomaly(spark, sf_dir):
+    """Trailing-24h z-score per (metric, hour) bucket — the monitoring
+    question the reference's rollups stop short of. Bounded ROWS window
+    frames over exact integer micro-units (engine-independent fp)."""
+    return ANOM.metric_hour_anomaly(load_readings(spark, sf_dir))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (operators/packing.py): shard-
     local doc concatenation cut every 256 BPE tokens; one row per
@@ -1216,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "pack_sequences": q_pack_sequences,
         "token_budget_sample": q_token_budget_sample,
+        "metric_hour_anomaly": q_metric_hour_anomaly,
     }.items()}
 
 
@@ -1580,6 +1589,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": PK.pack_sequences_sql("documents"),
         "token_budget_sample": PK.token_budget_sample_sql(
             _MIX_BUDGETS, "documents"),
+        "metric_hour_anomaly": ANOM.metric_hour_anomaly_sql(
+            f"({READINGS_SQL}) AS r"),
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,
