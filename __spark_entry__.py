@@ -28,6 +28,7 @@ from explora_kafka_spark.operators import corpus as CORP
 from explora_kafka_spark.operators import dedup as D
 from explora_kafka_spark.operators import multimodal as _MM
 from explora_kafka_spark.operators import anomaly as ANOM
+from explora_kafka_spark.operators import centroids as CENT
 from explora_kafka_spark.operators import normalize as _NORM
 from explora_kafka_spark.operators import packing as PK
 from explora_kafka_spark.operators import sampling as SMP
@@ -1066,6 +1067,18 @@ def q_multimodal_features(spark, sf_dir):
 _MIX_BUDGETS = {"src0": 700, "src3": 300, "src7": 1000, "src12": 500}
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid (one row per label × dim). Exact
+    integer-µunit sums — bit-identical across partitionings/engines."""
+    return CENT.label_centroids(_emb(spark, sf_dir))
+
+
+def q_label_centroid_cosine(spark, sf_dir):
+    """Cosine similarity between label centroids (mixture-overlap
+    diagnostic); runs entirely in centroid space after one corpus pass."""
+    return CENT.label_centroid_cosine(_emb(spark, sf_dir))
+
+
 def q_metric_hour_anomaly(spark, sf_dir):
     """Trailing-24h z-score per (metric, hour) bucket — the monitoring
     question the reference's rollups stop short of. Bounded ROWS window
@@ -1225,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "token_budget_sample": q_token_budget_sample,
         "metric_hour_anomaly": q_metric_hour_anomaly,
+        "label_centroids": q_label_centroids,
+        "label_centroid_cosine": q_label_centroid_cosine,
     }.items()}
 
 
@@ -1591,6 +1606,9 @@ def oracle_sql() -> dict[str, str]:
             _MIX_BUDGETS, "documents"),
         "metric_hour_anomaly": ANOM.metric_hour_anomaly_sql(
             f"({READINGS_SQL}) AS r"),
+        "label_centroids": CENT.label_centroids_sql("embeddings"),
+        "label_centroid_cosine": CENT.label_centroid_cosine_sql(
+            "embeddings"),
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,

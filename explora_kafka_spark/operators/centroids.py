@@ -1,0 +1,157 @@
+"""Per-label embedding centroids + centroid-space similarity.
+
+Corpus-curation diagnostics over a labeled embedding table
+(`embeddings(vec_id, embedding: array<float>, label)`): the centroid of
+each label's vectors, and the cosine similarity between label centroids
+— "which classes/sources occupy the same region of embedding space"
+(mixture overlap, label-noise screening, cluster sanity checks).
+
+Numerical determinism (same discipline as operators/anomaly.py): float32
+components are converted EXACTLY to doubles, scaled to integer
+micro-units with an explicit half-up (`floor(x·1e6 + 0.5)`), and every
+aggregate — component sums, dot products, squared norms — is a BIGINT
+sum of exact integers, which no summation order can change. Doubles
+reappear only in the final division/sqrt, written identically in both
+engines over identical integer inputs. Magnitudes: unit-scale components
+→ |µ| ≲ 1e6+, pairwise products ≲ 1e13·d — far inside bigint AND
+double-exact (2^53) range for any realistic embedding width.
+
+Scale shape: `label_centroids` is one explode (×d) + one partially-
+aggregated shuffle on (label, dim) — the only pass over the corpus.
+`label_centroid_cosine` runs entirely in centroid space (k·d rows for k
+labels): the self-join is k²·d work on a table that fits in one task by
+construction; broadcast it if k grows.
+
+The reference has no embedding operators — this extends the engine for
+LLM data pipelines (task brief) alongside operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: micro-unit scale shared with the SQL mirrors
+_MU = 1e6
+
+
+def _centroid_mu(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """(label, dim, cmu): per-label per-dimension centroid in exact
+    integer micro-units."""
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "val"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("val").cast("double") * _MU + F.lit(0.5))
+        .cast("bigint")
+        .alias("mu"),
+    )
+    return ex.groupBy("label", "dim").agg(
+        F.floor(
+            F.sum("mu").cast("double") / F.count("*").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cmu")
+    )
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Centroid of each label's vectors, one row per (label, dim)."""
+    c = _centroid_mu(emb, label_col, vec_col)
+    return c.select(
+        "label", "dim", (F.col("cmu").cast("double") / _MU).alias("centroid")
+    ).orderBy("label", "dim")
+
+
+def label_centroid_cosine(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Cosine similarity between label centroids, one row per unordered
+    label pair (label_a < label_b)."""
+    c = _centroid_mu(emb, label_col, vec_col)
+    a = c.select(
+        F.col("label").alias("label_a"), "dim", F.col("cmu").alias("mu_a")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), "dim", F.col("cmu").alias("mu_b")
+    )
+    prods = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("mu_a") * F.col("mu_b")).alias("dot"),
+            F.sum(F.col("mu_a") * F.col("mu_a")).alias("na"),
+            F.sum(F.col("mu_b") * F.col("mu_b")).alias("nb"),
+        )
+    )
+    return prods.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("na").cast("double"))
+                * F.sqrt(F.col("nb").cast("double"))
+            ),
+            6,
+        ).alias("cosine"),
+    ).orderBy("label_a", "label_b")
+
+
+def _centroid_mu_sql(table: str, label_col: str, vec_col: str) -> str:
+    return f"""
+        SELECT label, dim,
+               CAST(floor(CAST(sum(mu) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                          + 0.5) AS BIGINT) AS cmu
+        FROM (
+            SELECT {label_col} AS label,
+                   unnest(range(len({vec_col}))) AS dim,
+                   CAST(floor(CAST(unnest({vec_col}) AS DOUBLE) * 1e6 + 0.5)
+                        AS BIGINT) AS mu
+            FROM {table}
+        )
+        GROUP BY 1, 2
+    """
+
+
+def label_centroids_sql(
+    table: str = "embeddings",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of `label_centroids` (zipped unnest ≙ posexplode)."""
+    return f"""
+        WITH c AS ({_centroid_mu_sql(table, label_col, vec_col)})
+        SELECT label, dim, CAST(cmu AS DOUBLE) / 1e6 AS centroid
+        FROM c ORDER BY 1, 2
+    """
+
+
+def label_centroid_cosine_sql(
+    table: str = "embeddings",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of `label_centroid_cosine`."""
+    return f"""
+        WITH c AS ({_centroid_mu_sql(table, label_col, vec_col)}),
+        prods AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   CAST(sum(a.cmu * b.cmu) AS BIGINT) AS dot,
+                   CAST(sum(a.cmu * a.cmu) AS BIGINT) AS na,
+                   CAST(sum(b.cmu * b.cmu) AS BIGINT) AS nb
+            FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY 1, 2
+        )
+        SELECT label_a, label_b,
+               round(CAST(dot AS DOUBLE)
+                     / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))),
+                     6) AS cosine
+        FROM prods ORDER BY 1, 2
+    """

@@ -1,0 +1,71 @@
+"""Label-centroid operators (operators/centroids.py)."""
+
+from __future__ import annotations
+
+import math
+
+from explora_kafka_spark.operators import centroids as C
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    )
+
+
+def test_centroid_is_componentwise_mean(spark):
+    df = _emb_df(spark, [
+        (1, [1.0, 0.0], 0),
+        (2, [3.0, 2.0], 0),
+        (3, [0.0, 4.0], 1),
+    ])
+    out = {(r["label"], r["dim"]): r["centroid"]
+           for r in C.label_centroids(df).collect()}
+    assert out[(0, 0)] == 2.0 and out[(0, 1)] == 1.0
+    assert out[(1, 0)] == 0.0 and out[(1, 1)] == 4.0
+
+
+def test_cosine_of_orthogonal_and_parallel_centroids(spark):
+    df = _emb_df(spark, [
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [2.0, 0.0], 2),   # parallel to label 0
+    ])
+    out = {(r["label_a"], r["label_b"]): r["cosine"]
+           for r in C.label_centroid_cosine(df).collect()}
+    assert out[(0, 1)] == 0.0
+    assert out[(0, 2)] == 1.0
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}  # unordered pairs once
+
+
+def test_cosine_matches_direct_computation(spark):
+    a, b = [0.25, -0.5, 0.125], [0.75, 0.1, -0.3]
+    df = _emb_df(spark, [(1, a, 0), (2, b, 1)])
+    out = C.label_centroid_cosine(df).collect()[0]["cosine"]
+    dot = sum(x * y for x, y in zip(a, b))
+    want = dot / (math.sqrt(sum(x * x for x in a))
+                  * math.sqrt(sum(y * y for y in b)))
+    assert abs(out - want) < 1e-5
+
+
+def test_determinism_under_repartitioning(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], i % 3)
+        for i in range(60)
+    ]
+    df = _emb_df(spark, rows)
+    a = C.label_centroid_cosine(df).toPandas()
+    b = C.label_centroid_cosine(df.repartition(13)).toPandas()
+    assert a.equals(b)  # bit-identical, not just close
+
+
+def test_plan_is_native(spark):
+    df = _emb_df(spark, [(1, [1.0, 2.0], 0), (2, [2.0, 1.0], 1)])
+    plan = (
+        C.label_centroid_cosine(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
