@@ -858,6 +858,20 @@ def q_ann_topk_ivf(spark, sf_dir):
     return S.ann_topk_ivf(_emb(spark, sf_dir))
 
 
+#: label predicate for the filtered-ANN row (5 of 10 labels — the
+#: "top-k among documents matching a metadata filter" workload)
+_ANN_FILTER_LABELS = [0, 2, 4, 6, 8]
+
+
+def q_ann_topk_ivf_filtered(spark, sf_dir):
+    """Metadata-filtered vector search: IVF probes + exact rerank over
+    only the candidates whose label passes the predicate (post-filter
+    inside probed lists; quantizer and queries unchanged)."""
+    return S.ann_topk_ivf(
+        _emb(spark, sf_dir), neighbor_labels=_ANN_FILTER_LABELS
+    )
+
+
 def q_ann_topk_ivf_indexed(spark, sf_dir):
     """IVF ANN served from the MATERIALIZED index (build once per corpus
     snapshot, partition-pruned list reads) — result-identical to
@@ -1245,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "label_centroids": q_label_centroids,
         "label_centroid_cosine": q_label_centroid_cosine,
+        "ann_topk_ivf_filtered": q_ann_topk_ivf_filtered,
     }.items()}
 
 
@@ -1614,6 +1629,8 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": CENT.label_centroids_sql("embeddings"),
         "label_centroid_cosine": CENT.label_centroid_cosine_sql(
             "embeddings"),
+        "ann_topk_ivf_filtered": S.ann_topk_ivf_sql(
+            neighbor_labels=_ANN_FILTER_LABELS),
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,

@@ -511,6 +511,7 @@ def ann_topk_ivf(
     nprobe: int = IVF_NPROBE,
     round_to: int = 6,
     n_rows: int | None = None,
+    neighbor_labels: list[int] | None = None,
 ) -> DataFrame:
     """IVF ANN: training-free deterministic variant — the coarse
     quantizer's centroids are a fixed-stride sample of the corpus itself
@@ -524,7 +525,16 @@ def ann_topk_ivf(
     join is an EQUI-join on the list id, so the big side is hash-
     partitioned by list, never broadcast. At scale, materialize the
     assignment once (it is the index) instead of recomputing per query
-    batch, and re-sample centroids only on distribution drift."""
+    batch, and re-sample centroids only on distribution drift.
+
+    `neighbor_labels` enables metadata-FILTERED vector search (the
+    "top-k among documents matching a predicate" workload): the label
+    predicate restricts the CANDIDATE side only (queries and the
+    quantizer are unchanged, so list geometry is stable across filters),
+    applied before the rerank — post-filtering inside probed lists, the
+    standard filtered-IVF strategy. Against a materialized index the
+    same predicate lands in the lists scan as a pushed filter
+    (row-group skipping next to the cid partition pruning)."""
     from pyspark.sql.window import Window
 
     if n_rows is None:
@@ -534,13 +544,19 @@ def ann_topk_ivf(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
     csim = F.round(F.expr(cosine_expr_spark("embedding", "c_emb")), round_to)
+    keep = ["vec_id", "embedding", "cid"]
+    if neighbor_labels is not None:
+        keep.append("label")
     assigned = (
         embeddings.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", csim.alias("csim"))
+        .select(*keep, csim.alias("csim"))
     )
     wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
     ranked = assigned.withColumn("crank", F.row_number().over(wc))
-    lists = ranked.filter(F.col("crank") == 1).select(
+    lists = ranked.filter(F.col("crank") == 1)
+    if neighbor_labels is not None:
+        lists = lists.filter(F.col("label").isin(list(neighbor_labels)))
+    lists = lists.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
         "cid",
@@ -575,17 +591,24 @@ def ann_topk_ivf_sql(
     round_to: int = 6,
     dim: int = DIM,
     n_rows: int = ORACLE_N_ROWS,
+    neighbor_labels: list[int] | None = None,
 ) -> str:
     _, stride = ivf_params(n_rows, n_lists)
     ccos = cosine_expr_duck("e.embedding", "cent.c_emb", dim)
     qcos = cosine_expr_duck("p.q_emb", "l.n_emb", dim)
+    label_pred = (
+        ""
+        if neighbor_labels is None
+        else " AND label IN (" + ", ".join(
+            str(int(x)) for x in neighbor_labels) + ")"
+    )
     return f"""
         WITH cent AS (
             SELECT vec_id AS cid, embedding AS c_emb FROM {table}
             WHERE vec_id % {stride} = 0
         ),
         assigned AS (
-            SELECT e.vec_id, e.embedding, cent.cid,
+            SELECT e.vec_id, e.embedding, e.label, cent.cid,
                    row_number() OVER (
                        PARTITION BY e.vec_id
                        ORDER BY round({ccos}, {round_to}) DESC, cent.cid
@@ -594,7 +617,7 @@ def ann_topk_ivf_sql(
         ),
         lists AS (
             SELECT vec_id AS neighbor_id, embedding AS n_emb, cid
-            FROM assigned WHERE crank = 1
+            FROM assigned WHERE crank = 1{label_pred}
         ),
         probes AS (
             SELECT vec_id AS query_id, embedding AS q_emb, cid

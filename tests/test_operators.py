@@ -280,6 +280,27 @@ def test_ann_ivf_shape_and_recall(emb):
     assert got == want
 
 
+def test_ann_ivf_filtered_respects_predicate(emb):
+    """Filtered IVF: every returned neighbor passes the label predicate;
+    an all-labels filter degenerates to the unfiltered answer (same
+    quantizer, same probes, so list geometry is identical)."""
+    labels = [0, 1, 2]
+    rows = S.ann_topk_ivf(emb, query_mod=100, k=3,
+                          neighbor_labels=labels).collect()
+    assert rows
+    allowed = {
+        r.vec_id for r in
+        emb.filter(emb.label.isin(labels)).select("vec_id").collect()
+    }
+    assert all(r.neighbor_id in allowed for r in rows)
+    every = sorted({r.label for r in emb.select("label").collect()})
+    full = S.ann_topk_ivf(emb, query_mod=100, k=3, neighbor_labels=every)
+    plain = S.ann_topk_ivf(emb, query_mod=100, k=3)
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in full.collect()}
+    want = {(r.query_id, r.neighbor_id, r.rank) for r in plain.collect()}
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # dedup groups (connected components)
 # ---------------------------------------------------------------------------
