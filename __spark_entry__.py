@@ -1100,6 +1100,13 @@ def q_metric_hour_anomaly(spark, sf_dir):
     return ANOM.metric_hour_anomaly(load_readings(spark, sf_dir))
 
 
+def q_metric_correlation(spark, sf_dir):
+    """Pearson correlation matrix between metric hourly series (pairwise-
+    complete hours; exact integer-milliunit moment sums — engine- and
+    partitioning-independent)."""
+    return ANOM.metric_correlation(load_readings(spark, sf_dir))
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (operators/packing.py): shard-
     local doc concatenation cut every 256 BPE tokens; one row per
@@ -1260,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "label_centroid_cosine": q_label_centroid_cosine,
         "ann_topk_ivf_filtered": q_ann_topk_ivf_filtered,
+        "metric_correlation": q_metric_correlation,
     }.items()}
 
 
@@ -1631,6 +1639,8 @@ def oracle_sql() -> dict[str, str]:
             "embeddings"),
         "ann_topk_ivf_filtered": S.ann_topk_ivf_sql(
             neighbor_labels=_ANN_FILTER_LABELS),
+        "metric_correlation": ANOM.metric_correlation_sql(
+            f"({READINGS_SQL}) AS r"),
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,

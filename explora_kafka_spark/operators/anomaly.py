@@ -110,6 +110,125 @@ def metric_hour_anomaly(
     return scored.orderBy("metric_id", "bucket_ms")
 
 
+def metric_correlation(
+    readings: DataFrame,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson correlation between every metric pair's hourly-average
+    series — "which metrics move together" (sensor cross-talk, redundant
+    signals, leading indicators).
+
+    Hours are matched by inner join (pairwise-complete: an hour counts
+    only when BOTH metrics observed it). Hourly averages are quantized
+    to exact integer MILLI-units (coarser than the anomaly operator's
+    µunits so the bigint moment sums Σx·y stay far from overflow for any
+    realistic value scale; correlation is scale-invariant, so the
+    quantization only defines the statistic as "corr of 3-dp hourly
+    averages" — identically in both engines). All five moments are exact
+    bigint sums; the textbook formula is evaluated on doubles cast from
+    those exact integers with one mirrored expression, so the result is
+    engine- and partitioning-independent.
+
+    Scale: the hourly table is |metrics|·|hours| rows (the `hour` view at
+    production scale); the pair join is per-hour with metric_a < metric_b
+    — M²/2 pairs per hour, fine for dashboard-scale metric counts; for
+    thousands of metrics, pre-filter to the metric subset of interest.
+
+    Output (ordered): metric_a, metric_b, n_hours, corr.
+    """
+    hourly = (
+        readings.groupBy(
+            "metric_id", F.date_trunc("hour", F.col("ts")).alias("h_ts")
+        )
+        .agg(F.round(F.avg("value"), 6).alias("hourly_avg"))
+        .select(
+            "metric_id",
+            "h_ts",
+            F.floor(F.col("hourly_avg") * 1e3 + F.lit(0.5))
+            .cast("bigint")
+            .alias("mv"),
+        )
+    )
+    a = hourly.select(
+        F.col("metric_id").alias("metric_a"), "h_ts", F.col("mv").alias("x")
+    )
+    b = hourly.select(
+        F.col("metric_id").alias("metric_b"), "h_ts", F.col("mv").alias("y")
+    )
+    moments = (
+        a.join(b, "h_ts")
+        .filter(F.col("metric_a") < F.col("metric_b"))
+        .groupBy("metric_a", "metric_b")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    n = F.col("n_hours").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return (
+        moments.select(
+            "metric_a",
+            "metric_b",
+            "n_hours",
+            F.when(den > 0, F.round((n * sxy - sx * sy) / den, round_to))
+            .alias("corr"),
+        )
+        .orderBy("metric_a", "metric_b")
+    )
+
+
+def metric_correlation_sql(table: str = "events", round_to: int = 6) -> str:
+    """DuckDB mirror of `metric_correlation` (identical quantization,
+    moment sums, and final expression)."""
+    return f"""
+        WITH hourly AS (
+            SELECT metric_id, date_trunc('hour', ts) AS h_ts,
+                   CAST(floor(round(avg(value), 6) * 1e3 + 0.5) AS BIGINT)
+                       AS mv
+            FROM {table}
+            GROUP BY 1, 2
+        ),
+        moments AS (
+            SELECT a.metric_id AS metric_a, b.metric_id AS metric_b,
+                   count(*) AS n_hours,
+                   CAST(sum(a.mv) AS BIGINT) AS sx,
+                   CAST(sum(b.mv) AS BIGINT) AS sy,
+                   CAST(sum(a.mv * b.mv) AS BIGINT) AS sxy,
+                   CAST(sum(a.mv * a.mv) AS BIGINT) AS sxx,
+                   CAST(sum(b.mv * b.mv) AS BIGINT) AS syy
+            FROM hourly a
+            JOIN hourly b
+              ON a.h_ts = b.h_ts AND a.metric_id < b.metric_id
+            GROUP BY 1, 2
+        )
+        SELECT metric_a, metric_b, n_hours,
+               CASE WHEN sqrt(CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * sqrt(CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                    THEN round(
+                        (CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (sqrt(CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * sqrt(CAST(n_hours AS DOUBLE)
+                                  * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                        {round_to})
+               END AS corr
+        FROM moments
+        ORDER BY 1, 2
+    """
+
+
 def metric_hour_anomaly_sql(
     table: str = "events",
     trail: int = DEFAULT_TRAIL,

@@ -61,6 +61,40 @@ def test_constant_series_has_zero_std_and_null_z(spark):
     assert out["z"].isna().all()  # std=0 → undefined score, never flagged
 
 
+def test_correlation_of_identical_and_inverted_series(spark):
+    vals = [1.0, 5.0, 2.0, 8.0, 3.0]
+    rows = []
+    for i, v in enumerate(vals):
+        rows += [("a", _hour(i), v), ("b", _hour(i), v),
+                 ("c", _hour(i), 10.0 - v)]
+    out = {(r["metric_a"], r["metric_b"]): r["corr"]
+           for r in A.metric_correlation(_readings(spark, rows)).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == -1.0
+    assert out[("b", "c")] == -1.0
+
+
+def test_correlation_matches_numpy_on_pairwise_complete_hours(spark):
+    import numpy as np
+
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    ys = [2.0, 7.0, 1.0, 8.0, 2.0, 8.0, 1.0, 8.0]
+    rows = [("x", _hour(i), v) for i, v in enumerate(xs)]
+    rows += [("y", _hour(i), v) for i, v in enumerate(ys)]
+    rows.append(("x", _hour(99), 42.0))  # unmatched hour must be dropped
+    out = A.metric_correlation(_readings(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["n_hours"] == 8
+    want = float(np.corrcoef(xs, ys)[0, 1])
+    assert abs(out[0]["corr"] - want) < 1e-4
+
+
+def test_correlation_constant_series_is_null(spark):
+    rows = [("a", _hour(i), 5.0) for i in range(6)]
+    rows += [("b", _hour(i), float(i)) for i in range(6)]
+    out = A.metric_correlation(_readings(spark, rows)).collect()
+    assert len(out) == 1 and out[0]["corr"] is None
+
+
 def test_plan_is_native(spark):
     rows = [("m", _hour(i), 1.0) for i in range(5)]
     plan = (
