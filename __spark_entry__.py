@@ -317,6 +317,29 @@ def q_snapshot_bbox_geohash(spark, sf_dir):
     return df
 
 
+#: circle query fixture: center (lat, lon) + radius in meters — sits
+#: inside the synthetic lat/lon spread so the cover catches real cells
+_CIRCLE = (10.0, 20.0, 2_000_000.0)
+
+
+def q_snapshot_radius_quad(spark, sf_dir):
+    """Circle (center+radius) snapshot in quad-tiling mode — engine
+    extension beyond the reference's bbox-only surface; the circle cover
+    is refined driver-side and pushed down like the bbox cover."""
+    lattice = _geo_lattice(spark, sf_dir, "quad", 6, 6)
+    return Q.snapshot_radius_quadtiling(
+        lattice, "view", "count", 6, "day", _SNAP_DAY_MS, *_CIRCLE
+    )
+
+
+def q_snapshot_radius_geohash(spark, sf_dir):
+    """Circle snapshot in geohashing mode (geohash twin)."""
+    lattice = _geo_lattice(spark, sf_dir, "geohash", 5, 3)
+    return Q.snapshot_radius_geohashing(
+        lattice, "view", "count", 3, "day", _SNAP_DAY_MS, *_CIRCLE
+    )
+
+
 def q_lattice_minmax_day(spark, sf_dir):
     """A1/A2 extension: min/max carried through the rollup cascade (engine
     extension beyond the reference's avg/sum/count whitelist)."""
@@ -1268,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_cosine": q_label_centroid_cosine,
         "ann_topk_ivf_filtered": q_ann_topk_ivf_filtered,
         "metric_correlation": q_metric_correlation,
+        "snapshot_radius_quad": q_snapshot_radius_quad,
+        "snapshot_radius_geohash": q_snapshot_radius_geohash,
     }.items()}
 
 
@@ -1281,6 +1306,13 @@ def oracle_sql() -> dict[str, str]:
     quad_cover_sql = ", ".join(f"'{c}'" for c in quad_cover)
     gh_cover_sql = ", ".join(f"'{c}'" for c in gh_cover)
     cells_sql = ", ".join(f"'{c}'" for c in _CELLS)
+    # circle covers: same pure-Python geometry the planner uses (the
+    # oracle checks the lattice aggregation; the cover geometry itself is
+    # pinned by tests/test_geo.py)
+    quad_circle_sql = ", ".join(
+        f"'{c}'" for c in geo.quadkey_cover_circle(*_CIRCLE, 6))
+    gh_circle_sql = ", ".join(
+        f"'{c}'" for c in geo.geohash_cover_circle(*_CIRCLE, 3))
     return {
         "cell_bucket_key": f"""
             {_R}
@@ -1641,6 +1673,22 @@ def oracle_sql() -> dict[str, str]:
             neighbor_labels=_ANN_FILTER_LABELS),
         "metric_correlation": ANOM.metric_correlation_sql(
             f"({READINGS_SQL}) AS r"),
+        "snapshot_radius_quad": f"""
+            SELECT {qk6} AS gh, count(*) AS count
+            FROM events
+            WHERE event_type = 'view'
+              AND date_trunc('day', ts) = TIMESTAMP '2024-01-10'
+              AND {qk6} IN ({quad_circle_sql})
+            GROUP BY 1 ORDER BY 1
+        """,
+        "snapshot_radius_geohash": f"""
+            SELECT substr({gh5}, 1, 3) AS gh, count(*) AS count
+            FROM events
+            WHERE event_type = 'view'
+              AND date_trunc('day', ts) = TIMESTAMP '2024-01-10'
+              AND substr({gh5}, 1, 3) IN ({gh_circle_sql})
+            GROUP BY 1 ORDER BY 1
+        """,
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,

@@ -231,6 +231,100 @@ def quadkey_cover_bbox(
 QUAD_ALPHABET = "0123"
 GEOHASH_ALPHABET = _BASE32
 
+# ---------------------------------------------------------------------------
+# circle (radius) covers — engine extension beyond the reference's bbox-only
+# query surface (QueryingController.java:240-282). All geometry is computed
+# DRIVER-SIDE in pure Python (like the bbox covers), so the serving plan
+# stays a literal cell predicate and no trigonometry ever runs engine-side.
+# ---------------------------------------------------------------------------
+
+#: mean Earth radius (IUGG), meters
+EARTH_RADIUS_M = 6371008.8
+
+
+def haversine_m(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+    """Great-circle distance in meters (haversine on the mean sphere)."""
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = p2 - p1
+    dl = math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(a))
+
+
+def circle_bbox(
+    lat: float, lon: float, radius_m: float
+) -> Tuple[float, float, float, float]:
+    """(north, west, south, east) bounding the circle; the parallel radius
+    is taken at the latitude edge nearest a pole, so the box is conservative
+    (never clips the circle)."""
+    dlat = math.degrees(radius_m / EARTH_RADIUS_M)
+    edge = min(max(abs(lat) + dlat, abs(lat)), 89.9)
+    dlon = math.degrees(
+        radius_m / (EARTH_RADIUS_M * math.cos(math.radians(edge)))
+    )
+    return (
+        min(lat + dlat, 89.9),
+        max(lon - dlon, -180.0),
+        max(lat - dlat, -89.9),
+        min(lon + dlon, 180.0),
+    )
+
+
+def quadkey_decode_bbox(qk: str) -> Tuple[float, float, float, float]:
+    """(north, west, south, east) of a quadkey tile — inverse of
+    tile_to_quadkey + the Mercator tile edges."""
+    x = y = 0
+    for c in qk:
+        d = int(c)
+        x = x * 2 + (d & 1)
+        y = y * 2 + ((d >> 1) & 1)
+    n = 2.0 ** len(qk)
+
+    def _lat(yy: float) -> float:
+        return math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * yy / n))))
+
+    return (_lat(y), x / n * 360.0 - 180.0,
+            _lat(y + 1), (x + 1) / n * 360.0 - 180.0)
+
+
+def bbox_min_dist_m(
+    bbox: Tuple[float, float, float, float], lat: float, lon: float
+) -> float:
+    """Distance from a point to the nearest point of a lat/lon-aligned
+    cell bbox (0 when inside) — the circle-intersection test."""
+    north, west, south, east = bbox
+    clat = min(max(lat, south), north)
+    clon = min(max(lon, west), east)
+    return haversine_m(lat, lon, clat, clon)
+
+
+def quadkey_cover_circle(
+    lat: float, lon: float, radius_m: float, zoom: int
+) -> List[str]:
+    """Quadkeys of all tiles intersecting the circle: the bounding-bbox
+    cover refined by the per-tile min-distance test. Conservative — every
+    point within `radius_m` lies in some kept tile."""
+    bbox = circle_bbox(lat, lon, radius_m)
+    return [
+        qk for qk in quadkey_cover_bbox(*bbox, zoom)
+        if bbox_min_dist_m(quadkey_decode_bbox(qk), lat, lon) <= radius_m
+    ]
+
+
+def geohash_cover_circle(
+    lat: float, lon: float, radius_m: float, precision: int
+) -> List[str]:
+    """Geohashes of all cells intersecting the circle (same refinement as
+    quadkey_cover_circle over the geohash bbox cover; note
+    geohash_decode_bbox's (lat_lo, lat_hi, lon_lo, lon_hi) order)."""
+    bbox = circle_bbox(lat, lon, radius_m)
+    out = []
+    for gh in geohash_cover_bbox(*bbox, precision):
+        la_lo, la_hi, lo_lo, lo_hi = geohash_decode_bbox(gh)
+        if bbox_min_dist_m((la_hi, lo_lo, la_lo, lo_hi), lat, lon) <= radius_m:
+            out.append(gh)
+    return out
+
 
 def compress_cover(cells: List[str], alphabet: str) -> List[str]:
     """Collapse complete sibling groups into their parent prefix, recursively.

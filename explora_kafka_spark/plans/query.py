@@ -354,6 +354,60 @@ def snapshot_bbox_quadtiling(
     return _agg_projection(merged, aggregate, "gh").orderBy("gh")
 
 
+def snapshot_radius_quadtiling(
+    lattice: DataFrame,
+    metric: str,
+    aggregate: str,
+    zoom: int,
+    res: str,
+    ts_ms: int,
+    lat: float,
+    lon: float,
+    radius_m: float,
+) -> DataFrame:
+    """Snapshot over a CIRCLE (center + radius) in quad-tiling mode — an
+    engine extension beyond the reference's bbox-only surface
+    (QueryingController.java:240-282): the circle's bounding-bbox cover is
+    refined driver-side by a per-tile min-distance test
+    (geo.quadkey_cover_circle), then applied through the same adaptive
+    prefix/isin pushdown as the bbox path. Cell inclusion is
+    cover-intersection semantics, matching the bbox flavor's edge-tile
+    behavior; no trigonometry runs engine-side."""
+    bbox = geo.circle_bbox(lat, lon, radius_m)
+    cover_zoom = adaptive_cover_zoom(*bbox, zoom)
+    cover = geo.quadkey_cover_circle(lat, lon, radius_m, cover_zoom)
+    t = truncate_ts_ms(ts_ms, res)
+    view = _select_view(lattice, metric, zoom, res).filter(F.col("ts") == _ts_at(t))
+    view = _prefix_cover_filter(view, cover, cover_zoom, zoom,
+                                alphabet=geo.QUAD_ALPHABET)
+    merged = view.groupBy("gh").agg(*_merge_cols())
+    return _agg_projection(merged, aggregate, "gh").orderBy("gh")
+
+
+def snapshot_radius_geohashing(
+    lattice: DataFrame,
+    metric: str,
+    aggregate: str,
+    precision: int,
+    res: str,
+    ts_ms: int,
+    lat: float,
+    lon: float,
+    radius_m: float,
+) -> DataFrame:
+    """Circle snapshot in geohashing mode (geohash twin of
+    snapshot_radius_quadtiling)."""
+    bbox = geo.circle_bbox(lat, lon, radius_m)
+    cover_p = adaptive_cover_precision(*bbox, precision)
+    cover = geo.geohash_cover_circle(lat, lon, radius_m, cover_p)
+    t = truncate_ts_ms(ts_ms, res)
+    view = _select_view(lattice, metric, precision, res).filter(F.col("ts") == _ts_at(t))
+    view = _prefix_cover_filter(view, cover, cover_p, precision,
+                                alphabet=geo.GEOHASH_ALPHABET)
+    merged = view.groupBy("gh").agg(*_merge_cols())
+    return _agg_projection(merged, aggregate, "gh").orderBy("gh")
+
+
 def snapshot_bbox_geohashing(
     lattice: DataFrame,
     metric: str,

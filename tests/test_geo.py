@@ -112,3 +112,46 @@ def test_quadkey_column_matches_pure(spark):
     )
     for r in got:
         assert r.qk == geo.quadkey(r.lat, r.lon, 14), (r.lat, r.lon)
+
+
+def test_quadkey_decode_bbox_roundtrip():
+    for qk in ["0", "3", "0231", "123123", "333333"]:
+        n, w, s, e = geo.quadkey_decode_bbox(qk)
+        assert n > s and e > w
+        assert geo.quadkey((n + s) / 2, (w + e) / 2, len(qk)) == qk
+
+
+def test_circle_cover_is_conservative_and_tight():
+    import math
+    import random
+
+    lat, lon, r = 10.0, 20.0, 2_000_000.0
+    cov = set(geo.quadkey_cover_circle(lat, lon, r, 6))
+    assert geo.quadkey(lat, lon, 6) in cov
+    assert geo.quadkey(-lat, lon + 160.0, 6) not in cov
+    # every sampled point inside the circle lands in a covered tile
+    rng = random.Random(11)
+    for _ in range(200):
+        brg, frac = rng.uniform(0, 2 * math.pi), rng.uniform(0, 1)
+        d = r * frac
+        plat = lat + math.degrees(d * math.cos(brg) / geo.EARTH_RADIUS_M)
+        plon = lon + math.degrees(
+            d * math.sin(brg)
+            / (geo.EARTH_RADIUS_M * math.cos(math.radians(lat)))
+        )
+        if geo.haversine_m(lat, lon, plat, plon) <= r:
+            assert geo.quadkey(plat, plon, 6) in cov
+    # tight: every kept tile actually touches the circle
+    for qk in cov:
+        assert geo.bbox_min_dist_m(geo.quadkey_decode_bbox(qk), lat, lon) <= r
+    # the refinement really prunes: cover < full bbox cover
+    bbox_cover = geo.quadkey_cover_bbox(*geo.circle_bbox(lat, lon, r), 6)
+    assert len(cov) < len(bbox_cover)
+
+
+def test_geohash_circle_cover_contains_center_and_prunes():
+    lat, lon, r = 10.0, 20.0, 2_000_000.0
+    cov = geo.geohash_cover_circle(lat, lon, r, 3)
+    assert geo.geohash_encode(lat, lon, 3) in cov
+    bbox_cover = geo.geohash_cover_bbox(*geo.circle_bbox(lat, lon, r), 3)
+    assert len(cov) < len(bbox_cover)
