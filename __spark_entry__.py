@@ -1123,6 +1123,13 @@ def q_metric_hour_anomaly(spark, sf_dir):
     return ANOM.metric_hour_anomaly(load_readings(spark, sf_dir))
 
 
+def q_dedup_ensemble(spark, sf_dir):
+    """Cross-modal dedup agreement: text LSH/Jaccard pairs ⊔ embedding
+    cosine pairs, full-outer on the pair key (text-only = drifted
+    embeddings; embedding-only = paraphrases text dedup misses)."""
+    return CORP.dedup_ensemble(_docs(spark, sf_dir), _emb(spark, sf_dir))
+
+
 def q_metric_correlation(spark, sf_dir):
     """Pearson correlation matrix between metric hourly series (pairwise-
     complete hours; exact integer-milliunit moment sums — engine- and
@@ -1293,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_correlation": q_metric_correlation,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
+        "dedup_ensemble": q_dedup_ensemble,
     }.items()}
 
 
@@ -1689,6 +1697,7 @@ def oracle_sql() -> dict[str, str]:
               AND substr({gh5}, 1, 3) IN ({gh_circle_sql})
             GROUP BY 1 ORDER BY 1
         """,
+        "dedup_ensemble": CORP.dedup_ensemble_sql(),
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,

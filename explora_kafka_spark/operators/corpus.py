@@ -85,3 +85,82 @@ def assemble_corpus_sql(
         SELECT doc_id, group_id, group_size, quality_score
         FROM ranked WHERE _pick = 1 ORDER BY group_id
     """
+
+
+def dedup_ensemble(
+    docs: DataFrame,
+    emb: DataFrame,
+    shingle_n: int = 2,
+    num_bands: int = 8,
+    tau: float = 0.3,
+) -> DataFrame:
+    """Cross-modal dedup agreement: the union of TEXT near-dup candidate
+    pairs (MinHash-LSH → exact n-gram Jaccard) and EMBEDDING near-dup
+    pairs (sign-LSH buckets → exact cosine ≥ τ), full-outer-joined on the
+    pair key. The disagreement rows are the actionable ones: text-only
+    pairs are surface duplicates with drifted embeddings (stale index?),
+    embedding-only pairs are paraphrases exact-text dedup misses.
+
+    Requires aligned ids (embedding vec_id == doc_id — the usual layout
+    where the embedding table is derived from the corpus).
+
+    Output (ordered): doc_a, doc_b, jaccard (null if text path didn't
+    propose it), cosine (null likewise), in_text, in_embedding.
+
+    Scale: both inputs are the already-bucketed candidate generators —
+    no new corpus-sized work; the ensemble join is candidate-pairs ×
+    candidate-pairs on (doc_a, doc_b), tiny relative to the corpus.
+    """
+    from .dedup import ngram_jaccard_pairs
+    from .similarity import embedding_near_dup
+
+    text = ngram_jaccard_pairs(
+        docs, shingle_n=shingle_n, num_bands=num_bands
+    ).select("doc_a", "doc_b", "jaccard")
+    vec = embedding_near_dup(emb, tau=tau).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        F.col("sim").alias("cosine"),
+    )
+    return (
+        text.join(vec, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            "cosine",
+            F.col("jaccard").isNotNull().alias("in_text"),
+            F.col("cosine").isNotNull().alias("in_embedding"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_ensemble_sql(
+    doc_table: str = "documents",
+    emb_table: str = "embeddings",
+    shingle_n: int = 2,
+    num_bands: int = 8,
+    tau: float = 0.3,
+) -> str:
+    """DuckDB mirror of `dedup_ensemble` (USING coalesces the pair key
+    in both engines)."""
+    from .dedup import ngram_jaccard_sql
+    from .similarity import embedding_near_dup_sql
+
+    text = ngram_jaccard_sql(doc_table, shingle_n=shingle_n,
+                             num_bands=num_bands)
+    vec = embedding_near_dup_sql(emb_table, tau=tau)
+    return f"""
+        WITH text_pairs AS ({text}),
+        vec_pairs AS (
+            SELECT vec_a AS doc_a, vec_b AS doc_b, sim AS cosine
+            FROM ({vec})
+        )
+        SELECT doc_a, doc_b, jaccard, cosine,
+               jaccard IS NOT NULL AS in_text,
+               cosine IS NOT NULL AS in_embedding
+        FROM text_pairs
+        FULL OUTER JOIN vec_pairs USING (doc_a, doc_b)
+        ORDER BY doc_a, doc_b
+    """

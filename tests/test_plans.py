@@ -29,8 +29,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   for probe selection (queries × centroids, both tiny); the list
 #:   candidate join stays an equi-join on cid with dynamic partition
 #:   pruning.
+#: - ann_topk_ivf_filtered is ann_topk_ivf with a candidate-label
+#:   predicate — same deliberate centroid broadcast, same equi-join.
 CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
-                 "ann_topk_ivf", "ann_topk_ivf_indexed"}
+                 "ann_topk_ivf", "ann_topk_ivf_indexed",
+                 "ann_topk_ivf_filtered"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
