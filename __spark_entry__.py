@@ -1123,6 +1123,12 @@ def q_metric_hour_anomaly(spark, sf_dir):
     return ANOM.metric_hour_anomaly(load_readings(spark, sf_dir))
 
 
+def q_source_quality_profile(spark, sf_dir):
+    """Per-source corpus health report: doc/token totals, integer-µunit
+    deterministic mean quality, low-quality share."""
+    return T.source_quality_profile(_docs(spark, sf_dir))
+
+
 def q_dedup_ensemble(spark, sf_dir):
     """Cross-modal dedup agreement: text LSH/Jaccard pairs ⊔ embedding
     cosine pairs, full-outer on the pair key (text-only = drifted
@@ -1301,6 +1307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "dedup_ensemble": q_dedup_ensemble,
+        "source_quality_profile": q_source_quality_profile,
     }.items()}
 
 
@@ -1698,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "dedup_ensemble": CORP.dedup_ensemble_sql(),
+        "source_quality_profile": T.source_quality_profile_sql(),
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,

@@ -357,3 +357,81 @@ def tfidf_sql(table: str = "documents", top_per_doc: int = 3) -> str:
         WHERE rank <= {top_per_doc}
         ORDER BY doc_id, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# per-source quality profile (corpus health report)
+# ---------------------------------------------------------------------------
+
+
+def source_quality_profile(
+    docs: DataFrame, quality_threshold: float = 0.5
+) -> DataFrame:
+    """Per-source corpus health: doc count, token total, mean quality,
+    and the share of docs under `quality_threshold` — the report a data
+    curator reads before adjusting mixture weights.
+
+    Determinism discipline (operators/anomaly.py): quality_score is
+    already 6-dp, so it is pinned to exact integer µunits and the mean
+    is a bigint sum + one mirrored division — no engine or partitioning
+    can move it. Counts and token totals are exact integers; the
+    low-quality share is a ratio of ints rounded at 6 dp. One shuffle on
+    `source`.
+    """
+    stats = with_text_stats(docs)
+    joined = docs.select("doc_id", "source").join(stats, "doc_id")
+    mu = F.floor(F.col("quality_score") * 1e6 + F.lit(0.5)).cast("bigint")
+    low = F.when(
+        F.col("quality_score") < quality_threshold, F.lit(1)
+    ).otherwise(F.lit(0))
+    agg = joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("bigint")).alias("total_tokens"),
+        F.sum(mu).alias("_qmu"),
+        F.sum(low).alias("_nlow"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (
+            F.floor(
+                F.col("_qmu").cast("double") / F.col("n_docs").cast("double")
+                + F.lit(0.5)
+            ).cast("double")
+            / 1e6
+        ).alias("mean_quality"),
+        F.round(
+            F.col("_nlow").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("low_quality_share"),
+    ).orderBy("source")
+
+
+def source_quality_profile_sql(
+    table: str = "documents", quality_threshold: float = 0.5
+) -> str:
+    """DuckDB mirror of `source_quality_profile`."""
+    stats = text_stats_sql(table)
+    return f"""
+        WITH stats AS ({stats}),
+        j AS (
+            SELECT d.source, s.n_tokens, s.quality_score
+            FROM {table} d JOIN stats s ON d.doc_id = s.doc_id
+        ),
+        agg AS (
+            SELECT source,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(CAST(floor(quality_score * 1e6 + 0.5) AS BIGINT))
+                        AS BIGINT) AS _qmu,
+                   CAST(sum(CASE WHEN quality_score < {quality_threshold}
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS _nlow
+            FROM j GROUP BY 1
+        )
+        SELECT source, n_docs, total_tokens,
+               CAST(floor(CAST(_qmu AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                          + 0.5) AS DOUBLE) / 1e6 AS mean_quality,
+               round(CAST(_nlow AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                   AS low_quality_share
+        FROM agg ORDER BY source
+    """

@@ -169,6 +169,32 @@ def test_text_stats_ranges(docs):
         assert 0.0 <= r.quality_score <= 1.0
 
 
+def test_source_quality_profile_aggregates(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat with a dog and the bird", "a"),
+            (2, "@@ ## !!", "a"),          # punctuation-heavy → low quality
+            # long, stopword-rich, punctuation-free → above threshold
+            (3, "the cat is on the mat and the dog is in the house " * 12,
+             "b"),
+        ],
+        "doc_id: long, text: string, source: string",
+    )
+    out = {r["source"]: r.asDict()
+           for r in T.source_quality_profile(df, 0.5).collect()}
+    assert out["a"]["n_docs"] == 2 and out["b"]["n_docs"] == 1
+    assert out["a"]["low_quality_share"] == 0.5
+    assert out["b"]["low_quality_share"] == 0.0
+    stats = {r["doc_id"]: r["quality_score"]
+             for r in T.with_text_stats(df).collect()}
+    want_mean_a = (stats[1] + stats[2]) / 2
+    assert abs(out["a"]["mean_quality"] - want_mean_a) < 1e-6
+    assert out["a"]["total_tokens"] == sum(
+        r["n_tokens"] for r in T.with_text_stats(df).collect()
+        if r["doc_id"] in (1, 2)
+    )
+
+
 def test_lang_id_known_phrases(spark):
     df = spark.createDataFrame(
         [
