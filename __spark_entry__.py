@@ -340,6 +340,16 @@ def q_snapshot_radius_geohash(spark, sf_dir):
     )
 
 
+def q_history_radius_quad(spark, sf_dir):
+    """Time series over a CIRCLE region (engine extension; the radius
+    twin of history_cells_day): the driver-side circle cover becomes the
+    history cell set — geo query algebra is symmetric across both query
+    shapes."""
+    lattice = _geo_lattice(spark, sf_dir, "quad", 6, 6)
+    cover = geo.quadkey_cover_circle(*_CIRCLE, 6)
+    return Q.history(lattice, "view", "count", 6, "day", cells=cover)
+
+
 def q_lattice_minmax_day(spark, sf_dir):
     """A1/A2 extension: min/max carried through the rollup cascade (engine
     extension beyond the reference's avg/sum/count whitelist)."""
@@ -1308,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "dedup_ensemble": q_dedup_ensemble,
         "source_quality_profile": q_source_quality_profile,
+        "history_radius_quad": q_history_radius_quad,
     }.items()}
 
 
@@ -1706,6 +1717,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ensemble": CORP.dedup_ensemble_sql(),
         "source_quality_profile": T.source_quality_profile_sql(),
+        "history_radius_quad": f"""
+            SELECT epoch_ms(date_trunc('day', ts)) AS timestamp,
+                   count(*) AS count
+            FROM events
+            WHERE event_type = 'view'
+              AND {qk6} IN ({quad_circle_sql})
+            GROUP BY 1 ORDER BY 1
+        """,
         "asof_hourly_stats": """
             WITH hourly AS (
                 SELECT event_type, date_trunc('hour', ts) AS h_ts,
