@@ -1133,6 +1133,12 @@ def q_metric_hour_anomaly(spark, sf_dir):
     return ANOM.metric_hour_anomaly(load_readings(spark, sf_dir))
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash hamming-banded near-dup pairs: pigeonhole-exact band join
+    (num_bands > hamming_max ⇒ 100% recall) + xor/bit_count filter."""
+    return D.simhash_near_dup(_docs(spark, sf_dir), hamming_max=3)
+
+
 def q_source_quality_profile(spark, sf_dir):
     """Per-source corpus health report: doc/token totals, integer-µunit
     deterministic mean quality, low-quality share."""
@@ -1319,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ensemble": q_dedup_ensemble,
         "source_quality_profile": q_source_quality_profile,
         "history_radius_quad": q_history_radius_quad,
+        "simhash_near_dup": q_simhash_near_dup,
     }.items()}
 
 
@@ -1717,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ensemble": CORP.dedup_ensemble_sql(),
         "source_quality_profile": T.source_quality_profile_sql(),
+        "simhash_near_dup": D.simhash_near_dup_sql(hamming_max=3),
         "history_radius_quad": f"""
             SELECT epoch_ms(date_trunc('day', ts)) AS timestamp,
                    count(*) AS count

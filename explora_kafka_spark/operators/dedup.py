@@ -393,6 +393,96 @@ def simhash_sql(table: str = "documents", bits: int = 32) -> str:
     """
 
 
+def simhash_near_dup(
+    docs: DataFrame,
+    hamming_max: int = 3,
+    bits: int = 32,
+    num_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: hamming-banded candidate join + exact
+    popcount filter — the pair-generation step the `simhash` fingerprint
+    feeds.
+
+    By pigeonhole, two fingerprints within `hamming_max` bits differ in
+    at most `hamming_max` of the `num_bands` equal-width bands, so with
+    `num_bands > hamming_max` they MUST agree on at least one band —
+    the banded equi-join is therefore EXACT (100% recall), unlike the
+    probabilistic MinHash banding. Candidates are only same-band pairs
+    (never all-pairs), and the final test is one xor + bit_count per
+    candidate. Output (ordered): doc_a, doc_b, hamming ≤ hamming_max.
+    """
+    assert num_bands > hamming_max, "pigeonhole needs num_bands > hamming_max"
+    assert bits % num_bands == 0
+    width = bits // num_bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, bits=bits)
+    bands = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"(simhash >> {i * width}) & {mask}").alias("val"),
+            )
+            for i in range(num_bands)
+        ])
+    )
+    banded = sh.select("doc_id", "simhash", bands.alias("b")).select(
+        "doc_id", "simhash", "b.band", "b.val"
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
+        "band", "val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
+        "band", "val",
+    )
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(sim_a ^ sim_b)")
+    return (
+        pairs.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= hamming_max)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_near_dup_sql(
+    table: str = "documents",
+    hamming_max: int = 3,
+    bits: int = 32,
+    num_bands: int = 4,
+) -> str:
+    """DuckDB mirror of `simhash_near_dup` (same bands, xor + bit_count)."""
+    width = bits // num_bands
+    mask = (1 << width) - 1
+    inner = simhash_sql(table, bits=bits)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS band, "
+        f"(simhash >> {i * width}) & {mask} AS val FROM sh"
+        for i in range(num_bands)
+    )
+    return f"""
+        WITH sh AS ({inner}),
+        banded AS ({band_rows}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sim_a, b.simhash AS sim_b
+            FROM banded a
+            JOIN banded b
+              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sim_a, sim_b)) <= {hamming_max}
+        ORDER BY doc_a, doc_b
+    """
+
+
 # ---------------------------------------------------------------------------
 # dedup groups: connected components over the near-dup graph
 # ---------------------------------------------------------------------------

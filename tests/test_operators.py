@@ -169,6 +169,22 @@ def test_text_stats_ranges(docs):
         assert 0.0 <= r.quality_score <= 1.0
 
 
+def test_simhash_near_dup_matches_bruteforce(docs):
+    """The hamming-banded join is pigeonhole-EXACT: results must equal a
+    brute-force all-pairs hamming scan of the same fingerprints."""
+    sh = {r.doc_id: r.simhash for r in D.simhash(docs).collect()}
+    want = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in D.simhash_near_dup(docs, hamming_max=3).collect()}
+    assert got == want
+
+
 def test_source_quality_profile_aggregates(spark):
     df = spark.createDataFrame(
         [
