@@ -1133,6 +1133,12 @@ def q_metric_hour_anomaly(spark, sf_dir):
     return ANOM.metric_hour_anomaly(load_readings(spark, sf_dir))
 
 
+def q_ann_recall_ivf(spark, sf_dir):
+    """recall@k of the IVF path vs the brute baseline (IVF twin of
+    ann_recall_lsh — both approximate paths carry a priced audit)."""
+    return S.ann_recall_ivf(_emb(spark, sf_dir))
+
+
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash hamming-banded near-dup pairs: pigeonhole-exact band join
     (num_bands > hamming_max ⇒ 100% recall) + xor/bit_count filter."""
@@ -1326,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_profile": q_source_quality_profile,
         "history_radius_quad": q_history_radius_quad,
         "simhash_near_dup": q_simhash_near_dup,
+        "ann_recall_ivf": q_ann_recall_ivf,
     }.items()}
 
 
@@ -1725,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ensemble": CORP.dedup_ensemble_sql(),
         "source_quality_profile": T.source_quality_profile_sql(),
         "simhash_near_dup": D.simhash_near_dup_sql(hamming_max=3),
+        "ann_recall_ivf": S.ann_recall_ivf_sql(),
         "history_radius_quad": f"""
             SELECT epoch_ms(date_trunc('day', ts)) AS timestamp,
                    count(*) AS count

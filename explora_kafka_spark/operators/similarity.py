@@ -739,3 +739,71 @@ def ann_topk_ivf_indexed(
         .select("query_id", "neighbor_id", "sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def ann_recall_ivf(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    n_lists: int | None = None,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 6,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """recall@k of the IVF path against the exact brute-force baseline —
+    the IVF twin of `ann_recall_lsh`, so BOTH approximate scale paths
+    carry a priced quality audit. nprobe is the recall/cost dial this
+    audit calibrates: rerun on a query sample when nprobe, the list
+    count, or the corpus distribution changes."""
+    brute = ann_topk_brute(embeddings, query_mod, k, round_to)
+    ivf = ann_topk_ivf(embeddings, query_mod, k, n_lists, nprobe,
+                       round_to, n_rows)
+    hits = (
+        brute.select("query_id", "neighbor_id")
+        .join(ivf.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        brute.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), round_to)
+            .alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_recall_ivf_sql(
+    table: str = "embeddings",
+    query_mod: int = 50,
+    k: int = 5,
+    n_lists: int | None = None,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 6,
+    dim: int = DIM,
+    n_rows: int = ORACLE_N_ROWS,
+) -> str:
+    brute = ann_topk_brute_sql(table, query_mod, k, round_to, dim)
+    ivf = ann_topk_ivf_sql(table, query_mod, k, n_lists, nprobe,
+                           round_to, dim, n_rows)
+    return f"""
+        WITH brute AS ({brute}),
+        ivf AS ({ivf}),
+        hits AS (
+            SELECT brute.query_id, count(*) AS n_hits
+            FROM brute JOIN ivf
+              ON brute.query_id = ivf.query_id
+             AND brute.neighbor_id = ivf.neighbor_id
+            GROUP BY 1
+        )
+        SELECT q.query_id,
+               round(coalesce(hits.n_hits, 0) / {float(k)}, {round_to})
+                   AS recall_at_k
+        FROM (SELECT DISTINCT query_id FROM brute) q
+        LEFT JOIN hits ON q.query_id = hits.query_id
+        ORDER BY q.query_id
+    """

@@ -156,6 +156,16 @@ def test_ann_recall_bounds_and_coverage(emb):
     assert all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
 
 
+def test_ann_recall_ivf_bounds_and_exhaustive_limit(emb):
+    rows = S.ann_recall_ivf(emb, query_mod=100, k=3).collect()
+    n_queries = emb.filter(F.col("vec_id") % 100 == 0).count()
+    assert len(rows) == n_queries
+    assert all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
+    # probing every list is exhaustive rerank → recall exactly 1.0
+    full = S.ann_recall_ivf(emb, query_mod=100, k=3, nprobe=emb.count())
+    assert all(r.recall_at_k == 1.0 for r in full.collect())
+
+
 # ---------------------------------------------------------------------------
 # text
 # ---------------------------------------------------------------------------

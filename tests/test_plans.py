@@ -31,9 +31,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   pruning.
 #: - ann_topk_ivf_filtered is ann_topk_ivf with a candidate-label
 #:   predicate — same deliberate centroid broadcast, same equi-join.
+#: - ann_recall_ivf contains both the brute baseline (deliberate BNLJ)
+#:   and the IVF centroid broadcast, so it inherits both allowances.
 CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivf", "ann_topk_ivf_indexed",
-                 "ann_topk_ivf_filtered"}
+                 "ann_topk_ivf_filtered", "ann_recall_ivf"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
