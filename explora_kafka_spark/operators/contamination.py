@@ -35,20 +35,29 @@ from .sampling import DEFAULT_WEIGHTS, _sq, split_assign, split_assign_sql
 from .text import norm_sql, tokens_col
 
 
-def word_shingles_col(text: Column | str, n: int) -> Column:
-    """Array of word n-grams over the normalized whitespace tokens.
+def word_shingles_col(toks_name: str = "_toks", n: int = 5) -> Column:
+    """Array of word n-grams over a MATERIALIZED token-array column,
+    referenced by NAME (the transform lambda lives inside `F.expr`, so it
+    can only see the column by name — callers must `.withColumn(toks_name,
+    tokens_col("text"))` first; passing a Column object is rejected to
+    avoid silently reading the wrong column, per ADVICE r6).
 
     Empty array when the document has fewer than `n` tokens — guarded with
     CASE because Spark's `sequence(1, 0)` yields a DESCENDING [1, 0], not an
     empty range (DuckDB's `range(1, 0)` is empty; the SQL mirror needs no
     guard).
     """
-    toks = tokens_col(text) if isinstance(text, str) else text
+    if isinstance(toks_name, Column):
+        raise TypeError(
+            "word_shingles_col takes the NAME of a materialized token-array"
+            " column, not a Column (the F.expr transform can only reference"
+            " it by name)")
+    toks = F.col(toks_name)
     return F.when(
         F.size(toks) >= n,
         F.expr(
-            f"transform(sequence(1, size(_toks) - {n - 1}),"
-            f" i -> array_join(slice(_toks, i, {n}), ' '))"
+            f"transform(sequence(1, size({toks_name}) - {n - 1}),"
+            f" i -> array_join(slice({toks_name}, i, {n}), ' '))"
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -88,7 +97,7 @@ def contamination(
     assigned = (
         split_assign(docs, weights, key=key, salt=salt)
         .withColumn("_toks", tokens_col("text"))
-        .select(key, "split", word_shingles_col(F.col("_toks"), n).alias("_sh"))
+        .select(key, "split", word_shingles_col("_toks", n).alias("_sh"))
     )
     exploded = assigned.select(
         key, "split", F.explode("_sh").alias("_shingle")
@@ -143,6 +152,78 @@ def contamination_sql(
     """
 
 
+def build_contamination_index(
+    docs: DataFrame,
+    path: str,
+    n: int = 5,
+    weights: Sequence[tuple[str, float]] = DEFAULT_WEIGHTS,
+    key: str = "doc_id",
+    salt: str = "split",
+) -> None:
+    """Materialize the train-side DISTINCT shingle-hash set once per corpus
+    snapshot — the "incremental contamination" scale path promised in this
+    module's header (SCALE.md): at 100 TB the train corpus is scanned,
+    exploded and distinct-ed exactly once, and every incoming candidate
+    batch pays only its own explode + an equi-join against the index.
+
+    Layout: `{path}/train_shingles`, a single bigint column `_h` (the same
+    60-bit md5-prefix hash `contamination` joins on), written distinct.
+    Same materialize-once pattern as `similarity.build_ivf_index`."""
+    assigned = split_assign(docs, weights, key=key, salt=salt)
+    train_sh = (
+        assigned.filter(F.col("split") == "train")
+        .withColumn("_toks", tokens_col("text"))
+        .select(F.explode(word_shingles_col("_toks", n)).alias("_shingle"))
+        .select(_shingle_hash_col(F.col("_shingle")).alias("_h"))
+        .distinct()
+    )
+    train_sh.write.mode("overwrite").parquet(f"{path}/train_shingles")
+
+
+def contamination_check(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    n: int = 5,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Score an incoming document batch against a materialized train-shingle
+    index (`build_contamination_index`) — result-identical to `contamination`
+    when `batch` is the test split of the indexed corpus (the equality is
+    pinned by tests/test_contamination.py and the shared DuckDB oracle), but
+    the train corpus is never re-scanned.
+
+    Output schema matches `contamination`: (key, n_shingles, n_contaminated,
+    contamination), key-ascending, over the batch's DISTINCT shingles.
+
+    100 TB: the index read is a column-pruned scan of 8-byte keys; the join
+    is a plain hash equi-join both sides of which are distinct-compacted —
+    AQE handles stop-word-shingle skew as in the one-shot path."""
+    train_sh = (
+        spark.read.parquet(f"{index_path}/train_shingles")
+        .withColumn("_hit", F.lit(1))
+    )
+    batch_sh = (
+        batch.withColumn("_toks", tokens_col("text"))
+        .select(key, F.explode(word_shingles_col("_toks", n)).alias("_shingle"))
+        .select(key, _shingle_hash_col(F.col("_shingle")).alias("_h"))
+        .distinct()
+    )
+    return (
+        batch_sh.join(train_sh, on="_h", how="left")
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+        .orderBy(key)
+    )
+
+
 def repetition(docs: DataFrame, n: int = 3, key: str = "doc_id") -> DataFrame:
     """Within-document repeated n-gram ratio: 1 − distinct/total word
     n-grams (0.0 for documents with < n tokens). Pure projection — no
@@ -151,7 +232,7 @@ def repetition(docs: DataFrame, n: int = 3, key: str = "doc_id") -> DataFrame:
     Output: (doc_id, n_grams, n_distinct, repetition), doc_id-ascending.
     """
     docs = docs.withColumn("_toks", tokens_col("text")).withColumn(
-        "_sh", word_shingles_col(F.col("_toks"), n)
+        "_sh", word_shingles_col("_toks", n)
     )
     n_grams = F.size("_sh").cast("long")
     n_distinct = F.size(F.array_distinct("_sh")).cast("long")

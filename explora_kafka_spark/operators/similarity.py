@@ -807,3 +807,185 @@ def ann_recall_ivf_sql(
         LEFT JOIN hits ON q.query_id = hits.query_id
         ORDER BY q.query_id
     """
+
+
+def nprobe_candidates(n_lists: int) -> list[int]:
+    """Doubling ladder 1, 2, 4, … capped by (and always including)
+    `n_lists` — the candidate set `tune_nprobe` prices. nprobe = n_lists
+    probes every list, so the ladder's last rung is exact (recall 1.0),
+    guaranteeing the tuner always has a feasible point."""
+    cands: list[int] = []
+    p = 1
+    while p < n_lists:
+        cands.append(p)
+        p *= 2
+    cands.append(n_lists)
+    return cands
+
+
+def tune_nprobe(
+    embeddings: DataFrame,
+    target_recall: float = 0.9,
+    query_mod: int = 50,
+    k: int = 5,
+    n_lists: int | None = None,
+    round_to: int = 6,
+    n_rows: int | None = None,
+    candidates: list[int] | None = None,
+) -> DataFrame:
+    """Recall-targeted nprobe auto-tuning: close the loop on the
+    `ann_recall_ivf` audit by pricing a doubling ladder of nprobe values
+    and choosing the SMALLEST whose sampled mean recall@k ≥ target.
+
+    Output: one row per candidate — (nprobe, mean_recall, meets_target,
+    chosen), nprobe-ascending, exactly one row with chosen = true.
+
+    Why this terminates at a sane point: with exact reranking, a brute
+    top-k neighbor that lands in any probed list always outranks every
+    non-top-k candidate, so per-query hits = |brute_topk ∩ probed lists| —
+    monotone non-decreasing in nprobe (pinned by
+    tests/test_operators.py::test_tune_nprobe_monotone), and nprobe =
+    n_lists probes everything (recall exactly 1.0), so `chosen` falls back
+    to the last rung only when no smaller rung meets the target.
+
+    100 TB: the audit runs on a query SAMPLE (query_mod) and the corpus
+    is scanned ONCE — brute baseline and the IVF candidate scores (with
+    their probe rank retained) are computed a single time and cached;
+    every rung is then a filter + window over the cached candidates, so
+    adding rungs costs window arithmetic, not corpus passes. The result
+    per rung is bit-identical to `ann_recall_ivf(nprobe=p)` (filtering
+    the probe rank after the candidate join keeps exactly the rows that
+    rung's probes would have produced — the shared DuckDB oracle checks
+    every rung)."""
+    from pyspark.sql.window import Window
+
+    if n_rows is None:
+        n_rows = embeddings.count()
+    nl, stride = ivf_params(n_rows, n_lists)
+    if candidates is None:
+        candidates = nprobe_candidates(nl)
+    max_p = int(max(candidates))
+
+    brute = (
+        ann_topk_brute(embeddings, query_mod, k, round_to)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    qset = brute.select("query_id").distinct()
+
+    # one corpus scan: assignment (crank == 1) and the probe ranking are
+    # nprobe-independent; keep the probe rank (pcrank) on every scored
+    # candidate so each rung is scored.filter(pcrank <= p)
+    cent = embeddings.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    csim = F.round(F.expr(cosine_expr_spark("embedding", "c_emb")), round_to)
+    assigned = (
+        embeddings.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", csim.alias("csim"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    ranked = assigned.withColumn("crank", F.row_number().over(wc))
+    lists = ranked.filter(F.col("crank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        "cid",
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") % query_mod == 0) & (F.col("crank") <= max_p)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "cid",
+        F.col("crank").alias("pcrank"),
+    )
+    sim = F.expr(cosine_expr_spark("q_emb", "n_emb"))
+    scored = (
+        lists.join(probes, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(sim, round_to).alias("sim"), "pcrank")
+        .cache()
+    )
+
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    per = []
+    for p in candidates:
+        topk = (
+            scored.filter(F.col("pcrank") <= p)
+            .withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
+        hits = (
+            brute.join(topk, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        recall = F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), round_to
+        )
+        per.append(
+            qset.join(hits, "query_id", "left")
+            .agg(F.round(F.avg(recall), round_to).alias("mean_recall"))
+            .select(F.lit(p).cast("int").alias("nprobe"), "mean_recall")
+        )
+    audit = per[0]
+    for extra in per[1:]:
+        audit = audit.unionAll(extra)
+    w = Window.partitionBy(F.lit(1))
+    best = F.min(
+        F.when(F.col("mean_recall") >= target_recall, F.col("nprobe"))
+    ).over(w)
+    return (
+        audit
+        .withColumn("meets_target",
+                    F.col("mean_recall") >= F.lit(target_recall))
+        .withColumn(
+            "chosen",
+            F.col("nprobe")
+            == F.coalesce(best, F.lit(int(max(candidates)))),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def tune_nprobe_sql(
+    table: str = "embeddings",
+    target_recall: float = 0.9,
+    query_mod: int = 50,
+    k: int = 5,
+    n_lists: int | None = None,
+    round_to: int = 6,
+    dim: int = DIM,
+    n_rows: int = ORACLE_N_ROWS,
+    candidates: list[int] | None = None,
+) -> str:
+    """DuckDB mirror of `tune_nprobe`: same candidate ladder, each rung's
+    mean recall computed by the pinned `ann_recall_ivf_sql`, same
+    smallest-feasible choice via a window min."""
+    nl, _ = ivf_params(n_rows, n_lists)
+    if candidates is None:
+        candidates = nprobe_candidates(nl)
+    rungs = "\n            UNION ALL\n".join(
+        f"""            SELECT CAST({p} AS INTEGER) AS nprobe,
+                   round(avg(recall_at_k), {round_to}) AS mean_recall
+            FROM ({ann_recall_ivf_sql(table, query_mod, k, n_lists, p,
+                                      round_to, dim, n_rows)})"""
+        for p in candidates
+    )
+    return f"""
+        WITH audit AS (
+{rungs}
+        )
+        SELECT nprobe, mean_recall,
+               mean_recall >= {target_recall} AS meets_target,
+               nprobe = coalesce(
+                   min(CASE WHEN mean_recall >= {target_recall}
+                            THEN nprobe END) OVER (),
+                   {int(max(candidates))}) AS chosen
+        FROM audit
+        ORDER BY nprobe
+    """

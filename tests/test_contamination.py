@@ -30,7 +30,7 @@ def test_shingle_guard_short_docs(spark):
     df = _docs_df(spark, [(1, "a b c d"), (2, "a b c d e")])
     out = (
         df.withColumn("_toks", C.tokens_col("text"))
-        .select("doc_id", C.word_shingles_col(F.col("_toks"), 5).alias("s"))
+        .select("doc_id", C.word_shingles_col("_toks", 5).alias("s"))
     )
     got = {r["doc_id"]: r["s"] for r in out.collect()}
     assert got[1] == []
@@ -83,3 +83,40 @@ def test_assemble_corpus_picks_canonical(spark):
     assert out[10]["doc_id"] == 10 and out[10]["group_size"] == 1
     # exactly one canonical row per group
     assert len(out) == 2
+
+
+def test_contamination_check_equals_one_shot(spark, tmp_path):
+    """The materialized-index path must reproduce the one-shot
+    contamination computation row-for-row (the ann_topk_ivf_indexed ≡
+    ann_topk_ivf pattern, VERDICT r6 item 4)."""
+    from explora_kafka_spark.operators.sampling import split_assign
+
+    rows = [
+        (i, f"the quick brown fox {i % 7} jumps over the lazy dog {i % 3}"
+            f" word{i % 5} filler tokens here")
+        for i in range(80)
+    ]
+    df = _docs_df(spark, rows)
+    C.build_contamination_index(df, str(tmp_path / "cont"))
+    batch = split_assign(df).filter(F.col("split") == "test").select(
+        "doc_id", "text")
+    checked = C.contamination_check(
+        spark, batch, str(tmp_path / "cont")).collect()
+    one_shot = C.contamination(df).collect()
+    assert [tuple(r) for r in checked] == [tuple(r) for r in one_shot]
+    assert checked, "no test docs — split degenerate"
+
+
+def test_contamination_index_layout(spark, tmp_path):
+    """Index holds the train split's DISTINCT shingle hashes only —
+    8-byte bigint keys, the batch-join artifact."""
+    df = _docs_df(spark, [
+        (i, "alpha bravo charlie delta echo foxtrot") for i in range(20)
+    ])
+    C.build_contamination_index(df, str(tmp_path / "cont"))
+    idx = spark.read.parquet(str(tmp_path / "cont" / "train_shingles"))
+    assert idx.columns == ["_h"]
+    assert dict(idx.dtypes)["_h"] == "bigint"
+    # all 20 docs share one text → exactly 2 distinct 5-gram hashes
+    assert idx.count() == 2
+    assert idx.distinct().count() == idx.count()

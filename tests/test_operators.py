@@ -459,3 +459,44 @@ def test_ann_ivf_indexed_equals_direct(spark, tmp_path):
     direct = S.ann_topk_ivf(emb).collect()
     indexed = S.ann_topk_ivf_indexed(spark, str(tmp_path / "ivf")).collect()
     assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]
+
+
+def test_tune_nprobe_monotone_and_chooses_smallest(spark):
+    """Recall is monotone non-decreasing in nprobe (with exact reranking,
+    per-query hits = |brute_topk ∩ probed lists|), the last rung (probe
+    everything) is exact, and `chosen` marks exactly the smallest rung
+    meeting the target."""
+    from explora_kafka_spark.operators import similarity as S
+    from explora_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = S.tune_nprobe(emb, target_recall=0.9).collect()
+    assert rows == sorted(rows, key=lambda r: r["nprobe"])
+    recalls = [r["mean_recall"] for r in rows]
+    assert recalls == sorted(recalls), "recall must be monotone in nprobe"
+    assert recalls[-1] == 1.0, "nprobe = n_lists probes everything → exact"
+    chosen = [r for r in rows if r["chosen"]]
+    assert len(chosen) == 1
+    feasible = [r["nprobe"] for r in rows if r["mean_recall"] >= 0.9]
+    assert chosen[0]["nprobe"] == min(feasible)
+    for r in rows:
+        assert r["meets_target"] == (r["mean_recall"] >= 0.9)
+
+
+def test_tune_nprobe_rungs_match_direct_audit(spark):
+    """Each rung's mean recall equals the standalone ann_recall_ivf run at
+    that nprobe (the shared-scan rewrite must stay result-identical)."""
+    from explora_kafka_spark.operators import similarity as S
+    from explora_kafka_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = {r["nprobe"]: r["mean_recall"]
+            for r in S.tune_nprobe(emb, candidates=[1, 4]).collect()}
+    for p in (1, 4):
+        direct = (
+            S.ann_recall_ivf(emb, nprobe=p)
+            .agg(F.round(F.avg("recall_at_k"), 6).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert rows[p] == direct, (p, rows[p], direct)
