@@ -129,7 +129,14 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    real_stdout.write(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail goes to a FILE: the ~90-entry timing dicts
+    # outgrew the driver's stdout tail capture (BENCH_r04-r06 all came
+    # back "parsed": null — VERDICT r6 item 2). The final stdout line
+    # stays compact enough to always parse: totals, per-phase build
+    # sums, the 5 slowest queries, and any failures.
+    full = {
         "metric": "explora_spark_total",
         "value": total,
         "unit": "sec",
@@ -139,7 +146,28 @@ def main() -> None:
         "build_first": first_pass,
         "build_remeasured": build_remeasured,
         "remeasured": remeasured,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+
+    q_only = {k: v for k, v in timings.items() if k != "view_build"}
+    slowest = dict(sorted(
+        ((k, v) for k, v in q_only.items() if v >= 0),
+        key=lambda kv: -kv[1])[:5])
+    failed = sorted(k for k, v in q_only.items() if v < 0)
+    real_stdout.write(json.dumps({
+        "metric": "explora_spark_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {"view_build": timings.get("view_build", -1.0), **slowest},
+        "n_queries": len(q_only),
+        "queries_total": round(sum(v for v in q_only.values() if v >= 0), 3),
+        "failed": failed,
+        "full": "BENCH_FULL.json",
+        "sf": sf_val,
     }) + "\n")
     real_stdout.flush()
 
