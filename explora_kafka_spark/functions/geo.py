@@ -251,23 +251,63 @@ def haversine_m(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
     return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(a))
 
 
-def circle_bbox(
+#: pull the east edge a hair inside +180 so bbox walks never index the
+#: phantom wrap column (x = 2^zoom / the duplicate geohash column)
+_LON_EDGE_EPS = 1e-9
+
+
+def _wrap_lon_delta(d: float) -> float:
+    """Signed longitude difference folded into [-180, 180)."""
+    return (d + 180.0) % 360.0 - 180.0
+
+
+def circle_bboxes(
     lat: float, lon: float, radius_m: float
-) -> Tuple[float, float, float, float]:
-    """(north, west, south, east) bounding the circle; the parallel radius
-    is taken at the latitude edge nearest a pole, so the box is conservative
-    (never clips the circle)."""
+) -> List[Tuple[float, float, float, float]]:
+    """One or two (north, west, south, east) boxes jointly bounding the
+    circle (ADVICE r6: the old single clamped box silently clipped
+    antimeridian-crossing and pole-containing circles).
+
+    - Crosses ±180: SPLIT into two boxes, one per side of the line.
+    - Reaches a pole (|lat| + dlat ≥ 90) or spans ≥ 360° of longitude at
+      its pole-nearest latitude: degrade to ONE full-longitude band over
+      the circle's latitude range — every cell there may intersect.
+
+    Latitudes are returned unclamped (up to ±90); each cover function
+    clamps to ITS encoding's domain (Mercator ±85.05…, geohash ±90)."""
     dlat = math.degrees(radius_m / EARTH_RADIUS_M)
-    edge = min(max(abs(lat) + dlat, abs(lat)), 89.9)
+    north, south = lat + dlat, lat - dlat
+    if north >= 90.0 or south <= -90.0:
+        return [(min(north, 90.0), -180.0, max(south, -90.0),
+                 180.0 - _LON_EDGE_EPS)]
+    edge = max(abs(north), abs(south))
     dlon = math.degrees(
         radius_m / (EARTH_RADIUS_M * math.cos(math.radians(edge)))
     )
-    return (
-        min(lat + dlat, 89.9),
-        max(lon - dlon, -180.0),
-        max(lat - dlat, -89.9),
-        min(lon + dlon, 180.0),
-    )
+    if dlon >= 180.0:
+        return [(north, -180.0, south, 180.0 - _LON_EDGE_EPS)]
+    west, east = lon - dlon, lon + dlon
+    if west < -180.0:
+        return [(north, west + 360.0, south, 180.0 - _LON_EDGE_EPS),
+                (north, -180.0, south, east)]
+    if east > 180.0:
+        return [(north, west, south, 180.0 - _LON_EDGE_EPS),
+                (north, -180.0, south, east - 360.0)]
+    return [(north, west, south, min(east, 180.0 - _LON_EDGE_EPS))]
+
+
+def circle_bbox(
+    lat: float, lon: float, radius_m: float
+) -> Tuple[float, float, float, float]:
+    """Single (north, west, south, east) box bounding the circle — valid
+    only when no antimeridian split is needed; raises otherwise (use
+    `circle_bboxes`). Kept for the common non-wrapping case (adaptive
+    cover sizing, tests)."""
+    boxes = circle_bboxes(lat, lon, radius_m)
+    if len(boxes) != 1:
+        raise ValueError(
+            "circle crosses the antimeridian — use circle_bboxes()")
+    return boxes[0]
 
 
 def quadkey_decode_bbox(qk: str) -> Tuple[float, float, float, float]:
@@ -290,40 +330,98 @@ def quadkey_decode_bbox(qk: str) -> Tuple[float, float, float, float]:
 def bbox_min_dist_m(
     bbox: Tuple[float, float, float, float], lat: float, lon: float
 ) -> float:
-    """Distance from a point to the nearest point of a lat/lon-aligned
-    cell bbox (0 when inside) — the circle-intersection test."""
+    """EXACT great-circle distance from a point to the nearest point of a
+    lat/lon-aligned cell bbox (0 when inside) — the circle-intersection
+    test. Longitude-wrap-aware.
+
+    ADVICE r6: the old lat/lon-clamped haversine OVERestimates the
+    distance to a meridian edge at high |lat| (the perpendicular foot sits
+    poleward of the clamped latitude), which could prune a genuinely
+    intersecting tile. Exact evaluation: the minimum over a meridian
+    segment is attained at the perpendicular-foot latitude
+    (tan(foot) = tan(lat)/cos(dlon)) when that lies in range and faces the
+    point (cos(dlon) > 0), else at a segment endpoint; the minimum over a
+    parallel segment is attained at the point's own longitude when that
+    falls inside the segment, else at a corner (covered by the meridian
+    endpoints). Taking the min of haversine at those candidate points is
+    therefore the true minimum, not a bound."""
     north, west, south, east = bbox
-    clat = min(max(lat, south), north)
-    clon = min(max(lon, west), east)
-    return haversine_m(lat, lon, clat, clon)
+    width = (east - west) % 360.0
+    dw = (lon - west) % 360.0
+    lon_inside = dw <= width
+    if lon_inside and south <= lat <= north:
+        return 0.0
+    cands = []
+    if lon_inside:
+        cands.append(haversine_m(lat, lon, south, lon))
+        cands.append(haversine_m(lat, lon, north, lon))
+    for elon in (west, east):
+        dlon = math.radians(_wrap_lon_delta(elon - lon))
+        c = math.cos(dlon)
+        if abs(c) > 1e-12:
+            foot = math.degrees(math.atan(math.tan(math.radians(lat)) / c))
+        else:
+            foot = math.copysign(90.0, lat)
+        for flat in (min(max(foot, south), north), south, north):
+            cands.append(haversine_m(lat, lon, flat, elon))
+    return min(cands)
+
+
+#: Web-Mercator latitude domain — no quad tile exists beyond this, so quad
+#: covers clamp here (same domain limit as the reference's QuadHash)
+MERCATOR_MAX_LAT = 85.05112877980659
+#: geohash cells span the full latitude range; stay a hair inside the pole
+#: so the encode bisection never sees lat == ±90
+_GEOHASH_MAX_LAT = 90.0 - 1e-9
+
+
+def clamp_bbox_lat(bbox: Tuple[float, float, float, float],
+                   max_lat: float) -> Tuple[float, float, float, float] | None:
+    """Clamp a box's latitudes into the encoding's domain; None when the
+    box lies entirely outside it."""
+    north, west, south, east = bbox
+    if south >= max_lat or north <= -max_lat:
+        return None
+    return (min(north, max_lat), west, max(south, -max_lat), east)
 
 
 def quadkey_cover_circle(
     lat: float, lon: float, radius_m: float, zoom: int
 ) -> List[str]:
-    """Quadkeys of all tiles intersecting the circle: the bounding-bbox
-    cover refined by the per-tile min-distance test. Conservative — every
-    point within `radius_m` lies in some kept tile."""
-    bbox = circle_bbox(lat, lon, radius_m)
-    return [
-        qk for qk in quadkey_cover_bbox(*bbox, zoom)
-        if bbox_min_dist_m(quadkey_decode_bbox(qk), lat, lon) <= radius_m
-    ]
+    """Quadkeys of all tiles intersecting the circle: the bounding-box
+    cover(s) — split at the antimeridian, full-longitude band at a pole
+    (circle_bboxes) — refined by the EXACT per-tile min-distance test.
+    Conservative: every point within `radius_m` that lies inside the
+    Mercator domain (|lat| ≤ 85.05…, where quad tiles exist at all) lands
+    in some kept tile."""
+    out = set()
+    for raw in circle_bboxes(lat, lon, radius_m):
+        bbox = clamp_bbox_lat(raw, MERCATOR_MAX_LAT)
+        if bbox is None:
+            continue
+        for qk in quadkey_cover_bbox(*bbox, zoom):
+            if bbox_min_dist_m(quadkey_decode_bbox(qk), lat, lon) <= radius_m:
+                out.add(qk)
+    return sorted(out)
 
 
 def geohash_cover_circle(
     lat: float, lon: float, radius_m: float, precision: int
 ) -> List[str]:
-    """Geohashes of all cells intersecting the circle (same refinement as
-    quadkey_cover_circle over the geohash bbox cover; note
+    """Geohashes of all cells intersecting the circle (same split/band +
+    refinement as quadkey_cover_circle over the geohash bbox cover; note
     geohash_decode_bbox's (lat_lo, lat_hi, lon_lo, lon_hi) order)."""
-    bbox = circle_bbox(lat, lon, radius_m)
-    out = []
-    for gh in geohash_cover_bbox(*bbox, precision):
-        la_lo, la_hi, lo_lo, lo_hi = geohash_decode_bbox(gh)
-        if bbox_min_dist_m((la_hi, lo_lo, la_lo, lo_hi), lat, lon) <= radius_m:
-            out.append(gh)
-    return out
+    out = set()
+    for raw in circle_bboxes(lat, lon, radius_m):
+        bbox = clamp_bbox_lat(raw, _GEOHASH_MAX_LAT)
+        if bbox is None:
+            continue
+        for gh in geohash_cover_bbox(*bbox, precision):
+            la_lo, la_hi, lo_lo, lo_hi = geohash_decode_bbox(gh)
+            if bbox_min_dist_m((la_hi, lo_lo, la_lo, lo_hi),
+                               lat, lon) <= radius_m:
+                out.add(gh)
+    return sorted(out)
 
 
 def compress_cover(cells: List[str], alphabet: str) -> List[str]:

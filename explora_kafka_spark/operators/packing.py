@@ -178,9 +178,13 @@ def token_budget_sample(
     document is under the source's budget — the smallest deterministic
     prefix whose token total covers the budget (the last kept document
     may overshoot; training-side packing truncates). Sources not listed
-    are dropped.
+    are dropped, as are zero-token documents (same rule as
+    pack_sequences — they contribute nothing to the budget, and their
+    cum_tokens would tie with their predecessor's, ADVICE r6).
 
-    Output (ordered): source, doc_id, n_tokens, cum_tokens.
+    Output (ordered by source, cum_tokens, doc_id — doc_id breaks the
+    remaining theoretical tie, keeping the engine/oracle row order
+    identical): source, doc_id, n_tokens, cum_tokens.
     """
     toks = F.size(bpe_tokens_col("text")).cast("bigint")
     order = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
@@ -195,10 +199,11 @@ def token_budget_sample(
             "source", "doc_id", toks.alias("n_tokens"), order.alias("ord")
         )
         .filter(F.col("source").isin(list(budgets)))
+        .filter(F.col("n_tokens") > 0)
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") - F.col("n_tokens") < budget_case)
         .select("source", "doc_id", "n_tokens", "cum_tokens")
-        .orderBy("source", "cum_tokens")
+        .orderBy("source", "cum_tokens", "doc_id")
     )
 
 
@@ -231,9 +236,10 @@ def token_budget_sample_sql(
                        ROWS UNBOUNDED PRECEDING
                    ) AS BIGINT) AS cum_tokens
             FROM toks
+            WHERE n_tokens > 0
         )
         SELECT source, doc_id, n_tokens, cum_tokens
         FROM cums
         WHERE cum_tokens - n_tokens < CASE {case} END
-        ORDER BY source, cum_tokens
+        ORDER BY source, cum_tokens, doc_id
     """

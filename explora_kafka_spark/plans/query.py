@@ -373,8 +373,17 @@ def snapshot_radius_quadtiling(
     prefix/isin pushdown as the bbox path. Cell inclusion is
     cover-intersection semantics, matching the bbox flavor's edge-tile
     behavior; no trigonometry runs engine-side."""
-    bbox = geo.circle_bbox(lat, lon, radius_m)
-    cover_zoom = adaptive_cover_zoom(*bbox, zoom)
+    # coarsest adaptive choice across the circle's box(es) — two boxes
+    # when the circle crosses the antimeridian (geo.circle_bboxes),
+    # clamped to the Mercator domain for sizing
+    boxes = [
+        b for b in (
+            geo.clamp_bbox_lat(rb, geo.MERCATOR_MAX_LAT)
+            for rb in geo.circle_bboxes(lat, lon, radius_m)
+        ) if b is not None
+    ]
+    cover_zoom = min(
+        (adaptive_cover_zoom(*b, zoom) for b in boxes), default=zoom)
     cover = geo.quadkey_cover_circle(lat, lon, radius_m, cover_zoom)
     t = truncate_ts_ms(ts_ms, res)
     view = _select_view(lattice, metric, zoom, res).filter(F.col("ts") == _ts_at(t))
@@ -397,8 +406,10 @@ def snapshot_radius_geohashing(
 ) -> DataFrame:
     """Circle snapshot in geohashing mode (geohash twin of
     snapshot_radius_quadtiling)."""
-    bbox = geo.circle_bbox(lat, lon, radius_m)
-    cover_p = adaptive_cover_precision(*bbox, precision)
+    cover_p = min(
+        adaptive_cover_precision(*b, precision)
+        for b in geo.circle_bboxes(lat, lon, radius_m)
+    )  # geohash domain is the full lat range — no clamp needed for sizing
     cover = geo.geohash_cover_circle(lat, lon, radius_m, cover_p)
     t = truncate_ts_ms(ts_ms, res)
     view = _select_view(lattice, metric, precision, res).filter(F.col("ts") == _ts_at(t))

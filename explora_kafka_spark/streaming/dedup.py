@@ -33,6 +33,15 @@ from pyspark.sql import DataFrame
 
 from ..functions.timeutil import ensure_event_time
 
+#: KEY-UNIQUENESS CONTRACT (ADVICE r6): the dedup key must uniquely
+#: determine the payload — duplicates are RETRANSMISSIONS of the same
+#: record (producer retries, overlapping backfills), byte-identical
+#: payload included. dropDuplicates keeps an arbitrary row per key, so if
+#: two rows ever shared an event_id with DIFFERENT payloads, the kept
+#: payload would be nondeterministic (and the DuckDB oracle, which
+#: distincts over (event_id, event_type, value), would diverge). Violating
+#: producers must be fixed upstream or the key widened to include the
+#: payload digest.
 DEDUP_KEYS: tuple[str, ...] = ("event_id",)
 
 
@@ -52,5 +61,6 @@ def dedup_stream(
 
 
 def dedup_batch(events: DataFrame, keys: Sequence[str] = DEDUP_KEYS) -> DataFrame:
-    """Batch twin of `dedup_stream` (backfill / oracle semantics)."""
+    """Batch twin of `dedup_stream` (backfill / oracle semantics).
+    Assumes the DEDUP_KEYS key-uniqueness contract above."""
     return events.dropDuplicates(list(keys))

@@ -155,3 +155,104 @@ def test_geohash_circle_cover_contains_center_and_prunes():
     assert geo.geohash_encode(lat, lon, 3) in cov
     bbox_cover = geo.geohash_cover_bbox(*geo.circle_bbox(lat, lon, r), 3)
     assert len(cov) < len(bbox_cover)
+
+
+def test_circle_bboxes_split_at_antimeridian():
+    import math
+
+    boxes = geo.circle_bboxes(10.0, 179.5, 100_000.0)
+    assert len(boxes) == 2
+    # the two boxes jointly span the circle's longitude range on both sides
+    (n1, w1, s1, e1), (n2, w2, s2, e2) = boxes
+    assert e1 >= 180.0 - 1e-6 and w2 == -180.0
+    assert n1 == n2 and s1 == s2
+    # non-wrapping circles still produce one box (and circle_bbox works)
+    assert len(geo.circle_bboxes(10.0, 20.0, 100_000.0)) == 1
+    geo.circle_bbox(10.0, 20.0, 100_000.0)
+    try:
+        geo.circle_bbox(10.0, 179.5, 100_000.0)
+        raise AssertionError("expected ValueError on wrapping circle")
+    except ValueError:
+        pass
+    # pole-reaching circle degrades to one full-longitude band
+    (bn, bw, bs, be), = geo.circle_bboxes(89.0, 0.0, 300_000.0)
+    assert bw == -180.0 and be > 179.0
+    assert math.isclose(bn, 90.0)
+
+
+def test_antimeridian_circle_cover_is_conservative():
+    """ADVICE r6 medium: points within radius on the FAR side of ±180 must
+    land in a covered cell (the old single clamped bbox dropped them)."""
+    import math
+    import random
+
+    lat, lon, r = 10.0, 179.5, 300_000.0
+    qcov = set(geo.quadkey_cover_circle(lat, lon, r, 6))
+    gcov = set(geo.geohash_cover_circle(lat, lon, r, 3))
+    rng = random.Random(7)
+    for _ in range(300):
+        brg, frac = rng.uniform(0, 2 * math.pi), rng.uniform(0, 1)
+        d = r * frac
+        plat = lat + math.degrees(d * math.cos(brg) / geo.EARTH_RADIUS_M)
+        plon = lon + math.degrees(
+            d * math.sin(brg)
+            / (geo.EARTH_RADIUS_M * math.cos(math.radians(lat)))
+        )
+        if plon > 180.0:
+            plon -= 360.0
+        if geo.haversine_m(lat, lon, plat, plon) <= r:
+            assert geo.quadkey(plat, plon, 6) in qcov, (plat, plon)
+            assert geo.geohash_encode(plat, plon, 3) in gcov, (plat, plon)
+    # far-side cells genuinely present (the old behavior had none)
+    assert any(q in qcov for q in {geo.quadkey(10.0, -179.9, 6)})
+    assert geo.geohash_encode(10.0, -179.9, 3) in gcov
+
+
+def test_polar_circle_cover_full_longitude_band():
+    """A circle enclosing the pole must cover every longitude at its
+    latitudes (geohash mode; quad clamps to the Mercator domain)."""
+    lat, r = 88.0, 400_000.0  # encloses the north pole (dlat ≈ 3.6°)
+    gcov = set(geo.geohash_cover_circle(lat, 0.0, r, 2))
+    for plon in (-179.0, -90.0, 0.0, 90.0, 179.0):
+        # points at the circle's own latitude all around the pole are
+        # within r of the center? no — only those near it; test points
+        # NEAR the pole instead, which every such circle contains
+        assert geo.geohash_encode(89.5, plon, 2) in gcov, plon
+
+
+def test_bbox_min_dist_exact_meridian_foot():
+    """ADVICE r6 low: at high latitude the perpendicular foot to a
+    meridian edge sits poleward of the point's own latitude; the exact
+    distance must be <= the old clamped-point haversine and must not
+    prune an intersecting tile."""
+    # point at 70N, tile edge 10 degrees of longitude away
+    bbox = (75.0, 30.0, 65.0, 40.0)  # (north, west, south, east)
+    lat, lon = 70.0, 20.0
+    exact = geo.bbox_min_dist_m(bbox, lat, lon)
+    clamped = geo.haversine_m(lat, lon, 70.0, 30.0)
+    assert exact <= clamped
+    # brute-force check against a dense sample of the bbox boundary
+    import math
+    best = float("inf")
+    for i in range(2001):
+        t = i / 2000
+        for pt in (
+            (65.0 + 10.0 * t, 30.0), (65.0 + 10.0 * t, 40.0),
+            (65.0, 30.0 + 10.0 * t), (75.0, 30.0 + 10.0 * t),
+        ):
+            best = min(best, geo.haversine_m(lat, lon, *pt))
+    assert math.isclose(exact, best, rel_tol=1e-6, abs_tol=5.0)
+
+
+def test_bbox_min_dist_wraps_longitude():
+    """Tile just across the antimeridian: nearest edge is the ±180 line,
+    not the tile's far edge."""
+    bbox = (11.0, -180.0, 9.0, -179.8)
+    d = geo.bbox_min_dist_m(bbox, 10.0, 179.5)
+    # 0.5 degrees of longitude at lat 10 ≈ 54.8 km; the old unwrapped
+    # clamp gave ~0.7 degrees (to the -179.8 edge). The exact min is the
+    # cross-track distance — at most the same-latitude arc, and within a
+    # fraction of a permille of it for this tiny offset.
+    same_lat = geo.haversine_m(10.0, 179.5, 10.0, -180.0)
+    assert d <= same_lat and d > 0.999 * same_lat
+    assert geo.bbox_min_dist_m(bbox, 10.0, -179.9) == 0.0
