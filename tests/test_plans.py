@@ -33,9 +33,15 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   predicate — same deliberate centroid broadcast, same equi-join.
 #: - ann_recall_ivf contains both the brute baseline (deliberate BNLJ)
 #:   and the IVF centroid broadcast, so it inherits both allowances.
+#: - tune_nprobe is the recall ladder built on ann_recall_ivf's shape:
+#:   one brute baseline (deliberate BNLJ) + one keyless centroid
+#:   broadcast, computed ONCE and cached; every rung is a filter+window
+#:   over the cached candidates, so the allowance count does not grow
+#:   with the number of rungs.
 CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivf", "ann_topk_ivf_indexed",
-                 "ann_topk_ivf_filtered", "ann_recall_ivf"}
+                 "ann_topk_ivf_filtered", "ann_recall_ivf",
+                 "tune_nprobe"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
