@@ -23,9 +23,11 @@ from pyspark.sql import functions as F
 
 from explora_kafka_spark.functions import geo
 from explora_kafka_spark.functions.timeutil import composite_key_col, ts_ms_col
+from explora_kafka_spark.operators import clustering as CL
 from explora_kafka_spark.operators import contamination as CONT
 from explora_kafka_spark.operators import corpus as CORP
 from explora_kafka_spark.operators import dedup as D
+from explora_kafka_spark.operators import segments as SEG
 from explora_kafka_spark.operators import multimodal as _MM
 from explora_kafka_spark.operators import anomaly as ANOM
 from explora_kafka_spark.operators import centroids as CENT
@@ -980,6 +982,56 @@ def q_ngram_jaccard(spark, sf_dir):
                                  shingle_n=2, num_bands=8)
 
 
+_DEDUP_INDEXES: dict[str, str] = {}
+
+
+def _dedup_index(spark, sf_dir) -> str:
+    """Materialized (cached) banded-signature near-dup index over the
+    'existing corpus' slice (doc_id % 5 != 0) — the incremental-ingest
+    twin of _ivf_index/_cont_index. Same LSH config as q_dedup_near."""
+    if sf_dir not in _DEDUP_INDEXES:
+        d = tempfile.mkdtemp(prefix="explora_dedup_")
+        _TMPDIRS.append(d)
+        corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
+        D.build_dedup_index(corpus, f"{d}/lsh", shingle_n=2, num_bands=8)
+        _DEDUP_INDEXES[sf_dir] = f"{d}/lsh"
+    return _DEDUP_INDEXES[sf_dir]
+
+
+def q_dedup_check_batch(spark, sf_dir):
+    """Incremental near-dup: check the 'incoming batch' slice
+    (doc_id % 5 == 0) against the MATERIALIZED corpus signature index —
+    the every-ingest question of a continuously-growing corpus, answered
+    without re-scanning corpus documents (build_dedup_index pattern)."""
+    batch = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    return D.dedup_check(spark, batch, _dedup_index(spark, sf_dir),
+                         shingle_n=2, num_bands=8)
+
+
+def q_segment_dedup(spark, sf_dir):
+    """C4/CCNet-style segment-level corpus dedup: drop every repeated
+    10-token span except its corpus-wide first occurrence, reassemble
+    the surviving spans per document."""
+    return SEG.segment_dedup(_docs(spark, sf_dir))
+
+
+def q_char_entropy(spark, sf_dir):
+    """Unigram character entropy (perplexity proxy) — shuffle-free
+    projection quality signal."""
+    return T.char_entropy(_docs(spark, sf_dir))
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Deterministic k-means (3 Lloyd passes, stride init, integer-µunit
+    distances): final per-vector cluster assignment."""
+    return CL.kmeans(_emb(spark, sf_dir), k=8, iters=3)
+
+
+def q_kmeans_sizes(spark, sf_dir):
+    """Cluster-balance histogram of the k-means assignment."""
+    return CL.kmeans_sizes(_emb(spark, sf_dir), k=8, iters=3)
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per document."""
     return D.simhash(_docs(spark, sf_dir))
@@ -1375,6 +1427,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_value_by_metric": q_median_value_by_metric,
         "topk_events": q_topk_events,
         "users_view_not_click": q_users_view_not_click,
+        # — round-7 additions (below the cap this round; rotate into the
+        #   window in r8 with the §2 core re-record) —
+        "segment_dedup": q_segment_dedup,
+        "dedup_check_batch": q_dedup_check_batch,
+        "char_entropy": q_char_entropy,
+        "kmeans_clusters": q_kmeans_clusters,
+        "kmeans_sizes": q_kmeans_sizes,
     }.items()}
 
 
@@ -1646,6 +1705,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": T.fingerprint_sql(),
         "dedup_exact": D.dedup_exact_sql(),
         "dedup_near": D.dedup_near_sql(shingle_n=2, num_bands=8),
+        "dedup_check_batch": D.dedup_check_sql(shingle_n=2, num_bands=8),
+        "segment_dedup": SEG.segment_dedup_sql(),
+        "char_entropy": T.char_entropy_sql(),
+        "kmeans_clusters": CL.kmeans_sql(k=8, iters=3, n_rows=500),
+        "kmeans_sizes": CL.kmeans_sql(k=8, iters=3, n_rows=500, sizes=True),
         "ngram_jaccard": D.ngram_jaccard_sql(shingle_n=2, num_bands=8),
         "simhash": D.simhash_sql(),
         "ann_topk_brute": S.ann_topk_brute_sql(),

@@ -1,0 +1,195 @@
+"""Deterministic k-means over the embeddings table (Lloyd iterations).
+
+Embedding-space clustering is the curation workhorse a training-data
+pipeline runs between dedup and sampling: topic/domain discovery,
+cluster-balanced mixture construction, outlier-cluster triage, and the
+coarse quantizer behind IVF-style ANN serving (operators/similarity.py
+stride-samples its lists; this operator is the refined version of that
+quantizer). The reference has no embedding operators — engine-extension
+surface per the task brief.
+
+Determinism (the house discipline, operators/centroids.py): float32
+components are scaled once to exact integer micro-units; every distance
+is a BIGINT sum of squared integer differences (|diff| ≲ 2e6, squared
+≲ 4e12, ×64 dims ≲ 3e14 — far inside int64), every centroid update is a
+BIGINT sum + one identical double division, and every argmin tie breaks
+on the smaller cluster id. No summation order, partitioning, or engine
+can change a single assignment — the DuckDB oracle (an UNROLLED CTE per
+Lloyd iteration) matches bit-for-bit.
+
+Init is deterministic stride sampling (ids 0, n//k, 2·n//k, …) — the
+same spread-without-randomness trick the IVF quantizer uses, and the
+reason no seed parameter exists.
+
+100 TB design: per iteration, ONE corpus pass — the k×d centroid table
+is broadcast (tiny, keyless: the same deliberate BNLJ allowance as the
+IVF family) and the argmin is a per-row fold over zipped arrays inside
+codegen (no explode on the assignment side); the update explodes only
+(cluster, dim) partial sums, a map-side-combined shuffle of k·d rows
+per task. Centroids are localCheckpoint-ed between iterations so the
+plan (and lineage) stays O(1) in iters, the connected_components
+pattern. Iteration count is a fixed small constant (curation k-means
+runs 2-10 rounds, not to convergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: micro-unit scale shared with the SQL mirror (centroids.py discipline)
+_MU = "1e6"
+
+_MU_COL = (
+    "transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)"
+    " AS BIGINT))"
+)
+
+_D2 = ("aggregate(zip_with(m, cm, (a, b) -> (a - b) * (a - b)),"
+       " 0L, (acc, x) -> acc + x)")
+
+
+def kmeans_stride(n_rows: int, k: int) -> int:
+    """Init stride: centroid j = the vector with id j·stride."""
+    return max(n_rows // k, 1)
+
+
+def _assign(mu: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vid, m, cid): nearest centroid by integer squared distance,
+    ties to the smaller cid. One broadcast + one per-row window."""
+    w = Window.partitionBy("vid").orderBy(F.col("_d2").asc(), F.col("cid").asc())
+    return (
+        mu.join(F.broadcast(cent))
+        .withColumn("_d2", F.expr(_D2))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", "m", "cid")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """(cid, cm): per-cluster integer-µunit mean, rebuilt as an array."""
+    ex = assigned.select("cid", F.posexplode("m").alias("dim", "v"))
+    per_dim = ex.groupBy("cid", "dim").agg(
+        F.floor(
+            F.sum("v").cast("double") / F.count("*").cast("double") + F.lit(0.5)
+        ).cast("bigint").alias("cv")
+    )
+    return per_dim.groupBy("cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)"
+        ).alias("cm")
+    )
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """`iters` Lloyd assignment passes (iters-1 centroid updates between
+    them) from stride-sampled init. Returns the final assignment:
+    (key, cluster), key-ascending. iters=1 is pure nearest-init-centroid
+    assignment (the IVF list assignment)."""
+    if n_rows is None:
+        n_rows = emb.count()
+    stride = kmeans_stride(n_rows, k)
+    mu = emb.select(
+        F.col(key).alias("vid"),
+        F.expr(_MU_COL.format(vec=vec_col)).alias("m"),
+    )
+    cent = (
+        mu.filter((F.col("vid") % stride == 0) & (F.col("vid") < k * stride))
+        .select((F.col("vid") / stride).cast("int").alias("cid"),
+                F.col("m").alias("cm"))
+    )
+    assigned = _assign(mu, cent)
+    for _ in range(iters - 1):
+        cent = _update(assigned).localCheckpoint(eager=True)
+        assigned = _assign(mu, cent)
+    return (
+        assigned.select(F.col("vid").alias(key), F.col("cid").alias("cluster"))
+        .orderBy(key)
+    )
+
+
+def kmeans_sizes(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Cluster histogram of the final assignment: (cluster, n_vectors) —
+    the balance report curation actually reads."""
+    return (
+        kmeans(emb, k, iters, key, vec_col, n_rows)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("cluster")
+    )
+
+
+def kmeans_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int = 500,
+    sizes: bool = False,
+) -> str:
+    """DuckDB mirror of `kmeans` (same µunits, init stride, integer
+    distances, tie-break, update rounding) with one CTE pair per Lloyd
+    iteration, unrolled. `n_rows` must match the table the oracle runs
+    on (sf0.01: 500 vectors)."""
+    stride = kmeans_stride(n_rows, k)
+    d2 = ("list_sum([ (e.m[i] - c.cm[i]) * (e.m[i] - c.cm[i])"
+          " FOR i IN range(1, len(e.m) + 1) ])")
+    ctes = [
+        f"""mu AS (
+            SELECT {key} AS vid,
+                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                    FOR x IN {vec_col}] AS m
+            FROM {table}
+        )""",
+        f"""c0 AS (
+            SELECT CAST(vid // {stride} AS INT) AS cid, m AS cm FROM mu
+            WHERE vid % {stride} = 0 AND vid < {k * stride}
+        )""",
+    ]
+    for t in range(iters):
+        ctes.append(f"""a{t} AS (
+            SELECT vid, m, cid FROM (
+                SELECT e.vid, e.m, c.cid,
+                       row_number() OVER (PARTITION BY e.vid
+                           ORDER BY {d2} ASC, c.cid ASC) AS rn
+                FROM mu e, c{t} c
+            ) WHERE rn = 1
+        )""")
+        if t < iters - 1:
+            ctes.append(f"""c{t + 1}d AS (
+                SELECT cid, u.i AS dim,
+                       CAST(floor(CAST(sum(m[u.i]) AS DOUBLE)
+                                  / CAST(count(*) AS DOUBLE) + 0.5)
+                            AS BIGINT) AS cv
+                FROM a{t}, unnest(range(1, len(m) + 1)) AS u(i)
+                GROUP BY cid, u.i
+            )""")
+            ctes.append(f"""c{t + 1} AS (
+                SELECT cid, array_agg(cv ORDER BY dim) AS cm
+                FROM c{t + 1}d GROUP BY cid
+            )""")
+    last = f"a{iters - 1}"
+    if sizes:
+        body = (f"SELECT cid AS cluster, count(*) AS n_vectors"
+                f" FROM {last} GROUP BY 1 ORDER BY 1")
+    else:
+        body = (f"SELECT vid AS {key}, cid AS cluster"
+                f" FROM {last} ORDER BY 1")
+    return "WITH " + ",\n".join(ctes) + "\n" + body

@@ -163,6 +163,25 @@ def minhash_signatures(
     return signatures_from_shingles(shingle_sets(docs, shingle_n), num_hashes)
 
 
+def banded_signatures(
+    sigs: DataFrame,
+    num_bands: int = NUM_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, sig, band_idx, band_key): one row per (doc, band); the
+    band key is the md5 of that band's signature slice. Pure projection
+    (×num_bands row blow-up) — the shared banding stage of the one-shot
+    pair generator and the materialized index."""
+    bands = F.array(*[
+        F.md5(F.concat_ws(",", F.expr(
+            f"slice(sig, {b * rows_per_band + 1}, {rows_per_band})"
+        ))) for b in range(num_bands)
+    ])
+    return sigs.select(
+        "doc_id", "sig", F.posexplode(bands).alias("band_idx", "band_key")
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     num_bands: int = NUM_BANDS,
@@ -176,14 +195,7 @@ def lsh_candidate_pairs(
     (equi-join), distinct pairs. No cartesian product anywhere — the
     driver test asserts CartesianProduct/BroadcastNestedLoopJoin absent.
     """
-    bands = F.array(*[
-        F.md5(F.concat_ws(",", F.expr(
-            f"slice(sig, {b * rows_per_band + 1}, {rows_per_band})"
-        ))) for b in range(num_bands)
-    ])
-    banded = sigs.select(
-        "doc_id", "sig", F.posexplode(bands).alias("band_idx", "band_key")
-    )
+    banded = banded_signatures(sigs, num_bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -662,4 +674,141 @@ def dedup_groups_sql(table: str = "documents", threshold: float = 0.6,
         )
         SELECT a AS doc_id, min(b) AS group_id FROM reach GROUP BY a
         ORDER BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: materialized signature index + batch check
+# ---------------------------------------------------------------------------
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_n: int = 1,
+) -> None:
+    """Materialize the corpus's banded MinHash signatures once per corpus
+    snapshot — the incremental twin of `lsh_candidate_pairs`, for the
+    "is this incoming batch a near-dup of anything we already hold?"
+    question a continuously-growing training corpus asks on every
+    ingest. Without the index, every batch pays a full corpus re-scan +
+    re-signature; with it, a batch pays only its own signatures and an
+    equi-join against stored band buckets (`dedup_check`).
+
+    Layout: `{path}/bands`, columns (band_idx, band_key, doc_id, sig),
+    repartitioned on the join key (band_idx, band_key) so the parquet
+    files are band-bucket-clustered. Same materialize-once pattern as
+    `similarity.build_ivf_index` and
+    `contamination.build_contamination_index`."""
+    banded = banded_signatures(
+        minhash_signatures(docs, num_hashes, shingle_n),
+        num_bands, num_hashes // num_bands,
+    )
+    (banded.repartition("band_idx", "band_key")
+     .write.mode("overwrite").parquet(f"{path}/bands"))
+
+
+def dedup_check(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_n: int = 1,
+    min_est: float = 0.0,
+) -> DataFrame:
+    """Near-dup check of an incoming batch against a MATERIALIZED corpus
+    signature index (`build_dedup_index`): (doc_id, match_id,
+    est_jaccard), one row per (batch doc, indexed corpus doc) candidate
+    pair, batch-side key first. Self-matches (same id on both sides) are
+    excluded so a batch may safely overlap the indexed corpus.
+
+    Parity contract (pinned by tests/test_operators.py): checking the
+    corpus against its own index yields exactly
+    `lsh_candidate_pairs`'s pairs, once in each orientation.
+
+    100 TB: the batch is signatured from scratch (it is new data); the
+    corpus is NOT re-read as documents — only the stored 8-byte-keyed
+    band rows join in, on (band_idx, band_key), a plain hash equi-join.
+    A hot band bucket (boilerplate-heavy corpora) is an AQE skew-join
+    case, same story as the one-shot path (tests/test_lsh_skew.py)."""
+    idx = spark.read.parquet(f"{index_path}/bands").select(
+        "band_idx", "band_key",
+        F.col("doc_id").alias("match_id"), F.col("sig").alias("sig_b"),
+    )
+    bb = banded_signatures(
+        minhash_signatures(batch, num_hashes, shingle_n),
+        num_bands, num_hashes // num_bands,
+    ).select("band_idx", "band_key", "doc_id", F.col("sig").alias("sig_a"))
+    pairs = (
+        bb.join(idx, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") != F.col("match_id"))
+        .dropDuplicates(["doc_id", "match_id"])
+    )
+    n = F.size("sig_a")
+    matches = F.size(F.expr(
+        "filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)"
+    ))
+    out = pairs.select(
+        "doc_id", "match_id",
+        F.round(matches / n, 6).alias("est_jaccard"),
+    )
+    if min_est > 0:
+        out = out.filter(F.col("est_jaccard") >= min_est)
+    return out.orderBy("doc_id", "match_id")
+
+
+def dedup_check_sql(
+    table: str = "documents",
+    batch_pred: str = "doc_id % 5 = 0",
+    corpus_pred: str = "doc_id % 5 <> 0",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_n: int = 1,
+    min_est: float = 0.0,
+) -> str:
+    """DuckDB mirror of `dedup_check` where the index was built over
+    `corpus_pred` rows of `table` and the batch is its `batch_pred` rows
+    (the oracle recomputes both sides from scratch — same hashes, bands,
+    ordering as `dedup_near_sql`)."""
+    rows = num_hashes // num_bands
+    toks = tokens_sql("text")
+    sh = _shingles_expr_duck("_toks", shingle_n)
+    mins = ", ".join(
+        "list_min([(({a} * h + {b}) % {p}) FOR h IN _bh])".format(
+            a=_family_params(i)[0], b=_family_params(i)[1], p=_P
+        )
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        f"md5(array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], ','))"
+        for b in range(num_bands)
+    )
+    est = (f"round(len([i FOR i IN range(1, {num_hashes} + 1)"
+           f" IF a.sig[i] = b.sig[i]]) / {num_hashes}.0, 6)")
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS _toks FROM {table}),
+        s AS (SELECT doc_id, list_distinct({sh}) AS _sh FROM t),
+        bh AS (SELECT doc_id,
+                      [{_base_hash_duck('s')} FOR s IN _sh] AS _bh FROM s),
+        sig AS (SELECT doc_id, [{mins}] AS sig FROM bh),
+        banded AS (
+            SELECT doc_id, sig, u.b AS band_idx, [{band_keys}][u.b] AS band_key
+            FROM sig, unnest(range(1, {num_bands} + 1)) AS u(b)
+        ),
+        batch_b AS (SELECT * FROM banded WHERE {batch_pred}),
+        corpus_b AS (SELECT * FROM banded WHERE {corpus_pred}),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_id,
+                   {est} AS est_jaccard
+            FROM batch_b a JOIN corpus_b b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id <> b.doc_id
+        )
+        SELECT doc_id, match_id, est_jaccard
+        FROM pairs
+        WHERE est_jaccard >= {min_est}
+        ORDER BY doc_id, match_id
     """

@@ -435,3 +435,100 @@ def source_quality_profile_sql(
                    AS low_quality_share
         FROM agg ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# character-entropy quality signal (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def char_entropy(
+    docs: DataFrame, max_chars: int = 2000, key: str = "doc_id"
+) -> DataFrame:
+    """Unigram character entropy (bits/char) over the first `max_chars`
+    normalized characters — the cheap perplexity proxy a pretraining
+    filter uses to catch degenerate text at both extremes: near-zero
+    entropy means repeated-character/boilerplate junk, implausibly high
+    entropy means random-looking bytes (minified blobs, base64, DNA-ish
+    noise). Output: (key, n_chars_used, n_distinct_chars, char_entropy).
+
+    100 TB design: a pure projection — zero shuffles, no Python. The
+    histogram is built per-row with higher-order functions over a
+    BOUNDED prefix (`max_chars` caps per-row work at O(alphabet ×
+    max_chars) inside whole-stage codegen), so cost is flat per document
+    regardless of document length. Determinism: the distinct alphabet is
+    SORTED before the float fold, so both engines sum the identical
+    p·log2(p) sequence in the identical order — the only cross-engine
+    exposure is libm log2's last ulp, hidden by round(6).
+
+    Empty documents short-circuit to entropy 0 (Spark's sequence(1, 0)
+    is a DESCENDING [1, 0], not an empty range — same guard as
+    contamination.word_shingles_col)."""
+    prefix = F.substring(norm_col("text"), 1, max_chars)
+    n = F.length(prefix)
+    chars = F.expr(
+        f"transform(sequence(1, length(substring({_NORM_TXT}, 1,"
+        f" {max_chars}))), i -> substring(substring({_NORM_TXT}, 1,"
+        f" {max_chars}), i, 1))"
+    )
+    alphabet = F.array_sort(F.array_distinct(chars))
+    counts = F.transform(alphabet, lambda c: F.size(F.filter(chars, lambda x: x == c)))
+    ent = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (c.cast("double") / n) * F.log2(c.cast("double") / n),
+    )
+    return docs.select(
+        key,
+        n.alias("n_chars_used"),
+        F.when(n > 0, F.size(alphabet)).otherwise(F.lit(0)).alias(
+            "n_distinct_chars"),
+        F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0)).alias(
+            "char_entropy"),
+    ).orderBy(key)
+
+
+_NORM_TXT = r"trim(regexp_replace(lower(text), '\\s+', ' '))"
+
+
+def char_entropy_sql(
+    table: str = "documents", max_chars: int = 2000, key: str = "doc_id"
+) -> str:
+    """DuckDB mirror of `char_entropy` (same prefix, sorted alphabet,
+    fold order)."""
+    norm = norm_sql("text")
+    return f"""
+        WITH p AS (
+            SELECT {key}, substr({norm}, 1, {max_chars}) AS pre FROM {table}
+        ),
+        c AS (
+            SELECT {key}, len(pre) AS n_chars_used,
+                   [substr(pre, i, 1)
+                    FOR i IN range(1, len(pre) + 1)] AS chars
+            FROM p
+        ),
+        h AS (
+            SELECT {key}, n_chars_used,
+                   list_sort(list_distinct(chars)) AS alphabet, chars
+            FROM c
+        ),
+        e AS (
+            SELECT {key}, n_chars_used,
+                   len(alphabet) AS n_distinct_chars,
+                   -list_sum([ (CAST(len(list_filter(chars, x -> x = a))
+                                     AS DOUBLE) / n_chars_used)
+                               * log2(CAST(len(list_filter(chars, x -> x = a))
+                                           AS DOUBLE) / n_chars_used)
+                               FOR a IN alphabet ]) AS ent
+            FROM h WHERE n_chars_used > 0
+        )
+        SELECT p.{key}, p2.n_chars_used AS n_chars_used,
+               coalesce(e.n_distinct_chars, 0) AS n_distinct_chars,
+               coalesce(round(e.ent, 6), 0.0) AS char_entropy
+        FROM p
+        JOIN (SELECT {key}, len(pre) AS n_chars_used FROM p) p2
+          USING ({key})
+        LEFT JOIN e USING ({key})
+        ORDER BY p.{key}
+    """

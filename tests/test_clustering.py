@@ -1,0 +1,76 @@
+"""Deterministic k-means (operators/clustering.py): Lloyd semantics,
+stride init, tie-breaks, bit-determinism under repartitioning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from explora_kafka_spark.operators.clustering import (
+    kmeans, kmeans_sizes, kmeans_stride)
+
+
+def _emb(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_two_obvious_clusters(spark):
+    # ids 0..3 near the origin corner, 4..7 near the opposite corner;
+    # stride init (n=8, k=2 -> stride 4) seeds one centroid in each
+    vecs = [[0.0, 0.01 * i] for i in range(4)] + \
+           [[1.0, 1.0 - 0.01 * i] for i in range(4)]
+    out = kmeans(_emb(spark, vecs), k=2, iters=2).collect()
+    clusters = {r["vec_id"]: r["cluster"] for r in out}
+    assert {clusters[i] for i in range(4)} == {0}
+    assert {clusters[i] for i in range(4, 8)} == {1}
+
+
+def test_iters_one_is_nearest_init_assignment(spark):
+    # with iters=1 every vector joins its nearest INIT centroid
+    # (ids 0 and 2 for n=4, k=2): vector 3 sits exactly on centroid 2
+    vecs = [[0.0, 0.0], [0.1, 0.0], [1.0, 0.0], [1.0, 0.0]]
+    out = {r["vec_id"]: r["cluster"]
+           for r in kmeans(_emb(spark, vecs), k=2, iters=1).collect()}
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_equidistant_tie_breaks_to_smaller_cid(spark):
+    # centroids at 0.0 and 1.0 (ids 0, 2); vector 3 at exactly 0.5
+    vecs = [[0.0], [0.0], [1.0], [0.5]]
+    out = {r["vec_id"]: r["cluster"]
+           for r in kmeans(_emb(spark, vecs), k=2, iters=1).collect()}
+    assert out[3] == 0
+
+
+def test_lloyd_update_moves_boundary(spark):
+    # one tight mass near 0 plus an outlier at 10: after one update the
+    # right centroid chases the outlier mass mean and the boundary moves
+    vecs = [[0.0], [1.0], [2.0], [3.0], [4.0], [10.0]]
+    one = {r["vec_id"]: r["cluster"]
+           for r in kmeans(_emb(spark, vecs), k=2, iters=1).collect()}
+    two = {r["vec_id"]: r["cluster"]
+           for r in kmeans(_emb(spark, vecs), k=2, iters=2).collect()}
+    # init centroids: ids 0 (0.0) and 3 (3.0) -> vec 2.0 starts right
+    assert one[2] == 1
+    # after the update the left centroid is mean(0,1)=0.5-ish and the
+    # right mean(2,3,4,10)=4.75 -> 2.0 flips left
+    assert two[2] == 0
+
+
+def test_sizes_histogram_sums_to_n(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sizes = kmeans_sizes(emb, k=4, iters=2).collect()
+    assert sum(r["n_vectors"] for r in sizes) == emb.count()
+    assert len(sizes) <= 4
+
+
+def test_bit_deterministic_under_repartition(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    a = kmeans(emb, k=4, iters=3, n_rows=n).collect()
+    b = kmeans(emb.repartition(17), k=4, iters=3, n_rows=n).collect()
+    assert a == b
+
+
+def test_stride_floor(spark):
+    assert kmeans_stride(500, 8) == 62
+    assert kmeans_stride(5, 8) == 1

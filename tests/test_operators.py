@@ -500,3 +500,78 @@ def test_tune_nprobe_rungs_match_direct_audit(spark):
             .collect()[0]["m"]
         )
         assert rows[p] == direct, (p, rows[p], direct)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup index (build_dedup_index + dedup_check)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_check_self_parity_with_oneshot(spark, docs, tmp_path):
+    """Checking the corpus against its own index must yield exactly the
+    one-shot lsh_candidate_pairs, once per orientation, with identical
+    est_jaccard."""
+    D.build_dedup_index(docs, str(tmp_path))
+    check = D.dedup_check(spark, docs, str(tmp_path)).collect()
+    oneshot = D.dedup_near(docs).collect()
+    exp = {}
+    for r in oneshot:
+        exp[(r["doc_a"], r["doc_b"])] = r["est_jaccard"]
+        exp[(r["doc_b"], r["doc_a"])] = r["est_jaccard"]
+    got = {(r["doc_id"], r["match_id"]): r["est_jaccard"] for r in check}
+    assert got == exp
+
+
+def test_dedup_check_excludes_unindexed_and_self(spark, docs, tmp_path):
+    """A batch overlapping the indexed corpus never matches itself, and
+    never matches docs outside the index."""
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    D.build_dedup_index(corpus, str(tmp_path))
+    batch = docs  # includes the indexed half
+    out = D.dedup_check(spark, batch, str(tmp_path)).collect()
+    for r in out:
+        assert r["match_id"] % 2 == 0       # only indexed docs match
+        assert r["doc_id"] != r["match_id"]  # never self
+
+
+def test_dedup_check_no_cartesian_plan(spark, docs, tmp_path):
+    D.build_dedup_index(docs, str(tmp_path))
+    plan = _physical_plan(D.dedup_check(spark, docs, str(tmp_path)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# char entropy (perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_extremes(spark):
+    """Single repeated char -> 0 bits; uniform 4-char alphabet -> 2 bits;
+    empty text -> 0 with zero counts."""
+    rows = [(1, "aaaaaaaa"), (2, "abcdabcdabcdabcd"), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in T.char_entropy(docs).collect()}
+    assert out[1]["char_entropy"] == 0.0
+    assert out[1]["n_distinct_chars"] == 1
+    assert out[2]["char_entropy"] == 2.0
+    assert out[3]["n_chars_used"] == 0
+    assert out[3]["n_distinct_chars"] == 0
+    assert out[3]["char_entropy"] == 0.0
+
+
+def test_char_entropy_prefix_cap(spark):
+    """Only the first max_chars count: junk beyond the cap is invisible."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa" + "z" * 100)], "doc_id bigint, text string")
+    out = T.char_entropy(docs, max_chars=4).collect()[0]
+    assert out["n_chars_used"] == 4
+    assert out["n_distinct_chars"] == 1
+    assert out["char_entropy"] == 0.0
+
+
+def test_char_entropy_shuffle_free_plan(spark, docs):
+    # the signal is a pure projection: the only exchange in the plan is
+    # the final orderBy's range partitioning (driver-gate row stability)
+    plan = _physical_plan(T.char_entropy(docs))
+    assert "Exchange hashpartitioning" not in plan
