@@ -461,74 +461,95 @@ def char_entropy(
     p·log2(p) sequence in the identical order — the only cross-engine
     exposure is libm log2's last ulp, hidden by round(6).
 
+    Implementation note: Spark evaluates higher-order-function lambdas
+    INTERPRETED (no codegen), and an expression referenced inside a
+    lambda is re-evaluated per lambda call — a naive per-letter
+    count-by-filter re-materializes the character array once per
+    alphabet letter, O(alphabet × len) array builds per row (measured
+    90 s on 500 docs). So the histogram comes from a run-length scan
+    instead: sort the characters once, runs start where sc[i] ≠ sc[i-1],
+    counts are consecutive-boundary diffs — O(len·log len) per row, each
+    array materialized exactly once behind its own projection (multi-use
+    aliases are never collapsed into consumers by CollapseProject). The
+    runs enumerate in sorted-alphabet order, which is exactly the fold
+    order the DuckDB mirror uses.
+
     Empty documents short-circuit to entropy 0 (Spark's sequence(1, 0)
     is a DESCENDING [1, 0], not an empty range — same guard as
-    contamination.word_shingles_col)."""
+    contamination.word_shingles_col; the greatest() floors keep every
+    sequence() ascending and every element_at() index >= 1)."""
     prefix = F.substring(norm_col("text"), 1, max_chars)
-    n = F.length(prefix)
-    chars = F.expr(
-        f"transform(sequence(1, length(substring({_NORM_TXT}, 1,"
-        f" {max_chars}))), i -> substring(substring({_NORM_TXT}, 1,"
-        f" {max_chars}), i, 1))"
+    d1 = docs.select(
+        F.col(key), prefix.alias("_pre"), F.length(prefix).alias("_n"))
+    d2 = d1.select(
+        key, "_n",
+        F.array_sort(F.expr(
+            "transform(sequence(1, greatest(_n, 1)),"
+            " i -> substring(_pre, i, 1))")).alias("_sc"),
     )
-    alphabet = F.array_sort(F.array_distinct(chars))
-    counts = F.transform(alphabet, lambda c: F.size(F.filter(chars, lambda x: x == c)))
-    ent = -F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, c: acc
-        + (c.cast("double") / n) * F.log2(c.cast("double") / n),
+    d3 = d2.select(
+        key, "_n",
+        F.expr(
+            "concat(array(1), filter(sequence(2, greatest(_n, 2)),"
+            " i -> i <= _n AND element_at(_sc, i) <> element_at(_sc, i - 1)))"
+        ).alias("_starts"),
     )
-    return docs.select(
+    cnt = ("CAST((IF(j + 1 = size(_starts), _n + 1,"
+           " element_at(_starts, j + 2)) - s) AS DOUBLE) / _n")
+    ent = -F.expr(
+        f"aggregate(transform(_starts, (s, j) -> {cnt}),"
+        " CAST(0 AS DOUBLE), (acc, p) -> acc + p * log2(p))"
+    )
+    n = F.col("_n")
+    return d3.select(
         key,
         n.alias("n_chars_used"),
-        F.when(n > 0, F.size(alphabet)).otherwise(F.lit(0)).alias(
+        F.when(n > 0, F.size("_starts")).otherwise(F.lit(0)).alias(
             "n_distinct_chars"),
         F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(0.0)).alias(
             "char_entropy"),
     ).orderBy(key)
 
 
-_NORM_TXT = r"trim(regexp_replace(lower(text), '\\s+', ' '))"
-
-
 def char_entropy_sql(
     table: str = "documents", max_chars: int = 2000, key: str = "doc_id"
 ) -> str:
     """DuckDB mirror of `char_entropy` (same prefix, sorted alphabet,
-    fold order)."""
+    fold order). Histogram counts come from a run-length scan over the
+    SORTED character list (run starts → consecutive-boundary diffs) —
+    O(len) per row instead of the O(alphabet × len) per-letter filter,
+    and the runs enumerate in sorted-alphabet order, i.e. exactly the
+    Spark fold order, so the float sum stays bit-identical."""
     norm = norm_sql("text")
+    cnt = ("CAST((CASE WHEN j = len(starts) THEN n_chars_used + 1"
+           " ELSE starts[j + 1] END) - starts[j] AS DOUBLE)"
+           " / n_chars_used")
     return f"""
         WITH p AS (
             SELECT {key}, substr({norm}, 1, {max_chars}) AS pre FROM {table}
         ),
         c AS (
             SELECT {key}, len(pre) AS n_chars_used,
-                   [substr(pre, i, 1)
-                    FOR i IN range(1, len(pre) + 1)] AS chars
+                   list_sort([substr(pre, i, 1)
+                              FOR i IN range(1, len(pre) + 1)]) AS sc
             FROM p
         ),
-        h AS (
+        b AS (
             SELECT {key}, n_chars_used,
-                   list_sort(list_distinct(chars)) AS alphabet, chars
-            FROM c
+                   [i FOR i IN range(1, n_chars_used + 1)
+                    IF i = 1 OR sc[i] <> sc[i - 1]] AS starts
+            FROM c WHERE n_chars_used > 0
         ),
         e AS (
             SELECT {key}, n_chars_used,
-                   len(alphabet) AS n_distinct_chars,
-                   -list_sum([ (CAST(len(list_filter(chars, x -> x = a))
-                                     AS DOUBLE) / n_chars_used)
-                               * log2(CAST(len(list_filter(chars, x -> x = a))
-                                           AS DOUBLE) / n_chars_used)
-                               FOR a IN alphabet ]) AS ent
-            FROM h WHERE n_chars_used > 0
+                   len(starts) AS n_distinct_chars,
+                   -list_sum([ ({cnt}) * log2({cnt})
+                               FOR j IN range(1, len(starts) + 1) ]) AS ent
+            FROM b
         )
-        SELECT p.{key}, p2.n_chars_used AS n_chars_used,
+        SELECT c.{key}, c.n_chars_used,
                coalesce(e.n_distinct_chars, 0) AS n_distinct_chars,
                coalesce(round(e.ent, 6), 0.0) AS char_entropy
-        FROM p
-        JOIN (SELECT {key}, len(pre) AS n_chars_used FROM p) p2
-          USING ({key})
-        LEFT JOIN e USING ({key})
-        ORDER BY p.{key}
+        FROM c LEFT JOIN e USING ({key})
+        ORDER BY c.{key}
     """
