@@ -33,6 +33,7 @@ from explora_kafka_spark.operators import anomaly as ANOM
 from explora_kafka_spark.operators import centroids as CENT
 from explora_kafka_spark.operators import normalize as _NORM
 from explora_kafka_spark.operators import packing as PK
+from explora_kafka_spark.operators import postings as PST
 from explora_kafka_spark.operators import sampling as SMP
 from explora_kafka_spark.operators import udtfs as _UDTF
 from explora_kafka_spark.streaming import sessions as _SS
@@ -1032,6 +1033,17 @@ def q_kmeans_sizes(spark, sf_dir):
     return CL.kmeans_sizes(_emb(spark, sf_dir), k=8, iters=3)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Apply-side decontamination: score every train doc against the
+    test split's shingles, flag the over-threshold leaks for removal."""
+    return CONT.decontaminate(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_term_postings(spark, sf_dir):
+    """Inverted index: per-(term, doc) tf with per-term df/cf."""
+    return PST.term_postings(_docs(spark, sf_dir), min_df=2)
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per document."""
     return D.simhash(_docs(spark, sf_dir))
@@ -1434,6 +1446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "kmeans_clusters": q_kmeans_clusters,
         "kmeans_sizes": q_kmeans_sizes,
+        "decontaminate": q_decontaminate,
+        "term_postings": q_term_postings,
     }.items()}
 
 
@@ -1710,6 +1724,8 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": T.char_entropy_sql(),
         "kmeans_clusters": CL.kmeans_sql(k=8, iters=3, n_rows=500),
         "kmeans_sizes": CL.kmeans_sql(k=8, iters=3, n_rows=500, sizes=True),
+        "decontaminate": CONT.decontaminate_sql(threshold=0.5),
+        "term_postings": PST.term_postings_sql(min_df=2),
         "ngram_jaccard": D.ngram_jaccard_sql(shingle_n=2, num_bands=8),
         "simhash": D.simhash_sql(),
         "ann_topk_brute": S.ann_topk_brute_sql(),

@@ -266,3 +266,95 @@ def repetition_sql(table: str = "documents", n: int = 3,
         FROM sh
         ORDER BY {key}
     """
+
+
+def decontaminate(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 5,
+    weights: Sequence[tuple[str, float]] = DEFAULT_WEIGHTS,
+    key: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """The APPLY side of decontamination: score every TRAIN-split
+    document against the TEST split's distinct shingle set (the mirror
+    image of `contamination`, which scores test docs against train) and
+    flag the ones to drop — a train document whose shingle overlap with
+    the benchmark exceeds `threshold` leaks evaluation data and must
+    leave the corpus (the GPT-3 appendix-C remedy applied in the
+    direction that actually edits the training set).
+
+    Output: (key, n_shingles, n_tainted, taint, kept) for every
+    train-split document with >= 1 shingle, key-ascending; `kept` =
+    (taint <= threshold). Emitting the full scored report rather than
+    the filtered corpus keeps the drop auditable — the caller composes
+    `.filter("kept")` (driver policy, same contract as segment_dedup's
+    empty survivors).
+
+    100 TB: identical plan shape to `contamination` with the sides
+    swapped — the TEST shingle set is the small side (benchmarks are
+    tiny next to a training corpus), so the distinct-compacted join is
+    effectively a broadcast-sized semi-join against every train batch.
+    """
+    assigned = (
+        split_assign(docs, weights, key=key, salt=salt)
+        .withColumn("_toks", tokens_col("text"))
+        .select(key, "split", word_shingles_col("_toks", n).alias("_sh"))
+    )
+    exploded = assigned.select(
+        key, "split", F.explode("_sh").alias("_shingle")
+    ).select(key, "split", _shingle_hash_col(F.col("_shingle")).alias("_h"))
+    train_sh = (
+        exploded.filter(F.col("split") == "train").select(key, "_h").distinct()
+    )
+    test_sh = (
+        exploded.filter(F.col("split") == "test")
+        .select("_h").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        train_sh.join(test_sh, on="_h", how="left")
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_tainted"),
+        )
+        .withColumn(
+            "taint", F.round(F.col("n_tainted") / F.col("n_shingles"), 6)
+        )
+        .withColumn("kept", F.col("taint") <= F.lit(threshold))
+        .orderBy(key)
+    )
+
+
+def decontaminate_sql(
+    table: str = "documents",
+    threshold: float = 0.5,
+    n: int = 5,
+    weights: Sequence[tuple[str, float]] = DEFAULT_WEIGHTS,
+    key: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB mirror of `decontaminate`."""
+    toks = f"string_split({norm_sql('text')}, ' ')"
+    shingles = _shingles_list_sql("t", n)
+    h = _shingle_hash_sql("shingle")
+    return f"""
+        WITH assigned AS ({split_assign_sql(table, weights, key=key, salt=salt)}),
+        tok AS (SELECT {key}, split, {toks} AS t FROM assigned),
+        sh AS (SELECT {key}, split, unnest({shingles}) AS shingle FROM tok),
+        trh AS (SELECT DISTINCT {key}, {h} AS _h FROM sh WHERE split = 'train'),
+        tsh AS (SELECT DISTINCT {h} AS _h FROM sh WHERE split = 'test'),
+        scored AS (
+            SELECT trh.{key} AS {key},
+                   COUNT(*) AS n_shingles,
+                   COUNT(tsh._h) AS n_tainted,
+                   round(COUNT(tsh._h) * 1.0 / COUNT(*), 6) AS taint
+            FROM trh LEFT JOIN tsh ON trh._h = tsh._h
+            GROUP BY trh.{key}
+        )
+        SELECT {key}, n_shingles, n_tainted, taint,
+               taint <= {threshold} AS kept
+        FROM scored
+        ORDER BY {key}
+    """

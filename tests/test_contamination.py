@@ -120,3 +120,49 @@ def test_contamination_index_layout(spark, tmp_path):
     # all 20 docs share one text → exactly 2 distinct 5-gram hashes
     assert idx.count() == 2
     assert idx.distinct().count() == idx.count()
+
+
+# ---------------------------------------------------------------------------
+# decontaminate (apply-side: flag train docs that leak the test set)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_mirrors_contamination(spark, sf_dir):
+    """For every (train doc, test corpus) shingle: the total number of
+    tainted train-side hits must equal the total contaminated test-side
+    hits when the overlap is symmetric... weaker but structural: every
+    scored doc is train-split, taint in [0, 1], kept == (taint <= thr)."""
+    from explora_kafka_spark.operators.sampling import split_assign
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = C.decontaminate(docs, threshold=0.5).collect()
+    assert out, "no train docs scored"
+    train_ids = {
+        r["doc_id"]
+        for r in split_assign(docs).filter("split = 'train'")
+        .select("doc_id").collect()
+    }
+    for r in out:
+        assert r["doc_id"] in train_ids
+        assert 0.0 <= r["taint"] <= 1.0
+        assert r["n_tainted"] <= r["n_shingles"]
+        assert r["kept"] == (r["taint"] <= 0.5)
+
+
+def test_decontaminate_flags_exact_leak(spark):
+    """Force one train doc to exactly duplicate a test doc: its taint
+    must be 1.0 and kept False; a disjoint-vocab train doc stays 0.0."""
+    from explora_kafka_spark.operators.sampling import split_assign
+    base = [(i, f"filler{i} " * 8) for i in range(40)]
+    df = _docs_df(spark, [(i, t.strip()) for i, t in base])
+    splits = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
+    test_id = next(i for i in splits if splits[i] == "test")
+    train_id = next(i for i in splits if splits[i] == "train")
+    rows = [(i, t.strip()) for i, t in base]
+    # duplicate the test doc's text into one train doc
+    rows = [(i, (dict(rows)[test_id] if i == train_id else t))
+            for i, t in rows]
+    out = {r["doc_id"]: r for r in
+           C.decontaminate(_docs_df(spark, rows), threshold=0.5).collect()}
+    assert out[train_id]["taint"] == 1.0 and not out[train_id]["kept"]
+    clean = [r for i, r in out.items() if i != train_id]
+    assert all(r["taint"] == 0.0 and r["kept"] for r in clean)

@@ -575,3 +575,36 @@ def test_char_entropy_shuffle_free_plan(spark, docs):
     # the final orderBy's range partitioning (driver-gate row stability)
     plan = _physical_plan(T.char_entropy(docs))
     assert "Exchange hashpartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# inverted index (term postings)
+# ---------------------------------------------------------------------------
+
+
+def test_term_postings_counts(spark):
+    from explora_kafka_spark.operators.postings import term_postings
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "c c c")],
+        "doc_id bigint, text string")
+    rows = {(r["term"], r["doc_id"]): r
+            for r in term_postings(docs).collect()}
+    assert rows[("a", 1)]["tf"] == 2 and rows[("a", 2)]["tf"] == 1
+    assert rows[("a", 1)]["df"] == 2 and rows[("a", 1)]["cf"] == 3
+    assert rows[("b", 1)]["df"] == 1
+    assert rows[("c", 3)]["tf"] == 3 and rows[("c", 3)]["cf"] == 4
+    # min_df prunes hapax terms
+    pruned = {r["term"] for r in term_postings(docs, min_df=2).collect()}
+    assert pruned == {"a", "c"}
+
+
+def test_term_postings_consistency_with_token_frequency(spark, docs):
+    """cf summed over the vocabulary == total corpus token count from
+    the token_frequencies operator (same normalization)."""
+    from explora_kafka_spark.operators.postings import term_postings
+    post = term_postings(docs)
+    cf_total = (post.select("term", "cf").distinct()
+                .agg(F.sum("cf")).collect()[0][0])
+    tf_total = (T.token_frequencies(docs)
+                .agg(F.sum("freq")).collect()[0][0])
+    assert cf_total == tf_total
