@@ -80,6 +80,60 @@ def _shingle_hash_sql(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
+def _keyed_shingle_hashes(
+    docs: DataFrame,
+    n: int,
+    weights: Sequence[tuple[str, float]],
+    key: str,
+    salt: str,
+) -> DataFrame:
+    """(key, split, _h): each document's DISTINCT shingle hashes, one
+    row per (doc, distinct shingle). The within-doc dedup happens
+    MAP-SIDE via `array_distinct` on the shingle-string array — this
+    replaces the old corpus-sized `(key, _h) DISTINCT` SHUFFLE with
+    per-row work, which cut `decontaminate` 10.0 s → ~5 s at sf0.1 (the
+    keyed side there is the train split, ~90 % of the corpus, and its
+    distinct was the dominant shuffle; at 100 TB that shuffle is the
+    difference between corpus-sized wire traffic and none).
+
+    Two codegen traps dodged deliberately:
+    - the md5 hash stays POST-explode (a regular projected expression in
+      whole-stage codegen); hashing inside a `transform` lambda runs
+      interpreted per shingle and measured 3.5× slower end-to-end.
+    - `array_distinct` is a non-lambda collection expression (codegen),
+      so dedup costs O(shingles) per row, not a shuffle.
+
+    Dedup on strings-then-hash vs the old hash-then-DISTINCT differ only
+    if two distinct shingle strings in one doc collide in the 60-bit
+    hash (~never, but the SQL mirrors use the same string-level distinct
+    so the oracle matches exactly even then).
+
+    explode_OUTER is load-bearing, not cosmetic: plain explode makes the
+    optimizer infer `size(shingles) > 0 AND isnotnull(shingles)` and
+    push that filter — with the ENTIRE shingle transform inlined — below
+    the _spread repartition, so every shingle was computed twice, once
+    inside the single-task pre-spread scan (measured: the whole 7 s cost
+    of `decontaminate` at sf0.1, and on a real cluster it would
+    serialize shingling onto however many tasks the raw scan has).
+    explode_outer infers nothing; the cheap `_h IS NOT NULL` post-filter
+    restores identical semantics (short docs drop, as before)."""
+    keyed = (
+        split_assign(docs, weights, key=key, salt=salt)
+        .withColumn("_toks", tokens_col("text"))
+        .select(
+            key, "split",
+            F.array_distinct(word_shingles_col("_toks", n)).alias("_sh"),
+        )
+    )
+    return (
+        keyed.select(
+            key, "split", F.explode_outer("_sh").alias("_shingle")
+        )
+        .select(key, "split", _shingle_hash_col(F.col("_shingle")).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+    )
+
+
 def contamination(
     docs: DataFrame,
     n: int = 5,
@@ -94,19 +148,10 @@ def contamination(
     = n_contaminated / n_shingles over the document's DISTINCT shingles,
     rounded to 6 dp (oracle float parity).
     """
-    assigned = (
-        split_assign(docs, weights, key=key, salt=salt)
-        .withColumn("_toks", tokens_col("text"))
-        .select(key, "split", word_shingles_col("_toks", n).alias("_sh"))
-    )
-    exploded = assigned.select(
-        key, "split", F.explode("_sh").alias("_shingle")
-    ).select(key, "split", _shingle_hash_col(F.col("_shingle")).alias("_h"))
-    test_sh = (
-        exploded.filter(F.col("split") == "test").select(key, "_h").distinct()
-    )
+    keyed = _keyed_shingle_hashes(docs, n, weights, key, salt)
+    test_sh = keyed.filter(F.col("split") == "test").select(key, "_h")
     train_sh = (
-        exploded.filter(F.col("split") == "train")
+        keyed.filter(F.col("split") == "train")
         .select("_h").distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -140,7 +185,9 @@ def contamination_sql(
         WITH assigned AS ({split_assign_sql(table, weights, key=key, salt=salt)}),
         tok AS (SELECT {key}, split, {toks} AS t FROM assigned),
         sh AS (SELECT {key}, split, unnest({shingles}) AS shingle FROM tok),
-        tsh AS (SELECT DISTINCT {key}, {h} AS _h FROM sh WHERE split = 'test'),
+        tsh AS (SELECT {key}, {h} AS _h FROM
+                (SELECT DISTINCT {key}, shingle FROM sh
+                 WHERE split = 'test')),
         trh AS (SELECT DISTINCT {h} AS _h FROM sh WHERE split = 'train')
         SELECT tsh.{key} AS {key},
                COUNT(*) AS n_shingles,
@@ -205,9 +252,13 @@ def contamination_check(
     )
     batch_sh = (
         batch.withColumn("_toks", tokens_col("text"))
-        .select(key, F.explode(word_shingles_col("_toks", n)).alias("_shingle"))
+        .select(
+            key,
+            F.explode(
+                F.array_distinct(word_shingles_col("_toks", n))
+            ).alias("_shingle"),
+        )
         .select(key, _shingle_hash_col(F.col("_shingle")).alias("_h"))
-        .distinct()
     )
     return (
         batch_sh.join(train_sh, on="_h", how="left")
@@ -296,19 +347,10 @@ def decontaminate(
     tiny next to a training corpus), so the distinct-compacted join is
     effectively a broadcast-sized semi-join against every train batch.
     """
-    assigned = (
-        split_assign(docs, weights, key=key, salt=salt)
-        .withColumn("_toks", tokens_col("text"))
-        .select(key, "split", word_shingles_col("_toks", n).alias("_sh"))
-    )
-    exploded = assigned.select(
-        key, "split", F.explode("_sh").alias("_shingle")
-    ).select(key, "split", _shingle_hash_col(F.col("_shingle")).alias("_h"))
-    train_sh = (
-        exploded.filter(F.col("split") == "train").select(key, "_h").distinct()
-    )
-    test_sh = (
-        exploded.filter(F.col("split") == "test")
+    keyed = _keyed_shingle_hashes(docs, n, weights, key, salt)
+    train_sh = keyed.filter(F.col("split") == "train").select(key, "_h")
+    test_sh = F.broadcast(
+        keyed.filter(F.col("split") == "test")
         .select("_h").distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -343,7 +385,9 @@ def decontaminate_sql(
         WITH assigned AS ({split_assign_sql(table, weights, key=key, salt=salt)}),
         tok AS (SELECT {key}, split, {toks} AS t FROM assigned),
         sh AS (SELECT {key}, split, unnest({shingles}) AS shingle FROM tok),
-        trh AS (SELECT DISTINCT {key}, {h} AS _h FROM sh WHERE split = 'train'),
+        trh AS (SELECT {key}, {h} AS _h FROM
+                (SELECT DISTINCT {key}, shingle FROM sh
+                 WHERE split = 'train')),
         tsh AS (SELECT DISTINCT {h} AS _h FROM sh WHERE split = 'test'),
         scored AS (
             SELECT trh.{key} AS {key},
