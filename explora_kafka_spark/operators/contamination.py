@@ -215,13 +215,13 @@ def build_contamination_index(
 
     Layout: `{path}/train_shingles`, a single bigint column `_h` (the same
     60-bit md5-prefix hash `contamination` joins on), written distinct.
-    Same materialize-once pattern as `similarity.build_ivf_index`."""
-    assigned = split_assign(docs, weights, key=key, salt=salt)
+    Same materialize-once pattern as `similarity.build_ivf_index`. Shares
+    `_keyed_shingle_hashes` so the explode-inferred-filter pushdown fix
+    (see that docstring) covers the index build too."""
     train_sh = (
-        assigned.filter(F.col("split") == "train")
-        .withColumn("_toks", tokens_col("text"))
-        .select(F.explode(word_shingles_col("_toks", n)).alias("_shingle"))
-        .select(_shingle_hash_col(F.col("_shingle")).alias("_h"))
+        _keyed_shingle_hashes(docs, n, weights, key, salt)
+        .filter(F.col("split") == "train")
+        .select("_h")
         .distinct()
     )
     train_sh.write.mode("overwrite").parquet(f"{path}/train_shingles")
@@ -250,15 +250,18 @@ def contamination_check(
         spark.read.parquet(f"{index_path}/train_shingles")
         .withColumn("_hit", F.lit(1))
     )
+    # explode_outer + notNull post-filter: same inferred-filter-pushdown
+    # dodge as _keyed_shingle_hashes (see its docstring)
     batch_sh = (
         batch.withColumn("_toks", tokens_col("text"))
         .select(
             key,
-            F.explode(
+            F.explode_outer(
                 F.array_distinct(word_shingles_col("_toks", n))
             ).alias("_shingle"),
         )
         .select(key, _shingle_hash_col(F.col("_shingle")).alias("_h"))
+        .filter(F.col("_h").isNotNull())
     )
     return (
         batch_sh.join(train_sh, on="_h", how="left")
