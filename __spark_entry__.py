@@ -1033,6 +1033,20 @@ def q_kmeans_sizes(spark, sf_dir):
     return CL.kmeans_sizes(_emb(spark, sf_dir), k=8, iters=3)
 
 
+def q_kmeans_outliers(spark, sf_dir):
+    """Top-20 farthest-from-centroid vectors (curation review queue)."""
+    return CL.kmeans_outliers(_emb(spark, sf_dir), k=8, iters=3, top=20)
+
+
+def q_dedup_recall(spark, sf_dir):
+    """LSH dedup quality audit: recall/precision of the banded candidate
+    pairs vs exact Jaccard ground truth on a doc sample (the text-side
+    twin of ann_recall_lsh). Bigram shingles, 8 bands — the production
+    dedup_near config is exactly what it prices."""
+    return D.dedup_recall_audit(_docs(spark, sf_dir), jaccard_min=0.3,
+                                shingle_n=2, num_bands=8)
+
+
 def q_decontaminate(spark, sf_dir):
     """Apply-side decontamination: score every train doc against the
     test split's shingles, flag the over-threshold leaks for removal."""
@@ -1448,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_sizes": q_kmeans_sizes,
         "decontaminate": q_decontaminate,
         "term_postings": q_term_postings,
+        "kmeans_outliers": q_kmeans_outliers,
+        "dedup_recall": q_dedup_recall,
     }.items()}
 
 
@@ -1726,6 +1742,10 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_sizes": CL.kmeans_sql(k=8, iters=3, n_rows=500, sizes=True),
         "decontaminate": CONT.decontaminate_sql(threshold=0.5),
         "term_postings": PST.term_postings_sql(min_df=2),
+        "kmeans_outliers": CL.kmeans_sql(k=8, iters=3, n_rows=500,
+                                         outliers_top=20),
+        "dedup_recall": D.dedup_recall_audit_sql(jaccard_min=0.3,
+                                                 shingle_n=2, num_bands=8),
         "ngram_jaccard": D.ngram_jaccard_sql(shingle_n=2, num_bands=8),
         "simhash": D.simhash_sql(),
         "ann_topk_brute": S.ann_topk_brute_sql(),

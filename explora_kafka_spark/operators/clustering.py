@@ -56,7 +56,7 @@ def kmeans_stride(n_rows: int, k: int) -> int:
 
 
 def _assign(mu: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vid, m, cid): nearest centroid by integer squared distance,
+    """(vid, m, cid, _d2): nearest centroid by integer squared distance,
     ties to the smaller cid. One broadcast + one per-row window."""
     w = Window.partitionBy("vid").orderBy(F.col("_d2").asc(), F.col("cid").asc())
     return (
@@ -64,7 +64,7 @@ def _assign(mu: DataFrame, cent: DataFrame) -> DataFrame:
         .withColumn("_d2", F.expr(_D2))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("vid", "m", "cid")
+        .select("vid", "m", "cid", "_d2")
     )
 
 
@@ -95,6 +95,22 @@ def kmeans(
     them) from stride-sampled init. Returns the final assignment:
     (key, cluster), key-ascending. iters=1 is pure nearest-init-centroid
     assignment (the IVF list assignment)."""
+    assigned = _final_assignment(emb, k, iters, key, vec_col, n_rows)
+    return (
+        assigned.select(F.col("vid").alias(key), F.col("cid").alias("cluster"))
+        .orderBy(key)
+    )
+
+
+def _final_assignment(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    key: str,
+    vec_col: str,
+    n_rows: int | None,
+) -> DataFrame:
+    """Shared Lloyd loop: (vid, m, cid, _d2) under the final centroids."""
     if n_rows is None:
         n_rows = emb.count()
     stride = kmeans_stride(n_rows, k)
@@ -111,10 +127,7 @@ def kmeans(
     for _ in range(iters - 1):
         cent = _update(assigned).localCheckpoint(eager=True)
         assigned = _assign(mu, cent)
-    return (
-        assigned.select(F.col("vid").alias(key), F.col("cid").alias("cluster"))
-        .orderBy(key)
-    )
+    return assigned
 
 
 def kmeans_sizes(
@@ -135,6 +148,39 @@ def kmeans_sizes(
     )
 
 
+def kmeans_outliers(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+    top: int = 20,
+) -> DataFrame:
+    """Embedding-space outlier triage: the `top` vectors FARTHEST from
+    their assigned centroid after the final Lloyd pass — the curation
+    queue a human (or a stricter filter) reviews first: mislabeled
+    items, off-distribution scrapes, encoding garbage. Output:
+    (key, cluster, d2_mu), d2 descending then key ascending; `d2_mu` is
+    the exact integer squared distance in µunit² (engine-portable, no
+    float drift by construction).
+
+    100 TB: identical passes to `kmeans` (the assignment already
+    computes d2; this keeps it) plus one global top-`top` — Spark
+    executes orderBy+limit as per-partition TakeOrdered then a
+    `top`-sized merge, no full sort materialization."""
+    assigned = _final_assignment(emb, k, iters, key, vec_col, n_rows)
+    return (
+        assigned.select(
+            F.col("vid").alias(key),
+            F.col("cid").alias("cluster"),
+            F.col("_d2").alias("d2_mu"),
+        )
+        .orderBy(F.col("d2_mu").desc(), key)
+        .limit(top)
+    )
+
+
 def kmeans_sql(
     table: str = "embeddings",
     k: int = 8,
@@ -143,11 +189,13 @@ def kmeans_sql(
     vec_col: str = "embedding",
     n_rows: int = 500,
     sizes: bool = False,
+    outliers_top: int | None = None,
 ) -> str:
     """DuckDB mirror of `kmeans` (same µunits, init stride, integer
     distances, tie-break, update rounding) with one CTE pair per Lloyd
     iteration, unrolled. `n_rows` must match the table the oracle runs
-    on (sf0.01: 500 vectors)."""
+    on (sf0.01: 500 vectors). `sizes` mirrors `kmeans_sizes`;
+    `outliers_top` mirrors `kmeans_outliers`."""
     stride = kmeans_stride(n_rows, k)
     d2 = ("list_sum([ (e.m[i] - c.cm[i]) * (e.m[i] - c.cm[i])"
           " FOR i IN range(1, len(e.m) + 1) ])")
@@ -165,8 +213,9 @@ def kmeans_sql(
     ]
     for t in range(iters):
         ctes.append(f"""a{t} AS (
-            SELECT vid, m, cid FROM (
+            SELECT vid, m, cid, _d2 FROM (
                 SELECT e.vid, e.m, c.cid,
+                       CAST({d2} AS BIGINT) AS _d2,
                        row_number() OVER (PARTITION BY e.vid
                            ORDER BY {d2} ASC, c.cid ASC) AS rn
                 FROM mu e, c{t} c
@@ -189,6 +238,9 @@ def kmeans_sql(
     if sizes:
         body = (f"SELECT cid AS cluster, count(*) AS n_vectors"
                 f" FROM {last} GROUP BY 1 ORDER BY 1")
+    elif outliers_top:
+        body = (f"SELECT vid AS {key}, cid AS cluster, _d2 AS d2_mu"
+                f" FROM {last} ORDER BY _d2 DESC, vid LIMIT {outliers_top}")
     else:
         body = (f"SELECT vid AS {key}, cid AS cluster"
                 f" FROM {last} ORDER BY 1")

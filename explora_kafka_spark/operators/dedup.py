@@ -812,3 +812,132 @@ def dedup_check_sql(
         WHERE est_jaccard >= {min_est}
         ORDER BY doc_id, match_id
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH quality audit: recall/precision vs exact Jaccard on a sample
+# ---------------------------------------------------------------------------
+
+
+def dedup_recall_audit(
+    docs: DataFrame,
+    jaccard_min: float = 0.5,
+    sample_mod: int = 5,
+    shingle_n: int = 1,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Price the MinHash+LSH approximation the way `ann_recall_lsh`
+    prices the ANN path: on a deterministic document SAMPLE
+    (doc_id % sample_mod = 0), compare the LSH candidate pairs against
+    the EXACT-Jaccard ground truth (all sampled pairs with true Jaccard
+    >= jaccard_min) and report one audit row:
+
+        (n_true_pairs, n_candidates, n_hits, recall, precision)
+
+    recall = found-truth / truth (NULL when no true pair exists);
+    precision = found-truth / candidates (NULL when no candidate) —
+    together they price the banding config (bands x rows) before a full
+    corpus run commits to it.
+
+    100 TB: the all-pairs exact baseline is the audit's cost and exists
+    ONLY here, bounded to (n / sample_mod)^2 pairs by the sample — the
+    same deliberate, allow-listed brute-force the ANN audits carry; the
+    production pair generator stays the bucketed equi-join."""
+    sample = docs.filter(F.col("doc_id") % sample_mod == 0)
+    sh = shingle_sets(sample, shingle_n)
+    a = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("shingles").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")), 6)
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_min)
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(sample, num_hashes, shingle_n),
+        num_bands, num_hashes // num_bands,
+    ).select("doc_a", "doc_b")
+    hits = truth.join(cand, ["doc_a", "doc_b"]).select("doc_a")
+    return (
+        truth.agg(F.count("*").alias("n_true_pairs"))
+        .join(cand.agg(F.count("*").alias("n_candidates")))
+        .join(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_true_pairs", "n_candidates", "n_hits",
+            F.when(F.col("n_true_pairs") > 0,
+                   F.round(F.col("n_hits") / F.col("n_true_pairs"), 6))
+             .alias("recall"),
+            F.when(F.col("n_candidates") > 0,
+                   F.round(F.col("n_hits") / F.col("n_candidates"), 6))
+             .alias("precision"),
+        )
+    )
+
+
+def dedup_recall_audit_sql(
+    table: str = "documents",
+    jaccard_min: float = 0.5,
+    sample_mod: int = 5,
+    shingle_n: int = 1,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+) -> str:
+    """DuckDB mirror of `dedup_recall_audit` (same sample, shingles,
+    signatures, banding, rounding)."""
+    rows = num_hashes // num_bands
+    toks = tokens_sql("text")
+    sh = _shingles_expr_duck("_toks", shingle_n)
+    mins = ", ".join(
+        "list_min([(({a} * h + {b}) % {p}) FOR h IN _bh])".format(
+            a=_family_params(i)[0], b=_family_params(i)[1], p=_P
+        )
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        f"md5(array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], ','))"
+        for b in range(num_bands)
+    )
+    return f"""
+        WITH sample AS (
+            SELECT * FROM {table} WHERE doc_id % {sample_mod} = 0
+        ),
+        t AS (SELECT doc_id, {toks} AS _toks FROM sample),
+        s AS (SELECT doc_id, list_distinct({sh}) AS _sh FROM t),
+        truth AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a._sh, b._sh)) * 1.0
+                        / len(list_distinct(a._sh || b._sh)), 6)
+                  >= {jaccard_min}
+        ),
+        bh AS (SELECT doc_id,
+                      [{_base_hash_duck('s')} FOR s IN _sh] AS _bh FROM s),
+        sig AS (SELECT doc_id, [{mins}] AS sig FROM bh),
+        banded AS (
+            SELECT doc_id, u.b AS band_idx, [{band_keys}][u.b] AS band_key
+            FROM sig, unnest(range(1, {num_bands} + 1)) AS u(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        hits AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+        SELECT (SELECT count(*) FROM truth) AS n_true_pairs,
+               (SELECT count(*) FROM cand) AS n_candidates,
+               (SELECT count(*) FROM hits) AS n_hits,
+               CASE WHEN (SELECT count(*) FROM truth) > 0
+                    THEN round((SELECT count(*) FROM hits) * 1.0
+                               / (SELECT count(*) FROM truth), 6) END
+                   AS recall,
+               CASE WHEN (SELECT count(*) FROM cand) > 0
+                    THEN round((SELECT count(*) FROM hits) * 1.0
+                               / (SELECT count(*) FROM cand), 6) END
+                   AS precision
+    """

@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from explora_kafka_spark.operators.clustering import (
-    kmeans, kmeans_sizes, kmeans_stride)
+    kmeans, kmeans_outliers, kmeans_sizes, kmeans_stride)
 
 
 def _emb(spark, vecs):
@@ -74,3 +74,24 @@ def test_bit_deterministic_under_repartition(spark, sf_dir):
 def test_stride_floor(spark):
     assert kmeans_stride(500, 8) == 62
     assert kmeans_stride(5, 8) == 1
+
+
+def test_outliers_ranks_farthest_first(spark):
+    # tight mass near origin + one extreme point: the extreme point must
+    # top the outlier queue with the largest d2
+    # init centroids (n=6, k=2, stride=3) are ids 0 and 3 — the extreme
+    # point id 4 is NOT a centroid, so its d2 dominates the queue
+    vecs = [[0.0], [0.1], [0.2], [0.3], [9.9], [0.15]]
+    out = kmeans_outliers(_emb(spark, vecs), k=2, iters=1, top=3).collect()
+    assert out[0]["vec_id"] == 4
+    d2s = [r["d2_mu"] for r in out]
+    assert d2s == sorted(d2s, reverse=True)
+
+
+def test_outliers_consistent_with_assignment(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = {r["vec_id"]: r["cluster"]
+              for r in kmeans(emb, k=4, iters=2).collect()}
+    for r in kmeans_outliers(emb, k=4, iters=2, top=10).collect():
+        assert assign[r["vec_id"]] == r["cluster"]
+        assert r["d2_mu"] >= 0

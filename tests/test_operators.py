@@ -608,3 +608,35 @@ def test_term_postings_consistency_with_token_frequency(spark, docs):
     tf_total = (T.token_frequencies(docs)
                 .agg(F.sum("freq")).collect()[0][0])
     assert cf_total == tf_total
+
+
+# ---------------------------------------------------------------------------
+# dedup LSH quality audit
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_recall_audit_bounds_and_consistency(spark, docs):
+    r = D.dedup_recall_audit(docs, jaccard_min=0.3, sample_mod=5,
+                             shingle_n=2, num_bands=8).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_hits"] <= row["n_true_pairs"]
+    assert row["n_hits"] <= row["n_candidates"]
+    if row["n_true_pairs"] > 0:
+        assert 0.0 <= row["recall"] <= 1.0
+    if row["n_candidates"] > 0:
+        assert 0.0 <= row["precision"] <= 1.0
+
+
+def test_dedup_recall_is_one_when_bands_are_rows(spark):
+    """num_bands = num_hashes -> every band is a single hash row, so an
+    exact-duplicate pair ALWAYS collides in every band: recall over
+    exact-duplicate ground truth (jaccard_min=1.0) must be 1.0."""
+    rows = [(i * 5, f"alpha bravo charlie delta echo doc{i % 3}")
+            for i in range(12)]  # ids multiples of 5 -> all sampled; 3 groups of exact dups
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = D.dedup_recall_audit(
+        docs, jaccard_min=1.0, sample_mod=5,
+        num_hashes=16, num_bands=16).collect()[0]
+    assert out["n_true_pairs"] > 0
+    assert out["recall"] == 1.0

@@ -38,14 +38,19 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   broadcast, computed ONCE and cached; every rung is a filter+window
 #:   over the cached candidates, so the allowance count does not grow
 #:   with the number of rungs.
-#: - kmeans_clusters / kmeans_sizes broadcast the tiny k×d centroid
-#:   table keylessly for the per-row argmin (exactly the IVF-family
-#:   centroid allowance); every other join in the operator is an
-#:   equi-join or map-side fold.
+#: - kmeans_clusters / kmeans_sizes / kmeans_outliers broadcast the tiny
+#:   k×d centroid table keylessly for the per-row argmin (exactly the
+#:   IVF-family centroid allowance); every other join in the operator is
+#:   an equi-join or map-side fold.
+#: - dedup_recall carries the audit-only all-pairs exact-Jaccard
+#:   baseline on a bounded doc sample — the text-side twin of
+#:   ann_recall_lsh's deliberate brute baseline; the production pair
+#:   generator it audits stays the bucketed equi-join.
 CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivf", "ann_topk_ivf_indexed",
                  "ann_topk_ivf_filtered", "ann_recall_ivf",
-                 "tune_nprobe", "kmeans_clusters", "kmeans_sizes"}
+                 "tune_nprobe", "kmeans_clusters", "kmeans_sizes",
+                 "kmeans_outliers", "dedup_recall"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
