@@ -36,6 +36,7 @@ from explora_kafka_spark.operators import packing as PK
 from explora_kafka_spark.operators import postings as PST
 from explora_kafka_spark.operators import sampling as SMP
 from explora_kafka_spark.operators import udtfs as _UDTF
+from explora_kafka_spark.streaming import corpus_gate as _CG
 from explora_kafka_spark.streaming import sessions as _SS
 from explora_kafka_spark.operators import similarity as S
 from explora_kafka_spark.operators import text as T
@@ -1047,6 +1048,40 @@ def q_dedup_recall(spark, sf_dir):
                                 shingle_n=2, num_bands=8)
 
 
+_GATE_INDEXES: dict[str, str] = {}
+
+
+def _gate_shingle_index(spark, sf_dir) -> str:
+    """Materialized (cached) whole-corpus shingle index over the
+    'existing corpus' slice (doc_id % 5 != 0) — the contamination half
+    of the streaming admission gate's index pair (the near-dup half is
+    _dedup_index, same slice)."""
+    if sf_dir not in _GATE_INDEXES:
+        d = tempfile.mkdtemp(prefix="explora_gate_")
+        _TMPDIRS.append(d)
+        corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
+        CONT.build_shingle_index(corpus, f"{d}/gate")
+        _GATE_INDEXES[sf_dir] = f"{d}/gate"
+    return _GATE_INDEXES[sf_dir]
+
+
+def q_corpus_gate(spark, sf_dir):
+    """Streaming corpus-admission gate, batch twin: score the incoming
+    batch slice (doc_id % 5 == 0) against BOTH materialized indexes —
+    contamination vs the corpus shingle set, near-dup vs the LSH band
+    buckets (est >= 0.9 rejects) — and emit per-doc verdicts. The
+    foreachBatch streaming flavor is pinned ≡ this in
+    tests/test_corpus_gate.py."""
+    from explora_kafka_spark.streaming import corpus_gate as CG
+
+    batch = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    return CG.gate_batch(
+        spark, batch,
+        _gate_shingle_index(spark, sf_dir), _dedup_index(spark, sf_dir),
+        taint_max=0.5, lsh_shingle_n=2, num_bands=8, min_est=0.9,
+    )
+
+
 def q_decontaminate(spark, sf_dir):
     """Apply-side decontamination: score every train doc against the
     test split's shingles, flag the over-threshold leaks for removal."""
@@ -1464,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_postings": q_term_postings,
         "kmeans_outliers": q_kmeans_outliers,
         "dedup_recall": q_dedup_recall,
+        "corpus_gate": q_corpus_gate,
     }.items()}
 
 
@@ -1746,6 +1782,8 @@ def oracle_sql() -> dict[str, str]:
                                          outliers_top=20),
         "dedup_recall": D.dedup_recall_audit_sql(jaccard_min=0.3,
                                                  shingle_n=2, num_bands=8),
+        "corpus_gate": _CG.gate_batch_sql(taint_max=0.5, lsh_shingle_n=2,
+                                          num_bands=8, min_est=0.9),
         "ngram_jaccard": D.ngram_jaccard_sql(shingle_n=2, num_bands=8),
         "simhash": D.simhash_sql(),
         "ann_topk_brute": S.ann_topk_brute_sql(),

@@ -227,6 +227,32 @@ def build_contamination_index(
     train_sh.write.mode("overwrite").parquet(f"{path}/train_shingles")
 
 
+def build_shingle_index(
+    docs: DataFrame,
+    path: str,
+    n: int = 5,
+    key: str = "doc_id",
+) -> None:
+    """Materialize the DISTINCT shingle-hash set of ALL given documents
+    (no split assignment) — the "everything we already hold" index a
+    corpus-admission gate (`streaming/corpus_gate.py`) checks incoming
+    batches against. Same layout as `build_contamination_index`
+    (`{path}/train_shingles`, one bigint `_h` column) so
+    `contamination_check` reads either interchangeably."""
+    sh = (
+        docs.withColumn("_toks", tokens_col("text"))
+        .select(
+            F.explode_outer(
+                F.array_distinct(word_shingles_col("_toks", n))
+            ).alias("_shingle"),
+        )
+        .select(_shingle_hash_col(F.col("_shingle")).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .distinct()
+    )
+    sh.write.mode("overwrite").parquet(f"{path}/train_shingles")
+
+
 def contamination_check(
     spark,
     batch: DataFrame,

@@ -1,0 +1,186 @@
+"""Streaming corpus-admission gate: score every incoming document batch
+against the MATERIALIZED corpus indexes and split accept/reject.
+
+A continuously-growing training corpus admits new documents through two
+hygiene checks before they may join the corpus:
+
+1. **contamination** — does the document leak held-out/benchmark content?
+   (shingle overlap against the materialized shingle index,
+   `operators/contamination.py`)
+2. **near-duplication** — is it a near-copy of something already held?
+   (banded MinHash check against the materialized LSH index,
+   `operators/dedup.py` `build_dedup_index`/`dedup_check`)
+
+This module composes the two per micro-batch. The corpus is NEVER
+re-scanned: both indexes are the compact 8-byte-key artifacts built once
+per corpus snapshot; each batch pays only its own shingles/signatures
+plus two equi-joins. This is the streaming face of the round-7 index
+family — the same shape `ingest_dedup` gives row-level event dedup.
+
+- `gate_batch`: the batch twin (one micro-batch scored) — the semantics
+  the DuckDB oracle checks, and what `foreachBatch` invokes.
+- `gate_stream`: Structured Streaming wrapper — file/Kafka doc stream →
+  `foreachBatch(gate_batch → split → append accepted/rejected parquet)`.
+  Stream ≡ batch is pinned by tests/test_corpus_gate.py.
+
+100 TB design: per batch, work is O(batch shingles + band collisions).
+The accept/reject split writes are append-only parquet (no MERGE needed
+— a document is scored exactly once on admission; replays are guarded by
+the same batch-id ledger pattern as the view store if the source is
+at-least-once). State lives entirely in the indexes, refreshed by the
+owner on corpus snapshots, so the streaming query itself is stateless —
+no watermark, no state store, restart-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.contamination import contamination_check
+from ..operators.dedup import NUM_BANDS, NUM_HASHES, dedup_check
+
+
+def gate_batch(
+    spark,
+    batch: DataFrame,
+    shingle_index: str,
+    dedup_index: str,
+    taint_max: float = 0.5,
+    shingle_n: int = 5,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    lsh_shingle_n: int = 1,
+    min_est: float = 0.0,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Score one document batch: (key, contamination, n_near_dups,
+    accepted), key-ascending, one row per batch document. Accepted =
+    contamination <= taint_max AND no near-dup candidate above min_est.
+    Documents too short to shingle score contamination 0 (nothing to
+    leak at the n-gram grain — the same convention as the contamination
+    operator, which drops them; the gate must still emit a verdict)."""
+    cont = contamination_check(
+        spark, batch, shingle_index, n=shingle_n, key=key
+    ).select(key, "contamination")
+    near = (
+        dedup_check(spark, batch, dedup_index,
+                    num_hashes=num_hashes, num_bands=num_bands,
+                    shingle_n=lsh_shingle_n, min_est=min_est)
+        .groupBy(key)
+        .agg(F.count("*").alias("n_near_dups"))
+    )
+    return (
+        batch.select(key)
+        .join(cont, key, "left")
+        .join(near, key, "left")
+        .select(
+            key,
+            F.coalesce("contamination", F.lit(0.0)).alias("contamination"),
+            F.coalesce("n_near_dups", F.lit(0).cast("long"))
+             .alias("n_near_dups"),
+        )
+        .withColumn(
+            "accepted",
+            (F.col("contamination") <= F.lit(taint_max))
+            & (F.col("n_near_dups") == 0),
+        )
+        .orderBy(key)
+    )
+
+
+def gate_stream(
+    spark,
+    doc_stream: DataFrame,
+    shingle_index: str,
+    dedup_index: str,
+    accepted_path: str,
+    rejected_path: str,
+    checkpoint: str,
+    taint_max: float = 0.5,
+    **gate_kwargs,
+):
+    """Structured Streaming admission gate: for each micro-batch, score
+    with `gate_batch` and append the original documents (plus their
+    scores) to the accepted/rejected parquet stores. Returns the started
+    StreamingQuery (caller awaits/stops). Stateless — restart replays
+    only unprocessed source files."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = gate_batch(
+            spark, batch_df, shingle_index, dedup_index,
+            taint_max=taint_max, **gate_kwargs,
+        )
+        enriched = batch_df.join(scored, "doc_id")
+        enriched.filter(F.col("accepted")).drop("accepted") \
+            .write.mode("append").parquet(accepted_path)
+        enriched.filter(~F.col("accepted")).drop("accepted") \
+            .write.mode("append").parquet(rejected_path)
+
+    return (
+        doc_stream.writeStream
+        .foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def gate_batch_sql(
+    table: str = "documents",
+    batch_pred: str = "doc_id % 5 = 0",
+    corpus_pred: str = "doc_id % 5 <> 0",
+    taint_max: float = 0.5,
+    shingle_n: int = 5,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    lsh_shingle_n: int = 1,
+    min_est: float = 0.0,
+    key: str = "doc_id",
+) -> str:
+    """DuckDB mirror of `gate_batch` where the indexes were built over
+    the `corpus_pred` rows of `table` and the batch is its `batch_pred`
+    rows — the oracle recomputes both indexes from scratch (exactly what
+    `build_shingle_index` / `build_dedup_index` materialize)."""
+    from ..operators.contamination import (
+        _shingle_hash_sql, _shingles_list_sql)
+    from ..operators.dedup import dedup_check_sql
+    from ..operators.text import tokens_sql
+
+    toks = tokens_sql("text")
+    shingles = _shingles_list_sql("t", shingle_n)
+    h = _shingle_hash_sql("shingle")
+    pairs = dedup_check_sql(table, batch_pred, corpus_pred,
+                            num_hashes, num_bands, lsh_shingle_n, min_est)
+    return f"""
+        WITH batch AS (SELECT * FROM {table} WHERE {batch_pred}),
+        corpus AS (SELECT * FROM {table} WHERE {corpus_pred}),
+        btok AS (SELECT {key}, {toks} AS t FROM batch),
+        bsh AS (SELECT {key}, unnest({shingles}) AS shingle FROM btok),
+        bdist AS (SELECT {key}, {h} AS _h FROM
+                  (SELECT DISTINCT {key}, shingle FROM bsh)),
+        ctok AS (SELECT {toks} AS t FROM corpus),
+        csh AS (SELECT DISTINCT {h} AS _h FROM
+                (SELECT unnest({shingles}) AS shingle FROM ctok)),
+        cont AS (
+            SELECT bdist.{key},
+                   round(count(csh._h) * 1.0 / count(*), 6) AS contamination
+            FROM bdist LEFT JOIN csh ON bdist._h = csh._h
+            GROUP BY 1
+        ),
+        nd AS (
+            SELECT {key}, count(*) AS n_near_dups
+            FROM ({pairs}) GROUP BY 1
+        )
+        SELECT b.{key},
+               coalesce(cont.contamination, 0.0) AS contamination,
+               coalesce(nd.n_near_dups, 0) AS n_near_dups,
+               (coalesce(cont.contamination, 0.0) <= {taint_max}
+                AND coalesce(nd.n_near_dups, 0) = 0) AS accepted
+        FROM batch b
+        LEFT JOIN cont ON b.{key} = cont.{key}
+        LEFT JOIN nd ON b.{key} = nd.{key}
+        ORDER BY b.{key}
+    """

@@ -1,0 +1,113 @@
+"""Streaming corpus-admission gate (streaming/corpus_gate.py): batch
+semantics, index composition, and stream ≡ batch equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from explora_kafka_spark.operators.contamination import build_shingle_index
+from explora_kafka_spark.operators.dedup import build_dedup_index
+from explora_kafka_spark.streaming.corpus_gate import gate_batch, gate_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def indexes(spark, docs, tmp_path_factory):
+    d = tmp_path_factory.mktemp("gate")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    build_shingle_index(corpus, str(d / "sh"))
+    build_dedup_index(corpus, str(d / "lsh"), shingle_n=2, num_bands=8)
+    return str(d / "sh"), str(d / "lsh")
+
+
+def _gate(spark, batch, indexes, **kw):
+    sh, lsh = indexes
+    kw.setdefault("lsh_shingle_n", 2)
+    kw.setdefault("num_bands", 8)
+    return gate_batch(spark, batch, sh, lsh, **kw)
+
+
+def test_gate_verdict_per_batch_doc(spark, docs, indexes):
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    out = _gate(spark, batch, indexes, min_est=0.9).collect()
+    assert len(out) == batch.count()
+    for r in out:
+        assert 0.0 <= r["contamination"] <= 1.0
+        assert r["n_near_dups"] >= 0
+        assert r["accepted"] == (
+            r["contamination"] <= 0.5 and r["n_near_dups"] == 0)
+
+
+def test_gate_rejects_exact_copy_of_corpus_doc(spark, docs, indexes):
+    """A batch doc that exactly duplicates an indexed corpus doc fails
+    BOTH checks: contamination 1.0 and >= 1 near-dup candidate."""
+    leak = (
+        docs.filter(F.col("doc_id") == 1)   # 1 % 5 != 0 -> indexed
+        .withColumn("doc_id", F.lit(100000))
+    )
+    out = _gate(spark, leak, indexes, min_est=0.9).collect()[0]
+    assert out["contamination"] == 1.0
+    assert out["n_near_dups"] >= 1
+    assert not out["accepted"]
+
+
+def test_gate_accepts_fresh_content(spark, indexes):
+    fresh = spark.createDataFrame(
+        [(100001,
+          "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn mmm lll")],
+        "doc_id bigint, text string")
+    out = _gate(spark, fresh, indexes, min_est=0.9).collect()[0]
+    assert out["contamination"] == 0.0
+    assert out["n_near_dups"] == 0
+    assert out["accepted"]
+
+
+def test_gate_short_doc_gets_verdict(spark, indexes):
+    """< 5 tokens -> no shingles -> contamination 0, still a row."""
+    short = spark.createDataFrame(
+        [(100002, "just three words")], "doc_id bigint, text string")
+    out = _gate(spark, short, indexes, min_est=0.9).collect()
+    assert len(out) == 1
+    assert out[0]["contamination"] == 0.0
+
+
+def test_stream_equals_batch(spark, docs, indexes, tmp_path):
+    """The foreachBatch streaming gate over a 2-file stream lands every
+    batch doc in exactly one of accepted/rejected with the same scores
+    as the one-shot batch twin."""
+    sh, lsh = indexes
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    half_a = batch.filter(F.col("doc_id") % 10 == 0)
+    half_b = batch.filter(F.col("doc_id") % 10 != 0)
+    half_a.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    half_b.coalesce(1).write.mode("append").parquet(str(tmp_path / "in"))
+    schema = spark.read.parquet(str(tmp_path / "in")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    q = gate_stream(
+        spark, stream, sh, lsh,
+        str(tmp_path / "acc"), str(tmp_path / "rej"), str(tmp_path / "ckpt"),
+        lsh_shingle_n=2, num_bands=8, min_est=0.9,
+    )
+    q.awaitTermination(300)
+
+    acc = spark.read.parquet(str(tmp_path / "acc"))
+    try:
+        rej = spark.read.parquet(str(tmp_path / "rej"))
+    except Exception:
+        rej = acc.limit(0)
+    streamed = {r["doc_id"]: (r["contamination"], r["n_near_dups"], True)
+                for r in acc.collect()}
+    streamed.update({r["doc_id"]: (r["contamination"], r["n_near_dups"], False)
+                     for r in rej.collect()})
+    expect = {r["doc_id"]: (r["contamination"], r["n_near_dups"], r["accepted"])
+              for r in _gate(spark, batch, indexes, min_est=0.9).collect()}
+    assert streamed == expect
