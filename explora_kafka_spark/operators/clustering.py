@@ -19,7 +19,11 @@ Lloyd iteration) matches bit-for-bit.
 
 Init is deterministic stride sampling (ids 0, n//k, 2·n//k, …) — the
 same spread-without-randomness trick the IVF quantizer uses, and the
-reason no seed parameter exists.
+reason no seed parameter exists. CONTRACT: the id column is assumed
+dense-ish from 0 (the embeddings table's vec_id); on a sparse id subset
+the stride may select fewer than k seeds and the result has fewer
+clusters — re-key with row_number() first if clustering a filtered
+slice (cheap, and keeps init deterministic).
 
 100 TB design: per iteration, ONE corpus pass — the k×d centroid table
 is broadcast (tiny, keyless: the same deliberate BNLJ allowance as the

@@ -728,6 +728,10 @@ def dedup_check(
     Parity contract (pinned by tests/test_operators.py): checking the
     corpus against its own index yields exactly
     `lsh_candidate_pairs`'s pairs, once in each orientation.
+    ID CONTRACT: doc ids are identity — the self-match exclusion assumes
+    a batch row carrying an indexed id IS that document (a batch that
+    reuses an indexed id for different content suppresses that one
+    pair); mint fresh ids for genuinely new documents.
 
     100 TB: the batch is signatured from scratch (it is new data); the
     corpus is NOT re-read as documents — only the stored 8-byte-keyed

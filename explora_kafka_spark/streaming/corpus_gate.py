@@ -24,12 +24,15 @@ family — the same shape `ingest_dedup` gives row-level event dedup.
   Stream ≡ batch is pinned by tests/test_corpus_gate.py.
 
 100 TB design: per batch, work is O(batch shingles + band collisions).
-The accept/reject split writes are append-only parquet (no MERGE needed
-— a document is scored exactly once on admission; replays are guarded by
-the same batch-id ledger pattern as the view store if the source is
-at-least-once). State lives entirely in the indexes, refreshed by the
-owner on corpus snapshots, so the streaming query itself is stateless —
-no watermark, no state store, restart-safe.
+The accept/reject split writes are append-only parquet. Delivery: the
+checkpointed availableNow file source processes each input file once;
+a crash BETWEEN the two appends inside one foreachBatch can replay the
+batch and duplicate rows in the store that already committed — readers
+wanting exactly-once either dropDuplicates(doc_id) on read or swap the
+appends for the view store's batch-id ledger MERGE
+(streaming/pipeline.py) — documented trade-off, not silent. State lives
+entirely in the indexes, refreshed by the owner on corpus snapshots, so
+the streaming query itself is stateless — no watermark, no state store.
 """
 
 from __future__ import annotations
