@@ -92,6 +92,45 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "trigonometry, no join.",
         [r"FileScan", r"PartitionFilters", r"PushedFilters", r"Join"],
     ),
+    "segment_dedup": (
+        "Segment dedup is two linear shuffles — first-occurrence window "
+        "on the 8-byte segment hash, reassembly aggregation on doc_id — "
+        "and NO filter below the spread exchange carries the segment "
+        "transform (the explode-inferred-filter pushdown the "
+        "contamination family dodges; posexplode here infers only cheap "
+        "predicates).",
+        [r"Exchange", r"Window", r"HashAggregate", r"Generate"],
+    ),
+    "decontaminate": (
+        "Apply-side decontamination after the round-7 fix: the only "
+        "filter at the scan is the CHEAP split-hash predicate (the "
+        "shingle transform appears nowhere below the spread exchange), "
+        "within-doc dedup is map-side array_distinct (no corpus-sized "
+        "keyed DISTINCT exchange), and the test shingle set builds a "
+        "BroadcastHashJoin — benchmark-sized, not corpus-sized.",
+        [r"FileScan", r"BroadcastHashJoin", r"Exchange", r"Generate"],
+    ),
+    "dedup_check_batch": (
+        "Incremental near-dup check: the corpus side is a column-pruned "
+        "scan of the MATERIALIZED band-bucket index (8-byte keys + sig), "
+        "joined on (band_idx, band_key) as a plain shuffled equi-join — "
+        "corpus documents are never re-read.",
+        [r"FileScan", r"SortMergeJoin", r"ShuffledHashJoin", r"Exchange"],
+    ),
+    "kmeans_clusters": (
+        "k-means assignment: the k x d centroid table broadcasts "
+        "(keyless, the IVF-family allowance) and the argmin is a per-row "
+        "fold — the only hash exchanges are the (cluster, dim) partial-"
+        "sum update and the per-vector window, both map-side combined.",
+        [r"BroadcastNestedLoopJoin", r"Exchange", r"HashAggregate"],
+    ),
+    "corpus_gate": (
+        "Admission gate: BOTH corpus artifacts enter as materialized-"
+        "index scans (shingle set, band buckets); every join is an "
+        "equi-join; no corpus document bytes appear anywhere in the "
+        "plan.",
+        [r"FileScan", r"Join", r"Exchange"],
+    ),
 }
 
 
