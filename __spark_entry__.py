@@ -1082,6 +1082,13 @@ def q_corpus_gate(spark, sf_dir):
     )
 
 
+def q_unigram_bits(spark, sf_dir):
+    """CCNet-style corpus-LM perplexity: per-doc cross-entropy
+    (bits/token) under the corpus's add-one unigram model, integer-µbit
+    deterministic."""
+    return T.unigram_bits(_docs(spark, sf_dir))
+
+
 def q_decontaminate(spark, sf_dir):
     """Apply-side decontamination: score every train doc against the
     test split's shingles, flag the over-threshold leaks for removal."""
@@ -1500,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_outliers": q_kmeans_outliers,
         "dedup_recall": q_dedup_recall,
         "corpus_gate": q_corpus_gate,
+        "unigram_bits": q_unigram_bits,
     }.items()}
 
 
@@ -1784,6 +1792,7 @@ def oracle_sql() -> dict[str, str]:
                                                  shingle_n=2, num_bands=8),
         "corpus_gate": _CG.gate_batch_sql(taint_max=0.5, lsh_shingle_n=2,
                                           num_bands=8, min_est=0.9),
+        "unigram_bits": T.unigram_bits_sql(),
         "ngram_jaccard": D.ngram_jaccard_sql(shingle_n=2, num_bands=8),
         "simhash": D.simhash_sql(),
         "ann_topk_brute": S.ann_topk_brute_sql(),

@@ -553,3 +553,109 @@ def char_entropy_sql(
         FROM c LEFT JOIN e USING ({key})
         ORDER BY c.{key}
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus-LM perplexity (unigram cross-entropy, CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+def unigram_bits(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Per-document cross-entropy (bits/token) under the corpus's own
+    add-one-smoothed unigram language model — the CCNet-style "LM
+    perplexity" quality dial: documents whose word distribution is far
+    from the corpus norm (rare-word soup, wrong-language fragments,
+    generated gibberish) score high; degenerate repetition scores low.
+    Complements `char_entropy` (character-level, corpus-free) with the
+    corpus-relative word-level signal.
+
+    Output: (key, n_tokens, bits_per_token), key-ascending; documents
+    with zero (non-empty) tokens emit NULL bits_per_token.
+
+    Determinism: each DISTINCT token's bit cost -log2((c+1)/(T+V)) is
+    computed ONCE in the vocabulary table and scaled to integer µbits;
+    a document's total is then a BIGINT sum of those integers — no
+    float-summation order anywhere (the same µunit discipline as
+    operators/centroids.py), so any partitioning and the DuckDB oracle
+    agree bit-for-bit.
+
+    100 TB: one token-explode shuffle to build the vocabulary (shared
+    shape with token_frequencies), a single-row totals attach onto the
+    VOCAB table (keyless broadcast of one row onto the small side — the
+    tfidf allowance, never on the corpus), then one equi-join of token
+    occurrences against the vocabulary (stop-word heat → AQE skew) and
+    a per-doc partial-agg sum."""
+    toks = (
+        docs.select(F.col(key), F.explode(tokens_col("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("T"), F.count("*").alias("V"))
+    mu = (
+        vocab.join(F.broadcast(totals))
+        .select(
+            "token",
+            F.floor(
+                -F.log2((F.col("c") + 1).cast("double")
+                        / (F.col("T") + F.col("V")).cast("double"))
+                * 1e6 + F.lit(0.5)
+            ).cast("bigint").alias("mu_bits"),
+        )
+    )
+    scored = (
+        toks.join(mu, "token")
+        .groupBy(key)
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum("mu_bits").alias("_mu"))
+        .select(
+            key, "n_tokens",
+            F.round(F.col("_mu").cast("double")
+                    / (F.col("n_tokens").cast("double") * 1e6), 6)
+             .alias("bits_per_token"),
+        )
+    )
+    return (
+        docs.select(key).join(scored, key, "left")
+        .select(
+            key,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            "bits_per_token",
+        )
+        .orderBy(key)
+    )
+
+
+def unigram_bits_sql(table: str = "documents", key: str = "doc_id") -> str:
+    """DuckDB mirror of `unigram_bits` (same smoothing, µbit floor,
+    integer doc sums)."""
+    toks = tokens_sql("text")
+    return f"""
+        WITH tok AS (
+            SELECT {key}, unnest({toks}) AS token FROM {table}
+        ),
+        t AS (SELECT {key}, token FROM tok WHERE token <> ''),
+        vocab AS (SELECT token, count(*) AS c FROM t GROUP BY 1),
+        totals AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
+                          count(*) AS vv FROM vocab),
+        mu AS (
+            SELECT token,
+                   CAST(floor(-log2(CAST(c + 1 AS DOUBLE)
+                                    / CAST(tt + vv AS DOUBLE))
+                              * 1e6 + 0.5) AS BIGINT) AS mu_bits
+            FROM vocab, totals
+        ),
+        scored AS (
+            SELECT t.{key}, count(*) AS n_tokens,
+                   CAST(sum(mu.mu_bits) AS BIGINT) AS _mu
+            FROM t JOIN mu ON t.token = mu.token
+            GROUP BY 1
+        )
+        SELECT d.{key},
+               coalesce(s.n_tokens, 0) AS n_tokens,
+               round(CAST(s._mu AS DOUBLE)
+                     / (CAST(s.n_tokens AS DOUBLE) * 1e6), 6)
+                   AS bits_per_token
+        FROM {table} d LEFT JOIN scored s ON d.{key} = s.{key}
+        ORDER BY d.{key}
+    """

@@ -640,3 +640,42 @@ def test_dedup_recall_is_one_when_bands_are_rows(spark):
         num_hashes=16, num_bands=16).collect()[0]
     assert out["n_true_pairs"] > 0
     assert out["recall"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# corpus-LM perplexity (unigram cross-entropy)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_bits_uniform_corpus(spark):
+    """Four docs, four equally-frequent tokens: every token costs
+    -log2((c+1)/(T+V)) with c=2, T=8, V=4 -> log2(4) = 2 bits."""
+    rows = [(1, "aa bb"), (2, "cc dd"), (3, "aa cc"), (4, "bb dd")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = T.unigram_bits(docs).collect()
+    assert all(r["bits_per_token"] == 2.0 for r in out)
+
+
+def test_unigram_bits_rare_words_score_higher(spark):
+    """A doc of corpus-rare words costs more bits/token than a doc of
+    corpus-common words."""
+    rows = [(i, "common words appear here") for i in range(9)]
+    rows.append((9, "xylophone quux zorble"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r["bits_per_token"]
+           for r in T.unigram_bits(docs).collect()}
+    assert out[9] > out[0]
+
+
+def test_unigram_bits_empty_doc_null(spark):
+    docs = spark.createDataFrame(
+        [(1, "some words"), (2, "")], "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in T.unigram_bits(docs).collect()}
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["bits_per_token"] is None
+
+
+def test_unigram_bits_deterministic_under_repartition(spark, docs):
+    a = T.unigram_bits(docs).collect()
+    b = T.unigram_bits(docs.repartition(13)).collect()
+    assert a == b

@@ -46,11 +46,14 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   baseline on a bounded doc sample — the text-side twin of
 #:   ann_recall_lsh's deliberate brute baseline; the production pair
 #:   generator it audits stays the bucketed equi-join.
+#: - unigram_bits attaches the single-row (T, V) totals onto the VOCAB
+#:   table (keyless one-row broadcast, the tfidf constant-attach) —
+#:   never onto the corpus; the doc-scoring join is an equi-join.
 CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivf", "ann_topk_ivf_indexed",
                  "ann_topk_ivf_filtered", "ann_recall_ivf",
                  "tune_nprobe", "kmeans_clusters", "kmeans_sizes",
-                 "kmeans_outliers", "dedup_recall"}
+                 "kmeans_outliers", "dedup_recall", "unigram_bits"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
