@@ -36,6 +36,7 @@ from explora_kafka_spark.operators import packing as PK
 from explora_kafka_spark.operators import postings as PST
 from explora_kafka_spark.operators import sampling as SMP
 from explora_kafka_spark.operators import udtfs as _UDTF
+from explora_kafka_spark.operators import funnel as _FN
 from explora_kafka_spark.streaming import corpus_gate as _CG
 from explora_kafka_spark.streaming import sessions as _SS
 from explora_kafka_spark.operators import similarity as S
@@ -1082,6 +1083,24 @@ def q_corpus_gate(spark, sf_dir):
     )
 
 
+def q_funnel_day(spark, sf_dir):
+    """Earliest-chain funnel (view -> click -> purchase) over the first
+    day of events — the one-day slice keeps the chain discriminating on
+    the synthetic corpus (full-range funnels saturate at 100%)."""
+    from explora_kafka_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < "2024-01-02")
+    return funnel(ev)
+
+
+def q_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention matrix over the events table."""
+    from explora_kafka_spark.operators.funnel import retention
+
+    return retention(load_table(spark, sf_dir, "events"))
+
+
 def q_unigram_bits(spark, sf_dir):
     """CCNet-style corpus-LM perplexity: per-doc cross-entropy
     (bits/token) under the corpus's add-one unigram model, integer-µbit
@@ -1508,6 +1527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_recall": q_dedup_recall,
         "corpus_gate": q_corpus_gate,
         "unigram_bits": q_unigram_bits,
+        "funnel_day": q_funnel_day,
+        "retention_weekly": q_retention_weekly,
     }.items()}
 
 
@@ -1793,6 +1814,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_gate": _CG.gate_batch_sql(taint_max=0.5, lsh_shingle_n=2,
                                           num_bands=8, min_est=0.9),
         "unigram_bits": T.unigram_bits_sql(),
+        "funnel_day": _FN.funnel_sql(
+            table="(SELECT * FROM events WHERE ts < '2024-01-02')"),
+        "retention_weekly": _FN.retention_sql(),
         "ngram_jaccard": D.ngram_jaccard_sql(shingle_n=2, num_bands=8),
         "simhash": D.simhash_sql(),
         "ann_topk_brute": S.ann_topk_brute_sql(),

@@ -1,0 +1,79 @@
+"""Funnel + cohort retention (operators/funnel.py): earliest-chain
+semantics, ordering constraints, cohort math."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from explora_kafka_spark.operators.funnel import funnel, retention
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string")
+
+
+def _t(day, hour=0):
+    return datetime(2024, 1, day, hour)
+
+
+def test_funnel_requires_strict_order(spark):
+    # user 1 completes in order; user 2 clicked BEFORE viewing (no
+    # qualifying later click); user 3 never clicks
+    ev = _events(spark, [
+        (1, _t(1, 1), "view"), (1, _t(1, 2), "click"), (1, _t(1, 3), "purchase"),
+        (2, _t(1, 2), "click"), (2, _t(1, 3), "view"),
+        (3, _t(1, 1), "view"),
+    ])
+    out = {r["step"]: r for r in funnel(ev).collect()}
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 1
+    assert out["purchase"]["n_users"] == 1
+    assert out["click"]["conversion"] == round(1 / 3, 6)
+
+
+def test_funnel_uses_earliest_chain(spark):
+    # click at t2 follows the EARLIEST view (t1), even though a later
+    # view (t3) also exists; purchase must follow the earliest
+    # qualifying click (t2) — t4 does
+    ev = _events(spark, [
+        (1, _t(1, 1), "view"), (1, _t(1, 2), "click"),
+        (1, _t(1, 3), "view"), (1, _t(1, 4), "purchase"),
+    ])
+    out = {r["step"]: r["n_users"] for r in funnel(ev).collect()}
+    assert out == {"view": 1, "click": 1, "purchase": 1}
+
+
+def test_funnel_same_timestamp_does_not_count(spark):
+    # strict ordering: click at exactly the view's ts does not qualify
+    ev = _events(spark, [
+        (1, _t(1, 1), "view"), (1, _t(1, 1), "click"),
+    ])
+    out = {r["step"]: r["n_users"] for r in funnel(ev).collect()}
+    assert out["click"] == 0
+
+
+def test_retention_cohort_math(spark):
+    # user 1 first active week of Jan 1 (Mon), returns week +2;
+    # user 2 first active week of Jan 8, never returns
+    ev = _events(spark, [
+        (1, _t(2), "view"), (1, _t(16), "click"),
+        (2, _t(9), "view"),
+    ])
+    rows = {(str(r["cohort_week"]), r["week_offset"]): r
+            for r in retention(ev).collect()}
+    assert rows[("2024-01-01", 0)]["n_active"] == 1
+    assert rows[("2024-01-01", 0)]["n_cohort"] == 1
+    assert rows[("2024-01-01", 2)]["retention"] == 1.0
+    assert rows[("2024-01-08", 0)]["n_active"] == 1
+    assert ("2024-01-08", 1) not in rows
+
+
+def test_retention_offsets_are_week_integers(spark, sf_dir):
+    from explora_kafka_spark.sources.tables import load_table
+    ev = load_table(spark, sf_dir, "events")
+    for r in retention(ev).collect():
+        assert r["week_offset"] >= 0
+        assert 0.0 <= r["retention"] <= 1.0
+        assert r["n_active"] <= r["n_cohort"]
