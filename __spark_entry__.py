@@ -1046,7 +1046,7 @@ def q_dedup_recall(spark, sf_dir):
     twin of ann_recall_lsh). Bigram shingles, 8 bands — the production
     dedup_near config is exactly what it prices."""
     return D.dedup_recall_audit(_docs(spark, sf_dir), jaccard_min=0.3,
-                                shingle_n=2, num_bands=8)
+                                sample_mod=20, shingle_n=2, num_bands=8)
 
 
 _GATE_INDEXES: dict[str, str] = {}
@@ -1081,6 +1081,23 @@ def q_corpus_gate(spark, sf_dir):
         _gate_shingle_index(spark, sf_dir), _dedup_index(spark, sf_dir),
         taint_max=0.5, lsh_shingle_n=2, num_bands=8, min_est=0.9,
     )
+
+
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot diff audit: old = docs without the %7 slice, new = docs
+    without the %5 slice with the %11 slice's text revised — exercises
+    all four statuses (added/removed/changed/unchanged)."""
+    from explora_kafka_spark.operators.corpus import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.col("text"), F.lit(" v2")))
+         .otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
 
 
 def q_funnel_day(spark, sf_dir):
@@ -1529,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_bits": q_unigram_bits,
         "funnel_day": q_funnel_day,
         "retention_weekly": q_retention_weekly,
+        "corpus_diff": q_corpus_diff,
     }.items()}
 
 
@@ -1810,6 +1828,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_outliers": CL.kmeans_sql(k=8, iters=3, n_rows=500,
                                          outliers_top=20),
         "dedup_recall": D.dedup_recall_audit_sql(jaccard_min=0.3,
+                                                 sample_mod=20,
                                                  shingle_n=2, num_bands=8),
         "corpus_gate": _CG.gate_batch_sql(taint_max=0.5, lsh_shingle_n=2,
                                           num_bands=8, min_est=0.9),
@@ -1817,6 +1836,10 @@ def oracle_sql() -> dict[str, str]:
         "funnel_day": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')"),
         "retention_weekly": _FN.retention_sql(),
+        "corpus_diff": CORP.corpus_diff_sql(
+            old_pred="doc_id % 7 <> 0", new_pred="doc_id % 5 <> 0",
+            new_text="CASE WHEN doc_id % 11 = 0"
+                     " THEN text || ' v2' ELSE text END"),
         "ngram_jaccard": D.ngram_jaccard_sql(shingle_n=2, num_bands=8),
         "simhash": D.simhash_sql(),
         "ann_topk_brute": S.ann_topk_brute_sql(),

@@ -164,3 +164,67 @@ def dedup_ensemble_sql(
         FULL OUTER JOIN vec_pairs USING (doc_a, doc_b)
         ORDER BY doc_a, doc_b
     """
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per document
+    present in either — (key, status ∈ {added, removed, changed,
+    unchanged}), key-ascending. 'changed' compares the md5 digest of
+    NORMALIZED text (the dedup_exact digest), so whitespace/case churn
+    does not read as a content change.
+
+    The audit a pipeline runs between corpus snapshots: what did this
+    refresh actually do — and the join key for incremental downstream
+    work (re-embed only added ∪ changed, retire removed from indexes).
+
+    100 TB: two digest projections (map-side) + ONE full-outer hash
+    equi-join on the key; the digest comparison ships 16-byte md5s, not
+    document bytes.
+    """
+    norm = r"trim(regexp_replace(lower(text), '\\s+', ' '))"
+    o = old.select(
+        F.col(key), F.expr(f"md5({norm})").alias("_od"))
+    n = new.select(
+        F.col(key), F.expr(f"md5({norm})").alias("_nd"))
+    return (
+        o.join(n, key, "full_outer")
+        .select(
+            key,
+            F.when(F.col("_od").isNull(), F.lit("added"))
+            .when(F.col("_nd").isNull(), F.lit("removed"))
+            .when(F.col("_od") != F.col("_nd"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .orderBy(key)
+    )
+
+
+
+def corpus_diff_sql(
+    old_pred: str,
+    new_pred: str,
+    table: str = "documents",
+    key: str = "doc_id",
+    new_text: str = "text",
+) -> str:
+    """DuckDB mirror of `corpus_diff` over two predicate-selected slices
+    of one table (the oracle's two 'snapshots'); `new_text` lets the
+    new side mutate text so the oracle can exercise 'changed'."""
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    norm_new = norm.replace("lower(text)", f"lower({new_text})")
+    return f"""
+        WITH o AS (SELECT {key}, md5({norm}) AS _od
+                   FROM {table} WHERE {old_pred}),
+        n AS (SELECT {key}, md5({norm_new}) AS _nd
+              FROM {table} WHERE {new_pred})
+        SELECT coalesce(o.{key}, n.{key}) AS {key},
+               CASE WHEN o._od IS NULL THEN 'added'
+                    WHEN n._nd IS NULL THEN 'removed'
+                    WHEN o._od <> n._nd THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.{key} = n.{key}
+        ORDER BY 1
+    """

@@ -166,3 +166,12 @@ def test_decontaminate_flags_exact_leak(spark):
     assert out[train_id]["taint"] == 1.0 and not out[train_id]["kept"]
     clean = [r for i, r in out.items() if i != train_id]
     assert all(r["taint"] == 0.0 and r["kept"] for r in clean)
+
+
+def test_corpus_diff_statuses(spark):
+    from explora_kafka_spark.operators.corpus import corpus_diff
+    old = _docs_df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    new = _docs_df(spark, [(2, "B  "), (3, "c changed"), (4, "d")])
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    # doc 2: only case/whitespace churn -> unchanged (normalized digest)
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
