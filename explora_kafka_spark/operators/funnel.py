@@ -38,9 +38,13 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within: str | None = None,
 ) -> DataFrame:
     """Earliest-chain funnel: step i counts users with an event of type
-    steps[i] STRICTLY AFTER their earliest qualifying steps[i-1] event.
+    steps[i] STRICTLY AFTER their earliest qualifying steps[i-1] event —
+    and, when `within` is given (an INTERVAL string like '1 hour'), no
+    later than that horizon after the user's STEP-1 time (the classic
+    conversion-window funnel).
     Output: (step_idx, step, n_users, conversion) — conversion is the
     fraction of step-1 users surviving to this step, rounded to 6 dp."""
     from pyspark.sql.window import Window
@@ -50,6 +54,9 @@ def funnel(
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("_t"))
     )
+    if within is not None:
+        frontier = frontier.withColumn(
+            "_deadline", F.expr(f"_t + INTERVAL {within}"))
     pieces = []
 
     def _piece(idx: int, step: str, fr: DataFrame) -> DataFrame:
@@ -61,13 +68,20 @@ def funnel(
 
     pieces.append(_piece(1, steps[0], frontier))
     for i, step in enumerate(steps[1:], start=2):
-        frontier = (
+        nxt = (
             events.filter(F.col(type_col) == step)
             .join(frontier, user_col)
             .filter(F.col(ts_col) > F.col("_t"))
-            .groupBy(user_col)
-            .agg(F.min(ts_col).alias("_t"))
         )
+        if within is not None:
+            nxt = nxt.filter(F.col(ts_col) <= F.col("_deadline"))
+            frontier = nxt.groupBy(user_col).agg(
+                F.min(ts_col).alias("_t"),
+                F.min("_deadline").alias("_deadline"),
+            )
+        else:
+            frontier = nxt.groupBy(user_col).agg(
+                F.min(ts_col).alias("_t"))
         pieces.append(_piece(i, step, frontier))
     out = pieces[0]
     for p in pieces[1:]:
@@ -91,19 +105,24 @@ def funnel_sql(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within: str | None = None,
 ) -> str:
-    """DuckDB mirror of `funnel` (same earliest-chain semantics)."""
+    """DuckDB mirror of `funnel` (same earliest-chain + horizon
+    semantics)."""
+    dl = f", min({ts_col}) + INTERVAL {within} AS _deadline" if within else ""
     ctes = [
         f"""f1 AS (
-            SELECT {user_col}, min({ts_col}) AS _t FROM {table}
+            SELECT {user_col}, min({ts_col}) AS _t{dl} FROM {table}
             WHERE {type_col} = '{steps[0]}' GROUP BY 1
         )"""
     ]
     for i, step in enumerate(steps[1:], start=2):
+        horizon = " AND e.{0} <= p._deadline".format(ts_col) if within else ""
+        carry = ", min(p._deadline) AS _deadline" if within else ""
         ctes.append(f"""f{i} AS (
-            SELECT e.{user_col}, min(e.{ts_col}) AS _t
+            SELECT e.{user_col}, min(e.{ts_col}) AS _t{carry}
             FROM {table} e JOIN f{i - 1} p ON e.{user_col} = p.{user_col}
-            WHERE e.{type_col} = '{step}' AND e.{ts_col} > p._t
+            WHERE e.{type_col} = '{step}' AND e.{ts_col} > p._t{horizon}
             GROUP BY 1
         )""")
     selects = []

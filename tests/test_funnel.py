@@ -77,3 +77,34 @@ def test_retention_offsets_are_week_integers(spark, sf_dir):
         assert r["week_offset"] >= 0
         assert 0.0 <= r["retention"] <= 1.0
         assert r["n_active"] <= r["n_cohort"]
+
+
+def test_funnel_within_horizon(spark):
+    # user 1 converts within 1 hour of the first view; user 2's click
+    # lands 3 hours after their view -> outside the window
+    ev = _events(spark, [
+        (1, _t(1, 1), "view"), (1, _t(1, 1).replace(minute=30), "click"),
+        (2, _t(1, 1), "view"), (2, _t(1, 4), "click"),
+    ])
+    out = {r["step"]: r["n_users"]
+           for r in funnel(ev, within="1 hour").collect()}
+    assert out["view"] == 2
+    assert out["click"] == 1
+
+
+def test_funnel_within_matches_duckdb(spark):
+    """Cross-engine: the horizon variant agrees with its SQL mirror on
+    the fixture events."""
+    import duckdb
+    from explora_kafka_spark.operators.funnel import funnel_sql
+    from explora_kafka_spark.sources.tables import load_table
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = [(r["step_idx"], r["step"], r["n_users"], r["conversion"])
+           for r in funnel(ev, within="2 hours").collect()]
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "'/root/testdata/sf0.001/events.parquet'")
+    exp = [tuple(r) for r in
+           con.execute(funnel_sql(within="2 hours")).fetchall()]
+    assert got == exp

@@ -63,3 +63,16 @@ def test_deterministic_under_repartition(spark, sf_dir):
     a = segment_dedup(docs).collect()
     b = segment_dedup(docs.repartition(13)).collect()
     assert a == b
+
+
+def test_first_occurrence_is_windowgrouplimit_pruned(spark, sf_dir):
+    """The first-occurrence window must plan a PARTIAL WindowGroupLimit
+    below the hash exchange: each map task forwards at most ONE
+    candidate row per segment hash, so a corpus-wide boilerplate span (a
+    maximally hot key) ships O(tasks) rows, not O(occurrences) — the
+    hot-key mitigation SCALE.md claims, asserted on the plan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (segment_dedup(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    # both the map-side (Partial) and reduce-side (Final) rank-1 prunes
+    assert plan.count("WindowGroupLimit") >= 2, plan
