@@ -1083,6 +1083,12 @@ def q_corpus_gate(spark, sf_dir):
     )
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """Corpus-scale BPE merge statistics: top adjacent char pairs
+    weighted by word frequency (the tokenizer-training primitive)."""
+    return T.bpe_pair_counts(_docs(spark, sf_dir))
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot diff audit: old = docs without the %7 slice, new = docs
     without the %5 slice with the %11 slice's text revised — exercises
@@ -1547,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_day": q_funnel_day,
         "retention_weekly": q_retention_weekly,
         "corpus_diff": q_corpus_diff,
+        "bpe_pair_counts": q_bpe_pairs,
     }.items()}
 
 
@@ -1836,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_day": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')"),
         "retention_weekly": _FN.retention_sql(),
+        "bpe_pair_counts": T.bpe_pair_counts_sql(),
         "corpus_diff": CORP.corpus_diff_sql(
             old_pred="doc_id % 7 <> 0", new_pred="doc_id % 5 <> 0",
             new_text="CASE WHEN doc_id % 11 = 0"

@@ -659,3 +659,70 @@ def unigram_bits_sql(table: str = "documents", key: str = "doc_id") -> str:
         FROM {table} d LEFT JOIN scored s ON d.{key} = s.{key}
         ORDER BY d.{key}
     """
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting (the merge-decision primitive of tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """Corpus-scale counts of adjacent CHARACTER pairs weighted by word
+    frequency — exactly the statistic the first BPE merge step maximizes
+    (and, iterated externally, each later one): tokenizer-vocabulary
+    training reduced to its Spark-shaped core. Output: the `top_n` pairs
+    as (left, right, pair_count), count-descending then (left, right)
+    for deterministic ties.
+
+    100 TB design: the word-frequency table (one token-explode shuffle,
+    heavy-hitter keys absorbed by partial aggregation) is the ONLY
+    corpus-sized stage; pair extraction then runs over the VOCABULARY
+    (distinct words — millions, not trillions) with each word's count
+    attached, so the pair aggregation shuffles vocab-sized rows. The
+    top-n is TakeOrdered, no full sort. The within-word pair explode
+    uses explode_outer + null-filter (single-char words yield no pairs)
+    — the inferred-filter pushdown dodge documented at
+    contamination._keyed_shingle_hashes."""
+    vocab = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs_expr = (
+        "CASE WHEN length(w) >= 2 THEN"
+        " transform(sequence(1, length(w) - 1),"
+        " i -> struct(substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r))"
+        " ELSE array() END"
+    )
+    return (
+        vocab.select("freq", F.explode_outer(F.expr(pairs_expr)).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left", "right")
+        .limit(top_n)
+    )
+
+
+def bpe_pair_counts_sql(table: str = "documents", top_n: int = 50) -> str:
+    """DuckDB mirror of `bpe_pair_counts`."""
+    toks = tokens_sql("text")
+    return f"""
+        WITH tok AS (
+            SELECT unnest({toks}) AS w FROM {table}
+        ),
+        vocab AS (
+            SELECT w, count(*) AS freq FROM tok WHERE w <> '' GROUP BY 1
+        ),
+        pairs AS (
+            SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, freq
+            FROM vocab, unnest(range(1, greatest(len(w), 1))) AS u(i)
+        )
+        SELECT l AS "left", r AS "right",
+               CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM pairs
+        GROUP BY 1, 2
+        ORDER BY pair_count DESC, 1, 2
+        LIMIT {top_n}
+    """

@@ -679,3 +679,22 @@ def test_unigram_bits_deterministic_under_repartition(spark, docs):
     a = T.unigram_bits(docs).collect()
     b = T.unigram_bits(docs.repartition(13)).collect()
     assert a == b
+
+
+def test_bpe_pair_counts_hand_example(spark):
+    """'ab ab b' -> vocab {ab:2, b:1}; only pair (a,b) with weight 2."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab b")], "doc_id bigint, text string")
+    rows = T.bpe_pair_counts(docs).collect()
+    assert [(r["left"], r["right"], r["pair_count"]) for r in rows] == \
+        [("a", "b", 2)]
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    """pair weight = word freq x in-word occurrences, summed over vocab."""
+    docs = spark.createDataFrame(
+        [(1, "aaa aa aaa")], "doc_id bigint, text string")
+    rows = {(r["left"], r["right"]): r["pair_count"]
+            for r in T.bpe_pair_counts(docs).collect()}
+    # 'aaa' (freq 2) has two 'aa' pairs, 'aa' (freq 1) has one -> 5
+    assert rows[("a", "a")] == 5
