@@ -42,9 +42,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-#: micro-unit scale shared with the SQL mirror (centroids.py discipline)
-_MU = "1e6"
-
 _MU_COL = (
     "transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)"
     " AS BIGINT))"

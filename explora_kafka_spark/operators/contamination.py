@@ -372,13 +372,21 @@ def decontaminate(
     empty survivors).
 
     100 TB: identical plan shape to `contamination` with the sides
-    swapped — the TEST shingle set is the small side (benchmarks are
-    tiny next to a training corpus), so the distinct-compacted join is
-    effectively a broadcast-sized semi-join against every train batch.
+    swapped — when decontaminating against a real benchmark suite the
+    TEST shingle set is tiny and AQE broadcasts it into every train
+    batch at runtime; under `split_assign`'s fractional split it is
+    corpus-proportional, which is exactly why no broadcast is FORCED
+    here (a hint would blow the 8 GB table limit on a large corpus —
+    strategy choice belongs to runtime sizes).
     """
     keyed = _keyed_shingle_hashes(docs, n, weights, key, salt)
     train_sh = keyed.filter(F.col("split") == "train").select(key, "_h")
-    test_sh = F.broadcast(
+    # no broadcast hint: split_assign makes the test side a FRACTION of
+    # the corpus, not a fixed benchmark size, so a forced broadcast
+    # would blow the 8 GB table limit on a large corpus — let AQE pick
+    # the strategy from runtime sizes (it broadcasts when genuinely
+    # small, as when decontaminating against a real benchmark suite)
+    test_sh = (
         keyed.filter(F.col("split") == "test")
         .select("_h").distinct()
         .withColumn("_hit", F.lit(1))

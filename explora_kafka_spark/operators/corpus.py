@@ -183,11 +183,11 @@ def corpus_diff(
     equi-join on the key; the digest comparison ships 16-byte md5s, not
     document bytes.
     """
-    norm = r"trim(regexp_replace(lower(text), '\\s+', ' '))"
+    from .dedup import _NORM_SPARK
     o = old.select(
-        F.col(key), F.expr(f"md5({norm})").alias("_od"))
+        F.col(key), F.expr(f"md5({_NORM_SPARK})").alias("_od"))
     n = new.select(
-        F.col(key), F.expr(f"md5({norm})").alias("_nd"))
+        F.col(key), F.expr(f"md5({_NORM_SPARK})").alias("_nd"))
     return (
         o.join(n, key, "full_outer")
         .select(

@@ -68,7 +68,13 @@ def segment_dedup(
     decision (compose with a filter), not this operator's.
     """
     segs = _segments(docs, seg_tokens, key)
-    w = Window.partitionBy("_h").orderBy(key, "seg_idx")
+    # window keyed by (hash, seg): the hash is the cheap 8-byte shuffle/
+    # compare prefix, and the segment STRING — which this shuffle must
+    # carry anyway for reassembly — breaks 60-bit collisions, so two
+    # distinct spans that collide in the hash can never dedup each other
+    # (at ~1e12 segments a hash-only key would silently delete ~1e5
+    # legitimate spans; exactness here is free)
+    w = Window.partitionBy("_h", "seg").orderBy(key, "seg_idx")
     kept = (
         segs.withColumn("_h", _shingle_hash_col(F.col("seg")))
         .withColumn("_rn", F.row_number().over(w))
@@ -119,7 +125,7 @@ def segment_dedup_sql(
         kept AS (
             SELECT * FROM (
                 SELECT *, row_number() OVER (
-                    PARTITION BY _h ORDER BY {key}, seg_idx) AS _rn
+                    PARTITION BY _h, seg ORDER BY {key}, seg_idx) AS _rn
                 FROM hashed
             ) WHERE _rn = 1
         ),

@@ -866,6 +866,11 @@ def tune_nprobe(
         candidates = nprobe_candidates(nl)
     max_p = int(max(candidates))
 
+    # the two .cache()s below live until the returned DataFrame is
+    # garbage-collected (Spark's ContextCleaner unpersists them then) —
+    # bounded in the driver harness, where each query's objects drop
+    # after its run; a caller holding many tuner results should
+    # unpersist via the usual catalog.clearCache() hygiene
     brute = (
         ann_topk_brute(embeddings, query_mod, k, round_to)
         .select("query_id", "neighbor_id")

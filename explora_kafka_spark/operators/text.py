@@ -576,8 +576,13 @@ def unigram_bits(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     computed ONCE in the vocabulary table and scaled to integer µbits;
     a document's total is then a BIGINT sum of those integers — no
     float-summation order anywhere (the same µunit discipline as
-    operators/centroids.py), so any partitioning and the DuckDB oracle
-    agree bit-for-bit.
+    operators/centroids.py), so the result is partition-order
+    independent on either engine. Cross-engine, the single float op per
+    token (libm log2) can in principle differ in the last ulp and flip
+    the µbit floor when -log2(p)·1e6 sits within an ulp of x.5 — a
+    ~1e-10-per-token coincidence that would move one doc sum by 1e-6
+    before round(6); accepted exposure, same class as the cosine
+    round(6) family.
 
     100 TB: one token-explode shuffle to build the vocabulary (shared
     shape with token_frequencies), a single-row totals attach onto the

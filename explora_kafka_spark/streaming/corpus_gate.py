@@ -55,14 +55,17 @@ def gate_batch(
     num_bands: int = NUM_BANDS,
     lsh_shingle_n: int = 1,
     min_est: float = 0.0,
-    key: str = "doc_id",
 ) -> DataFrame:
-    """Score one document batch: (key, contamination, n_near_dups,
-    accepted), key-ascending, one row per batch document. Accepted =
+    """Score one document batch: (doc_id, contamination, n_near_dups,
+    accepted), doc_id-ascending, one row per batch document. Accepted =
     contamination <= taint_max AND no near-dup candidate above min_est.
     Documents too short to shingle score contamination 0 (nothing to
     leak at the n-gram grain — the same convention as the contamination
-    operator, which drops them; the gate must still emit a verdict)."""
+    operator, which drops them; the gate must still emit a verdict).
+    The key column is fixed to `doc_id`: `dedup_check`'s output schema
+    is doc_id/match_id by contract, so a configurable key here would
+    only pretend to work — rename upstream instead."""
+    key = "doc_id"
     cont = contamination_check(
         spark, batch, shingle_index, n=shingle_n, key=key
     ).select(key, "contamination")
@@ -116,11 +119,17 @@ def gate_stream(
             spark, batch_df, shingle_index, dedup_index,
             taint_max=taint_max, **gate_kwargs,
         )
-        enriched = batch_df.join(scored, "doc_id")
-        enriched.filter(F.col("accepted")).drop("accepted") \
-            .write.mode("append").parquet(accepted_path)
-        enriched.filter(~F.col("accepted")).drop("accepted") \
-            .write.mode("append").parquet(rejected_path)
+        # persist before the two writes: without it each write action
+        # re-executes the whole gate (both index joins, batch shingles,
+        # signatures) — 2x every micro-batch
+        enriched = batch_df.join(scored, "doc_id").persist()
+        try:
+            enriched.filter(F.col("accepted")).drop("accepted") \
+                .write.mode("append").parquet(accepted_path)
+            enriched.filter(~F.col("accepted")).drop("accepted") \
+                .write.mode("append").parquet(rejected_path)
+        finally:
+            enriched.unpersist()
 
     return (
         doc_stream.writeStream
