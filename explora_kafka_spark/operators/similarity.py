@@ -537,6 +537,40 @@ def ann_topk_ivf(
     (row-group skipping next to the cid partition pruning)."""
     from pyspark.sql.window import Window
 
+    scored = _ivf_scored(embeddings, query_mod, nprobe, round_to,
+                         n_rows, n_lists, neighbor_labels)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.drop("pcrank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivf_scored(
+    embeddings: DataFrame,
+    query_mod: int,
+    max_probe: int,
+    round_to: int,
+    n_rows: int | None,
+    n_lists: int | None,
+    neighbor_labels: list[int] | None = None,
+) -> DataFrame:
+    """Shared IVF candidate construction for `ann_topk_ivf` and
+    `tune_nprobe`: stride-sampled quantizer, one broadcast assignment
+    pass, probes up to `max_probe` lists, exact rerank scores. Returns
+    (query_id, neighbor_id, sim, pcrank) where pcrank is the probe rank
+    of the candidate's list for that query — filtering `pcrank <= p`
+    yields exactly the candidate set an `nprobe=p` run would produce,
+    which is what keeps the tuner's rungs result-identical to direct
+    `ann_recall_ivf` runs (pinned by test_tune_nprobe_rungs_match_
+    direct_audit). One definition, no twin-drift surface."""
+    from pyspark.sql.window import Window
+
     if n_rows is None:
         n_rows = embeddings.count()
     _, stride = ivf_params(n_rows, n_lists)
@@ -562,23 +596,19 @@ def ann_topk_ivf(
         "cid",
     )
     probes = ranked.filter(
-        (F.col("vec_id") % query_mod == 0) & (F.col("crank") <= nprobe)
-    ).select(F.col("vec_id").alias("query_id"),
-             F.col("embedding").alias("q_emb"), "cid")
+        (F.col("vec_id") % query_mod == 0) & (F.col("crank") <= max_probe)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "cid",
+        F.col("crank").alias("pcrank"),
+    )
     sim = F.expr(cosine_expr_spark("q_emb", "n_emb"))
-    scored = (
+    return (
         lists.join(probes, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(sim, round_to).alias("sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "sim", "rank")
-        .orderBy("query_id", "rank")
+        .select("query_id", "neighbor_id",
+                F.round(sim, round_to).alias("sim"), "pcrank")
     )
 
 
@@ -861,7 +891,7 @@ def tune_nprobe(
 
     if n_rows is None:
         n_rows = embeddings.count()
-    nl, stride = ivf_params(n_rows, n_lists)
+    nl, _ = ivf_params(n_rows, n_lists)
     if candidates is None:
         candidates = nprobe_candidates(nl)
     max_p = int(max(candidates))
@@ -878,40 +908,13 @@ def tune_nprobe(
     )
     qset = brute.select("query_id").distinct()
 
-    # one corpus scan: assignment (crank == 1) and the probe ranking are
-    # nprobe-independent; keep the probe rank (pcrank) on every scored
-    # candidate so each rung is scored.filter(pcrank <= p)
-    cent = embeddings.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
-    )
-    csim = F.round(F.expr(cosine_expr_spark("embedding", "c_emb")), round_to)
-    assigned = (
-        embeddings.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", csim.alias("csim"))
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
-    ranked = assigned.withColumn("crank", F.row_number().over(wc))
-    lists = ranked.filter(F.col("crank") == 1).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("n_emb"),
-        "cid",
-    )
-    probes = ranked.filter(
-        (F.col("vec_id") % query_mod == 0) & (F.col("crank") <= max_p)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "cid",
-        F.col("crank").alias("pcrank"),
-    )
-    sim = F.expr(cosine_expr_spark("q_emb", "n_emb"))
-    scored = (
-        lists.join(probes, "cid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id",
-                F.round(sim, round_to).alias("sim"), "pcrank")
-        .cache()
-    )
+    # one corpus scan via the SHARED candidate construction (`_ivf_scored`
+    # — the exact code ann_topk_ivf runs, no twin to drift): assignment
+    # and probe ranking are nprobe-independent; each rung is
+    # scored.filter(pcrank <= p)
+    scored = _ivf_scored(
+        embeddings, query_mod, max_p, round_to, n_rows, n_lists
+    ).cache()
 
     wk = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
