@@ -1083,6 +1083,12 @@ def q_corpus_gate(spark, sf_dir):
     )
 
 
+def q_corpus_report(spark, sf_dir):
+    """One-row corpus health dashboard (docs, tokens, quality, language
+    mix, exact-dup volume, repetition) — integer-µunit deterministic."""
+    return CORP.corpus_report(_docs(spark, sf_dir))
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Corpus-scale BPE merge statistics: top adjacent char pairs
     weighted by word frequency (the tokenizer-training primitive)."""
@@ -1554,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_weekly": q_retention_weekly,
         "corpus_diff": q_corpus_diff,
         "bpe_pair_counts": q_bpe_pairs,
+        "corpus_report": q_corpus_report,
     }.items()}
 
 
@@ -1844,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
             table="(SELECT * FROM events WHERE ts < '2024-01-02')"),
         "retention_weekly": _FN.retention_sql(),
         "bpe_pair_counts": T.bpe_pair_counts_sql(),
+        "corpus_report": CORP.corpus_report_sql(),
         "corpus_diff": CORP.corpus_diff_sql(
             old_pred="doc_id % 7 <> 0", new_pred="doc_id % 5 <> 0",
             new_text="CASE WHEN doc_id % 11 = 0"

@@ -228,3 +228,102 @@ def corpus_diff_sql(
         FROM o FULL OUTER JOIN n ON o.{key} = n.{key}
         ORDER BY 1
     """
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """One-row corpus health report — the dashboard number a pipeline
+    owner reads after every refresh, composed from the per-doc signals
+    this package already computes:
+
+        (n_docs, total_tokens, mean_quality, share_en,
+         n_exact_dup_docs, mean_repetition)
+
+    n_exact_dup_docs counts documents beyond each content group's keeper
+    (n_docs − distinct normalized digests) — the volume exact dedup
+    would remove. Means are integer-µunit deterministic (the
+    source_quality_profile discipline): floor-half-up µ sums divided
+    once, so partitioning cannot move a digit.
+
+    100 TB: two doc-keyed equi-joins to line up the per-doc signals,
+    then ONE aggregation (the single distinct-digest count rides Spark's
+    expand, still one shuffle). Everything upstream is projection."""
+    stats = with_text_stats(docs).select("doc_id", "n_tokens",
+                                         "quality_score")
+    from .contamination import repetition
+    from .dedup import _NORM_SPARK
+    from .text import with_lang_id
+
+    # with_lang_id echoes the labeled `lang` column for comparison; the
+    # report only needs the prediction, so synthesize the label when the
+    # input has none (hand-built corpora)
+    lang_in = docs if "lang" in docs.columns else docs.withColumn(
+        "lang", F.lit(None).cast("string"))
+    langs = with_lang_id(lang_in).select("doc_id", "pred_lang")
+    reps = repetition(docs).select("doc_id", "repetition")
+    digests = docs.select(
+        "doc_id", F.expr(f"md5({_NORM_SPARK})").alias("_digest"))
+    per_doc = (
+        stats.join(langs, "doc_id")
+        .join(reps, "doc_id")
+        .join(digests, "doc_id")
+        .select(
+            "n_tokens",
+            F.floor(F.col("quality_score") * 1e6 + F.lit(0.5))
+             .cast("bigint").alias("_qmu"),
+            (F.col("pred_lang") == "en").cast("int").alias("_is_en"),
+            F.floor(F.col("repetition") * 1e6 + F.lit(0.5))
+             .cast("bigint").alias("_rmu"),
+            "_digest",
+        )
+    )
+    n = F.count("*")
+    return per_doc.agg(
+        n.alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.floor(F.sum("_qmu").cast("double") / n.cast("double") + F.lit(0.5))
+         / 1e6).alias("mean_quality"),
+        F.round(F.sum("_is_en").cast("double") / n.cast("double"), 6)
+         .alias("share_en"),
+        (n - F.countDistinct("_digest")).cast("bigint")
+         .alias("n_exact_dup_docs"),
+        (F.floor(F.sum("_rmu").cast("double") / n.cast("double") + F.lit(0.5))
+         / 1e6).alias("mean_repetition"),
+    )
+
+
+def corpus_report_sql(table: str = "documents") -> str:
+    """DuckDB mirror of `corpus_report` (same per-doc signals, µ-mean
+    rounding, digest convention)."""
+    from .contamination import repetition_sql
+    from .text import lang_id_sql, norm_sql
+
+    return f"""
+        WITH stats AS ({text_stats_sql(table)}),
+        langs AS ({lang_id_sql(table)}),
+        reps AS ({repetition_sql(table)}),
+        digests AS (
+            SELECT doc_id, md5({norm_sql('text')}) AS _digest FROM {table}
+        ),
+        per_doc AS (
+            SELECT s.n_tokens,
+                   CAST(floor(s.quality_score * 1e6 + 0.5) AS BIGINT) AS _qmu,
+                   CASE WHEN l.pred_lang = 'en' THEN 1 ELSE 0 END AS _is_en,
+                   CAST(floor(r.repetition * 1e6 + 0.5) AS BIGINT) AS _rmu,
+                   d._digest
+            FROM stats s
+            JOIN langs l ON s.doc_id = l.doc_id
+            JOIN reps r ON s.doc_id = r.doc_id
+            JOIN digests d ON s.doc_id = d.doc_id
+        )
+        SELECT count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               floor(CAST(sum(_qmu) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     + 0.5) / 1e6 AS mean_quality,
+               round(CAST(sum(_is_en) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                     6) AS share_en,
+               CAST(count(*) - count(DISTINCT _digest) AS BIGINT)
+                   AS n_exact_dup_docs,
+               floor(CAST(sum(_rmu) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                     + 0.5) / 1e6 AS mean_repetition
+        FROM per_doc
+    """

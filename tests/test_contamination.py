@@ -175,3 +175,19 @@ def test_corpus_diff_statuses(spark):
     out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     # doc 2: only case/whitespace churn -> unchanged (normalized digest)
     assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_corpus_report_hand_corpus(spark):
+    from explora_kafka_spark.operators.corpus import corpus_report
+    rows = [
+        (1, "the cat sat on the mat"),       # en, 6 tokens
+        (2, "the cat sat on the mat"),       # exact dup of 1
+        (3, "le chat est sur le tapis"),     # fr
+    ]
+    r = corpus_report(_docs_df(spark, rows)).collect()[0]
+    assert r["n_docs"] == 3
+    assert r["total_tokens"] == 18
+    assert r["n_exact_dup_docs"] == 1
+    assert r["share_en"] == round(2 / 3, 6)
+    assert 0.0 <= r["mean_quality"] <= 1.0
+    assert 0.0 <= r["mean_repetition"] <= 1.0
