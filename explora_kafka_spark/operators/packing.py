@@ -243,3 +243,47 @@ def token_budget_sample_sql(
         WHERE cum_tokens - n_tokens < CASE {case} END
         ORDER BY source, cum_tokens, doc_id
     """
+
+
+def write_shards(
+    packed: DataFrame,
+    path: str,
+    packs_per_file: int = 64,
+) -> None:
+    """Deliver a packing plan (`pack_sequences` output) as training
+    shards: parquet under `{path}/data/` hive-partitioned by `shard`,
+    each file holding whole packs (never a pack split across files),
+    rows pack-then-offset ordered within files so a trainer streams
+    slices in consumption order; plus `{path}/manifest/` with one row
+    per shard — (shard, n_files, n_packs, n_rows, n_tokens) — the
+    size/balance audit a training job reads before mounting the data.
+
+    100 TB design: one repartition keyed by (shard, pack-file group) —
+    every writer task owns whole packs, so file boundaries are
+    deterministic functions of pack_id (`pack_id // packs_per_file`),
+    not of task scheduling; the manifest is one aggregation over the
+    written plan. No driver-side state.
+    """
+    grouped = packed.withColumn(
+        "_fg", (F.col("pack_id") / packs_per_file).cast("bigint"))
+    (
+        grouped.repartition("shard", "_fg")
+        .sortWithinPartitions("pack_id", "pack_offset")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .option("maxRecordsPerFile", 0)
+        .parquet(f"{path}/data")
+    )
+    spark = packed.sparkSession
+    written = spark.read.parquet(f"{path}/data")
+    manifest = (
+        written.groupBy("shard")
+        .agg(
+            F.countDistinct("_fg").alias("n_files"),
+            F.countDistinct("pack_id").alias("n_packs"),
+            F.count("*").alias("n_rows"),
+            F.sum("n_slice_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")

@@ -103,3 +103,30 @@ def test_pack_plan_has_single_shuffle_and_no_python_udf(spark):
     df = _docs_df(spark, [(i, "a b c", "s") for i in range(10)])
     plan = P.pack_sequences(df, budget=4, shards=2)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_write_shards_layout_and_manifest(spark, tmp_path):
+    from explora_kafka_spark.operators.packing import (
+        pack_sequences, write_shards)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = pack_sequences(docs, budget=64, shards=4)
+    write_shards(plan, str(tmp_path / "out"), packs_per_file=2)
+
+    data = spark.read.parquet(str(tmp_path / "out" / "data"))
+    # nothing lost or duplicated
+    assert data.count() == plan.count()
+    # every (shard, file-group) holds only whole packs of its own group
+    from pyspark.sql import functions as F
+    bad = data.filter(
+        (F.col("pack_id") / 2).cast("bigint") != F.col("_fg")).count()
+    assert bad == 0
+
+    manifest = spark.read.parquet(str(tmp_path / "out" / "manifest"))
+    rows = {r["shard"]: r for r in manifest.collect()}
+    got = plan.groupBy("shard").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_slice_tokens").alias("n_tokens")).collect()
+    for r in got:
+        m = rows[r["shard"]]
+        assert m["n_rows"] == r["n_rows"]
+        assert m["n_tokens"] == r["n_tokens"]
