@@ -1123,6 +1123,16 @@ def q_funnel_day(spark, sf_dir):
     return funnel(ev)
 
 
+def q_funnel_window_2h(spark, sf_dir):
+    """Conversion-window funnel: the chain must complete within 2 hours
+    of the user's first view (first-day slice, same as funnel_day)."""
+    from explora_kafka_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < "2024-01-02")
+    return funnel(ev, within="2 hours")
+
+
 def q_retention_weekly(spark, sf_dir):
     """Weekly cohort retention matrix over the events table."""
     from explora_kafka_spark.operators.funnel import retention
@@ -1561,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "bpe_pair_counts": q_bpe_pairs,
         "corpus_report": q_corpus_report,
+        "funnel_window_2h": q_funnel_window_2h,
     }.items()}
 
 
@@ -1852,6 +1863,9 @@ def oracle_sql() -> dict[str, str]:
         "retention_weekly": _FN.retention_sql(),
         "bpe_pair_counts": T.bpe_pair_counts_sql(),
         "corpus_report": CORP.corpus_report_sql(),
+        "funnel_window_2h": _FN.funnel_sql(
+            table="(SELECT * FROM events WHERE ts < '2024-01-02')",
+            within="2 hours"),
         "corpus_diff": CORP.corpus_diff_sql(
             old_pred="doc_id % 7 <> 0", new_pred="doc_id % 5 <> 0",
             new_text="CASE WHEN doc_id % 11 = 0"
