@@ -108,3 +108,33 @@ def test_funnel_within_matches_duckdb(spark):
     exp = [tuple(r) for r in
            con.execute(funnel_sql(within="2 hours")).fetchall()]
     assert got == exp
+
+
+def test_retention_cross_engine_year_boundary(spark, tmp_path):
+    """Monday-week truncation must agree between Spark and DuckDB across
+    a year boundary (Dec 31 2023 is a Sunday -> week of Mon Dec 25;
+    Jan 1 2024 is a Monday -> its own week). Pins the date_trunc('week')
+    semantics the oracle relies on."""
+    import duckdb
+    rows = [
+        (1, datetime(2023, 12, 30), "view"),   # week of Mon 2023-12-25
+        (1, datetime(2024, 1, 2), "view"),     # week of Mon 2024-01-01 -> +1
+        (2, datetime(2024, 1, 1), "view"),     # Monday itself
+        (2, datetime(2024, 1, 8), "view"),     # next Monday -> +1
+    ]
+    ev = _events(spark, rows)
+    path = str(tmp_path / "ev.parquet")
+    ev.coalesce(1).write.mode("overwrite").parquet(path)
+
+    from explora_kafka_spark.operators.funnel import retention_sql
+    got = [(str(r["cohort_week"]), r["week_offset"], r["n_active"],
+            r["n_cohort"], r["retention"]) for r in retention(ev).collect()]
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    exp = [(str(r[0]), r[1], r[2], r[3], r[4])
+           for r in con.execute(retention_sql()).fetchall()]
+    assert got == exp
+    # and the cohorts are the ones the calendar says
+    assert ("2023-12-25", 0) in {(c, o) for c, o, *_ in got}
+    assert ("2024-01-01", 0) in {(c, o) for c, o, *_ in got}
