@@ -1308,10 +1308,16 @@ def q_multimodal_resize(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal feature extraction: payload → array<double> embedding
-    (the media→similarity bridge; output composes with ann_topk_*)."""
+    """Multimodal feature extraction: payload → embedding (the
+    media→similarity bridge; fake_features keeps the array<double> API
+    that composes with ann_topk_*). Registered EXPLODED to
+    (media_id, dim_idx, value) rows: the driver's pandas canonicalizer
+    cannot hash ndarray cells (r7's one red row was this harness shape,
+    not a value mismatch), and numeric rows are engine-portable."""
     media = _MM.media_from_documents(_docs(spark, sf_dir))
-    return _MM.fake_features(media)
+    feats = _MM.fake_features(media)
+    return feats.select(
+        "media_id", F.posexplode("features").alias("dim_idx", "value"))
 
 
 #: per-source token budgets for the mixture-sampling row — below each
@@ -1969,7 +1975,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_canonical": CORP.assemble_corpus_sql(
             "documents", threshold=0.6, shingle_n=2, num_bands=8),
         "multimodal_resize": _MM.resize_sql(),
-        "multimodal_features": _MM.features_sql(),
+        "multimodal_features": _MM.features_exploded_sql(),
         "pack_sequences": PK.pack_sequences_sql("documents"),
         "token_budget_sample": PK.token_budget_sample_sql(
             _MIX_BUDGETS, "documents"),

@@ -291,3 +291,20 @@ def features_sql(table: str = "documents", dim: int = FEATURE_DIM) -> str:
         for i in range(dim)
     )
     return f"SELECT doc_id AS media_id, [{elems}] AS features FROM {table}"
+
+
+def features_exploded_sql(table: str = "documents",
+                          dim: int = FEATURE_DIM) -> str:
+    """DuckDB oracle for the exploded registry shape of fake_features:
+    one (media_id, dim_idx, value) row per dimension. Same float
+    derivation as `features_sql`, emitted as a dim-way UNION ALL so no
+    engine-specific unnest/ordinality syntax is needed — the driver's
+    canonicalizer can hash plain numeric rows but not array cells."""
+    d = f"md5({table}.text)"
+    selects = [
+        f"SELECT doc_id AS media_id, CAST({i} AS INTEGER) AS dim_idx,"
+        f" round(CAST(('0x' || substr({d}, {2 * i + 1}, 2)) AS INTEGER)"
+        f" / 255.0, 6) AS value FROM {table}"
+        for i in range(dim)
+    ]
+    return " UNION ALL ".join(selects)
