@@ -1392,6 +1392,30 @@ def q_pack_sequences(spark, sf_dir):
     return PK.pack_sequences(_docs(spark, sf_dir))
 
 
+_SHARDS_OUT: dict[str, str] = {}  # sf_dir → delivered training-shard dir
+
+
+def q_write_shards(spark, sf_dir):
+    """Training-shard delivery round-trip (packing.write_shards): write
+    the packing plan as hive-partitioned whole-pack parquet + a manifest,
+    then return the manifest's logical columns (shard, n_packs, n_rows,
+    n_tokens) read back from disk. Oracle = the packing plan aggregated
+    per shard, so equality proves delivery lost/duplicated nothing.
+    n_files stays in the on-disk manifest but out of this row: it counts
+    physical files, a function of the writer's task layout, not of the
+    data."""
+    d = _SHARDS_OUT.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="explora_shards_")
+        PK.write_shards(PK.pack_sequences(_docs(spark, sf_dir)), d)
+        _SHARDS_OUT[sf_dir] = d
+    return (
+        spark.read.parquet(f"{d}/manifest")
+        .select("shard", "n_packs", "n_rows", "n_tokens")
+        .orderBy("shard")
+    )
+
+
 def q_token_budget_sample(spark, sf_dir):
     """Mixture sampling to per-source token budgets: deterministic
     hash-ordered prefix per source covering the budget (smallest such
@@ -1441,14 +1465,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     return {k: _configured(v) for k, v in {
-        # ROUND-7 ROTATION (VERDICT r6 item 1): the 18 round-6 operators
-        # that never had a driver correctness row are promoted into the
-        # first-50 window; 20 entries with green rows in CORRECTNESS_r06
-        # (family siblings whose semantics stay evidenced by a retained
-        # sibling, noted inline) rotate below the cap for this round and
-        # rotate back in r8. Everything below the cap still runs in
-        # bench.py and tools/verify_local.py.
-        # — reference surface: keys, lattices, history/snapshot (§2) —
+        # ROUND-8 ROTATION (VERDICT r7 item 2; schedule in COVERAGE.md
+        # "Rotation schedule"): the first-50 window = §2 core re-record
+        # (13) + the 16 entries whose last driver row is CORRECTNESS_r06
+        # (rotated below the cap in r7) + the 17 round-7 operators that
+        # never had a driver row + the reshaped multimodal_features + the
+        # round-8 additions. Everything below the cap holds a green
+        # CORRECTNESS_r07 row and still runs in bench.py and
+        # tools/verify_local.py; it rotates back in r9.
+        # — §2 core re-record: keys, lattices, history/snapshot, stream —
         "cell_bucket_key": q_cell_bucket_key,
         "base_view_min_p7": q_base_view_min_p7,
         "lattice_hour_p6": q_lattice_hour_p6,
@@ -1459,69 +1484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_prefix_day": q_snapshot_prefix_day,
         "snapshot_bbox_quad": q_snapshot_bbox_quad,
         "snapshot_bbox_geohash": q_snapshot_bbox_geohash,
-        # — circle/radius queries (never driver-recorded before r7) —
-        "snapshot_radius_quad": q_snapshot_radius_quad,
-        "snapshot_radius_geohash": q_snapshot_radius_geohash,
-        "history_radius_quad": q_history_radius_quad,
-        # — streaming path: S1-S5, serde (§2.1/§2.7) —
         "stream_view_hour": q_stream_view_hour,
         "windowed_base_view": q_windowed_base_view,
         "ingest_serde": q_ingest_serde,
-        "sessionize": q_sessionize,
-        "ingest_dedup": q_ingest_dedup,
-        # — similarity / ANN family (indexed+filtered+recall promoted) —
-        "embedding_quantization": q_embedding_quantization,
-        "ann_recall_lsh": q_ann_recall_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_brute": q_ann_topk_brute,
-        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
-        "ann_topk_ivf_filtered": q_ann_topk_ivf_filtered,
-        "ann_recall_ivf": q_ann_recall_ivf,
-        "tune_nprobe": q_tune_nprobe,
-        # — dedup family —
-        "dedup_near": q_dedup_near,
-        "dedup_groups": q_dedup_groups,
-        "simhash_near_dup": q_simhash_near_dup,
-        "dedup_ensemble": q_dedup_ensemble,
-        # — text / corpus hygiene —
-        "lang_id": q_lang_id,
-        "docs_quality_filter": q_docs_quality_filter,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "token_frequency": q_token_frequency,
-        "source_quality_profile": q_source_quality_profile,
-        "doc_repetition": q_doc_repetition,
-        "contamination_ngram": q_contamination_ngram,
-        "contamination_check": q_contamination_check,
-        "corpus_canonical": q_corpus_canonical,
-        # — sampling / packing —
-        "stratified_sample": q_stratified_sample,
-        "token_budget_sample": q_token_budget_sample,
-        "pack_sequences": q_pack_sequences,
-        # — centroids / stats —
-        "label_centroids": q_label_centroids,
-        "label_centroid_cosine": q_label_centroid_cosine,
-        "metric_correlation": q_metric_correlation,
-        "metric_hour_anomaly": q_metric_hour_anomaly,
-        # — multimodal (resize/features promoted; meta retained) —
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_features": q_multimodal_features,
-        # — as-of join —
-        "asof_hourly_stats": q_asof_hourly_stats,
-        # ——— driver cap line (entries below lose their CORRECTNESS row) ———
-        # r7 demotions, each green in CORRECTNESS_r06 and evidenced by a
-        # retained sibling: lattice_month_p7/lattice_minmax_day (lattice
-        # algebra ← lattice_hour_p6), history_prefix_hour/
-        # history_interval_1day (← snapshot_prefix_day, history_range_hour),
-        # snapshot_raw (← history_raw), snapshot_bbox_quad_z14
-        # (← snapshot_bbox_quad), compact_store_effect (store maintenance,
-        # pytest + r6 row), range_join_sessions (← asof_hourly_stats),
-        # fingerprint (← lang_id family), dedup_exact/ngram_jaccard/simhash
-        # (← dedup_near/simhash_near_dup), ann_topk_lsh/embedding_near_dup
-        # (← ann_recall_lsh), multimodal_decode (← multimodal_meta),
-        # bpe_token_count (← token_frequency/tfidf), zscore_per_metric
-        # (← metric_hour_anomaly), chunk_documents (← pack_sequences),
-        # split_train_val_test (← stratified_sample), redact_pii (r6 row).
+        # — last driver row is r6 (rotated out in r7; oldest rows first) —
         "lattice_month_p7": q_lattice_month_p7,
         "lattice_minmax_day": q_lattice_minmax_day,
         "history_prefix_hour": q_history_prefix_hour,
@@ -1538,6 +1504,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "multimodal_decode": q_multimodal_decode,
         "bpe_token_count": q_bpe_token_count,
+        # — round-7 operators with no driver row yet —
+        "segment_dedup": q_segment_dedup,
+        "dedup_check_batch": q_dedup_check_batch,
+        "char_entropy": q_char_entropy,
+        "kmeans_clusters": q_kmeans_clusters,
+        "kmeans_sizes": q_kmeans_sizes,
+        "kmeans_outliers": q_kmeans_outliers,
+        "decontaminate": q_decontaminate,
+        "term_postings": q_term_postings,
+        "dedup_recall": q_dedup_recall,
+        "corpus_gate": q_corpus_gate,
+        "unigram_bits": q_unigram_bits,
+        "funnel_day": q_funnel_day,
+        "funnel_window_2h": q_funnel_window_2h,
+        "retention_weekly": q_retention_weekly,
+        "corpus_diff": q_corpus_diff,
+        "bpe_pair_counts": q_bpe_pairs,
+        "corpus_report": q_corpus_report,
+        # — r7's one red row, reshaped to driver-hashable rows —
+        "multimodal_features": q_multimodal_features,
+        # — round-8 additions —
+        "write_shards": q_write_shards,
+        # ——— driver cap line (entries below lose their CORRECTNESS row;
+        #     every one holds a green row in CORRECTNESS_r07) ———
+        "snapshot_radius_quad": q_snapshot_radius_quad,
+        "snapshot_radius_geohash": q_snapshot_radius_geohash,
+        "history_radius_quad": q_history_radius_quad,
+        "sessionize": q_sessionize,
+        "ingest_dedup": q_ingest_dedup,
+        "embedding_quantization": q_embedding_quantization,
+        "ann_recall_lsh": q_ann_recall_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_brute": q_ann_topk_brute,
+        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
+        "ann_topk_ivf_filtered": q_ann_topk_ivf_filtered,
+        "ann_recall_ivf": q_ann_recall_ivf,
+        "tune_nprobe": q_tune_nprobe,
+        "dedup_near": q_dedup_near,
+        "dedup_groups": q_dedup_groups,
+        "simhash_near_dup": q_simhash_near_dup,
+        "dedup_ensemble": q_dedup_ensemble,
+        "lang_id": q_lang_id,
+        "docs_quality_filter": q_docs_quality_filter,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "token_frequency": q_token_frequency,
+        "source_quality_profile": q_source_quality_profile,
+        "doc_repetition": q_doc_repetition,
+        "contamination_ngram": q_contamination_ngram,
+        "contamination_check": q_contamination_check,
+        "corpus_canonical": q_corpus_canonical,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_sample": q_token_budget_sample,
+        "pack_sequences": q_pack_sequences,
+        "label_centroids": q_label_centroids,
+        "label_centroid_cosine": q_label_centroid_cosine,
+        "metric_correlation": q_metric_correlation,
+        "metric_hour_anomaly": q_metric_hour_anomaly,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "asof_hourly_stats": q_asof_hourly_stats,
+        # — OLAP tail (last driver rows r6; first in line for the r9
+        #   window per the COVERAGE.md rotation schedule) —
         "zscore_per_metric": q_zscore_per_metric,
         "chunk_documents": q_chunk_documents,
         "split_train_val_test": q_split_train_val_test,
@@ -1559,25 +1587,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_value_by_metric": q_median_value_by_metric,
         "topk_events": q_topk_events,
         "users_view_not_click": q_users_view_not_click,
-        # — round-7 additions (below the cap this round; rotate into the
-        #   window in r8 with the §2 core re-record) —
-        "segment_dedup": q_segment_dedup,
-        "dedup_check_batch": q_dedup_check_batch,
-        "char_entropy": q_char_entropy,
-        "kmeans_clusters": q_kmeans_clusters,
-        "kmeans_sizes": q_kmeans_sizes,
-        "decontaminate": q_decontaminate,
-        "term_postings": q_term_postings,
-        "kmeans_outliers": q_kmeans_outliers,
-        "dedup_recall": q_dedup_recall,
-        "corpus_gate": q_corpus_gate,
-        "unigram_bits": q_unigram_bits,
-        "funnel_day": q_funnel_day,
-        "retention_weekly": q_retention_weekly,
-        "corpus_diff": q_corpus_diff,
-        "bpe_pair_counts": q_bpe_pairs,
-        "corpus_report": q_corpus_report,
-        "funnel_window_2h": q_funnel_window_2h,
     }.items()}
 
 
@@ -1977,6 +1986,14 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": _MM.resize_sql(),
         "multimodal_features": _MM.features_exploded_sql(),
         "pack_sequences": PK.pack_sequences_sql("documents"),
+        "write_shards": f"""
+            WITH plan AS ({PK.pack_sequences_sql("documents")})
+            SELECT shard,
+                   count(DISTINCT pack_id) AS n_packs,
+                   count(*) AS n_rows,
+                   CAST(sum(n_slice_tokens) AS BIGINT) AS n_tokens
+            FROM plan GROUP BY shard ORDER BY shard
+        """,
         "token_budget_sample": PK.token_budget_sample_sql(
             _MIX_BUDGETS, "documents"),
         "metric_hour_anomaly": ANOM.metric_hour_anomaly_sql(

@@ -231,7 +231,6 @@ def build_shingle_index(
     docs: DataFrame,
     path: str,
     n: int = 5,
-    key: str = "doc_id",
 ) -> None:
     """Materialize the DISTINCT shingle-hash set of ALL given documents
     (no split assignment) — the "everything we already hold" index a

@@ -257,17 +257,22 @@ def write_shards(
     slices in consumption order; plus `{path}/manifest/` with one row
     per shard — (shard, n_files, n_packs, n_rows, n_tokens) — the
     size/balance audit a training job reads before mounting the data.
+    `n_files` counts the PHYSICAL parquet files actually written
+    (input_file_name on read-back): repartition can hash several
+    pack-file groups into one writer task, so the planned group count
+    would overstate it.
 
     100 TB design: one repartition keyed by (shard, pack-file group) —
-    every writer task owns whole packs, so file boundaries are
-    deterministic functions of pack_id (`pack_id // packs_per_file`),
-    not of task scheduling; the manifest is one aggregation over the
-    written plan. No driver-side state.
+    every writer task owns whole packs, so no pack ever splits across
+    files; the grouping helper is dropped before the write (delivered
+    schema = the packing plan), and the manifest is one aggregation
+    over the written data. No driver-side state.
     """
     grouped = packed.withColumn(
         "_fg", (F.col("pack_id") / packs_per_file).cast("bigint"))
     (
         grouped.repartition("shard", "_fg")
+        .drop("_fg")
         .sortWithinPartitions("pack_id", "pack_offset")
         .write.mode("overwrite")
         .partitionBy("shard")
@@ -275,11 +280,12 @@ def write_shards(
         .parquet(f"{path}/data")
     )
     spark = packed.sparkSession
-    written = spark.read.parquet(f"{path}/data")
+    written = spark.read.parquet(f"{path}/data").withColumn(
+        "_file", F.input_file_name())
     manifest = (
         written.groupBy("shard")
         .agg(
-            F.countDistinct("_fg").alias("n_files"),
+            F.countDistinct("_file").alias("n_files"),
             F.countDistinct("pack_id").alias("n_packs"),
             F.count("*").alias("n_rows"),
             F.sum("n_slice_tokens").alias("n_tokens"),

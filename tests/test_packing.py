@@ -113,13 +113,17 @@ def test_write_shards_layout_and_manifest(spark, tmp_path):
     write_shards(plan, str(tmp_path / "out"), packs_per_file=2)
 
     data = spark.read.parquet(str(tmp_path / "out" / "data"))
-    # nothing lost or duplicated
+    # nothing lost or duplicated, and the grouping helper stays internal
     assert data.count() == plan.count()
-    # every (shard, file-group) holds only whole packs of its own group
+    assert "_fg" not in data.columns
+    # whole-pack files: no pack is ever split across physical files
     from pyspark.sql import functions as F
-    bad = data.filter(
-        (F.col("pack_id") / 2).cast("bigint") != F.col("_fg")).count()
-    assert bad == 0
+    data = data.withColumn("_file", F.input_file_name())
+    split_packs = (
+        data.groupBy("shard", "pack_id")
+        .agg(F.countDistinct("_file").alias("nf"))
+        .filter(F.col("nf") > 1).count())
+    assert split_packs == 0
 
     manifest = spark.read.parquet(str(tmp_path / "out" / "manifest"))
     rows = {r["shard"]: r for r in manifest.collect()}
@@ -130,3 +134,9 @@ def test_write_shards_layout_and_manifest(spark, tmp_path):
         m = rows[r["shard"]]
         assert m["n_rows"] == r["n_rows"]
         assert m["n_tokens"] == r["n_tokens"]
+    # n_files audits the PHYSICAL file count
+    physical = {
+        r["shard"]: r["nf"] for r in data.groupBy("shard").agg(
+            F.countDistinct("_file").alias("nf")).collect()}
+    for shard, m in rows.items():
+        assert m["n_files"] == physical[shard]
