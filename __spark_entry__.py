@@ -1095,6 +1095,15 @@ def q_bpe_pairs(spark, sf_dir):
     return T.bpe_pair_counts(_docs(spark, sf_dir))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Full BPE tokenizer training (text.bpe_merges): 20 merge rules
+    learned by iterating the pair-count statistic — corpus scanned once
+    for the vocab, every iteration vocab-sized (pair agg + 1-row merge
+    decision + JVM fold), the kmeans/CC localCheckpoint loop pattern.
+    Oracle = 20 unrolled positional-CTE merge steps in DuckDB."""
+    return T.bpe_merges(_docs(spark, sf_dir), n_merges=20)
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot diff audit: old = docs without the %7 slice, new = docs
     without the %5 slice with the %11 slice's text revised — exercises
@@ -1526,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         # — round-8 additions —
         "write_shards": q_write_shards,
+        "bpe_merges": q_bpe_merges,
         # ——— driver cap line (entries below lose their CORRECTNESS row;
         #     every one holds a green row in CORRECTNESS_r07) ———
         "snapshot_radius_quad": q_snapshot_radius_quad,
@@ -1877,6 +1887,7 @@ def oracle_sql() -> dict[str, str]:
             table="(SELECT * FROM events WHERE ts < '2024-01-02')"),
         "retention_weekly": _FN.retention_sql(),
         "bpe_pair_counts": T.bpe_pair_counts_sql(),
+        "bpe_merges": T.bpe_merges_sql("documents", 20),
         "corpus_report": CORP.corpus_report_sql(),
         "funnel_window_2h": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')",

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: tiny embedded stopword lists per language — marker words for the
 #: n-gram/stopword language-ID heuristic. Deterministic and portable.
@@ -708,6 +709,162 @@ def bpe_pair_counts(docs: DataFrame, top_n: int = 50) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "left", "right")
         .limit(top_n)
     )
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = 20) -> DataFrame:
+    """Full BPE tokenizer-training loop (the iterated form of
+    `bpe_pair_counts`): learn `n_merges` merge rules by repeatedly
+    taking the most frequent adjacent symbol pair (count desc, then
+    (left, right) asc for deterministic ties) and applying it greedily
+    left-to-right inside every word. Returns the learned merge table —
+    (merge_idx, left, right, pair_count) — the artifact a tokenizer
+    ships; stops early if the vocabulary is fully merged.
+
+    100 TB design: the corpus is touched ONCE (the word-frequency
+    vocab build); all iterations run over the VOCABULARY-sized symbol
+    table (millions of rows, not trillions of tokens) with each word's
+    corpus frequency attached — `bpe_pair_counts`' vocab-side trick,
+    iterated. Per iteration: one vocab-sized pair aggregation (partial
+    agg absorbs hot pairs), a 1-row TakeOrdered to the driver (the
+    merge decision — a scalar probe, the kmeans/connected-components
+    precedent), and a JVM-side `aggregate` fold applying the merge,
+    localCheckpoint-ed so lineage stays flat across iterations.
+
+    The fold reproduces greedy left-to-right merging exactly: after a
+    merge the accumulator's tail becomes `left||right`, which can never
+    equal `left` again (lengths differ), so overlapping candidates
+    ("aaa" under (a,a) → [aa, a]) resolve the same way a positional
+    scan-and-skip does."""
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens_col("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    syms = vocab.select(
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint()
+    pairs_expr = (
+        "CASE WHEN size(syms) >= 2 THEN"
+        " transform(sequence(1, size(syms) - 1),"
+        " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"
+        " ELSE CAST(array() AS array<struct<l: string, r: string>>) END"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(n_merges):
+        best = (
+            syms.select("freq", F.explode_outer(F.expr(pairs_expr)).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((k, left, right, int(cnt)))
+        a, b = F.lit(left), F.lit(right)
+        folded = F.aggregate(
+            F.col("syms"),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a)
+                & (s == b),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(a, b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        syms = syms.select(folded.alias("syms"), "freq").localCheckpoint()
+    schema = T.StructType([
+        T.StructField("merge_idx", T.IntegerType()),
+        T.StructField("left", T.StringType()),
+        T.StructField("right", T.StringType()),
+        T.StructField("pair_count", T.LongType()),
+    ])
+    return spark.createDataFrame(merges, schema)
+
+
+def bpe_merges_sql(table: str = "documents", n_merges: int = 20) -> str:
+    """DuckDB mirror of `bpe_merges`: the Lloyd-unroll precedent
+    (clustering.kmeans_sql) applied to BPE — one CTE chain per merge
+    step over the POSITIONAL symbol table (w, freq, pos, sym). The
+    greedy left-to-right application is relational: candidate positions
+    (sym = left AND next = right) can only be consecutive when
+    left = right (else sym at the shared position would have to equal
+    both), so within each run of consecutive candidates the 1st, 3rd, …
+    merge (gaps-and-islands + odd rank) and the row after each active
+    candidate is absorbed (QUALIFY on lag)."""
+    toks = tokens_sql("text")
+    parts = [f"""
+        WITH tok AS (SELECT unnest({toks}) AS w FROM {table}),
+        vocab AS (
+            SELECT w, count(*) AS freq FROM tok WHERE w <> '' GROUP BY 1
+        ),
+        s0 AS MATERIALIZED (
+            SELECT w, freq, i AS pos, substr(w, i, 1) AS sym
+            FROM vocab, unnest(range(1, len(w) + 1)) AS u(i)
+        )"""]
+    for k in range(n_merges):
+        parts.append(f""",
+        p{k} AS (
+            SELECT sym AS l, nxt AS r, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM (
+                SELECT freq, sym,
+                       lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                FROM s{k}
+            ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ),
+        b{k} AS MATERIALIZED (
+            SELECT {k} AS merge_idx, l, r, cnt
+            FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+        ),
+        c{k} AS (
+            SELECT s.w, s.freq, s.pos, s.sym, b.r AS b_r,
+                   CASE WHEN s.sym = b.l AND
+                        lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos)
+                            = b.r
+                   THEN 1 ELSE 0 END AS cand
+            FROM s{k} s CROSS JOIN b{k} b
+        ),
+        g{k} AS (
+            SELECT *, pos - row_number()
+                OVER (PARTITION BY w, cand ORDER BY pos) AS grp
+            FROM c{k}
+        ),
+        a{k} AS (
+            SELECT *, CASE WHEN cand = 1 AND row_number()
+                OVER (PARTITION BY w, cand, grp ORDER BY pos) % 2 = 1
+            THEN 1 ELSE 0 END AS active
+            FROM g{k}
+        ),
+        d{k} AS (
+            SELECT w, freq, pos,
+                   CASE WHEN active = 1 THEN sym || b_r ELSE sym END AS sym
+            FROM a{k}
+            QUALIFY coalesce(
+                lag(active) OVER (PARTITION BY w ORDER BY pos), 0) = 0
+        ),
+        s{k + 1} AS MATERIALIZED (
+            SELECT w, freq,
+                   row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+                   sym
+            FROM d{k}
+        )""")
+    union = " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(n_merges))
+    parts.append(f"""
+        SELECT merge_idx, l AS "left", r AS "right", cnt AS pair_count
+        FROM ({union}) ORDER BY merge_idx
+    """)
+    return "".join(parts)
 
 
 def bpe_pair_counts_sql(table: str = "documents", top_n: int = 50) -> str:

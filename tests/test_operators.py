@@ -698,3 +698,53 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark):
             for r in T.bpe_pair_counts(docs).collect()}
     # 'aaa' (freq 2) has two 'aa' pairs, 'aa' (freq 1) has one -> 5
     assert rows[("a", "a")] == 5
+
+
+def _bpe_merge_rows(df):
+    return [(r["merge_idx"], r["left"], r["right"], r["pair_count"])
+            for r in df.orderBy("merge_idx").collect()]
+
+
+def test_bpe_merges_hand_example(spark):
+    """'aaab aaab b' -> vocab {aaab:2, b:1}. Hand trace:
+    it0: pairs (a,a)x2 per word -> 4, (a,b) -> 2; merge (a,a,4); greedy
+         left-to-right turns [a,a,a,b] into [aa,a,b] (overlap resolved
+         leftmost-first).
+    it1: (aa,a) -> 2 ties (a,b) -> 2; tie-break (left,right) asc picks
+         (a,b,2); [aa,a,b] -> [aa,ab].
+    it2: (aa,ab,2) -> [aaab].
+    it3: no pairs left -> early stop (3 rows even with n_merges=5)."""
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab b")], "doc_id bigint, text string")
+    got = _bpe_merge_rows(T.bpe_merges(docs, n_merges=5))
+    assert got == [(0, "a", "a", 4), (1, "a", "b", 2), (2, "aa", "ab", 2)]
+
+
+def test_bpe_merges_same_char_run_greedy(spark):
+    """'aaaa' under merge (a,a): greedy gives [aa,aa] (not [aa,a,a] or
+    a re-merged [aaa,...]) -> second merge is (aa,aa)."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa")], "doc_id bigint, text string")
+    got = _bpe_merge_rows(T.bpe_merges(docs, n_merges=2))
+    assert got[0] == (0, "a", "a", 6)  # 3 overlapping pairs x freq 2
+    assert got[1] == (1, "aa", "aa", 2)
+
+
+def test_bpe_merges_sql_parity_tiny_corpus(spark):
+    """The unrolled-CTE DuckDB oracle reproduces the Spark loop exactly,
+    including the early-exhaustion path (both emit 3 rows for n=5)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("""
+        CREATE VIEW documents AS
+        SELECT * FROM (VALUES (1, 'aaab aaab b'), (2, 'low lower low'))
+            AS t(doc_id, text)
+    """)
+    want = con.execute(T.bpe_merges_sql("documents", 5)).fetchall()
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab b"), (2, "low lower low")],
+        "doc_id bigint, text string")
+    got = _bpe_merge_rows(T.bpe_merges(docs, n_merges=5))
+    assert got == [tuple(r) for r in want]
+    assert len(got) == 5  # the second doc keeps merges available
