@@ -771,6 +771,218 @@ def ann_topk_ivf_indexed(
     )
 
 
+def build_ivf_index_quantized(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int | None = None,
+    n_rows: int | None = None,
+    round_to: int = 6,
+) -> None:
+    """Materialize the QUANTIZED IVF index: `{path}/centroids` (cid,
+    c_emb — tiny, full precision) and `{path}/qlists` (neighbor_id,
+    q int8-as-int, scale, n_emb) hive-partitioned by cid.
+
+    Same centroids/assignment as `build_ivf_index`; the lists
+    additionally carry the symmetric per-vector int8 quantization of
+    `quantize_int8`. Parquet is columnar, so the serving scan that
+    ranks candidates reads ONLY (neighbor_id, q) — the standard ~4×
+    IO/memory cut for 100 TB ANN serving — while the full-precision
+    `n_emb` column is touched only for the few rerank candidates, on a
+    second partition-pruned read. `scale` is stored for dot-product/L2
+    consumers; cosine ranking doesn't need it (a per-vector scalar
+    cancels in the cosine)."""
+    from pyspark.sql.window import Window
+
+    if n_rows is None:
+        n_rows = embeddings.count()
+    _, stride = ivf_params(n_rows, n_lists)
+    cent = embeddings.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    csim = F.round(F.expr(cosine_expr_spark("embedding", "c_emb")), round_to)
+    assigned = (
+        embeddings.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", csim.alias("csim"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    absmax = F.expr(
+        "aggregate(embedding, CAST(0 AS DOUBLE),"
+        " (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE))))"
+    )
+    lists = (
+        assigned.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .withColumn("_scale", absmax / F.lit(127.0))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "transform(embedding,"
+                " v -> CAST(round(CAST(v AS DOUBLE) / _scale) AS INT))"
+            ).alias("q"),
+            F.round("_scale", 9).alias("scale"),
+            F.col("embedding").alias("n_emb"),
+            "cid",
+        )
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        lists.repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/qlists")
+    )
+
+
+def ann_topk_ivf_quantized(
+    spark,
+    index_path: str,
+    query_mod: int = 50,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    rerank: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Serve IVF ANN from the quantized index (`build_ivf_index_quantized`)
+    in two phases:
+
+    1. CANDIDATE RANKING over int8 vectors: queries pick their `nprobe`
+       lists against the broadcast centroids; the probed lists are
+       scanned reading only (neighbor_id, q) — column pruning gives the
+       4× IO cut, dynamic partition pruning skips unprobed lists — and
+       each query keeps its top-`rerank` candidates by quantized cosine
+       (per-vector scale cancels, so the int vector ranks directly).
+    2. FULL-PRECISION RERANK: the candidate set (|queries| × rerank
+       rows — tiny) joins back to the lists on (cid, neighbor_id) for
+       `n_emb`, exact cosine re-scores it, and the top-k emerges.
+
+    With `rerank` comfortably above k, the result is IDENTICAL to the
+    float path (`ann_topk_ivf_indexed`) — pinned by pytest equality and
+    by sharing this entry's oracle derivation."""
+    from pyspark.sql.window import Window
+
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    qlists = spark.read.parquet(f"{index_path}/qlists")
+    queries = qlists.filter(F.col("neighbor_id") % query_mod == 0).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("n_emb").alias("q_emb"),
+    )
+    csim = F.round(F.expr(cosine_expr_spark("q_emb", "c_emb")), round_to)
+    wc = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "cid")
+    probes = (
+        queries.join(F.broadcast(cent))
+        .select("query_id", "q_emb", "cid", csim.alias("csim"))
+        .withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= nprobe)
+        .select("query_id", "q_emb", "cid")
+    )
+    asim = F.round(F.expr(cosine_expr_spark("q_emb", "q")), round_to)
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("asim").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        qlists.select("cid", "neighbor_id", "q")
+        .join(probes, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "q_emb", "cid", "neighbor_id",
+                asim.alias("asim"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= rerank)
+        .select("query_id", "q_emb", "cid", "neighbor_id")
+    )
+    sim = F.expr(cosine_expr_spark("q_emb", "n_emb"))
+    rescored = (
+        qlists.select("cid", "neighbor_id", "n_emb")
+        .join(F.broadcast(cand), ["cid", "neighbor_id"])
+        .select("query_id", "neighbor_id",
+                F.round(sim, round_to).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_topk_ivf_quantized_sql(
+    table: str = "embeddings",
+    query_mod: int = 50,
+    k: int = 5,
+    n_lists: int | None = None,
+    nprobe: int = IVF_NPROBE,
+    rerank: int = 20,
+    round_to: int = 6,
+    dim: int = DIM,
+    n_rows: int = ORACLE_N_ROWS,
+) -> str:
+    """DuckDB mirror of the quantized serving path: same centroids and
+    assignment as `ann_topk_ivf_sql`, plus the int8 quantization of
+    `quantize_int8` (full-precision scale, like quantization_error_sql),
+    the quantized top-`rerank` cut, and the exact rerank."""
+    _, stride = ivf_params(n_rows, n_lists)
+    ccos = cosine_expr_duck("e.embedding", "cent.c_emb", dim)
+    acos = cosine_expr_duck("p.q_emb", "l.q", dim)
+    qcos = cosine_expr_duck("q_emb", "n_emb", dim)
+    absmax = (
+        f"list_max([abs(CAST(n_emb[i] AS DOUBLE))"
+        f" FOR i IN range(1, {dim} + 1)])"
+    )
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding AS c_emb FROM {table}
+            WHERE vec_id % {stride} = 0
+        ),
+        assigned AS (
+            SELECT e.vec_id, e.embedding, cent.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({ccos}, {round_to}) DESC, cent.cid
+                   ) AS crank
+            FROM {table} e CROSS JOIN cent
+        ),
+        fl AS (
+            SELECT vec_id AS neighbor_id, embedding AS n_emb, cid
+            FROM assigned WHERE crank = 1
+        ),
+        ql AS (
+            SELECT neighbor_id, cid, n_emb,
+                   [CAST(round(CAST(n_emb[i] AS DOUBLE) / ({absmax} / 127.0))
+                         AS INT) FOR i IN range(1, {dim} + 1)] AS q
+            FROM fl
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, cid
+            FROM assigned
+            WHERE vec_id % {query_mod} = 0 AND crank <= {nprobe}
+        ),
+        approx AS (
+            SELECT p.query_id, p.q_emb, l.neighbor_id, l.n_emb,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round({acos}, {round_to}) DESC, l.neighbor_id
+                   ) AS arank
+            FROM ql l JOIN probes p USING (cid)
+            WHERE p.query_id != l.neighbor_id
+        ),
+        rescored AS (
+            SELECT query_id, neighbor_id,
+                   round({qcos}, {round_to}) AS sim
+            FROM approx WHERE arank <= {rerank}
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rank
+            FROM rescored
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 def ann_recall_ivf(
     embeddings: DataFrame,
     query_mod: int = 50,

@@ -461,6 +461,44 @@ def test_ann_ivf_indexed_equals_direct(spark, tmp_path):
     assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]
 
 
+def test_ann_ivf_quantized_equals_float_path(spark, tmp_path):
+    """int8 candidate ranking + full-precision rerank reproduces the
+    float serving path row-for-row (rerank depth 4k absorbs any
+    quantized-rank reshuffling on this corpus)."""
+    from explora_kafka_spark.operators import similarity as S
+    from explora_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    S.build_ivf_index(emb, str(tmp_path / "ivf"))
+    S.build_ivf_index_quantized(emb, str(tmp_path / "ivfq"))
+    flt = S.ann_topk_ivf_indexed(spark, str(tmp_path / "ivf")).collect()
+    qnt = S.ann_topk_ivf_quantized(spark, str(tmp_path / "ivfq")).collect()
+    assert [tuple(r) for r in flt] == [tuple(r) for r in qnt]
+
+
+def test_ivf_quantized_index_layout(spark, tmp_path):
+    """qlists carry int8-range vectors + 9dp scale + the full vector,
+    hive-partitioned by cid; dequantization error bounded by scale/2."""
+    from pyspark.sql import functions as F
+    from explora_kafka_spark.operators import similarity as S
+    from explora_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    S.build_ivf_index_quantized(emb, str(tmp_path / "ivfq"))
+    ql = spark.read.parquet(str(tmp_path / "ivfq" / "qlists"))
+    assert {"neighbor_id", "q", "scale", "n_emb", "cid"} <= set(ql.columns)
+    assert ql.count() == emb.count()
+    out_of_range = ql.filter(F.expr(
+        "exists(q, v -> v < -127 OR v > 127)")).count()
+    assert out_of_range == 0
+    # |x - q*scale| <= scale/2 + rounding slack on the stored 9dp scale
+    bad = ql.filter(F.expr(
+        "aggregate(zip_with(CAST(n_emb AS ARRAY<DOUBLE>), q,"
+        " (x, qv) -> abs(x - qv * scale)), CAST(0 AS DOUBLE),"
+        " (acc, v) -> greatest(acc, v)) > scale / 2 + 1e-6")).count()
+    assert bad == 0
+
+
 def test_tune_nprobe_monotone_and_chooses_smallest(spark):
     """Recall is monotone non-decreasing in nprobe (with exact reranking,
     per-query hits = |brute_topk ∩ probed lists|), the last rung (probe

@@ -49,11 +49,16 @@ SF_DIR = "/root/testdata/sf0.001"
 #: - unigram_bits attaches the single-row (T, V) totals onto the VOCAB
 #:   table (keyless one-row broadcast, the tfidf constant-attach) —
 #:   never onto the corpus; the doc-scoring join is an equi-join.
+#: - ann_topk_ivf_quantized inherits ann_topk_ivf_indexed's keyless
+#:   centroid broadcast for probe selection; both the quantized
+#:   candidate join and the full-precision rerank join are equi-joins
+#:   (cid / cid+neighbor_id) with dynamic partition pruning.
 CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivf", "ann_topk_ivf_indexed",
                  "ann_topk_ivf_filtered", "ann_recall_ivf",
                  "tune_nprobe", "kmeans_clusters", "kmeans_sizes",
-                 "kmeans_outliers", "dedup_recall", "unigram_bits"}
+                 "kmeans_outliers", "dedup_recall", "unigram_bits",
+                 "ann_topk_ivf_quantized"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
@@ -92,6 +97,19 @@ def test_lattice_scans_are_partition_pruned(plans):
         )
     ]
     assert not missing, f"no partition filters in: {missing}"
+
+
+def test_ivf_quantized_scan_shapes(plans):
+    """The quantized serving path's load-bearing claims: the candidate
+    scan reads ONLY (neighbor_id, q, cid) — column pruning delivers the
+    4× IO cut, n_emb is never read corpus-wide — and the probed-list
+    scans carry dynamic partition pruning on cid."""
+    import re
+
+    plan = plans["ann_topk_ivf_quantized"]
+    assert re.search(r"FileScan parquet \[neighbor_id#\d+L,q#\d+,cid#\d+\]",
+                     plan), "candidate scan must read (neighbor_id, q, cid)"
+    assert "dynamicpruning" in plan
 
 
 def test_dim_joins_are_broadcast(plans):
