@@ -1125,6 +1125,14 @@ def q_bpe_merges(spark, sf_dir):
     return T.bpe_merges(_docs(spark, sf_dir), n_merges=20)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Trained-tokenizer application (text.bpe_encode): per-doc piece
+    counts under the 20-merge tokenizer. Piece counts computed once on
+    the VOCAB (final symbolization size) and equi-joined back to the
+    corpus tokens — the corpus is never re-segmented."""
+    return T.bpe_encode(_docs(spark, sf_dir), n_merges=20)
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot diff audit: old = docs without the %7 slice, new = docs
     without the %5 slice with the %11 slice's text revised — exercises
@@ -1559,7 +1567,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "ann_topk_ivf_quantized": q_ann_topk_ivf_quantized,
         # ——— driver cap line (entries below lose their CORRECTNESS row;
-        #     every one holds a green row in CORRECTNESS_r07) ———
+        #     every one holds a green row in CORRECTNESS_r07, except the
+        #     round-8 additions noted inline) ———
+        # r8 addition past the full window: family sibling bpe_merges
+        # holds the window slot; takes the first r9 slot per the
+        # COVERAGE.md schedule
+        "bpe_encode": q_bpe_encode,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -1911,6 +1924,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_weekly": _FN.retention_sql(),
         "bpe_pair_counts": T.bpe_pair_counts_sql(),
         "bpe_merges": T.bpe_merges_sql("documents", 20),
+        "bpe_encode": T.bpe_encode_sql("documents", 20),
         "corpus_report": CORP.corpus_report_sql(),
         "funnel_window_2h": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')",

@@ -735,7 +735,22 @@ def bpe_merges(docs: DataFrame, n_merges: int = 20) -> DataFrame:
     equal `left` again (lengths differ), so overlapping candidates
     ("aaa" under (a,a) → [aa, a]) resolve the same way a positional
     scan-and-skip does."""
-    spark = docs.sparkSession
+    merges, _ = _bpe_train(docs, n_merges)
+    schema = T.StructType([
+        T.StructField("merge_idx", T.IntegerType()),
+        T.StructField("left", T.StringType()),
+        T.StructField("right", T.StringType()),
+        T.StructField("pair_count", T.LongType()),
+    ])
+    return docs.sparkSession.createDataFrame(merges, schema)
+
+
+def _bpe_train(
+    docs: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The shared BPE training loop: returns (merge table rows, final
+    vocabulary symbolization (w, syms, freq) after all merges) — the
+    first feeds `bpe_merges`, the second `bpe_encode`."""
     vocab = (
         docs.select(F.explode(tokens_col("text")).alias("w"))
         .filter(F.col("w") != "")
@@ -743,6 +758,7 @@ def bpe_merges(docs: DataFrame, n_merges: int = 20) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     syms = vocab.select(
+        "w",
         F.expr(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("syms"),
@@ -783,26 +799,62 @@ def bpe_merges(docs: DataFrame, n_merges: int = 20) -> DataFrame:
                 ),
             ).otherwise(F.concat(acc, F.array(s))),
         )
-        syms = syms.select(folded.alias("syms"), "freq").localCheckpoint()
-    schema = T.StructType([
-        T.StructField("merge_idx", T.IntegerType()),
-        T.StructField("left", T.StringType()),
-        T.StructField("right", T.StringType()),
-        T.StructField("pair_count", T.LongType()),
-    ])
-    return spark.createDataFrame(merges, schema)
+        syms = syms.select("w", folded.alias("syms"), "freq").localCheckpoint()
+    return merges, syms
 
 
-def bpe_merges_sql(table: str = "documents", n_merges: int = 20) -> str:
-    """DuckDB mirror of `bpe_merges`: the Lloyd-unroll precedent
-    (clustering.kmeans_sql) applied to BPE — one CTE chain per merge
-    step over the POSITIONAL symbol table (w, freq, pos, sym). The
-    greedy left-to-right application is relational: candidate positions
-    (sym = left AND next = right) can only be consecutive when
-    left = right (else sym at the shared position would have to equal
-    both), so within each run of consecutive candidates the 1st, 3rd, …
-    merge (gaps-and-islands + odd rank) and the row after each active
-    candidate is absorbed (QUALIFY on lag)."""
+def bpe_encode(docs: DataFrame, n_merges: int = 20) -> DataFrame:
+    """Apply a freshly trained BPE tokenizer back to the corpus: per
+    document, the trained-token count (`n_pieces`), the word count, and
+    pieces-per-word — the compression statistic that tells you whether
+    `n_merges` is pulling its weight on this corpus. Documents with no
+    tokens drop out (nothing to encode).
+
+    100 TB design: training is vocab-sided (`_bpe_train`); application
+    never re-segments the corpus either — each word's piece count is
+    computed ONCE on the vocabulary (size of its final symbolization)
+    and joined back to the corpus tokens by word (equi-join; AQE
+    broadcasts the vocab side when it fits), followed by one per-doc
+    aggregation."""
+    _, syms = _bpe_train(docs, n_merges)
+    pieces = syms.select("w", F.size("syms").alias("np"))
+    toks = (
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    return (
+        toks.join(pieces, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("np").alias("n_pieces"),
+            F.count("*").alias("n_words"),
+        )
+        .withColumn(
+            "pieces_per_word",
+            F.round(F.col("n_pieces") / F.col("n_words"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_unroll_sql(table: str, n_merges: int) -> str:
+    """Shared DuckDB CTE unroll for the BPE training loop — the
+    Lloyd-unroll precedent (clustering.kmeans_sql) applied to BPE: one
+    CTE chain per merge step over the POSITIONAL symbol table
+    (w, freq, pos, sym). The greedy left-to-right application is
+    relational: candidate positions (sym = left AND next = right) can
+    only be consecutive when left = right (else sym at the shared
+    position would have to equal both), so within each run of
+    consecutive candidates the 1st, 3rd, … merge (gaps-and-islands +
+    odd rank) and the row after each active candidate is absorbed
+    (QUALIFY on lag). Per-step CTEs are MATERIALIZED (each is
+    referenced twice; inlining would expand 2^n). The merge decision
+    joins LEFT ... ON TRUE so an exhausted vocabulary (empty b{k})
+    passes the symbol table through unchanged — mirroring the Spark
+    loop's early break — instead of annihilating it.
+
+    Exposes: vocab, s{k} (symbolization after k merges), b{k} (the
+    k-th merge rule, ≤1 row)."""
     toks = tokens_sql("text")
     parts = [f"""
         WITH tok AS (SELECT unnest({toks}) AS w FROM {table}),
@@ -833,7 +885,7 @@ def bpe_merges_sql(table: str = "documents", n_merges: int = 20) -> str:
                         lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos)
                             = b.r
                    THEN 1 ELSE 0 END AS cand
-            FROM s{k} s CROSS JOIN b{k} b
+            FROM s{k} s LEFT JOIN b{k} b ON TRUE
         ),
         g{k} AS (
             SELECT *, pos - row_number()
@@ -859,12 +911,38 @@ def bpe_merges_sql(table: str = "documents", n_merges: int = 20) -> str:
                    sym
             FROM d{k}
         )""")
+    return "".join(parts)
+
+
+def bpe_merges_sql(table: str = "documents", n_merges: int = 20) -> str:
+    """DuckDB mirror of `bpe_merges` (see `_bpe_unroll_sql`)."""
     union = " UNION ALL ".join(f"SELECT * FROM b{k}" for k in range(n_merges))
-    parts.append(f"""
+    return _bpe_unroll_sql(table, n_merges) + f"""
         SELECT merge_idx, l AS "left", r AS "right", cnt AS pair_count
         FROM ({union}) ORDER BY merge_idx
-    """)
-    return "".join(parts)
+    """
+
+
+def bpe_encode_sql(table: str = "documents", n_merges: int = 20) -> str:
+    """DuckDB mirror of `bpe_encode`: piece counts come from the final
+    symbolization s{n_merges} (count of rows per word), joined back to
+    the corpus tokens."""
+    toks = tokens_sql("text")
+    return _bpe_unroll_sql(table, n_merges) + f"""
+        , pieces AS (
+            SELECT w, count(*) AS np FROM s{n_merges} GROUP BY w
+        ),
+        dtok AS (
+            SELECT doc_id, unnest({toks}) AS w FROM {table}
+        )
+        SELECT doc_id,
+               CAST(sum(np) AS BIGINT) AS n_pieces,
+               count(*) AS n_words,
+               round(sum(np) / count(*), 6) AS pieces_per_word
+        FROM dtok JOIN pieces USING (w)
+        WHERE w <> ''
+        GROUP BY doc_id ORDER BY doc_id
+    """
 
 
 def bpe_pair_counts_sql(table: str = "documents", top_n: int = 50) -> str:

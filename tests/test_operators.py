@@ -768,6 +768,36 @@ def test_bpe_merges_same_char_run_greedy(spark):
     assert got[1] == (1, "aa", "aa", 2)
 
 
+def test_bpe_encode_hand_example(spark):
+    """n=1 on 'aaab aaab b': merge (a,a) -> aaab=[aa,a,b] (3 pieces),
+    b=[b]; doc = 3+3+1 = 7 pieces over 3 words."""
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab b")], "doc_id bigint, text string")
+    rows = T.bpe_encode(docs, n_merges=1).collect()
+    assert [(r["doc_id"], r["n_pieces"], r["n_words"],
+             r["pieces_per_word"]) for r in rows] == [(1, 7, 3, 2.333333)]
+
+
+def test_bpe_encode_fully_merged_is_one_piece_per_word(spark):
+    """Enough merges collapse every vocab word to a single piece, and
+    the early-exhaustion path agrees between both engines."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab b"), (2, "b aaab")], "doc_id bigint, text string")
+    got = [(r["doc_id"], r["n_pieces"], r["n_words"], r["pieces_per_word"])
+           for r in T.bpe_encode(docs, n_merges=10).collect()]
+    assert got == [(1, 3, 3, 1.0), (2, 2, 2, 1.0)]
+    con = duckdb.connect()
+    con.execute("""
+        CREATE VIEW documents AS
+        SELECT * FROM (VALUES (1, 'aaab aaab b'), (2, 'b aaab'))
+            AS t(doc_id, text)
+    """)
+    want = con.execute(T.bpe_encode_sql("documents", 10)).fetchall()
+    assert got == [tuple(r) for r in want]
+
+
 def test_bpe_merges_sql_parity_tiny_corpus(spark):
     """The unrolled-CTE DuckDB oracle reproduces the Spark loop exactly,
     including the early-exhaustion path (both emit 3 rows for n=5)."""

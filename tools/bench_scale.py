@@ -1,0 +1,147 @@
+"""Scaling probe: synthesize an sf1-equivalent dataset (10× sf0.1) and
+time the headline operators at both scales.
+
+All per-round scale claims are design arguments verified at sf0.1; this
+script puts one real datapoint behind them — a super-linear surprise in
+cover enumeration, connected-components round count, window skew, or
+the IVF list layout would show up as a ratio well above the ~10×
+data-volume factor (modulo fixed per-query overhead, which dominates
+sub-second entries).
+
+Generation (to $SPARK_GRAFT_SF1_DIR, default /tmp/explora_sf1): each
+sf0.1 table is unioned 10× with consistent key shifts (+i·10⁹ on every
+join key, so all FK relationships survive), dimension tables copied
+as-is. Documents get a per-replica text salt (replicas become NEAR
+duplicates, not exact — the harder dedup case); embeddings get a small
+deterministic per-replica direction perturbation (pure copies would
+make every top-k a tie). Events keep their time range and geo — 10×
+densification per cell-time bucket, which is how a real deployment
+grows.
+
+Usage: python tools/bench_scale.py  → writes BENCH_sf1.json
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as E  # noqa: E402
+from explora_kafka_spark.session import get_spark  # noqa: E402
+
+SF01_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/explora_sf1")
+REPLICAS = 10
+SHIFT = 1_000_000_000  # far above any sf0.1 key
+
+#: per-table bigint key columns that must shift together (FK-consistent)
+KEY_SHIFTS = {
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+}
+DIMS = ["nation", "region"]
+
+#: headline entries: the reference's two query shapes + the heaviest
+#: LLM-pipeline operators + one star-schema OLAP join
+HEADLINE = [
+    "history_range_hour", "snapshot_day", "snapshot_bbox_quad",
+    "dedup_near", "dedup_groups", "contamination_ngram",
+    "token_frequency", "pack_sequences", "bpe_merges",
+    "ann_topk_ivf", "ann_topk_ivf_quantized",
+    "funnel_day", "join_rollup_nation", "topk_events",
+]
+
+
+def generate(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(f"{SF1_DIR}/_DONE"):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    for t in DIMS:
+        spark.read.parquet(f"{SF01_DIR}/{t}.parquet").write.mode(
+            "overwrite").parquet(f"{SF1_DIR}/{t}.parquet")
+    for t, keys in KEY_SHIFTS.items():
+        base = spark.read.parquet(f"{SF01_DIR}/{t}.parquet")
+        reps = []
+        for i in range(REPLICAS):
+            r = base
+            for k in keys:
+                r = r.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            if t == "documents" and i > 0:
+                r = r.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" zq{i}"))
+                ).withColumn(
+                    "n_chars", F.col("n_chars") + F.lit(len(f" zq{i}")))
+            if t == "embeddings" and i > 0:
+                r = r.withColumn("embedding", F.expr(
+                    f"transform(embedding, (v, j) -> CAST(v +"
+                    f" (({i} * (j + 1)) % 7) * 0.001 AS FLOAT))"))
+            reps.append(r)
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        out.repartition(32).write.mode("overwrite").parquet(
+            f"{SF1_DIR}/{t}.parquet")
+    open(f"{SF1_DIR}/_DONE", "w").write("ok")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = E.queries()
+    out: dict[str, float] = {}
+    # ingestion builds timed separately (the bench.py convention)
+    t0 = time.time()
+    E._views(spark, sf_dir)
+    E._geo_lattice(spark, sf_dir, "quad", 6, 6)
+    out["view_build"] = round(time.time() - t0, 3)
+    for name in HEADLINE:
+        best = None
+        for _ in range(2):  # min-of-2, the BASELINE.md variance policy
+            spark.catalog.clearCache()
+            gc.collect()
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            t = round(time.time() - t0, 3)
+            best = t if best is None else min(best, t)
+        out[name] = best
+    return out
+
+
+def main() -> None:
+    real_stdout = os.fdopen(os.dup(1), "w")
+    os.dup2(2, 1)
+    spark = get_spark(app_name="explora-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    generate(spark)
+    t01 = time_queries(spark, SF01_DIR)
+    t1 = time_queries(spark, SF1_DIR)
+    report = {
+        "sf0.1": t01,
+        "sf1": t1,
+        "ratio": {k: (round(t1[k] / t01[k], 2) if t01[k] > 0 else None)
+                  for k in t01},
+        "replicas": REPLICAS,
+        "note": ("ratio ≈ data factor (10) or below ⇒ linear or "
+                 "overhead-dominated; well above ⇒ investigate"),
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_sf1.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    real_stdout.write(json.dumps(report["ratio"]) + "\n")
+    real_stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
