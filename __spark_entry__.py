@@ -957,6 +957,14 @@ def _ivf_q_index(spark, sf_dir) -> str:
     return _IVF_Q_INDEXES[sf_dir]
 
 
+def q_ann_topk_pq(spark, sf_dir):
+    """Product-quantization ANN (FAISS-style ADC): stride-sampled
+    per-subspace codebooks, candidates ranked via per-query distance
+    tables over 8-int codes (~8× scan-IO cut), full-precision rerank.
+    Integer-µunit² L2 end-to-end — bit-exact across engines."""
+    return S.ann_topk_pq(_emb(spark, sf_dir))
+
+
 def q_ann_topk_ivf_quantized(spark, sf_dir):
     """IVF ANN served from int8-quantized lists with full-precision
     rerank of the top candidates — the 4× IO cut for 100 TB serving.
@@ -1569,10 +1577,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ——— driver cap line (entries below lose their CORRECTNESS row;
         #     every one holds a green row in CORRECTNESS_r07, except the
         #     round-8 additions noted inline) ———
-        # r8 addition past the full window: family sibling bpe_merges
-        # holds the window slot; takes the first r9 slot per the
-        # COVERAGE.md schedule
+        # r8 additions past the full window: family siblings bpe_merges /
+        # ann_topk_ivf_quantized hold window slots; these take the first
+        # r9 slots per the COVERAGE.md schedule
         "bpe_encode": q_bpe_encode,
+        "ann_topk_pq": q_ann_topk_pq,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -1877,6 +1886,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_lsh": S.ann_recall_lsh_sql(),
         "ann_topk_ivf": S.ann_topk_ivf_sql(),
         "ann_topk_ivf_quantized": S.ann_topk_ivf_quantized_sql(),
+        "ann_topk_pq": S.ann_topk_pq_sql(),
         # the indexed serving path must reproduce the direct computation
         # exactly — same oracle
         "ann_topk_ivf_indexed": S.ann_topk_ivf_sql(),

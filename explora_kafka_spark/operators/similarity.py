@@ -983,6 +983,232 @@ def ann_topk_ivf_quantized_sql(
     """
 
 
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN — asymmetric-distance flat scan + rerank
+# ---------------------------------------------------------------------------
+
+PQ_M = 8      # subspaces (DIM=64 → 8 dims each)
+PQ_K = 16     # codes per subspace (256 in production; 16 keeps the
+#               oracle corpus from under-filling codebooks)
+
+
+def _pq_mu(vec: str) -> str:
+    """Integer-µunit vector (the clustering.py convention): bit-exact
+    distances on any engine/partitioning."""
+    return (
+        f"transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)"
+        f" AS BIGINT))"
+    )
+
+
+def _pq_subd2(a: str, b: str, sub: str, sub_dim: int) -> str:
+    """Squared L2 between subvectors `sub` (0-based) of two µunit arrays."""
+    return (
+        f"aggregate(zip_with(slice({a}, {sub} * {sub_dim} + 1, {sub_dim}),"
+        f" slice({b}, {sub} * {sub_dim} + 1, {sub_dim}),"
+        f" (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+    )
+
+
+def ann_topk_pq(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    rerank: int = 20,
+    n_rows: int | None = None,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    dim: int = DIM,
+) -> DataFrame:
+    """Product-quantization ANN (the FAISS-style ADC flat scan): encode
+    every vector as `m_sub` sub-codes against stride-sampled per-subspace
+    codebooks, rank candidates by asymmetric distance (per-query lookup
+    tables over the 8-int codes), then rerank the top-`rerank` at full
+    precision. Distances are exact integer µunit² L2 end-to-end —
+    bit-identical across engines and partitionings (the clustering.py
+    convention) — so output is (query_id, neighbor_id, d2, rank), d2
+    ascending.
+
+    100 TB design: encoding is one broadcast of the tiny codebook
+    (k_codes rows) against the corpus — n·k_codes·dim flops, one pass,
+    the IVF-assignment shape. Serving scans CODES ONLY (m_sub ints per
+    row ≈ 8× less IO than the float vectors; compose with the IVF
+    partitioning of `build_ivf_index_quantized` for pruned scans); each
+    query ships a precomputed (m_sub × k_codes) distance table and pays
+    O(m_sub) lookups per candidate — never a d-dim product. The flat
+    scan is the PQ analog of `ann_topk_brute`'s deliberate broadcast
+    (allow-listed in test_plans); the exact rerank touches full vectors
+    for only |queries|·rerank rows via an equi-join."""
+    from pyspark.sql.window import Window
+
+    if n_rows is None:
+        n_rows = embeddings.count()
+    sub_dim = dim // m_sub
+    stride = max(n_rows // k_codes, 1)
+    mu = embeddings.select(
+        "vec_id", F.expr(_pq_mu("embedding")).alias("m"))
+    wcode = Window.orderBy("vec_id")
+    codebook = (
+        mu.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id").limit(k_codes)
+        .select(F.col("m").alias("cm"),
+                (F.row_number().over(wcode) - 1).alias("code"))
+    )
+    # encode: per (vector, code) the m_sub subspace distances in one
+    # projection, then per-subspace argmin (min_by struct — ties to the
+    # smaller code); codes reassembled in subspace order
+    subds = F.expr(
+        f"transform(sequence(0, {m_sub - 1}),"
+        f" j -> {_pq_subd2('m', 'cm', 'j', sub_dim)})"
+    )
+    enc = (
+        mu.join(F.broadcast(codebook))
+        .select("vec_id", "code", F.posexplode(subds).alias("sub", "d2"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "code")).alias("best"))
+        .groupBy("vec_id")
+        .agg(F.expr(
+            "transform(array_sort(collect_list(struct(sub, best.code AS c))),"
+            " s -> s.c)").alias("codes"))
+    )
+    # per-query ADC tables: codes_ds[code+1][sub+1] = d2(query sub, code sub)
+    queries = mu.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("m").alias("qm"))
+    qsubds = F.expr(
+        f"transform(sequence(0, {m_sub - 1}),"
+        f" j -> {_pq_subd2('qm', 'cm', 'j', sub_dim)})"
+    )
+    adc = (
+        queries.join(F.broadcast(codebook))
+        .select("query_id", "qm", "code", qsubds.alias("ds"))
+        .groupBy("query_id")
+        .agg(F.expr(
+            "transform(array_sort(collect_list(struct(code, ds))),"
+            " s -> s.ds)").alias("codes_ds"))
+        .join(queries, "query_id")
+    )
+    approx = F.expr(
+        f"aggregate(zip_with(codes, sequence(1, {m_sub}),"
+        f" (c, j) -> element_at(element_at(codes_ds, c + 1), j)),"
+        f" 0L, (acc, v) -> acc + v)"
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("ad2").asc(), F.col("neighbor_id").asc())
+    cand = (
+        enc.select(F.col("vec_id").alias("neighbor_id"), "codes")
+        .join(F.broadcast(adc))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qm", "neighbor_id", approx.alias("ad2"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= rerank)
+        .select("query_id", "qm", "neighbor_id")
+    )
+    exact = F.expr(
+        "aggregate(zip_with(qm, nm, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc())
+    return (
+        cand.join(mu.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("m").alias("nm")), "neighbor_id")
+        .select("query_id", "neighbor_id", exact.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d2", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_topk_pq_sql(
+    table: str = "embeddings",
+    query_mod: int = 50,
+    k: int = 5,
+    rerank: int = 20,
+    n_rows: int = ORACLE_N_ROWS,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    dim: int = DIM,
+) -> str:
+    """DuckDB mirror of `ann_topk_pq` — relational form: encode via
+    per-(vector, subspace) argmin over the codebook, approx distance via
+    an equi-join of codes with the per-query ADC rows on (sub, code).
+    Integer µunit² arithmetic throughout, so values match bit-for-bit."""
+    sub_dim = dim // m_sub
+    stride = max(n_rows // k_codes, 1)
+    mu_list = (
+        f"[CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+        f" FOR i IN range(1, {dim} + 1)]"
+    )
+
+    def subd2(a: str, b: str) -> str:
+        return (
+            f"list_sum([({a}[s.sub * {sub_dim} + i] - {b}[s.sub * {sub_dim} + i])"
+            f" * ({a}[s.sub * {sub_dim} + i] - {b}[s.sub * {sub_dim} + i])"
+            f" FOR i IN range(1, {sub_dim} + 1)])"
+        )
+
+    return f"""
+        WITH mu AS MATERIALIZED (
+            SELECT vec_id, {mu_list} AS m FROM {table}
+        ),
+        codebook AS MATERIALIZED (
+            SELECT m AS cm,
+                   row_number() OVER (ORDER BY vec_id) - 1 AS code
+            FROM mu WHERE vec_id % {stride} = 0
+            ORDER BY vec_id LIMIT {k_codes}
+        ),
+        subs AS (SELECT unnest(range({m_sub})) AS sub),
+        enc AS MATERIALIZED (
+            SELECT vec_id, sub, code FROM (
+                SELECT v.vec_id, s.sub, c.code,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id, s.sub
+                           ORDER BY {subd2('v.m', 'c.cm')}, c.code
+                       ) AS rn
+                FROM mu v CROSS JOIN subs s CROSS JOIN codebook c
+            ) WHERE rn = 1
+        ),
+        adc AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, s.sub, c.code,
+                   {subd2('q.m', 'c.cm')} AS d2
+            FROM mu q CROSS JOIN subs s CROSS JOIN codebook c
+            WHERE q.vec_id % {query_mod} = 0
+        ),
+        approx AS (
+            SELECT a.query_id, e.vec_id AS neighbor_id,
+                   CAST(sum(a.d2) AS BIGINT) AS ad2
+            FROM enc e JOIN adc a USING (sub, code)
+            WHERE a.query_id != e.vec_id
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY ad2, neighbor_id
+                   ) AS arank
+            FROM approx
+        ),
+        rescored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   CAST(list_sum([(q.m[i] - n.m[i]) * (q.m[i] - n.m[i])
+                        FOR i IN range(1, {dim} + 1)]) AS BIGINT) AS d2
+            FROM cand c
+            JOIN mu q ON q.vec_id = c.query_id
+            JOIN mu n ON n.vec_id = c.neighbor_id
+            WHERE c.arank <= {rerank}
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY d2, neighbor_id
+            ) AS rank
+            FROM rescored
+        )
+        SELECT query_id, neighbor_id, d2, rank FROM ranked
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 def ann_recall_ivf(
     embeddings: DataFrame,
     query_mod: int = 50,

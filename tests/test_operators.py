@@ -499,6 +499,40 @@ def test_ivf_quantized_index_layout(spark, tmp_path):
     assert bad == 0
 
 
+def test_ann_pq_full_rerank_equals_exact_bruteforce(spark):
+    """With rerank >= n-1 every candidate reaches the exact stage, so PQ
+    must reproduce exact integer-µunit L2 top-k regardless of code
+    quality — isolates the rerank/tie-break machinery from the
+    quantizer."""
+    from explora_kafka_spark.operators import similarity as S
+    from explora_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = emb.collect()
+    mu = {r["vec_id"]: [int(__import__("math").floor(float(x) * 1e6 + 0.5))
+                        for x in r["embedding"]] for r in rows}
+    want = []
+    for qid in sorted(v for v in mu if v % 50 == 0):
+        d2s = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(mu[qid], mu[nid])), nid)
+            for nid in mu if nid != qid)
+        want += [(qid, nid, d2, i + 1) for i, (d2, nid) in
+                 enumerate(d2s[:5])]
+    got = [tuple(r) for r in
+           S.ann_topk_pq(emb, rerank=len(rows)).collect()]
+    assert got == want
+
+
+def test_ann_pq_deterministic_under_repartition(spark):
+    from explora_kafka_spark.operators import similarity as S
+    from explora_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = [tuple(r) for r in S.ann_topk_pq(emb).collect()]
+    b = [tuple(r) for r in S.ann_topk_pq(emb.repartition(13)).collect()]
+    assert a == b
+
+
 def test_tune_nprobe_monotone_and_chooses_smallest(spark):
     """Recall is monotone non-decreasing in nprobe (with exact reranking,
     per-query hits = |brute_topk ∩ probed lists|), the last rung (probe

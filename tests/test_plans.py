@@ -53,12 +53,18 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   centroid broadcast for probe selection; both the quantized
 #:   candidate join and the full-precision rerank join are equi-joins
 #:   (cid / cid+neighbor_id) with dynamic partition pruning.
+#: - ann_topk_pq is the PQ flat scan: the tiny codebook broadcasts
+#:   keylessly for encoding (the IVF-centroid allowance) and each query
+#:   ships its precomputed ADC table onto the 8-int code scan — the PQ
+#:   analog of ann_topk_brute's deliberate broadcast, at ~8× less scan
+#:   IO and O(m_sub) work per pair; the exact rerank join is an
+#:   equi-join on neighbor_id.
 CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivf", "ann_topk_ivf_indexed",
                  "ann_topk_ivf_filtered", "ann_recall_ivf",
                  "tune_nprobe", "kmeans_clusters", "kmeans_sizes",
                  "kmeans_outliers", "dedup_recall", "unigram_bits",
-                 "ann_topk_ivf_quantized"}
+                 "ann_topk_ivf_quantized", "ann_topk_pq"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
