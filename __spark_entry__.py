@@ -30,6 +30,7 @@ from explora_kafka_spark.operators import dedup as D
 from explora_kafka_spark.operators import segments as SEG
 from explora_kafka_spark.operators import multimodal as _MM
 from explora_kafka_spark.operators import anomaly as ANOM
+from explora_kafka_spark.operators import timeseries as TS
 from explora_kafka_spark.operators import centroids as CENT
 from explora_kafka_spark.operators import normalize as _NORM
 from explora_kafka_spark.operators import packing as PK
@@ -1383,6 +1384,20 @@ def q_label_centroid_cosine(spark, sf_dir):
     return CENT.label_centroid_cosine(_emb(spark, sf_dir))
 
 
+def q_interpolate_hour(spark, sf_dir):
+    """Hourly series densification + linear gap interpolation per
+    (metric, cell) — dashboards need the gaps the rollups skip. Grid
+    explode is output-sized; fills are two ignore-nulls running windows
+    (one shuffle on the series key); µunit-exact interpolation."""
+    return TS.interpolate_hourly(load_readings(spark, sf_dir))
+
+
+def q_metric_histogram(spark, sf_dir):
+    """Fixed-bin value histogram per metric (distribution profile) —
+    projection + one partial-agg shuffle on (metric, bin)."""
+    return TS.metric_histogram(load_readings(spark, sf_dir))
+
+
 def q_metric_hour_anomaly(spark, sf_dir):
     """Trailing-24h z-score per (metric, hour) bucket — the monitoring
     question the reference's rollups stop short of. Bounded ROWS window
@@ -1582,6 +1597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 slots per the COVERAGE.md schedule
         "bpe_encode": q_bpe_encode,
         "ann_topk_pq": q_ann_topk_pq,
+        "interpolate_hour": q_interpolate_hour,
+        "metric_histogram": q_metric_histogram,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2055,6 +2072,10 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": PK.token_budget_sample_sql(
             _MIX_BUDGETS, "documents"),
         "metric_hour_anomaly": ANOM.metric_hour_anomaly_sql(
+            f"({READINGS_SQL}) AS r"),
+        "interpolate_hour": TS.interpolate_hourly_sql(
+            f"({READINGS_SQL}) AS r"),
+        "metric_histogram": TS.metric_histogram_sql(
             f"({READINGS_SQL}) AS r"),
         "label_centroids": CENT.label_centroids_sql("embeddings"),
         "label_centroid_cosine": CENT.label_centroid_cosine_sql(

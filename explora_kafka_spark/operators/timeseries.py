@@ -1,0 +1,206 @@
+"""Time-series completion + distribution profiling over the readings
+stream — the two monitoring questions next to `operators/anomaly.py`'s
+"which hours were abnormal?": "what happened in the hours with no
+data?" (gap interpolation) and "what does this metric's value
+distribution look like?" (fixed-bin histograms).
+
+The reference serves rollups of OBSERVED buckets only
+(`QueryingController.java` history paths); dashboards drawing those
+series need the gaps filled. `interpolate_hourly` densifies each
+(metric, cell) hourly series between its first and last observed
+buckets and linearly interpolates the missing ones.
+
+Float parity (the anomaly.py discipline): observed hourly averages are
+rounded to 6 dp, then converted to integer µunits; the interpolation
+weight is an exact ratio of small bigints, the products stay < 2^53
+(exactly representable doubles), and the HALF_UP is floor(x + 0.5) —
+engine-independent. Division by 1e6 at the end is the same IEEE
+operation in both engines.
+
+100 TB design: the hourly rollup is the materialized `hour` view at
+scale (same schema here from raw readings so the oracle is
+self-contained); the grid explode emits one row per (series, hour) —
+output-sized, not data-sized; gap filling is two ignore-nulls running
+windows over the series partition (one shuffle on the series key, ROWS
+frames, no Python). Histograms are a pure projection + one partial-agg
+shuffle on (metric, bin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HOUR_MS = 3_600_000
+
+#: fixed histogram bin width (value units) — a production deployment
+#: derives it per metric from min/max; fixed keeps the row oracle-able
+DEFAULT_BIN_WIDTH = 5.0
+
+
+def interpolate_hourly(
+    readings: DataFrame,
+    precision: int | None = None,
+) -> DataFrame:
+    """Densify each hourly series between its first and last observed
+    buckets; linear interpolation for interior gaps. Series key =
+    metric_id (the anomaly.py semantic — dense, dashboard-shaped), or
+    (metric_id, gh@precision) when `precision` is given; beware that
+    fine cells make the grid mostly-gap (series × span rows). Output
+    (ordered): metric_id, gh, bucket_ms, avg, is_interpolated ('*' gh
+    for metric-level series). Boundary buckets are observed by
+    construction, so every gap has both neighbors and no NULLs
+    survive."""
+    gh = (
+        F.lit("*") if precision is None
+        else F.substring("geohash", 1, precision)
+    )
+    hourly = (
+        readings.groupBy(
+            "metric_id",
+            gh.alias("gh"),
+            F.date_trunc("hour", F.col("ts")).alias("h_ts"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("avg"))
+        .withColumn("mu", F.round(F.col("avg") * 1e6).cast("bigint"))
+        .withColumn(
+            "idx", (F.unix_millis("h_ts") / HOUR_MS).cast("bigint")
+        )
+        .select("metric_id", "gh", "idx", "avg", "mu")
+    )
+    grid = (
+        hourly.groupBy("metric_id", "gh")
+        .agg(F.min("idx").alias("lo"), F.max("idx").alias("hi"))
+        .select(
+            "metric_id", "gh",
+            F.explode(F.sequence("lo", "hi")).alias("idx"),
+        )
+    )
+    joined = grid.join(hourly, ["metric_id", "gh", "idx"], "left")
+    wp = (
+        Window.partitionBy("metric_id", "gh").orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("metric_id", "gh").orderBy("idx")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("mu").isNotNull(), F.col("idx"))
+    prev_mu = F.last("mu", ignorenulls=True).over(wp)
+    prev_idx = F.last(obs_idx, ignorenulls=True).over(wp)
+    next_mu = F.first("mu", ignorenulls=True).over(wn)
+    next_idx = F.first(obs_idx, ignorenulls=True).over(wn)
+    # exact: (Δmu · Δt) < 2^53, den ≥ 1; floor(x + 0.5) is HALF_UP on
+    # an exactly-representable double ratio in both engines
+    interp_mu = prev_mu + F.floor(
+        ((next_mu - prev_mu) * (F.col("idx") - prev_idx)).cast("double")
+        / (next_idx - prev_idx).cast("double")
+        + F.lit(0.5)
+    ).cast("bigint")
+    filled = joined.select(
+        "metric_id",
+        "gh",
+        (F.col("idx") * HOUR_MS).alias("bucket_ms"),
+        F.when(F.col("mu").isNotNull(), F.col("avg"))
+        .otherwise(interp_mu.cast("double") / F.lit(1e6))
+        .alias("avg"),
+        F.col("mu").isNull().alias("is_interpolated"),
+    )
+    return filled.orderBy("metric_id", "gh", "bucket_ms")
+
+
+def interpolate_hourly_sql(table: str, precision: int | None = None) -> str:
+    """DuckDB mirror of `interpolate_hourly`; `table` must expose
+    (metric_id, geohash, ts, value)."""
+    gh = "'*'" if precision is None else f"substr(geohash, 1, {precision})"
+    return f"""
+        WITH hourly AS (
+            SELECT metric_id, {gh} AS gh,
+                   round(avg(value), 6) AS avg,
+                   CAST(round(round(avg(value), 6) * 1e6) AS BIGINT) AS mu,
+                   epoch_ms(date_trunc('hour', ts)) // {HOUR_MS} AS idx
+            FROM {table}
+            GROUP BY metric_id, {gh}, date_trunc('hour', ts)
+        ),
+        grid AS (
+            SELECT metric_id, gh, unnest(range(lo, hi + 1)) AS idx
+            FROM (
+                SELECT metric_id, gh, min(idx) AS lo, max(idx) AS hi
+                FROM hourly GROUP BY 1, 2
+            )
+        ),
+        joined AS (
+            SELECT g.metric_id, g.gh, g.idx, h.avg, h.mu
+            FROM grid g LEFT JOIN hourly h USING (metric_id, gh, idx)
+        ),
+        walled AS (
+            SELECT *,
+                   last_value(mu IGNORE NULLS) OVER wp AS prev_mu,
+                   last_value(CASE WHEN mu IS NOT NULL THEN idx END
+                              IGNORE NULLS) OVER wp AS prev_idx,
+                   first_value(mu IGNORE NULLS) OVER wn AS next_mu,
+                   first_value(CASE WHEN mu IS NOT NULL THEN idx END
+                               IGNORE NULLS) OVER wn AS next_idx
+            FROM joined
+            WINDOW wp AS (
+                PARTITION BY metric_id, gh ORDER BY idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ), wn AS (
+                PARTITION BY metric_id, gh ORDER BY idx
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+            )
+        )
+        SELECT metric_id, gh, idx * {HOUR_MS} AS bucket_ms,
+               CASE WHEN mu IS NOT NULL THEN avg
+                    ELSE CAST(prev_mu + CAST(floor(
+                        CAST((next_mu - prev_mu) * (idx - prev_idx)
+                             AS DOUBLE)
+                        / CAST(next_idx - prev_idx AS DOUBLE) + 0.5
+                    ) AS BIGINT) AS DOUBLE) / 1e6
+               END AS avg,
+               mu IS NULL AS is_interpolated
+        FROM walled
+        ORDER BY metric_id, gh, bucket_ms
+    """
+
+
+def metric_histogram(
+    readings: DataFrame,
+    bin_width: float = DEFAULT_BIN_WIDTH,
+) -> DataFrame:
+    """Fixed-width value histogram per metric: (metric_id, bin, bin_lo,
+    bin_hi, n) — the distribution profile a monitoring UI draws next to
+    the rollups. floor(value / width) keeps negative values in the
+    right bin (floor, not truncate-toward-zero)."""
+    b = F.floor(F.col("value") / F.lit(bin_width)).cast("bigint")
+    return (
+        readings.groupBy("metric_id", b.alias("bin"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "metric_id",
+            "bin",
+            F.round(F.col("bin") * bin_width, 6).alias("bin_lo"),
+            F.round((F.col("bin") + 1) * bin_width, 6).alias("bin_hi"),
+            "n",
+        )
+        .orderBy("metric_id", "bin")
+    )
+
+
+def metric_histogram_sql(
+    table: str, bin_width: float = DEFAULT_BIN_WIDTH
+) -> str:
+    """DuckDB mirror of `metric_histogram`."""
+    return f"""
+        SELECT metric_id,
+               CAST(floor(value / {bin_width}) AS BIGINT) AS bin,
+               round(CAST(floor(value / {bin_width}) AS BIGINT)
+                     * {bin_width}, 6) AS bin_lo,
+               round((CAST(floor(value / {bin_width}) AS BIGINT) + 1)
+                     * {bin_width}, 6) AS bin_hi,
+               count(*) AS n
+        FROM {table}
+        GROUP BY 1, 2
+        ORDER BY metric_id, bin
+    """

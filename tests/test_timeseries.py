@@ -1,0 +1,88 @@
+"""Gap interpolation + histogram semantics (operators/timeseries.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from explora_kafka_spark.operators import timeseries as TS
+
+
+def _readings(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "metric_id: string, geohash: string, ts: timestamp, value: double",
+    )
+
+
+def _hour(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)
+
+
+def test_interpolate_fills_interior_gap_linearly(spark):
+    """Observed 10 @h0 and 40 @h3 -> h1=20, h2=30, flagged."""
+    rows = [("m", "g", _hour(0), 10.0), ("m", "g", _hour(3), 40.0)]
+    out = TS.interpolate_hourly(_readings(spark, rows)).collect()
+    got = [(r["bucket_ms"] // TS.HOUR_MS % 24, r["avg"],
+            r["is_interpolated"]) for r in out]
+    base = out[0]["bucket_ms"] // TS.HOUR_MS % 24
+    assert got == [(base + 0, 10.0, False), (base + 1, 20.0, True),
+                   (base + 2, 30.0, True), (base + 3, 40.0, False)]
+
+
+def test_interpolate_no_extrapolation_and_observed_kept(spark):
+    """Series bounded by first/last observed bucket; observed hourly
+    averages pass through untouched (two readings in one hour -> mean)."""
+    rows = [
+        ("m", "g", _hour(5), 1.0),
+        ("m", "g", _hour(5).replace(minute=30), 3.0),
+        ("m", "g", _hour(6), 7.0),
+    ]
+    out = TS.interpolate_hourly(_readings(spark, rows)).collect()
+    assert len(out) == 2  # h5, h6 only; nothing before/after
+    assert [r["avg"] for r in out] == [2.0, 7.0]
+    assert not any(r["is_interpolated"] for r in out)
+
+
+def test_interpolate_series_are_independent(spark):
+    """A gap in one metric doesn't borrow values from another."""
+    rows = [
+        ("a", "g", _hour(0), 0.0), ("a", "g", _hour(2), 2.0),
+        ("b", "g", _hour(1), 100.0),
+    ]
+    out = TS.interpolate_hourly(_readings(spark, rows)).collect()
+    a = [(r["avg"], r["is_interpolated"]) for r in out
+         if r["metric_id"] == "a"]
+    b = [(r["avg"], r["is_interpolated"]) for r in out
+         if r["metric_id"] == "b"]
+    assert a == [(0.0, False), (1.0, True), (2.0, False)]
+    assert b == [(100.0, False)]
+
+
+def test_interpolate_half_up_rounding_is_deterministic(spark):
+    """A gap landing exactly on .5 microunits takes HALF_UP (floor+0.5)
+    in both engines: 0 @h0, 0.000001 @h2 -> h1 = 0.000001 (0.5 rounds
+    up), matching the DuckDB mirror."""
+    import duckdb
+
+    rows = [("m", "g", _hour(0), 0.0), ("m", "g", _hour(2), 0.000001)]
+    out = TS.interpolate_hourly(_readings(spark, rows)).collect()
+    assert out[1]["avg"] == 0.000001
+    con = duckdb.connect()
+    con.execute("""
+        CREATE VIEW r AS SELECT * FROM (VALUES
+            ('m', 'g', TIMESTAMP '2024-01-01 00:00:00', 0.0),
+            ('m', 'g', TIMESTAMP '2024-01-01 02:00:00', 0.000001)
+        ) AS t(metric_id, geohash, ts, value)
+    """)
+    want = con.execute(TS.interpolate_hourly_sql("r")).fetchall()
+    assert [tuple(r) for r in out] == [tuple(w) for w in want]
+
+
+def test_histogram_bins_negative_values_with_floor(spark):
+    rows = [("m", "g", _hour(0), -0.5), ("m", "g", _hour(1), 0.5),
+            ("m", "g", _hour(2), 4.999), ("m", "g", _hour(3), 5.0)]
+    out = {(r["bin"]): (r["bin_lo"], r["bin_hi"], r["n"])
+           for r in TS.metric_histogram(_readings(spark, rows)).collect()}
+    assert out[-1] == (-5.0, 0.0, 1)   # -0.5 floors to bin -1
+    assert out[0] == (0.0, 5.0, 2)
+    assert out[1] == (5.0, 10.0, 1)    # boundary value starts next bin
