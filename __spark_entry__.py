@@ -587,6 +587,19 @@ def q_split_train_val_test(spark, sf_dir):
     return SMP.split_assign(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+def q_group_aware_split(spark, sf_dir):
+    """Leakage-safe split: hashes the near-dup GROUP id so a document
+    and its near duplicates always land in the same split — the guard a
+    per-doc split can't give. Cost = the corpus dedup pass it shares."""
+    return SMP.group_aware_split(_docs(spark, sf_dir))
+
+
+def q_quality_weighted_sample(spark, sf_dir):
+    """Soft quality filter: keep with probability = quality score via a
+    deterministic per-doc uniform (CCNet-style sample-by-quality)."""
+    return SMP.quality_weighted_sample(_docs(spark, sf_dir))
+
+
 def q_contamination_ngram(spark, sf_dir):
     """Train/test decontamination: fraction of each test doc's distinct
     word 5-grams that appear anywhere in the train split (GPT-3/PaLM-style
@@ -1599,6 +1612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": q_ann_topk_pq,
         "interpolate_hour": q_interpolate_hour,
         "metric_histogram": q_metric_histogram,
+        "group_aware_split": q_group_aware_split,
+        "quality_weighted_sample": q_quality_weighted_sample,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2029,6 +2044,9 @@ def oracle_sql() -> dict[str, str]:
             + SMP.split_assign_sql("documents")
             + ")"
         ),
+        "group_aware_split": SMP.group_aware_split_sql("documents"),
+        "quality_weighted_sample":
+            SMP.quality_weighted_sample_sql("documents"),
         "stratified_sample": (
             "SELECT doc_id, lang FROM ("
             + SMP.stratified_sample_sql("documents", _SAMPLE_FRACTIONS)

@@ -229,3 +229,104 @@ def redact_pii_sql(table: str = "documents", text_expr: str = "text") -> str:
         f"SELECT doc_id, {redacted} AS redacted, "
         f"CAST({n} AS INT) AS n_redactions FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe (near-dup-group-aware) split
+# ---------------------------------------------------------------------------
+
+
+def group_aware_split(
+    docs: DataFrame,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05),
+    ),
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-dup GROUP id
+    (`dedup.dedup_groups`), not the document id, so a document and its
+    near duplicates always land in the SAME split — the standard guard
+    against train→test leakage that a plain per-doc split cannot give.
+    Output: (doc_id, group_id, split), doc-ascending.
+
+    100 TB design: the cost is the grouping itself (banded LSH pairs +
+    pointer-jumping components — already the corpus dedup pass, shared/
+    materialized in a real pipeline); the split assignment adds one
+    hash projection, zero shuffles on top of the groups table."""
+    from .dedup import dedup_groups
+
+    groups = dedup_groups(docs)
+    assigned = split_assign(groups, weights, key="group_id", salt=salt)
+    return assigned.select("doc_id", "group_id", "split").orderBy("doc_id")
+
+
+def group_aware_split_sql(
+    table: str = "documents",
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.9), ("val", 0.05), ("test", 0.05),
+    ),
+    salt: str = "split",
+) -> str:
+    """DuckDB mirror: dedup_groups' recursive-CTE closure + the same
+    bucket CASE over group_id."""
+    from .dedup import dedup_groups_sql
+
+    b = _bucket_sql("CAST(group_id AS VARCHAR)", salt)
+    edge = 0.0
+    cases = []
+    for name, w in weights:
+        edge += w
+        cases.append((int(round(edge * N_BUCKETS)), name))
+    whens = " ".join(
+        f"WHEN ({b}) < {e} THEN '{_sq(name)}'" for e, name in cases[:-1])
+    return f"""
+        WITH g AS ({dedup_groups_sql(table)})
+        SELECT doc_id, group_id,
+               CASE {whens} ELSE '{_sq(cases[-1][1])}' END AS split
+        FROM g ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted sampling (deterministic Bernoulli thinning)
+# ---------------------------------------------------------------------------
+
+
+def quality_weighted_sample(docs: DataFrame, salt: str = "qws") -> DataFrame:
+    """Soft quality filtering: keep each document with probability equal
+    to its quality score (text.with_text_stats), decided by a
+    deterministic per-doc uniform draw u = bucket(salt, doc_id)/N — the
+    CCNet-style "sample by quality" middle ground between keep-all and
+    hard thresholding. Stable under repartitioning and corpus growth;
+    pure projections + one doc-keyed equi-join, no shuffle beyond it.
+    Output: kept documents (doc_id, quality_score, u), doc-ascending."""
+    from .text import with_text_stats
+
+    stats = with_text_stats(docs).select("doc_id", "quality_score")
+    u = (
+        _bucket_col(F.col("doc_id").cast("string"), salt).cast("double")
+        / F.lit(float(N_BUCKETS))
+    )
+    return (
+        stats.withColumn("u", F.round(u, 6))
+        .filter(F.col("u") < F.col("quality_score"))
+        .orderBy("doc_id")
+    )
+
+
+def quality_weighted_sample_sql(
+    table: str = "documents", salt: str = "qws"
+) -> str:
+    """DuckDB mirror of `quality_weighted_sample`."""
+    from .text import text_stats_sql
+
+    b = _bucket_sql("CAST(doc_id AS VARCHAR)", salt)
+    return f"""
+        WITH stats AS ({text_stats_sql(table)})
+        SELECT doc_id, quality_score,
+               round(CAST({b} AS DOUBLE) / {float(N_BUCKETS)}, 6) AS u
+        FROM stats
+        WHERE round(CAST({b} AS DOUBLE) / {float(N_BUCKETS)}, 6)
+              < quality_score
+        ORDER BY doc_id
+    """

@@ -192,3 +192,35 @@ def test_bucket_spark_matches_python(spark):
     got = {r["k"]: r["b"] for r in df.select(
         "k", SMP._bucket_col(F2.col("k"), "split").alias("b")).collect()}
     assert got == {k: _py_bucket(k, "split") for k in keys}
+
+
+def test_group_aware_split_keeps_groups_together(spark, docs):
+    """No near-dup group straddles a split boundary — the leakage guard;
+    exact duplicates demonstrably co-assign."""
+    dup = docs.limit(3).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang",
+        "source", "n_chars")
+    corpus = docs.unionByName(dup)
+    out = SMP.group_aware_split(corpus)
+    straddling = (
+        out.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1).count())
+    assert straddling == 0
+    assert out.count() == corpus.count()
+    # each injected exact dup shares its original's group and split
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for orig in [r["doc_id"] for r in docs.limit(3).collect()]:
+        assert rows[orig]["group_id"] == rows[orig + 1_000_000]["group_id"]
+        assert rows[orig]["split"] == rows[orig + 1_000_000]["split"]
+
+
+def test_quality_weighted_sample_invariant_and_deterministic(spark, docs):
+    out = SMP.quality_weighted_sample(docs).collect()
+    assert out, "synthetic corpus should keep some docs"
+    assert all(r["u"] < r["quality_score"] for r in out)
+    again = SMP.quality_weighted_sample(docs.repartition(7)).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+    # a different salt draws a different-but-valid sample
+    other = SMP.quality_weighted_sample(docs, salt="other").collect()
+    assert all(r["u"] < r["quality_score"] for r in other)
