@@ -131,6 +131,36 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "plan.",
         [r"FileScan", r"Join", r"Exchange"],
     ),
+    "ann_topk_ivf_quantized": (
+        "Quantized IVF serving: the candidate scan reads ONLY "
+        "(neighbor_id, q, cid) — column pruning delivers the ~4x IO "
+        "cut, n_emb never read corpus-wide — and both qlists scans "
+        "carry dynamic partition pruning on cid; the rerank join is an "
+        "equi-join on (cid, neighbor_id).",
+        [r"FileScan", r"dynamicpruning", r"BroadcastHashJoin"],
+    ),
+    "ann_topk_pq": (
+        "PQ flat scan: after encode, candidate ranking touches the "
+        "8-int codes plus the broadcast per-query ADC tables (the "
+        "deliberate keyless broadcast, ann_topk_brute's allowance); "
+        "the exact rerank is an equi-join on neighbor_id over "
+        "|queries| x rerank rows.",
+        [r"BroadcastNestedLoopJoin", r"SortMergeJoin",
+         r"ShuffledHashJoin", r"BroadcastHashJoin", r"HashAggregate"],
+    ),
+    "interpolate_hour": (
+        "Gap interpolation: grid explode is output-sized; the fills "
+        "are two running windows over ONE series-key exchange (windows "
+        "share the (metric, gh) partitioning; no Python).",
+        [r"Window", r"Exchange", r"Generate"],
+    ),
+    "group_aware_split": (
+        "Leakage-safe split: the plan is the dedup-groups pass (banded "
+        "equi-joins + pointer-jumping iterations) plus a pure hash "
+        "projection — no additional exchange for the assignment "
+        "itself.",
+        [r"Project.*split", r"Exchange", r"Join"],
+    ),
 }
 
 
