@@ -1411,6 +1411,17 @@ def q_metric_histogram(spark, sf_dir):
     return TS.metric_histogram(load_readings(spark, sf_dir))
 
 
+def q_metric_alerts(spark, sf_dir):
+    """Streaming anomaly alerting, batch twin (streaming/alerts.py):
+    the flagged (metric, hour) buckets the alert store holds after the
+    stream drains. The foreachBatch flavor — per-batch incremental
+    rescoring of touched metrics + dynamic partition overwrite — is
+    pinned ≡ this in tests/test_alerts.py."""
+    from explora_kafka_spark.streaming import alerts as AL
+
+    return AL.alert_batch(load_readings(spark, sf_dir))
+
+
 def q_metric_hour_anomaly(spark, sf_dir):
     """Trailing-24h z-score per (metric, hour) bucket — the monitoring
     question the reference's rollups stop short of. Bounded ROWS window
@@ -1614,6 +1625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_histogram": q_metric_histogram,
         "group_aware_split": q_group_aware_split,
         "quality_weighted_sample": q_quality_weighted_sample,
+        "metric_alerts": q_metric_alerts,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2093,6 +2105,10 @@ def oracle_sql() -> dict[str, str]:
             f"({READINGS_SQL}) AS r"),
         "interpolate_hour": TS.interpolate_hourly_sql(
             f"({READINGS_SQL}) AS r"),
+        "metric_alerts": (
+            "SELECT * FROM ("
+            + ANOM.metric_hour_anomaly_sql(f"({READINGS_SQL}) AS r")
+            + ") WHERE is_anomaly"),
         "metric_histogram": TS.metric_histogram_sql(
             f"({READINGS_SQL}) AS r"),
         "label_centroids": CENT.label_centroids_sql("embeddings"),
