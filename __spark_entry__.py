@@ -1218,6 +1218,17 @@ def q_term_postings(spark, sf_dir):
     return PST.term_postings(_docs(spark, sf_dir), min_df=2)
 
 
+#: BM25 query terms for the driver row — mid-df corpus vocabulary words
+_BM25_TERMS = ["join", "filter", "window"]
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval over the postings statistics (the text
+    twin of ANN top-k): integer-µunit contributions per (term, doc) so
+    ranking is partition-order independent; TakeOrdered top-10."""
+    return PST.bm25_search(_docs(spark, sf_dir), _BM25_TERMS)
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per document."""
     return D.simhash(_docs(spark, sf_dir))
@@ -1626,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_aware_split": q_group_aware_split,
         "quality_weighted_sample": q_quality_weighted_sample,
         "metric_alerts": q_metric_alerts,
+        "bm25_search": q_bm25_search,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -1965,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_sizes": CL.kmeans_sql(k=8, iters=3, n_rows=500, sizes=True),
         "decontaminate": CONT.decontaminate_sql(threshold=0.5),
         "term_postings": PST.term_postings_sql(min_df=2),
+        "bm25_search": PST.bm25_search_sql(terms=_BM25_TERMS),
         "kmeans_outliers": CL.kmeans_sql(k=8, iters=3, n_rows=500,
                                          outliers_top=20),
         "dedup_recall": D.dedup_recall_audit_sql(jaccard_min=0.3,

@@ -80,3 +80,165 @@ def term_postings_sql(
         WHERE df >= {min_df}
         ORDER BY term, {key}
     """
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    key: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval — the text twin of the ANN top-k serving
+    path, composing the postings statistics into Robertson/Sparck-Jones
+    scoring: score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    Output: top_k docs as (doc_id, n_terms_hit, score, rank).
+
+    Determinism (the unigram_bits discipline): idf is computed ONCE per
+    query term and scaled to integer µunits — ln is the single libm op
+    (accepted last-ulp exposure); the saturation factor is a fixed-shape
+    IEEE expression over exact integers (dl·N and the sums stay < 2^53);
+    each (term, doc) contribution floors to integer µunits and the doc
+    score is a BIGINT sum, so partition/summation order cannot move the
+    result on either engine. Ranking ties break on the integer score
+    then doc id.
+
+    100 TB design: one token-explode shuffle shared with the postings
+    build; the query-term filter prunes the explode output to |terms|
+    keys BEFORE the tf aggregation; idf and the corpus totals are
+    one-row/|terms|-row broadcasts; the only doc-sized joins are
+    equi-joins on the doc key. At serving scale the tf/dl inputs come
+    from the materialized postings instead of raw text — same columns."""
+    toks = (
+        docs.select(key, F.explode(tokens_col("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    dl = toks.groupBy(key).agg(F.count("*").alias("dl"))
+    totals = dl.agg(
+        F.sum("dl").alias("sdl"), F.count("*").alias("n_docs"))
+    tf = (
+        toks.filter(F.col("term").isin(list(terms)))
+        .groupBy("term", key)
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term").agg(F.count("*").alias("df"))
+        .join(F.broadcast(totals))
+        .select(
+            "term",
+            F.floor(
+                F.log(
+                    ((F.col("n_docs") - F.col("df")).cast("double")
+                     + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                    + F.lit(1.0)
+                ) * 1e6 + F.lit(0.5)
+            ).cast("bigint").alias("idf_mu"),
+        )
+    )
+    sat = (
+        (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf").cast("double")
+            + F.lit(k1) * (
+                F.lit(1.0 - b)
+                + F.lit(b)
+                * (F.col("dl") * F.col("n_docs")).cast("double")
+                / F.col("sdl").cast("double")
+            )
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, key)
+        .join(F.broadcast(totals))
+        .select(
+            key,
+            F.floor(F.col("idf_mu").cast("double") * sat + F.lit(0.5))
+            .cast("bigint").alias("cmu"),
+        )
+    )
+    # TakeOrdered top-k (no global sort/window on the doc-sized side);
+    # the rank window then runs over top_k rows only
+    w = Window.orderBy(F.col("mu").desc(), F.col(key))
+    return (
+        contrib.groupBy(key)
+        .agg(F.count("*").alias("n_terms_hit"),
+             F.sum("cmu").alias("mu"))
+        .orderBy(F.col("mu").desc(), key)
+        .limit(top_k)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            key, "n_terms_hit",
+            F.round(F.col("mu").cast("double") / 1e6, 6).alias("score"),
+            "rank",
+        )
+        .orderBy("rank")
+    )
+
+
+def bm25_search_sql(
+    table: str = "documents",
+    terms: list[str] | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    key: str = "doc_id",
+) -> str:
+    """DuckDB mirror of `bm25_search` (identical expression shapes and
+    µunit floors)."""
+    toks = tokens_sql("text")
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return f"""
+        WITH tok AS (
+            SELECT {key}, unnest({toks}) AS term FROM {table}
+        ),
+        tok2 AS (SELECT * FROM tok WHERE term <> ''),
+        dl AS (
+            SELECT {key}, count(*) AS dl FROM tok2 GROUP BY 1
+        ),
+        totals AS (
+            SELECT CAST(sum(dl) AS BIGINT) AS sdl, count(*) AS n_docs
+            FROM dl
+        ),
+        tf AS (
+            SELECT term, {key}, count(*) AS tf
+            FROM tok2 WHERE term IN ({tlist})
+            GROUP BY 1, 2
+        ),
+        idf AS (
+            SELECT term,
+                   CAST(floor(ln(
+                       (CAST(n_docs - df AS DOUBLE) + 0.5)
+                       / (CAST(df AS DOUBLE) + 0.5) + 1.0
+                   ) * 1e6 + 0.5) AS BIGINT) AS idf_mu
+            FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+                 CROSS JOIN totals
+        ),
+        contrib AS (
+            SELECT tf.{key},
+                   CAST(floor(CAST(idf_mu AS DOUBLE) * (
+                       (CAST(tf AS DOUBLE) * {k1 + 1.0})
+                       / (CAST(tf AS DOUBLE) + {k1} * ({1.0 - b} + {b}
+                          * CAST(dl.dl * totals.n_docs AS DOUBLE)
+                          / CAST(totals.sdl AS DOUBLE)))
+                   ) + 0.5) AS BIGINT) AS cmu
+            FROM tf
+            JOIN idf USING (term)
+            JOIN dl USING ({key})
+            CROSS JOIN totals
+        ),
+        agg AS (
+            SELECT {key}, count(*) AS n_terms_hit,
+                   CAST(sum(cmu) AS BIGINT) AS mu
+            FROM contrib GROUP BY 1
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY mu DESC, {key}) AS rank
+            FROM agg
+        )
+        SELECT {key}, n_terms_hit,
+               round(CAST(mu AS DOUBLE) / 1e6, 6) AS score, rank
+        FROM ranked WHERE rank <= {top_k} ORDER BY rank
+    """

@@ -850,3 +850,33 @@ def test_bpe_merges_sql_parity_tiny_corpus(spark):
     got = _bpe_merge_rows(T.bpe_merges(docs, n_merges=5))
     assert got == [tuple(r) for r in want]
     assert len(got) == 5  # the second doc keeps merges available
+
+
+def test_bm25_ranking_properties(spark):
+    """Coverage beats partial matches, rare terms outweigh common ones,
+    longer docs are length-penalized, and ranking is repartition-stable."""
+    from explora_kafka_spark.operators import postings as PST
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog fish"),          # all three terms
+            (2, "cat dog bird bird"),     # two terms, longer
+            (3, "cat bird bird bird"),    # one common term
+            (4, "fish stone stone"),      # one RARE term
+            (5, "stone stone stone"),     # no query term
+        ],
+        "doc_id bigint, text string",
+    )
+    out = PST.bm25_search(docs, ["cat", "dog", "fish"], top_k=5).collect()
+    ranked = [r["doc_id"] for r in out]
+    assert 5 not in ranked, "docs without query terms never score"
+    assert ranked[0] == 1, "full coverage ranks first"
+    hits = {r["doc_id"]: r["n_terms_hit"] for r in out}
+    assert hits[1] == 3 and hits[2] == 2 and hits[3] == 1 and hits[4] == 1
+    scores = {r["doc_id"]: r["score"] for r in out}
+    # 'fish' (df=2) is rarer than 'cat' (df=3): one fish hit in an
+    # equal-length doc beats one cat hit in a longer doc on both counts
+    assert scores[4] > scores[3]
+    again = PST.bm25_search(
+        docs.repartition(7), ["cat", "dog", "fish"], top_k=5).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
