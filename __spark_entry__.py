@@ -770,6 +770,43 @@ def q_compact_store_effect(spark, sf_dir):
     )
 
 
+_RETENTION: dict[str, str] = {}  # sf_dir → two-month TTL-swept store dir
+
+
+def q_retention_sweep(spark, sf_dir):
+    """Store retention (TTL) sweep: build a two-month store (odd events
+    shifted +1 month), expire every month partition before 2024-02 with
+    `expire_store` — a pure hard-link version commit, O(#files)
+    metadata ops, zero data read — then serve the survivors. Oracle =
+    the shifted odd-event slice aggregated directly, so the row proves
+    the sweep dropped exactly the expired month and nothing else."""
+    from explora_kafka_spark.plans.views import view_lattice
+    from explora_kafka_spark.streaming import pipeline as SP
+
+    d = _RETENTION.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="explora_ttl_")
+        _TMPDIRS.append(d)
+        r = load_readings(spark, sf_dir)
+        two = r.filter(F.col("event_id") % 2 == 0).unionByName(
+            r.filter(F.col("event_id") % 2 == 1)
+            .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MONTH")))
+        store = SP.ParquetViewStore(f"{d}/store")
+        store.merge(
+            spark,
+            view_lattice(two, precisions=(6,), resolutions=("hour",),
+                         persist=False),
+            batch_id=0,
+        )
+        SP.expire_store(store, 202402)
+        _RETENTION[sf_dir] = d
+    v = SP.ParquetViewStore(f"{d}/store").read(spark)
+    return v.select(
+        "metric_id", "gh", ts_ms_col("ts").alias("bucket_ms"),
+        F.col("count").alias("count"), _r6("sum").alias("sum"),
+    )
+
+
 def q_windowed_base_view(spark, sf_dir):
     """Watermarked tumbling-window flavor of the base view (the idiomatic
     Structured Streaming shape, streaming/windowed.py): append mode emits
@@ -1638,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_weighted_sample": q_quality_weighted_sample,
         "metric_alerts": q_metric_alerts,
         "bm25_search": q_bm25_search,
+        "retention_sweep": q_retention_sweep,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -1897,6 +1935,17 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(date_trunc('minute', ts)) AS bucket_ms,
                    count(*) AS count, round(sum(value), 6) AS sum
             FROM readings GROUP BY 1, 2, 3
+        """,
+        # TTL sweep: after expiring ts_m < 202402, the store holds
+        # exactly the odd-event slice shifted into February
+        "retention_sweep": f"""
+            {_R}
+            SELECT metric_id, substr(geohash, 1, 6) AS gh,
+                   epoch_ms(date_trunc('hour', ts + INTERVAL 1 MONTH))
+                       AS bucket_ms,
+                   count(*) AS count, round(sum(value), 6) AS sum
+            FROM readings WHERE event_id % 2 = 1
+            GROUP BY 1, 2, 3
         """,
         # append-mode watermark semantics: only FINALIZED windows emit
         # (window end <= max event time at the final watermark advance)

@@ -390,6 +390,46 @@ class ParquetViewStore:
             delta.unpersist()
 
 
+def expire_store(store: ParquetViewStore, min_ts_m: int) -> int:
+    """Retention sweep (TTL): commit a new store version WITHOUT the
+    month partitions older than `min_ts_m` (yyyyMM int). Surviving
+    partitions are hard-linked verbatim — O(#files) metadata ops, zero
+    data read or copy — so retention cost is independent of store size;
+    the pointer swap is atomic and the batch-id replay guard survives.
+    This is the lakehouse `DELETE WHERE ts < cutoff` + VACUUM pair in
+    one commit. Stores predating the ts_m layout (no month dirs) are
+    left intact (nothing matches the cutoff). Returns the number of
+    expired leaf partitions."""
+    ptr = store._read_pointer()
+    if ptr is None:
+        return 0
+    old_v, bid = ptr
+    old_dir = os.path.join(store.path, old_v)
+    new_v = f"v_{uuid.uuid4().hex[:12]}"
+    new_dir = os.path.join(store.path, new_v)
+    os.makedirs(new_dir, exist_ok=True)
+    expired = 0
+    for root, _dirs, files in os.walk(old_dir):
+        pq = [fn for fn in files if fn.endswith(".parquet")]
+        if not pq:
+            continue
+        rel = os.path.relpath(root, old_dir)
+        months = [s for s in rel.split(os.sep) if s.startswith("ts_m=")]
+        if months and int(months[0].split("=", 1)[1]) < min_ts_m:
+            expired += 1
+            continue
+        tgt = os.path.join(new_dir, rel)
+        os.makedirs(tgt, exist_ok=True)
+        for fn in pq:
+            src, dst = os.path.join(root, fn), os.path.join(tgt, fn)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+    store._commit(new_v, bid, old_v)
+    return expired
+
+
 def compact_store(spark: SparkSession, store: ParquetViewStore) -> None:
     """Rewrite the whole current version in query-optimal layout (global
     gh range-partitioning + in-file (gh, ts) sort). Incremental merges

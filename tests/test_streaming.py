@@ -485,3 +485,51 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     expect = dedup_batch(events)
     assert got.count() == events.count() == expect.count()
     assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_expire_store_drops_old_months_links_survivors(spark, tmp_path):
+    """TTL sweep: expired months vanish, survivors keep their inodes
+    (hard-link, zero copy), the batch-id replay guard survives."""
+    readings = load_readings(spark, SF_DIR)
+    two = readings.filter(F.col("event_id") % 2 == 0).unionByName(
+        readings.filter(F.col("event_id") % 2 == 1)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MONTH")))
+    lat = view_lattice(two, precisions=(6,), resolutions=("hour",),
+                       persist=False)
+    store = P.ParquetViewStore(str(tmp_path / "store"))
+    assert store.merge(spark, lat, batch_id=0)
+    before = _partition_inodes(store)
+    feb_before = {k: v for k, v in before.items() if "ts_m=202402" in k}
+    assert feb_before and any("ts_m=202401" in k for k in before)
+
+    expired = P.expire_store(store, 202402)
+    assert expired == sum("ts_m=202401" in k for k in before)
+    after = _partition_inodes(store)
+    assert not any("ts_m=202401" in k for k in after)
+    feb_after = {k: v for k, v in after.items() if "ts_m=202402" in k}
+    assert feb_after == feb_before, "survivors must be hard-linked verbatim"
+
+    # replay guard: the swept version still refuses batch 0
+    assert store.merge(spark, lat, batch_id=0) is False
+    # rows = exactly the shifted odd-event slice
+    want = _lattice_rows(view_lattice(
+        two.filter(F.month("ts") == 2), precisions=(6,),
+        resolutions=("hour",), persist=False))
+    assert _lattice_rows(
+        P.ParquetViewStore(str(tmp_path / "store")).read(spark)
+        .withColumn("precision", F.col("precision"))
+        .select("metric_id", "precision", "res", "gh", "ts", "count",
+                "sum")) == want
+
+
+def test_expire_store_noop_on_future_free_store(spark, tmp_path):
+    """A cutoff at/below every stored month expires nothing and leaves
+    the data identical."""
+    readings = load_readings(spark, SF_DIR)
+    lat = view_lattice(readings, precisions=(6,), resolutions=("hour",),
+                       persist=False)
+    store = P.ParquetViewStore(str(tmp_path / "store"))
+    assert store.merge(spark, lat, batch_id=0)
+    before = _lattice_rows(store.read(spark))
+    assert P.expire_store(store, 202401) == 0
+    assert _lattice_rows(store.read(spark)) == before
