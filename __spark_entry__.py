@@ -1016,6 +1016,28 @@ def q_ann_topk_pq(spark, sf_dir):
     return S.ann_topk_pq(_emb(spark, sf_dir))
 
 
+_IVFPQ_INDEXES: dict[str, str] = {}
+
+
+def _ivfpq_index(spark, sf_dir) -> str:
+    """Materialized (cached) IVF-PQ index over embeddings."""
+    if sf_dir not in _IVFPQ_INDEXES:
+        d = tempfile.mkdtemp(prefix="explora_ivfpq_")
+        _TMPDIRS.append(d)
+        S.build_ivfpq_index(_emb(spark, sf_dir), f"{d}/ivfpq")
+        _IVFPQ_INDEXES[sf_dir] = f"{d}/ivfpq"
+    return _IVFPQ_INDEXES[sf_dir]
+
+
+def q_ann_topk_ivfpq(spark, sf_dir):
+    """The production ANN layout (FAISS IVFADC): coarse integer-L2
+    quantizer prunes to nprobe lists (dynamic partition pruning), PQ
+    codes rank candidates inside them (column-pruned m_sub-int scan +
+    per-query ADC tables), exact µunit rerank. Pure integer arithmetic
+    end-to-end — bit-exact, no float anywhere."""
+    return S.ann_topk_ivfpq(spark, _ivfpq_index(spark, sf_dir))
+
+
 def q_ann_topk_ivf_quantized(spark, sf_dir):
     """IVF ANN served from int8-quantized lists with full-precision
     rerank of the top candidates — the 4× IO cut for 100 TB serving.
@@ -1676,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_alerts": q_metric_alerts,
         "bm25_search": q_bm25_search,
         "retention_sweep": q_retention_sweep,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -1992,6 +2015,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": S.ann_topk_ivf_sql(),
         "ann_topk_ivf_quantized": S.ann_topk_ivf_quantized_sql(),
         "ann_topk_pq": S.ann_topk_pq_sql(),
+        "ann_topk_ivfpq": S.ann_topk_ivfpq_sql(),
         # the indexed serving path must reproduce the direct computation
         # exactly — same oracle
         "ann_topk_ivf_indexed": S.ann_topk_ivf_sql(),

@@ -1209,6 +1209,306 @@ def ann_topk_pq_sql(
     """
 
 
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_lists: int | None = None,
+    n_rows: int | None = None,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    dim: int = DIM,
+) -> None:
+    """Materialize the production ANN layout — IVF-PQ (the FAISS
+    IVFADC index): `{path}/centroids` (cid, cm µunit vectors),
+    `{path}/codebook` (code, cm µunit vectors — global per-subspace
+    codebooks), and `{path}/lists` (neighbor_id, codes m_sub ints,
+    n_m full µunit vector) hive-partitioned by cid.
+
+    Everything is integer µunit² L2 — coarse assignment (argmin, ties
+    to the smaller cid), PQ encoding, and later serving — so no float
+    op exists anywhere in this family: bit-exact on any engine or
+    partitioning, stronger than the cosine paths' round(6) discipline.
+
+    100 TB: assignment + encoding are one corpus pass each against
+    broadcast centroid/codebook tables (n·(√n + m·k) integer ops);
+    serving scans (neighbor_id, codes) only — parquet column pruning
+    on top of dynamic partition pruning, the ~8× IO cut inside only
+    the probed lists."""
+    from pyspark.sql.window import Window
+
+    if n_rows is None:
+        n_rows = embeddings.count()
+    sub_dim = dim // m_sub
+    _, stride = ivf_params(n_rows, n_lists)
+    cstride = max(n_rows // k_codes, 1)
+    mu = embeddings.select(
+        "vec_id", F.expr(_pq_mu("embedding")).alias("m"))
+    cent = mu.filter(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cid"), F.col("m").alias("cm"))
+    d2 = (
+        "aggregate(zip_with(m, cm, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("_d2").asc(), F.col("cid").asc())
+    assigned = (
+        mu.join(F.broadcast(cent))
+        .withColumn("_d2", F.expr(d2))
+        .withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+    wcode = Window.orderBy("vec_id")
+    codebook = (
+        mu.filter(F.col("vec_id") % cstride == 0)
+        .orderBy("vec_id").limit(k_codes)
+        .select(F.col("m").alias("bm"),
+                (F.row_number().over(wcode) - 1).alias("code"))
+    )
+    subds = F.expr(
+        f"transform(sequence(0, {m_sub - 1}),"
+        f" j -> {_pq_subd2('m', 'bm', 'j', sub_dim)})"
+    )
+    enc = (
+        assigned.join(F.broadcast(codebook))
+        .select("vec_id", "cid", "m", "code",
+                F.posexplode(subds).alias("sub", "d2"))
+        .groupBy("vec_id", "cid", "sub")
+        .agg(F.min(F.struct("d2", "code")).alias("best"))
+        .groupBy("vec_id", "cid")
+        .agg(F.expr(
+            "transform(array_sort(collect_list(struct(sub, best.code AS c))),"
+            " s -> s.c)").alias("codes"))
+    )
+    lists = (
+        enc.join(mu, "vec_id")
+        .select(F.col("vec_id").alias("neighbor_id"), "codes",
+                F.col("m").alias("n_m"), "cid")
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebook.write.mode("overwrite").parquet(f"{path}/codebook")
+    (
+        lists.repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(f"{path}/lists")
+    )
+
+
+def ann_topk_ivfpq(
+    spark,
+    index_path: str,
+    query_mod: int = 50,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    rerank: int = 20,
+    m_sub: int = PQ_M,
+) -> DataFrame:
+    """Serve ANN from the IVF-PQ index: queries rank the broadcast
+    coarse centroids (integer L2) to pick `nprobe` lists; inside only
+    the probed lists (dynamic partition pruning) candidates rank by
+    asymmetric PQ distance — per-query (m_sub × k_codes) lookup tables
+    over the m_sub-int codes column (column pruning keeps `n_m` out of
+    this scan) — and the top `rerank` rerank exactly on the full µunit
+    vectors via an equi-join. Output (query_id, neighbor_id, d2, rank),
+    d2 = exact µunit² L2, bit-exact end-to-end."""
+    from pyspark.sql.window import Window
+
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    codebook = spark.read.parquet(f"{index_path}/codebook")
+    lists = spark.read.parquet(f"{index_path}/lists")
+    queries = lists.filter(F.col("neighbor_id") % query_mod == 0).select(
+        F.col("neighbor_id").alias("query_id"), F.col("n_m").alias("qm"))
+    d2c = (
+        "aggregate(zip_with(qm, cm, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_d2").asc(), F.col("cid").asc())
+    probes = (
+        queries.join(F.broadcast(cent))
+        .withColumn("_d2", F.expr(d2c))
+        .withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "qm", "cid")
+    )
+    dim_expr = "size(qm)"
+    qsubds = F.expr(
+        f"transform(sequence(0, {m_sub - 1}),"
+        f" j -> aggregate(zip_with("
+        f"   slice(qm, j * ({dim_expr} div {m_sub}) + 1,"
+        f"         {dim_expr} div {m_sub}),"
+        f"   slice(bm, j * ({dim_expr} div {m_sub}) + 1,"
+        f"         {dim_expr} div {m_sub}),"
+        f"   (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))"
+    )
+    adc = (
+        probes.select("query_id", "qm").dropDuplicates(["query_id"])
+        .join(F.broadcast(codebook))
+        .select("query_id", "code", qsubds.alias("ds"))
+        .groupBy("query_id")
+        .agg(F.expr(
+            "transform(array_sort(collect_list(struct(code, ds))),"
+            " s -> s.ds)").alias("codes_ds"))
+    )
+    approx = F.expr(
+        f"aggregate(zip_with(codes, sequence(1, {m_sub}),"
+        f" (c, j) -> element_at(element_at(codes_ds, c + 1), j)),"
+        f" 0L, (acc, v) -> acc + v)"
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("ad2").asc(), F.col("neighbor_id").asc())
+    cand = (
+        lists.select("cid", "neighbor_id", "codes")
+        .join(probes.select("query_id", "cid"), "cid")
+        .join(F.broadcast(adc), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "cid", "neighbor_id", approx.alias("ad2"))
+        .withColumn("arank", F.row_number().over(wa))
+        .filter(F.col("arank") <= rerank)
+        .select("query_id", "cid", "neighbor_id")
+    )
+    exact = F.expr(
+        "aggregate(zip_with(qm, n_m, (a, b) -> (a - b) * (a - b)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id").asc())
+    return (
+        lists.select("cid", "neighbor_id", "n_m")
+        .join(F.broadcast(cand), ["cid", "neighbor_id"])
+        .join(queries, "query_id")
+        .select("query_id", "neighbor_id", exact.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d2", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_topk_ivfpq_sql(
+    table: str = "embeddings",
+    query_mod: int = 50,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    rerank: int = 20,
+    n_rows: int = ORACLE_N_ROWS,
+    n_lists: int | None = None,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    dim: int = DIM,
+) -> str:
+    """DuckDB mirror of build_ivfpq_index + ann_topk_ivfpq (pure
+    integer µunit² arithmetic — values match bit-for-bit)."""
+    sub_dim = dim // m_sub
+    _, stride = ivf_params(n_rows, n_lists)
+    cstride = max(n_rows // k_codes, 1)
+    mu_list = (
+        f"[CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+        f" FOR i IN range(1, {dim} + 1)]"
+    )
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum([({a}[i] - {b}[i]) * ({a}[i] - {b}[i])"
+            f" FOR i IN range(1, {dim} + 1)])"
+        )
+
+    def subd2(a: str, b: str) -> str:
+        return (
+            f"list_sum([({a}[s.sub * {sub_dim} + i]"
+            f" - {b}[s.sub * {sub_dim} + i])"
+            f" * ({a}[s.sub * {sub_dim} + i] - {b}[s.sub * {sub_dim} + i])"
+            f" FOR i IN range(1, {sub_dim} + 1)])"
+        )
+
+    return f"""
+        WITH mu AS MATERIALIZED (
+            SELECT vec_id, {mu_list} AS m FROM {table}
+        ),
+        cent AS MATERIALIZED (
+            SELECT vec_id AS cid, m AS cm FROM mu
+            WHERE vec_id % {stride} = 0
+        ),
+        assigned AS MATERIALIZED (
+            SELECT vec_id, m, cid FROM (
+                SELECT v.vec_id, v.m, c.cid,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {d2('v.m', 'c.cm')}, c.cid
+                       ) AS rn
+                FROM mu v CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        codebook AS MATERIALIZED (
+            SELECT m AS bm, row_number() OVER (ORDER BY vec_id) - 1 AS code
+            FROM mu WHERE vec_id % {cstride} = 0
+            ORDER BY vec_id LIMIT {k_codes}
+        ),
+        subs AS (SELECT unnest(range({m_sub})) AS sub),
+        enc AS MATERIALIZED (
+            SELECT vec_id, cid, sub, code FROM (
+                SELECT a.vec_id, a.cid, s.sub, c.code,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id, s.sub
+                           ORDER BY {subd2('a.m', 'c.bm')}, c.code
+                       ) AS rn
+                FROM assigned a CROSS JOIN subs s CROSS JOIN codebook c
+            ) WHERE rn = 1
+        ),
+        probes AS MATERIALIZED (
+            SELECT query_id, qm, cid FROM (
+                SELECT q.vec_id AS query_id, q.m AS qm, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {d2('q.m', 'c.cm')}, c.cid
+                       ) AS rn
+                FROM mu q CROSS JOIN cent c
+                WHERE q.vec_id % {query_mod} = 0
+            ) WHERE rn <= {nprobe}
+        ),
+        adc AS MATERIALIZED (
+            SELECT p.query_id, s.sub, c.code,
+                   {subd2('p.qm', 'c.bm')} AS d2
+            FROM (SELECT DISTINCT query_id, qm FROM probes) p
+                 CROSS JOIN subs s CROSS JOIN codebook c
+        ),
+        approx AS (
+            SELECT p.query_id, e.vec_id AS neighbor_id,
+                   CAST(sum(a.d2) AS BIGINT) AS ad2
+            FROM probes p
+            JOIN enc e ON e.cid = p.cid
+            JOIN adc a ON a.query_id = p.query_id
+                      AND a.sub = e.sub AND a.code = e.code
+            WHERE p.query_id != e.vec_id
+            GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY ad2, neighbor_id
+                   ) AS arank
+            FROM approx
+        ),
+        rescored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   CAST({d2('q.m', 'n.m')} AS BIGINT) AS d2
+            FROM cand c
+            JOIN mu q ON q.vec_id = c.query_id
+            JOIN mu n ON n.vec_id = c.neighbor_id
+            WHERE c.arank <= {rerank}
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY d2, neighbor_id
+            ) AS rank
+            FROM rescored
+        )
+        SELECT query_id, neighbor_id, d2, rank FROM ranked
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 def ann_recall_ivf(
     embeddings: DataFrame,
     query_mod: int = 50,

@@ -880,3 +880,30 @@ def test_bm25_ranking_properties(spark):
     again = PST.bm25_search(
         docs.repartition(7), ["cat", "dog", "fish"], top_k=5).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_ann_ivfpq_exhaustive_settings_equal_exact_bruteforce(spark, tmp_path):
+    """nprobe = every list and rerank = n: IVF-PQ degenerates to exact
+    integer-L2 brute force — isolates probe/ADC/rerank mechanics from
+    quantizer quality (the ann_topk_pq full-rerank precedent)."""
+    import math
+
+    from explora_kafka_spark.operators import similarity as S
+    from explora_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    S.build_ivfpq_index(emb, str(tmp_path / "ivfpq"))
+    rows = emb.collect()
+    mu = {r["vec_id"]: [int(math.floor(float(x) * 1e6 + 0.5))
+                        for x in r["embedding"]] for r in rows}
+    want = []
+    for qid in sorted(v for v in mu if v % 50 == 0):
+        d2s = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(mu[qid], mu[nid])), nid)
+            for nid in mu if nid != qid)
+        want += [(qid, nid, d2, i + 1) for i, (d2, nid) in
+                 enumerate(d2s[:5])]
+    got = [tuple(r) for r in S.ann_topk_ivfpq(
+        spark, str(tmp_path / "ivfpq"), nprobe=n, rerank=n).collect()]
+    assert got == want

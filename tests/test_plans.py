@@ -59,12 +59,22 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   analog of ann_topk_brute's deliberate broadcast, at ~8× less scan
 #:   IO and O(m_sub) work per pair; the exact rerank join is an
 #:   equi-join on neighbor_id.
+#: - ann_topk_ivfpq composes both allowances (keyless centroid
+#:   broadcast for probe selection, keyless per-query ADC attach); the
+#:   candidate join itself is an equi-join on cid with dynamic
+#:   partition pruning and the rerank an equi-join on
+#:   (cid, neighbor_id).
+#: - bm25_search attaches the single-row (sdl, n_docs) corpus totals
+#:   onto the |terms|-row idf table and the query-term-pruned tf rows
+#:   (the tfidf/unigram_bits one-row constant-attach) — never onto the
+#:   unpruned corpus; the doc-length join is an equi-join on doc_id.
 CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivf", "ann_topk_ivf_indexed",
                  "ann_topk_ivf_filtered", "ann_recall_ivf",
                  "tune_nprobe", "kmeans_clusters", "kmeans_sizes",
                  "kmeans_outliers", "dedup_recall", "unigram_bits",
-                 "ann_topk_ivf_quantized", "ann_topk_pq"}
+                 "ann_topk_ivf_quantized", "ann_topk_pq",
+                 "ann_topk_ivfpq", "bm25_search"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
@@ -115,6 +125,18 @@ def test_ivf_quantized_scan_shapes(plans):
     plan = plans["ann_topk_ivf_quantized"]
     assert re.search(r"FileScan parquet \[neighbor_id#\d+L,q#\d+,cid#\d+\]",
                      plan), "candidate scan must read (neighbor_id, q, cid)"
+    assert "dynamicpruning" in plan
+
+
+def test_ivfpq_scan_shapes(plans):
+    """IVF-PQ serving: the candidate scan reads ONLY (neighbor_id,
+    codes, cid) — n_m touched only by the query/rerank reads — and the
+    probed-list scans carry dynamic partition pruning."""
+    import re
+
+    plan = plans["ann_topk_ivfpq"]
+    assert re.search(
+        r"FileScan parquet \[neighbor_id#\d+L,codes#\d+,cid#\d+\]", plan)
     assert "dynamicpruning" in plan
 
 
