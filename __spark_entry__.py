@@ -594,6 +594,18 @@ def q_group_aware_split(spark, sf_dir):
     return SMP.group_aware_split(_docs(spark, sf_dir))
 
 
+#: per-source epoch factors for the driver row: repeat src0 2.5×, keep
+#: src3 at 1×, thin src7 to a quarter, everything else untouched
+_EPOCHS = {"src0": 2.5, "src3": 1.0, "src7": 0.25}
+
+
+def q_epoch_upsample(spark, sf_dir):
+    """Per-source epoch mixture (repeat high-value sources, thin
+    low-value ones) with deterministic fractional copies — the
+    Llama/Pile data-recipe knob; pure projection + explode."""
+    return SMP.epoch_upsample(_docs(spark, sf_dir), _EPOCHS)
+
+
 def q_quality_weighted_sample(spark, sf_dir):
     """Soft quality filter: keep with probability = quality score via a
     deterministic per-doc uniform (CCNet-style sample-by-quality)."""
@@ -1699,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "retention_sweep": q_retention_sweep,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
+        "epoch_upsample": q_epoch_upsample,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2145,6 +2158,7 @@ def oracle_sql() -> dict[str, str]:
         "group_aware_split": SMP.group_aware_split_sql("documents"),
         "quality_weighted_sample":
             SMP.quality_weighted_sample_sql("documents"),
+        "epoch_upsample": SMP.epoch_upsample_sql("documents", _EPOCHS),
         "stratified_sample": (
             "SELECT doc_id, lang FROM ("
             + SMP.stratified_sample_sql("documents", _SAMPLE_FRACTIONS)

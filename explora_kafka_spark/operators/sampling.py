@@ -330,3 +330,75 @@ def quality_weighted_sample_sql(
               < quality_score
         ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# per-source epoch factors (mixture up-/down-sampling)
+# ---------------------------------------------------------------------------
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    default: float = 1.0,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Per-source epoch factors — the data-recipe knob that repeats
+    high-value sources and thins low-value ones in the same pass: a
+    factor e emits floor(e) copies of every doc plus one more with
+    probability frac(e), decided by the deterministic per-doc uniform
+    (so e < 1 down-samples with the identical mechanism). A source's
+    expected doc mass scales by exactly e while every copy decision
+    stays reproducible across runs, engines, and partitionings.
+
+    Output: (doc_id, source, copy_idx) — one row per emitted copy,
+    copy_idx 1..n. Pure projection + explode; zero shuffles."""
+    u = (
+        _bucket_col(F.col("doc_id").cast("string"), salt).cast("double")
+        / F.lit(float(N_BUCKETS))
+    )
+    e = F.lit(float(default))
+    for s, f in sorted(epochs.items()):
+        e = F.when(F.col("source") == s, F.lit(float(f))).otherwise(e)
+    n = (
+        F.floor(e).cast("int")
+        + F.when(u < (e - F.floor(e)), F.lit(1)).otherwise(F.lit(0))
+    )
+    copies = F.when(
+        F.col("n_copies") >= 1,
+        F.sequence(F.lit(1), F.col("n_copies")),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    return (
+        docs.select("doc_id", "source", n.alias("n_copies"))
+        .select("doc_id", "source", F.explode(copies).alias("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+def epoch_upsample_sql(
+    table: str = "documents",
+    epochs: dict[str, float] | None = None,
+    default: float = 1.0,
+    salt: str = "epoch",
+) -> str:
+    """DuckDB mirror of `epoch_upsample` (range() is end-exclusive and
+    empty below 1, matching the guarded sequence)."""
+    b = _bucket_sql("CAST(doc_id AS VARCHAR)", salt)
+    whens = " ".join(
+        f"WHEN source = '{_sq(s)}' THEN CAST({float(f)} AS DOUBLE)"
+        for s, f in sorted(epochs.items()))
+    e = f"CASE {whens} ELSE CAST({float(default)} AS DOUBLE) END"
+    u = f"CAST({b} AS DOUBLE) / {float(N_BUCKETS)}"
+    return f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   CAST(floor({e}) AS INT)
+                   + CASE WHEN {u} < ({e}) - floor({e})
+                          THEN 1 ELSE 0 END AS n_copies
+            FROM {table}
+        )
+        SELECT doc_id, source,
+               CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_idx
+        FROM base
+        ORDER BY doc_id, copy_idx
+    """

@@ -224,3 +224,29 @@ def test_quality_weighted_sample_invariant_and_deterministic(spark, docs):
     # a different salt draws a different-but-valid sample
     other = SMP.quality_weighted_sample(docs, salt="other").collect()
     assert all(r["u"] < r["quality_score"] for r in other)
+
+
+def test_epoch_upsample_copy_counts(spark, docs):
+    out = SMP.epoch_upsample(
+        docs, {"src0": 2.5, "src7": 0.25}, default=1.0)
+    per_doc = out.groupBy("doc_id", "source").count().collect()
+    for r in per_doc:
+        if r["source"] == "src0":
+            assert r["count"] in (2, 3)
+        elif r["source"] == "src7":
+            assert r["count"] == 1  # only docs that drew the copy appear
+        else:
+            assert r["count"] == 1
+    # exact-integer factors are deterministic multiplication
+    n_src3 = docs.filter(F.col("source") == "src3").count()
+    got3 = out.filter(F.col("source") == "src3").count()
+    assert got3 == n_src3
+    # thinning really thins on this corpus
+    n7 = docs.filter(F.col("source") == "src7").count()
+    got7 = out.filter(F.col("source") == "src7").count()
+    assert 0 < got7 < n7
+    # copy_idx is 1..n per doc and stable under repartition
+    again = SMP.epoch_upsample(
+        docs.repartition(9), {"src0": 2.5, "src7": 0.25}, default=1.0)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, again.collect()))
