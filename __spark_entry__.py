@@ -1203,6 +1203,13 @@ def q_corpus_report(spark, sf_dir):
     return CORP.corpus_report(_docs(spark, sf_dir))
 
 
+def q_bigram_bits(spark, sf_dir):
+    """Conditional (bigram) corpus-LM perplexity — the order-sensitive
+    companion of unigram_bits; bigrams form inside the token array,
+    µbit costs once per distinct bigram, BIGINT doc sums."""
+    return T.bigram_bits(_docs(spark, sf_dir))
+
+
 def q_bpe_pairs(spark, sf_dir):
     """Corpus-scale BPE merge statistics: top adjacent char pairs
     weighted by word frequency (the tokenizer-training primitive)."""
@@ -1712,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_sweep": q_retention_sweep,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "epoch_upsample": q_epoch_upsample,
+        "bigram_bits": q_bigram_bits,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2077,6 +2085,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_weekly": _FN.retention_sql(),
         "bpe_pair_counts": T.bpe_pair_counts_sql(),
         "bpe_merges": T.bpe_merges_sql("documents", 20),
+        "bigram_bits": T.bigram_bits_sql(),
         "bpe_encode": T.bpe_encode_sql("documents", 20),
         "corpus_report": CORP.corpus_report_sql(),
         "funnel_window_2h": _FN.funnel_sql(

@@ -667,6 +667,127 @@ def unigram_bits_sql(table: str = "documents", key: str = "doc_id") -> str:
     """
 
 
+def bigram_bits(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Per-document conditional cross-entropy (bits/bigram) under the
+    corpus's add-one-smoothed BIGRAM model — the order-sensitive
+    companion of `unigram_bits`: shuffled-word soup scores near its
+    unigram cost, while natural word order scores lower; the gap is the
+    standard fluency signal a unigram dial cannot see.
+
+    p(cur|prev) = (c(prev,cur) + 1) / (c(prev,·) + V); only tokens with
+    a predecessor are scored (n_bigrams = n_tokens − 1), docs with < 2
+    tokens emit NULL bits_per_bigram.
+
+    Determinism: the µbit cost of each DISTINCT bigram is computed once
+    in the bigram vocabulary (single libm log2 — the unigram_bits
+    accepted exposure), doc sums are BIGINT. 100 TB: bigram pairs form
+    INSIDE the token array (transform over the filtered list — no
+    window, no extra shuffle); one explode feeds the bigram-vocab agg,
+    the prev-marginal is a vocab-sided reaggregation, V attaches as a
+    one-row broadcast on the vocab side only."""
+    lt = F.filter(tokens_col("text"), lambda t: t != "")
+    pairs_expr = (
+        "CASE WHEN size(_l) >= 2 THEN transform(sequence(1, size(_l) - 1),"
+        " i -> struct(element_at(_l, i) AS prev,"
+        " element_at(_l, i + 1) AS cur))"
+        " ELSE CAST(array() AS array<struct<prev: string, cur: string>>) END"
+    )
+    bg = (
+        docs.withColumn("_l", lt)
+        .select(key, F.explode_outer(F.expr(pairs_expr)).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(key, F.col("p.prev").alias("prev"),
+                F.col("p.cur").alias("cur"))
+    )
+    bvocab = bg.groupBy("prev", "cur").agg(F.count("*").alias("c"))
+    pv = bvocab.groupBy("prev").agg(F.sum("c").alias("cp"))
+    totals = (
+        docs.select(F.explode(lt).alias("token"))
+        .agg(F.count_distinct("token").alias("V"))
+    )
+    mu = (
+        bvocab.join(pv, "prev")
+        .join(F.broadcast(totals))
+        .select(
+            "prev", "cur",
+            F.floor(
+                -F.log2((F.col("c") + 1).cast("double")
+                        / (F.col("cp") + F.col("V")).cast("double"))
+                * 1e6 + F.lit(0.5)
+            ).cast("bigint").alias("mu_bits"),
+        )
+    )
+    scored = (
+        bg.join(mu, ["prev", "cur"])
+        .groupBy(key)
+        .agg(F.count("*").alias("n_bigrams"),
+             F.sum("mu_bits").alias("_mu"))
+        .select(
+            key, "n_bigrams",
+            F.round(F.col("_mu").cast("double")
+                    / (F.col("n_bigrams").cast("double") * 1e6), 6)
+             .alias("bits_per_bigram"),
+        )
+    )
+    return (
+        docs.select(key).join(scored, key, "left")
+        .select(
+            key,
+            F.coalesce("n_bigrams", F.lit(0).cast("long"))
+             .alias("n_bigrams"),
+            "bits_per_bigram",
+        )
+        .orderBy(key)
+    )
+
+
+def bigram_bits_sql(table: str = "documents", key: str = "doc_id") -> str:
+    """DuckDB mirror of `bigram_bits` (same smoothing, µbit floor,
+    integer doc sums)."""
+    toks = tokens_sql("text")
+    return f"""
+        WITH lt AS (
+            SELECT {key}, list_filter({toks}, t -> t <> '') AS l
+            FROM {table}
+        ),
+        bg AS (
+            SELECT {key}, l[i] AS prev, l[i + 1] AS cur
+            FROM lt, unnest(range(1, greatest(len(l), 1))) AS u(i)
+        ),
+        bvocab AS (
+            SELECT prev, cur, count(*) AS c FROM bg GROUP BY 1, 2
+        ),
+        pv AS (
+            SELECT prev, CAST(sum(c) AS BIGINT) AS cp
+            FROM bvocab GROUP BY 1
+        ),
+        totals AS (
+            SELECT count(DISTINCT token) AS V
+            FROM (SELECT unnest(l) AS token FROM lt)
+        ),
+        mu AS (
+            SELECT b.prev, b.cur,
+                   CAST(floor(-log2(CAST(b.c + 1 AS DOUBLE)
+                                    / CAST(pv.cp + totals.V AS DOUBLE))
+                              * 1e6 + 0.5) AS BIGINT) AS mu_bits
+            FROM bvocab b JOIN pv USING (prev) CROSS JOIN totals
+        ),
+        scored AS (
+            SELECT bg.{key}, count(*) AS n_bigrams,
+                   CAST(sum(mu.mu_bits) AS BIGINT) AS _mu
+            FROM bg JOIN mu ON bg.prev = mu.prev AND bg.cur = mu.cur
+            GROUP BY 1
+        )
+        SELECT d.{key},
+               coalesce(s.n_bigrams, 0) AS n_bigrams,
+               round(CAST(s._mu AS DOUBLE)
+                     / (CAST(s.n_bigrams AS DOUBLE) * 1e6), 6)
+                   AS bits_per_bigram
+        FROM {table} d LEFT JOIN scored s ON d.{key} = s.{key}
+        ORDER BY d.{key}
+    """
+
+
 # ---------------------------------------------------------------------------
 # BPE pair counting (the merge-decision primitive of tokenizer training)
 # ---------------------------------------------------------------------------

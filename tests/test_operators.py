@@ -907,3 +907,29 @@ def test_ann_ivfpq_exhaustive_settings_equal_exact_bruteforce(spark, tmp_path):
     got = [tuple(r) for r in S.ann_topk_ivfpq(
         spark, str(tmp_path / "ivfpq"), nprobe=n, rerank=n).collect()]
     assert got == want
+
+
+def test_bigram_bits_order_sensitivity_and_edges(spark):
+    """Natural repeated order scores lower than the same words shuffled
+    (the fluency gap unigram_bits cannot see); docs with < 2 tokens get
+    NULL; uniform repeated bigram costs its exact smoothed bits."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),   # one dominant transition pattern
+            (2, "a a b b b a a b"),   # same words, broken order
+            (3, "only"),
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in T.bigram_bits(docs).collect()}
+    assert out[3]["n_bigrams"] == 0 and out[3]["bits_per_bigram"] is None
+    assert out[4]["n_bigrams"] == 0 and out[4]["bits_per_bigram"] is None
+    assert out[1]["n_bigrams"] == 7 and out[2]["n_bigrams"] == 7
+    assert out[1]["bits_per_bigram"] < out[2]["bits_per_bigram"]
+
+
+def test_bigram_bits_deterministic_under_repartition(spark, docs):
+    a = T.bigram_bits(docs).collect()
+    b = T.bigram_bits(docs.repartition(11)).collect()
+    assert a == b
