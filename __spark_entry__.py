@@ -346,6 +346,30 @@ def q_snapshot_radius_geohash(spark, sf_dir):
     )
 
 
+#: hexagonal geofence around the _CIRCLE region (same data-bearing
+#: cells); planar lat/lon, no antimeridian crossing
+_POLYGON = [(25.0, 5.0), (30.0, 20.0), (25.0, 35.0),
+            (-5.0, 30.0), (-10.0, 20.0), (-5.0, 10.0)]
+
+
+def q_snapshot_polygon_quad(spark, sf_dir):
+    """Polygon (geofence) snapshot in quad-tiling mode — the third
+    region shape next to bbox and circle; exact planar polygon/box
+    refinement driver-side, same prefix/isin pushdown."""
+    lattice = _geo_lattice(spark, sf_dir, "quad", 6, 6)
+    return Q.snapshot_polygon_quadtiling(
+        lattice, "view", "count", 6, "day", _SNAP_DAY_MS, _POLYGON
+    )
+
+
+def q_snapshot_polygon_geohash(spark, sf_dir):
+    """Polygon snapshot in geohashing mode (geohash twin)."""
+    lattice = _geo_lattice(spark, sf_dir, "geohash", 5, 3)
+    return Q.snapshot_polygon_geohashing(
+        lattice, "view", "count", 3, "day", _SNAP_DAY_MS, _POLYGON
+    )
+
+
 def q_history_radius_quad(spark, sf_dir):
     """Time series over a CIRCLE region (engine extension; the radius
     twin of history_cells_day): the driver-side circle cover becomes the
@@ -1720,6 +1744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "epoch_upsample": q_epoch_upsample,
         "bigram_bits": q_bigram_bits,
+        "snapshot_polygon_quad": q_snapshot_polygon_quad,
+        "snapshot_polygon_geohash": q_snapshot_polygon_geohash,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -1799,6 +1825,10 @@ def oracle_sql() -> dict[str, str]:
         f"'{c}'" for c in geo.quadkey_cover_circle(*_CIRCLE, 6))
     gh_circle_sql = ", ".join(
         f"'{c}'" for c in geo.geohash_cover_circle(*_CIRCLE, 3))
+    quad_poly_sql = ", ".join(
+        f"'{c}'" for c in geo.quadkey_cover_polygon(_POLYGON, 6))
+    gh_poly_sql = ", ".join(
+        f"'{c}'" for c in geo.geohash_cover_polygon(_POLYGON, 3))
     return {
         "cell_bucket_key": f"""
             {_R}
@@ -2241,6 +2271,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'view'
               AND date_trunc('day', ts) = TIMESTAMP '2024-01-10'
               AND substr({gh5}, 1, 3) IN ({gh_circle_sql})
+            GROUP BY 1 ORDER BY 1
+        """,
+        "snapshot_polygon_quad": f"""
+            SELECT {qk6} AS gh, count(*) AS count
+            FROM events
+            WHERE event_type = 'view'
+              AND date_trunc('day', ts) = TIMESTAMP '2024-01-10'
+              AND {qk6} IN ({quad_poly_sql})
+            GROUP BY 1 ORDER BY 1
+        """,
+        "snapshot_polygon_geohash": f"""
+            SELECT substr({gh5}, 1, 3) AS gh, count(*) AS count
+            FROM events
+            WHERE event_type = 'view'
+              AND date_trunc('day', ts) = TIMESTAMP '2024-01-10'
+              AND substr({gh5}, 1, 3) IN ({gh_poly_sql})
             GROUP BY 1 ORDER BY 1
         """,
         "dedup_ensemble": CORP.dedup_ensemble_sql(),

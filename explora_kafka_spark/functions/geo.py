@@ -424,6 +424,129 @@ def geohash_cover_circle(
     return sorted(out)
 
 
+def polygon_bbox(
+    points: List[Tuple[float, float]]
+) -> Tuple[float, float, float, float]:
+    """(north, west, south, east) bounding the polygon's (lat, lon)
+    vertices. Polygon covers use PLANAR lat/lon geometry (geofence
+    semantics — the standard for region filters at city/country scale)
+    and require the polygon NOT to cross the antimeridian; split such a
+    region into two polygons, like circle_bboxes splits its circle."""
+    lats = [p[0] for p in points]
+    lons = [p[1] for p in points]
+    return (max(lats), min(lons), min(lats), max(lons))
+
+
+def _orient2d(ax: float, ay: float, bx: float, by: float,
+              cx: float, cy: float) -> int:
+    v = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    return (v > 0) - (v < 0)
+
+
+def _on_segment(ax: float, ay: float, bx: float, by: float,
+                px: float, py: float) -> bool:
+    return (min(ax, bx) <= px <= max(ax, bx)
+            and min(ay, by) <= py <= max(ay, by))
+
+
+def _segments_intersect(p1, p2, q1, q2) -> bool:
+    """Planar segment intersection incl. endpoint/collinear touches —
+    the strict test fires only when all four orientations are nonzero;
+    every degenerate contact is caught by the on-segment checks."""
+    o1 = _orient2d(*p1, *p2, *q1)
+    o2 = _orient2d(*p1, *p2, *q2)
+    o3 = _orient2d(*q1, *q2, *p1)
+    o4 = _orient2d(*q1, *q2, *p2)
+    if 0 not in (o1, o2, o3, o4) and o1 != o2 and o3 != o4:
+        return True
+    if o1 == 0 and _on_segment(*p1, *p2, *q1):
+        return True
+    if o2 == 0 and _on_segment(*p1, *p2, *q2):
+        return True
+    if o3 == 0 and _on_segment(*q1, *q2, *p1):
+        return True
+    if o4 == 0 and _on_segment(*q1, *q2, *p2):
+        return True
+    return False
+
+
+def point_in_polygon(lat: float, lon: float,
+                     points: List[Tuple[float, float]]) -> bool:
+    """Ray casting in the (lon, lat) plane; boundary points count as
+    inside often enough for a CONSERVATIVE cover (edge touches are also
+    caught by the segment tests in polygon_intersects_bbox)."""
+    inside = False
+    n = len(points)
+    for i in range(n):
+        la1, lo1 = points[i]
+        la2, lo2 = points[(i + 1) % n]
+        if (la1 > lat) != (la2 > lat):
+            x = lo1 + (lat - la1) * (lo2 - lo1) / (la2 - la1)
+            if lon < x:
+                inside = not inside
+    return inside
+
+
+def polygon_intersects_bbox(
+    points: List[Tuple[float, float]],
+    north: float, west: float, south: float, east: float,
+) -> bool:
+    """True iff the (possibly concave) simple polygon intersects the
+    lat/lon-aligned box: vertex-in-box ∨ box-corner-in-polygon ∨ any
+    edge crossing. Exact in planar lat/lon."""
+    pn, pw, ps, pe = polygon_bbox(points)
+    if ps > north or pn < south or pw > east or pe < west:
+        return False
+    for la, lo in points:
+        if south <= la <= north and west <= lo <= east:
+            return True
+    for la, lo in ((north, west), (north, east), (south, west),
+                   (south, east)):
+        if point_in_polygon(la, lo, points):
+            return True
+    corners = [(west, south), (east, south), (east, north), (west, north)]
+    n = len(points)
+    for i in range(n):
+        p1 = (points[i][1], points[i][0])
+        p2 = (points[(i + 1) % n][1], points[(i + 1) % n][0])
+        for j in range(4):
+            if _segments_intersect(p1, p2, corners[j],
+                                   corners[(j + 1) % 4]):
+                return True
+    return False
+
+
+def quadkey_cover_polygon(
+    points: List[Tuple[float, float]], zoom: int
+) -> List[str]:
+    """Quadkeys of all tiles intersecting the polygon: bbox cover refined
+    by the exact planar polygon/box test (the circle-cover pattern with
+    polygon_intersects_bbox as the refinement)."""
+    bbox = clamp_bbox_lat(polygon_bbox(points), MERCATOR_MAX_LAT)
+    if bbox is None:
+        return []
+    out = [
+        qk for qk in quadkey_cover_bbox(*bbox, zoom)
+        if polygon_intersects_bbox(points, *quadkey_decode_bbox(qk))
+    ]
+    return sorted(out)
+
+
+def geohash_cover_polygon(
+    points: List[Tuple[float, float]], precision: int
+) -> List[str]:
+    """Geohash twin of quadkey_cover_polygon (note decode order)."""
+    bbox = clamp_bbox_lat(polygon_bbox(points), _GEOHASH_MAX_LAT)
+    if bbox is None:
+        return []
+    out = []
+    for gh in geohash_cover_bbox(*bbox, precision):
+        la_lo, la_hi, lo_lo, lo_hi = geohash_decode_bbox(gh)
+        if polygon_intersects_bbox(points, la_hi, lo_lo, la_lo, lo_hi):
+            out.append(gh)
+    return sorted(out)
+
+
 def compress_cover(cells: List[str], alphabet: str) -> List[str]:
     """Collapse complete sibling groups into their parent prefix, recursively.
 

@@ -419,6 +419,58 @@ def snapshot_radius_geohashing(
     return _agg_projection(merged, aggregate, "gh").orderBy("gh")
 
 
+def snapshot_polygon_quadtiling(
+    lattice: DataFrame,
+    metric: str,
+    aggregate: str,
+    zoom: int,
+    res: str,
+    ts_ms: int,
+    points: list,
+) -> DataFrame:
+    """Snapshot over an arbitrary simple POLYGON (geofence) in quad-
+    tiling mode — the third region shape next to bbox and circle: the
+    polygon's bbox cover is refined driver-side by the exact planar
+    polygon/box intersection (geo.quadkey_cover_polygon), then applied
+    through the same adaptive prefix/isin pushdown. Planar lat/lon
+    semantics; the polygon must not cross the antimeridian (split it
+    like circle_bboxes splits its circle). No geometry runs engine-side."""
+    bbox = geo.clamp_bbox_lat(geo.polygon_bbox(points),
+                              geo.MERCATOR_MAX_LAT)
+    cover_zoom = adaptive_cover_zoom(*bbox, zoom) if bbox else zoom
+    cover = geo.quadkey_cover_polygon(points, cover_zoom)
+    t = truncate_ts_ms(ts_ms, res)
+    view = _select_view(lattice, metric, zoom, res).filter(
+        F.col("ts") == _ts_at(t))
+    view = _prefix_cover_filter(view, cover, cover_zoom, zoom,
+                                alphabet=geo.QUAD_ALPHABET)
+    merged = view.groupBy("gh").agg(*_merge_cols())
+    return _agg_projection(merged, aggregate, "gh").orderBy("gh")
+
+
+def snapshot_polygon_geohashing(
+    lattice: DataFrame,
+    metric: str,
+    aggregate: str,
+    precision: int,
+    res: str,
+    ts_ms: int,
+    points: list,
+) -> DataFrame:
+    """Polygon snapshot in geohashing mode (geohash twin of
+    snapshot_polygon_quadtiling)."""
+    bbox = geo.polygon_bbox(points)
+    cover_p = adaptive_cover_precision(*bbox, precision)
+    cover = geo.geohash_cover_polygon(points, cover_p)
+    t = truncate_ts_ms(ts_ms, res)
+    view = _select_view(lattice, metric, precision, res).filter(
+        F.col("ts") == _ts_at(t))
+    view = _prefix_cover_filter(view, cover, cover_p, precision,
+                                alphabet=geo.GEOHASH_ALPHABET)
+    merged = view.groupBy("gh").agg(*_merge_cols())
+    return _agg_projection(merged, aggregate, "gh").orderBy("gh")
+
+
 def snapshot_bbox_geohashing(
     lattice: DataFrame,
     metric: str,

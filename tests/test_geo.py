@@ -256,3 +256,80 @@ def test_bbox_min_dist_wraps_longitude():
     same_lat = geo.haversine_m(10.0, 179.5, 10.0, -180.0)
     assert d <= same_lat and d > 0.999 * same_lat
     assert geo.bbox_min_dist_m(bbox, 10.0, -179.9) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# polygon covers
+# ---------------------------------------------------------------------------
+
+
+def test_point_in_polygon_basics():
+    from explora_kafka_spark.functions import geo
+
+    square = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    assert geo.point_in_polygon(5.0, 5.0, square)
+    assert not geo.point_in_polygon(15.0, 5.0, square)
+    assert not geo.point_in_polygon(-1.0, 5.0, square)
+    # concave "C": the notch is outside
+    cshape = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (8.0, 10.0),
+              (8.0, 2.0), (2.0, 2.0), (2.0, 10.0), (0.0, 10.0)]
+    assert not geo.point_in_polygon(5.0, 6.0, cshape)   # inside the notch
+    assert geo.point_in_polygon(1.0, 5.0, cshape)       # in the left arm
+
+
+def test_polygon_box_intersection_cases():
+    from explora_kafka_spark.functions import geo
+
+    tri = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    # box fully inside the triangle
+    assert geo.polygon_intersects_bbox(tri, 3.0, 1.0, 1.0, 3.0)
+    # polygon fully inside the box
+    assert geo.polygon_intersects_bbox(tri, 50.0, -50.0, -50.0, 50.0)
+    # edge passes through a box containing no vertex of either
+    assert geo.polygon_intersects_bbox(tri, 6.0, 3.0, 4.0, 7.0)
+    # clearly disjoint
+    assert not geo.polygon_intersects_bbox(tri, 30.0, 30.0, 20.0, 40.0)
+    # box beyond the hypotenuse (bbox overlaps, geometry doesn't)
+    assert not geo.polygon_intersects_bbox(tri, 9.5, 8.0, 8.0, 9.5)
+
+
+def test_polygon_cover_subset_of_bbox_cover_and_rect_equivalence():
+    from explora_kafka_spark.functions import geo
+
+    poly = [(25.0, 5.0), (30.0, 20.0), (25.0, 35.0),
+            (-5.0, 30.0), (-10.0, 20.0), (-5.0, 10.0)]
+    pc = set(geo.quadkey_cover_polygon(poly, 6))
+    n, w, s, e = geo.polygon_bbox(poly)
+    bc = set(geo.quadkey_cover_bbox(n, w, s, e, 6))
+    assert pc and pc <= bc and pc != bc  # the hexagon trims corners
+    # a rectangle-as-polygon covers exactly like the bbox cover
+    rect = [(s, w), (s, e), (n, e), (n, w)]
+    assert set(geo.quadkey_cover_polygon(rect, 6)) == bc
+    gc = set(geo.geohash_cover_polygon(poly, 3))
+    gb = set(geo.geohash_cover_bbox(n, w, s, e, 3))
+    assert gc and gc <= gb
+
+
+def test_polygon_cover_is_conservative_for_interior_points():
+    """Every interior probe point's cell is in the cover (no false
+    pruning) — the containment contract the query path relies on."""
+    from explora_kafka_spark.functions import geo
+
+    poly = [(25.0, 5.0), (30.0, 20.0), (25.0, 35.0),
+            (-5.0, 30.0), (-10.0, 20.0), (-5.0, 10.0)]
+    cover = set(geo.quadkey_cover_polygon(poly, 8))
+    ghc = set(geo.geohash_cover_polygon(poly, 4))
+    import random
+
+    rng = random.Random(42)
+    hits = 0
+    for _ in range(300):
+        la = rng.uniform(-10.0, 30.0)
+        lo = rng.uniform(5.0, 35.0)
+        if not geo.point_in_polygon(la, lo, poly):
+            continue
+        hits += 1
+        assert geo.tile_to_quadkey(*geo.latlon_to_tile(la, lo, 8), 8) \
+            in cover
+        assert geo.geohash_encode(la, lo, 4) in ghc
+    assert hits > 50
