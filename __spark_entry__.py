@@ -380,6 +380,16 @@ def q_history_radius_quad(spark, sf_dir):
     return Q.history(lattice, "view", "count", 6, "day", cells=cover)
 
 
+def q_history_polygon_quad(spark, sf_dir):
+    """Time series over a POLYGON region (the geofence twin of
+    history_radius_quad): the driver-side polygon cover becomes the
+    history cell set — all three region shapes compose with both query
+    shapes."""
+    lattice = _geo_lattice(spark, sf_dir, "quad", 6, 6)
+    cover = geo.quadkey_cover_polygon(_POLYGON, 6)
+    return Q.history(lattice, "view", "count", 6, "day", cells=cover)
+
+
 def q_lattice_minmax_day(spark, sf_dir):
     """A1/A2 extension: min/max carried through the rollup cascade (engine
     extension beyond the reference's avg/sum/count whitelist)."""
@@ -1746,6 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_bits": q_bigram_bits,
         "snapshot_polygon_quad": q_snapshot_polygon_quad,
         "snapshot_polygon_geohash": q_snapshot_polygon_geohash,
+        "history_polygon_quad": q_history_polygon_quad,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2300,6 +2311,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'view'
               AND {qk6} IN ({quad_circle_sql})
+            GROUP BY 1 ORDER BY 1
+        """,
+        "history_polygon_quad": f"""
+            SELECT epoch_ms(date_trunc('day', ts)) AS timestamp,
+                   count(*) AS count
+            FROM events
+            WHERE event_type = 'view'
+              AND {qk6} IN ({quad_poly_sql})
             GROUP BY 1 ORDER BY 1
         """,
         "asof_hourly_stats": """
