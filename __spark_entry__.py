@@ -624,8 +624,10 @@ def q_split_train_val_test(spark, sf_dir):
 def q_group_aware_split(spark, sf_dir):
     """Leakage-safe split: hashes the near-dup GROUP id so a document
     and its near duplicates always land in the same split — the guard a
-    per-doc split can't give. Cost = the corpus dedup pass it shares."""
-    return SMP.group_aware_split(_docs(spark, sf_dir))
+    per-doc split can't give. Cost = the corpus dedup pass it shares
+    (same bigram/8-band config as dedup_groups)."""
+    return SMP.group_aware_split(_docs(spark, sf_dir), threshold=0.6,
+                                 shingle_n=2, num_bands=8)
 
 
 #: per-source epoch factors for the driver row: repeat src0 2.5×, keep
@@ -2244,7 +2246,8 @@ def oracle_sql() -> dict[str, str]:
             + SMP.split_assign_sql("documents")
             + ")"
         ),
-        "group_aware_split": SMP.group_aware_split_sql("documents"),
+        "group_aware_split": SMP.group_aware_split_sql(
+            "documents", threshold=0.6, shingle_n=2, num_bands=8),
         "quality_weighted_sample":
             SMP.quality_weighted_sample_sql("documents"),
         "epoch_upsample": SMP.epoch_upsample_sql("documents", _EPOCHS),

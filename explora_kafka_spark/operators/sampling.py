@@ -242,6 +242,7 @@ def group_aware_split(
         ("train", 0.9), ("val", 0.05), ("test", 0.05),
     ),
     salt: str = "split",
+    **dedup_kwargs,
 ) -> DataFrame:
     """Leakage-safe train/val/test split: hash the near-dup GROUP id
     (`dedup.dedup_groups`), not the document id, so a document and its
@@ -252,10 +253,13 @@ def group_aware_split(
     100 TB design: the cost is the grouping itself (banded LSH pairs +
     pointer-jumping components — already the corpus dedup pass, shared/
     materialized in a real pipeline); the split assignment adds one
-    hash projection, zero shuffles on top of the groups table."""
+    hash projection, zero shuffles on top of the groups table.
+    `dedup_kwargs` forwards to `dedup_groups` so the split uses the
+    SAME dedup config the pipeline deduplicates with (unigram shingles
+    would regroup — and re-price — the corpus differently)."""
     from .dedup import dedup_groups
 
-    groups = dedup_groups(docs)
+    groups = dedup_groups(docs, **dedup_kwargs)
     assigned = split_assign(groups, weights, key="group_id", salt=salt)
     return assigned.select("doc_id", "group_id", "split").orderBy("doc_id")
 
@@ -266,6 +270,7 @@ def group_aware_split_sql(
         ("train", 0.9), ("val", 0.05), ("test", 0.05),
     ),
     salt: str = "split",
+    **dedup_kwargs,
 ) -> str:
     """DuckDB mirror: dedup_groups' recursive-CTE closure + the same
     bucket CASE over group_id."""
@@ -280,7 +285,7 @@ def group_aware_split_sql(
     whens = " ".join(
         f"WHEN ({b}) < {e} THEN '{_sq(name)}'" for e, name in cases[:-1])
     return f"""
-        WITH g AS ({dedup_groups_sql(table)})
+        WITH g AS ({dedup_groups_sql(table, **dedup_kwargs)})
         SELECT doc_id, group_id,
                CASE {whens} ELSE '{_sq(cases[-1][1])}' END AS split
         FROM g ORDER BY doc_id
