@@ -154,6 +154,13 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "share the (metric, gh) partitioning; no Python).",
         [r"Window", r"Exchange", r"Generate"],
     ),
+    "ann_topk_ivfpq": (
+        "IVF-PQ serving: candidate scan reads ONLY (neighbor_id, codes, "
+        "cid) — 8-int codes, column-pruned — inside dynamically-pruned "
+        "lists; full vectors (n_m) appear only in the query and rerank "
+        "reads.",
+        [r"FileScan", r"dynamicpruning", r"BroadcastHashJoin"],
+    ),
     "group_aware_split": (
         "Leakage-safe split: the plan is the dedup-groups pass (banded "
         "equi-joins + pointer-jumping iterations) plus a pure hash "
