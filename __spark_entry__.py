@@ -390,6 +390,15 @@ def q_history_polygon_quad(spark, sf_dir):
     return Q.history(lattice, "view", "count", 6, "day", cells=cover)
 
 
+def q_history_polygon_geohash(spark, sf_dir):
+    """Polygon-region history in geohashing mode — completes the
+    region(bbox/circle/polygon) × shape(history/snapshot) ×
+    mode(quad/geohash) matrix."""
+    lattice = _geo_lattice(spark, sf_dir, "geohash", 5, 3)
+    cover = geo.geohash_cover_polygon(_POLYGON, 3)
+    return Q.history(lattice, "view", "count", 3, "day", cells=cover)
+
+
 def q_lattice_minmax_day(spark, sf_dir):
     """A1/A2 extension: min/max carried through the rollup cascade (engine
     extension beyond the reference's avg/sum/count whitelist)."""
@@ -1798,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_polygon_quad": q_snapshot_polygon_quad,
         "snapshot_polygon_geohash": q_snapshot_polygon_geohash,
         "history_polygon_quad": q_history_polygon_quad,
+        "history_polygon_geohash": q_history_polygon_geohash,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2361,6 +2371,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'view'
               AND {qk6} IN ({quad_poly_sql})
+            GROUP BY 1 ORDER BY 1
+        """,
+        "history_polygon_geohash": f"""
+            SELECT epoch_ms(date_trunc('day', ts)) AS timestamp,
+                   count(*) AS count
+            FROM events
+            WHERE event_type = 'view'
+              AND substr({gh5}, 1, 3) IN ({gh_poly_sql})
             GROUP BY 1 ORDER BY 1
         """,
         "asof_hourly_stats": """
