@@ -533,3 +533,57 @@ def test_expire_store_noop_on_future_free_store(spark, tmp_path):
     before = _lattice_rows(store.read(spark))
     assert P.expire_store(store, 202401) == 0
     assert _lattice_rows(store.read(spark)) == before
+
+
+def test_watermark_drop_metrics_are_observable(spark, tmp_path):
+    """A record arriving after the watermark passed its window is
+    dropped SILENTLY by append-mode aggregation; stream_progress_metrics
+    surfaces the drop count so the divergence from the reference's
+    unbounded-late upserts is measurable. Two checkpointed runs pin the
+    arrival order (watermark state survives the restart)."""
+    import datetime as dt
+
+    from explora_kafka_spark.streaming.windowed import (
+        stream_progress_metrics, windowed_base_view)
+
+    def _mk(rows):
+        spark.createDataFrame(
+            rows, "metric_id string, geohash string, ts timestamp,"
+                  " value double"
+        ).coalesce(1).write.mode("append").parquet(str(tmp_path / "in"))
+
+    def _run():
+        schema = spark.read.parquet(str(tmp_path / "in")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "in"))
+        )
+        out = windowed_base_view(stream, precision=6, window="1 hour",
+                                 watermark="10 minutes")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return stream_progress_metrics(q)
+
+    h = lambda i: dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)  # noqa
+    _mk([("m", "g" * 6, h(i), 1.0) for i in range(6)])
+    m1 = _run()
+    assert m1["input_rows"] == 6
+    assert m1["rows_dropped_by_watermark"] == 0
+
+    # restart with a record far behind the restored watermark (~4:50)
+    _mk([("m", "g" * 6, h(0).replace(minute=30), 99.0)])
+    m2 = _run()
+    assert m2["input_rows"] == 1
+    assert m2["rows_dropped_by_watermark"] >= 1
+    # and the late record's 99.0 never reached the emitted windows
+    vals = [r["sum"] for r in spark.read.parquet(
+        str(tmp_path / "out")).collect()]
+    assert all(v < 99.0 for v in vals)
