@@ -1242,6 +1242,12 @@ def q_corpus_gate(spark, sf_dir):
     )
 
 
+def q_source_dedup_profile(spark, sf_dir):
+    """Per-source duplicate rates ("which feed sends copies?"): digest
+    projection + one source-keyed distinct-count aggregation."""
+    return CORP.source_dedup_profile(_docs(spark, sf_dir))
+
+
 def q_corpus_report(spark, sf_dir):
     """One-row corpus health dashboard (docs, tokens, quality, language
     mix, exact-dup volume, repetition) — integer-µunit deterministic."""
@@ -1808,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_polygon_geohash": q_snapshot_polygon_geohash,
         "history_polygon_quad": q_history_polygon_quad,
         "history_polygon_geohash": q_history_polygon_geohash,
+        "source_dedup_profile": q_source_dedup_profile,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2180,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_bits": T.bigram_bits_sql(),
         "bpe_encode": T.bpe_encode_sql("documents", 20),
         "corpus_report": CORP.corpus_report_sql(),
+        "source_dedup_profile": CORP.source_dedup_profile_sql(),
         "funnel_window_2h": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')",
             within="2 hours"),

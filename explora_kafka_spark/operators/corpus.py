@@ -327,3 +327,52 @@ def corpus_report_sql(table: str = "documents") -> str:
                      + 0.5) / 1e6 AS mean_repetition
         FROM per_doc
     """
+
+
+def source_dedup_profile(docs: DataFrame) -> DataFrame:
+    """Per-source duplicate-rate profile — the curation dashboard's
+    "which feed is sending us copies?" row: (source, n_docs,
+    n_unique, n_exact_dup_docs, dup_rate), source-ascending, where
+    uniqueness is the normalized-text digest (the exact-dedup key).
+
+    100 TB: one projection to 16-byte digests + one (source)-keyed
+    aggregation with a distinct count — no joins, no document bytes
+    shuffled."""
+    from .text import norm_col
+
+    per = docs.select("source", F.md5(norm_col("text")).alias("_d"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("_d").alias("n_unique"),
+        )
+        .select(
+            "source", "n_docs", "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).alias("n_exact_dup_docs"),
+            F.round(
+                (F.col("n_docs") - F.col("n_unique"))
+                / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_dedup_profile_sql(table: str = "documents") -> str:
+    """DuckDB mirror of `source_dedup_profile`."""
+    from .text import norm_sql
+
+    return f"""
+        WITH per AS (
+            SELECT source, md5({norm_sql('text')}) AS _d FROM {table}
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT _d) AS n_unique,
+               CAST(count(*) - count(DISTINCT _d) AS BIGINT)
+                   AS n_exact_dup_docs,
+               round(CAST(count(*) - count(DISTINCT _d) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        FROM per GROUP BY source ORDER BY source
+    """

@@ -191,3 +191,21 @@ def test_corpus_report_hand_corpus(spark):
     assert r["share_en"] == round(2 / 3, 6)
     assert 0.0 <= r["mean_quality"] <= 1.0
     assert 0.0 <= r["mean_repetition"] <= 1.0
+
+
+def test_source_dedup_profile_counts(spark):
+    from explora_kafka_spark.operators.corpus import source_dedup_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "a"), (2, "same text", "a"),
+            (3, "  SAME   text ", "a"),          # normalizes identical
+            (4, "unique here", "a"),
+            (5, "clean", "b"), (6, "also clean", "b"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {r["source"]: r for r in source_dedup_profile(docs).collect()}
+    assert out["a"]["n_docs"] == 4 and out["a"]["n_unique"] == 2
+    assert out["a"]["n_exact_dup_docs"] == 2 and out["a"]["dup_rate"] == 0.5
+    assert out["b"]["n_exact_dup_docs"] == 0 and out["b"]["dup_rate"] == 0.0

@@ -56,9 +56,13 @@ DIMS = ["nation", "region"]
 #: LLM-pipeline operators + one star-schema OLAP join
 HEADLINE = [
     "history_range_hour", "snapshot_day", "snapshot_bbox_quad",
-    "dedup_near", "dedup_groups", "contamination_ngram",
-    "token_frequency", "pack_sequences", "bpe_merges",
-    "ann_topk_ivf", "ann_topk_ivf_quantized",
+    "snapshot_polygon_quad",
+    "dedup_near", "dedup_groups", "group_aware_split",
+    "contamination_ngram",
+    "token_frequency", "pack_sequences", "bpe_merges", "bpe_encode",
+    "bigram_bits", "bm25_search",
+    "ann_topk_ivf", "ann_topk_ivf_quantized", "ann_topk_pq",
+    "ann_topk_ivfpq",
     "funnel_day", "join_rollup_nation", "topk_events",
 ]
 
