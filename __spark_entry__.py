@@ -1584,6 +1584,13 @@ def q_interpolate_hour(spark, sf_dir):
     return TS.interpolate_hourly(load_readings(spark, sf_dir))
 
 
+def q_metric_day_percentiles(spark, sf_dir):
+    """Exact p50/p95/p99 per (metric, day) — the SLO readout next to
+    the rollups' avg/min/max; both engines define the interpolated
+    quantile identically."""
+    return TS.metric_day_percentiles(load_readings(spark, sf_dir))
+
+
 def q_metric_histogram(spark, sf_dir):
     """Fixed-bin value histogram per metric (distribution profile) —
     projection + one partial-agg shuffle on (metric, bin)."""
@@ -1815,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "history_polygon_quad": q_history_polygon_quad,
         "history_polygon_geohash": q_history_polygon_geohash,
         "source_dedup_profile": q_source_dedup_profile,
+        "metric_day_percentiles": q_metric_day_percentiles,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2320,6 +2328,8 @@ def oracle_sql() -> dict[str, str]:
             + ANOM.metric_hour_anomaly_sql(f"({READINGS_SQL}) AS r")
             + ") WHERE is_anomaly"),
         "metric_histogram": TS.metric_histogram_sql(
+            f"({READINGS_SQL}) AS r"),
+        "metric_day_percentiles": TS.metric_day_percentiles_sql(
             f"({READINGS_SQL}) AS r"),
         "label_centroids": CENT.label_centroids_sql("embeddings"),
         "label_centroid_cosine": CENT.label_centroid_cosine_sql(

@@ -165,6 +165,53 @@ def interpolate_hourly_sql(table: str, precision: int | None = None) -> str:
     """
 
 
+def metric_day_percentiles(
+    readings: DataFrame,
+    probs: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Exact interpolated percentiles per (metric, day) — the latency-
+    style SLO readout next to the avg/min/max the rollups carry.
+    Output: metric_id, bucket_ms, n, p50, p95, p99 (6 dp).
+
+    Determinism: Spark's `percentile` and DuckDB's `quantile_cont` both
+    define the exact linear-interpolated quantile at rank (n−1)·p over
+    the sorted values — same two order statistics, same IEEE lerp, so
+    round(6) parity holds without µunit machinery. Exact percentiles
+    sort per group; at 100 TB use this per (metric, day) partition
+    (bounded groups) or swap in approx_percentile with a documented
+    error when groups outgrow memory."""
+    aggs = [F.count("*").alias("n")]
+    for p in probs:
+        aggs.append(
+            F.round(F.expr(f"percentile(value, {p!r})"), 6)
+            .alias(f"p{int(p * 100)}"))
+    return (
+        readings.groupBy(
+            "metric_id", F.date_trunc("day", F.col("ts")).alias("_d"))
+        .agg(*aggs)
+        .select("metric_id", F.unix_millis("_d").alias("bucket_ms"),
+                "n", *[f"p{int(p * 100)}" for p in probs])
+        .orderBy("metric_id", "bucket_ms")
+    )
+
+
+def metric_day_percentiles_sql(
+    table: str, probs: tuple = (0.5, 0.95, 0.99)
+) -> str:
+    """DuckDB mirror of `metric_day_percentiles`."""
+    cols = ", ".join(
+        f"round(quantile_cont(value, {p!r}), 6) AS p{int(p * 100)}"
+        for p in probs)
+    return f"""
+        SELECT metric_id,
+               epoch_ms(date_trunc('day', ts)) AS bucket_ms,
+               count(*) AS n, {cols}
+        FROM {table}
+        GROUP BY 1, 2
+        ORDER BY metric_id, bucket_ms
+    """
+
+
 def metric_histogram(
     readings: DataFrame,
     bin_width: float = DEFAULT_BIN_WIDTH,

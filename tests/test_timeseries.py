@@ -86,3 +86,14 @@ def test_histogram_bins_negative_values_with_floor(spark):
     assert out[-1] == (-5.0, 0.0, 1)   # -0.5 floors to bin -1
     assert out[0] == (0.0, 5.0, 2)
     assert out[1] == (5.0, 10.0, 1)    # boundary value starts next bin
+
+
+def test_metric_day_percentiles_hand_values(spark):
+    """1..100 in one (metric, day): exact interpolated quantiles at
+    rank (n-1)p -> p50=50.5, p95=95.05, p99=99.01."""
+    rows = [("m", "g", _hour(i % 20), float(i + 1)) for i in range(100)]
+    out = TS.metric_day_percentiles(_readings(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n"], r["p50"], r["p95"], r["p99"]) == (100, 50.5, 95.05,
+                                                      99.01)
