@@ -1095,6 +1095,22 @@ def q_ann_topk_ivfpq(spark, sf_dir):
     return S.ann_topk_ivfpq(spark, _ivfpq_index(spark, sf_dir))
 
 
+def q_ann_topk_ivfpq_external(spark, sf_dir):
+    """IVF-PQ serving for an EXTERNAL query table — the real serving
+    shape (vectors not in the index): every 50th corpus vector,
+    id-shifted and deterministically perturbed per dimension before
+    µunit conversion, queries the materialized index."""
+    ext = _emb(spark, sf_dir).filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + S.EXTERNAL_QUERY_ID_SHIFT).alias("query_id"),
+        F.expr(
+            "transform(embedding,"
+            " (v, j) -> CAST(v AS DOUBLE) + ((j % 5) * 0.001))"
+        ).alias("q_emb"),
+    )
+    return S.ann_topk_ivfpq(spark, _ivfpq_index(spark, sf_dir),
+                            queries=ext)
+
+
 def q_ann_topk_ivf_quantized(spark, sf_dir):
     """IVF ANN served from int8-quantized lists with full-precision
     rerank of the top candidates — the 4× IO cut for 100 TB serving.
@@ -1823,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "history_polygon_geohash": q_history_polygon_geohash,
         "source_dedup_profile": q_source_dedup_profile,
         "metric_day_percentiles": q_metric_day_percentiles,
+        "ann_topk_ivfpq_external": q_ann_topk_ivfpq_external,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2144,6 +2161,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf_quantized": S.ann_topk_ivf_quantized_sql(),
         "ann_topk_pq": S.ann_topk_pq_sql(),
         "ann_topk_ivfpq": S.ann_topk_ivfpq_sql(),
+        "ann_topk_ivfpq_external": S.ann_topk_ivfpq_sql(external=True),
         # the indexed serving path must reproduce the direct computation
         # exactly — same oracle
         "ann_topk_ivf_indexed": S.ann_topk_ivf_sql(),

@@ -1303,6 +1303,7 @@ def ann_topk_ivfpq(
     nprobe: int = IVF_NPROBE,
     rerank: int = 20,
     m_sub: int = PQ_M,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Serve ANN from the IVF-PQ index: queries rank the broadcast
     coarse centroids (integer L2) to pick `nprobe` lists; inside only
@@ -1317,8 +1318,20 @@ def ann_topk_ivfpq(
     cent = spark.read.parquet(f"{index_path}/centroids")
     codebook = spark.read.parquet(f"{index_path}/codebook")
     lists = spark.read.parquet(f"{index_path}/lists")
-    queries = lists.filter(F.col("neighbor_id") % query_mod == 0).select(
-        F.col("neighbor_id").alias("query_id"), F.col("n_m").alias("qm"))
+    if queries is None:
+        # self-queries drawn from the index (the audit/bench shape)
+        queries = lists.filter(
+            F.col("neighbor_id") % query_mod == 0
+        ).select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("n_m").alias("qm"),
+        )
+    else:
+        # EXTERNAL query table (query_id, q_emb float/double array) —
+        # the real serving shape; ids must not collide with index ids
+        # (the query_id != neighbor_id guard would drop that neighbor)
+        queries = queries.select(
+            "query_id", F.expr(_pq_mu("q_emb")).alias("qm"))
     d2c = (
         "aggregate(zip_with(qm, cm, (a, b) -> (a - b) * (a - b)),"
         " 0L, (acc, v) -> acc + v)"
@@ -1386,6 +1399,27 @@ def ann_topk_ivfpq(
     )
 
 
+#: id shift for the external-query fixture (must not collide with index
+#: vector ids — the self-exclusion guard would drop a true neighbor)
+EXTERNAL_QUERY_ID_SHIFT = 10_000_000
+
+
+def _ivfpq_queries_sql(table: str, query_mod: int, dim: int,
+                       external: bool) -> str:
+    if not external:
+        return (f"SELECT vec_id AS query_id, m AS qm FROM mu"
+                f" WHERE vec_id % {query_mod} = 0")
+    qm = (
+        f"[CAST(floor((CAST(embedding[i] AS DOUBLE)"
+        f" + ((i - 1) % 5) * 0.001) * 1e6 + 0.5) AS BIGINT)"
+        f" FOR i IN range(1, {dim} + 1)]"
+    )
+    return (
+        f"SELECT vec_id + {EXTERNAL_QUERY_ID_SHIFT} AS query_id,"
+        f" {qm} AS qm FROM {table} WHERE vec_id % {query_mod} = 0"
+    )
+
+
 def ann_topk_ivfpq_sql(
     table: str = "embeddings",
     query_mod: int = 50,
@@ -1397,9 +1431,14 @@ def ann_topk_ivfpq_sql(
     m_sub: int = PQ_M,
     k_codes: int = PQ_K,
     dim: int = DIM,
+    external: bool = False,
 ) -> str:
     """DuckDB mirror of build_ivfpq_index + ann_topk_ivfpq (pure
-    integer µunit² arithmetic — values match bit-for-bit)."""
+    integer µunit² arithmetic — values match bit-for-bit). With
+    `external=True` the queries are the registry's deterministic
+    external-query fixture: every `query_mod`-th vector, id-shifted by
+    10⁷, perturbed by +((j mod 5)·0.001) per dimension BEFORE µunit
+    conversion — vectors NOT present in the index."""
     sub_dim = dim // m_sub
     _, stride = ivf_params(n_rows, n_lists)
     cstride = max(n_rows // k_codes, 1)
@@ -1456,15 +1495,17 @@ def ann_topk_ivfpq_sql(
                 FROM assigned a CROSS JOIN subs s CROSS JOIN codebook c
             ) WHERE rn = 1
         ),
+        qs AS MATERIALIZED ({_ivfpq_queries_sql(
+            table, query_mod, dim, external)}
+        ),
         probes AS MATERIALIZED (
             SELECT query_id, qm, cid FROM (
-                SELECT q.vec_id AS query_id, q.m AS qm, c.cid,
+                SELECT q.query_id, q.qm, c.cid,
                        row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY {d2('q.m', 'c.cm')}, c.cid
+                           PARTITION BY q.query_id
+                           ORDER BY {d2('q.qm', 'c.cm')}, c.cid
                        ) AS rn
-                FROM mu q CROSS JOIN cent c
-                WHERE q.vec_id % {query_mod} = 0
+                FROM qs q CROSS JOIN cent c
             ) WHERE rn <= {nprobe}
         ),
         adc AS MATERIALIZED (
@@ -1492,9 +1533,9 @@ def ann_topk_ivfpq_sql(
         ),
         rescored AS (
             SELECT c.query_id, c.neighbor_id,
-                   CAST({d2('q.m', 'n.m')} AS BIGINT) AS d2
+                   CAST({d2('q.qm', 'n.m')} AS BIGINT) AS d2
             FROM cand c
-            JOIN mu q ON q.vec_id = c.query_id
+            JOIN qs q ON q.query_id = c.query_id
             JOIN mu n ON n.vec_id = c.neighbor_id
             WHERE c.arank <= {rerank}
         ),

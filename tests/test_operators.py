@@ -933,3 +933,29 @@ def test_bigram_bits_deterministic_under_repartition(spark, docs):
     a = T.bigram_bits(docs).collect()
     b = T.bigram_bits(docs.repartition(11)).collect()
     assert a == b
+
+
+def test_ann_ivfpq_external_queries_serve_without_self_exclusion_loss(
+        spark, tmp_path):
+    """External queries (ids disjoint from the index) retrieve their
+    source vector as the exact nearest neighbor when unperturbed — the
+    guard that the query_id != neighbor_id filter never eats a true
+    neighbor for external ids."""
+    from pyspark.sql import functions as F
+    from explora_kafka_spark.operators import similarity as S
+    from explora_kafka_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    S.build_ivfpq_index(emb, str(tmp_path / "ivfpq"))
+    ext = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + S.EXTERNAL_QUERY_ID_SHIFT).alias("query_id"),
+        F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+        .alias("q_emb"))
+    n = emb.count()
+    out = S.ann_topk_ivfpq(spark, str(tmp_path / "ivfpq"), queries=ext,
+                           nprobe=n, rerank=n).collect()
+    top1 = {r["query_id"]: (r["neighbor_id"], r["d2"])
+            for r in out if r["rank"] == 1}
+    for qid, (nid, d2) in top1.items():
+        assert nid == qid - S.EXTERNAL_QUERY_ID_SHIFT
+        assert d2 == 0
