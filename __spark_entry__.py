@@ -1315,28 +1315,12 @@ def q_bpe_merges(spark, sf_dir):
 
 
 def q_bpe_encode(spark, sf_dir):
-    """Trained-tokenizer application (text.bpe_encode): per-doc piece
-    counts under the 20-merge tokenizer. Piece counts computed once on
-    the VOCAB (final symbolization size) and equi-joined back to the
-    corpus tokens — the corpus is never re-segmented. Shares the
-    trained symbol table with q_bpe_merges."""
+    """Trained-tokenizer application (text.bpe_apply): per-doc piece
+    counts under the 20-merge tokenizer, sharing the cached training
+    run with q_bpe_merges and the single encode implementation with
+    text.bpe_encode."""
     _, syms = _bpe_trained(spark, sf_dir)
-    pieces = syms.select("w", F.size("syms").alias("np"))
-    toks = (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(T.tokens_col("text")).alias("w"))
-        .filter(F.col("w") != "")
-    )
-    return (
-        toks.join(pieces, "w")
-        .groupBy("doc_id")
-        .agg(F.sum("np").alias("n_pieces"), F.count("*").alias("n_words"))
-        .withColumn(
-            "pieces_per_word",
-            F.round(F.col("n_pieces") / F.col("n_words"), 6),
-        )
-        .orderBy("doc_id")
-    )
+    return T.bpe_apply(_docs(spark, sf_dir), syms)
 
 
 def q_corpus_diff(spark, sf_dir):
@@ -1694,6 +1678,7 @@ def q_write_shards(spark, sf_dir):
     d = _SHARDS_OUT.get(sf_dir)
     if d is None:
         d = tempfile.mkdtemp(prefix="explora_shards_")
+        _TMPDIRS.append(d)
         PK.write_shards(PK.pack_sequences(_docs(spark, sf_dir)), d)
         _SHARDS_OUT[sf_dir] = d
     return (

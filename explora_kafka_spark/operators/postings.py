@@ -180,14 +180,17 @@ def bm25_search(
 
 def bm25_search_sql(
     table: str = "documents",
-    terms: list[str] | None = None,
+    terms: list[str] = (),
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 10,
     key: str = "doc_id",
 ) -> str:
     """DuckDB mirror of `bm25_search` (identical expression shapes and
-    µunit floors)."""
+    µunit floors). `terms` is required and non-empty, like the Spark
+    twin — an empty IN () is not SQL."""
+    if not terms:
+        raise ValueError("bm25_search_sql requires at least one term")
     toks = tokens_sql("text")
     tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     return f"""

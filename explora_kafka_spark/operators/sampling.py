@@ -272,24 +272,19 @@ def group_aware_split_sql(
     salt: str = "split",
     **dedup_kwargs,
 ) -> str:
-    """DuckDB mirror: dedup_groups' recursive-CTE closure + the same
-    bucket CASE over group_id."""
+    """DuckDB mirror: dedup_groups' recursive-CTE closure fed through
+    split_assign_sql's bucket CASE keyed on group_id — ONE bucket-edge
+    implementation, so the leakage-safe split can never drift from the
+    plain split's rounding."""
     from .dedup import dedup_groups_sql
 
-    b = _bucket_sql("CAST(group_id AS VARCHAR)", salt)
-    edge = 0.0
-    cases = []
-    for name, w in weights:
-        edge += w
-        cases.append((int(round(edge * N_BUCKETS)), name))
-    whens = " ".join(
-        f"WHEN ({b}) < {e} THEN '{_sq(name)}'" for e, name in cases[:-1])
-    return f"""
-        WITH g AS ({dedup_groups_sql(table, **dedup_kwargs)})
-        SELECT doc_id, group_id,
-               CASE {whens} ELSE '{_sq(cases[-1][1])}' END AS split
-        FROM g ORDER BY doc_id
-    """
+    inner = split_assign_sql(
+        f"({dedup_groups_sql(table, **dedup_kwargs)}) AS g",
+        weights, key="group_id", salt=salt)
+    return (
+        f"SELECT doc_id, group_id, split FROM ({inner}) "
+        f"ORDER BY doc_id"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -387,12 +382,14 @@ def epoch_upsample_sql(
     salt: str = "epoch",
 ) -> str:
     """DuckDB mirror of `epoch_upsample` (range() is end-exclusive and
-    empty below 1, matching the guarded sequence)."""
+    empty below 1, matching the guarded sequence; an empty/None epochs
+    map degenerates to the constant default, like the Spark twin)."""
     b = _bucket_sql("CAST(doc_id AS VARCHAR)", salt)
     whens = " ".join(
         f"WHEN source = '{_sq(s)}' THEN CAST({float(f)} AS DOUBLE)"
-        for s, f in sorted(epochs.items()))
-    e = f"CASE {whens} ELSE CAST({float(default)} AS DOUBLE) END"
+        for s, f in sorted((epochs or {}).items()))
+    e = (f"CASE {whens} ELSE CAST({float(default)} AS DOUBLE) END"
+         if whens else f"CAST({float(default)} AS DOUBLE)")
     u = f"CAST({b} AS DOUBLE) / {float(N_BUCKETS)}"
     return f"""
         WITH base AS (

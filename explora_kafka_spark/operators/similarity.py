@@ -1085,7 +1085,6 @@ def ann_topk_pq(
         .agg(F.expr(
             "transform(array_sort(collect_list(struct(code, ds))),"
             " s -> s.ds)").alias("codes_ds"))
-        .join(queries, "query_id")
     )
     approx = F.expr(
         f"aggregate(zip_with(codes, sequence(1, {m_sub}),"
@@ -1094,14 +1093,18 @@ def ann_topk_pq(
     )
     wa = Window.partitionBy("query_id").orderBy(
         F.col("ad2").asc(), F.col("neighbor_id").asc())
+    # the all-candidates stage carries ONLY the ADC tables; the full
+    # query vector joins back AFTER the rerank cut, so the window
+    # shuffle moves (query_id, neighbor_id, ad2) — never a d-sized qm
+    # payload per candidate (that would forfeit the 8× scan-IO win)
     cand = (
         enc.select(F.col("vec_id").alias("neighbor_id"), "codes")
         .join(F.broadcast(adc))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qm", "neighbor_id", approx.alias("ad2"))
+        .select("query_id", "neighbor_id", approx.alias("ad2"))
         .withColumn("arank", F.row_number().over(wa))
         .filter(F.col("arank") <= rerank)
-        .select("query_id", "qm", "neighbor_id")
+        .select("query_id", "neighbor_id")
     )
     exact = F.expr(
         "aggregate(zip_with(qm, nm, (a, b) -> (a - b) * (a - b)),"
@@ -1112,6 +1115,7 @@ def ann_topk_pq(
     return (
         cand.join(mu.select(F.col("vec_id").alias("neighbor_id"),
                             F.col("m").alias("nm")), "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
         .select("query_id", "neighbor_id", exact.alias("d2"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

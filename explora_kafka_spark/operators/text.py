@@ -924,28 +924,27 @@ def _bpe_train(
     return merges, syms
 
 
-def bpe_encode(docs: DataFrame, n_merges: int = 20) -> DataFrame:
-    """Apply a freshly trained BPE tokenizer back to the corpus: per
-    document, the trained-token count (`n_pieces`), the word count, and
-    pieces-per-word — the compression statistic that tells you whether
-    `n_merges` is pulling its weight on this corpus. Documents with no
-    tokens drop out (nothing to encode).
+def bpe_apply(docs: DataFrame, syms: DataFrame,
+              key: str = "doc_id") -> DataFrame:
+    """Apply a trained symbolization (`_bpe_train`'s (w, syms, freq)
+    table) to a corpus: per document, the trained-token count
+    (`n_pieces`), the word count, and pieces-per-word. The ONE encode
+    implementation — `bpe_encode` and the driver entry (which shares a
+    cached training run) both call it, so encode semantics can't fork.
 
-    100 TB design: training is vocab-sided (`_bpe_train`); application
-    never re-segments the corpus either — each word's piece count is
-    computed ONCE on the vocabulary (size of its final symbolization)
-    and joined back to the corpus tokens by word (equi-join; AQE
-    broadcasts the vocab side when it fits), followed by one per-doc
-    aggregation."""
-    _, syms = _bpe_train(docs, n_merges)
+    100 TB: each word's piece count is computed ONCE on the vocabulary
+    (size of its final symbolization) and joined back to the corpus
+    tokens by word (equi-join; AQE broadcasts the vocab side when it
+    fits), followed by one per-doc aggregation — the corpus is never
+    re-segmented. Documents with no tokens drop out."""
     pieces = syms.select("w", F.size("syms").alias("np"))
     toks = (
-        docs.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+        docs.select(key, F.explode(tokens_col("text")).alias("w"))
         .filter(F.col("w") != "")
     )
     return (
         toks.join(pieces, "w")
-        .groupBy("doc_id")
+        .groupBy(key)
         .agg(
             F.sum("np").alias("n_pieces"),
             F.count("*").alias("n_words"),
@@ -954,8 +953,16 @@ def bpe_encode(docs: DataFrame, n_merges: int = 20) -> DataFrame:
             "pieces_per_word",
             F.round(F.col("n_pieces") / F.col("n_words"), 6),
         )
-        .orderBy("doc_id")
+        .orderBy(key)
     )
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = 20) -> DataFrame:
+    """Train-then-apply convenience: `_bpe_train` + `bpe_apply` (see
+    both for the shapes; the compression statistic tells you whether
+    `n_merges` is pulling its weight on this corpus)."""
+    _, syms = _bpe_train(docs, n_merges)
+    return bpe_apply(docs, syms)
 
 
 def _bpe_unroll_sql(table: str, n_merges: int) -> str:

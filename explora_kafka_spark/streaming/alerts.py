@@ -22,8 +22,13 @@ overwrite deletes nothing for partitions absent from the write).
 Stream ≡ batch: after the stream drains, the scored store equals
 `anomaly.metric_hour_anomaly` over the full raw data — pinned by
 tests/test_alerts.py across multi-batch splits and un-flagging
-sequences. Stateless foreachBatch (the corpus_gate.py pattern); restart
-replays only unprocessed source files.
+sequences. Stateless foreachBatch (the corpus_gate.py pattern), and
+replay-SAFE: the raw store is partitioned by batch id and each batch
+OVERWRITES its own partition, so foreachBatch's at-least-once
+redelivery after a mid-batch crash lands on the same path instead of
+double-appending (which would corrupt every touched hour's average
+unrecoverably — readings carry no key to dedup on read). Pinned by the
+replay test.
 """
 
 from __future__ import annotations
@@ -67,7 +72,15 @@ def alert_stream(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df.write.mode("append").parquet(store_path)
+        # IDEMPOTENT under foreachBatch's at-least-once replay: each
+        # micro-batch lands in its own batch-id-deterministic partition
+        # with mode=overwrite, so a crash between the raw write and the
+        # checkpoint commit re-delivers the batch onto the SAME path
+        # instead of appending duplicate readings (which would corrupt
+        # every touched hour's average unrecoverably — readings carry
+        # no key to dedup on read).
+        batch_df.write.mode("overwrite").parquet(
+            f"{store_path}/batch_id={batch_id}")
         touched = [
             r[0] for r in batch_df.select("metric_id").distinct().collect()
         ]

@@ -398,16 +398,21 @@ def expire_store(store: ParquetViewStore, min_ts_m: int) -> int:
     the pointer swap is atomic and the batch-id replay guard survives.
     This is the lakehouse `DELETE WHERE ts < cutoff` + VACUUM pair in
     one commit. Stores predating the ts_m layout (no month dirs) are
-    left intact (nothing matches the cutoff). Returns the number of
-    expired leaf partitions."""
+    left intact (nothing matches the cutoff); a no-op cutoff commits
+    nothing; a cutoff that would expire EVERYTHING raises instead of
+    committing an unreadable empty version (drop the store explicitly
+    for that). Returns the number of expired leaf partitions."""
     ptr = store._read_pointer()
     if ptr is None:
         return 0
     old_v, bid = ptr
     old_dir = os.path.join(store.path, old_v)
-    new_v = f"v_{uuid.uuid4().hex[:12]}"
-    new_dir = os.path.join(store.path, new_v)
-    os.makedirs(new_dir, exist_ok=True)
+    # plan first so a cutoff beyond ALL data is refused BEFORE any
+    # mutation: committing an empty version would delete every row and
+    # leave read()/merge() failing on a schemaless directory — a TTL
+    # sweep that outruns the data should be an explicit store drop, not
+    # a silent bricking
+    keep: list[str] = []
     expired = 0
     for root, _dirs, files in os.walk(old_dir):
         pq = [fn for fn in files if fn.endswith(".parquet")]
@@ -418,9 +423,24 @@ def expire_store(store: ParquetViewStore, min_ts_m: int) -> int:
         if months and int(months[0].split("=", 1)[1]) < min_ts_m:
             expired += 1
             continue
+        keep.append(rel)
+    if expired and not keep:
+        raise ValueError(
+            f"expire_store(min_ts_m={min_ts_m}) would expire every "
+            "partition; drop the store explicitly instead of sweeping "
+            "it empty")
+    if not expired:
+        return 0
+    new_v = f"v_{uuid.uuid4().hex[:12]}"
+    new_dir = os.path.join(store.path, new_v)
+    os.makedirs(new_dir, exist_ok=True)
+    for rel in keep:
+        root = os.path.join(old_dir, rel)
         tgt = os.path.join(new_dir, rel)
         os.makedirs(tgt, exist_ok=True)
-        for fn in pq:
+        for fn in os.listdir(root):
+            if not fn.endswith(".parquet"):
+                continue
             src, dst = os.path.join(root, fn), os.path.join(tgt, fn)
             try:
                 os.link(src, dst)

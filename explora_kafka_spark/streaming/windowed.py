@@ -63,8 +63,19 @@ def stream_progress_metrics(query) -> dict:
         input_rows += int(p.get("numInputRows") or 0)
         for so in p.get("stateOperators") or []:
             dropped += int(so.get("numRowsDroppedByWatermark") or 0)
+    # recentProgress is a ring buffer (spark.sql.streaming.
+    # numRecentProgressUpdates, default 100): a drain with more
+    # micro-batches than that silently loses the head. Flag it so the
+    # counters are never mistaken for totals; raise the conf (or
+    # consume a StreamingQueryListener) for long drains.
+    try:
+        cap = int(query.sparkSession.conf.get(
+            "spark.sql.streaming.numRecentProgressUpdates"))
+    except Exception:  # noqa: BLE001 — conf unavailable on some stubs
+        cap = 100
     return {
         "n_batches": batches,
         "input_rows": input_rows,
         "rows_dropped_by_watermark": dropped,
+        "truncated": batches >= cap,
     }

@@ -121,3 +121,24 @@ def test_untouched_metric_partition_not_rewritten(spark, tmp_path):
     q2.awaitTermination(300)
     for p, mt in b_files.items():
         assert os.path.getmtime(p) == mt, "metric b partition rewritten"
+
+
+def test_raw_store_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a batch id must
+    land on the same raw-store path (overwrite), never double-append —
+    a replayed batch would otherwise corrupt every touched hour's
+    average unrecoverably."""
+    b = _readings(spark, [("a", _hour(0), 10.0), ("a", _hour(1), 12.0)])
+    store = str(tmp_path / "store")
+    # simulate the redelivery directly against the batch writer path
+    b.write.mode("overwrite").parquet(f"{store}/batch_id=7")
+    b.write.mode("overwrite").parquet(f"{store}/batch_id=7")  # replay
+    back = spark.read.parquet(store)
+    assert back.count() == 2
+    # and a stream run produces per-batch partitions
+    _run_stream(spark, tmp_path / "s2",
+                [[("a", _hour(i), 1.0) for i in range(3)],
+                 [("a", _hour(3), 1.0)]])
+    import glob
+    parts = glob.glob(str(tmp_path / "s2" / "store" / "batch_id=*"))
+    assert len(parts) == 2

@@ -587,3 +587,19 @@ def test_watermark_drop_metrics_are_observable(spark, tmp_path):
     vals = [r["sum"] for r in spark.read.parquet(
         str(tmp_path / "out")).collect()]
     assert all(v < 99.0 for v in vals)
+
+
+def test_expire_store_refuses_total_expiry(spark, tmp_path):
+    """A cutoff beyond every stored month must raise, not commit an
+    empty (unreadable) version — and the store stays intact."""
+    import pytest as _pytest
+
+    readings = load_readings(spark, SF_DIR)
+    lat = view_lattice(readings, precisions=(6,), resolutions=("hour",),
+                       persist=False)
+    store = P.ParquetViewStore(str(tmp_path / "store"))
+    assert store.merge(spark, lat, batch_id=0)
+    before = _lattice_rows(store.read(spark))
+    with _pytest.raises(ValueError, match="every partition"):
+        P.expire_store(store, 999912)
+    assert _lattice_rows(store.read(spark)) == before

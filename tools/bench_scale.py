@@ -115,7 +115,15 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
             spark.catalog.clearCache()
             gc.collect()
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            try:
+                qs[name](spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001 — incl. KeyError
+                # one broken/renamed headline entry must not discard
+                # the whole probe after the expensive generation pass
+                print(f"bench_scale {name} failed: {exc}",
+                      file=sys.stderr)
+                best = -1.0
+                break
             t = round(time.time() - t0, 3)
             best = t if best is None else min(best, t)
         out[name] = best
@@ -133,7 +141,8 @@ def main() -> None:
     report = {
         "sf0.1": t01,
         "sf1": t1,
-        "ratio": {k: (round(t1[k] / t01[k], 2) if t01[k] > 0 else None)
+        "ratio": {k: (round(t1[k] / t01[k], 2)
+                      if t01[k] > 0 and t1[k] >= 0 else None)
                   for k in t01},
         "replicas": REPLICAS,
         "note": ("ratio ≈ data factor (10) or below ⇒ linear or "
