@@ -41,6 +41,7 @@ from explora_kafka_spark.operators import funnel as _FN
 from explora_kafka_spark.streaming import corpus_gate as _CG
 from explora_kafka_spark.streaming import sessions as _SS
 from explora_kafka_spark.operators import similarity as S
+from explora_kafka_spark.operators import quality_rules as QR
 from explora_kafka_spark.operators import text as T
 from explora_kafka_spark.plans import query as Q
 from explora_kafka_spark.plans import views as V
@@ -1264,6 +1265,20 @@ def q_source_dedup_profile(spark, sf_dir):
     return CORP.source_dedup_profile(_docs(spark, sf_dir))
 
 
+def q_ngram_repetition(spark, sf_dir):
+    """MassiveText repetition signals (Rae et al. 2021 table A1): per
+    doc, chars covered by the top 2/3/4-gram and by duplicated 5/10-
+    grams — one gram explode for all n, two partial-agg shuffles."""
+    return QR.ngram_repetition(_docs(spark, sf_dir))
+
+
+def q_gopher_rules(spark, sf_dir):
+    """MassiveText word-level quality-rule flags (word count, mean word
+    length, symbol ratio, alpha-word fraction, stopword floor) + the
+    combined passes_gopher verdict — shuffle-free codegen projection."""
+    return QR.gopher_rules(_docs(spark, sf_dir))
+
+
 def q_corpus_report(spark, sf_dir):
     """One-row corpus health dashboard (docs, tokens, quality, language
     mix, exact-dup volume, repetition) — integer-µunit deterministic."""
@@ -1663,6 +1678,15 @@ def q_pack_sequences(spark, sf_dir):
     return PK.pack_sequences(_docs(spark, sf_dir))
 
 
+def q_pack_docs(spark, sf_dir):
+    """Whole-document next-fit packing (operators/packing.py): the
+    document-preserving complement of pack_sequences — fine-tune
+    corpora keep docs intact, trading padding for boundary integrity.
+    Grouped-map per shard (bin state is sequential); oracle = a
+    recursive CTE stepping one doc per shard per iteration."""
+    return PK.pack_docs(_docs(spark, sf_dir))
+
+
 _SHARDS_OUT: dict[str, str] = {}  # sf_dir → delivered training-shard dir
 
 
@@ -1825,6 +1849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_dedup_profile": q_source_dedup_profile,
         "metric_day_percentiles": q_metric_day_percentiles,
         "ann_topk_ivfpq_external": q_ann_topk_ivfpq_external,
+        "ngram_repetition": q_ngram_repetition,
+        "gopher_rules": q_gopher_rules,
+        "pack_docs": q_pack_docs,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2147,6 +2174,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_pq": S.ann_topk_pq_sql(),
         "ann_topk_ivfpq": S.ann_topk_ivfpq_sql(),
         "ann_topk_ivfpq_external": S.ann_topk_ivfpq_sql(external=True),
+        "ngram_repetition": QR.ngram_repetition_sql(),
+        "gopher_rules": QR.gopher_rules_sql(),
+        "pack_docs": PK.pack_docs_sql("documents"),
         # the indexed serving path must reproduce the direct computation
         # exactly — same oracle
         "ann_topk_ivf_indexed": S.ann_topk_ivf_sql(),

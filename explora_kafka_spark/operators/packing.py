@@ -293,3 +293,109 @@ def write_shards(
         .orderBy("shard")
     )
     manifest.write.mode("overwrite").parquet(f"{path}/manifest")
+
+
+def pack_docs(
+    docs: DataFrame,
+    budget: int = DEFAULT_BUDGET,
+    shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """Whole-document next-fit packing: no document is ever split.
+
+    The complement of `pack_sequences` (concat-and-chunk): fine-tune /
+    instruction corpora usually must keep documents intact, trading
+    padding waste for boundary integrity. Within each hash shard,
+    documents are scanned in `doc_id` order; a document goes into the
+    current bin unless it would push the fill past `budget`, which
+    closes the bin and opens the next (next-fit). A document longer
+    than `budget` occupies a bin alone (overflowing it — the trainer's
+    truncation decision, not the packer's). Zero-token documents are
+    dropped (the `pack_sequences` rule).
+
+    Output (ordered by shard, bin_id, doc_id): shard, bin_id (0-based
+    per shard), doc_id, n_tokens.
+
+    Bin assignment is inherently sequential per shard, so this is the
+    grouped-map shape: one shuffle on `shard`, then an Arrow-batched
+    linear scan per group. 100 TB design: shard count scales with the
+    corpus (each shard's (doc_id, n_tokens) pairs — NOT the text —
+    must fit one task; 16 bytes/doc ⇒ tens of millions of docs per
+    shard are fine), and shards are mutually independent. The exact
+    same spill-free argument as `write_shards`'s repartition.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    toks = F.size(bpe_tokens_col("text")).cast("bigint")
+    base = docs.select(
+        _shard_col(F.col("doc_id"), shards).alias("shard"),
+        "doc_id",
+        toks.alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    schema = T.StructType([
+        T.StructField("shard", T.LongType()),
+        T.StructField("bin_id", T.LongType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+    ])
+
+    def _nextfit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins = []
+        bin_id, fill = -1, 0
+        for n in pdf["n_tokens"]:
+            if bin_id < 0 or fill + n > budget:
+                bin_id += 1
+                fill = 0
+            fill += int(n)
+            bins.append(bin_id)
+        pdf["bin_id"] = bins
+        return pdf[["shard", "bin_id", "doc_id", "n_tokens"]]
+
+    return (
+        base.groupBy("shard")
+        .applyInPandas(_nextfit, schema)
+        .orderBy("shard", "bin_id", "doc_id")
+    )
+
+
+def pack_docs_sql(
+    table: str = "documents",
+    budget: int = DEFAULT_BUDGET,
+    shards: int = DEFAULT_SHARDS,
+) -> str:
+    """DuckDB mirror of `pack_docs`: the sequential next-fit state is a
+    recursive CTE stepping one document per shard per iteration
+    (recursion depth = the longest shard's document count)."""
+    return f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id,
+                   {_shard_sql("doc_id", shards)} AS shard,
+                   {_bpe_count_sql("text")}::BIGINT AS n_tokens
+            FROM {table}
+        ),
+        pos AS (
+            SELECT doc_id, shard, n_tokens,
+                   row_number() OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                   ) AS rn
+            FROM toks WHERE n_tokens > 0
+        ),
+        state AS (
+            SELECT shard, rn, doc_id, n_tokens,
+                   CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+            FROM pos WHERE rn = 1
+            UNION ALL
+            SELECT p.shard, p.rn, p.doc_id, p.n_tokens,
+                   CASE WHEN s.fill + p.n_tokens > {budget}
+                        THEN s.bin_id + 1 ELSE s.bin_id END,
+                   CASE WHEN s.fill + p.n_tokens > {budget}
+                        THEN p.n_tokens ELSE s.fill + p.n_tokens END
+            FROM state s
+            JOIN pos p ON p.shard = s.shard AND p.rn = s.rn + 1
+        )
+        SELECT shard, bin_id, doc_id, n_tokens
+        FROM state
+        ORDER BY shard, bin_id, doc_id
+    """

@@ -1,0 +1,322 @@
+"""Gopher/MassiveText-style document quality rules.
+
+Two operator families over a ``documents(doc_id, text, ...)`` table:
+
+* :func:`ngram_repetition` — the MassiveText *repetition* signals
+  (Rae et al. 2021, "Scaling Language Models", table A1): per document,
+  the fraction of characters covered by the most frequent word n-gram
+  (n = 2, 3, 4) and by all duplicated word n-grams (n = 5, 10).
+  Boilerplate, SEO spam, and templated pages score high; clean prose
+  scores near zero.
+* :func:`gopher_rules` — the word-level MassiveText quality-rule flags
+  (word-count bounds, mean-word-length band, symbol-to-word ratio,
+  alphabetic-word fraction, stopword floor) plus the combined verdict.
+
+Both are pure Column expressions with exact DuckDB SQL mirrors (the
+``operators/text.py`` design rule): no Python UDFs, whole-stage codegen,
+and driver-oracle checkable bit-for-bit.
+
+Scale notes (100 TB): ``gopher_rules`` is a shuffle-free projection.
+``ngram_repetition`` explodes each document into its word n-grams once
+(all requested n in a single pass), then needs exactly two partial-agg
+shuffles — (doc, n, gram) counting and the per-doc conditional rollup.
+The exploded volume is ~``len(ns)`` × corpus tokens, linear and evenly
+keyed; no joins, no windows.
+
+The reference system has no text operators — this extends the engine
+for LLM training-data pipelines (task brief), like the rest of the
+text/dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import STOPWORDS, norm_col, norm_sql, tokens_col, tokens_sql
+
+#: n-gram sizes for the "top n-gram char fraction" signal (Gopher uses
+#: 2, 3, 4 with thresholds 0.20 / 0.18 / 0.16).
+TOP_NS: tuple[int, ...] = (2, 3, 4)
+
+#: n-gram sizes for the "duplicate n-gram char fraction" signal (Gopher
+#: uses 5..10; the 5 / 10 endpoints bound the band and keep the output
+#: width sane).
+DUP_NS: tuple[int, ...] = (5, 10)
+
+# gopher_rules thresholds (MassiveText appendix values; the word-count
+# floor matches the paper's 50).
+MIN_WORDS = 50
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MAX_SYMBOL_RATIO = 0.1
+MIN_ALPHA_WORD_FRAC = 0.8
+MIN_STOPWORDS = 2
+
+
+# ---------------------------------------------------------------------------
+# n-gram repetition signals
+# ---------------------------------------------------------------------------
+
+
+def ngram_repetition(
+    docs: DataFrame,
+    top_ns: tuple[int, ...] = TOP_NS,
+    dup_ns: tuple[int, ...] = DUP_NS,
+) -> DataFrame:
+    """Per-document n-gram repetition fractions.
+
+    For each ``n`` in ``top_ns``: ``top_{n}gram_frac`` = characters of
+    the single most frequent word n-gram (occurrences × gram length,
+    grams joined by single spaces) / normalized doc length. For each
+    ``n`` in ``dup_ns``: ``dup_{n}gram_frac`` = total characters of all
+    n-grams occurring ≥ 2 times, capped at 1.0 (overlapping occurrences
+    are each counted — this upper-bounds Gopher's union-of-spans
+    definition deterministically; the cap keeps it a fraction).
+
+    Documents with fewer than ``n`` tokens score 0 for that ``n``.
+    N-grams slide by one token (standard overlapping windows).
+
+    Output (ordered by doc_id): doc_id, then one round-6 fraction column
+    per requested n.
+    """
+    toks = tokens_col("text")
+    nch = F.length(norm_col("text"))
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    def _gram_fn(n: int):
+        # single-parameter closure: a 2-arg lambda would make pyspark
+        # pass (element, index) and clobber the bound n
+        def f(i):
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(toks, i, n), " ").alias("gram"),
+            )
+
+        return f
+
+    gram_arrays = [
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1), _gram_fn(n)
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+        for n in all_ns
+    ]
+    base = docs.select(
+        "doc_id",
+        nch.alias("nch"),
+        F.flatten(F.array(*gram_arrays)).alias("grams"),
+    )
+    counts = (
+        base.select("doc_id", "nch", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "nch", "g.n", "g.gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("chars", F.col("cnt") * F.length("gram"))
+    )
+    aggs = []
+    for n in sorted(top_ns):
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("chars")))
+            .alias(f"_top{n}")
+        )
+    for n in sorted(dup_ns):
+        aggs.append(
+            F.sum(
+                F.when((F.col("n") == n) & (F.col("cnt") >= 2),
+                       F.col("chars"))
+            ).alias(f"_dup{n}")
+        )
+    per_doc = counts.groupBy("doc_id", "nch").agg(*aggs)
+    # left join keeps documents too short for every requested n
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    cols = [F.col("doc_id")]
+    for n in sorted(top_ns):
+        cols.append(
+            F.round(
+                F.coalesce(F.col(f"_top{n}"), F.lit(0))
+                / F.greatest(F.col("nch"), F.lit(1)),
+                6,
+            ).alias(f"top_{n}gram_frac")
+        )
+    for n in sorted(dup_ns):
+        cols.append(
+            F.round(
+                F.least(
+                    F.coalesce(F.col(f"_dup{n}"), F.lit(0))
+                    / F.greatest(F.col("nch"), F.lit(1)),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias(f"dup_{n}gram_frac")
+        )
+    return out.select(*cols).orderBy("doc_id")
+
+
+def ngram_repetition_sql(
+    table: str = "documents",
+    top_ns: tuple[int, ...] = TOP_NS,
+    dup_ns: tuple[int, ...] = DUP_NS,
+) -> str:
+    """DuckDB mirror of :func:`ngram_repetition` (identical integer char
+    counts; DuckDB list slice ``l[i:j]`` is 1-based inclusive ≙ Spark
+    ``slice(l, i, n)``)."""
+    toks = tokens_sql("text")
+    nch = f"len({norm_sql('text')})"
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    ns_list = ", ".join(str(n) for n in all_ns)
+    top_cols = ",\n               ".join(
+        f"round(coalesce(_top{n}, 0) / greatest(nch, 1), 6)"
+        f" AS top_{n}gram_frac"
+        for n in sorted(top_ns)
+    )
+    dup_cols = ",\n               ".join(
+        f"round(least(coalesce(_dup{n}, 0) / greatest(nch, 1), 1.0), 6)"
+        f" AS dup_{n}gram_frac"
+        for n in sorted(dup_ns)
+    )
+    top_aggs = ",\n                   ".join(
+        f"max(CASE WHEN n = {n} THEN chars END) AS _top{n}"
+        for n in sorted(top_ns)
+    )
+    dup_aggs = ",\n                   ".join(
+        f"sum(CASE WHEN n = {n} AND cnt >= 2 THEN chars END) AS _dup{n}"
+        for n in sorted(dup_ns)
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {nch} AS nch, {toks} AS toks FROM {table}
+        ),
+        grams AS (
+            SELECT doc_id, nch, n,
+                   array_to_string(toks[i:i + n - 1], ' ') AS gram
+            FROM base,
+                 unnest([{ns_list}]) AS nn(n),
+                 unnest(generate_series(1, len(toks) - n + 1)) AS ii(i)
+            WHERE len(toks) >= n
+        ),
+        counts AS (
+            SELECT doc_id, nch, n, gram,
+                   count(*) AS cnt, count(*) * len(gram) AS chars
+            FROM grams GROUP BY doc_id, nch, n, gram
+        ),
+        per_doc AS (
+            SELECT doc_id, nch,
+                   {top_aggs},
+                   {dup_aggs}
+            FROM counts GROUP BY doc_id, nch
+        )
+        SELECT d.doc_id,
+               {top_cols},
+               {dup_cols}
+        FROM {table} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# word-level rule flags
+# ---------------------------------------------------------------------------
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Per-document MassiveText word-level quality flags.
+
+    Signals: n_words, mean_word_len (chars excluding separating spaces /
+    words), symbol_ratio ((``#`` chars + ``...`` occurrences) / words),
+    alpha_word_frac (words containing ≥ 1 [a-z]), n_stopwords. Flags:
+    each signal against the module thresholds, plus ``passes_gopher`` =
+    AND of all. A pretraining filter keeps ``passes_gopher`` docs;
+    the per-rule flags make rejections auditable.
+
+    Shuffle-free projection — whole-stage codegen end to end.
+    """
+    toks = tokens_col("text")
+    norm = norm_col("text")
+    n_words = F.size(toks)
+    nch = F.length(norm)
+    mean_len = F.round(
+        (nch - (n_words - 1)) / F.greatest(n_words, F.lit(1)), 6
+    )
+    hash_chars = nch - F.length(F.regexp_replace(norm, "#", ""))
+    ellipses = F.size(F.split(norm, r"\.\.\.")) - 1
+    symbol_ratio = F.round(
+        (hash_chars + ellipses) / F.greatest(n_words, F.lit(1)), 6
+    )
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_frac = F.round(
+        alpha_words / F.greatest(n_words, F.lit(1)), 6
+    )
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    sig = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    ok_words = (F.col("n_words") >= MIN_WORDS) & (
+        F.col("n_words") <= MAX_WORDS
+    )
+    ok_len = (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN) & (
+        F.col("mean_word_len") <= MAX_MEAN_WORD_LEN
+    )
+    ok_sym = F.col("symbol_ratio") <= MAX_SYMBOL_RATIO
+    ok_alpha = F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRAC
+    ok_stop = F.col("n_stopwords") >= MIN_STOPWORDS
+    return sig.select(
+        "*",
+        ok_words.alias("ok_word_count"),
+        ok_len.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_frac"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_len & ok_sym & ok_alpha & ok_stop).alias(
+            "passes_gopher"
+        ),
+    ).orderBy("doc_id")
+
+
+def gopher_rules_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`gopher_rules`."""
+    toks = tokens_sql("text")
+    norm = norm_sql("text")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH sig AS (
+            SELECT doc_id,
+                   len({toks}) AS n_words,
+                   round((len({norm}) - (len({toks}) - 1))
+                       / greatest(len({toks}), 1), 6) AS mean_word_len,
+                   round((len({norm})
+                           - len(replace({norm}, '#', ''))
+                           + len(string_split({norm}, '...')) - 1)
+                       / greatest(len({toks}), 1), 6) AS symbol_ratio,
+                   round(len(list_filter({toks},
+                               t -> regexp_matches(t, '[a-z]')))
+                       / greatest(len({toks}), 1), 6) AS alpha_word_frac,
+                   len(list_filter({toks}, t -> t IN ({stop_list})))
+                       AS n_stopwords
+            FROM {table}
+        )
+        SELECT *,
+               n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+                   AS ok_word_count,
+               mean_word_len >= {MIN_MEAN_WORD_LEN}
+                   AND mean_word_len <= {MAX_MEAN_WORD_LEN}
+                   AS ok_mean_word_len,
+               symbol_ratio <= {MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+               alpha_word_frac >= {MIN_ALPHA_WORD_FRAC} AS ok_alpha_frac,
+               n_stopwords >= {MIN_STOPWORDS} AS ok_stopwords,
+               (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS})
+                   AND (mean_word_len >= {MIN_MEAN_WORD_LEN}
+                        AND mean_word_len <= {MAX_MEAN_WORD_LEN})
+                   AND symbol_ratio <= {MAX_SYMBOL_RATIO}
+                   AND alpha_word_frac >= {MIN_ALPHA_WORD_FRAC}
+                   AND n_stopwords >= {MIN_STOPWORDS} AS passes_gopher
+        FROM sig
+        ORDER BY doc_id
+    """

@@ -140,3 +140,70 @@ def test_write_shards_layout_and_manifest(spark, tmp_path):
             F.countDistinct("_file").alias("nf")).collect()}
     for shard, m in rows.items():
         assert m["n_files"] == physical[shard]
+
+
+# ---------------------------------------------------------------------------
+# pack_docs (whole-document next-fit)
+# ---------------------------------------------------------------------------
+
+
+def test_pack_docs_next_fit_hand_example(spark):
+    df = _docs_df(spark, [
+        (i, " ".join(["w"] * n), "s")
+        for i, n in [(1, 4), (2, 5), (3, 3), (4, 10), (5, 2)]
+    ])
+    out = P.pack_docs(df, budget=10, shards=1).toPandas()
+    # next-fit over doc_id order: [4,5]=9 | +3>10 -> [3] | +10>10 -> [10]
+    # | +2>10 -> [2]
+    assert out["bin_id"].tolist() == [0, 0, 1, 2, 3]
+    assert out["doc_id"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_pack_docs_never_splits_and_respects_capacity(spark):
+    df = _docs_df(spark, [
+        (i, " ".join(["w"] * (3 + i % 7)), "s") for i in range(40)
+    ])
+    out = P.pack_docs(df, budget=16, shards=2).toPandas()
+    # each doc appears exactly once (never split, never duplicated)
+    assert out["doc_id"].is_unique and len(out) == 40
+    fills = out.groupby(["shard", "bin_id"])["n_tokens"].sum()
+    assert (fills <= 16).all()  # no oversize docs in this corpus
+
+
+def test_pack_docs_oversize_doc_gets_own_bin(spark):
+    df = _docs_df(spark, [
+        (1, " ".join(["w"] * 4), "s"),
+        (2, " ".join(["w"] * 25), "s"),  # longer than the budget
+        (3, " ".join(["w"] * 4), "s"),
+    ])
+    out = P.pack_docs(df, budget=10, shards=1).toPandas()
+    big = out[out["doc_id"] == 2]
+    assert len(out[out["bin_id"] == big["bin_id"].iloc[0]]) == 1
+
+
+def test_pack_docs_deterministic_under_repartition(spark):
+    df = _docs_df(spark, [
+        (i, " ".join(["w"] * (1 + i % 11)), "s") for i in range(60)
+    ])
+    a = P.pack_docs(df, budget=20, shards=4).collect()
+    b = P.pack_docs(df.repartition(13), budget=20, shards=4).collect()
+    assert a == b
+
+
+def test_pack_docs_bins_close_only_when_next_doc_overflows(spark):
+    """Next-fit property: within a shard, bin k's fill + the first doc
+    of bin k+1 must exceed the budget (otherwise it wouldn't have
+    closed)."""
+    budget = 16
+    df = _docs_df(spark, [
+        (i, " ".join(["w"] * (2 + (i * 5) % 9)), "s") for i in range(50)
+    ])
+    out = P.pack_docs(df, budget=budget, shards=2).toPandas()
+    for shard, grp in out.groupby("shard"):
+        fills = grp.groupby("bin_id")["n_tokens"].sum()
+        first_of_next = (
+            grp.sort_values(["bin_id", "doc_id"])
+            .groupby("bin_id")["n_tokens"].first()
+        )
+        for b in fills.index[:-1]:
+            assert fills[b] + first_of_next[b + 1] > budget

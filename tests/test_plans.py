@@ -71,13 +71,18 @@ SF_DIR = "/root/testdata/sf0.001"
 #: - bigram_bits attaches the single-row vocabulary size V onto the
 #:   BIGRAM-VOCAB table only (the unigram_bits allowance, one level
 #:   up); the doc-scoring join is an equi-join on (prev, cur).
+#: - ann_topk_ivfpq_external is ann_topk_ivfpq serving an external
+#:   query table — the identical code path and allowances (keyless
+#:   centroid broadcast for probe selection, keyless per-query ADC
+#:   attach); only the query-side input differs.
 CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivf", "ann_topk_ivf_indexed",
                  "ann_topk_ivf_filtered", "ann_recall_ivf",
                  "tune_nprobe", "kmeans_clusters", "kmeans_sizes",
                  "kmeans_outliers", "dedup_recall", "unigram_bits",
                  "ann_topk_ivf_quantized", "ann_topk_pq",
-                 "ann_topk_ivfpq", "bm25_search", "bigram_bits"}
+                 "ann_topk_ivfpq", "ann_topk_ivfpq_external",
+                 "bm25_search", "bigram_bits"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan

@@ -1,0 +1,121 @@
+"""Gopher/MassiveText quality-rule semantics (operators/quality_rules.py)."""
+
+from __future__ import annotations
+
+from explora_kafka_spark.operators import quality_rules as QR
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ngram_repetition
+# ---------------------------------------------------------------------------
+
+
+def test_top_ngram_fraction_hand_example(spark):
+    """'a b a b a' (9 norm chars): top 2-gram 'a b' occurs 2x (overlapping
+    windows: a-b, b-a, a-b), 2 * 3 chars / 9 = 0.666667; top 3-gram
+    'a b a' occurs 2x, 2 * 5 / 9 = 1.0 capped? no — top is a max of
+    chars covered, not capped: 10/9 rounds to 1.111111."""
+    out = QR.ngram_repetition(
+        _docs(spark, ["a b a b a"]), top_ns=(2, 3), dup_ns=(2,)
+    ).collect()[0]
+    assert out["top_2gram_frac"] == round(2 * 3 / 9, 6)
+    assert out["top_3gram_frac"] == round(2 * 5 / 9, 6)
+    # dup over n=2: 'a b' (2x, 6 chars) + 'b a' (2x, 6 chars) = 12/9,
+    # capped at 1.0
+    assert out["dup_2gram_frac"] == 1.0
+
+
+def test_repetition_zero_for_unique_text_and_short_docs(spark):
+    out = QR.ngram_repetition(
+        _docs(spark, ["w0 w1 w2 w3 w4 w5", "solo"]),
+        top_ns=(2,), dup_ns=(5,),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # all 2-grams distinct -> top covers exactly one occurrence
+    assert by_id[0]["top_2gram_frac"] == round(5 / 17, 6)
+    assert by_id[0]["dup_5gram_frac"] == 0.0
+    # 1-token doc: too short for every n -> all zeros, row still present
+    assert by_id[1]["top_2gram_frac"] == 0.0
+    assert by_id[1]["dup_5gram_frac"] == 0.0
+
+
+def test_repetition_flags_boilerplate_over_prose(spark):
+    spam = " ".join(["buy cheap pills now"] * 10)
+    prose = "the quick brown fox jumps over one lazy dog near a river bank"
+    out = {
+        r["doc_id"]: r
+        for r in QR.ngram_repetition(_docs(spark, [spam, prose])).collect()
+    }
+    assert out[0]["dup_5gram_frac"] > 0.9
+    assert out[1]["dup_5gram_frac"] == 0.0
+    assert out[0]["top_4gram_frac"] > out[1]["top_4gram_frac"]
+
+
+def test_repetition_deterministic_under_repartition(spark):
+    docs = _docs(spark, ["x y x y x y z", "p q r s p q r s p q"])
+    a = QR.ngram_repetition(docs).collect()
+    b = QR.ngram_repetition(docs.repartition(7)).collect()
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# gopher_rules
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_word_count_and_stopwords(spark):
+    long_ok = " ".join(["the"] + ["word"] * 60 + ["of"])
+    short = "too short to pass"
+    nostop = " ".join(["zzz"] * 80)
+    out = {
+        r["doc_id"]: r
+        for r in QR.gopher_rules(
+            _docs(spark, [long_ok, short, nostop])
+        ).collect()
+    }
+    assert out[0]["ok_word_count"] and out[0]["ok_stopwords"]
+    assert out[0]["passes_gopher"]
+    assert not out[1]["ok_word_count"] and not out[1]["passes_gopher"]
+    assert out[2]["ok_word_count"] and not out[2]["ok_stopwords"]
+    assert not out[2]["passes_gopher"]
+
+
+def test_gopher_rules_mean_word_len_and_alpha(spark):
+    # 60 single-char words: mean len 1 -> fails the [3, 10] band
+    shorty = " ".join(["a the of"] + ["x"] * 60)
+    # numeric words fail the alphabetic-word fraction
+    nums = " ".join(["the of a"] + ["123"] * 60)
+    out = {
+        r["doc_id"]: r
+        for r in QR.gopher_rules(_docs(spark, [shorty, nums])).collect()
+    }
+    assert not out[0]["ok_mean_word_len"]
+    assert out[1]["alpha_word_frac"] < QR.MIN_ALPHA_WORD_FRAC
+    assert not out[1]["ok_alpha_frac"] and not out[1]["passes_gopher"]
+
+
+def test_gopher_rules_symbol_ratio(spark):
+    base = ["the of a"] + ["word"] * 60
+    spam = " ".join(base + ["###", "so...", "hmm..."] * 5)
+    clean = " ".join(base)
+    out = {
+        r["doc_id"]: r
+        for r in QR.gopher_rules(_docs(spark, [spam, clean])).collect()
+    }
+    # 5*(3 hashes + 2 ellipses) = 25 symbols over 78 words > 0.1
+    assert out[0]["symbol_ratio"] > QR.MAX_SYMBOL_RATIO
+    assert not out[0]["ok_symbol_ratio"]
+    assert out[1]["symbol_ratio"] == 0.0 and out[1]["ok_symbol_ratio"]
+
+
+def test_gopher_rules_shuffle_free_plan(spark):
+    docs = _docs(spark, ["the of a b"])
+    plan = QR.gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    # projection + the output orderBy only — no aggregate/join exchanges
+    assert "Join" not in plan and "HashAggregate" not in plan
