@@ -1279,6 +1279,15 @@ def q_gopher_rules(spark, sf_dir):
     return QR.gopher_rules(_docs(spark, sf_dir))
 
 
+def q_filter_pipeline(spark, sf_dir):
+    """Composed FineWeb/RefinedWeb-style corpus admission verdict:
+    exact-dedup (first digest occurrence) × language gate × Gopher
+    word rules × Gopher repetition thresholds — per-doc keep +
+    ordered drop_reasons audit trail. Three doc-keyed equi-joins on
+    top of the stages' own plans."""
+    return QR.filter_pipeline(_docs(spark, sf_dir))
+
+
 def q_corpus_report(spark, sf_dir):
     """One-row corpus health dashboard (docs, tokens, quality, language
     mix, exact-dup volume, repetition) — integer-µunit deterministic."""
@@ -1852,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "gopher_rules": q_gopher_rules,
         "pack_docs": q_pack_docs,
+        "filter_pipeline": q_filter_pipeline,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2177,6 +2187,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_repetition": QR.ngram_repetition_sql(),
         "gopher_rules": QR.gopher_rules_sql(),
         "pack_docs": PK.pack_docs_sql("documents"),
+        "filter_pipeline": QR.filter_pipeline_sql(),
         # the indexed serving path must reproduce the direct computation
         # exactly — same oracle
         "ann_topk_ivf_indexed": S.ann_topk_ivf_sql(),

@@ -81,9 +81,21 @@ def ngram_repetition(
     Output (ordered by doc_id): doc_id, then one round-6 fraction column
     per requested n.
     """
-    toks = tokens_col("text")
-    nch = F.length(norm_col("text"))
     all_ns = sorted(set(top_ns) | set(dup_ns))
+    # The explode of a 1-element array is a Generate node — a hard
+    # projection-collapse barrier. Without it, CollapseProject inlines
+    # the tokenizer split into every per-gram lambda below and codegen
+    # re-splits the whole document for each gram index: O(tokens²)/doc
+    # (25 s at sf0.1; this shape is ~3 s, and unlike a window-lead
+    # formulation it adds no shuffle). Exactly one row out per doc —
+    # the wrapping array always has one element.
+    tokenized = docs.select(
+        "doc_id",
+        F.length(norm_col("text")).alias("nch"),
+        F.explode(F.array(tokens_col("text"))).alias("toks"),
+    )
+    toks = F.col("toks")
+    size = F.size(toks)
 
     def _gram_fn(n: int):
         # single-parameter closure: a 2-arg lambda would make pyspark
@@ -98,16 +110,14 @@ def ngram_repetition(
 
     gram_arrays = [
         F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - n + 1), _gram_fn(n)
-            ),
+            size >= n,
+            F.transform(F.sequence(F.lit(1), size - n + 1), _gram_fn(n)),
         ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
         for n in all_ns
     ]
-    base = docs.select(
+    base = tokenized.select(
         "doc_id",
-        nch.alias("nch"),
+        "nch",
         F.flatten(F.array(*gram_arrays)).alias("grams"),
     )
     counts = (
@@ -319,4 +329,127 @@ def gopher_rules_sql(table: str = "documents") -> str:
                    AND n_stopwords >= {MIN_STOPWORDS} AS passes_gopher
         FROM sig
         ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# composed corpus filter pipeline
+# ---------------------------------------------------------------------------
+
+#: Gopher repetition thresholds (table A1): top n-gram char fraction
+#: caps for n = 2, 3, 4 and duplicate n-gram caps for n = 5, 10.
+TOP_FRAC_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+DUP_FRAC_MAX = {5: 0.15, 10: 0.10}
+
+#: language the pipeline admits (the MassiveText pipeline is
+#: English-only; parameterize per deployment)
+PIPELINE_LANG = "en"
+
+
+def filter_pipeline(docs: DataFrame) -> DataFrame:
+    """The composed FineWeb/RefinedWeb-style corpus admission verdict.
+
+    Chains the full document filter stack — exact-duplicate removal
+    (first doc_id per normalized digest survives), language-ID gate
+    (predicted ``PIPELINE_LANG``), the Gopher word-level rules, and the
+    Gopher repetition thresholds — into one auditable per-document
+    verdict: ``keep`` plus ``drop_reasons`` (comma-joined failed stages
+    in fixed order ``exact_dup,lang,gopher,repetition``; empty when
+    kept).
+
+    Every stage is doc-keyed, so the composition is three equi-joins on
+    doc_id plus the digest window — no new corpus-sized work beyond the
+    stages themselves. At 100 TB each stage's own scale story applies
+    unchanged (see the stage operators); the digest dedup shuffles
+    16-byte md5s, never text.
+
+    Output (ordered by doc_id): doc_id, keep, drop_reasons.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import with_lang_id
+
+    g = gopher_rules(docs).select("doc_id", "passes_gopher")
+    rep = ngram_repetition(docs)
+    ok_rep = F.lit(True)
+    for n, cap in sorted(TOP_FRAC_MAX.items()):
+        ok_rep = ok_rep & (F.col(f"top_{n}gram_frac") <= cap)
+    for n, cap in sorted(DUP_FRAC_MAX.items()):
+        ok_rep = ok_rep & (F.col(f"dup_{n}gram_frac") <= cap)
+    r = rep.select("doc_id", ok_rep.alias("ok_repetition"))
+    # with_lang_id echoes the labeled `lang` column; tolerate corpora
+    # that don't carry one (only the prediction matters here)
+    lang_in = (
+        docs
+        if "lang" in docs.columns
+        else docs.withColumn("lang", F.lit(None).cast("string"))
+    )
+    lang = with_lang_id(lang_in).select(
+        "doc_id",
+        (F.col("pred_lang") == PIPELINE_LANG).alias("ok_lang"),
+    )
+    w = Window.partitionBy("digest")
+    canon = (
+        docs.select("doc_id", F.md5(norm_col("text")).alias("digest"))
+        .withColumn("keep_doc", F.min("doc_id").over(w))
+        .select(
+            "doc_id", (F.col("doc_id") == F.col("keep_doc")).alias("ok_exact")
+        )
+    )
+    joined = (
+        canon.join(lang, "doc_id")
+        .join(g, "doc_id")
+        .join(r, "doc_id")
+    )
+    keep = (
+        F.col("ok_exact") & F.col("ok_lang") & F.col("passes_gopher")
+        & F.col("ok_repetition")
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(~F.col("ok_exact"), F.lit("exact_dup")),
+        F.when(~F.col("ok_lang"), F.lit("lang")),
+        F.when(~F.col("passes_gopher"), F.lit("gopher")),
+        F.when(~F.col("ok_repetition"), F.lit("repetition")),
+    )
+    return joined.select(
+        "doc_id", keep.alias("keep"), reasons.alias("drop_reasons")
+    ).orderBy("doc_id")
+
+
+def filter_pipeline_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`filter_pipeline` — composes the stage
+    mirrors as CTEs (DuckDB ``concat_ws`` skips NULLs like Spark)."""
+    from .text import lang_id_sql
+
+    rep_checks = " AND ".join(
+        [f"top_{n}gram_frac <= {c}" for n, c in sorted(TOP_FRAC_MAX.items())]
+        + [f"dup_{n}gram_frac <= {c}" for n, c in sorted(DUP_FRAC_MAX.items())]
+    )
+    return f"""
+        WITH gop AS ({gopher_rules_sql(table)}),
+        rep AS ({ngram_repetition_sql(table)}),
+        lng AS ({lang_id_sql(table)}),
+        canon AS (
+            SELECT doc_id,
+                   doc_id = min(doc_id) OVER (
+                       PARTITION BY md5({norm_sql('text')})
+                   ) AS ok_exact
+            FROM {table}
+        )
+        SELECT c.doc_id,
+               c.ok_exact AND lng.pred_lang = '{PIPELINE_LANG}'
+                   AND gop.passes_gopher AND ({rep_checks}) AS keep,
+               concat_ws(',',
+                   CASE WHEN NOT c.ok_exact THEN 'exact_dup' END,
+                   CASE WHEN NOT lng.pred_lang = '{PIPELINE_LANG}'
+                        THEN 'lang' END,
+                   CASE WHEN NOT gop.passes_gopher THEN 'gopher' END,
+                   CASE WHEN NOT ({rep_checks}) THEN 'repetition' END
+               ) AS drop_reasons
+        FROM canon c
+        JOIN lng ON lng.doc_id = c.doc_id
+        JOIN gop ON gop.doc_id = c.doc_id
+        JOIN rep ON rep.doc_id = c.doc_id
+        ORDER BY c.doc_id
     """

@@ -119,3 +119,46 @@ def test_gopher_rules_shuffle_free_plan(spark):
     plan = QR.gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
     # projection + the output orderBy only — no aggregate/join exchanges
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+# ---------------------------------------------------------------------------
+# filter_pipeline
+# ---------------------------------------------------------------------------
+
+
+def _good_text(seed=0):
+    # 60+ distinct-ish english words, stopword-rich, no repetition
+    words = [f"word{seed}x{i}" for i in range(60)]
+    return "the quick brown fox " + " ".join(words) + " of a lazy dog"
+
+
+def test_filter_pipeline_keeps_clean_doc_and_orders_reasons(spark):
+    docs = _docs(spark, [
+        _good_text(),                 # 0: clean -> keep
+        _good_text(),                 # 1: exact dup of 0 -> exact_dup
+        "too short",                  # 2: fails gopher (word count)
+        " ".join(["buy pills now"] * 40),  # 3: repetition (+maybe more)
+    ])
+    out = {r["doc_id"]: r for r in QR.filter_pipeline(docs).collect()}
+    assert out[0]["keep"] and out[0]["drop_reasons"] == ""
+    assert not out[1]["keep"] and "exact_dup" in out[1]["drop_reasons"]
+    assert "gopher" in out[2]["drop_reasons"]
+    assert "repetition" in out[3]["drop_reasons"]
+    # fixed reason order: exact_dup < lang < gopher < repetition
+    for r in out.values():
+        stages = [s for s in r["drop_reasons"].split(",") if s]
+        order = ["exact_dup", "lang", "gopher", "repetition"]
+        assert stages == [s for s in order if s in stages]
+
+
+def test_filter_pipeline_language_gate(spark):
+    # french markers dominate -> pred 'fr' -> lang reason fires
+    fr = " ".join(["le la les de et un une est"] * 10 + ["mot"] * 20)
+    out = QR.filter_pipeline(_docs(spark, [fr])).collect()[0]
+    assert not out["keep"] and "lang" in out["drop_reasons"]
+
+
+def test_filter_pipeline_keep_iff_no_reasons(spark):
+    docs = _docs(spark, [_good_text(i) for i in range(5)] + ["dup dup"] * 2)
+    for r in QR.filter_pipeline(docs).collect():
+        assert r["keep"] == (r["drop_reasons"] == "")
