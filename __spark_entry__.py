@@ -39,6 +39,7 @@ from explora_kafka_spark.operators import sampling as SMP
 from explora_kafka_spark.operators import udtfs as _UDTF
 from explora_kafka_spark.operators import funnel as _FN
 from explora_kafka_spark.streaming import corpus_gate as _CG
+from explora_kafka_spark.streaming import joins as _SJ
 from explora_kafka_spark.streaming import sessions as _SS
 from explora_kafka_spark.operators import similarity as S
 from explora_kafka_spark.operators import quality_rules as QR
@@ -1279,6 +1280,30 @@ def q_gopher_rules(spark, sf_dir):
     return QR.gopher_rules(_docs(spark, sf_dir))
 
 
+def q_curriculum_select(spark, sf_dir):
+    """Hard top-30%-per-source quality cut (curriculum/ablation corpus
+    selection): deterministic per-source quality ranking, ceil quota —
+    no source wiped out by a global threshold."""
+    return SMP.curriculum_select(_docs(spark, sf_dir), frac=0.3)
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Covariance matrix of the corpus embedding space (PCA/whitening/
+    Mahalanobis prep): int64 Gram accumulation per Arrow batch, d²-row
+    shuffle, decimal(38,0) global sums — bit-exact under any
+    partitioning."""
+    return CENT.embedding_covariance(_emb(spark, sf_dir))
+
+
+def q_click_attribution(spark, sf_dir):
+    """Stream-stream interval join, batch twin (streaming/joins.py):
+    every (click, view) pair per user with the view inside the 30-min
+    lookback — the append-mode watermarked join's exact pair set
+    (stream ≡ batch pinned in test_streaming.py). user_id equi-join
+    with the time range as residual predicate; never a cartesian."""
+    return _SJ.attribution_batch(load_table(spark, sf_dir, "events"))
+
+
 def q_filter_pipeline(spark, sf_dir):
     """Composed FineWeb/RefinedWeb-style corpus admission verdict:
     exact-dedup (first digest occurrence) × language gate × Gopher
@@ -1862,6 +1887,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "pack_docs": q_pack_docs,
         "filter_pipeline": q_filter_pipeline,
+        "click_attribution": q_click_attribution,
+        "curriculum_select": q_curriculum_select,
+        "embedding_covariance": q_embedding_covariance,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2188,6 +2216,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rules": QR.gopher_rules_sql(),
         "pack_docs": PK.pack_docs_sql("documents"),
         "filter_pipeline": QR.filter_pipeline_sql(),
+        "click_attribution": _SJ.attribution_sql(),
+        "curriculum_select": SMP.curriculum_select_sql(frac=0.3),
+        "embedding_covariance": CENT.embedding_covariance_sql(),
         # the indexed serving path must reproduce the direct computation
         # exactly — same oracle
         "ann_topk_ivf_indexed": S.ann_topk_ivf_sql(),

@@ -155,3 +155,138 @@ def label_centroid_cosine_sql(
                      6) AS cosine
         FROM prods ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance (PCA / whitening prep)
+# ---------------------------------------------------------------------------
+
+
+def embedding_covariance(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding columns —
+    the sufficient statistic for PCA / whitening / Mahalanobis outlier
+    scoring over a corpus's embedding space.
+
+    Exactness discipline as above: components → integer µunits row-side
+    (JVM expression), then each Arrow batch accumulates an int64 Gram
+    matrix + column sums in ONE numpy pass (mapInPandas — with d = 64
+    the d(d+1)/2 = 2080 pair aggregates would otherwise be 2080 codegen
+    expressions or a 2080× explode), and partitions' partial matrices
+    are summed by a d²-sized groupBy. Every sum is integer — bit-exact
+    under any partitioning; doubles appear only in the final division.
+    cov(j,k) = (S_jk/n − (M_j/n)(M_k/n)) / 1e12 (population covariance,
+    µunit² → unit scale), rounded to 6 dp.
+
+    100 TB shape: one corpus pass; the shuffle carries d(d+1)/2 rows
+    PER PARTITION (a few thousand ints), never per-vector data. Global
+    sums ride decimal(38,0) so n × µ² products cannot overflow.
+
+    Output (ordered by j, k): j, k, n, cov.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q = emb.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * _MU + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ).alias("q")
+    )
+
+    schema = T.StructType([
+        T.StructField("j", T.IntegerType()),
+        T.StructField("k", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("s", T.LongType()),
+        T.StructField("mj", T.LongType()),
+        T.StructField("mk", T.LongType()),
+    ])
+
+    def _gram(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.int64) for v in pdf["q"]]
+            )
+            G = X.T @ X
+            cs = X.sum(axis=0)
+            ju, ku = np.triu_indices(X.shape[1])
+            yield pd.DataFrame({
+                "j": ju.astype("int32"),
+                "k": ku.astype("int32"),
+                "cnt": np.full(len(ju), len(pdf), dtype=np.int64),
+                "s": G[ju, ku],
+                "mj": cs[ju],
+                "mk": cs[ku],
+            })
+
+    dec = "decimal(38,0)"
+    agg = (
+        q.mapInPandas(_gram, schema)
+        .groupBy("j", "k")
+        .agg(
+            F.sum(F.col("cnt").cast(dec)).alias("n_d"),
+            F.sum(F.col("s").cast(dec)).alias("s_d"),
+            F.sum(F.col("mj").cast(dec)).alias("mj_d"),
+            F.sum(F.col("mk").cast(dec)).alias("mk_d"),
+        )
+    )
+    n = F.col("n_d").cast("double")
+    cov = (
+        F.col("s_d").cast("double") / n
+        - (F.col("mj_d").cast("double") / n)
+        * (F.col("mk_d").cast("double") / n)
+    ) / F.lit(1e12)
+    return (
+        agg.select(
+            "j",
+            "k",
+            F.col("n_d").cast("bigint").alias("n"),
+            F.round(cov, 6).alias("cov"),
+        )
+        .orderBy("j", "k")
+    )
+
+
+def embedding_covariance_sql(
+    table: str = "embeddings", vec_col: str = "embedding"
+) -> str:
+    """DuckDB mirror of `embedding_covariance` (pairwise unnest of the
+    same µunit integers; bigint sums are exact — DuckDB widens to
+    int128 internally)."""
+    return f"""
+        WITH q AS (
+            SELECT list_transform(
+                       {vec_col},
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)
+                                 AS BIGINT)
+                   ) AS qs
+            FROM {table}
+        ),
+        pairs AS (
+            SELECT jj.j AS j, kk.k AS k,
+                   count(*) AS n,
+                   sum(qs[jj.j + 1] * qs[kk.k + 1]) AS s,
+                   sum(qs[jj.j + 1]) AS mj,
+                   sum(qs[kk.k + 1]) AS mk
+            FROM q,
+                 unnest(generate_series(0, len(qs) - 1)) AS jj(j),
+                 unnest(generate_series(0, len(qs) - 1)) AS kk(k)
+            WHERE kk.k >= jj.j
+            GROUP BY jj.j, kk.k
+        )
+        SELECT j, k, n,
+               round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(mj AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(mk AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / 1e12, 6) AS cov
+        FROM pairs
+        ORDER BY j, k
+    """

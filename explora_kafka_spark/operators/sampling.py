@@ -404,3 +404,70 @@ def epoch_upsample_sql(
         FROM base
         ORDER BY doc_id, copy_idx
     """
+
+
+# ---------------------------------------------------------------------------
+# curriculum selection (hard top-fraction quality cut per source)
+# ---------------------------------------------------------------------------
+
+
+def curriculum_select(docs: DataFrame, frac: float = 0.5) -> DataFrame:
+    """Keep the top ``frac`` of each source's documents by quality
+    score — the hard-threshold counterpart of quality_weighted_sample
+    (curriculum / ablation corpora select "best X% per source" so no
+    source is wiped out by a global cut).
+
+    Per source, documents rank by (quality_score DESC, doc_id ASC —
+    the deterministic tie-break) and the first ``ceil(frac * n_src)``
+    survive. Output (ordered by source, rank): source, doc_id,
+    quality_score, rank.
+
+    One shuffle on source + the per-source window; the rank frontier
+    is per-source, so a huge source costs only its own scan. Skewed
+    sources are window partitions — at 100 TB shard the window key by
+    (source, hash-bucket) and take per-bucket quotas if one source
+    dominates.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import with_text_stats
+
+    stats = with_text_stats(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    n_w = Window.partitionBy("source")
+    return (
+        docs.select("source", "doc_id")
+        .join(stats, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(n_w))
+        .filter(F.col("rank") <= F.ceil(F.col("n_src") * frac))
+        .select("source", "doc_id", "quality_score", "rank")
+        .orderBy("source", "rank")
+    )
+
+
+def curriculum_select_sql(
+    table: str = "documents", frac: float = 0.5
+) -> str:
+    """DuckDB mirror of `curriculum_select` (identical window order and
+    ceil arithmetic)."""
+    from .text import text_stats_sql
+
+    return f"""
+        WITH stats AS ({text_stats_sql(table)}),
+        ranked AS (
+            SELECT d.source, d.doc_id, s.quality_score,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY s.quality_score DESC, d.doc_id ASC
+                   ) AS rank,
+                   count(*) OVER (PARTITION BY d.source) AS n_src
+            FROM {table} d JOIN stats s ON s.doc_id = d.doc_id
+        )
+        SELECT source, doc_id, quality_score, rank
+        FROM ranked
+        WHERE rank <= ceil(n_src * {frac})
+        ORDER BY source, rank
+    """

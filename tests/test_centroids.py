@@ -69,3 +69,35 @@ def test_plan_is_native(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_covariance_hand_example(spark):
+    """Two 2-d vectors (0,0) and (2,4): population cov = [[1,2],[2,4]]."""
+    from explora_kafka_spark.operators.centroids import embedding_covariance
+
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [2.0, 4.0], 0)],
+        "vec_id: long, embedding: array<float>, label: int",
+    )
+    out = {(r["j"], r["k"]): r["cov"]
+           for r in embedding_covariance(emb).collect()}
+    assert out[(0, 0)] == 1.0 and out[(0, 1)] == 2.0 and out[(1, 1)] == 4.0
+    assert all(r == 2 for r in [len(set(j for j, _ in out)), ])
+
+
+def test_embedding_covariance_matches_numpy_and_is_deterministic(spark, sf_dir):
+    import numpy as np
+
+    from explora_kafka_spark.operators.centroids import embedding_covariance
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = embedding_covariance(emb).collect()
+    b = embedding_covariance(emb.repartition(7)).collect()
+    assert a == b  # bit-exact integer sums under any partitioning
+    X = np.stack([np.asarray(r["embedding"]) for r in emb.collect()])
+    Q = np.floor(X.astype(np.float64) * 1e6 + 0.5)
+    C = np.cov(Q, rowvar=False, bias=True) / 1e12
+    for r in a:
+        assert abs(r["cov"] - C[r["j"], r["k"]]) < 1e-5
+    # diagonal is a variance
+    assert all(r["cov"] >= 0 for r in a if r["j"] == r["k"])

@@ -250,3 +250,34 @@ def test_epoch_upsample_copy_counts(spark, docs):
         docs.repartition(9), {"src0": 2.5, "src7": 0.25}, default=1.0)
     assert sorted(map(tuple, out.collect())) == \
         sorted(map(tuple, again.collect()))
+
+
+def test_curriculum_select_per_source_quota_and_order(spark, sf_dir):
+    from explora_kafka_spark.operators.sampling import curriculum_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frac = 0.3
+    out = curriculum_select(docs, frac=frac).toPandas()
+    src_n = docs.groupBy("source").count().toPandas().set_index("source")
+    import math
+    for src, grp in out.groupby("source"):
+        quota = math.ceil(src_n.loc[src, "count"] * frac)
+        assert len(grp) == quota
+        # ranks contiguous from 1 and quality non-increasing along rank
+        assert sorted(grp["rank"]) == list(range(1, quota + 1))
+        g = grp.sort_values("rank")
+        assert (g["quality_score"].diff().dropna() <= 1e-12).all()
+
+
+def test_curriculum_select_is_deterministic_and_subset(spark, sf_dir):
+    from explora_kafka_spark.operators.sampling import curriculum_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = curriculum_select(docs, frac=0.4).collect()
+    b = curriculum_select(docs.repartition(9), frac=0.4).collect()
+    assert a == b
+    # a tighter cut is a prefix of a looser cut per source
+    tight = {(r["source"], r["doc_id"])
+             for r in curriculum_select(docs, frac=0.2).collect()}
+    loose = {(r["source"], r["doc_id"]) for r in a}
+    assert tight <= loose

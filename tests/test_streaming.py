@@ -603,3 +603,67 @@ def test_expire_store_refuses_total_expiry(spark, tmp_path):
     with _pytest.raises(ValueError, match="every partition"):
         P.expire_store(store, 999912)
     assert _lattice_rows(store.read(spark)) == before
+
+
+def test_stream_stream_attribution_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (click -> view
+    attribution): the streaming pair set over file micro-batches equals
+    the batch twin, including pairs whose click and view arrive in
+    DIFFERENT micro-batches (join state carries the view side)."""
+    from explora_kafka_spark.streaming.joins import (
+        attribution_batch, attribution_stream)
+
+    events = load_table(spark, SF_DIR, "events")
+    # split files so early views and late clicks land in different
+    # micro-batches (ordered by ts -> views precede their clicks)
+    ev = events.orderBy("ts")
+    n = ev.count()
+    ev.limit(n // 2).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "in"))
+    ev.subtract(ev.limit(n // 2)).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "in"))
+    schema = spark.read.parquet(str(tmp_path / "in")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    out = attribution_stream(stream, watermark="365 days")
+    q = (
+        out.writeStream.format("memory").queryName("attr_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.table("attr_test").collect()}
+    expect = {tuple(r) for r in attribution_batch(events).collect()}
+    assert got == expect and len(expect) > 0
+
+
+def test_attribution_window_and_order(spark):
+    """Only views within the lookback window attribute; a view after
+    the click never does; all (click, view) pairs in range emit."""
+    import datetime as dt
+
+    from explora_kafka_spark.streaming.joins import attribution_batch
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, typ, sec):
+        return (eid, t0 + dt.timedelta(seconds=sec), 1, typ, 0.0, "{}")
+
+    events = spark.createDataFrame(
+        [
+            ev(1, "view", 0),       # in window (lag 100)
+            ev(2, "view", 50),      # in window (lag 50)
+            ev(3, "view", -2000),   # too old
+            ev(4, "view", 200),     # after the click
+            ev(5, "click", 100),
+        ],
+        "event_id: long, ts: timestamp, user_id: long, "
+        "event_type: string, value: double, props: string",
+    )
+    out = attribution_batch(events, window_s=1800).collect()
+    assert [(r["view_id"], r["lag_s"]) for r in out] == [(1, 100), (2, 50)]
