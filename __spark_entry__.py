@@ -1295,6 +1295,16 @@ def q_embedding_covariance(spark, sf_dir):
     return CENT.embedding_covariance(_emb(spark, sf_dir))
 
 
+def q_pca_top_component(spark, sf_dir):
+    """Dominant PCA axis of the corpus embedding space by integer
+    power iteration (centroids.pca_top_component): ONE distributed
+    pass for the exact covariance statistic, then 10 exact-integer
+    matvec+renormalize steps driver-side (the bpe_merges/kmeans
+    loop pattern); oracle = 10 unrolled MATERIALIZED HUGEINT CTE
+    stages — bit-exact."""
+    return CENT.pca_top_component(_emb(spark, sf_dir))
+
+
 def q_click_attribution(spark, sf_dir):
     """Stream-stream interval join, batch twin (streaming/joins.py):
     every (click, view) pair per user with the view inside the 30-min
@@ -1890,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "click_attribution": q_click_attribution,
         "curriculum_select": q_curriculum_select,
         "embedding_covariance": q_embedding_covariance,
+        "pca_top_component": q_pca_top_component,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2219,6 +2230,7 @@ def oracle_sql() -> dict[str, str]:
         "click_attribution": _SJ.attribution_sql(),
         "curriculum_select": SMP.curriculum_select_sql(frac=0.3),
         "embedding_covariance": CENT.embedding_covariance_sql(),
+        "pca_top_component": CENT.pca_top_component_sql(),
         # the indexed serving path must reproduce the direct computation
         # exactly — same oracle
         "ann_topk_ivf_indexed": S.ann_topk_ivf_sql(),

@@ -162,29 +162,13 @@ def label_centroid_cosine_sql(
 # ---------------------------------------------------------------------------
 
 
-def embedding_covariance(
-    emb: DataFrame, vec_col: str = "embedding"
-) -> DataFrame:
-    """Upper-triangle covariance matrix of the embedding columns —
-    the sufficient statistic for PCA / whitening / Mahalanobis outlier
-    scoring over a corpus's embedding space.
-
-    Exactness discipline as above: components → integer µunits row-side
-    (JVM expression), then each Arrow batch accumulates an int64 Gram
-    matrix + column sums in ONE numpy pass (mapInPandas — with d = 64
-    the d(d+1)/2 = 2080 pair aggregates would otherwise be 2080 codegen
-    expressions or a 2080× explode), and partitions' partial matrices
-    are summed by a d²-sized groupBy. Every sum is integer — bit-exact
-    under any partitioning; doubles appear only in the final division.
-    cov(j,k) = (S_jk/n − (M_j/n)(M_k/n)) / 1e12 (population covariance,
-    µunit² → unit scale), rounded to 6 dp.
-
-    100 TB shape: one corpus pass; the shuffle carries d(d+1)/2 rows
-    PER PARTITION (a few thousand ints), never per-vector data. Global
-    sums ride decimal(38,0) so n × µ² products cannot overflow.
-
-    Output (ordered by j, k): j, k, n, cov.
-    """
+def _cov_sums(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact integer sufficient statistics for the covariance matrix:
+    (j, k, n_d, s_d, mj_d, mk_d) for j ≤ k, all decimal(38,0) —
+    S = Σ q_j·q_k, M_j = Σ q_j over µunit-quantized components. One
+    corpus pass (per-Arrow-batch int64 Gram via mapInPandas), shuffle
+    carries d(d+1)/2 rows per partition. Shared by
+    `embedding_covariance` and `pca_top_component`."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -228,7 +212,7 @@ def embedding_covariance(
             })
 
     dec = "decimal(38,0)"
-    agg = (
+    return (
         q.mapInPandas(_gram, schema)
         .groupBy("j", "k")
         .agg(
@@ -238,6 +222,32 @@ def embedding_covariance(
             F.sum(F.col("mk").cast(dec)).alias("mk_d"),
         )
     )
+
+
+def embedding_covariance(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding columns —
+    the sufficient statistic for PCA / whitening / Mahalanobis outlier
+    scoring over a corpus's embedding space.
+
+    Exactness discipline as above: components → integer µunits row-side
+    (JVM expression), then each Arrow batch accumulates an int64 Gram
+    matrix + column sums in ONE numpy pass (mapInPandas — with d = 64
+    the d(d+1)/2 = 2080 pair aggregates would otherwise be 2080 codegen
+    expressions or a 2080× explode), and partitions' partial matrices
+    are summed by a d²-sized groupBy. Every sum is integer — bit-exact
+    under any partitioning; doubles appear only in the final division.
+    cov(j,k) = (S_jk/n − (M_j/n)(M_k/n)) / 1e12 (population covariance,
+    µunit² → unit scale), rounded to 6 dp.
+
+    100 TB shape: one corpus pass; the shuffle carries d(d+1)/2 rows
+    PER PARTITION (a few thousand ints), never per-vector data. Global
+    sums ride decimal(38,0) so n × µ² products cannot overflow.
+
+    Output (ordered by j, k): j, k, n, cov.
+    """
+    agg = _cov_sums(emb, vec_col)
     n = F.col("n_d").cast("double")
     cov = (
         F.col("s_d").cast("double") / n
@@ -289,4 +299,143 @@ def embedding_covariance_sql(
                      / 1e12, 6) AS cov
         FROM pairs
         ORDER BY j, k
+    """
+
+
+# ---------------------------------------------------------------------------
+# PCA top component (integer power iteration)
+# ---------------------------------------------------------------------------
+
+#: power-iteration steps for pca_top_component (fixed — the oracle
+#: unrolls exactly this many CTE stages)
+PCA_ITERS = 10
+
+
+def _imu_div(w: int, m: int) -> int:
+    """sign(w) · halfup(|w|·1e6 / m) in exact integer arithmetic — the
+    normalization step both engines reproduce verbatim (DuckDB `//` on
+    non-negative hugeints ≡ Python `//`)."""
+    if w < 0:
+        return -((-w * 1_000_000 + m // 2) // m)
+    return (w * 1_000_000 + m // 2) // m
+
+
+def pca_top_component(
+    emb: DataFrame, vec_col: str = "embedding", n_iters: int = PCA_ITERS
+) -> DataFrame:
+    """Dominant covariance eigenvector (the first PCA axis) by power
+    iteration — the direction of maximum variance of the corpus
+    embedding space, the whitening/dimensionality-reduction primitive.
+
+    Exactly one distributed pass: the `_cov_sums` sufficient statistic
+    (d² integers). The iteration then runs on that d×d table —
+    DRIVER-side over arbitrary-precision Python ints (the
+    bpe_merges/kmeans pattern: corpus-scale work distributed, the
+    vocab/statistic-sized loop local). Power iteration is
+    scale-invariant, so the matrix is the EXACT integer
+    A = n·S − M·Mᵀ (no division), the vector stays in integer µunits
+    (start: all-ones), and each step renormalizes by max-|w| with
+    half-up integer division — every quantity exact, so the unrolled
+    DuckDB oracle reproduces all `n_iters` steps bit-for-bit. Sign is
+    canonicalized (the lowest nonzero dimension made positive).
+
+    Output (ordered by j): j, v_mu (loading in µunits of the max-abs-
+    normalized eigenvector; divide by 1e6 for unit scale).
+    """
+    rows = _cov_sums(emb, vec_col).collect()
+    if not rows:
+        return emb.sparkSession.createDataFrame([], "j int, v_mu bigint")
+    d = max(r["k"] for r in rows) + 1
+    A = [[0] * d for _ in range(d)]
+    for r in rows:
+        n, s = int(r["n_d"]), int(r["s_d"])
+        a = n * s - int(r["mj_d"]) * int(r["mk_d"])
+        A[r["j"]][r["k"]] = a
+        A[r["k"]][r["j"]] = a
+    v = [1_000_000] * d
+    for _ in range(n_iters):
+        w = [sum(A[j][k] * v[k] for k in range(d)) for j in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [_imu_div(x, m) for x in w]
+    lead = next((x for x in v if x != 0), 0)
+    if lead < 0:
+        v = [-x for x in v]
+    return emb.sparkSession.createDataFrame(
+        [(j, v[j]) for j in range(d)], "j int, v_mu bigint"
+    )
+
+
+def pca_top_component_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    n_iters: int = PCA_ITERS,
+) -> str:
+    """DuckDB mirror of `pca_top_component`: the same covariance pairs
+    CTE, then `n_iters` unrolled matvec + max-abs half-up renormalize
+    stages over exact HUGEINT arithmetic (the kmeans/bpe unrolled-CTE
+    precedent). Magnitudes: |A| ≲ n²·µ²·d, |A·v| ≲ that ×1e6·d — far
+    inside int128."""
+    steps = []
+    prev = "v0"
+    for i in range(1, n_iters + 1):
+        steps.append(f"""
+        w{i} AS MATERIALIZED (
+            SELECT a.j AS jj, sum(a.a * {prev}.v) AS w
+            FROM a JOIN {prev} ON {prev}.jj = a.k
+            GROUP BY a.j
+        ),
+        m{i} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w{i}),
+        v{i} AS MATERIALIZED (
+            SELECT jj,
+                   CASE WHEN (SELECT m FROM m{i}) = 0 THEN p.v
+                        WHEN w < 0 THEN
+                            -((-w * 1000000 + (SELECT m FROM m{i}) // 2)
+                              // (SELECT m FROM m{i}))
+                        ELSE (w * 1000000 + (SELECT m FROM m{i}) // 2)
+                              // (SELECT m FROM m{i})
+                   END AS v
+            FROM w{i} JOIN {prev} p USING (jj)
+        )""")
+        prev = f"v{i}"
+    steps_sql = ",".join(steps)
+    return f"""
+        WITH q AS MATERIALIZED (
+            SELECT list_transform(
+                       {vec_col},
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)
+                                 AS BIGINT)
+                   ) AS qs
+            FROM {table}
+        ),
+        pairs AS MATERIALIZED (
+            SELECT jj.j AS j, kk.k AS k,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(qs[jj.j + 1] * qs[kk.k + 1]) AS HUGEINT) AS s,
+                   CAST(sum(qs[jj.j + 1]) AS HUGEINT) AS mj,
+                   CAST(sum(qs[kk.k + 1]) AS HUGEINT) AS mk
+            FROM q,
+                 unnest(generate_series(0, len(qs) - 1)) AS jj(j),
+                 unnest(generate_series(0, len(qs) - 1)) AS kk(k)
+            WHERE kk.k >= jj.j
+            GROUP BY jj.j, kk.k
+        ),
+        a AS MATERIALIZED (
+            SELECT j, k, n * s - mj * mk AS a FROM pairs
+            UNION ALL
+            SELECT k, j, n * s - mj * mk FROM pairs WHERE k > j
+        ),
+        v0 AS (
+            SELECT DISTINCT j AS jj, CAST(1000000 AS HUGEINT) AS v FROM a
+        ),{steps_sql},
+        flip AS (
+            SELECT CASE WHEN (
+                SELECT v FROM {prev}
+                WHERE jj = (SELECT min(jj) FROM {prev} WHERE v <> 0)
+            ) < 0 THEN -1 ELSE 1 END AS s
+        )
+        SELECT jj AS j, CAST(v * flip.s AS BIGINT) AS v_mu
+        FROM {prev}, flip
+        ORDER BY j
     """

@@ -101,3 +101,50 @@ def test_embedding_covariance_matches_numpy_and_is_deterministic(spark, sf_dir):
         assert abs(r["cov"] - C[r["j"], r["k"]]) < 1e-5
     # diagonal is a variance
     assert all(r["cov"] >= 0 for r in a if r["j"] == r["k"])
+
+
+def test_pca_top_component_recovers_dominant_axis(spark):
+    """Strongly anisotropic data: variance concentrated on a known axis
+    -> 10 power iterations recover it almost exactly."""
+    import numpy as np
+
+    from explora_kafka_spark.operators.centroids import pca_top_component
+
+    rng = [((i * 37) % 19 - 9) / 9.0 for i in range(40)]  # deterministic
+    axis = np.array([3.0, 1.0, -2.0, 0.5])
+    axis /= np.linalg.norm(axis)
+    rows = []
+    for i, t in enumerate(rng):
+        noise = np.array([((i * 13 + d * 7) % 11 - 5) / 500.0
+                          for d in range(4)])
+        rows.append((i, (t * axis + noise).tolist(), 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int")
+    v = np.array([r["v_mu"] for r in pca_top_component(emb).collect()],
+                 dtype=np.float64)
+    cos = abs(v @ axis) / np.linalg.norm(v)
+    assert cos > 0.999
+    # sign canonicalization: lowest nonzero loading is positive
+    lead = next(x for x in v if x != 0)
+    assert lead > 0
+
+
+def test_pca_top_component_rayleigh_and_determinism(spark, sf_dir):
+    """On near-isotropic data the direction is under-determined, but the
+    captured variance (Rayleigh quotient) must be near-maximal — and the
+    integer iteration is bit-deterministic under repartitioning."""
+    import numpy as np
+
+    from explora_kafka_spark.operators.centroids import pca_top_component
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = pca_top_component(emb).collect()
+    b = pca_top_component(emb.repartition(5)).collect()
+    assert a == b
+    v = np.array([r["v_mu"] for r in a], dtype=np.float64)
+    X = np.stack([np.asarray(r["embedding"]) for r in emb.collect()])
+    Q = np.floor(X.astype(np.float64) * 1e6 + 0.5)
+    C = np.cov(Q, rowvar=False, bias=True)
+    lam1 = np.linalg.eigvalsh(C)[-1]
+    R = (v @ C @ v) / (v @ v)
+    assert R / lam1 > 0.9

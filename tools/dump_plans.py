@@ -168,6 +168,38 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "itself.",
         [r"Project.*split", r"Exchange", r"Join"],
     ),
+    "ngram_repetition": (
+        "The Generate (explode of a 1-element array) is the projection-"
+        "collapse barrier: the document tokenizer split appears ONCE in "
+        "the whole plan (without it CollapseProject inlines the split "
+        "into every per-gram lambda — O(tokens²)/doc). Two partial-agg "
+        "exchanges; the final doc-keyed join re-attaches short docs.",
+        [r"Generate", r"Exchange hashpartitioning", r"HashAggregate",
+         r"Join"],
+    ),
+    "click_attribution": (
+        "Stream-stream attribution's batch twin: a user_id EQUI-join "
+        "with the event-time range as residual predicate — never a "
+        "cartesian (gate-asserted).",
+        [r"Join", r"Exchange hashpartitioning"],
+    ),
+    "embedding_covariance": (
+        "The d(d+1)/2 covariance statistics come from per-Arrow-batch "
+        "int64 Gram matrices (MapInPandas) — the exchange after it "
+        "carries ~2080 rows per partition, never per-vector data.",
+        [r"MapInPandas", r"Exchange hashpartitioning", r"HashAggregate"],
+    ),
+    "pack_docs": (
+        "Whole-doc next-fit packing: ONE hash exchange on the shard key "
+        "feeds the grouped-map (FlatMapGroupsInPandas) linear scan; no "
+        "other shuffle, text never enters it.",
+        [r"FlatMapGroupsInPandas", r"Exchange", r"FileScan"],
+    ),
+    "curriculum_select": (
+        "Top-frac-per-source cut: one exchange on source feeding the "
+        "per-source rank window; the stats join is doc-keyed.",
+        [r"Exchange hashpartitioning", r"Window", r"Join"],
+    ),
 }
 
 
