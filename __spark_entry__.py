@@ -1295,6 +1295,51 @@ def q_embedding_covariance(spark, sf_dir):
     return CENT.embedding_covariance(_emb(spark, sf_dir))
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): 6-table star join —
+    region/nation/customer/supplier broadcast as dims, lineitem the
+    only shuffled fact; the order-date predicate prunes orders before
+    the fact join; customer-nation = supplier-nation is the residual
+    equality. Catalyst broadcast + pushdown showcase on the big
+    table."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(c),
+            (o.o_custkey == c.c_custkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _r6(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+def q_click_unattributed(spark, sf_dir):
+    """Attribution gap audit: clicks with NO view by the same user in
+    the 30-min lookback (anti-join on the attribution condition) —
+    the conversion-without-impression data-quality signal."""
+    return _SJ.unattributed_batch(load_table(spark, sf_dir, "events"))
+
+
 def q_pca_top_component(spark, sf_dir):
     """Dominant PCA axis of the corpus embedding space by integer
     power iteration (centroids.pca_top_component): ONE distributed
@@ -1901,6 +1946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_select": q_curriculum_select,
         "embedding_covariance": q_embedding_covariance,
         "pca_top_component": q_pca_top_component,
+        "local_supplier_volume": q_local_supplier_volume,
+        "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
@@ -2231,6 +2278,25 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_select": SMP.curriculum_select_sql(frac=0.3),
         "embedding_covariance": CENT.embedding_covariance_sql(),
         "pca_top_component": CENT.pca_top_component_sql(),
+        "local_supplier_volume": """
+            SELECT n_name AS nation,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, nation
+        """,
+        "click_unattributed": _SJ.unattributed_sql(),
         # the indexed serving path must reproduce the direct computation
         # exactly — same oracle
         "ann_topk_ivf_indexed": S.ann_topk_ivf_sql(),

@@ -124,3 +124,56 @@ def attribution_sql(
          AND v.view_ts >= c.click_ts - INTERVAL {window_s} SECONDS
         ORDER BY c.click_id, v.view_id
     """
+
+
+def unattributed_batch(
+    events: DataFrame, window_s: int = DEFAULT_WINDOW_S
+) -> DataFrame:
+    """Clicks with NO view by the same user inside the lookback — the
+    "conversion without impression" data-quality audit (batch; the
+    streaming left-outer flavor emits these after the watermark passes
+    the click's window, same pair condition).
+
+    Anti-join on the attribution condition: user_id equi-key, time
+    range residual — one shuffle per side, never a cartesian.
+    Output (ordered by click_id): click_id, user_id, click_ts.
+    """
+    clicks, views = _sides(ensure_event_time(events, "ts"))
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {window_s} SECONDS")
+        )
+    )
+    return (
+        clicks.join(views, cond, "left_anti")
+        .select("click_id", "user_id", "click_ts")
+        .orderBy("click_id")
+    )
+
+
+def unattributed_sql(
+    table: str = "events", window_s: int = DEFAULT_WINDOW_S
+) -> str:
+    """DuckDB mirror of :func:`unattributed_batch`."""
+    return f"""
+        WITH clicks AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM {table} WHERE event_type = 'click'
+        ),
+        views AS (
+            SELECT event_id AS view_id, user_id, ts AS view_ts
+            FROM {table} WHERE event_type = 'view'
+        )
+        SELECT c.click_id, c.user_id, c.click_ts
+        FROM clicks c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM views v
+            WHERE v.user_id = c.user_id
+              AND v.view_ts <= c.click_ts
+              AND v.view_ts >= c.click_ts - INTERVAL {window_s} SECONDS
+        )
+        ORDER BY c.click_id
+    """

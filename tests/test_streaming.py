@@ -667,3 +667,19 @@ def test_attribution_window_and_order(spark):
     )
     out = attribution_batch(events, window_s=1800).collect()
     assert [(r["view_id"], r["lag_s"]) for r in out] == [(1, 100), (2, 50)]
+
+
+def test_unattributed_is_exact_complement_of_attributed(spark):
+    from explora_kafka_spark.streaming.joins import (
+        attribution_batch, unattributed_batch)
+
+    events = load_table(spark, SF_DIR, "events")
+    clicks = {r["event_id"]
+              for r in events.filter(F.col("event_type") == "click")
+              .select("event_id").collect()}
+    attributed = {r["click_id"]
+                  for r in attribution_batch(events).collect()}
+    unattributed = {r["click_id"]
+                    for r in unattributed_batch(events).collect()}
+    assert attributed | unattributed == clicks
+    assert attributed & unattributed == set()
