@@ -64,6 +64,9 @@ HEADLINE = [
     "ann_topk_ivf", "ann_topk_ivf_quantized", "ann_topk_pq",
     "ann_topk_ivfpq",
     "funnel_day", "join_rollup_nation", "topk_events",
+    # round-8 fourth wave
+    "ngram_repetition", "filter_pipeline", "pack_docs",
+    "click_attribution", "embedding_covariance", "local_supplier_volume",
 ]
 
 
