@@ -28,6 +28,8 @@ from explora_kafka_spark.operators import contamination as CONT
 from explora_kafka_spark.operators import corpus as CORP
 from explora_kafka_spark.operators import dedup as D
 from explora_kafka_spark.operators import segments as SEG
+from explora_kafka_spark.operators import semdedup as SDD
+from explora_kafka_spark.operators import dsir as DSIR
 from explora_kafka_spark.operators import multimodal as _MM
 from explora_kafka_spark.operators import anomaly as ANOM
 from explora_kafka_spark.operators import timeseries as TS
@@ -1350,6 +1352,24 @@ def q_pca_top_component(spark, sf_dir):
     return CENT.pca_top_component(_emb(spark, sf_dir))
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embeddings, rank
+    farthest-from-centroid first within each cluster, drop any vector
+    whose earlier-ranked cluster-mate is within the cosine threshold —
+    exact-integer cosine (µunit BIGINT dot / DECIMAL(38,0) compare).
+    Threshold 30% fits the diffuse synthetic embeddings (real corpora
+    run ~95%); the pair stage is a cid equi-join, never a cartesian."""
+    return SDD.semantic_dedup(_emb(spark, sf_dir), k=8, iters=2,
+                              threshold_pct=30)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-ratio (Xie et al. 2023): hashed unigram+bigram
+    bucket LMs (target = lang='en' slice vs the raw corpus), per-doc
+    BIGINT µbit sums over the broadcast per-bucket log-ratio table."""
+    return DSIR.dsir_weights(_docs(spark, sf_dir))
+
+
 def q_click_attribution(spark, sf_dir):
     """Stream-stream interval join, batch twin (streaming/joins.py):
     every (click, view) pair per user with the view inside the 30-min
@@ -1946,6 +1966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_select": q_curriculum_select,
         "embedding_covariance": q_embedding_covariance,
         "pca_top_component": q_pca_top_component,
+        "semantic_dedup": q_semantic_dedup,
+        "dsir_weights": q_dsir_weights,
         "local_supplier_volume": q_local_supplier_volume,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
@@ -2278,6 +2300,10 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_select": SMP.curriculum_select_sql(frac=0.3),
         "embedding_covariance": CENT.embedding_covariance_sql(),
         "pca_top_component": CENT.pca_top_component_sql(),
+        "semantic_dedup": SDD.semantic_dedup_sql(k=8, iters=2,
+                                                 threshold_pct=30,
+                                                 n_rows=500),
+        "dsir_weights": DSIR.dsir_weights_sql(),
         "local_supplier_volume": """
             SELECT n_name AS nation,
                    round(sum(l_extendedprice * (1 - l_discount)), 6)

@@ -182,21 +182,18 @@ def kmeans_outliers(
     )
 
 
-def kmeans_sql(
+def kmeans_ctes(
     table: str = "embeddings",
     k: int = 8,
     iters: int = 2,
     key: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int = 500,
-    sizes: bool = False,
-    outliers_top: int | None = None,
-) -> str:
-    """DuckDB mirror of `kmeans` (same µunits, init stride, integer
-    distances, tie-break, update rounding) with one CTE pair per Lloyd
-    iteration, unrolled. `n_rows` must match the table the oracle runs
-    on (sf0.01: 500 vectors). `sizes` mirrors `kmeans_sizes`;
-    `outliers_top` mirrors `kmeans_outliers`."""
+) -> tuple[list[str], str]:
+    """The unrolled-Lloyd DuckDB CTE chain shared by every kmeans-family
+    oracle (kmeans_sql here, semantic_dedup_sql in operators/semdedup.py).
+    Returns (ctes, last_assignment_name); the final CTE exposes
+    (vid, m, cid, _d2) under the final centroids."""
     stride = kmeans_stride(n_rows, k)
     d2 = ("list_sum([ (e.m[i] - c.cm[i]) * (e.m[i] - c.cm[i])"
           " FOR i IN range(1, len(e.m) + 1) ])")
@@ -235,7 +232,25 @@ def kmeans_sql(
                 SELECT cid, array_agg(cv ORDER BY dim) AS cm
                 FROM c{t + 1}d GROUP BY cid
             )""")
-    last = f"a{iters - 1}"
+    return ctes, f"a{iters - 1}"
+
+
+def kmeans_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int = 500,
+    sizes: bool = False,
+    outliers_top: int | None = None,
+) -> str:
+    """DuckDB mirror of `kmeans` (same µunits, init stride, integer
+    distances, tie-break, update rounding) with one CTE pair per Lloyd
+    iteration, unrolled. `n_rows` must match the table the oracle runs
+    on (sf0.01: 500 vectors). `sizes` mirrors `kmeans_sizes`;
+    `outliers_top` mirrors `kmeans_outliers`."""
+    ctes, last = kmeans_ctes(table, k, iters, key, vec_col, n_rows)
     if sizes:
         body = (f"SELECT cid AS cluster, count(*) AS n_vectors"
                 f" FROM {last} GROUP BY 1 ORDER BY 1")

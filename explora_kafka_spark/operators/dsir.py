@@ -1,0 +1,191 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+The published data-selection recipe for pretraining corpora: featurize
+every document as a bag of HASHED n-grams (unigrams + bigrams hashed
+into B buckets), fit two bucket-multinomial language models — p̂ on a
+small TARGET corpus (the domain you want more of) and q̂ on the RAW
+corpus — and score each raw document by its importance log-ratio
+log w(x) = Σ_b c_x[b]·(log p̂[b] − log q̂[b]). High-scoring documents
+look like the target domain; resampling by w is the paper's selection
+step (here: the score itself, so any downstream sampler — top-k,
+curriculum_select-style quotas, weighted sampling — can consume it).
+
+Spark-first shape: the corpus is featurized with ONE gram explode
+(unigrams and bigrams in the same pass); the two bucket LMs are
+B-row aggregates (map-side combined, B ≈ 10⁴ in the paper, 256 here);
+the per-bucket log-ratio λ[b] is computed once on the B-row table and
+broadcast; document scoring is gram → bucket → broadcast-join λ →
+per-doc BIGINT sum. The only float op is one log2 per BUCKET (not per
+gram), scaled to integer µbits — the unigram_bits/bigram_bits µbit
+discipline (operators/text.py), so the per-doc sums are exact BIGINT
+and partition-order independent; the DuckDB oracle mirrors the hash
+(60-bit md5 prefix, operators/contamination.py), the tokenizer, the
+smoothing, and the µbit rounding expression for expression.
+
+Reference parity: no counterpart — engine-extension surface (the
+data-selection tier of the LLM-pipeline family, alongside
+quality_rules/curriculum_select/epoch_upsample).
+
+100 TB design: 2 corpus-token-sized passes (count + score), both plain
+projections feeding map-side-combined aggregates; every join is either
+broadcast-B-rows or the one-row totals attach ONTO the B-row λ table
+(the unigram_bits constant-attach allowance — never onto the corpus).
+The target corpus is typically ≪ raw (Wikipedia vs a web crawl); its
+LM fit prunes to the target partition via the pushed-down predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import norm_col, norm_sql
+
+#: unigrams + bigrams of the whitespace-normalized token stream, one
+#: array per document (empty-token guard for blank documents).
+_GRAMS = (
+    "filter(concat(_t, zip_with(slice(_t, 1, size(_t) - 1),"
+    " slice(_t, 2, size(_t) - 1), (a, b) -> concat(a, ' ', b))),"
+    " g -> g != '')"
+)
+
+
+def _bucket_col(gram: Column, n_buckets: int) -> Column:
+    """Hash bucket: the house 60-bit md5-prefix bigint, mod B (the hash
+    is non-negative, so % is already the positive residue)."""
+    return (F.conv(F.substring(F.md5(gram), 1, 15), 16, 10)
+            .cast("bigint") % n_buckets)
+
+
+def _doc_grams(docs: DataFrame, key: str) -> DataFrame:
+    """(key, gram): one row per gram OCCURRENCE (counts matter — the
+    score is a sum over occurrences, not distinct grams)."""
+    return (
+        docs.select(key, F.split(norm_col("text"), " ").alias("_t"))
+        .select(key, F.explode(F.expr(_GRAMS)).alias("gram"))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 256,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance log-ratio against the `target_lang`
+    slice of the same corpus as the target LM (the self-contained
+    stand-in for the paper's external target corpus — the operator is
+    agnostic to how the target rows are designated).
+
+    Output: (key, n_grams, log_ratio_mu), key-ascending —
+    `log_ratio_mu` is Σ grams λ[bucket] in integer µbits (positive ⇒
+    target-like), NULL for gram-less documents."""
+    grams = _doc_grams(docs, key)
+    bucketed = grams.select(key,
+                            _bucket_col(F.col("gram"), n_buckets)
+                            .alias("b"))
+    tgt_keys = docs.filter(F.col("lang") == target_lang).select(key)
+    raw_cnt = bucketed.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt_cnt = (bucketed.join(F.broadcast(tgt_keys), key)
+               .groupBy("b").agg(F.count("*").alias("ct")))
+    spine = docs.sparkSession.range(n_buckets).select(
+        F.col("id").alias("b"))
+    counts = (
+        spine.join(F.broadcast(raw_cnt), "b", "left")
+        .join(F.broadcast(tgt_cnt), "b", "left")
+        .select("b",
+                F.coalesce("cr", F.lit(0)).alias("cr"),
+                F.coalesce("ct", F.lit(0)).alias("ct"))
+    )
+    totals = counts.agg(F.sum("cr").alias("Tr"), F.sum("ct").alias("Tt"))
+    lam = (
+        counts.join(F.broadcast(totals))
+        .select(
+            "b",
+            F.floor(
+                (F.log2((F.col("ct") + 1).cast("double")
+                        / (F.col("Tt") + n_buckets).cast("double"))
+                 - F.log2((F.col("cr") + 1).cast("double")
+                          / (F.col("Tr") + n_buckets).cast("double")))
+                * 1e6 + F.lit(0.5)
+            ).cast("bigint").alias("lam"),
+        )
+    )
+    scored = (
+        bucketed.join(F.broadcast(lam), "b")
+        .groupBy(key)
+        .agg(F.count("*").alias("n_grams"),
+             F.sum("lam").alias("log_ratio_mu"))
+    )
+    return (
+        docs.select(key).join(scored, key, "left")
+        .select(key,
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.col("log_ratio_mu"))
+        .orderBy(key)
+    )
+
+
+def dsir_weights_sql(
+    table: str = "documents",
+    target_lang: str = "en",
+    n_buckets: int = 256,
+    key: str = "doc_id",
+) -> str:
+    """DuckDB mirror (same normalization, gram stream, md5 bucket hash,
+    add-one smoothing, and µbit rounding)."""
+    norm = norm_sql("text")
+    return f"""
+        WITH t AS (
+            SELECT {key}, lang, string_split({norm}, ' ') AS tk
+            FROM {table}
+        ),
+        g AS (
+            SELECT {key}, lang, u.gram
+            FROM t, unnest(list_filter(
+                list_concat(tk,
+                    [tk[i] || ' ' || tk[i + 1]
+                     FOR i IN range(1, len(tk))]),
+                x -> x != '')) AS u(gram)
+        ),
+        bk AS (
+            SELECT {key}, lang,
+                   CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT)
+                       % {n_buckets} AS b
+            FROM g
+        ),
+        counts AS (
+            SELECT s.b,
+                   coalesce(r.cr, 0) AS cr,
+                   coalesce(tc.ct, 0) AS ct
+            FROM (SELECT unnest(range({n_buckets})) AS b) s
+            LEFT JOIN (SELECT b, count(*) AS cr FROM bk GROUP BY b) r
+                   ON s.b = r.b
+            LEFT JOIN (SELECT b, count(*) AS ct FROM bk
+                       WHERE lang = '{target_lang}' GROUP BY b) tc
+                   ON s.b = tc.b
+        ),
+        tot AS (SELECT sum(cr) AS Tr, sum(ct) AS Tt FROM counts),
+        lam AS (
+            SELECT b,
+                   CAST(floor(
+                       (log2(CAST(ct + 1 AS DOUBLE)
+                             / CAST(Tt + {n_buckets} AS DOUBLE))
+                        - log2(CAST(cr + 1 AS DOUBLE)
+                               / CAST(Tr + {n_buckets} AS DOUBLE)))
+                       * 1e6 + 0.5) AS BIGINT) AS lam
+            FROM counts, tot
+        ),
+        scored AS (
+            SELECT bk.{key}, count(*) AS n_grams,
+                   sum(lam.lam) AS log_ratio_mu
+            FROM bk JOIN lam ON bk.b = lam.b
+            GROUP BY bk.{key}
+        )
+        SELECT d.{key},
+               coalesce(s.n_grams, 0) AS n_grams,
+               s.log_ratio_mu
+        FROM {table} d LEFT JOIN scored s ON d.{key} = s.{key}
+        ORDER BY 1
+    """

@@ -1,0 +1,92 @@
+"""SemDeDup (operators/semdedup.py): keep-farthest-from-centroid sweep,
+exact rational cosine threshold, negative-dot guard, determinism, and
+DuckDB oracle parity."""
+
+import duckdb
+
+from explora_kafka_spark.operators.semdedup import (
+    semantic_dedup, semantic_dedup_sql)
+
+
+def _emb(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _verdict(spark, vecs, **kw):
+    out = semantic_dedup(_emb(spark, vecs), **kw).collect()
+    return {r["vec_id"]: r["keep"] for r in out}
+
+
+def test_keeps_farthest_representative(spark):
+    # two parallel (cos = 1) pairs, one per init centroid (stride 2 ->
+    # seeds ids 0 and 2): within each cluster the vector FARTHER from
+    # the centroid ranks first and survives; its near-dup is dropped.
+    vecs = [[1.0, 0.0], [0.9, 0.0], [0.0, 1.0], [0.0, 0.95]]
+    keep = _verdict(spark, vecs, k=2, iters=1, threshold_pct=95)
+    assert keep == {0: False, 1: True, 2: False, 3: True}
+
+
+def test_threshold_is_exact_rational_cosine(spark):
+    # cos([1,0],[1,1]) = 1/sqrt(2) = 0.70710..: dropped at t=70%,
+    # kept at t=71% — the integer compare flips exactly between them.
+    vecs = [[1.0, 0.0], [1.0, 1.0]]
+    assert _verdict(spark, vecs, k=1, iters=1, threshold_pct=70) == {
+        0: False, 1: True}
+    assert _verdict(spark, vecs, k=1, iters=1, threshold_pct=71) == {
+        0: True, 1: True}
+
+
+def test_negative_dot_never_drops(spark):
+    # anti-parallel vectors: dot < 0, so |dot|^2 being huge must not
+    # fire the squared comparison
+    vecs = [[1.0, 0.0], [-1.0, 0.0]]
+    assert _verdict(spark, vecs, k=1, iters=1, threshold_pct=50) == {
+        0: True, 1: True}
+
+
+def test_cross_cluster_pairs_never_compared(spark):
+    # identical vectors forced into different init clusters (k=2,
+    # stride 1 -> seeds ids 0 and 1) are NOT deduped: SemDeDup is
+    # cluster-local by construction
+    vecs = [[1.0, 0.0], [0.0, 1.0]]
+    keep = _verdict(spark, vecs, k=2, iters=1, threshold_pct=95)
+    assert keep == {0: True, 1: True}
+
+
+def test_deterministic_under_repartition(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = semantic_dedup(emb, k=8, iters=2, threshold_pct=30).collect()
+    b = semantic_dedup(emb.repartition(13), k=8, iters=2,
+                       threshold_pct=30).collect()
+    assert a == b
+
+
+def test_pair_stage_is_cid_equi_join(spark, sf_dir):
+    # the published recipe's whole point: pairs come from a hash
+    # equi-join on the cluster id (rank + cosine as residual), never a
+    # cartesian — the only nested-loop joins in the plan are the
+    # kmeans-family keyless centroid broadcasts
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = (semantic_dedup(emb, k=8, iters=2, threshold_pct=30)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert any(("SortMergeJoin [cid#" in ln
+                or "ShuffledHashJoin [cid#" in ln)
+               for ln in plan.splitlines()), plan
+
+
+def test_matches_duckdb_oracle(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [(r["vec_id"], r["cluster"], r["keep"])
+           for r in semantic_dedup(emb, k=8, iters=2,
+                                   threshold_pct=30).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM"
+                f" '{sf_dir}/embeddings.parquet'")
+    want = [(int(v), int(c), bool(k)) for v, c, k in con.execute(
+        semantic_dedup_sql(k=8, iters=2, threshold_pct=30,
+                           n_rows=500)).fetchall()]
+    assert got == want
+    # the diffuse synthetic embeddings still produce real drops at 30%
+    assert any(not k for _, _, k in got)
