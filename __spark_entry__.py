@@ -1363,6 +1363,12 @@ def q_semantic_dedup(spark, sf_dir):
                               threshold_pct=30)
 
 
+def q_knn_graph(spark, sf_dir):
+    """Cluster-local kNN graph (IVF nprobe=1 approximation): each
+    vector's 5 nearest cluster-mates by exact integer squared L2."""
+    return SDD.knn_graph(_emb(spark, sf_dir), k_clusters=8, iters=2, k=5)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance log-ratio (Xie et al. 2023): hashed unigram+bigram
     bucket LMs (target = lang='en' slice vs the raw corpus), per-doc
@@ -1968,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top_component": q_pca_top_component,
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
+        "knn_graph": q_knn_graph,
         "local_supplier_volume": q_local_supplier_volume,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
@@ -2304,6 +2311,8 @@ def oracle_sql() -> dict[str, str]:
                                                  threshold_pct=30,
                                                  n_rows=500),
         "dsir_weights": DSIR.dsir_weights_sql(),
+        "knn_graph": SDD.knn_graph_sql(k_clusters=8, iters=2, k=5,
+                                       n_rows=500),
         "local_supplier_volume": """
             SELECT n_name AS nation,
                    round(sum(l_extendedprice * (1 - l_discount)), 6)

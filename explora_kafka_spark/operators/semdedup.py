@@ -64,7 +64,11 @@ def semantic_dedup(
 
     `threshold_pct` is the cosine threshold as an integer percent
     (95 ⇒ cos ≥ 0.95) — kept rational so the comparison stays exact
-    integer arithmetic. keep=false means an earlier-ranked (farther-
+    integer arithmetic. Inherits the kmeans dense-id stride-init
+    contract (clustering.py): on a sparse/shifted id subset, re-key
+    with row_number first or the seeding degenerates (and ONE cluster
+    would make the pair stage all-pairs — tools/bench_scale.py shows
+    the re-keyed pattern). keep=false means an earlier-ranked (farther-
     from-centroid, id-tie-broken) cluster-mate is within the threshold
     and this vector is the semantic duplicate to discard."""
     assigned = CL._final_assignment(emb, k, iters, key, vec_col, n_rows)
@@ -107,6 +111,84 @@ def semantic_dedup(
         )
         .orderBy(key)
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k_clusters: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Cluster-local k-nearest-neighbor graph over the embedding corpus:
+    for every vector, its `k` nearest CLUSTER-MATES by exact integer
+    squared L2 (µunit² BIGINT — sortable without a single float op,
+    ties to the smaller neighbor id). Output: (key, neighbor_id, rank,
+    d2_mu), (key, rank)-ascending.
+
+    This is the curation graph primitive: SemDeDup-style neighborhood
+    analysis, graph-connectivity diversity metrics, label propagation,
+    and duplicate-cluster visualization all consume it. Cluster-local =
+    the IVF nprobe=1 approximation of the global kNN graph — the same
+    accuracy/cost dial as the ANN family (operators/similarity.py),
+    with recall priced there. Vectors in singleton clusters emit no
+    rows (no cluster-mates).
+
+    100 TB design: identical to semantic_dedup — Lloyd passes plus ONE
+    cid equi-join (within-cluster pairs only, O(n·E[cluster_size]) with
+    k_clusters ~ √n), then a per-vector window over candidate rows.
+    Inherits the kmeans dense-id contract (re-key sparse ids first)."""
+    assigned = CL._final_assignment(emb, k_clusters, iters, key, vec_col,
+                                    n_rows)
+    a = assigned.select(F.col("cid"), F.col("vid").alias("va"),
+                        F.col("m").alias("ma"))
+    b = assigned.select(F.col("cid"), F.col("vid").alias("vb"),
+                        F.col("m").alias("mb"))
+    d2 = ("aggregate(zip_with(ma, mb, (x, y) -> (x - y) * (x - y)), 0L,"
+          " (acc, v) -> acc + v)")
+    w = Window.partitionBy("va").orderBy(F.col("d2_mu").asc(),
+                                         F.col("vb").asc())
+    return (
+        a.join(b, "cid")
+        .filter(F.col("va") != F.col("vb"))
+        .withColumn("d2_mu", F.expr(d2))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("va").alias(key), F.col("vb").alias("neighbor_id"),
+                "rank", "d2_mu")
+        .orderBy(key, "rank")
+    )
+
+
+def knn_graph_sql(
+    table: str = "embeddings",
+    k_clusters: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int = 500,
+) -> str:
+    """DuckDB mirror of `knn_graph` (shared Lloyd CTEs + the identical
+    pair distance / window rank)."""
+    ctes, last = CL.kmeans_ctes(table, k_clusters, iters, key, vec_col,
+                                n_rows)
+    d2 = ("list_sum([ (a.m[i] - b.m[i]) * (a.m[i] - b.m[i])"
+          " FOR i IN range(1, len(a.m) + 1) ])")
+    ctes.append(f"""pairs AS (
+        SELECT a.vid AS va, b.vid AS vb,
+               CAST({d2} AS BIGINT) AS d2_mu,
+               row_number() OVER (PARTITION BY a.vid
+                                  ORDER BY {d2} ASC, b.vid ASC) AS rank
+        FROM {last} a JOIN {last} b
+          ON a.cid = b.cid AND a.vid != b.vid
+    )""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT va AS {key}, vb AS neighbor_id, rank, d2_mu
+        FROM pairs WHERE rank <= {k}
+        ORDER BY 1, 3""")
 
 
 def semantic_dedup_sql(

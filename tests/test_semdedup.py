@@ -5,7 +5,7 @@ DuckDB oracle parity."""
 import duckdb
 
 from explora_kafka_spark.operators.semdedup import (
-    semantic_dedup, semantic_dedup_sql)
+    knn_graph, knn_graph_sql, semantic_dedup, semantic_dedup_sql)
 
 
 def _emb(spark, vecs):
@@ -74,6 +74,43 @@ def test_pair_stage_is_cid_equi_join(spark, sf_dir):
     assert any(("SortMergeJoin [cid#" in ln
                 or "ShuffledHashJoin [cid#" in ln)
                for ln in plan.splitlines()), plan
+
+
+def test_knn_graph_ranks_cluster_mates_by_distance(spark):
+    # one cluster (k_clusters=1): neighbors of id 0 at distances
+    # 1, 4, 9 (µunit² ×1e12) -> ranks 1..3; no self-edges
+    vecs = [[0.0], [0.1], [0.2], [0.3]]
+    out = knn_graph(_emb(spark, vecs), k_clusters=1, iters=1,
+                    k=2).collect()
+    got = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["d2_mu"])
+           for r in out}
+    # each vector keeps its 2 nearest; 0.1-steps are 1e10 µunit²
+    assert got[(0, 1)] == (1, 10_000_000_000)
+    assert got[(0, 2)] == (2, 40_000_000_000)
+    assert got[(1, 1)][1] == 10_000_000_000  # tie 0 vs 2 -> smaller id
+    assert got[(1, 1)][0] == 0
+    assert all(r["vec_id"] != r["neighbor_id"] for r in out)
+
+
+def test_knn_graph_is_cluster_local(spark):
+    # two singleton clusters (k_clusters=2, stride 1): no cross-cluster
+    # edges means NO rows at all
+    vecs = [[0.0], [1.0]]
+    assert knn_graph(_emb(spark, vecs), k_clusters=2, iters=1,
+                     k=3).count() == 0
+
+
+def test_knn_graph_matches_duckdb_oracle(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [(r["vec_id"], r["neighbor_id"], r["rank"], r["d2_mu"])
+           for r in knn_graph(emb, k_clusters=8, iters=2, k=5).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM"
+                f" '{sf_dir}/embeddings.parquet'")
+    want = [tuple(int(x) for x in row) for row in con.execute(
+        knn_graph_sql(k_clusters=8, iters=2, k=5, n_rows=500)).fetchall()]
+    assert got == want
+    assert len(got) == 500 * 5  # every vector has >=5 cluster-mates here
 
 
 def test_matches_duckdb_oracle(spark, sf_dir):

@@ -67,7 +67,33 @@ HEADLINE = [
     # round-8 fourth wave
     "ngram_repetition", "filter_pipeline", "pack_docs",
     "click_attribution", "embedding_covariance", "local_supplier_volume",
+    # round-8 fifth wave
+    "semantic_dedup", "dsir_weights",
 ]
+
+
+def _q_semantic_dedup_rekeyed(spark, sf_dir):
+    """semantic_dedup on the sf1 replica set, re-keyed first: the
+    generator's +i·10⁹ key shifts violate the kmeans dense-id stride
+    contract (clustering.py docstring — a sparse id subset seeds fewer
+    than k clusters, and ONE cluster would make the pair stage
+    all-pairs). Re-keying with row_number is the contract's documented
+    fix; at probe scale the global window is trivial, at corpus scale
+    you re-key once at corpus build."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from explora_kafka_spark.operators import semdedup as SDD
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .alias("vec_id"), "embedding")
+    return SDD.semantic_dedup(emb, k=64, iters=2, threshold_pct=30)
+
+
+#: probe-only entry replacements (re-keying etc.); measurement twins,
+#: not correctness entries
+OVERRIDES = {"semantic_dedup": _q_semantic_dedup_rekeyed}
 
 
 def generate(spark) -> None:
@@ -119,7 +145,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
             gc.collect()
             t0 = time.time()
             try:
-                qs[name](spark, sf_dir).count()
+                (OVERRIDES.get(name) or qs[name])(spark, sf_dir).count()
             except Exception as exc:  # noqa: BLE001 — incl. KeyError
                 # one broken/renamed headline entry must not discard
                 # the whole probe after the expensive generation pass

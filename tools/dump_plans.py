@@ -200,6 +200,25 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "per-source rank window; the stats join is doc-keyed.",
         [r"Exchange hashpartitioning", r"Window", r"Join"],
     ),
+    "semantic_dedup": (
+        "SemDeDup pair stage: a SortMergeJoin on the cluster id with "
+        "rank + integer cosine as residual — within-cluster pairs only, "
+        "never a cartesian; the only BNLJs are the kmeans-family "
+        "keyless centroid broadcasts.",
+        [r"SortMergeJoin \[cid", r"BroadcastNestedLoopJoin", r"Window"],
+    ),
+    "dsir_weights": (
+        "DSIR scoring: the bucket-LM λ table broadcasts (B rows) onto "
+        "the gram stream; totals attach onto the B-row table only; the "
+        "per-doc sum is a hash aggregate with map-side combine.",
+        [r"BroadcastHashJoin", r"HashAggregate", r"BroadcastExchange"],
+    ),
+    "knn_graph": (
+        "kNN graph pair stage: the same cid equi-join as semantic_dedup "
+        "feeding a per-vector TopK window — candidate volume is "
+        "within-cluster pairs, output ≤ k rows per vector.",
+        [r"SortMergeJoin \[cid", r"Window", r"Filter.*rank"],
+    ),
 }
 
 
