@@ -1363,6 +1363,14 @@ def q_semantic_dedup(spark, sf_dir):
                               threshold_pct=30)
 
 
+def q_semantic_groups(spark, sf_dir):
+    """Semantic duplicate groups: within-cluster cosine-threshold edges
+    (exact integer cosine) -> pointer-jumping connected components —
+    the embedding-space twin of dedup_groups."""
+    return SDD.semantic_groups(_emb(spark, sf_dir), k=8, iters=2,
+                               threshold_pct=30)
+
+
 def q_knn_graph(spark, sf_dir):
     """Cluster-local kNN graph (IVF nprobe=1 approximation): each
     vector's 5 nearest cluster-mates by exact integer squared L2."""
@@ -1975,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
         "knn_graph": q_knn_graph,
+        "semantic_groups": q_semantic_groups,
         "local_supplier_volume": q_local_supplier_volume,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
@@ -2313,6 +2322,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": DSIR.dsir_weights_sql(),
         "knn_graph": SDD.knn_graph_sql(k_clusters=8, iters=2, k=5,
                                        n_rows=500),
+        "semantic_groups": SDD.semantic_groups_sql(k=8, iters=2,
+                                                   threshold_pct=30,
+                                                   n_rows=500),
         "local_supplier_volume": """
             SELECT n_name AS nation,
                    round(sum(l_extendedprice * (1 - l_discount)), 6)

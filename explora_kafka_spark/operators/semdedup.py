@@ -113,6 +113,123 @@ def semantic_dedup(
     )
 
 
+def _threshold_pairs(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    threshold_pct: int,
+    key: str,
+    vec_col: str,
+    n_rows: int | None,
+) -> DataFrame:
+    """(va, vb) with va < vb: every within-cluster pair at or above the
+    cosine threshold — the undirected semantic edge set shared by
+    semantic_groups (and the id-ordered twin of semantic_dedup's
+    rank-ordered sweep)."""
+    assigned = CL._final_assignment(emb, k, iters, key, vec_col, n_rows)
+    withn2 = assigned.select("vid", "cid", "m", F.expr(_N2).alias("n2"))
+    a = withn2.select(F.col("cid"), F.col("vid").alias("va"),
+                      F.col("m").alias("ma"), F.col("n2").alias("n2a"))
+    b = withn2.select(F.col("cid"), F.col("vid").alias("vb"),
+                      F.col("m").alias("mb"), F.col("n2").alias("n2b"))
+    t2 = threshold_pct * threshold_pct
+    return (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("_dot", F.expr(_DOT))
+        .filter(
+            (F.col("_dot") > 0)
+            & (F.expr("CAST(_dot AS DECIMAL(38,0)) * CAST(_dot AS"
+                      " DECIMAL(38,0)) * 10000")
+               >= F.expr(f"CAST({t2} AS DECIMAL(38,0))"
+                         " * CAST(n2a AS DECIMAL(38,0))"
+                         " * CAST(n2b AS DECIMAL(38,0))"))
+        )
+        .select("va", "vb")
+    )
+
+
+def semantic_groups(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold_pct: int = 95,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Semantic duplicate GROUPS: connected components over the
+    within-cluster cosine-threshold edge set — the embedding-space twin
+    of dedup_groups (MinHash/Jaccard edges → CC), sharing its
+    pointer-jumping min-label propagation (operators/dedup.py
+    connected_components). Output (key, group_id) for EVERY vector;
+    `group_id == key` rows are the canonical representatives.
+
+    Where semantic_dedup answers "which rows do I drop" with the
+    paper's keep-farthest sweep, this exposes the full group structure
+    (for corpus assembly, group-aware splits, and audit), transitively
+    closed — A~B, B~C groups {A,B,C} even when cos(A,C) < t.
+
+    100 TB: the edge set is the semantic_dedup pair stage (cid
+    equi-join, candidate-sized); CC is O(log n) pointer-jumping rounds
+    over edge endpoints only. Inherits the kmeans dense-id contract."""
+    from .dedup import connected_components
+
+    edges = _threshold_pairs(emb, k, iters, threshold_pct, key, vec_col,
+                             n_rows).select(
+        F.col("va").alias("doc_a"), F.col("vb").alias("doc_b"))
+    nodes = emb.select(F.col(key).alias("doc_id"))
+    return (
+        connected_components(nodes, edges)
+        .select(F.col("doc_id").alias(key),
+                F.col("group_id").alias("group_id"))
+        .orderBy(key)
+    )
+
+
+def semantic_groups_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    threshold_pct: int = 95,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int = 500,
+) -> str:
+    """DuckDB mirror: shared Lloyd CTEs + the identical integer-cosine
+    edge set + a recursive-CTE transitive closure (min reachable id —
+    the dedup_groups_sql pattern)."""
+    ctes, last = CL.kmeans_ctes(table, k, iters, key, vec_col, n_rows)
+    t2 = threshold_pct * threshold_pct
+    dot = ("list_sum([ CAST(a.m[i] AS HUGEINT) * b.m[i]"
+           " FOR i IN range(1, len(a.m) + 1) ])")
+    ctes.append(f"""n2t AS (
+        SELECT vid, cid, m,
+               list_sum([ CAST(m[i] AS HUGEINT) * m[i]
+                          FOR i IN range(1, len(m) + 1) ]) AS n2
+        FROM {last}
+    )""")
+    ctes.append(f"""sem_pairs AS (
+        SELECT a.vid AS va, b.vid AS vb
+        FROM n2t a JOIN n2t b ON a.cid = b.cid AND a.vid < b.vid
+        WHERE {dot} > 0
+          AND 10000 * ({dot}) * ({dot}) >= {t2} * a.n2 * b.n2
+    )""")
+    ctes.append("""e AS (
+        SELECT va AS a, vb AS b FROM sem_pairs
+        UNION ALL
+        SELECT vb, va FROM sem_pairs
+    )""")
+    ctes.append(f"""reach(a, b) AS (
+        SELECT {key}, {key} FROM {table}
+        UNION
+        SELECT e.a, r.b FROM e JOIN reach r ON r.a = e.b
+    )""")
+    return ("WITH RECURSIVE " + ",\n".join(ctes) + f"""
+        SELECT a AS {key}, min(b) AS group_id FROM reach GROUP BY a
+        ORDER BY 1""")
+
+
 def knn_graph(
     emb: DataFrame,
     k_clusters: int = 8,

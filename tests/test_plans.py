@@ -75,10 +75,12 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   query table — the identical code path and allowances (keyless
 #:   centroid broadcast for probe selection, keyless per-query ADC
 #:   attach); only the query-side input differs.
-#: - semantic_dedup / knn_graph run on the kmeans assignment, so they
-#:   inherit the kmeans-family keyless centroid broadcast; the pair
-#:   stage of each is a hash equi-join on the cluster id (the point of
-#:   the cluster-local recipe — never a cartesian).
+#: - semantic_dedup / knn_graph / semantic_groups run on the kmeans
+#:   assignment, so they inherit the kmeans-family keyless centroid
+#:   broadcast; the pair stage of each is a hash equi-join on the
+#:   cluster id (the point of the cluster-local recipe — never a
+#:   cartesian). semantic_groups additionally runs the dedup_groups
+#:   pointer-jumping CC over the edge set (equi-joins only).
 #: - dsir_weights attaches the single-row (Tr, Tt) gram totals onto the
 #:   B-row bucket-count table only (the unigram_bits constant-attach
 #:   allowance — never onto the corpus); the doc-scoring join is a
@@ -91,7 +93,7 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivf_quantized", "ann_topk_pq",
                  "ann_topk_ivfpq", "ann_topk_ivfpq_external",
                  "bm25_search", "bigram_bits", "semantic_dedup",
-                 "dsir_weights", "knn_graph"}
+                 "dsir_weights", "knn_graph", "semantic_groups"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan

@@ -5,7 +5,8 @@ DuckDB oracle parity."""
 import duckdb
 
 from explora_kafka_spark.operators.semdedup import (
-    knn_graph, knn_graph_sql, semantic_dedup, semantic_dedup_sql)
+    knn_graph, knn_graph_sql, semantic_dedup, semantic_dedup_sql,
+    semantic_groups, semantic_groups_sql)
 
 
 def _emb(spark, vecs):
@@ -74,6 +75,42 @@ def test_pair_stage_is_cid_equi_join(spark, sf_dir):
     assert any(("SortMergeJoin [cid#" in ln
                 or "ShuffledHashJoin [cid#" in ln)
                for ln in plan.splitlines()), plan
+
+
+def test_groups_are_transitively_closed(spark):
+    # angles 0deg, 40deg, 80deg in one cluster; t=70%: cos(40deg)=0.766
+    # links 0-1 and 1-2, cos(80deg)=0.174 does NOT link 0-2 — the
+    # component still merges all three (min-id label 0)
+    import math
+    vecs = [[math.cos(math.radians(a)), math.sin(math.radians(a))]
+            for a in (0, 40, 80)]
+    out = {r["vec_id"]: r["group_id"]
+           for r in semantic_groups(_emb(spark, vecs), k=1, iters=1,
+                                    threshold_pct=70).collect()}
+    assert out == {0: 0, 1: 0, 2: 0}
+
+
+def test_groups_singletons_label_themselves(spark):
+    vecs = [[1.0, 0.0], [0.0, 1.0]]  # one cluster, orthogonal
+    out = {r["vec_id"]: r["group_id"]
+           for r in semantic_groups(_emb(spark, vecs), k=1, iters=1,
+                                    threshold_pct=50).collect()}
+    assert out == {0: 0, 1: 1}
+
+
+def test_groups_match_duckdb_oracle(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [(r["vec_id"], r["group_id"])
+           for r in semantic_groups(emb, k=8, iters=2,
+                                    threshold_pct=30).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM"
+                f" '{sf_dir}/embeddings.parquet'")
+    want = [(int(a), int(b)) for a, b in con.execute(
+        semantic_groups_sql(k=8, iters=2, threshold_pct=30,
+                            n_rows=500)).fetchall()]
+    assert got == want
+    assert any(v != g for v, g in got)  # real merges at 30%
 
 
 def test_knn_graph_ranks_cluster_mates_by_distance(spark):
