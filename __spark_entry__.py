@@ -1363,6 +1363,12 @@ def q_semantic_dedup(spark, sf_dir):
                               threshold_pct=30)
 
 
+def q_semdedup_sweep(spark, sf_dir):
+    """SemDeDup threshold pricing: keep/drop counts at 9 rungs from ONE
+    pair scan (monotone WHEN-chain tiers, no sqrt/float anywhere)."""
+    return SDD.semdedup_sweep(_emb(spark, sf_dir), k=8, iters=2)
+
+
 def q_semantic_groups(spark, sf_dir):
     """Semantic duplicate groups: within-cluster cosine-threshold edges
     (exact integer cosine) -> pointer-jumping connected components —
@@ -1984,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "knn_graph": q_knn_graph,
         "semantic_groups": q_semantic_groups,
+        "semdedup_sweep": q_semdedup_sweep,
         "local_supplier_volume": q_local_supplier_volume,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
@@ -2325,6 +2332,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_groups": SDD.semantic_groups_sql(k=8, iters=2,
                                                    threshold_pct=30,
                                                    n_rows=500),
+        "semdedup_sweep": SDD.semdedup_sweep_sql(k=8, iters=2,
+                                                 n_rows=500),
         "local_supplier_volume": """
             SELECT n_name AS nation,
                    round(sum(l_extendedprice * (1 - l_discount)), 6)

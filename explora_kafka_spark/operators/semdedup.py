@@ -149,6 +149,142 @@ def _threshold_pairs(
     )
 
 
+def semdedup_sweep(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    rungs: tuple[int, ...] = (10, 20, 30, 40, 50, 60, 70, 80, 90),
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Price the SemDeDup threshold dial: keep/drop counts at every
+    rung from ONE pair scan (the tune_nprobe shared-scan shape —
+    operators/similarity.py). Output (threshold_pct, n_dropped,
+    n_kept), rung-ascending; each row is exactly what
+    `semantic_dedup(threshold_pct=rung)` would produce, because the
+    farthest-first rank order is threshold-independent: a vector is
+    dropped at rung t iff its best earlier-ranked cluster-mate cosine
+    reaches t, so one per-vector MAX-TIER aggregate prices every rung.
+
+    Exact integers throughout: each pair's tier is the largest rung
+    whose squared comparison holds (a monotone WHEN-chain of the
+    semantic_dedup predicate — no sqrt, no floats); rung fan-out is a
+    literal-array filter+explode, no join against the pair set.
+
+    100 TB: the pair stage is the one semantic_dedup cid equi-join;
+    everything after is per-vector aggregates and a ≤|rungs|-row
+    result. The corpus count is the same single scalar kmeans already
+    takes for its stride."""
+    if n_rows is None:
+        n_rows = emb.count()
+    assigned = CL._final_assignment(emb, k, iters, key, vec_col, n_rows)
+    w = Window.partitionBy("cid").orderBy(F.col("_d2").desc(),
+                                          F.col("vid").asc())
+    ranked = assigned.select(
+        "vid", "cid", "m",
+        F.expr(_N2).alias("n2"),
+        F.row_number().over(w).alias("r"),
+    )
+    a = ranked.select(F.col("cid"), F.col("r").alias("ra"),
+                      F.col("m").alias("ma"), F.col("n2").alias("n2a"))
+    b = ranked.select(F.col("cid"),
+                      F.col("vid").alias("vb"), F.col("r").alias("rb"),
+                      F.col("m").alias("mb"), F.col("n2").alias("n2b"))
+    tier = None
+    for t in sorted(rungs):
+        t2 = t * t
+        pred = (F.expr("CAST(_dot AS DECIMAL(38,0)) * CAST(_dot AS"
+                       " DECIMAL(38,0)) * 10000")
+                >= F.expr(f"CAST({t2} AS DECIMAL(38,0))"
+                          " * CAST(n2a AS DECIMAL(38,0))"
+                          " * CAST(n2b AS DECIMAL(38,0))"))
+        tier = F.when(pred, F.lit(t)) if tier is None \
+            else F.when(pred, F.lit(t)).otherwise(tier)
+    max_tier = (
+        a.join(b, "cid")
+        .filter(F.col("ra") < F.col("rb"))
+        .withColumn("_dot", F.expr(_DOT))
+        .filter(F.col("_dot") > 0)
+        .withColumn("_tier", tier)
+        .filter(F.col("_tier") > 0)
+        .groupBy("vb")
+        .agg(F.max("_tier").alias("mx"))
+    )
+    rung_lit = "array(" + ",".join(str(t) for t in sorted(rungs)) + ")"
+    drops = (
+        max_tier.select(F.explode(F.expr(
+            f"filter({rung_lit}, t -> t <= mx)")).alias("threshold_pct"))
+        .groupBy("threshold_pct")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    spine = emb.sparkSession.createDataFrame(
+        [(t,) for t in sorted(rungs)], "threshold_pct int")
+    return (
+        spine.join(F.broadcast(drops), "threshold_pct", "left")
+        .select(
+            "threshold_pct",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.lit(n_rows) - F.coalesce("n_dropped", F.lit(0)))
+            .alias("n_kept"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+def semdedup_sweep_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    rungs: tuple[int, ...] = (10, 20, 30, 40, 50, 60, 70, 80, 90),
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int = 500,
+) -> str:
+    """DuckDB mirror: shared Lloyd CTEs + the same rank / pair tier /
+    rung fan-out (HUGEINT predicates)."""
+    ctes, last = CL.kmeans_ctes(table, k, iters, key, vec_col, n_rows)
+    dot = ("list_sum([ CAST(a.m[i] AS HUGEINT) * b.m[i]"
+           " FOR i IN range(1, len(a.m) + 1) ])")
+    tiers = " ".join(
+        f"WHEN 10000 * _dot * _dot >= {t * t} * n2a * n2b THEN {t}"
+        for t in sorted(rungs, reverse=True))
+    rung_list = "[" + ",".join(str(t) for t in sorted(rungs)) + "]"
+    ctes.append(f"""ranked AS (
+        SELECT vid, cid, m,
+               list_sum([ CAST(m[i] AS HUGEINT) * m[i]
+                          FOR i IN range(1, len(m) + 1) ]) AS n2,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY _d2 DESC, vid ASC) AS r
+        FROM {last}
+    )""")
+    ctes.append(f"""pair_tier AS (
+        SELECT vb, CASE {tiers} ELSE 0 END AS tier
+        FROM (SELECT b.vid AS vb, {dot} AS _dot,
+                     a.n2 AS n2a, b.n2 AS n2b
+              FROM ranked a JOIN ranked b
+                ON a.cid = b.cid AND a.r < b.r)
+        WHERE _dot > 0
+    )""")
+    ctes.append("""mxv AS (
+        SELECT vb, max(tier) AS mxt FROM pair_tier
+        WHERE tier > 0 GROUP BY vb
+    )""")
+    ctes.append(f"""drops AS (
+        SELECT u.t AS threshold_pct, count(*) AS n_dropped
+        FROM (SELECT list_filter({rung_list}, t -> t <= mxt) AS ts
+              FROM mxv), unnest(ts) AS u(t)
+        GROUP BY u.t
+    )""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT s.t AS threshold_pct,
+               coalesce(d.n_dropped, 0) AS n_dropped,
+               {n_rows} - coalesce(d.n_dropped, 0) AS n_kept
+        FROM unnest({rung_list}) AS s(t)
+        LEFT JOIN drops d ON s.t = d.threshold_pct
+        ORDER BY 1""")
+
+
 def semantic_groups(
     emb: DataFrame,
     k: int = 8,

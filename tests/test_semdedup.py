@@ -6,7 +6,8 @@ import duckdb
 
 from explora_kafka_spark.operators.semdedup import (
     knn_graph, knn_graph_sql, semantic_dedup, semantic_dedup_sql,
-    semantic_groups, semantic_groups_sql)
+    semantic_groups, semantic_groups_sql, semdedup_sweep,
+    semdedup_sweep_sql)
 
 
 def _emb(spark, vecs):
@@ -75,6 +76,35 @@ def test_pair_stage_is_cid_equi_join(spark, sf_dir):
     assert any(("SortMergeJoin [cid#" in ln
                 or "ShuffledHashJoin [cid#" in ln)
                for ln in plan.splitlines()), plan
+
+
+def test_sweep_prices_every_rung_like_semantic_dedup(spark, sf_dir):
+    # every sweep row must equal an independent semantic_dedup run at
+    # that rung — the shared-scan shortcut may not change semantics
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sweep = {r["threshold_pct"]: r["n_dropped"]
+             for r in semdedup_sweep(emb, k=8, iters=2,
+                                     rungs=(20, 30, 40)).collect()}
+    for t in (20, 30, 40):
+        direct = sum(
+            1 for r in semantic_dedup(emb, k=8, iters=2,
+                                      threshold_pct=t).collect()
+            if not r["keep"])
+        assert sweep[t] == direct
+    # monotone: higher threshold never drops more
+    assert sweep[20] >= sweep[30] >= sweep[40]
+
+
+def test_sweep_matches_duckdb_oracle(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [(r["threshold_pct"], r["n_dropped"], r["n_kept"])
+           for r in semdedup_sweep(emb, k=8, iters=2).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM"
+                f" '{sf_dir}/embeddings.parquet'")
+    want = [tuple(int(x) for x in row) for row in con.execute(
+        semdedup_sweep_sql(k=8, iters=2, n_rows=500)).fetchall()]
+    assert got == want
 
 
 def test_groups_are_transitively_closed(spark):
