@@ -1363,6 +1363,13 @@ def q_semantic_dedup(spark, sf_dir):
                               threshold_pct=30)
 
 
+def q_pca_project(spark, sf_dir):
+    """Project the corpus onto the dominant PCA axis (statistic ->
+    axis -> scores): exact BIGINT dots vs a literal axis array, one
+    double division for the centered unit-scale score."""
+    return CENT.pca_project(_emb(spark, sf_dir))
+
+
 def q_semdedup_sweep(spark, sf_dir):
     """SemDeDup threshold pricing: keep/drop counts at 9 rungs from ONE
     pair scan (monotone WHEN-chain tiers, no sqrt/float anywhere)."""
@@ -1991,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "semantic_groups": q_semantic_groups,
         "semdedup_sweep": q_semdedup_sweep,
+        "pca_project": q_pca_project,
         "local_supplier_volume": q_local_supplier_volume,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
@@ -2334,6 +2342,7 @@ def oracle_sql() -> dict[str, str]:
                                                    n_rows=500),
         "semdedup_sweep": SDD.semdedup_sweep_sql(k=8, iters=2,
                                                  n_rows=500),
+        "pca_project": CENT.pca_project_sql(),
         "local_supplier_volume": """
             SELECT n_name AS nation,
                    round(sum(l_extendedprice * (1 - l_discount)), 6)

@@ -34,6 +34,11 @@ from pyspark.sql import functions as F
 #: micro-unit scale shared with the SQL mirrors
 _MU = 1e6
 
+#: µunit quantization as a SQL expression (the clustering.py _MU_COL
+#: twin, here for literal-axis folds)
+_MU_EXPR = ("transform({vec}, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6"
+            " + 0.5) AS BIGINT))")
+
 
 def _centroid_mu(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """(label, dim, cmu): per-label per-dimension centroid in exact
@@ -345,13 +350,28 @@ def pca_top_component(
     rows = _cov_sums(emb, vec_col).collect()
     if not rows:
         return emb.sparkSession.createDataFrame([], "j int, v_mu bigint")
+    d, _n, _M, v = _power_axis(rows, n_iters)
+    return emb.sparkSession.createDataFrame(
+        [(j, v[j]) for j in range(d)], "j int, v_mu bigint"
+    )
+
+
+def _power_axis(rows, n_iters: int) -> tuple[int, int, list[int], list[int]]:
+    """The exact-integer power iteration over collected `_cov_sums`
+    rows (shared by pca_top_component / pca_project). Returns
+    (d, n, M, v): dimension, corpus count, µunit column sums, and the
+    sign-canonicalized µunit axis."""
     d = max(r["k"] for r in rows) + 1
+    n = int(rows[0]["n_d"])
+    M = [0] * d
     A = [[0] * d for _ in range(d)]
     for r in rows:
-        n, s = int(r["n_d"]), int(r["s_d"])
+        s = int(r["s_d"])
         a = n * s - int(r["mj_d"]) * int(r["mk_d"])
         A[r["j"]][r["k"]] = a
         A[r["k"]][r["j"]] = a
+        M[r["j"]] = int(r["mj_d"])
+        M[r["k"]] = int(r["mk_d"])
     v = [1_000_000] * d
     for _ in range(n_iters):
         w = [sum(A[j][k] * v[k] for k in range(d)) for j in range(d)]
@@ -362,21 +382,69 @@ def pca_top_component(
     lead = next((x for x in v if x != 0), 0)
     if lead < 0:
         v = [-x for x in v]
-    return emb.sparkSession.createDataFrame(
-        [(j, v[j]) for j in range(d)], "j int, v_mu bigint"
+    return d, n, M, v
+
+
+def pca_project(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_iters: int = PCA_ITERS,
+    key: str = "vec_id",
+) -> DataFrame:
+    """Project every corpus vector onto the dominant PCA axis — the
+    APPLICATION step that closes the statistic → axis → scores loop
+    (dimensionality reduction to the leading coordinate; the 1-d
+    embedding curation dial: sort/bucket/stratify by principal score).
+
+    Output (key-ascending): key, dot_mu (exact BIGINT Σ q_j·v_mu_j —
+    the uncentered µ²-scale projection, partitioning-independent), and
+    score = round(((x − x̄)·v̂), 6) — the CENTERED unit-scale
+    projection, computed as (n·dot − M·v)/(n·1e12) with the numerator
+    in EXACT integer arithmetic (decimal(38,0) / HUGEINT) and exactly
+    ONE double division at the end (the round(6) family's single-float
+    discipline).
+
+    100 TB: the axis fit is `pca_top_component`'s one distributed pass
+    (the d²-integer statistic); the axis then rides into a LITERAL
+    d-array inside whole-stage codegen — projection is a shuffle-free
+    map over the corpus (the statistic-sized-loop pattern: corpus work
+    distributed, d-sized math driver-side)."""
+    rows = _cov_sums(emb, vec_col).collect()
+    if not rows:
+        return emb.sparkSession.createDataFrame(
+            [], f"{key} bigint, dot_mu bigint, score double")
+    d, n, M, v = _power_axis(rows, n_iters)
+    mv = sum(M[j] * v[j] for j in range(d))
+    axis = "array(" + ",".join(f"{x}L" for x in v) + ")"
+    dot = (f"aggregate(zip_with({_MU_EXPR.format(vec=vec_col)}, {axis},"
+           " (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+    return (
+        emb.select(
+            F.col(key),
+            F.expr(dot).alias("dot_mu"),
+        )
+        .select(
+            key,
+            "dot_mu",
+            F.round(
+                (F.lit(n).cast("decimal(38,0)")
+                 * F.col("dot_mu").cast("decimal(38,0)")
+                 - F.lit(str(mv)).cast("decimal(38,0)")).cast("double")
+                / F.lit(float(n) * 1e12),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(key)
     )
 
 
-def pca_top_component_sql(
-    table: str = "embeddings",
-    vec_col: str = "embedding",
-    n_iters: int = PCA_ITERS,
-) -> str:
-    """DuckDB mirror of `pca_top_component`: the same covariance pairs
-    CTE, then `n_iters` unrolled matvec + max-abs half-up renormalize
-    stages over exact HUGEINT arithmetic (the kmeans/bpe unrolled-CTE
-    precedent). Magnitudes: |A| ≲ n²·µ²·d, |A·v| ≲ that ×1e6·d — far
-    inside int128."""
+def _pca_axis_ctes(
+    table: str, vec_col: str, n_iters: int
+) -> tuple[str, str]:
+    """The shared unrolled power-iteration CTE chain (q/pairs/a/v0..vN
+    + flip). Returns (cte_body, final_v_name); consumers append their
+    own CTEs/SELECT. Used by pca_top_component_sql and
+    pca_project_sql."""
     steps = []
     prev = "v0"
     for i in range(1, n_iters + 1):
@@ -400,8 +468,7 @@ def pca_top_component_sql(
         )""")
         prev = f"v{i}"
     steps_sql = ",".join(steps)
-    return f"""
-        WITH q AS MATERIALIZED (
+    body = f"""q AS MATERIALIZED (
             SELECT list_transform(
                        {vec_col},
                        x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)
@@ -434,8 +501,68 @@ def pca_top_component_sql(
                 SELECT v FROM {prev}
                 WHERE jj = (SELECT min(jj) FROM {prev} WHERE v <> 0)
             ) < 0 THEN -1 ELSE 1 END AS s
-        )
+        )"""
+    return body, prev
+
+
+def pca_top_component_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    n_iters: int = PCA_ITERS,
+) -> str:
+    """DuckDB mirror of `pca_top_component`: the same covariance pairs
+    CTE, then `n_iters` unrolled matvec + max-abs half-up renormalize
+    stages over exact HUGEINT arithmetic (the kmeans/bpe unrolled-CTE
+    precedent). Magnitudes: |A| ≲ n²·µ²·d, |A·v| ≲ that ×1e6·d — far
+    inside int128."""
+    body, prev = _pca_axis_ctes(table, vec_col, n_iters)
+    return f"""
+        WITH {body}
         SELECT jj AS j, CAST(v * flip.s AS BIGINT) AS v_mu
         FROM {prev}, flip
         ORDER BY j
+    """
+
+
+def pca_project_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    n_iters: int = PCA_ITERS,
+    key: str = "vec_id",
+) -> str:
+    """DuckDB mirror of `pca_project`: the shared axis CTE chain, then
+    M·v and per-row dots in exact HUGEINT, one double division +
+    round(6) — identical float exposure to the Spark side."""
+    body, prev = _pca_axis_ctes(table, vec_col, n_iters)
+    return f"""
+        WITH {body},
+        axis AS (
+            SELECT jj AS j, v * flip.s AS v_mu FROM {prev}, flip
+        ),
+        axis_list AS (
+            SELECT list(v_mu ORDER BY j) AS av FROM axis
+        ),
+        mvec AS (
+            SELECT j, max(mj) AS mj FROM pairs GROUP BY j
+        ),
+        consts AS (
+            SELECT (SELECT max(n) FROM pairs) AS n,
+                   (SELECT sum(m.mj * ax.v_mu)
+                    FROM mvec m JOIN axis ax ON m.j = ax.j) AS mv
+        ),
+        scored AS (
+            SELECT e.{key},
+                   list_sum([ CAST(floor(CAST({vec_col}[i] AS DOUBLE)
+                                         * 1e6 + 0.5) AS HUGEINT)
+                              * av[i]
+                              FOR i IN range(1, len({vec_col}) + 1) ])
+                       AS dot
+            FROM {table} e, axis_list
+        )
+        SELECT {key},
+               CAST(dot AS BIGINT) AS dot_mu,
+               round(CAST(consts.n * dot - consts.mv AS DOUBLE)
+                     / (CAST(consts.n AS DOUBLE) * 1e12), 6) AS score
+        FROM scored, consts
+        ORDER BY 1
     """

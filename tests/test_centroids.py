@@ -148,3 +148,40 @@ def test_pca_top_component_rayleigh_and_determinism(spark, sf_dir):
     lam1 = np.linalg.eigvalsh(C)[-1]
     R = (v @ C @ v) / (v @ v)
     assert R / lam1 > 0.9
+
+
+def test_pca_project_scores_center_and_rank(spark):
+    """Points spread along one dominant axis: centered scores sum to
+    ~0 and rank in coordinate order; dot_mu is exact integer."""
+    from explora_kafka_spark.operators.centroids import pca_project
+
+    rows = [(i, [float(i - 2), 0.001 * i]) for i in range(5)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>")
+    out = pca_project(emb).collect()
+    scores = [r["score"] for r in out]
+    assert abs(sum(scores)) < 1e-4          # centered
+    assert scores == sorted(scores) or scores == sorted(scores,
+                                                        reverse=True)
+    # the dominant coordinate spans [-2, 2]: extreme scores ~ +-2
+    assert max(abs(s) for s in scores) > 1.5
+
+
+def test_pca_project_deterministic_and_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from explora_kafka_spark.operators.centroids import (
+        pca_project, pca_project_sql)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = [(r["vec_id"], r["dot_mu"], r["score"])
+         for r in pca_project(emb).collect()]
+    b = [(r["vec_id"], r["dot_mu"], r["score"])
+         for r in pca_project(emb.repartition(7)).collect()]
+    assert a == b
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM"
+                f" '{sf_dir}/embeddings.parquet'")
+    want = [(int(v), int(d), float(s)) for v, d, s in con.execute(
+        pca_project_sql()).fetchall()]
+    assert a == want
