@@ -1363,6 +1363,18 @@ def q_semantic_dedup(spark, sf_dir):
                               threshold_pct=30)
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR selection: top-100 raw docs by importance log-ratio
+    (deterministic resampling variant, TakeOrdered)."""
+    return DSIR.dsir_select(_docs(spark, sf_dir), top=100)
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (BPE pieces per whitespace
+    word) — the multilingual token-budget diagnostic."""
+    return T.tokenizer_fertility(_docs(spark, sf_dir))
+
+
 def q_pca_project(spark, sf_dir):
     """Project the corpus onto the dominant PCA axis (statistic ->
     axis -> scores): exact BIGINT dots vs a literal axis array, one
@@ -1999,6 +2011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_groups": q_semantic_groups,
         "semdedup_sweep": q_semdedup_sweep,
         "pca_project": q_pca_project,
+        "dsir_select": q_dsir_select,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "local_supplier_volume": q_local_supplier_volume,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
@@ -2343,6 +2357,8 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_sweep": SDD.semdedup_sweep_sql(k=8, iters=2,
                                                  n_rows=500),
         "pca_project": CENT.pca_project_sql(),
+        "dsir_select": DSIR.dsir_select_sql(top=100),
+        "tokenizer_fertility": T.tokenizer_fertility_sql(),
         "local_supplier_volume": """
             SELECT n_name AS nation,
                    round(sum(l_extendedprice * (1 - l_discount)), 6)

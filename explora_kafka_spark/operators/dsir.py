@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .text import norm_col, norm_sql
 
@@ -125,6 +126,55 @@ def dsir_weights(
                 F.col("log_ratio_mu"))
         .orderBy(key)
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    top: int = 100,
+    target_lang: str = "en",
+    n_buckets: int = 256,
+    key: str = "doc_id",
+) -> DataFrame:
+    """The DSIR selection step: the `top` raw documents most like the
+    target distribution by importance log-ratio (deterministic
+    variant of the paper's Gumbel-noised resampling — ties break on
+    the smaller key, gram-less documents never selected). Output
+    (key, log_ratio_mu, rank), rank-ascending.
+
+    100 TB: dsir_weights' two passes plus one global top-`top` —
+    Spark executes orderBy+limit as per-partition TakeOrdered then a
+    `top`-sized merge, never a full sort materialization."""
+    w = dsir_weights(docs, target_lang, n_buckets, key)
+    ranked = (
+        w.filter(F.col("log_ratio_mu").isNotNull())
+        .orderBy(F.col("log_ratio_mu").desc(), F.col(key).asc())
+        .limit(top)
+    )
+    win = Window.orderBy(F.col("log_ratio_mu").desc(), F.col(key).asc())
+    return ranked.select(
+        key, "log_ratio_mu",
+        F.row_number().over(win).alias("rank"),
+    ).orderBy("rank")
+
+
+def dsir_select_sql(
+    table: str = "documents",
+    top: int = 100,
+    target_lang: str = "en",
+    n_buckets: int = 256,
+    key: str = "doc_id",
+) -> str:
+    """DuckDB mirror of `dsir_select`."""
+    inner = dsir_weights_sql(table, target_lang, n_buckets, key)
+    return f"""
+        SELECT {key}, log_ratio_mu,
+               row_number() OVER (ORDER BY log_ratio_mu DESC,
+                                  {key} ASC) AS rank
+        FROM ({inner})
+        WHERE log_ratio_mu IS NOT NULL
+        ORDER BY log_ratio_mu DESC, {key} ASC
+        LIMIT {top}
+    """
 
 
 def dsir_weights_sql(

@@ -241,6 +241,56 @@ def with_token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility report — the standard
+    multilingual tokenizer diagnostic (pieces per word): languages the
+    pretokenizer fragments heavily (here: zh, where the [^a-z0-9]+ run
+    class swallows whole CJK strings vs en's word splits) pay more
+    context window per word, which drives per-language token budgets
+    (token_budget_sample) and mixture weights.
+
+    Output (lang-ascending): lang, n_docs, n_ws_tokens, n_bpe_tokens,
+    fertility = round(Σbpe/Σws, 6) — corpus-level ratio, not a mean of
+    per-doc ratios (long docs weigh more, the budget-relevant way).
+
+    100 TB: one projection + one |langs|-row partial-agg shuffle."""
+    ws = tokens_col("text")
+    bpe = bpe_tokens_col("text")
+    return (
+        docs.select("lang", F.size(ws).alias("_ws"),
+                    F.size(bpe).alias("_bpe"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_ws").alias("n_ws_tokens"),
+            F.sum("_bpe").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("_bpe").cast("double")
+                / F.greatest(F.sum("_ws"), F.lit(1)).cast("double"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+def tokenizer_fertility_sql(table: str = "documents") -> str:
+    """DuckDB mirror of `tokenizer_fertility`."""
+    ws = tokens_sql("text")
+    pat = BPE_PRETOKEN_RE.replace("'", "''")
+    bpe = f"regexp_extract_all({norm_sql('text')}, '{pat}')"
+    return f"""
+        SELECT lang, count(*) AS n_docs,
+               sum(len({ws})) AS n_ws_tokens,
+               sum(len({bpe})) AS n_bpe_tokens,
+               round(CAST(sum(len({bpe})) AS DOUBLE)
+                     / CAST(greatest(sum(len({ws})), 1) AS DOUBLE),
+                     6) AS fertility
+        FROM {table}
+        GROUP BY lang
+        ORDER BY lang
+    """
+
+
 def token_counts_sql(table: str = "documents") -> str:
     ws = tokens_sql("text")
     pat = BPE_PRETOKEN_RE.replace("'", "''")

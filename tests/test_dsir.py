@@ -7,7 +7,8 @@ import math
 
 import duckdb
 
-from explora_kafka_spark.operators.dsir import dsir_weights, dsir_weights_sql
+from explora_kafka_spark.operators.dsir import (
+    dsir_select, dsir_select_sql, dsir_weights, dsir_weights_sql)
 
 
 def _docs(spark, rows):
@@ -70,6 +71,32 @@ def test_target_like_docs_score_higher(spark):
           for r in dsir_weights(_docs(spark, rows)).collect()}
     assert mu[0] > mu[2]
     assert mu[1] > mu[3]
+
+
+def test_select_takes_top_by_weight_and_skips_gramless(spark):
+    rows = [("the quick brown fox", "en"), ("the lazy brown dog", "en"),
+            ("der schnelle braune fuchs", "de"), ("", "en")]
+    docs = _docs(spark, rows)
+    weights = {r["doc_id"]: r["log_ratio_mu"]
+               for r in dsir_weights(docs).collect()
+               if r["log_ratio_mu"] is not None}
+    out = dsir_select(docs, top=2).collect()
+    want = sorted(weights, key=lambda d: (-weights[d], d))[:2]
+    assert [r["doc_id"] for r in out] == want
+    assert [r["rank"] for r in out] == [1, 2]
+    assert 3 not in {r["doc_id"] for r in out}  # gram-less never selected
+
+
+def test_select_matches_duckdb_oracle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [(r["doc_id"], r["log_ratio_mu"], r["rank"])
+           for r in dsir_select(docs, top=50).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM"
+                f" '{sf_dir}/documents.parquet'")
+    want = [tuple(int(x) for x in row) for row in con.execute(
+        dsir_select_sql(top=50)).fetchall()]
+    assert got == want
 
 
 def test_matches_duckdb_oracle(spark, sf_dir):

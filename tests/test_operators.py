@@ -959,3 +959,34 @@ def test_ann_ivfpq_external_queries_serve_without_self_exclusion_loss(
     for qid, (nid, d2) in top1.items():
         assert nid == qid - S.EXTERNAL_QUERY_ID_SHIFT
         assert d2 == 0
+
+
+def test_tokenizer_fertility_is_corpus_ratio_per_lang(spark, docs):
+    import duckdb
+
+    out = {r["lang"]: r for r in T.tokenizer_fertility(docs).collect()}
+    # every language present, counts consistent, ratio = sums ratio
+    per_doc = docs.select(
+        "lang",
+        F.size(T.tokens_col("text")).alias("ws"),
+        F.size(T.bpe_tokens_col("text")).alias("bp"),
+    ).groupBy("lang").agg(F.sum("ws").alias("ws"),
+                          F.sum("bp").alias("bp")).collect()
+    for r in per_doc:
+        row = out[r["lang"]]
+        assert row["n_ws_tokens"] == r["ws"]
+        assert row["n_bpe_tokens"] == r["bp"]
+        assert row["fertility"] == round(r["bp"] / max(r["ws"], 1), 6)
+    # zh strings fragment as opaque runs -> fewer pieces per ws token
+    # than en word-splitting would produce; both must be positive
+    assert out["en"]["fertility"] > 0
+    # oracle parity
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM"
+                f" '{SF_DIR}/documents.parquet'")
+    want = [(a, int(b), int(c), int(d), float(e)) for a, b, c, d, e in
+            con.execute(T.tokenizer_fertility_sql()).fetchall()]
+    got = [(r["lang"], r["n_docs"], r["n_ws_tokens"], r["n_bpe_tokens"],
+            r["fertility"])
+           for r in T.tokenizer_fertility(docs).collect()]
+    assert got == want
