@@ -1382,6 +1382,34 @@ def q_pca_project(spark, sf_dir):
     return CENT.pca_project(_emb(spark, sf_dir))
 
 
+_SEM_INDEXES: dict[str, tuple[str, int]] = {}
+
+
+def _sem_index(spark, sf_dir) -> tuple[str, int]:
+    """Materialized (cached) semantic-dedup index over the FIRST HALF
+    of the embeddings (dense ids, so the kmeans stride contract
+    holds); returns (path, split_id)."""
+    if sf_dir not in _SEM_INDEXES:
+        emb = _emb(spark, sf_dir)
+        split = emb.count() // 2
+        d = tempfile.mkdtemp(prefix="explora_semidx_")
+        _TMPDIRS.append(d)
+        SDD.build_semantic_index(
+            emb.filter(F.col("vec_id") < split), f"{d}/sem",
+            k=8, iters=2, threshold_pct=30)
+        _SEM_INDEXES[sf_dir] = (f"{d}/sem", split)
+    return _SEM_INDEXES[sf_dir]
+
+
+def q_semdedup_check(spark, sf_dir):
+    """Incremental semantic dedup: the second half of the embeddings
+    checked against the materialized first-half index (stored Lloyd
+    centroids + kept reps; batch cost independent of corpus size)."""
+    path, split = _sem_index(spark, sf_dir)
+    batch = _emb(spark, sf_dir).filter(F.col("vec_id") >= split)
+    return SDD.semdedup_check(spark, batch, path, threshold_pct=30)
+
+
 def q_semdedup_sweep(spark, sf_dir):
     """SemDeDup threshold pricing: keep/drop counts at 9 rungs from ONE
     pair scan (monotone WHEN-chain tiers, no sqrt/float anywhere)."""
@@ -2013,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "dsir_select": q_dsir_select,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "semdedup_check": q_semdedup_check,
         "local_supplier_volume": q_local_supplier_volume,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
@@ -2359,6 +2388,9 @@ def oracle_sql() -> dict[str, str]:
         "pca_project": CENT.pca_project_sql(),
         "dsir_select": DSIR.dsir_select_sql(top=100),
         "tokenizer_fertility": T.tokenizer_fertility_sql(),
+        "semdedup_check": SDD.semdedup_check_sql(split_id=250,
+                                                 k=8, iters=2,
+                                                 threshold_pct=30),
         "local_supplier_volume": """
             SELECT n_name AS nation,
                    round(sum(l_extendedprice * (1 - l_discount)), 6)

@@ -96,7 +96,7 @@ def kmeans(
     them) from stride-sampled init. Returns the final assignment:
     (key, cluster), key-ascending. iters=1 is pure nearest-init-centroid
     assignment (the IVF list assignment)."""
-    assigned = _final_assignment(emb, k, iters, key, vec_col, n_rows)
+    assigned, _ = _final_assignment(emb, k, iters, key, vec_col, n_rows)
     return (
         assigned.select(F.col("vid").alias(key), F.col("cid").alias("cluster"))
         .orderBy(key)
@@ -110,8 +110,11 @@ def _final_assignment(
     key: str,
     vec_col: str,
     n_rows: int | None,
-) -> DataFrame:
-    """Shared Lloyd loop: (vid, m, cid, _d2) under the final centroids."""
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd loop. Returns (assigned, cent): the final
+    (vid, m, cid, _d2) assignment AND the (cid, cm) centroid table it
+    was made under (for index materialization / out-of-corpus
+    assignment — operators/semdedup.py's incremental check)."""
     if n_rows is None:
         n_rows = emb.count()
     stride = kmeans_stride(n_rows, k)
@@ -128,7 +131,7 @@ def _final_assignment(
     for _ in range(iters - 1):
         cent = _update(assigned).localCheckpoint(eager=True)
         assigned = _assign(mu, cent)
-    return assigned
+    return assigned, cent
 
 
 def kmeans_sizes(
@@ -170,7 +173,7 @@ def kmeans_outliers(
     computes d2; this keeps it) plus one global top-`top` — Spark
     executes orderBy+limit as per-partition TakeOrdered then a
     `top`-sized merge, no full sort materialization."""
-    assigned = _final_assignment(emb, k, iters, key, vec_col, n_rows)
+    assigned, _ = _final_assignment(emb, k, iters, key, vec_col, n_rows)
     return (
         assigned.select(
             F.col("vid").alias(key),

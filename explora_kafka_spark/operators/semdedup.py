@@ -71,7 +71,8 @@ def semantic_dedup(
     the re-keyed pattern). keep=false means an earlier-ranked (farther-
     from-centroid, id-tie-broken) cluster-mate is within the threshold
     and this vector is the semantic duplicate to discard."""
-    assigned = CL._final_assignment(emb, k, iters, key, vec_col, n_rows)
+    assigned, _ = CL._final_assignment(emb, k, iters, key, vec_col,
+                                       n_rows)
     w = Window.partitionBy("cid").orderBy(F.col("_d2").desc(),
                                           F.col("vid").asc())
     ranked = assigned.select(
@@ -126,7 +127,8 @@ def _threshold_pairs(
     cosine threshold — the undirected semantic edge set shared by
     semantic_groups (and the id-ordered twin of semantic_dedup's
     rank-ordered sweep)."""
-    assigned = CL._final_assignment(emb, k, iters, key, vec_col, n_rows)
+    assigned, _ = CL._final_assignment(emb, k, iters, key, vec_col,
+                                       n_rows)
     withn2 = assigned.select("vid", "cid", "m", F.expr(_N2).alias("n2"))
     a = withn2.select(F.col("cid"), F.col("vid").alias("va"),
                       F.col("m").alias("ma"), F.col("n2").alias("n2a"))
@@ -147,6 +149,210 @@ def _threshold_pairs(
         )
         .select("va", "vb")
     )
+
+
+def build_semantic_index(
+    emb: DataFrame,
+    path: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold_pct: int = 95,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> None:
+    """Materialize the corpus's SemDeDup state once per corpus
+    snapshot — the incremental twin of `semantic_dedup`, for the "is
+    this incoming batch a semantic duplicate of anything we already
+    hold?" question a continuously-growing corpus asks on every ingest
+    (the dedup.build_dedup_index / contamination index precedent, now
+    for the embedding tier).
+
+    Layout: `{path}/centroids` (cid, cm — the FINAL Lloyd centroids,
+    k×d, so new vectors assign exactly as the corpus did) and
+    `{path}/reps` hive-partitioned by cid (vid, m, n2 — only the KEPT
+    representatives; duplicates-of-duplicates add no checking power
+    and are not stored). Without the index every batch pays a full
+    corpus re-cluster; with it a batch pays one broadcast assignment +
+    an equi-join against its probed partitions only."""
+    assigned, cent = CL._final_assignment(emb, k, iters, key, vec_col,
+                                          n_rows)
+    w = Window.partitionBy("cid").orderBy(F.col("_d2").desc(),
+                                          F.col("vid").asc())
+    ranked = assigned.select(
+        "vid", "cid", "m", F.expr(_N2).alias("n2"),
+        F.row_number().over(w).alias("r"),
+    )
+    a = ranked.select(F.col("cid"), F.col("r").alias("ra"),
+                      F.col("m").alias("ma"), F.col("n2").alias("n2a"))
+    b = ranked.select(F.col("cid"),
+                      F.col("vid").alias("vb"), F.col("r").alias("rb"),
+                      F.col("m").alias("mb"), F.col("n2").alias("n2b"))
+    t2 = threshold_pct * threshold_pct
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("ra") < F.col("rb"))
+        .withColumn("_dot", F.expr(_DOT))
+        .filter(
+            (F.col("_dot") > 0)
+            & (F.expr("CAST(_dot AS DECIMAL(38,0)) * CAST(_dot AS"
+                      " DECIMAL(38,0)) * 10000")
+               >= F.expr(f"CAST({t2} AS DECIMAL(38,0))"
+                         " * CAST(n2a AS DECIMAL(38,0))"
+                         " * CAST(n2b AS DECIMAL(38,0))"))
+        )
+        .select(F.col("vb").alias("vid"))
+        .distinct()
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    (ranked.join(dropped, "vid", "left_anti")
+     .select("vid", "cid", "m", "n2")
+     .repartition("cid")
+     .write.mode("overwrite").partitionBy("cid")
+     .parquet(f"{path}/reps"))
+
+
+def semdedup_check(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    threshold_pct: int = 95,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Check an incoming batch against a materialized semantic index
+    WITHOUT rescanning the corpus: assign each batch vector to its
+    nearest stored centroid (the exact `clustering._assign` argmin, so
+    assignment is identical to what the corpus build did), then
+    equi-join the probed cluster's stored representatives and apply
+    the exact integer cosine threshold.
+
+    Output (key-ascending): key, cluster, is_dup, match_id — match_id
+    is the SMALLEST matching representative id (NULL when none). A
+    batch admission gate keeps `NOT is_dup` rows (the
+    streaming/corpus_gate composition point).
+
+    100 TB: the centroid table is k×d (broadcast); the reps join is an
+    equi-join on cid — a batch touches only the partitions its vectors
+    assign to, cost independent of corpus size (the
+    ann_topk_ivf_indexed serving shape)."""
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    mu = batch.select(
+        F.col(key).alias("vid"),
+        F.expr(CL._MU_COL.format(vec=vec_col)).alias("m"),
+    )
+    assigned = CL._assign(mu, cent).select(
+        "vid", "cid", "m", F.expr(_N2).alias("n2"))
+    reps = spark.read.parquet(f"{index_path}/reps").select(
+        F.col("cid").cast("int").alias("cid"),
+        F.col("vid").alias("rep_id"),
+        F.col("m").alias("mr"), F.col("n2").alias("n2r"))
+    t2 = threshold_pct * threshold_pct
+    hits = (
+        assigned.select(F.col("vid"), F.col("cid"),
+                        F.col("m").alias("ma"),
+                        F.col("n2").alias("n2a"))
+        .join(reps, "cid")
+        .withColumn("_dot", F.expr(
+            "aggregate(zip_with(ma, mr, (a, b) -> a * b), 0L,"
+            " (acc, x) -> acc + x)"))
+        .filter(
+            (F.col("_dot") > 0)
+            & (F.expr("CAST(_dot AS DECIMAL(38,0)) * CAST(_dot AS"
+                      " DECIMAL(38,0)) * 10000")
+               >= F.expr(f"CAST({t2} AS DECIMAL(38,0))"
+                         " * CAST(n2a AS DECIMAL(38,0))"
+                         " * CAST(n2r AS DECIMAL(38,0))"))
+        )
+        .groupBy("vid")
+        .agg(F.min("rep_id").alias("match_id"))
+    )
+    return (
+        assigned.join(hits, "vid", "left")
+        .select(
+            F.col("vid").alias(key),
+            F.col("cid").alias("cluster"),
+            F.col("match_id").isNotNull().alias("is_dup"),
+            "match_id",
+        )
+        .orderBy(key)
+    )
+
+
+def semdedup_check_sql(
+    table: str = "embeddings",
+    split_id: int = 250,
+    k: int = 8,
+    iters: int = 2,
+    threshold_pct: int = 95,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of the build-on-first-half / check-second-half
+    driver entry: the shared Lloyd CTEs run on `{key} < split_id`
+    (dense ids, so the stride contract holds), kept reps via the
+    semantic_dedup sweep, then the batch (`{key} >= split_id`)
+    assigns against the FINAL centroid CTE (c{iters-1}) and joins the
+    reps — all exact HUGEINT."""
+    half = f"(SELECT * FROM {table} WHERE {key} < {split_id})"
+    ctes, last = CL.kmeans_ctes(half, k, iters, key, vec_col,
+                                n_rows=split_id)
+    t2 = threshold_pct * threshold_pct
+    dot_ab = ("list_sum([ CAST(a.m[i] AS HUGEINT) * b.m[i]"
+              " FOR i IN range(1, len(a.m) + 1) ])")
+    cent = f"c{iters - 1}" if iters > 1 else "c0"
+    ctes.append(f"""ranked AS (
+        SELECT vid, cid, m,
+               list_sum([ CAST(m[i] AS HUGEINT) * m[i]
+                          FOR i IN range(1, len(m) + 1) ]) AS n2,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY _d2 DESC, vid ASC) AS r
+        FROM {last}
+    )""")
+    ctes.append(f"""dropped AS (
+        SELECT DISTINCT b.vid
+        FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.r < b.r
+        WHERE {dot_ab} > 0
+          AND 10000 * ({dot_ab}) * ({dot_ab}) >= {t2} * a.n2 * b.n2
+    )""")
+    ctes.append("""reps AS (
+        SELECT r.vid AS rep_id, r.cid, r.m AS mr, r.n2 AS n2r
+        FROM ranked r LEFT JOIN dropped d ON r.vid = d.vid
+        WHERE d.vid IS NULL
+    )""")
+    ctes.append(f"""batch AS (
+        SELECT {key} AS vid,
+               [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                FOR x IN {vec_col}] AS m
+        FROM {table} WHERE {key} >= {split_id}
+    )""")
+    d2 = ("list_sum([ (e.m[i] - c.cm[i]) * (e.m[i] - c.cm[i])"
+          " FOR i IN range(1, len(e.m) + 1) ])")
+    ctes.append(f"""bassign AS (
+        SELECT vid, m, cid,
+               list_sum([ CAST(m[i] AS HUGEINT) * m[i]
+                          FOR i IN range(1, len(m) + 1) ]) AS n2
+        FROM (
+            SELECT e.vid, e.m, c.cid,
+                   row_number() OVER (PARTITION BY e.vid
+                       ORDER BY {d2} ASC, c.cid ASC) AS rn
+            FROM batch e, {cent} c
+        ) WHERE rn = 1
+    )""")
+    dot_ar = ("list_sum([ CAST(a.m[i] AS HUGEINT) * r.mr[i]"
+              " FOR i IN range(1, len(a.m) + 1) ])")
+    ctes.append(f"""hits AS (
+        SELECT a.vid, min(r.rep_id) AS match_id
+        FROM bassign a JOIN reps r ON a.cid = r.cid
+        WHERE {dot_ar} > 0
+          AND 10000 * ({dot_ar}) * ({dot_ar}) >= {t2} * a.n2 * r.n2r
+        GROUP BY a.vid
+    )""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT b.vid AS {key}, b.cid AS cluster,
+               (h.match_id IS NOT NULL) AS is_dup, h.match_id
+        FROM bassign b LEFT JOIN hits h ON b.vid = h.vid
+        ORDER BY 1""")
 
 
 def semdedup_sweep(
@@ -178,7 +384,8 @@ def semdedup_sweep(
     takes for its stride."""
     if n_rows is None:
         n_rows = emb.count()
-    assigned = CL._final_assignment(emb, k, iters, key, vec_col, n_rows)
+    assigned, _ = CL._final_assignment(emb, k, iters, key, vec_col,
+                                       n_rows)
     w = Window.partitionBy("cid").orderBy(F.col("_d2").desc(),
                                           F.col("vid").asc())
     ranked = assigned.select(
@@ -393,8 +600,8 @@ def knn_graph(
     cid equi-join (within-cluster pairs only, O(n·E[cluster_size]) with
     k_clusters ~ √n), then a per-vector window over candidate rows.
     Inherits the kmeans dense-id contract (re-key sparse ids first)."""
-    assigned = CL._final_assignment(emb, k_clusters, iters, key, vec_col,
-                                    n_rows)
+    assigned, _ = CL._final_assignment(emb, k_clusters, iters, key,
+                                       vec_col, n_rows)
     a = assigned.select(F.col("cid"), F.col("vid").alias("va"),
                         F.col("m").alias("ma"))
     b = assigned.select(F.col("cid"), F.col("vid").alias("vb"),

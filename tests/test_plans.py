@@ -84,6 +84,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   semdedup_sweep prices every rung from the same single pair scan.
 #: - dsir_select is dsir_weights + a TakeOrdered top-100, so it
 #:   inherits dsir_weights' one-row totals constant-attach.
+#: - semdedup_check broadcasts the STORED k×d centroid table keylessly
+#:   for batch assignment (the kmeans-family allowance, off a parquet
+#:   read); the reps join is an equi-join on cid.
 #: - dsir_weights attaches the single-row (Tr, Tt) gram totals onto the
 #:   B-row bucket-count table only (the unigram_bits constant-attach
 #:   allowance — never onto the corpus); the doc-scoring join is a
@@ -97,7 +100,7 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivfpq", "ann_topk_ivfpq_external",
                  "bm25_search", "bigram_bits", "semantic_dedup",
                  "dsir_weights", "knn_graph", "semantic_groups",
-                 "semdedup_sweep", "dsir_select"}
+                 "semdedup_sweep", "dsir_select", "semdedup_check"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan

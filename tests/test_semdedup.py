@@ -5,9 +5,9 @@ DuckDB oracle parity."""
 import duckdb
 
 from explora_kafka_spark.operators.semdedup import (
-    knn_graph, knn_graph_sql, semantic_dedup, semantic_dedup_sql,
-    semantic_groups, semantic_groups_sql, semdedup_sweep,
-    semdedup_sweep_sql)
+    build_semantic_index, knn_graph, knn_graph_sql, semantic_dedup,
+    semantic_dedup_sql, semantic_groups, semantic_groups_sql,
+    semdedup_check, semdedup_sweep, semdedup_sweep_sql)
 
 
 def _emb(spark, vecs):
@@ -76,6 +76,42 @@ def test_pair_stage_is_cid_equi_join(spark, sf_dir):
     assert any(("SortMergeJoin [cid#" in ln
                 or "ShuffledHashJoin [cid#" in ln)
                for ln in plan.splitlines()), plan
+
+
+def test_semdedup_check_flags_copies_and_passes_novel(spark, tmp_path):
+    # corpus: two orthogonal families; dedup drops the near-copies so
+    # the index stores one rep per direction
+    corpus = [[1.0, 0.0], [0.9, 0.0], [0.0, 1.0], [0.0, 0.95]]
+    build_semantic_index(_emb(spark, corpus), str(tmp_path / "idx"),
+                         k=2, iters=1, threshold_pct=95)
+    reps = spark.read.parquet(str(tmp_path / "idx/reps"))
+    assert sorted(r["vid"] for r in reps.collect()) == [1, 3]
+    # batch: a scaled copy of rep 1's direction (dup), a diagonal
+    # vector (cos 0.707 < 0.95 to both reps -> novel)
+    batch = spark.createDataFrame(
+        [(100, [0.5, 0.0]), (101, [1.0, 1.0])],
+        "vec_id bigint, embedding array<float>")
+    out = {r["vec_id"]: (r["is_dup"], r["match_id"])
+           for r in semdedup_check(spark, batch, str(tmp_path / "idx"),
+                                   threshold_pct=95).collect()}
+    assert out[100] == (True, 1)
+    assert out[101] == (False, None)
+
+
+def test_semdedup_check_deterministic_under_repartition(spark, sf_dir,
+                                                        tmp_path):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    build_semantic_index(emb.filter("vec_id < 250"),
+                         str(tmp_path / "idx"), k=8, iters=2,
+                         threshold_pct=30)
+    batch = emb.filter("vec_id >= 250")
+    a = semdedup_check(spark, batch, str(tmp_path / "idx"),
+                       threshold_pct=30).collect()
+    b = semdedup_check(spark, batch.repartition(11),
+                       str(tmp_path / "idx"), threshold_pct=30).collect()
+    assert a == b
+    assert any(r["is_dup"] for r in a)      # real collisions at 30%
+    assert any(not r["is_dup"] for r in a)  # and real admissions
 
 
 def test_sweep_prices_every_rung_like_semantic_dedup(spark, sf_dir):
