@@ -1401,6 +1401,41 @@ def _sem_index(spark, sf_dir) -> tuple[str, int]:
     return _SEM_INDEXES[sf_dir]
 
 
+_HALF_TEXT_INDEXES: dict[str, tuple[str, str]] = {}
+
+
+def _half_text_indexes(spark, sf_dir) -> tuple[str, str]:
+    """Materialized (cached) shingle + LSH indexes over the FIRST HALF
+    of the documents — the split that aligns with _sem_index so the
+    three-tier gate can use one batch slice."""
+    if sf_dir not in _HALF_TEXT_INDEXES:
+        emb_split = _docs(spark, sf_dir).count() // 2
+        d = tempfile.mkdtemp(prefix="explora_gatefull_")
+        _TMPDIRS.append(d)
+        corpus = _docs(spark, sf_dir).filter(F.col("doc_id") < emb_split)
+        CONT.build_shingle_index(corpus, f"{d}/shingle")
+        D.build_dedup_index(corpus, f"{d}/lsh", shingle_n=2, num_bands=8)
+        _HALF_TEXT_INDEXES[sf_dir] = (f"{d}/shingle", f"{d}/lsh")
+    return _HALF_TEXT_INDEXES[sf_dir]
+
+
+def q_corpus_gate_full(spark, sf_dir):
+    """Three-tier admission gate: contamination + MinHash near-dup +
+    SEMANTIC near-dup, all against materialized first-half indexes;
+    batch = the upper half of documents+embeddings."""
+    from explora_kafka_spark.streaming import corpus_gate as CG
+
+    shingle_idx, lsh_idx = _half_text_indexes(spark, sf_dir)
+    sem_idx, split = _sem_index(spark, sf_dir)
+    batch = _docs(spark, sf_dir).filter(F.col("doc_id") >= split)
+    batch_emb = _emb(spark, sf_dir).filter(F.col("vec_id") >= split)
+    return CG.gate_batch_full(
+        spark, batch, batch_emb, shingle_idx, lsh_idx, sem_idx,
+        taint_max=0.5, semantic_threshold_pct=30,
+        lsh_shingle_n=2, num_bands=8, min_est=0.9,
+    )
+
+
 def q_semdedup_check(spark, sf_dir):
     """Incremental semantic dedup: the second half of the embeddings
     checked against the materialized first-half index (stored Lloyd
@@ -2042,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "tokenizer_fertility": q_tokenizer_fertility,
         "semdedup_check": q_semdedup_check,
+        "corpus_gate_full": q_corpus_gate_full,
         "local_supplier_volume": q_local_supplier_volume,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
@@ -2391,6 +2427,9 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_check": SDD.semdedup_check_sql(split_id=250,
                                                  k=8, iters=2,
                                                  threshold_pct=30),
+        "corpus_gate_full": _CG.gate_batch_full_sql(
+            split_id=250, taint_max=0.5, semantic_threshold_pct=30,
+            k=8, iters=2, lsh_shingle_n=2, num_bands=8, min_est=0.9),
         "local_supplier_volume": """
             SELECT n_name AS nation,
                    round(sum(l_extendedprice * (1 - l_discount)), 6)

@@ -140,6 +140,154 @@ def gate_stream(
     )
 
 
+def gate_batch_full(
+    spark,
+    batch: DataFrame,
+    batch_emb: DataFrame,
+    shingle_index: str,
+    dedup_index: str,
+    semantic_index: str,
+    taint_max: float = 0.5,
+    semantic_threshold_pct: int = 95,
+    **gate_kwargs,
+) -> DataFrame:
+    """The THREE-tier admission verdict: contamination + MinHash
+    near-dup (gate_batch) + SEMANTIC near-dup (the embedding tier —
+    operators/semdedup.py `semdedup_check` against the materialized
+    centroids+reps index). `batch_emb` carries the batch documents'
+    embeddings keyed by the same ids (vec_id == doc_id — the upstream
+    embedding stage's contract).
+
+    Output (doc_id-ascending): doc_id, contamination, n_near_dups,
+    is_semantic_dup, accepted — accepted now also requires NOT
+    semantically duplicated. Documents with no embedding row pass the
+    semantic tier vacuously (scored by the text tiers only).
+
+    100 TB: the text tiers are per-batch equi-joins against compact
+    indexes; the semantic tier is one k×d broadcast + probed-partition
+    equi-joins — all three corpus-size-independent."""
+    from ..operators.semdedup import semdedup_check
+
+    base = gate_batch(spark, batch, shingle_index, dedup_index,
+                      taint_max=taint_max, **gate_kwargs)
+    sem = (
+        semdedup_check(spark, batch_emb, semantic_index,
+                       threshold_pct=semantic_threshold_pct)
+        .select(F.col("vec_id").alias("doc_id"),
+                F.col("is_dup").alias("is_semantic_dup"))
+    )
+    return (
+        base.drop("accepted")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id", "contamination", "n_near_dups",
+            F.coalesce("is_semantic_dup", F.lit(False))
+             .alias("is_semantic_dup"),
+        )
+        .withColumn(
+            "accepted",
+            (F.col("contamination") <= F.lit(taint_max))
+            & (F.col("n_near_dups") == 0)
+            & (~F.col("is_semantic_dup")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def gate_stream_full(
+    spark,
+    doc_stream: DataFrame,
+    shingle_index: str,
+    dedup_index: str,
+    semantic_index: str,
+    accepted_path: str,
+    rejected_path: str,
+    checkpoint: str,
+    taint_max: float = 0.5,
+    semantic_threshold_pct: int = 95,
+    **gate_kwargs,
+):
+    """Streaming three-tier gate: `doc_stream` carries BOTH the text
+    and an `embedding` column (the realistic shape — an upstream model
+    stage enriches documents before admission); each micro-batch is
+    scored by `gate_batch_full` and split into accepted/rejected
+    stores. Stateless, availableNow, same delivery contract as
+    `gate_stream`."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        emb = batch_df.select(F.col("doc_id").alias("vec_id"),
+                              "embedding")
+        scored = gate_batch_full(
+            spark, batch_df.drop("embedding"), emb,
+            shingle_index, dedup_index, semantic_index,
+            taint_max=taint_max,
+            semantic_threshold_pct=semantic_threshold_pct,
+            **gate_kwargs,
+        )
+        enriched = batch_df.join(scored, "doc_id").persist()
+        try:
+            enriched.filter(F.col("accepted")).drop("accepted") \
+                .write.mode("append").parquet(accepted_path)
+            enriched.filter(~F.col("accepted")).drop("accepted") \
+                .write.mode("append").parquet(rejected_path)
+        finally:
+            enriched.unpersist()
+
+    return (
+        doc_stream.writeStream
+        .foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def gate_batch_full_sql(
+    table: str = "documents",
+    emb_table: str = "embeddings",
+    split_id: int = 250,
+    taint_max: float = 0.5,
+    semantic_threshold_pct: int = 95,
+    k: int = 8,
+    iters: int = 2,
+    shingle_n: int = 5,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    lsh_shingle_n: int = 1,
+    min_est: float = 0.0,
+) -> str:
+    """DuckDB mirror of the split-half `gate_batch_full` driver entry:
+    text indexes over `doc_id < split_id`, semantic index over
+    `vec_id < split_id` (dense ids — the kmeans stride contract), batch
+    = the upper half of both tables. Composes `gate_batch_sql` and
+    `semdedup_check_sql` as derived tables."""
+    from ..operators.semdedup import semdedup_check_sql
+
+    g = gate_batch_sql(
+        table,
+        batch_pred=f"doc_id >= {split_id}",
+        corpus_pred=f"doc_id < {split_id}",
+        taint_max=taint_max, shingle_n=shingle_n,
+        num_hashes=num_hashes, num_bands=num_bands,
+        lsh_shingle_n=lsh_shingle_n, min_est=min_est,
+    )
+    s = semdedup_check_sql(emb_table, split_id=split_id, k=k,
+                           iters=iters,
+                           threshold_pct=semantic_threshold_pct)
+    return f"""
+        SELECT g.doc_id, g.contamination, g.n_near_dups,
+               coalesce(s.is_dup, FALSE) AS is_semantic_dup,
+               (g.contamination <= {taint_max}
+                AND g.n_near_dups = 0
+                AND NOT coalesce(s.is_dup, FALSE)) AS accepted
+        FROM ({g}) g
+        LEFT JOIN ({s}) s ON g.doc_id = s.vec_id
+        ORDER BY g.doc_id
+    """
+
+
 def gate_batch_sql(
     table: str = "documents",
     batch_pred: str = "doc_id % 5 = 0",

@@ -111,3 +111,101 @@ def test_stream_equals_batch(spark, docs, indexes, tmp_path):
     expect = {r["doc_id"]: (r["contamination"], r["n_near_dups"], r["accepted"])
               for r in _gate(spark, batch, indexes, min_est=0.9).collect()}
     assert streamed == expect
+
+
+@pytest.fixture(scope="module")
+def full_indexes(spark, docs, tmp_path_factory):
+    """Three-tier split-half indexes: text (shingle+LSH) and semantic
+    (centroids+reps) over doc_id/vec_id < 250."""
+    from explora_kafka_spark.operators.semdedup import build_semantic_index
+
+    d = tmp_path_factory.mktemp("gate_full")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    build_shingle_index(corpus, str(d / "sh"))
+    build_dedup_index(corpus, str(d / "lsh"), shingle_n=2, num_bands=8)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    build_semantic_index(emb.filter(F.col("vec_id") < 250),
+                         str(d / "sem"), k=8, iters=2, threshold_pct=30)
+    return str(d / "sh"), str(d / "lsh"), str(d / "sem")
+
+
+def test_gate_full_composes_all_three_tiers(spark, docs, full_indexes):
+    from explora_kafka_spark.operators.semdedup import semdedup_check
+    from explora_kafka_spark.streaming.corpus_gate import gate_batch_full
+
+    sh, lsh, sem = full_indexes
+    batch = docs.filter(F.col("doc_id") >= 250)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    batch_emb = emb.filter(F.col("vec_id") >= 250)
+    out = gate_batch_full(
+        spark, batch, batch_emb, sh, lsh, sem,
+        taint_max=0.5, semantic_threshold_pct=30,
+        lsh_shingle_n=2, num_bands=8, min_est=0.9,
+    ).collect()
+    assert len(out) == batch.count()
+    # tier agreement: the semantic column equals a standalone check
+    sem_only = {r["vec_id"]: r["is_dup"]
+                for r in semdedup_check(spark, batch_emb, sem,
+                                        threshold_pct=30).collect()}
+    base = {r["doc_id"]: r for r in gate_batch(
+        spark, batch, sh, lsh, taint_max=0.5,
+        lsh_shingle_n=2, num_bands=8, min_est=0.9).collect()}
+    for r in out:
+        assert r["is_semantic_dup"] == sem_only[r["doc_id"]]
+        assert r["contamination"] == base[r["doc_id"]]["contamination"]
+        assert r["accepted"] == (base[r["doc_id"]]["accepted"]
+                                 and not r["is_semantic_dup"])
+    # the semantic tier must actually reject something the text tiers
+    # passed (otherwise this composition tests nothing)
+    assert any(r["is_semantic_dup"] and base[r["doc_id"]]["accepted"]
+               for r in out)
+
+
+def test_gate_full_stream_equals_batch(spark, docs, full_indexes,
+                                       tmp_path):
+    from explora_kafka_spark.streaming.corpus_gate import (
+        gate_batch_full, gate_stream_full)
+
+    sh, lsh, sem = full_indexes
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    batch = docs.filter(F.col("doc_id") >= 250)
+    enriched = batch.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id")
+    enriched.filter(F.col("doc_id") < 375).coalesce(1) \
+        .write.mode("overwrite").parquet(str(tmp_path / "in"))
+    enriched.filter(F.col("doc_id") >= 375).coalesce(1) \
+        .write.mode("append").parquet(str(tmp_path / "in"))
+    schema = spark.read.parquet(str(tmp_path / "in")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    q = gate_stream_full(
+        spark, stream, sh, lsh, sem,
+        str(tmp_path / "acc"), str(tmp_path / "rej"),
+        str(tmp_path / "ckpt"),
+        semantic_threshold_pct=30,
+        lsh_shingle_n=2, num_bands=8, min_est=0.9,
+    )
+    q.awaitTermination(300)
+    acc = spark.read.parquet(str(tmp_path / "acc"))
+    try:
+        rej = spark.read.parquet(str(tmp_path / "rej"))
+    except Exception:
+        rej = acc.limit(0)
+    streamed = {r["doc_id"]: (r["contamination"], r["n_near_dups"],
+                              r["is_semantic_dup"], True)
+                for r in acc.collect()}
+    streamed.update({r["doc_id"]: (r["contamination"], r["n_near_dups"],
+                                   r["is_semantic_dup"], False)
+                     for r in rej.collect()})
+    expect = {r["doc_id"]: (r["contamination"], r["n_near_dups"],
+                            r["is_semantic_dup"], r["accepted"])
+              for r in gate_batch_full(
+                  spark, batch,
+                  emb.filter(F.col("vec_id") >= 250), sh, lsh, sem,
+                  taint_max=0.5, semantic_threshold_pct=30,
+                  lsh_shingle_n=2, num_bands=8, min_est=0.9).collect()}
+    assert streamed == expect

@@ -86,7 +86,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   inherits dsir_weights' one-row totals constant-attach.
 #: - semdedup_check broadcasts the STORED k×d centroid table keylessly
 #:   for batch assignment (the kmeans-family allowance, off a parquet
-#:   read); the reps join is an equi-join on cid.
+#:   read); the reps join is an equi-join on cid. corpus_gate_full
+#:   contains semdedup_check as its semantic tier, so it inherits the
+#:   same allowance (the text tiers are all equi-joins).
 #: - dsir_weights attaches the single-row (Tr, Tt) gram totals onto the
 #:   B-row bucket-count table only (the unigram_bits constant-attach
 #:   allowance — never onto the corpus); the doc-scoring join is a
@@ -100,7 +102,8 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivfpq", "ann_topk_ivfpq_external",
                  "bm25_search", "bigram_bits", "semantic_dedup",
                  "dsir_weights", "knn_graph", "semantic_groups",
-                 "semdedup_sweep", "dsir_select", "semdedup_check"}
+                 "semdedup_sweep", "dsir_select", "semdedup_check",
+                 "corpus_gate_full"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
