@@ -1375,6 +1375,13 @@ def q_tokenizer_fertility(spark, sf_dir):
     return T.tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def q_embedding_standardize(spark, sf_dir):
+    """Per-dimension corpus standardization (diagonal whitening):
+    exploded (vec_id, dim, z) rows, IEEE-only float pipeline off the
+    exact integer statistic."""
+    return CENT.embedding_standardize(_emb(spark, sf_dir))
+
+
 def q_pca_project(spark, sf_dir):
     """Project the corpus onto the dominant PCA axis (statistic ->
     axis -> scores): exact BIGINT dots vs a literal axis array, one
@@ -2078,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "semdedup_check": q_semdedup_check,
         "corpus_gate_full": q_corpus_gate_full,
+        "embedding_standardize": q_embedding_standardize,
         "local_supplier_volume": q_local_supplier_volume,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
@@ -2430,6 +2438,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_gate_full": _CG.gate_batch_full_sql(
             split_id=250, taint_max=0.5, semantic_threshold_pct=30,
             k=8, iters=2, lsh_shingle_n=2, num_bands=8, min_est=0.9),
+        "embedding_standardize": CENT.embedding_standardize_sql(),
         "local_supplier_volume": """
             SELECT n_name AS nation,
                    round(sum(l_extendedprice * (1 - l_discount)), 6)

@@ -438,6 +438,100 @@ def pca_project(
     )
 
 
+def embedding_standardize(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension corpus standardization (diagonal whitening):
+    z_j = (x_j − mean_j) / std_j — the preprocessing step before
+    distance-based curation when dimensions have wildly different
+    scales (population std, zero-variance dimensions emit z = 0).
+
+    Output: (key, dim, z) EXPLODED rows, (key, dim)-ascending — flat
+    scalar columns by the house registry rule (the driver's
+    canonicalizer cannot hash array cells; multimodal_features
+    precedent).
+
+    Determinism: means/stds are computed ONCE from the exact integer
+    `_cov_sums` diagonal (driver-side, the pca_project pattern) and
+    enter the plan as LITERAL doubles; per-row work is then
+    (q/1e6 − mean)/std with IEEE-only ops (division, subtraction,
+    sqrt — all correctly rounded, no libm) + round(6), so both
+    engines agree bit-for-bit.
+
+    100 TB: one statistic pass (shared shape with
+    embedding_covariance), then a shuffle-free projection+explode."""
+    rows = _cov_sums(emb, vec_col).collect()
+    if not rows:
+        return emb.sparkSession.createDataFrame(
+            [], f"{key} bigint, dim int, z double")
+    diag = {r["j"]: r for r in rows if r["j"] == r["k"]}
+    d = max(diag) + 1
+    n = int(rows[0]["n_d"])
+    means, stds = [], []
+    for j in range(d):
+        s, m = int(diag[j]["s_d"]), int(diag[j]["mj_d"])
+        mean = m / n
+        var = s / n - mean * mean
+        means.append(mean / 1e6)
+        stds.append((var ** 0.5) / 1e6 if var > 0 else 0.0)
+    mean_arr = "array(" + ",".join(repr(x) + "D" for x in means) + ")"
+    std_arr = "array(" + ",".join(repr(x) + "D" for x in stds) + ")"
+    z = (f"transform({_MU_EXPR.format(vec=vec_col)}, (q, j) ->"
+         f" CASE WHEN element_at({std_arr}, j + 1) = 0.0D THEN 0.0D"
+         f" ELSE round((CAST(q AS DOUBLE) / 1e6"
+         f"             - element_at({mean_arr}, j + 1))"
+         f"            / element_at({std_arr}, j + 1), 6) END)")
+    return (
+        emb.select(F.col(key), F.posexplode(F.expr(z)).alias("dim", "z"))
+        .orderBy(key, "dim")
+    )
+
+
+def embedding_standardize_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    key: str = "vec_id",
+) -> str:
+    """DuckDB mirror of `embedding_standardize` (same integer diagonal
+    statistic, same IEEE-only float pipeline)."""
+    return f"""
+        WITH q AS (
+            SELECT {key},
+                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                    FOR x IN {vec_col}] AS qs
+            FROM {table}
+        ),
+        diag AS (
+            SELECT u.j AS j,
+                   sum(qs[u.j + 1] * qs[u.j + 1]) AS s,
+                   sum(qs[u.j + 1]) AS m,
+                   count(*) AS n
+            FROM q, unnest(generate_series(0, len(qs) - 1)) AS u(j)
+            GROUP BY u.j
+        ),
+        stats AS (
+            SELECT j,
+                   (CAST(m AS DOUBLE) / n) / 1e6 AS mean,
+                   CASE WHEN CAST(s AS DOUBLE) / n
+                             - (CAST(m AS DOUBLE) / n)
+                               * (CAST(m AS DOUBLE) / n) > 0
+                        THEN sqrt(CAST(s AS DOUBLE) / n
+                                  - (CAST(m AS DOUBLE) / n)
+                                    * (CAST(m AS DOUBLE) / n)) / 1e6
+                        ELSE 0.0 END AS std
+            FROM diag
+        )
+        SELECT q.{key}, st.j AS dim,
+               CASE WHEN st.std = 0 THEN 0.0
+                    ELSE round((CAST(q.qs[st.j + 1] AS DOUBLE) / 1e6
+                                - st.mean) / st.std, 6) END AS z
+        FROM q JOIN stats st ON st.j < len(q.qs)
+        ORDER BY 1, 2
+    """
+
+
 def _pca_axis_ctes(
     table: str, vec_col: str, n_iters: int
 ) -> tuple[str, str]:

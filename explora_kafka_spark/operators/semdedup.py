@@ -279,6 +279,54 @@ def semdedup_check(
     )
 
 
+def update_semantic_index(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    threshold_pct: int = 95,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Admit a checked batch INTO the index: vectors that pass
+    `semdedup_check` (no stored rep within the threshold) are appended
+    to the reps store as new representatives, so later batches dedup
+    against them too — the index lifecycle step that makes the
+    semantic tier truly incremental (build once → check/update per
+    ingest; the corpus is still never re-scanned).
+
+    Returns the check verdict it acted on (key, cluster, is_dup,
+    match_id); rows with is_dup=false are now in the index. Within a
+    single batch, mutual near-dups BOTH pass against the stored reps
+    and are BOTH admitted — intra-batch dedup is semantic_dedup's job
+    upstream (run the batch through it first when batches are large);
+    re-checking the same batch after the update flags every row.
+
+    Centroids are NOT re-fit (the stored quantizer keeps assignment
+    stable — the IVF-index convention); re-fit = rebuild on the next
+    corpus snapshot. Append is partition-wise parquet (only the
+    partitions the batch touches gain files)."""
+    # eager checkpoint BEFORE the append: the verdict must be frozen
+    # against the pre-update reps — a lazy plan re-evaluated after the
+    # write would see the batch's own rows in the index
+    verdict = semdedup_check(spark, batch, index_path, threshold_pct,
+                             key, vec_col).localCheckpoint(eager=True)
+    mu = batch.select(
+        F.col(key).alias("vid"),
+        F.expr(CL._MU_COL.format(vec=vec_col)).alias("m"),
+    ).withColumn("n2", F.expr(_N2))
+    admitted = (
+        verdict.filter(~F.col("is_dup"))
+        .select(F.col(key).alias("vid"),
+                F.col("cluster").alias("cid"))
+        .join(mu, "vid")
+        .select("vid", "m", "n2", "cid")
+    )
+    (admitted.repartition("cid")
+     .write.mode("append").partitionBy("cid")
+     .parquet(f"{index_path}/reps"))
+    return verdict
+
+
 def semdedup_check_sql(
     table: str = "embeddings",
     split_id: int = 250,

@@ -185,3 +185,43 @@ def test_pca_project_deterministic_and_matches_duckdb(spark, sf_dir):
     want = [(int(v), int(d), float(s)) for v, d, s in con.execute(
         pca_project_sql()).fetchall()]
     assert a == want
+
+
+def test_embedding_standardize_zero_mean_unit_std_and_parity(
+        spark, sf_dir):
+    import statistics
+
+    import duckdb
+
+    from explora_kafka_spark.operators.centroids import (
+        embedding_standardize, embedding_standardize_sql)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [(r["vec_id"], r["dim"], r["z"])
+           for r in embedding_standardize(emb).collect()]
+    # population-standardized: every dim has mean ~0 and std ~1
+    by_dim = {}
+    for _, d, z in got:
+        by_dim.setdefault(d, []).append(z)
+    for zs in by_dim.values():
+        assert abs(sum(zs) / len(zs)) < 1e-4
+        assert abs(statistics.pstdev(zs) - 1.0) < 1e-3
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM"
+                f" '{sf_dir}/embeddings.parquet'")
+    want = [(int(a), int(b), float(c)) for a, b, c in con.execute(
+        embedding_standardize_sql()).fetchall()]
+    assert got == want
+
+
+def test_embedding_standardize_constant_dim_emits_zero(spark):
+    from explora_kafka_spark.operators.centroids import (
+        embedding_standardize)
+
+    rows = [(i, [float(i), 3.5]) for i in range(4)]  # dim 1 constant
+    emb = spark.createDataFrame(rows,
+                                "vec_id bigint, embedding array<float>")
+    out = {(r["vec_id"], r["dim"]): r["z"]
+           for r in embedding_standardize(emb).collect()}
+    assert all(out[(i, 1)] == 0.0 for i in range(4))
+    assert any(out[(i, 0)] != 0.0 for i in range(4))

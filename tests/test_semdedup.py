@@ -7,7 +7,8 @@ import duckdb
 from explora_kafka_spark.operators.semdedup import (
     build_semantic_index, knn_graph, knn_graph_sql, semantic_dedup,
     semantic_dedup_sql, semantic_groups, semantic_groups_sql,
-    semdedup_check, semdedup_sweep, semdedup_sweep_sql)
+    semdedup_check, semdedup_sweep, semdedup_sweep_sql,
+    update_semantic_index)
 
 
 def _emb(spark, vecs):
@@ -112,6 +113,32 @@ def test_semdedup_check_deterministic_under_repartition(spark, sf_dir,
     assert a == b
     assert any(r["is_dup"] for r in a)      # real collisions at 30%
     assert any(not r["is_dup"] for r in a)  # and real admissions
+
+
+def test_update_semantic_index_admits_novel_then_blocks_rechecks(
+        spark, tmp_path):
+    corpus = [[1.0, 0.0], [0.0, 1.0]]
+    idx = str(tmp_path / "idx")
+    build_semantic_index(_emb(spark, corpus), idx, k=2, iters=1,
+                         threshold_pct=95)
+    # batch: one novel diagonal direction, one dup of rep 0
+    batch = spark.createDataFrame(
+        [(100, [1.0, 1.0]), (101, [0.8, 0.0])],
+        "vec_id bigint, embedding array<float>")
+    v1 = {r["vec_id"]: (r["is_dup"], r["match_id"])
+          for r in update_semantic_index(spark, batch, idx,
+                                         threshold_pct=95).collect()}
+    assert v1[100] == (False, None)   # admitted
+    assert v1[101] == (True, 0)       # rejected, not appended
+    reps = sorted(r["vid"] for r in
+                  spark.read.parquet(f"{idx}/reps").collect())
+    assert 100 in reps and 101 not in reps
+    # a re-check of the same batch now collides with the new rep too
+    v2 = {r["vec_id"]: (r["is_dup"], r["match_id"])
+          for r in semdedup_check(spark, batch, idx,
+                                  threshold_pct=95).collect()}
+    assert v2[100] == (True, 100)     # matches itself in the index
+    assert v2[101] == (True, 0)
 
 
 def test_sweep_prices_every_rung_like_semantic_dedup(spark, sf_dir):
