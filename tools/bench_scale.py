@@ -69,6 +69,9 @@ HEADLINE = [
     "click_attribution", "embedding_covariance", "local_supplier_volume",
     # round-8 fifth wave
     "semantic_dedup", "dsir_weights",
+    # round-8 sixth wave: index-served + composed + applied paths
+    "semdedup_check", "corpus_gate_full", "pca_project", "dsir_select",
+    "semantic_groups",
 ]
 
 
@@ -91,9 +94,24 @@ def _q_semantic_dedup_rekeyed(spark, sf_dir):
     return SDD.semantic_dedup(emb, k=64, iters=2, threshold_pct=30)
 
 
+def _q_semantic_groups_rekeyed(spark, sf_dir):
+    """semantic_groups with the same re-key + k=64 sizing as the
+    semantic_dedup override (same sparse-id rationale)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from explora_kafka_spark.operators import semdedup as SDD
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .alias("vec_id"), "embedding")
+    return SDD.semantic_groups(emb, k=64, iters=2, threshold_pct=30)
+
+
 #: probe-only entry replacements (re-keying etc.); measurement twins,
 #: not correctness entries
-OVERRIDES = {"semantic_dedup": _q_semantic_dedup_rekeyed}
+OVERRIDES = {"semantic_dedup": _q_semantic_dedup_rekeyed,
+             "semantic_groups": _q_semantic_groups_rekeyed}
 
 
 def generate(spark) -> None:

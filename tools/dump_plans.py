@@ -219,6 +219,25 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "within-cluster pairs, output ≤ k rows per vector.",
         [r"SortMergeJoin \[cid", r"Window", r"Filter.*rank"],
     ),
+    "semdedup_check": (
+        "Incremental semantic check: the batch assigns against the "
+        "STORED centroid parquet (tiny broadcast) and equi-joins only "
+        "the probed rep partitions — corpus never rescanned.",
+        [r"FileScan parquet.*(centroids|reps)", r"BroadcastNestedLoopJoin",
+         r"SortMergeJoin \[cid|ShuffledHashJoin \[cid|"
+         r"BroadcastHashJoin \[cid"],
+    ),
+    "corpus_gate_full": (
+        "Three-tier admission gate: every tier is an equi-join against "
+        "a materialized index (shingle hashes, LSH band buckets, "
+        "semantic reps) — per-batch cost independent of corpus size.",
+        [r"FileScan parquet", r"Join"],
+    ),
+    "pca_project": (
+        "PCA application: the axis rides as a LITERAL array inside the "
+        "projection — no join, no shuffle, one scan.",
+        [r"FileScan parquet", r"Project", r"Exchange"],
+    ),
 }
 
 
