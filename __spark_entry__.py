@@ -1375,6 +1375,13 @@ def q_tokenizer_fertility(spark, sf_dir):
     return T.tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def q_cluster_top_terms(spark, sf_dir):
+    """Cluster labeling: each embedding cluster's top-5 document terms
+    (vec_id == doc_id cross-modal contract)."""
+    return SDD.cluster_top_terms(_docs(spark, sf_dir),
+                                 _emb(spark, sf_dir), k=8, iters=2)
+
+
 def q_embedding_standardize(spark, sf_dir):
     """Per-dimension corpus standardization (diagonal whitening):
     exploded (vec_id, dim, z) rows, IEEE-only float pipeline off the
@@ -2086,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_check": q_semdedup_check,
         "corpus_gate_full": q_corpus_gate_full,
         "embedding_standardize": q_embedding_standardize,
+        "cluster_top_terms": q_cluster_top_terms,
         "local_supplier_volume": q_local_supplier_volume,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
@@ -2439,6 +2447,8 @@ def oracle_sql() -> dict[str, str]:
             split_id=250, taint_max=0.5, semantic_threshold_pct=30,
             k=8, iters=2, lsh_shingle_n=2, num_bands=8, min_est=0.9),
         "embedding_standardize": CENT.embedding_standardize_sql(),
+        "cluster_top_terms": SDD.cluster_top_terms_sql(k=8, iters=2,
+                                                       n_rows=500),
         "local_supplier_volume": """
             SELECT n_name AS nation,
                    round(sum(l_extendedprice * (1 - l_discount)), 6)

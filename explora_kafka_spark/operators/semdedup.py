@@ -279,6 +279,95 @@ def semdedup_check(
     )
 
 
+def cluster_top_terms(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    top: int = 5,
+    min_len: int = 3,
+    key: str = "doc_id",
+    vec_key: str = "vec_id",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Label each embedding cluster with its dominant document terms —
+    the interpretability report a curator reads after clustering ("what
+    IS cluster 3?"): per cluster, the `top` most frequent tokens of at
+    least `min_len` chars (the cheap stopword guard) across the
+    cluster's documents, joined on the vec_id == doc_id contract
+    (the dedup_ensemble cross-modal convention).
+
+    Output (cluster, rank, token, n), (cluster, rank)-ascending; ties
+    break token-ascending. Clusters whose documents are all
+    short-token emit fewer than `top` rows.
+
+    100 TB: the kmeans cost + one token explode feeding a
+    (cluster, token) partial agg (map-side combined — exactly the
+    token_frequency shuffle with a cluster prefix), then a per-cluster
+    TopK window over vocab-sized rows (WindowGroupLimit pushdown)."""
+    from .text import tokens_col
+
+    clusters = CL.kmeans(emb, k, iters, vec_key, "embedding", n_rows) \
+        .select(F.col(vec_key).alias(key), "cluster")
+    toks = (
+        docs.select(key, F.explode(tokens_col("text")).alias("token"))
+        .filter(F.length("token") >= min_len)
+    )
+    counts = (
+        toks.join(clusters, key)
+        .groupBy("cluster", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("n").desc(),
+                                              F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select("cluster", "rank", "token", "n")
+        .orderBy("cluster", "rank")
+    )
+
+
+def cluster_top_terms_sql(
+    doc_table: str = "documents",
+    emb_table: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    top: int = 5,
+    min_len: int = 3,
+    key: str = "doc_id",
+    vec_key: str = "vec_id",
+    n_rows: int = 500,
+) -> str:
+    """DuckDB mirror of `cluster_top_terms` (shared Lloyd CTEs + the
+    same tokenize/filter/count/rank)."""
+    from .text import tokens_sql
+
+    ctes, last = CL.kmeans_ctes(emb_table, k, iters, vec_key,
+                                "embedding", n_rows)
+    toks = tokens_sql("text")
+    ctes.append(f"""ctoks AS (
+        SELECT a.cid AS cluster, u.token
+        FROM {doc_table} d
+        JOIN {last} a ON d.{key} = a.vid,
+        unnest({toks}) AS u(token)
+        WHERE len(u.token) >= {min_len}
+    )""")
+    ctes.append("""ccounts AS (
+        SELECT cluster, token, count(*) AS n
+        FROM ctoks GROUP BY cluster, token
+    )""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT cluster, rank, token, n FROM (
+            SELECT cluster, token, n,
+                   row_number() OVER (PARTITION BY cluster
+                                      ORDER BY n DESC, token ASC)
+                       AS rank
+            FROM ccounts
+        ) WHERE rank <= {top}
+        ORDER BY 1, 2""")
+
+
 def update_semantic_index(
     spark,
     batch: DataFrame,

@@ -89,6 +89,8 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   read); the reps join is an equi-join on cid. corpus_gate_full
 #:   contains semdedup_check as its semantic tier, so it inherits the
 #:   same allowance (the text tiers are all equi-joins).
+#:   cluster_top_terms runs kmeans for the cluster column (same
+#:   centroid broadcast); the token join is a doc-keyed equi-join.
 #: - dsir_weights attaches the single-row (Tr, Tt) gram totals onto the
 #:   B-row bucket-count table only (the unigram_bits constant-attach
 #:   allowance — never onto the corpus); the doc-scoring join is a
@@ -103,7 +105,7 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "bm25_search", "bigram_bits", "semantic_dedup",
                  "dsir_weights", "knn_graph", "semantic_groups",
                  "semdedup_sweep", "dsir_select", "semdedup_check",
-                 "corpus_gate_full"}
+                 "corpus_gate_full", "cluster_top_terms"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan

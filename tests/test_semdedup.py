@@ -5,10 +5,10 @@ DuckDB oracle parity."""
 import duckdb
 
 from explora_kafka_spark.operators.semdedup import (
-    build_semantic_index, knn_graph, knn_graph_sql, semantic_dedup,
-    semantic_dedup_sql, semantic_groups, semantic_groups_sql,
-    semdedup_check, semdedup_sweep, semdedup_sweep_sql,
-    update_semantic_index)
+    build_semantic_index, cluster_top_terms, cluster_top_terms_sql,
+    knn_graph, knn_graph_sql, semantic_dedup, semantic_dedup_sql,
+    semantic_groups, semantic_groups_sql, semdedup_check,
+    semdedup_sweep, semdedup_sweep_sql, update_semantic_index)
 
 
 def _emb(spark, vecs):
@@ -113,6 +113,34 @@ def test_semdedup_check_deterministic_under_repartition(spark, sf_dir,
     assert a == b
     assert any(r["is_dup"] for r in a)      # real collisions at 30%
     assert any(not r["is_dup"] for r in a)  # and real admissions
+
+
+def test_cluster_top_terms_labels_clusters(spark):
+    # cluster 0 (ids 0,1 near origin-dir) speaks "alpha", cluster 1
+    # speaks "bravo"; k=2 stride seeds ids 0 and 2
+    emb = _emb(spark, [[1.0, 0.0], [0.9, 0.0], [0.0, 1.0], [0.0, 0.9]])
+    docs = spark.createDataFrame(
+        [(0, "alpha alpha beta"), (1, "alpha gamma"),
+         (2, "bravo bravo delta"), (3, "bravo echo")],
+        "doc_id bigint, text string")
+    out = cluster_top_terms(docs, emb, k=2, iters=1, top=1).collect()
+    got = {r["cluster"]: (r["token"], r["n"]) for r in out}
+    assert got == {0: ("alpha", 3), 1: ("bravo", 3)}
+
+
+def test_cluster_top_terms_matches_duckdb_oracle(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [(r["cluster"], r["rank"], r["token"], r["n"])
+           for r in cluster_top_terms(docs, emb, k=8, iters=2).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM"
+                f" '{sf_dir}/documents.parquet'")
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM"
+                f" '{sf_dir}/embeddings.parquet'")
+    want = [(int(a), int(b), c, int(d)) for a, b, c, d in con.execute(
+        cluster_top_terms_sql(k=8, iters=2, n_rows=500)).fetchall()]
+    assert got == want
 
 
 def test_update_semantic_index_admits_novel_then_blocks_rechecks(
