@@ -1375,6 +1375,17 @@ def q_tokenizer_fertility(spark, sf_dir):
     return T.tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def q_semdedup_check_audit(spark, sf_dir):
+    """Price the incremental semantic-dedup trade: one-row agreement
+    report between the frozen-index batch check and a full-union
+    semantic_dedup re-run (audit-only cost, the dedup_recall
+    precedent)."""
+    path, split = _sem_index(spark, sf_dir)
+    return SDD.semdedup_check_audit(
+        spark, _emb(spark, sf_dir), path, split_id=split,
+        k=8, iters=2, threshold_pct=30)
+
+
 def q_cluster_top_terms(spark, sf_dir):
     """Cluster labeling: each embedding cluster's top-5 document terms
     (vec_id == doc_id cross-modal contract)."""
@@ -2094,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_gate_full": q_corpus_gate_full,
         "embedding_standardize": q_embedding_standardize,
         "cluster_top_terms": q_cluster_top_terms,
+        "semdedup_check_audit": q_semdedup_check_audit,
         "local_supplier_volume": q_local_supplier_volume,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
@@ -2449,6 +2461,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_standardize": CENT.embedding_standardize_sql(),
         "cluster_top_terms": SDD.cluster_top_terms_sql(k=8, iters=2,
                                                        n_rows=500),
+        "semdedup_check_audit": SDD.semdedup_check_audit_sql(
+            split_id=250, k=8, iters=2, threshold_pct=30),
         "local_supplier_volume": """
             SELECT n_name AS nation,
                    round(sum(l_extendedprice * (1 - l_discount)), 6)

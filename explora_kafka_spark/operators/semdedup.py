@@ -492,6 +492,86 @@ def semdedup_check_sql(
         ORDER BY 1""")
 
 
+def semdedup_check_audit(
+    spark,
+    emb: DataFrame,
+    index_path: str,
+    split_id: int,
+    k: int = 8,
+    iters: int = 2,
+    threshold_pct: int = 95,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Price the incremental trade: how does checking a batch against
+    the FROZEN first-half index (`semdedup_check`) compare to the
+    oracle-expensive alternative — re-running `semantic_dedup` over
+    the WHOLE union corpus? The two differ legitimately (the union
+    re-fit moves centroids and the batch's vectors can dedup against
+    EACH OTHER in the one-shot), and this audit quantifies that gap —
+    the dedup_recall / ann_recall precedent for the semantic tier.
+
+    Output: ONE row (n_batch, inc_flagged, oneshot_dropped, both,
+    only_incremental, only_oneshot) over the `key >= split_id` batch.
+
+    100 TB: audit-only — it contains the full-union semantic_dedup by
+    construction (you run it on a sample/snapshot to price the drift,
+    not per ingest)."""
+    inc = semdedup_check(
+        spark, emb.filter(F.col(key) >= split_id), index_path,
+        threshold_pct, key, vec_col,
+    ).select(F.col(key).alias("vid"), F.col("is_dup").alias("inc"))
+    one = semantic_dedup(emb, k, iters, threshold_pct, key, vec_col) \
+        .filter(F.col(key) >= split_id) \
+        .select(F.col(key).alias("vid"), (~F.col("keep")).alias("os"))
+    return (
+        inc.join(one, "vid")
+        .agg(
+            F.count("*").alias("n_batch"),
+            F.sum(F.col("inc").cast("long")).alias("inc_flagged"),
+            F.sum(F.col("os").cast("long")).alias("oneshot_dropped"),
+            F.sum((F.col("inc") & F.col("os")).cast("long"))
+             .alias("both"),
+            F.sum((F.col("inc") & ~F.col("os")).cast("long"))
+             .alias("only_incremental"),
+            F.sum((~F.col("inc") & F.col("os")).cast("long"))
+             .alias("only_oneshot"),
+        )
+    )
+
+
+def semdedup_check_audit_sql(
+    table: str = "embeddings",
+    split_id: int = 250,
+    k: int = 8,
+    iters: int = 2,
+    threshold_pct: int = 95,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror: the composed check + full-union dedup mirrors as
+    derived tables, aggregated to the same one-row report."""
+    chk = semdedup_check_sql(table, split_id, k, iters, threshold_pct,
+                             key, vec_col)
+    one = semantic_dedup_sql(table, k, iters, threshold_pct, key,
+                             vec_col, n_rows=2 * split_id)
+    return f"""
+        SELECT count(*) AS n_batch,
+               sum(CASE WHEN c.is_dup THEN 1 ELSE 0 END) AS inc_flagged,
+               sum(CASE WHEN NOT o.keep THEN 1 ELSE 0 END)
+                   AS oneshot_dropped,
+               sum(CASE WHEN c.is_dup AND NOT o.keep THEN 1 ELSE 0 END)
+                   AS both,
+               sum(CASE WHEN c.is_dup AND o.keep THEN 1 ELSE 0 END)
+                   AS only_incremental,
+               sum(CASE WHEN NOT c.is_dup AND NOT o.keep THEN 1 ELSE 0
+                   END) AS only_oneshot
+        FROM ({chk}) c
+        JOIN ({one}) o ON c.{key} = o.{key}
+        WHERE o.{key} >= {split_id}
+    """
+
+
 def semdedup_sweep(
     emb: DataFrame,
     k: int = 8,

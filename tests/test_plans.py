@@ -91,6 +91,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   same allowance (the text tiers are all equi-joins).
 #:   cluster_top_terms runs kmeans for the cluster column (same
 #:   centroid broadcast); the token join is a doc-keyed equi-join.
+#:   semdedup_check_audit contains BOTH the frozen-index check and a
+#:   full-union semantic_dedup (audit-only allowance, the
+#:   dedup_recall precedent), so it inherits their broadcasts.
 #: - dsir_weights attaches the single-row (Tr, Tt) gram totals onto the
 #:   B-row bucket-count table only (the unigram_bits constant-attach
 #:   allowance — never onto the corpus); the doc-scoring join is a
@@ -105,7 +108,8 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "bm25_search", "bigram_bits", "semantic_dedup",
                  "dsir_weights", "knn_graph", "semantic_groups",
                  "semdedup_sweep", "dsir_select", "semdedup_check",
-                 "corpus_gate_full", "cluster_top_terms"}
+                 "corpus_gate_full", "cluster_top_terms",
+                 "semdedup_check_audit"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan

@@ -143,6 +143,30 @@ def test_cluster_top_terms_matches_duckdb_oracle(spark, sf_dir):
     assert got == want
 
 
+def test_check_audit_identities_and_parity(spark, sf_dir, tmp_path):
+    import duckdb
+
+    from explora_kafka_spark.operators.semdedup import (
+        semdedup_check_audit, semdedup_check_audit_sql)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    build_semantic_index(emb.filter("vec_id < 250"), idx, k=8, iters=2,
+                         threshold_pct=30)
+    row = semdedup_check_audit(spark, emb, idx, split_id=250, k=8,
+                               iters=2, threshold_pct=30).collect()[0]
+    assert row["n_batch"] == 250
+    assert row["inc_flagged"] == row["both"] + row["only_incremental"]
+    assert row["oneshot_dropped"] == row["both"] + row["only_oneshot"]
+    assert row["both"] > 0  # the paths agree on the blatant dups
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM"
+                f" '{sf_dir}/embeddings.parquet'")
+    want = con.execute(semdedup_check_audit_sql(
+        split_id=250, k=8, iters=2, threshold_pct=30)).fetchone()
+    assert tuple(row) == tuple(int(x) for x in want)
+
+
 def test_update_semantic_index_admits_novel_then_blocks_rechecks(
         spark, tmp_path):
     corpus = [[1.0, 0.0], [0.0, 1.0]]
