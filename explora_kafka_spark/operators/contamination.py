@@ -227,6 +227,22 @@ def build_contamination_index(
     train_sh.write.mode("overwrite").parquet(f"{path}/train_shingles")
 
 
+def _distinct_shingle_hashes(docs: DataFrame, n: int) -> DataFrame:
+    """One-column (_h) DISTINCT shingle-hash set of the given documents
+    (shared by build_shingle_index / update_shingle_index)."""
+    return (
+        docs.withColumn("_toks", tokens_col("text"))
+        .select(
+            F.explode_outer(
+                F.array_distinct(word_shingles_col("_toks", n))
+            ).alias("_shingle"),
+        )
+        .select(_shingle_hash_col(F.col("_shingle")).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .distinct()
+    )
+
+
 def build_shingle_index(
     docs: DataFrame,
     path: str,
@@ -238,18 +254,32 @@ def build_shingle_index(
     batches against. Same layout as `build_contamination_index`
     (`{path}/train_shingles`, one bigint `_h` column) so
     `contamination_check` reads either interchangeably."""
-    sh = (
-        docs.withColumn("_toks", tokens_col("text"))
-        .select(
-            F.explode_outer(
-                F.array_distinct(word_shingles_col("_toks", n))
-            ).alias("_shingle"),
-        )
-        .select(_shingle_hash_col(F.col("_shingle")).alias("_h"))
-        .filter(F.col("_h").isNotNull())
-        .distinct()
+    _distinct_shingle_hashes(docs, n).write.mode("overwrite").parquet(
+        f"{path}/train_shingles")
+
+
+def update_shingle_index(
+    spark,
+    docs: DataFrame,
+    path: str,
+    n: int = 5,
+) -> None:
+    """Append newly admitted documents' shingle hashes into the index —
+    the gate-learns step: once a batch is admitted to the corpus,
+    re-sent copies must score contamination 1.0 against it. The new
+    hashes are ANTI-JOINED against the stored set before the append:
+    `contamination_check`'s LEFT join counts matches, so a duplicated
+    `_h` row would silently multiply a document's hit count — the
+    index must stay a set (uniqueness is the index's invariant, kept
+    here, not at read time). Same semantic-tier lifecycle as
+    `semdedup.update_semantic_index`."""
+    existing = spark.read.parquet(f"{path}/train_shingles")
+    new_h = (
+        _distinct_shingle_hashes(docs, n)
+        .join(existing, "_h", "left_anti")
+        .localCheckpoint(eager=True)
     )
-    sh.write.mode("overwrite").parquet(f"{path}/train_shingles")
+    new_h.write.mode("append").parquet(f"{path}/train_shingles")
 
 
 def contamination_check(

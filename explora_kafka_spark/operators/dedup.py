@@ -710,6 +710,30 @@ def build_dedup_index(
      .write.mode("overwrite").parquet(f"{path}/bands"))
 
 
+def update_dedup_index(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_n: int = 1,
+) -> None:
+    """Append newly admitted documents' banded signatures into the
+    index — the gate-learns step for the MinHash tier: once a batch is
+    admitted, re-sent near-copies must collide with it in
+    `dedup_check`. Band rows are keyed by doc_id, so appending NEW
+    documents cannot duplicate existing rows; the caller's contract is
+    to append each admitted batch exactly once (ids are unique across
+    batches by the ingest key discipline). Same lifecycle as
+    `contamination.update_shingle_index` /
+    `semdedup.update_semantic_index`."""
+    banded = banded_signatures(
+        minhash_signatures(docs, num_hashes, shingle_n),
+        num_bands, num_hashes // num_bands,
+    )
+    (banded.repartition("band_idx", "band_key")
+     .write.mode("append").parquet(f"{path}/bands"))
+
+
 def dedup_check(
     spark,
     batch: DataFrame,

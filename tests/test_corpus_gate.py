@@ -209,3 +209,46 @@ def test_gate_full_stream_equals_batch(spark, docs, full_indexes,
                   taint_max=0.5, semantic_threshold_pct=30,
                   lsh_shingle_n=2, num_bands=8, min_est=0.9).collect()}
     assert streamed == expect
+
+
+def test_gate_learns_after_index_updates(spark, docs, tmp_path):
+    """The full admission lifecycle: a fresh batch passes the gate,
+    its content is appended into BOTH text indexes, and a re-sent copy
+    of it is then rejected by both tiers — the corpus gate learns."""
+    from explora_kafka_spark.operators.contamination import (
+        update_shingle_index)
+    from explora_kafka_spark.operators.dedup import update_dedup_index
+
+    corpus = docs.filter(F.col("doc_id") < 100)
+    build_shingle_index(corpus, str(tmp_path / "sh"))
+    build_dedup_index(corpus, str(tmp_path / "lsh"), shingle_n=2,
+                      num_bands=8)
+    fresh = spark.createDataFrame(
+        [(5000, "the torrential zebra quadrille mortgages a "
+                "proximal undertow beneath seventeen lacquered "
+                "observatories while nobody watches the meridian")],
+        "doc_id bigint, text string")
+    kw = dict(lsh_shingle_n=2, num_bands=8, min_est=0.9)
+    first = gate_batch(spark, fresh, str(tmp_path / "sh"),
+                       str(tmp_path / "lsh"), **kw).collect()[0]
+    assert first["accepted"]
+    # admit: append into both indexes
+    update_shingle_index(spark, fresh, str(tmp_path / "sh"))
+    update_dedup_index(fresh, str(tmp_path / "lsh"), shingle_n=2,
+                       num_bands=8)
+    resent = fresh.withColumn("doc_id", F.lit(5001))
+    second = gate_batch(spark, resent, str(tmp_path / "sh"),
+                        str(tmp_path / "lsh"), **kw).collect()[0]
+    assert second["contamination"] == 1.0
+    assert second["n_near_dups"] >= 1
+    assert not second["accepted"]
+    # idempotent-set invariant: re-updating with the SAME doc must not
+    # duplicate index hashes (contamination would over-count matches)
+    sh_before = spark.read.parquet(str(tmp_path / "sh/train_shingles"))
+    n_before = sh_before.count()
+    update_shingle_index(spark, fresh, str(tmp_path / "sh"))
+    sh_after = spark.read.parquet(str(tmp_path / "sh/train_shingles"))
+    assert sh_after.count() == n_before
+    third = gate_batch(spark, resent, str(tmp_path / "sh"),
+                       str(tmp_path / "lsh"), **kw).collect()[0]
+    assert third["contamination"] == 1.0
