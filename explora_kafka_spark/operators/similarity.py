@@ -720,6 +720,43 @@ def build_ivf_index(
     )
 
 
+def update_ivf_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    round_to: int = 6,
+) -> None:
+    """Append newly admitted vectors into the IVF lists using the
+    STORED centroids — the serving index learns new corpus items
+    without a rebuild (assignment stays stable because the quantizer
+    is frozen; re-fit = rebuild on distribution drift, the
+    build_ivf_index contract). Each appended vector lands in exactly
+    the partition its nearest stored centroid owns, so subsequent
+    `ann_topk_ivf_indexed` queries probing that list see it — the
+    build → serve → UPDATE lifecycle shared with the dedup /
+    contamination / semantic indexes. Batch cost: one tiny centroid
+    broadcast + a per-row argmax, corpus never rescanned."""
+    from pyspark.sql.window import Window
+
+    cent = spark.read.parquet(f"{path}/centroids")
+    csim = F.round(F.expr(cosine_expr_spark("embedding", "c_emb")),
+                   round_to)
+    assigned = (
+        batch.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "cid", csim.alias("csim"))
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    new_rows = (
+        assigned.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("n_emb"), "cid")
+    )
+    (new_rows.repartition("cid")
+     .write.mode("append").partitionBy("cid")
+     .parquet(f"{path}/lists"))
+
+
 def ann_topk_ivf_indexed(
     spark,
     index_path: str,

@@ -990,3 +990,26 @@ def test_tokenizer_fertility_is_corpus_ratio_per_lang(spark, docs):
             r["fertility"])
            for r in T.tokenizer_fertility(docs).collect()]
     assert got == want
+
+
+def test_update_ivf_index_serves_new_vectors(spark, emb, tmp_path):
+    """The IVF lifecycle: append a new vector via the STORED centroids
+    and the indexed serving path finds it — near-identical direction
+    to query 0 must surface in query 0's top-k after the update."""
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx)
+    q0 = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    new = spark.createDataFrame(
+        [(999999, [float(x) * 0.5 for x in q0])],
+        "vec_id bigint, embedding array<float>")
+    before = {r["neighbor_id"] for r in S.ann_topk_ivf_indexed(
+        spark, idx).filter(F.col("query_id") == 0).collect()}
+    assert 999999 not in before
+    S.update_ivf_index(spark, new, idx)
+    after = S.ann_topk_ivf_indexed(spark, idx) \
+        .filter(F.col("query_id") == 0).collect()
+    ids = [r["neighbor_id"] for r in after]
+    assert 999999 in ids
+    # a parallel vector has cosine 1.0 -> it ranks at the very top
+    # alongside the query itself
+    assert ids[0] in (0, 999999) and 999999 in ids[:2]
