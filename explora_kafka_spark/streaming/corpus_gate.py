@@ -140,6 +140,74 @@ def gate_stream(
     )
 
 
+def gate_stream_learning(
+    spark,
+    doc_stream: DataFrame,
+    shingle_index: str,
+    dedup_index: str,
+    accepted_path: str,
+    rejected_path: str,
+    checkpoint: str,
+    taint_max: float = 0.5,
+    shingle_n: int = 5,
+    lsh_shingle_n: int = 1,
+    num_bands: int = NUM_BANDS,
+    **gate_kwargs,
+):
+    """The SELF-LEARNING admission gate: after each micro-batch's
+    accepted documents are persisted, they are appended into BOTH text
+    indexes (`update_shingle_index` / `update_dedup_index`) — so a
+    near-copy arriving in a LATER micro-batch is rejected. Cross-batch
+    dedup without any Spark state store: the indexes ARE the state,
+    durable, shared, and inspectable.
+
+    Delivery: same availableNow/replay contract as `gate_stream`, with
+    one addition — a replayed batch re-appends its band rows
+    (signatures are doc-keyed, so verdict booleans stay correct; only
+    candidate counts inflate) while the shingle append stays exactly-
+    once-equivalent by its anti-join set invariant. Within a single
+    micro-batch, mutual near-dups are both admitted (the
+    update_semantic_index contract) — shrink the trigger or pre-dedup
+    the batch when that matters."""
+    from ..operators.contamination import update_shingle_index
+    from ..operators.dedup import update_dedup_index
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = gate_batch(
+            spark, batch_df, shingle_index, dedup_index,
+            taint_max=taint_max, shingle_n=shingle_n,
+            lsh_shingle_n=lsh_shingle_n, num_bands=num_bands,
+            **gate_kwargs,
+        )
+        # eager checkpoint, NOT persist: the index appends below call
+        # refreshByPath on the very stores this verdict's plan scans,
+        # which would invalidate a cache and re-evaluate the verdict
+        # against the batch's own just-appended content (accepted
+        # would collapse to empty and nothing would ever be indexed)
+        enriched = (batch_df.join(scored, "doc_id")
+                    .localCheckpoint(eager=True))
+        accepted = enriched.filter(F.col("accepted")).drop("accepted")
+        accepted.write.mode("append").parquet(accepted_path)
+        enriched.filter(~F.col("accepted")).drop("accepted") \
+            .write.mode("append").parquet(rejected_path)
+        if not accepted.isEmpty():
+            update_shingle_index(spark, accepted, shingle_index,
+                                 n=shingle_n)
+            update_dedup_index(accepted, dedup_index,
+                               num_bands=num_bands,
+                               shingle_n=lsh_shingle_n)
+
+    return (
+        doc_stream.writeStream
+        .foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def gate_batch_full(
     spark,
     batch: DataFrame,

@@ -252,3 +252,50 @@ def test_gate_learns_after_index_updates(spark, docs, tmp_path):
     third = gate_batch(spark, resent, str(tmp_path / "sh"),
                        str(tmp_path / "lsh"), **kw).collect()[0]
     assert third["contamination"] == 1.0
+
+
+def test_learning_gate_rejects_cross_batch_copy(spark, docs, tmp_path):
+    """Self-learning stream: the same fresh content arrives in TWO
+    micro-batches under different ids — the first is admitted (and
+    appended into the indexes inside the loop), the second is rejected
+    by the gate it just taught. No Spark state store involved."""
+    from explora_kafka_spark.streaming.corpus_gate import (
+        gate_stream_learning)
+
+    corpus = docs.filter(F.col("doc_id") < 100)
+    build_shingle_index(corpus, str(tmp_path / "sh"))
+    build_dedup_index(corpus, str(tmp_path / "lsh"), shingle_n=2,
+                      num_bands=8)
+    text = ("an improbable ultramarine casserole deputizes the "
+            "quietest of seventeen harmonicas while glaciers "
+            "annotate the velvet monsoon ledger")
+    f1 = spark.createDataFrame([(7000, text)],
+                               "doc_id bigint, text string")
+    f2 = spark.createDataFrame([(7001, text)],
+                               "doc_id bigint, text string")
+    f1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    f2.coalesce(1).write.mode("append").parquet(str(tmp_path / "in"))
+    schema = spark.read.parquet(str(tmp_path / "in")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    q = gate_stream_learning(
+        spark, stream, str(tmp_path / "sh"), str(tmp_path / "lsh"),
+        str(tmp_path / "acc"), str(tmp_path / "rej"),
+        str(tmp_path / "ckpt"),
+        lsh_shingle_n=2, num_bands=8, min_est=0.9,
+    )
+    q.awaitTermination(300)
+    acc_ids = {r["doc_id"] for r in
+               spark.read.parquet(str(tmp_path / "acc")).collect()}
+    rej = spark.read.parquet(str(tmp_path / "rej")).collect()
+    rej_ids = {r["doc_id"] for r in rej}
+    # exactly one of the two copies was admitted; the other was
+    # rejected BY THE LEARNED indexes (contamination 1.0 + near-dup)
+    assert len(acc_ids & {7000, 7001}) == 1
+    assert len(rej_ids & {7000, 7001}) == 1
+    learned = next(r for r in rej if r["doc_id"] in (7000, 7001))
+    assert learned["contamination"] == 1.0
+    assert learned["n_near_dups"] >= 1
