@@ -355,6 +355,15 @@ def q_snapshot_radius_geohash(spark, sf_dir):
 _POLYGON = [(25.0, 5.0), (30.0, 20.0), (25.0, 35.0),
             (-5.0, 30.0), (-10.0, 20.0), (-5.0, 10.0)]
 
+#: three-geofence region table for the multi-region rollup (r1 = the
+#: single-polygon query's geofence, so that row is directly comparable;
+#: r2/r3 are lon/lat-shifted copies elsewhere in the cell domain)
+_REGIONS = [
+    ("r1", _POLYGON),
+    ("r2", [(lat, lon + 40.0) for lat, lon in _POLYGON]),
+    ("r3", [(lat - 25.0, lon - 50.0) for lat, lon in _POLYGON]),
+]
+
 
 def q_snapshot_polygon_quad(spark, sf_dir):
     """Polygon (geofence) snapshot in quad-tiling mode — the third
@@ -364,6 +373,15 @@ def q_snapshot_polygon_quad(spark, sf_dir):
     return Q.snapshot_polygon_quadtiling(
         lattice, "view", "count", 6, "day", _SNAP_DAY_MS, _POLYGON
     )
+
+
+def q_snapshot_regions_quad(spark, sf_dir):
+    """Multi-geofence rollup: per-region aggregates for a 3-polygon
+    region table in ONE snapshot-slice pass (broadcast cover mapping,
+    no per-region rescan)."""
+    lattice = _geo_lattice(spark, sf_dir, "quad", 6, 6)
+    return Q.snapshot_regions_quadtiling(
+        lattice, "view", "count", 6, "day", _SNAP_DAY_MS, _REGIONS)
 
 
 def q_snapshot_polygon_geohash(spark, sf_dir):
@@ -2106,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_standardize": q_embedding_standardize,
         "cluster_top_terms": q_cluster_top_terms,
         "semdedup_check_audit": q_semdedup_check_audit,
+        "snapshot_regions_quad": q_snapshot_regions_quad,
         "local_supplier_volume": q_local_supplier_volume,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
@@ -2191,6 +2210,10 @@ def oracle_sql() -> dict[str, str]:
         f"'{c}'" for c in geo.quadkey_cover_polygon(_POLYGON, 6))
     gh_poly_sql = ", ".join(
         f"'{c}'" for c in geo.geohash_cover_polygon(_POLYGON, 3))
+    region_cells_sql = ", ".join(
+        f"('{rid}', '{c}')"
+        for rid, pts in _REGIONS
+        for c in geo.quadkey_cover_polygon(pts, 6))
     return {
         "cell_bucket_key": f"""
             {_R}
@@ -2698,6 +2721,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'view'
               AND date_trunc('day', ts) = TIMESTAMP '2024-01-10'
               AND {qk6} IN ({quad_poly_sql})
+            GROUP BY 1 ORDER BY 1
+        """,
+        "snapshot_regions_quad": f"""
+            WITH region_cells(region_id, cell) AS (
+                VALUES {region_cells_sql}
+            )
+            SELECT m.region_id, count(*) AS count
+            FROM events e JOIN region_cells m ON {qk6} = m.cell
+            WHERE e.event_type = 'view'
+              AND date_trunc('day', e.ts) = TIMESTAMP '2024-01-10'
             GROUP BY 1 ORDER BY 1
         """,
         "snapshot_polygon_geohash": f"""

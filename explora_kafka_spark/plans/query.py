@@ -448,6 +448,51 @@ def snapshot_polygon_quadtiling(
     return _agg_projection(merged, aggregate, "gh").orderBy("gh")
 
 
+def snapshot_regions_quadtiling(
+    lattice: DataFrame,
+    metric: str,
+    aggregate: str,
+    zoom: int,
+    res: str,
+    ts_ms: int,
+    regions: list,
+) -> DataFrame:
+    """MULTI-geofence rollup: aggregate the metric per REGION for a
+    whole polygon table in ONE pass — the spatial-join generalization
+    of snapshot_polygon_quadtiling (which answers one polygon per
+    query). The classic fleet/geofence dashboard query: "counts per
+    sales territory", N territories at once.
+
+    `regions` is [(region_id, points), ...]. Each polygon's exact
+    intersecting cell set at `zoom` is computed driver-side
+    (geo.quadkey_cover_polygon — the regions table is a small dim by
+    nature) and the union becomes a BROADCAST (region_id, gh) mapping
+    joined against the one selected snapshot slice; a cell inside two
+    overlapping regions counts toward both (cover semantics, same as
+    running the single-polygon query per region — pinned by pytest).
+
+    100 TB: partition pruning + the ts predicate still select exactly
+    one slice; the mapping is |regions| × cover cells (KBs), broadcast;
+    one equi-join + a |regions|-row aggregate. No per-region rescan —
+    the N-queries-N-scans alternative is exactly what this replaces."""
+    rows = []
+    for rid, points in regions:
+        for c in geo.quadkey_cover_polygon(points, zoom):
+            rows.append((str(rid), c))
+    mapping = lattice.sparkSession.createDataFrame(
+        rows, "region_id string, gh string")
+    t = truncate_ts_ms(ts_ms, res)
+    view = _select_view(lattice, metric, zoom, res).filter(
+        F.col("ts") == _ts_at(t))
+    merged = (
+        view.join(F.broadcast(mapping), "gh")
+        .groupBy("region_id")
+        .agg(*_merge_cols())
+    )
+    return (_agg_projection(merged, aggregate, "region_id")
+            .orderBy("region_id"))
+
+
 def snapshot_polygon_geohashing(
     lattice: DataFrame,
     metric: str,

@@ -185,3 +185,21 @@ def test_composite_key_roundtrip():
     s = format_ts_ms(ts)
     assert s == "20240129:123456:789"
     assert parse_key_ts(s) == ts
+
+
+def test_snapshot_regions_matches_per_polygon_sums(spark):
+    """The multi-region rollup's r1 row equals the single-polygon
+    snapshot (same geofence) summed over its cells — one broadcast
+    pass ≡ N per-region queries."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.01"  # sf0.001's snapshot day misses r1
+    regions = {r["region_id"]: r["count"]
+               for r in E.queries()["snapshot_regions_quad"](
+                   spark, sf).collect()}
+    single = sum(r["count"] for r in
+                 E.queries()["snapshot_polygon_quad"](spark, sf)
+                 .collect())
+    assert regions.get("r1", 0) == single
+    assert set(regions) <= {"r1", "r2", "r3"}
+    assert regions["r1"] > 0
