@@ -1508,6 +1508,15 @@ def q_knn_graph(spark, sf_dir):
     return SDD.knn_graph(_emb(spark, sf_dir), k_clusters=8, iters=2, k=5)
 
 
+def q_label_propagation(spark, sf_dir):
+    """Semi-supervised label propagation over the cluster-local kNN
+    graph: id%5==0 seeds keep their true label, everyone else takes the
+    deterministic neighbor majority for 3 rounds (-1 = never reached).
+    Graph built once (localCheckpoint); each round is label-table-sized."""
+    return SDD.label_propagation(_emb(spark, sf_dir), k_clusters=8,
+                                 iters=2, k=5, rounds=3, seed_mod=5)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance log-ratio (Xie et al. 2023): hashed unigram+bigram
     bucket LMs (target = lang='en' slice vs the raw corpus), per-doc
@@ -2114,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
         "knn_graph": q_knn_graph,
+        "label_propagation": q_label_propagation,
         "semantic_groups": q_semantic_groups,
         "semdedup_sweep": q_semdedup_sweep,
         "pca_project": q_pca_project,
@@ -2467,6 +2477,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": DSIR.dsir_weights_sql(),
         "knn_graph": SDD.knn_graph_sql(k_clusters=8, iters=2, k=5,
                                        n_rows=500),
+        "label_propagation": SDD.label_propagation_sql(
+            k_clusters=8, iters=2, k=5, rounds=3, seed_mod=5,
+            n_rows=500),
         "semantic_groups": SDD.semantic_groups_sql(k=8, iters=2,
                                                    threshold_pct=30,
                                                    n_rows=500),

@@ -903,3 +903,142 @@ def semantic_dedup_sql(
                (d.vid IS NULL) AS keep
         FROM ranked r LEFT JOIN dropped d ON r.vid = d.vid
         ORDER BY 1""")
+
+
+def label_propagation(
+    emb: DataFrame,
+    k_clusters: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    rounds: int = 3,
+    seed_mod: int = 5,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Semi-supervised LABEL PROPAGATION over the cluster-local kNN
+    graph (Zhu & Ghahramani 2002 / Raghavan et al. 2007, made
+    deterministic): vectors whose id ≡ 0 (mod `seed_mod`) are SEEDS and
+    keep their true `label_col` forever; every other vector starts
+    unlabeled and, each round, takes the MAJORITY label among its k
+    nearest cluster-mates' current labels (unlabeled neighbors don't
+    vote; ties → the smaller label; zero labeled neighbors → keep the
+    previous round's label). Output: (key, prop_label) for the whole
+    corpus, key-ascending; never-reached vectors get -1.
+
+    This is the curation step the kNN graph exists for: spread a small
+    set of human/classifier labels (topic, quality tier, license class)
+    across the full corpus at graph cost instead of inference cost.
+
+    100 TB design: the graph is built ONCE (knn_graph — Lloyd passes +
+    one cid equi-join + a per-vector window) and eagerly
+    localCheckpoint'ed, so the `rounds` iterations never re-run the
+    clustering. Each round touches only the k·n edge table and the
+    2-column label table: one vid-keyed equi-join + one (vid, lab)
+    partial-agg shuffle + a per-vid window, all integer ops — the
+    connected-components/kmeans statistic-sized-loop pattern, with
+    localCheckpoint capping lineage per round. Majority votes are exact
+    integer counts with a total-order tie-break, so the result is
+    partitioning-independent and the DuckDB mirror is bit-exact.
+    """
+    edges = (
+        knn_graph(emb, k_clusters, iters, k, key, vec_col, n_rows)
+        .select(F.col(key).alias("vid"), F.col("neighbor_id").alias("nb"))
+        .localCheckpoint(eager=True)
+    )
+    seed_lab = F.when(F.col(key) % seed_mod == 0, F.col(label_col))
+    labels = emb.select(
+        F.col(key).alias("vid"),
+        seed_lab.alias("slab"),
+        seed_lab.alias("lab"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels.select(F.col("vid").alias("nb"), "lab"), "nb")
+            .filter(F.col("lab").isNotNull())
+            .groupBy("vid", "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("vid").orderBy(F.col("c").desc(),
+                                              F.col("lab").asc())
+        pick = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vid", F.col("lab").alias("plab"))
+        )
+        labels = (
+            labels.join(pick, "vid", "left")
+            .select("vid", "slab",
+                    F.coalesce("slab", "plab", "lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.select(
+            F.col("vid").alias(key),
+            F.coalesce(F.col("lab"), F.lit(-1)).cast("int")
+            .alias("prop_label"),
+        )
+        .orderBy(key)
+    )
+
+
+def label_propagation_sql(
+    table: str = "embeddings",
+    k_clusters: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    rounds: int = 3,
+    seed_mod: int = 5,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_rows: int = 500,
+) -> str:
+    """DuckDB mirror of `label_propagation`: the shared Lloyd CTEs +
+    the knn_graph edge set + one (votes, pick, labels) CTE triple per
+    round — exact integer majority with the identical
+    (count DESC, label ASC) tie-break."""
+    ctes, last = CL.kmeans_ctes(table, k_clusters, iters, key, vec_col,
+                                n_rows)
+    d2 = ("list_sum([ (a.m[i] - b.m[i]) * (a.m[i] - b.m[i])"
+          " FOR i IN range(1, len(a.m) + 1) ])")
+    ctes.append(f"""edges AS (
+        SELECT va AS vid, vb AS nb FROM (
+            SELECT a.vid AS va, b.vid AS vb,
+                   row_number() OVER (PARTITION BY a.vid
+                                      ORDER BY {d2} ASC, b.vid ASC) AS rk
+            FROM {last} a JOIN {last} b
+              ON a.cid = b.cid AND a.vid != b.vid
+        ) WHERE rk <= {k}
+    )""")
+    ctes.append(f"""lab0 AS (
+        SELECT {key} AS vid,
+               CASE WHEN {key} % {seed_mod} = 0 THEN {label_col} END AS slab,
+               CASE WHEN {key} % {seed_mod} = 0 THEN {label_col} END AS lab
+        FROM {table}
+    )""")
+    for r in range(1, rounds + 1):
+        ctes.append(f"""v{r} AS (
+            SELECT e.vid, l.lab, count(*) AS c
+            FROM edges e JOIN lab{r - 1} l ON l.vid = e.nb
+            WHERE l.lab IS NOT NULL
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""p{r} AS (
+            SELECT vid, lab FROM (
+                SELECT vid, lab,
+                       row_number() OVER (PARTITION BY vid
+                                          ORDER BY c DESC, lab ASC) AS rk
+                FROM v{r}
+            ) WHERE rk = 1
+        )""")
+        ctes.append(f"""lab{r} AS (
+            SELECT l.vid, l.slab, COALESCE(l.slab, p.lab, l.lab) AS lab
+            FROM lab{r - 1} l LEFT JOIN p{r} p ON p.vid = l.vid
+        )""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT vid AS {key},
+               CAST(COALESCE(lab, -1) AS INT) AS prop_label
+        FROM lab{rounds}
+        ORDER BY 1""")

@@ -79,7 +79,11 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   assignment, so they inherit the kmeans-family keyless centroid
 #:   broadcast; the pair stage of each is a hash equi-join on the
 #:   cluster id (the point of the cluster-local recipe — never a
-#:   cartesian). semantic_groups additionally runs the dedup_groups
+#:   cartesian). label_propagation is knn_graph + per-round vid/label
+#:   equi-joins; its knn/Lloyd stage (same centroid allowance) is
+#:   localCheckpoint'ed away, so its captured plan is the clean
+#:   label-table tail and it needs no allow-list row.
+#:   semantic_groups additionally runs the dedup_groups
 #:   pointer-jumping CC over the edge set (equi-joins only);
 #:   semdedup_sweep prices every rung from the same single pair scan.
 #: - dsir_select is dsir_weights + a TakeOrdered top-100, so it

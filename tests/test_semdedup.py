@@ -6,7 +6,8 @@ import duckdb
 
 from explora_kafka_spark.operators.semdedup import (
     build_semantic_index, cluster_top_terms, cluster_top_terms_sql,
-    knn_graph, knn_graph_sql, semantic_dedup, semantic_dedup_sql,
+    knn_graph, knn_graph_sql, label_propagation, label_propagation_sql,
+    semantic_dedup, semantic_dedup_sql,
     semantic_groups, semantic_groups_sql, semdedup_check,
     semdedup_sweep, semdedup_sweep_sql, update_semantic_index)
 
@@ -309,3 +310,60 @@ def test_matches_duckdb_oracle(spark, sf_dir):
     assert got == want
     # the diffuse synthetic embeddings still produce real drops at 30%
     assert any(not k for _, _, k in got)
+
+
+def _embl(spark, vecs, labels):
+    rows = [(i, [float(x) for x in v], int(lab))
+            for i, (v, lab) in enumerate(zip(vecs, labels))]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+
+
+def _prop(spark, vecs, labels, **kw):
+    out = label_propagation(_embl(spark, vecs, labels), **kw).collect()
+    return {r["vec_id"]: r["prop_label"] for r in out}
+
+
+def test_label_propagation_spreads_seed_labels(spark):
+    # seeds (id % 3 == 0) are 0 (lab 7) and 3 (lab 9); k=1 nearest
+    # neighbor pairs (0,1) and (2,3), so one round labels 1<-7, 2<-9;
+    # the non-seed labels 1/1 never vote (they start unlabeled)
+    got = _prop(spark, [[1.0], [1.1], [5.0], [5.1]], [7, 1, 1, 9],
+                k_clusters=1, iters=1, k=1, rounds=1, seed_mod=3)
+    assert got == {0: 7, 1: 7, 2: 9, 3: 9}
+
+
+def test_label_propagation_tie_break_and_seed_immutability(spark):
+    # seeds 0 (lab 7) and 2 (lab 9); the middle vector sees one vote
+    # for each -> tie -> the SMALLER label wins; both seeds keep their
+    # own labels despite each other's votes across rounds
+    got = _prop(spark, [[1.0], [1.01], [1.02]], [7, 9, 9],
+                k_clusters=1, iters=1, k=2, rounds=3, seed_mod=2)
+    assert got == {0: 7, 1: 7, 2: 9}
+
+
+def test_label_propagation_unreached_is_minus_one(spark):
+    # two clusters (stride 2 -> init centroids 0 and 2); the only seed
+    # (seed_mod=100 -> id 0) lives in cluster {0,1}, so cluster {2,3}
+    # can never be reached -> -1
+    got = _prop(spark, [[0.0], [0.01], [5.0], [5.01]], [7, 7, 7, 7],
+                k_clusters=2, iters=1, k=1, rounds=3, seed_mod=100)
+    assert got == {0: 7, 1: 7, 2: -1, 3: -1}
+
+
+def test_label_propagation_matches_duckdb_oracle(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [(r["vec_id"], r["prop_label"])
+           for r in label_propagation(emb, k_clusters=8, iters=2, k=5,
+                                      rounds=3, seed_mod=5).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM"
+                f" '{sf_dir}/embeddings.parquet'")
+    want = [tuple(int(x) for x in row) for row in con.execute(
+        label_propagation_sql(k_clusters=8, iters=2, k=5, rounds=3,
+                              seed_mod=5, n_rows=500)).fetchall()]
+    assert got == want
+    labs = dict(got)
+    non_seed = {v: l for v, l in labs.items() if v % 5 != 0}
+    assert any(l >= 0 for l in non_seed.values())  # real propagation
+    assert len(labs) == 500  # whole corpus, seeds included
