@@ -1237,6 +1237,13 @@ def q_kmeans_outliers(spark, sf_dir):
     return CL.kmeans_outliers(_emb(spark, sf_dir), k=8, iters=3, top=20)
 
 
+def q_kcenter_select(spark, sf_dir):
+    """Greedy k-center (farthest-point-first) diversity selection: the
+    8-pick coreset + its coverage-radius elbow curve. k narrow corpus
+    passes, 1-row TakeOrdered per pick, all-integer distances."""
+    return CL.kcenter_select(_emb(spark, sf_dir), k=8)
+
+
 def q_dedup_recall(spark, sf_dir):
     """LSH dedup quality audit: recall/precision of the banded candidate
     pairs vs exact Jaccard ground truth on a doc sample (the text-side
@@ -2070,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "kmeans_sizes": q_kmeans_sizes,
         "kmeans_outliers": q_kmeans_outliers,
+        "kcenter_select": q_kcenter_select,
         "decontaminate": q_decontaminate,
         "term_postings": q_term_postings,
         "dedup_recall": q_dedup_recall,
@@ -2555,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": PST.bm25_search_sql(terms=_BM25_TERMS),
         "kmeans_outliers": CL.kmeans_sql(k=8, iters=3, n_rows=500,
                                          outliers_top=20),
+        "kcenter_select": CL.kcenter_select_sql(k=8),
         "dedup_recall": D.dedup_recall_audit_sql(jaccard_min=0.3,
                                                  sample_mod=20,
                                                  shingle_n=2, num_bands=8),

@@ -264,3 +264,114 @@ def kmeans_sql(
         body = (f"SELECT vid AS {key}, cid AS cluster"
                 f" FROM {last} ORDER BY 1")
     return "WITH " + ",\n".join(ctes) + "\n" + body
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int = 8,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-CENTER (farthest-point-first) DIVERSITY SELECTION — the
+    coreset construction of Gonzalez 1985 / Sener & Savarese 2018:
+    start from the smallest-id vector, then repeatedly select the
+    vector FARTHEST (max-min integer squared L2) from everything
+    selected so far. The selected set is a 2-approximation of the
+    optimal k-center cover — the standard "pick a maximally diverse
+    subset" primitive for training-data curation (diverse fine-tune
+    seeds, eval-set picks, annotation batches).
+
+    Output: (rank, key, d2_mu), rank-ascending — d2_mu is the coverage
+    radius at selection (the max-min distance the pick closed; -1 for
+    the rank-0 seed), so the row sequence doubles as the k-vs-coverage
+    elbow curve. Selection stops early when the whole corpus is
+    exactly covered (max-min distance 0 — duplicate-only remainder).
+
+    100 TB design: the loop state is ONE narrow corpus table
+    (vid, m, dmin); each of the k iterations is a 1-row TakeOrdered
+    (the merge-decision scalar probe — the bpe_merges/kmeans
+    precedent) plus a codegen `least(dmin, d2-to-literal-center)`
+    projection, localCheckpoint-ed so lineage stays flat. k corpus
+    passes total — the Lloyd cost family, no pairwise stage anywhere.
+    All-integer distances + (dmin DESC, vid ASC) tie-breaks make the
+    selection partitioning-independent and the DuckDB mirror
+    bit-exact."""
+    mu = emb.select(
+        F.col(key).alias("vid"),
+        F.expr(_MU_COL.format(vec=vec_col)).alias("m"),
+    )
+    seed = mu.orderBy("vid").limit(1).collect()[0]
+    selected = [(0, int(seed["vid"]), -1)]
+
+    def _d2_lit(center_m):
+        lit = F.array(*[F.lit(int(x)) for x in center_m])
+        return F.aggregate(
+            F.zip_with(F.col("m"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    state = mu.withColumn("dmin", _d2_lit(seed["m"])).localCheckpoint(
+        eager=True)
+    for r in range(1, k):
+        best = (
+            state.orderBy(F.col("dmin").desc(), F.col("vid").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or int(best[0]["dmin"]) == 0:
+            break  # every vector coincides with a center: covered
+        selected.append((r, int(best[0]["vid"]), int(best[0]["dmin"])))
+        state = state.withColumn(
+            "dmin", F.least(F.col("dmin"), _d2_lit(best[0]["m"]))
+        ).localCheckpoint(eager=True)
+    return (
+        emb.sparkSession.createDataFrame(
+            selected, f"rank int, {key} bigint, d2_mu bigint")
+        .orderBy("rank")
+    )
+
+
+def kcenter_select_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of `kcenter_select`: one (pick, distance-update)
+    CTE pair per iteration, unrolled — the kmeans_ctes pattern. The
+    early covered-stop is mirrored by `WHERE dmin > 0` in each pick
+    (an empty pick empties every later stage, exactly the loop break)."""
+    d2_seed = ("list_sum([ (e.m[i] - s.m[i]) * (e.m[i] - s.m[i])"
+               " FOR i IN range(1, len(e.m) + 1) ])")
+    d2_pick = ("list_sum([ (d.m[i] - p.m[i]) * (d.m[i] - p.m[i])"
+               " FOR i IN range(1, len(d.m) + 1) ])")
+    ctes = [
+        f"""mu AS (
+            SELECT {key} AS vid,
+                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                    FOR x IN {vec_col}] AS m
+            FROM {table}
+        )""",
+        """s0 AS (SELECT vid, m FROM mu ORDER BY vid LIMIT 1)""",
+        f"""d0 AS (
+            SELECT e.vid, e.m, CAST({d2_seed} AS BIGINT) AS dmin
+            FROM mu e, s0 s
+        )""",
+    ]
+    rows = ["SELECT 0 AS rank, vid, CAST(-1 AS BIGINT) AS d2_mu FROM s0"]
+    for r in range(1, k):
+        ctes.append(f"""p{r} AS (
+            SELECT vid, m, dmin FROM d{r - 1}
+            WHERE dmin > 0
+            ORDER BY dmin DESC, vid ASC LIMIT 1
+        )""")
+        ctes.append(f"""d{r} AS (
+            SELECT d.vid, d.m,
+                   least(d.dmin, CAST({d2_pick} AS BIGINT)) AS dmin
+            FROM d{r - 1} d, p{r} p
+        )""")
+        rows.append(f"SELECT {r} AS rank, vid, dmin AS d2_mu FROM p{r}")
+    union = " UNION ALL ".join(rows)
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT rank, vid AS {key}, d2_mu FROM ({union}) ORDER BY rank""")

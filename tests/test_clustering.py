@@ -5,7 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from explora_kafka_spark.operators.clustering import (
-    kmeans, kmeans_outliers, kmeans_sizes, kmeans_stride)
+    kcenter_select, kcenter_select_sql, kmeans, kmeans_outliers,
+    kmeans_sizes, kmeans_stride)
 
 
 def _emb(spark, vecs):
@@ -95,3 +96,46 @@ def test_outliers_consistent_with_assignment(spark, sf_dir):
     for r in kmeans_outliers(emb, k=4, iters=2, top=10).collect():
         assert assign[r["vec_id"]] == r["cluster"]
         assert r["d2_mu"] >= 0
+
+
+def test_kcenter_farthest_first_traversal(spark):
+    # seed = smallest id (0 at 0.0); farthest is 11.0 (id 3,
+    # d2 = (11e6)^2); then ids 1 and 2 tie at (1e6)^2 -> smaller id
+    vecs = [[0.0], [1.0], [10.0], [11.0]]
+    out = [(r["rank"], r["vec_id"], r["d2_mu"])
+           for r in kcenter_select(_emb(spark, vecs), k=3).collect()]
+    assert out == [(0, 0, -1),
+                   (1, 3, 121_000_000_000_000),
+                   (2, 1, 1_000_000_000_000)]
+
+
+def test_kcenter_stops_when_covered(spark):
+    # all-duplicate corpus: after the seed the max-min distance is 0,
+    # so selection stops at 1 row no matter how large k is
+    vecs = [[1.0], [1.0], [1.0]]
+    out = kcenter_select(_emb(spark, vecs), k=3).collect()
+    assert [(r["rank"], r["vec_id"]) for r in out] == [(0, 0)]
+
+
+def test_kcenter_radius_is_non_increasing(spark, sf_dir):
+    # each pick closes the current max-min distance, so the coverage
+    # radius sequence over ranks 1..k-1 can never increase
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    radii = [r["d2_mu"] for r in
+             kcenter_select(emb, k=8).collect()][1:]
+    assert len(radii) == 7
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_kcenter_matches_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [(r["rank"], r["vec_id"], r["d2_mu"])
+           for r in kcenter_select(emb, k=8).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM"
+                f" '{sf_dir}/embeddings.parquet'")
+    want = [tuple(int(x) for x in row)
+            for row in con.execute(kcenter_select_sql(k=8)).fetchall()]
+    assert got == want
