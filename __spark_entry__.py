@@ -1307,6 +1307,13 @@ def q_gopher_rules(spark, sf_dir):
     return QR.gopher_rules(_docs(spark, sf_dir))
 
 
+def q_quality_logit(spark, sf_dir):
+    """Model-based quality scoring (the CCNet/fastText classifier tier):
+    exact-integer linear log-odds over stopword/punct/length/word-length
+    features with fixture weights — shuffle-free codegen projection."""
+    return QR.quality_logit(_docs(spark, sf_dir))
+
+
 def q_curriculum_select(spark, sf_dir):
     """Hard top-30%-per-source quality cut (curriculum/ablation corpus
     selection): deterministic per-source quality ranking, ceil quota —
@@ -2122,6 +2129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivfpq_external": q_ann_topk_ivfpq_external,
         "ngram_repetition": q_ngram_repetition,
         "gopher_rules": q_gopher_rules,
+        "quality_logit": q_quality_logit,
         "pack_docs": q_pack_docs,
         "filter_pipeline": q_filter_pipeline,
         "click_attribution": q_click_attribution,
@@ -2473,6 +2481,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivfpq_external": S.ann_topk_ivfpq_sql(external=True),
         "ngram_repetition": QR.ngram_repetition_sql(),
         "gopher_rules": QR.gopher_rules_sql(),
+        "quality_logit": QR.quality_logit_sql(),
         "pack_docs": PK.pack_docs_sql("documents"),
         "filter_pipeline": QR.filter_pipeline_sql(),
         "click_attribution": _SJ.attribution_sql(),

@@ -453,3 +453,104 @@ def filter_pipeline_sql(table: str = "documents") -> str:
         JOIN rep ON rep.doc_id = c.doc_id
         ORDER BY c.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# model-based quality scoring (the classifier tier)
+# ---------------------------------------------------------------------------
+
+#: fixture weights for the linear quality model, in exact integer units
+#: (see quality_logit). Shaped like a trained CCNet/fastText-style
+#: quality classifier: stopword density and length are positive
+#: evidence, punctuation density and over-long words negative.
+LOGIT_W0 = 8_500_000           # intercept, µ-logits
+LOGIT_W_STOP = 6               # per stopword-ppm
+LOGIT_W_PUNCT = -8             # per punct-ppm
+LOGIT_W_LEN = 3_000            # per token, capped at LOGIT_LEN_CAP
+LOGIT_W_AWL = -2               # per avg-token-length-ppm
+LOGIT_LEN_CAP = 500
+
+
+def quality_logit(docs: DataFrame) -> DataFrame:
+    """Model-based quality scoring — the CLASSIFIER tier of the filter
+    stack (the fastText model in CCNet (Wenzek et al. 2020) / the
+    quality classifier in GPT-3 and FineWeb), on top of the rule tiers
+    (`gopher_rules`) and the statistical tiers (`unigram_bits`).
+
+    Scores each document with a LINEAR model in log-odds space over
+    exact integer features — stopword density (ppm), punctuation
+    density (ppm), capped token count, average token length (ppm) —
+    and keeps documents with non-negative log-odds. The weights here
+    are a deterministic fixture standing in for trained classifier
+    weights (no training stack in this sandbox — the multimodal
+    deterministic-fake precedent); the engine-side shape is the real
+    deliverable and is exactly what a trained model needs: a
+    shuffle-free whole-stage-codegen projection, one pass, no UDF.
+
+    Exactness: every feature is a BIGINT via integer floor division
+    (`div`), the score is a BIGINT dot product — no float op, so the
+    DuckDB mirror matches bit-for-bit and thresholding is
+    engine-portable. Output: (doc_id, logit_mu, keep), doc_id-asc.
+
+    100 TB: a projection — no shuffle, no join; composes into
+    `filter_pipeline` as another stage plan the same way the Gopher
+    word rules do."""
+    toks = tokens_col("text")
+    norm = norm_col("text")
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length(norm).cast("bigint")
+    punct = F.length(F.regexp_replace(norm, r"[a-z0-9 ]", "")).cast("bigint")
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
+    d = docs.select(
+        "doc_id",
+        n_tokens.alias("_nt"), n_chars.alias("_nc"),
+        punct.alias("_pu"), stop.alias("_st"),
+    )
+    logit = F.expr(f"""
+        {LOGIT_W0}
+        + {LOGIT_W_STOP} * ((1000000 * _st) div GREATEST(_nt, 1))
+        + {LOGIT_W_PUNCT} * ((1000000 * _pu) div GREATEST(_nc, 1))
+        + {LOGIT_W_LEN} * LEAST(_nt, {LOGIT_LEN_CAP})
+        + {LOGIT_W_AWL} * ((1000000 * (_nc - (_nt - 1))) div GREATEST(_nt, 1))
+    """).cast("bigint")
+    return (
+        d.select("doc_id", logit.alias("logit_mu"))
+        .withColumn("keep", F.col("logit_mu") >= 0)
+        .orderBy("doc_id")
+    )
+
+
+def quality_logit_sql(table: str = "documents") -> str:
+    """DuckDB mirror of `quality_logit` (`//` = the same integer floor
+    division as Spark's `div` on non-negative BIGINTs)."""
+    toks = tokens_sql("text")
+    norm = norm_sql("text")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(len({toks}) AS BIGINT) AS nt,
+                   CAST(len({norm}) AS BIGINT) AS nc,
+                   CAST(len(regexp_replace({norm}, '[a-z0-9 ]', '', 'g'))
+                        AS BIGINT) AS pu,
+                   CAST(len(list_filter({toks}, t -> t IN ({stop_list})))
+                        AS BIGINT) AS st
+            FROM {table}
+        )
+        SELECT doc_id,
+               CAST({LOGIT_W0}
+                    + {LOGIT_W_STOP} * ((1000000 * st) // greatest(nt, 1))
+                    + {LOGIT_W_PUNCT} * ((1000000 * pu) // greatest(nc, 1))
+                    + {LOGIT_W_LEN} * least(nt, {LOGIT_LEN_CAP})
+                    + {LOGIT_W_AWL}
+                      * ((1000000 * (nc - (nt - 1))) // greatest(nt, 1))
+                    AS BIGINT) AS logit_mu,
+               ({LOGIT_W0}
+                    + {LOGIT_W_STOP} * ((1000000 * st) // greatest(nt, 1))
+                    + {LOGIT_W_PUNCT} * ((1000000 * pu) // greatest(nc, 1))
+                    + {LOGIT_W_LEN} * least(nt, {LOGIT_LEN_CAP})
+                    + {LOGIT_W_AWL}
+                      * ((1000000 * (nc - (nt - 1))) // greatest(nt, 1))
+                ) >= 0 AS keep
+        FROM f ORDER BY doc_id
+    """

@@ -162,3 +162,45 @@ def test_filter_pipeline_keep_iff_no_reasons(spark):
     docs = _docs(spark, [_good_text(i) for i in range(5)] + ["dup dup"] * 2)
     for r in QR.filter_pipeline(docs).collect():
         assert r["keep"] == (r["drop_reasons"] == "")
+
+
+# ---------------------------------------------------------------------------
+# quality_logit (the classifier tier)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_logit_hand_example(spark):
+    # "The cat sat.": norm 12 chars, 3 tokens, 1 punct, 1 stopword ->
+    # 8_500_000 + 6*(1000000//3) - 8*(1000000//12) + 3000*3
+    #   - 2*((1000000*10)//3) = 3_175_668 (>= 0 -> keep)
+    # "!!! ??? ###": 11 chars, 3 tokens, 9 punct, 0 stopwords ->
+    # 8_500_000 - 8*(9000000//11) + 9000 - 2*(9000000//3) = -4_036_448
+    out = {r["doc_id"]: (r["logit_mu"], r["keep"])
+           for r in QR.quality_logit(
+               _docs(spark, ["The cat sat.", "!!! ??? ###"])).collect()}
+    assert out[0] == (3_175_668, True)
+    assert out[1] == (-4_036_448, False)
+
+
+def test_quality_logit_monotone_in_stopword_density(spark):
+    # same token count and char profile, more stopwords -> higher logit
+    out = {r["doc_id"]: r["logit_mu"]
+           for r in QR.quality_logit(
+               _docs(spark, ["the of and to", "cat dog pig hen"])).collect()}
+    assert out[0] > out[1]
+
+
+def test_quality_logit_matches_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [(r["doc_id"], r["logit_mu"], r["keep"])
+           for r in QR.quality_logit(docs).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM"
+                f" '{sf_dir}/documents.parquet'")
+    want = [(int(a), int(b), bool(c)) for a, b, c in
+            con.execute(QR.quality_logit_sql()).fetchall()]
+    assert got == want
+    kept = sum(1 for _, _, k in got if k)
+    assert 0 < kept < len(got)  # a real mixed verdict, not a constant
