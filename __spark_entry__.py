@@ -1556,6 +1556,13 @@ def q_filter_pipeline(spark, sf_dir):
     return QR.filter_pipeline(_docs(spark, sf_dir))
 
 
+def q_filter_pipeline_full(spark, sf_dir):
+    """The full FineWeb-style stack: filter_pipeline plus the
+    model-based classifier tier (quality_logit) — one more doc-keyed
+    equi-join, `classifier` appended last to drop_reasons."""
+    return QR.filter_pipeline_full(_docs(spark, sf_dir))
+
+
 def q_corpus_report(spark, sf_dir):
     """One-row corpus health dashboard (docs, tokens, quality, language
     mix, exact-dup volume, repetition) — integer-µunit deterministic."""
@@ -2132,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logit": q_quality_logit,
         "pack_docs": q_pack_docs,
         "filter_pipeline": q_filter_pipeline,
+        "filter_pipeline_full": q_filter_pipeline_full,
         "click_attribution": q_click_attribution,
         "curriculum_select": q_curriculum_select,
         "embedding_covariance": q_embedding_covariance,
@@ -2484,6 +2492,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_logit": QR.quality_logit_sql(),
         "pack_docs": PK.pack_docs_sql("documents"),
         "filter_pipeline": QR.filter_pipeline_sql(),
+        "filter_pipeline_full": QR.filter_pipeline_full_sql(),
         "click_attribution": _SJ.attribution_sql(),
         "curriculum_select": SMP.curriculum_select_sql(frac=0.3),
         "embedding_covariance": CENT.embedding_covariance_sql(),

@@ -554,3 +554,47 @@ def quality_logit_sql(table: str = "documents") -> str:
                 ) >= 0 AS keep
         FROM f ORDER BY doc_id
     """
+
+
+def filter_pipeline_full(docs: DataFrame) -> DataFrame:
+    """`filter_pipeline` with the CLASSIFIER tier stacked on — the full
+    FineWeb-style stack: exact-dedup × language × Gopher word rules ×
+    repetition × model-based quality (`quality_logit`). One more
+    doc-keyed equi-join and one more reason tag (`classifier`, last in
+    the fixed order); everything else inherits the stage operators'
+    scale stories unchanged.
+
+    Output (ordered by doc_id): doc_id, keep, drop_reasons."""
+    base = filter_pipeline(docs).select(
+        "doc_id", F.col("keep").alias("_k"),
+        F.col("drop_reasons").alias("_r"))
+    clf = quality_logit(docs).select("doc_id", F.col("keep").alias("_ok_clf"))
+    return (
+        base.join(clf, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("_k") & F.col("_ok_clf")).alias("keep"),
+            F.concat_ws(
+                ",", F.when(F.col("_r") != "", F.col("_r")),
+                F.when(~F.col("_ok_clf"), F.lit("classifier")),
+            ).alias("drop_reasons"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def filter_pipeline_full_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`filter_pipeline_full`: the base pipeline
+    mirror joined with the classifier mirror, reason appended last."""
+    return f"""
+        WITH base AS ({filter_pipeline_sql(table)}),
+        clf AS ({quality_logit_sql(table)})
+        SELECT b.doc_id,
+               b.keep AND c.keep AS keep,
+               concat_ws(',',
+                   CASE WHEN b.drop_reasons <> '' THEN b.drop_reasons END,
+                   CASE WHEN NOT c.keep THEN 'classifier' END
+               ) AS drop_reasons
+        FROM base b JOIN clf c ON c.doc_id = b.doc_id
+        ORDER BY b.doc_id
+    """

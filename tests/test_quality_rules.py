@@ -204,3 +204,38 @@ def test_quality_logit_matches_duckdb_oracle(spark, sf_dir):
     assert got == want
     kept = sum(1 for _, _, k in got if k)
     assert 0 < kept < len(got)  # a real mixed verdict, not a constant
+
+
+def test_filter_pipeline_full_appends_classifier_reason(spark):
+    # 60 words, 50 distinct non-repeating + periodic stopwords: passes
+    # every tier; the short punct-heavy doc fails several tiers with
+    # `classifier` LAST in the fixed reason order
+    words, good_words = [a + b + s for a in "bcdfg" for b in "aeiou"
+                         for s in ("ing", "ery")], []
+    for i, w in enumerate(words):
+        good_words.append(w)
+        if i % 5 == 4:
+            good_words.append("the")
+    good = " ".join(good_words)
+    out = {r["doc_id"]: (r["keep"], r["drop_reasons"])
+           for r in QR.filter_pipeline_full(
+               _docs(spark, [good, "!!! ??? ###"])).collect()}
+    assert out[0] == (True, "")
+    assert out[1][0] is False
+    assert out[1][1].endswith("classifier")
+    assert "gopher" in out[1][1]
+
+
+def test_filter_pipeline_full_matches_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [(r["doc_id"], r["keep"], r["drop_reasons"])
+           for r in QR.filter_pipeline_full(docs).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM"
+                f" '{sf_dir}/documents.parquet'")
+    want = [(int(a), bool(b), c) for a, b, c in
+            con.execute(QR.filter_pipeline_full_sql()).fetchall()]
+    assert got == want
+    assert any(k for _, k, _ in got) and not all(k for _, k, _ in got)
