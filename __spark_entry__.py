@@ -1907,6 +1907,13 @@ def q_metric_alerts(spark, sf_dir):
     return AL.alert_batch(load_readings(spark, sf_dir))
 
 
+def q_metric_trend(spark, sf_dir):
+    """Per-metric exact-integer OLS trend over the daily series + a
+    next-day forecast (capacity planning). One (metric, day) rollup
+    shuffle, then a metrics-row aggregate — statistic-sized."""
+    return TS.metric_trend(load_readings(spark, sf_dir))
+
+
 def q_metric_hour_anomaly(spark, sf_dir):
     """Trailing-24h z-score per (metric, hour) bucket — the monitoring
     question the reference's rollups stop short of. Bounded ROWS window
@@ -2194,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_cosine": q_label_centroid_cosine,
         "metric_correlation": q_metric_correlation,
         "metric_hour_anomaly": q_metric_hour_anomaly,
+        "metric_trend": q_metric_trend,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "asof_hourly_stats": q_asof_hourly_stats,
@@ -2732,6 +2740,7 @@ def oracle_sql() -> dict[str, str]:
             f"({READINGS_SQL}) AS r"),
         "metric_day_percentiles": TS.metric_day_percentiles_sql(
             f"({READINGS_SQL}) AS r"),
+        "metric_trend": TS.metric_trend_sql(f"({READINGS_SQL}) AS r"),
         "label_centroids": CENT.label_centroids_sql("embeddings"),
         "label_centroid_cosine": CENT.label_centroid_cosine_sql(
             "embeddings"),

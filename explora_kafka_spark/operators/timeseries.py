@@ -251,3 +251,99 @@ def metric_histogram_sql(
         GROUP BY 1, 2
         ORDER BY metric_id, bin
     """
+
+
+def metric_trend(readings: DataFrame) -> DataFrame:
+    """Per-metric LINEAR TREND over the daily series + a next-day
+    forecast — exact-integer ordinary least squares (the capacity-
+    planning readout next to the rollups: "is this metric growing, and
+    where will it be tomorrow?").
+
+    Per metric: daily sums are rounded to 2 dp and scaled to exact
+    integer centi-units (the interpolate_hourly round-then-scale
+    discipline); x = whole days since the metric's first observed day
+    (real gaps keep their spacing). The OLS closed form is evaluated
+    entirely in BIGINT — n, Σx, Σy, Σx², Σxy, D = n·Σx² − (Σx)² — and
+    reported as truncating integer divisions (`div` ≡ DuckDB `//`,
+    both toward zero, verified incl. negatives):
+
+      slope_cpd  = (n·Σxy − Σx·Σy) div D     (centi-units per day)
+      forecast_c = (Σy·Σx² − Σx·Σxy + (n·Σxy − Σx·Σy)·x_next) div D
+
+    Single-day metrics (D = 0) report NULLs. No float op after the
+    2 dp rounding, so the DuckDB mirror is bit-exact.
+
+    Output: metric_id, n_days, slope_cpd, forecast_c (metric-asc).
+
+    100 TB: one (metric, day) partial-agg shuffle (the rollup cost),
+    then a |metrics|-row aggregate — statistic-sized. The BIGINT
+    products hold to ~1e18 (Σy·Σx² is the binding term: ~90-day
+    windows × 1e12 daily centi-sums); beyond that swap the five sums
+    to DECIMAL(38,0) (the embedding_covariance pattern) — same plan."""
+    daily = (
+        readings.groupBy(
+            "metric_id",
+            (F.unix_millis(F.date_trunc("day", F.col("ts")))
+             / F.lit(86_400_000)).cast("bigint").alias("d"))
+        .agg(F.floor(F.round(F.sum("value"), 2) * 100 + F.lit(0.5))
+             .cast("bigint").alias("y"))
+        .withColumn(
+            "x", (F.col("d")
+                  - F.min("d").over(Window.partitionBy("metric_id"))))
+    )
+    s = daily.groupBy("metric_id").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.max("x").alias("xmax"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.select(
+            "metric_id",
+            F.col("n").alias("n_days"),
+            F.when(den != 0, F.expr(
+                "(n * sxy - sx * sy) div (n * sxx - sx * sx)"))
+            .alias("slope_cpd"),
+            F.when(den != 0, F.expr(
+                "(sy * sxx - sx * sxy + (n * sxy - sx * sy) * (xmax + 1))"
+                " div (n * sxx - sx * sx)")).alias("forecast_c"),
+        )
+        .orderBy("metric_id")
+    )
+
+
+def metric_trend_sql(table: str) -> str:
+    """DuckDB mirror of `metric_trend` (same BIGINT OLS closed form;
+    `//` and `%` match Spark's `div`/`%` toward-zero semantics)."""
+    return f"""
+        WITH daily AS (
+            SELECT metric_id,
+                   epoch_ms(date_trunc('day', ts)) // 86400000 AS d,
+                   CAST(floor(round(sum(value), 2) * 100 + 0.5)
+                        AS BIGINT) AS y
+            FROM {table}
+            GROUP BY 1, 2
+        ),
+        xd AS (
+            SELECT metric_id, y,
+                   d - min(d) OVER (PARTITION BY metric_id) AS x
+            FROM daily
+        ),
+        s AS (
+            SELECT metric_id, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy, max(x) AS xmax
+            FROM xd GROUP BY 1
+        )
+        SELECT metric_id, n AS n_days,
+               CASE WHEN n * sxx - sx * sx <> 0 THEN
+                   CAST((n * sxy - sx * sy) // (n * sxx - sx * sx)
+                        AS BIGINT) END AS slope_cpd,
+               CASE WHEN n * sxx - sx * sx <> 0 THEN
+                   CAST((sy * sxx - sx * sxy
+                         + (n * sxy - sx * sy) * (xmax + 1))
+                        // (n * sxx - sx * sx) AS BIGINT) END AS forecast_c
+        FROM s ORDER BY metric_id
+    """

@@ -97,3 +97,57 @@ def test_metric_day_percentiles_hand_values(spark):
     r = out[0]
     assert (r["n"], r["p50"], r["p95"], r["p99"]) == (100, 50.5, 95.05,
                                                       99.01)
+
+
+def _day(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+
+
+def test_metric_trend_hand_ols(spark):
+    """Days 0/1/2 with sums 10/20/30 -> slope 10.00/day (1000 c/d),
+    forecast day 3 = 40.00 (4000 c)."""
+    rows = [("m", "g", _day(0), 10.0), ("m", "g", _day(1), 20.0),
+            ("m", "g", _day(2), 30.0)]
+    out = TS.metric_trend(_readings(spark, rows)).collect()
+    assert [(r["metric_id"], r["n_days"], r["slope_cpd"], r["forecast_c"])
+            for r in out] == [("m", 3, 1000, 4000)]
+
+
+def test_metric_trend_gaps_keep_real_spacing(spark):
+    """Days 0 and 2 (day 1 missing): x = 0, 2 — the fit sees the true
+    2-day gap, so the same 10-per-day growth still reads 1000 c/d."""
+    rows = [("m", "g", _day(0), 10.0), ("m", "g", _day(2), 30.0)]
+    out = TS.metric_trend(_readings(spark, rows)).collect()[0]
+    assert (out["slope_cpd"], out["forecast_c"]) == (1000, 4000)
+
+
+def test_metric_trend_negative_slope_and_single_day(spark):
+    """Falling series -> negative slope (toward-zero div parity);
+    a single-day metric has D = 0 -> NULL slope/forecast."""
+    rows = [("down", "g", _day(0), 30.0), ("down", "g", _day(1), 10.0),
+            ("one", "g", _day(0), 5.0)]
+    out = {r["metric_id"]: (r["slope_cpd"], r["forecast_c"])
+           for r in TS.metric_trend(_readings(spark, rows)).collect()}
+    assert out["down"] == (-2000, -1000)
+    assert out["one"] == (None, None)
+
+
+def test_metric_trend_matches_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    from explora_kafka_spark.sources.tables import (READINGS_SQL,
+                                                     load_readings)
+
+    readings = load_readings(spark, sf_dir)
+    got = [tuple(r) for r in TS.metric_trend(readings).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM"
+                f" '{sf_dir}/events.parquet'")
+    want = [tuple(row) for row in con.execute(
+        TS.metric_trend_sql(f"({READINGS_SQL}) AS r")).fetchall()]
+    def canon(rows):
+        return [(m, int(n), None if s is None else int(s),
+                 None if f is None else int(f)) for m, n, s, f in rows]
+
+    assert canon(got) == canon(want)
+    assert len(got) >= 2
