@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from explora_kafka_spark.functions import geo
+from explora_kafka_spark.functions import zorder as ZO
 from explora_kafka_spark.functions.timeutil import composite_key_col, ts_ms_col
 from explora_kafka_spark.operators import clustering as CL
 from explora_kafka_spark.operators import contamination as CONT
@@ -1907,6 +1908,28 @@ def q_metric_alerts(spark, sf_dir):
     return AL.alert_batch(load_readings(spark, sf_dir))
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) layout key over (tile_x@z10, tile_y@z10, hour):
+    the lakehouse multi-dimensional sort key — range-sorting files by
+    it gives min/max skipping on space AND time at once
+    (functions/zorder.py; locality proven in tests/test_zorder.py).
+    First 200 rows of the layout order, fully deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        geo.tile_x_col(_lon_col(), 10).alias("x"),
+        geo.tile_y_col(_lat_col(), 10).alias("y"),
+        F.expr("unix_millis(date_trunc('HOUR', ts)) div 3600000 % 65536")
+        .alias("h"),
+    )
+    return (
+        c.withColumn("zkey", ZO.zorder_key_col(
+            [F.col("x"), F.col("y"), F.col("h")]))
+        .orderBy("zkey", "event_id")
+        .limit(200)
+    )
+
+
 def q_metric_trend(spark, sf_dir):
     """Per-metric exact-integer OLS trend over the daily series + a
     next-day forecast (capacity planning). One (metric, day) rollup
@@ -2202,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_correlation": q_metric_correlation,
         "metric_hour_anomaly": q_metric_hour_anomaly,
         "metric_trend": q_metric_trend,
+        "zorder_layout": q_zorder_layout,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "asof_hourly_stats": q_asof_hourly_stats,
@@ -2741,6 +2765,19 @@ def oracle_sql() -> dict[str, str]:
         "metric_day_percentiles": TS.metric_day_percentiles_sql(
             f"({READINGS_SQL}) AS r"),
         "metric_trend": TS.metric_trend_sql(f"({READINGS_SQL}) AS r"),
+        "zorder_layout": f"""
+            WITH c AS (
+                SELECT event_id,
+                       {geo.tile_x_sql(_LON_SQL, 10)} AS x,
+                       {geo.tile_y_sql(_LAT_SQL, 10)} AS y,
+                       (epoch_ms(date_trunc('hour', ts)) // 3600000)
+                           % 65536 AS h
+                FROM events
+            )
+            SELECT event_id, x, y, h,
+                   {ZO.zorder_key_sql(['x', 'y', 'h'])} AS zkey
+            FROM c ORDER BY zkey, event_id LIMIT 200
+        """,
         "label_centroids": CENT.label_centroids_sql("embeddings"),
         "label_centroid_cosine": CENT.label_centroid_cosine_sql(
             "embeddings"),

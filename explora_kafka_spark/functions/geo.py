@@ -701,14 +701,25 @@ def geohash_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
     return "(" + " || ".join(parts) + ")"
 
 
-def quadkey_sql(lat_expr: str, lon_expr: str, zoom: int) -> str:
-    """ANSI-SQL (DuckDB-compatible) rendering of the same quadkey math, used to
-    build oracle queries that mirror `quadkey_from_latlon_col` exactly."""
-    x = f"CAST(floor(({lon_expr} + 180.0) / 360.0 * {float(2 ** zoom)}) AS INTEGER)"
-    y = (
+def tile_x_sql(lon_expr: str, zoom: int) -> str:
+    """ANSI-SQL mirror of `tile_x_col` (same unclamped domain)."""
+    return (f"CAST(floor(({lon_expr} + 180.0) / 360.0"
+            f" * {float(2 ** zoom)}) AS INTEGER)")
+
+
+def tile_y_sql(lat_expr: str, zoom: int) -> str:
+    """ANSI-SQL mirror of `tile_y_col` (same Web-Mercator domain)."""
+    return (
         f"CAST(floor((1.0 - ln(tan(radians({lat_expr})) + 1.0 / cos(radians({lat_expr})))"
         f" / pi()) / 2.0 * {float(2 ** zoom)}) AS INTEGER)"
     )
+
+
+def quadkey_sql(lat_expr: str, lon_expr: str, zoom: int) -> str:
+    """ANSI-SQL (DuckDB-compatible) rendering of the same quadkey math, used to
+    build oracle queries that mirror `quadkey_from_latlon_col` exactly."""
+    x = tile_x_sql(lon_expr, zoom)
+    y = tile_y_sql(lat_expr, zoom)
     digits = [
         f"chr(48 + (({x} >> {i - 1}) & 1) + 2 * (({y} >> {i - 1}) & 1))"
         for i in range(zoom, 0, -1)
