@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from explora_kafka_spark.functions import geo
 from explora_kafka_spark.functions import zorder as ZO
+from explora_kafka_spark.operators import cooccurrence as COOC
 from explora_kafka_spark.functions.timeutil import composite_key_col, ts_ms_col
 from explora_kafka_spark.operators import clustering as CL
 from explora_kafka_spark.operators import contamination as CONT
@@ -1908,6 +1909,13 @@ def q_metric_alerts(spark, sf_dir):
     return AL.alert_batch(load_readings(spark, sf_dir))
 
 
+def q_item_lift(spark, sf_dir):
+    """Market-basket co-occurrence: top item pairs by exact-integer
+    lift over (user, day) baskets — basket-keyed self-join (never a
+    corpus cartesian), items-sized count broadcasts."""
+    return COOC.item_lift(load_table(spark, sf_dir, "events"), top=50)
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) layout key over (tile_x@z10, tile_y@z10, hour):
     the lakehouse multi-dimensional sort key — range-sorting files by
@@ -2226,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_hour_anomaly": q_metric_hour_anomaly,
         "metric_trend": q_metric_trend,
         "zorder_layout": q_zorder_layout,
+        "item_lift": q_item_lift,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "asof_hourly_stats": q_asof_hourly_stats,
@@ -2765,6 +2774,7 @@ def oracle_sql() -> dict[str, str]:
         "metric_day_percentiles": TS.metric_day_percentiles_sql(
             f"({READINGS_SQL}) AS r"),
         "metric_trend": TS.metric_trend_sql(f"({READINGS_SQL}) AS r"),
+        "item_lift": COOC.item_lift_sql(top=50),
         "zorder_layout": f"""
             WITH c AS (
                 SELECT event_id,
