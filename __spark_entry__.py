@@ -1952,6 +1952,13 @@ def q_metric_hour_anomaly(spark, sf_dir):
     return ANOM.metric_hour_anomaly(load_readings(spark, sf_dir))
 
 
+def q_ann_recall_truncated(spark, sf_dir):
+    """recall@k of 32-of-64 dimension-truncated cosine vs the full-dim
+    brute baseline — prices the Matryoshka-style 2× scan-IO cut (every
+    approximate serving path ships with its audit)."""
+    return S.ann_recall_truncated(_emb(spark, sf_dir), keep_dims=32)
+
+
 def q_ann_recall_ivf(spark, sf_dir):
     """recall@k of the IVF path vs the brute baseline (IVF twin of
     ann_recall_lsh — both approximate paths carry a priced audit)."""
@@ -2211,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
         "ann_topk_ivf_filtered": q_ann_topk_ivf_filtered,
         "ann_recall_ivf": q_ann_recall_ivf,
+        "ann_recall_truncated": q_ann_recall_truncated,
         "tune_nprobe": q_tune_nprobe,
         "dedup_near": q_dedup_near,
         "dedup_groups": q_dedup_groups,
@@ -2841,6 +2849,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_profile": T.source_quality_profile_sql(),
         "simhash_near_dup": D.simhash_near_dup_sql(hamming_max=3),
         "ann_recall_ivf": S.ann_recall_ivf_sql(),
+        "ann_recall_truncated": S.ann_recall_truncated_sql(keep_dims=32),
         "tune_nprobe": S.tune_nprobe_sql(target_recall=0.9),
         "history_radius_quad": f"""
             SELECT epoch_ms(date_trunc('day', ts)) AS timestamp,

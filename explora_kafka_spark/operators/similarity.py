@@ -1817,3 +1817,143 @@ def tune_nprobe_sql(
         FROM audit
         ORDER BY nprobe
     """
+
+
+# ---------------------------------------------------------------------------
+# dimension truncation (Matryoshka-style serving)
+# ---------------------------------------------------------------------------
+
+
+def ann_topk_truncated(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    keep_dims: int = 32,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brute top-k cosine over the FIRST `keep_dims` components only —
+    the Matryoshka/truncated-embedding serving trade (Kusupati et al.
+    2022): store/scan a prefix of each vector for a proportional IO
+    and memory cut, accepting a recall hit that
+    `ann_recall_truncated` prices. Same plan as `ann_topk_brute`
+    (tiny query side broadcast over one corpus scan + per-query
+    window); at 100 TB the scan reads `keep_dims/DIM` of the vector
+    bytes — with vectors stored column-sliced, a real ~2× cut at 32
+    of 64 dims."""
+    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+    )
+    sim = F.expr(cosine_expr_spark(f"slice(q_emb, 1, {keep_dims})",
+                                   f"slice(n_emb, 1, {keep_dims})"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(sim, round_to).alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_topk_truncated_sql(
+    table: str = "embeddings",
+    query_mod: int = 50,
+    k: int = 5,
+    keep_dims: int = 32,
+    round_to: int = 6,
+) -> str:
+    """DuckDB mirror (cosine over the first `keep_dims` components)."""
+    cos = cosine_expr_duck("q.embedding", "n.embedding", keep_dims)
+    return f"""
+        WITH q AS (SELECT vec_id, embedding FROM {table}
+                   WHERE vec_id % {query_mod} = 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   round({cos}, {round_to}) AS sim
+            FROM q CROSS JOIN {table} n
+            WHERE q.vec_id != n.vec_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def ann_recall_truncated(
+    embeddings: DataFrame,
+    query_mod: int = 50,
+    k: int = 5,
+    keep_dims: int = 32,
+    round_to: int = 6,
+) -> DataFrame:
+    """recall@k of the truncated-dimension path vs the full-dimension
+    brute baseline — prices the Matryoshka IO cut exactly like
+    `ann_recall_lsh`/`ann_recall_ivf` price their approximations
+    (every approximate serving path in this engine ships with its
+    audit)."""
+    brute = ann_topk_brute(embeddings, query_mod, k, round_to)
+    trunc = ann_topk_truncated(embeddings, query_mod, k, keep_dims,
+                               round_to)
+    hits = (
+        brute.select("query_id", "neighbor_id")
+        .join(trunc.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        brute.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)),
+                    round_to).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_recall_truncated_sql(
+    table: str = "embeddings",
+    query_mod: int = 50,
+    k: int = 5,
+    keep_dims: int = 32,
+    round_to: int = 6,
+    dim: int = DIM,
+) -> str:
+    """DuckDB mirror of `ann_recall_truncated`."""
+    brute = ann_topk_brute_sql(table, query_mod, k, round_to, dim)
+    trunc = ann_topk_truncated_sql(table, query_mod, k, keep_dims,
+                                   round_to)
+    return f"""
+        WITH brute AS ({brute}),
+        trunc AS ({trunc}),
+        hits AS (
+            SELECT brute.query_id, count(*) AS n_hits
+            FROM brute JOIN trunc
+              ON brute.query_id = trunc.query_id
+             AND brute.neighbor_id = trunc.neighbor_id
+            GROUP BY 1
+        )
+        SELECT q.query_id,
+               round(coalesce(hits.n_hits, 0) / {float(k)}, {round_to})
+                 AS recall_at_k
+        FROM (SELECT DISTINCT query_id FROM brute) q
+        LEFT JOIN hits ON q.query_id = hits.query_id
+        ORDER BY q.query_id
+    """

@@ -166,6 +166,18 @@ def test_ann_recall_ivf_bounds_and_exhaustive_limit(emb):
     assert all(r.recall_at_k == 1.0 for r in full.collect())
 
 
+def test_ann_recall_truncated_bounds_and_full_width_identity(emb):
+    # truncating at the full width IS the brute path -> recall 1.0;
+    # a 32-of-64 prefix stays a valid bounded audit
+    full = S.ann_recall_truncated(emb, query_mod=100, k=3, keep_dims=64)
+    assert all(r.recall_at_k == 1.0 for r in full.collect())
+    rows = S.ann_recall_truncated(emb, query_mod=100, k=3,
+                                  keep_dims=32).collect()
+    n_queries = emb.filter(F.col("vec_id") % 100 == 0).count()
+    assert len(rows) == n_queries
+    assert all(0.0 <= r.recall_at_k <= 1.0 for r in rows)
+
+
 # ---------------------------------------------------------------------------
 # text
 # ---------------------------------------------------------------------------

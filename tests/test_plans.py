@@ -98,6 +98,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   semdedup_check_audit contains BOTH the frozen-index check and a
 #:   full-union semantic_dedup (audit-only allowance, the
 #:   dedup_recall precedent), so it inherits their broadcasts.
+#: - ann_recall_truncated composes two brute paths (full-dim baseline +
+#:   truncated candidate), so it inherits ann_topk_brute's deliberate
+#:   tiny-query-side keyless broadcast.
 #: - item_lift attaches the single-row basket total onto the PAIR-count
 #:   table only (the unigram_bits constant-attach allowance); the pair
 #:   stage itself is a basket-keyed equi-join, per-item counts are
@@ -117,7 +120,8 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "dsir_weights", "knn_graph", "semantic_groups",
                  "semdedup_sweep", "dsir_select", "semdedup_check",
                  "corpus_gate_full", "cluster_top_terms",
-                 "semdedup_check_audit", "item_lift"}
+                 "semdedup_check_audit", "item_lift",
+                 "ann_recall_truncated"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
