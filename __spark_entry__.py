@@ -45,6 +45,7 @@ from explora_kafka_spark.operators import funnel as _FN
 from explora_kafka_spark.streaming import corpus_gate as _CG
 from explora_kafka_spark.streaming import joins as _SJ
 from explora_kafka_spark.streaming import sessions as _SS
+from explora_kafka_spark.streaming import windowed as _WD
 from explora_kafka_spark.operators import similarity as S
 from explora_kafka_spark.operators import quality_rules as QR
 from explora_kafka_spark.operators import text as T
@@ -1524,6 +1525,15 @@ def q_knn_graph(spark, sf_dir):
     return SDD.knn_graph(_emb(spark, sf_dir), k_clusters=8, iters=2, k=5)
 
 
+def q_knn_hubness(spark, sf_dir):
+    """Hub triage over the kNN graph: top-20 vectors by in-degree —
+    the high-dimensional hubness diagnostic (the review queue next to
+    kmeans_outliers). One partial-agg shuffle over the edge table +
+    a top-sized TakeOrdered."""
+    return SDD.knn_hubness(_emb(spark, sf_dir), k_clusters=8, iters=2,
+                           k=5, top=20)
+
+
 def q_label_propagation(spark, sf_dir):
     """Semi-supervised label propagation over the cluster-local kNN
     graph: id%5==0 seeds keep their true label, everyone else takes the
@@ -1909,6 +1919,14 @@ def q_metric_alerts(spark, sf_dir):
     return AL.alert_batch(load_readings(spark, sf_dir))
 
 
+def q_trending_items(spark, sf_dir):
+    """Top-5 items per tumbling hour (the trending dashboard): batch
+    twin of the watermarked streaming flavor (stream ≡ batch pinned in
+    tests/test_streaming.py). One (window, item) partial-agg shuffle +
+    per-window WindowGroupLimit top-k."""
+    return _WD.trending_items(load_table(spark, sf_dir, "events"), top=5)
+
+
 def q_item_lift(spark, sf_dir):
     """Market-basket co-occurrence: top item pairs by exact-integer
     lift over (user, day) baskets — basket-keyed self-join (never a
@@ -2193,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "knn_graph": q_knn_graph,
         "label_propagation": q_label_propagation,
+        "knn_hubness": q_knn_hubness,
         "semantic_groups": q_semantic_groups,
         "semdedup_sweep": q_semdedup_sweep,
         "pca_project": q_pca_project,
@@ -2243,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_trend": q_metric_trend,
         "zorder_layout": q_zorder_layout,
         "item_lift": q_item_lift,
+        "trending_items": q_trending_items,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "asof_hourly_stats": q_asof_hourly_stats,
@@ -2555,6 +2575,8 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": SDD.label_propagation_sql(
             k_clusters=8, iters=2, k=5, rounds=3, seed_mod=5,
             n_rows=500),
+        "knn_hubness": SDD.knn_hubness_sql(k_clusters=8, iters=2, k=5,
+                                           top=20, n_rows=500),
         "semantic_groups": SDD.semantic_groups_sql(k=8, iters=2,
                                                    threshold_pct=30,
                                                    n_rows=500),
@@ -2783,6 +2805,7 @@ def oracle_sql() -> dict[str, str]:
             f"({READINGS_SQL}) AS r"),
         "metric_trend": TS.metric_trend_sql(f"({READINGS_SQL}) AS r"),
         "item_lift": COOC.item_lift_sql(top=50),
+        "trending_items": _WD.trending_items_sql(top=5),
         "zorder_layout": f"""
             WITH c AS (
                 SELECT event_id,

@@ -1042,3 +1042,70 @@ def label_propagation_sql(
                CAST(COALESCE(lab, -1) AS INT) AS prop_label
         FROM lab{rounds}
         ORDER BY 1""")
+
+
+def knn_hubness(
+    emb: DataFrame,
+    k_clusters: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    top: int = 20,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """HUBNESS triage over the kNN graph: the `top` vectors by
+    IN-degree — how many other vectors list this one among their k
+    nearest (Radovanović et al. 2010: in high dimensions a few "hub"
+    points crowd into everyone's neighbor lists and poison
+    neighbor-based dedup/labeling/retrieval). The curation queue next
+    to `kmeans_outliers`: outliers are too far from everything, hubs
+    are too close to everything.
+
+    Output: (key, in_degree, hub_rank), in-degree desc then id asc —
+    deterministic. 100 TB: one (neighbor_id) partial-agg shuffle over
+    the k·n edge table + a `top`-sized TakeOrdered (the single-
+    partition rank window runs AFTER the limit, over `top` rows, never
+    over the corpus-sized degree table); the graph cost is
+    knn_graph's own."""
+    g = knn_graph(emb, k_clusters, iters, k, key, vec_col, n_rows)
+    deg = (
+        g.groupBy(F.col("neighbor_id").alias(key))
+        .agg(F.count("*").alias("in_degree"))
+        .orderBy(F.col("in_degree").desc(), F.col(key).asc())
+        .limit(top)
+    )
+    w = Window.orderBy(F.col("in_degree").desc(), F.col(key).asc())
+    return (
+        deg.withColumn("hub_rank", F.row_number().over(w))
+        .orderBy("hub_rank")
+    )
+
+
+def knn_hubness_sql(
+    table: str = "embeddings",
+    k_clusters: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    top: int = 20,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int = 500,
+) -> str:
+    """DuckDB mirror of `knn_hubness` (the knn_graph CTEs + one
+    in-degree aggregation + the identical rank/limit)."""
+    inner = knn_graph_sql(table, k_clusters, iters, k, key, vec_col,
+                          n_rows)
+    return f"""
+        WITH g AS ({inner}),
+        deg AS (
+            SELECT neighbor_id AS {key}, count(*) AS in_degree
+            FROM g GROUP BY 1
+        )
+        SELECT {key}, in_degree,
+               row_number() OVER (ORDER BY in_degree DESC, {key} ASC)
+                   AS hub_rank
+        FROM deg
+        ORDER BY in_degree DESC, {key} ASC
+        LIMIT {top}
+    """

@@ -79,3 +79,84 @@ def stream_progress_metrics(query) -> dict:
         "rows_dropped_by_watermark": dropped,
         "truncated": batches >= cap,
     }
+
+
+def item_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts per item (``props.k``) — the shared core
+    of batch and streaming trending: identical code builds both plans
+    (`F.window` works in either mode), the stream adds a watermark so
+    append mode emits exactly the finalized windows. One (window, item)
+    partial-agg shuffle; state one row per open (window, item)."""
+    # defensive NTZ cast: parquet readers yield TIMESTAMP_NTZ, which
+    # unix_millis/window reject (the ingestion-cast precedent)
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if watermark is not None:
+        ev = ensure_event_time(ev, "ts").withWatermark("ts", watermark)
+    return (
+        ev.select(
+            "ts",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .groupBy(F.window("ts", window).alias("w"), "item")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_millis(F.col("w.start")).alias("bucket_ms"),
+                "item", "n")
+    )
+
+
+def rank_trending(counts: DataFrame, top: int = 5) -> DataFrame:
+    """Read-time top-`top` per window over (finalized) item counts —
+    ranking is applied at query time because a top-k can't be emitted
+    incrementally in append mode (rows would need retraction when a
+    later count displaces an earlier one). Deterministic ties:
+    (n desc, item asc)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bucket_ms").orderBy(
+        F.col("n").desc(), F.col("item").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .orderBy("bucket_ms", "rank")
+    )
+
+
+def trending_items(
+    events: DataFrame,
+    window: str = "1 hour",
+    top: int = 5,
+) -> DataFrame:
+    """Batch twin of the streaming trending dashboard: top-`top` items
+    per tumbling window by event count. Output: (bucket_ms, item, n,
+    rank). The streaming flavor is `item_window_counts(stream,
+    watermark=...)` + `rank_trending` at read — stream ≡ batch pinned
+    in tests/test_streaming.py. 100 TB: one (window, item) partial-agg
+    shuffle + a per-window WindowGroupLimit top-k over the counts
+    table (items × windows rows, never events)."""
+    return rank_trending(item_window_counts(events, window), top)
+
+
+def trending_items_sql(table: str = "events", top: int = 5) -> str:
+    """DuckDB mirror of `trending_items` at window='1 hour'."""
+    return f"""
+        WITH c AS (
+            SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       AS item,
+                   count(*) AS n
+            FROM {table}
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT bucket_ms, item, n, rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY bucket_ms ORDER BY n DESC, item ASC
+            ) AS rank FROM c
+        ) WHERE rank <= {top}
+        ORDER BY bucket_ms, rank
+    """

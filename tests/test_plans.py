@@ -79,7 +79,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   assignment, so they inherit the kmeans-family keyless centroid
 #:   broadcast; the pair stage of each is a hash equi-join on the
 #:   cluster id (the point of the cluster-local recipe — never a
-#:   cartesian). label_propagation is knn_graph + per-round vid/label
+#:   cartesian). knn_hubness aggregates knn_graph's edge table, so it
+#:   inherits the same kmeans-family centroid broadcast.
+#:   label_propagation is knn_graph + per-round vid/label
 #:   equi-joins; its knn/Lloyd stage (same centroid allowance) is
 #:   localCheckpoint'ed away, so its captured plan is the clean
 #:   label-table tail and it needs no allow-list row.
@@ -121,7 +123,7 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "semdedup_sweep", "dsir_select", "semdedup_check",
                  "corpus_gate_full", "cluster_top_terms",
                  "semdedup_check_audit", "item_lift",
-                 "ann_recall_truncated"}
+                 "ann_recall_truncated", "knn_hubness"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan

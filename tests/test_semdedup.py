@@ -6,7 +6,8 @@ import duckdb
 
 from explora_kafka_spark.operators.semdedup import (
     build_semantic_index, cluster_top_terms, cluster_top_terms_sql,
-    knn_graph, knn_graph_sql, label_propagation, label_propagation_sql,
+    knn_graph, knn_graph_sql, knn_hubness, knn_hubness_sql,
+    label_propagation, label_propagation_sql,
     semantic_dedup, semantic_dedup_sql,
     semantic_groups, semantic_groups_sql, semdedup_check,
     semdedup_sweep, semdedup_sweep_sql, update_semantic_index)
@@ -367,3 +368,29 @@ def test_label_propagation_matches_duckdb_oracle(spark, sf_dir):
     non_seed = {v: l for v, l in labs.items() if v % 5 != 0}
     assert any(l >= 0 for l in non_seed.values())  # real propagation
     assert len(labs) == 500  # whole corpus, seeds included
+
+
+def test_knn_hubness_counts_in_degree(spark):
+    # one cluster, k=1: nn(0)=1, nn(1)=0 (tie 0 vs 2 -> smaller id),
+    # nn(2)=1 -> in-degrees 1:2, 0:1; vector 2 never appears
+    out = [(r["vec_id"], r["in_degree"], r["hub_rank"])
+           for r in knn_hubness(_emb(spark, [[0.0], [1.0], [2.0]]),
+                                k_clusters=1, iters=1, k=1,
+                                top=5).collect()]
+    assert out == [(1, 2, 1), (0, 1, 2)]
+
+
+def test_knn_hubness_matches_duckdb_oracle(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [(r["vec_id"], r["in_degree"], r["hub_rank"])
+           for r in knn_hubness(emb, k_clusters=8, iters=2, k=5,
+                                top=20).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM"
+                f" '{sf_dir}/embeddings.parquet'")
+    want = [tuple(int(x) for x in row) for row in con.execute(
+        knn_hubness_sql(k_clusters=8, iters=2, k=5, top=20,
+                        n_rows=500)).fetchall()]
+    assert got == want
+    assert len(got) == 20
+    assert got[0][1] >= got[-1][1]

@@ -683,3 +683,48 @@ def test_unattributed_is_exact_complement_of_attributed(spark):
                     for r in unattributed_batch(events).collect()}
     assert attributed | unattributed == clicks
     assert attributed & unattributed == set()
+
+
+def test_trending_items_stream_equals_batch(spark, tmp_path):
+    """Trending = watermarked (window, item) counts in append mode +
+    read-time ranking: the drained stream's finalized windows, ranked,
+    must equal the batch twin over the same finalized span."""
+    from explora_kafka_spark.streaming.windowed import (
+        item_window_counts, rank_trending, trending_items)
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events.repartition(2).write.mode("overwrite").parquet(
+        str(tmp_path / "in"))
+    schema = spark.read.parquet(str(tmp_path / "in")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "in"))
+    )
+    out = item_window_counts(stream, window="1 hour",
+                             watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("trending_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql import functions as F
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    streamed = rank_trending(spark.table("trending_test"), top=5)
+    got = [(r["bucket_ms"], r["item"], r["n"], r["rank"])
+           for r in streamed.collect()]
+    # append mode emits windows whose END <= the final watermark
+    finalized = item_window_counts(events, window="1 hour").filter(
+        F.col("bucket_ms") + 3_600_000 <= F.unix_millis(F.lit(max_ts)))
+    want = [(r["bucket_ms"], r["item"], r["n"], r["rank"])
+            for r in rank_trending(finalized, top=5).collect()]
+    assert got == want
+    assert got, "expected finalized trending windows"
+    # the ranked batch twin agrees with itself through trending_items
+    full = [(r["bucket_ms"], r["item"], r["n"], r["rank"])
+            for r in trending_items(events, top=5).collect()]
+    assert set(got) <= set(full)
