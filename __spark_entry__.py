@@ -1370,6 +1370,32 @@ def q_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_ship_priority(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): segment-filtered customer
+    dim broadcast, date-pruned orders, lineitem the only shuffled
+    fact; top-10 still-open orders by revenue. The second classic
+    star-join next to Q5 — Catalyst pushes both date predicates to
+    the scans and the TakeOrdered replaces a full sort."""
+    configure(spark)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_r6(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 def q_click_unattributed(spark, sf_dir):
     """Attribution gap audit: clicks with NO view by the same user in
     the 30-min lookback (anti-join on the attribution condition) —
@@ -2224,6 +2250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_check_audit": q_semdedup_check_audit,
         "snapshot_regions_quad": q_snapshot_regions_quad,
         "local_supplier_volume": q_local_supplier_volume,
+        "ship_priority": q_ship_priority,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
@@ -2615,6 +2642,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, nation
         """,
         "click_unattributed": _SJ.unattributed_sql(),
+        "ship_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
         # the indexed serving path must reproduce the direct computation
         # exactly — same oracle
         "ann_topk_ivf_indexed": S.ann_topk_ivf_sql(),

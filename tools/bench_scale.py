@@ -72,6 +72,11 @@ HEADLINE = [
     # round-8 sixth wave: index-served + composed + applied paths
     "semdedup_check", "corpus_gate_full", "pca_project", "dsir_select",
     "semantic_groups",
+    # round-8 seventh wave: graph/selection/layout/behavioral
+    "label_propagation", "knn_hubness", "kcenter_select",
+    "quality_logit", "filter_pipeline_full", "metric_trend",
+    "zorder_layout", "item_lift", "trending_items",
+    "ann_recall_truncated", "snapshot_regions_quad",
 ]
 
 
@@ -108,10 +113,41 @@ def _q_semantic_groups_rekeyed(spark, sf_dir):
     return SDD.semantic_groups(emb, k=64, iters=2, threshold_pct=30)
 
 
+def _q_label_propagation_rekeyed(spark, sf_dir):
+    """label_propagation with the semantic_dedup re-key (dense-id
+    stride contract) + k_clusters=64 so expected cluster size stays
+    ~√n-bounded for the within-cluster pair stage."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from explora_kafka_spark.operators import semdedup as SDD
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .alias("vec_id"), "embedding", "label")
+    return SDD.label_propagation(emb, k_clusters=64, iters=2, k=5,
+                                 rounds=3, seed_mod=5)
+
+
+def _q_knn_hubness_rekeyed(spark, sf_dir):
+    """knn_hubness with the same re-key + k_clusters=64 sizing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from explora_kafka_spark.operators import semdedup as SDD
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .alias("vec_id"), "embedding")
+    return SDD.knn_hubness(emb, k_clusters=64, iters=2, k=5, top=20)
+
+
 #: probe-only entry replacements (re-keying etc.); measurement twins,
 #: not correctness entries
 OVERRIDES = {"semantic_dedup": _q_semantic_dedup_rekeyed,
-             "semantic_groups": _q_semantic_groups_rekeyed}
+             "semantic_groups": _q_semantic_groups_rekeyed,
+             "label_propagation": _q_label_propagation_rekeyed,
+             "knn_hubness": _q_knn_hubness_rekeyed}
 
 
 def generate(spark) -> None:
