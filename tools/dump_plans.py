@@ -238,6 +238,37 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "projection — no join, no shuffle, one scan.",
         [r"FileScan parquet", r"Project", r"Exchange"],
     ),
+    "ship_priority": (
+        "TPC-H Q3: the segment-filtered customer dim broadcasts, both "
+        "date predicates reach the scans (PushedFilters), the top-10 is "
+        "a TakeOrdered, not a sort.",
+        [r"FileScan", r"PushedFilters", r"BroadcastHashJoin",
+         r"TakeOrderedAndProject"],
+    ),
+    "zorder_layout": (
+        "Z-order key is pure codegen bit math over the scan — no UDF, "
+        "no join; the top-200 is a TakeOrdered.",
+        [r"FileScan", r"TakeOrderedAndProject", r"Exchange"],
+    ),
+    "trending_items": (
+        "Trending: one hash exchange on (window, item) with map-side "
+        "combine, then the per-window TopK runs as WindowGroupLimit "
+        "pushdown over the counts table.",
+        [r"Exchange hashpartitioning", r"WindowGroupLimit",
+         r"HashAggregate"],
+    ),
+    "item_lift": (
+        "Market-basket pairs: a basket-keyed equi-join (user_id, d) — "
+        "never a corpus cartesian; item totals broadcast; the single-row "
+        "basket total attaches to the pair table only (BNLJ allowance).",
+        [r"SortMergeJoin|ShuffledHashJoin", r"BroadcastHashJoin",
+         r"BroadcastNestedLoopJoin"],
+    ),
+    "quality_logit": (
+        "Classifier tier: a shuffle-free whole-stage-codegen projection "
+        "— the scan and the sort for presentation are the entire plan.",
+        [r"FileScan", r"Exchange", r"Project"],
+    ),
 }
 
 
