@@ -395,6 +395,30 @@ def q_snapshot_polygon_geohash(spark, sf_dir):
     )
 
 
+#: 3-vertex route chosen to pass near several of the snapshot day's
+#: (sparse, user_id-derived) event locations; 500 km corridor radius
+_ROUTE = [(-20.0, -40.0), (-10.0, -20.0), (-2.0, -5.0)]
+_ROUTE_RADIUS_M = 500_000.0
+
+
+def q_snapshot_route_quad(spark, sf_dir):
+    """Route-corridor snapshot (polyline + radius) in quad mode — the
+    fourth region shape: exact planar box-to-segment refinement
+    driver-side, same prefix/isin pushdown engine-side."""
+    lattice = _geo_lattice(spark, sf_dir, "quad", 6, 6)
+    return Q.snapshot_route_quadtiling(
+        lattice, "view", "count", 6, "day", _SNAP_DAY_MS, _ROUTE,
+        _ROUTE_RADIUS_M)
+
+
+def q_snapshot_route_geohash(spark, sf_dir):
+    """Route-corridor snapshot, geohash twin."""
+    lattice = _geo_lattice(spark, sf_dir, "geohash", 5, 3)
+    return Q.snapshot_route_geohashing(
+        lattice, "view", "count", 3, "day", _SNAP_DAY_MS, _ROUTE,
+        _ROUTE_RADIUS_M)
+
+
 def q_history_radius_quad(spark, sf_dir):
     """Time series over a CIRCLE region (engine extension; the radius
     twin of history_cells_day): the driver-side circle cover becomes the
@@ -2218,6 +2242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_bits": q_bigram_bits,
         "snapshot_polygon_quad": q_snapshot_polygon_quad,
         "snapshot_polygon_geohash": q_snapshot_polygon_geohash,
+        "snapshot_route_quad": q_snapshot_route_quad,
+        "snapshot_route_geohash": q_snapshot_route_geohash,
         "history_polygon_quad": q_history_polygon_quad,
         "history_polygon_geohash": q_history_polygon_geohash,
         "source_dedup_profile": q_source_dedup_profile,
@@ -2344,6 +2370,12 @@ def oracle_sql() -> dict[str, str]:
         f"('{rid}', '{c}')"
         for rid, pts in _REGIONS
         for c in geo.quadkey_cover_polygon(pts, 6))
+    quad_route_sql = ", ".join(
+        f"'{c}'" for c in geo.quadkey_cover_route(
+            _ROUTE, _ROUTE_RADIUS_M, 6))
+    gh_route_sql = ", ".join(
+        f"'{c}'" for c in geo.geohash_cover_route(
+            _ROUTE, _ROUTE_RADIUS_M, 3))
     return {
         "cell_bucket_key": f"""
             {_R}
@@ -2890,6 +2922,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'view'
               AND date_trunc('day', ts) = TIMESTAMP '2024-01-10'
               AND {qk6} IN ({quad_poly_sql})
+            GROUP BY 1 ORDER BY 1
+        """,
+        "snapshot_route_quad": f"""
+            SELECT {qk6} AS gh, count(*) AS count
+            FROM events
+            WHERE event_type = 'view'
+              AND date_trunc('day', ts) = TIMESTAMP '2024-01-10'
+              AND {qk6} IN ({quad_route_sql})
+            GROUP BY 1 ORDER BY 1
+        """,
+        "snapshot_route_geohash": f"""
+            SELECT substr({gh5}, 1, 3) AS gh, count(*) AS count
+            FROM events
+            WHERE event_type = 'view'
+              AND date_trunc('day', ts) = TIMESTAMP '2024-01-10'
+              AND substr({gh5}, 1, 3) IN ({gh_route_sql})
             GROUP BY 1 ORDER BY 1
         """,
         "snapshot_regions_quad": f"""

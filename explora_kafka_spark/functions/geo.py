@@ -725,3 +725,125 @@ def quadkey_sql(lat_expr: str, lon_expr: str, zoom: int) -> str:
         for i in range(zoom, 0, -1)
     ]
     return "(" + " || ".join(digits) + ")"
+
+
+# ---------------------------------------------------------------------------
+# route corridor (polyline + radius) covers
+# ---------------------------------------------------------------------------
+
+#: meters per degree of latitude (and of longitude at the equator)
+_M_PER_DEG = math.pi * EARTH_RADIUS_M / 180.0
+
+
+def _seg_point_d2(ax: float, ay: float, bx: float, by: float,
+                  px: float, py: float) -> float:
+    """Squared planar distance from point P to segment AB."""
+    dx, dy = bx - ax, by - ay
+    l2 = dx * dx + dy * dy
+    t = 0.0 if l2 == 0.0 else max(
+        0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / l2))
+    qx, qy = ax + t * dx, ay + t * dy
+    return (px - qx) ** 2 + (py - qy) ** 2
+
+
+def segment_box_dist_m(
+    a: Tuple[float, float],
+    b: Tuple[float, float],
+    north: float, west: float, south: float, east: float,
+    lon_scale: float,
+) -> float:
+    """Planar (equirectangular, fixed `lon_scale` = cos of the route's
+    mean latitude) distance in meters from segment a→b (lat, lon) to a
+    lat/lon-aligned box; 0 when they touch. The corridor twin of the
+    polygon family's planar geometry contract — valid at city/route
+    scale, no antimeridian crossing."""
+    ax, ay = a[1] * lon_scale * _M_PER_DEG, a[0] * _M_PER_DEG
+    bx, by = b[1] * lon_scale * _M_PER_DEG, b[0] * _M_PER_DEG
+    w, e = west * lon_scale * _M_PER_DEG, east * lon_scale * _M_PER_DEG
+    s, n = south * _M_PER_DEG, north * _M_PER_DEG
+    if (w <= ax <= e and s <= ay <= n) or (w <= bx <= e and s <= by <= n):
+        return 0.0
+    corners = [(w, s), (e, s), (e, n), (w, n)]
+    for j in range(4):
+        if _segments_intersect((ax, ay), (bx, by), corners[j],
+                               corners[(j + 1) % 4]):
+            return 0.0
+    d2 = min(_seg_point_d2(ax, ay, bx, by, cx, cy) for cx, cy in corners)
+    for px, py in ((ax, ay), (bx, by)):
+        qx = min(max(px, w), e)
+        qy = min(max(py, s), n)
+        d2 = min(d2, (px - qx) ** 2 + (py - qy) ** 2)
+    return math.sqrt(d2)
+
+
+def route_min_dist_m(
+    points: List[Tuple[float, float]],
+    north: float, west: float, south: float, east: float,
+    lon_scale: float,
+) -> float:
+    """Min planar distance from a box to any segment of the open
+    polyline `points` (a single point is a degenerate route)."""
+    if len(points) == 1:
+        points = [points[0], points[0]]
+    return min(
+        segment_box_dist_m(points[i], points[i + 1],
+                           north, west, south, east, lon_scale)
+        for i in range(len(points) - 1)
+    )
+
+
+def _route_lon_scale(points: List[Tuple[float, float]]) -> float:
+    return math.cos(math.radians(
+        sum(p[0] for p in points) / len(points)))
+
+
+def _route_bbox_expanded(
+    points: List[Tuple[float, float]], radius_m: float
+) -> Tuple[float, float, float, float]:
+    """Route vertex bbox expanded by the corridor radius (dlon scaled at
+    the bbox's pole-nearest latitude — conservative)."""
+    north, west, south, east = polygon_bbox(points)
+    dlat = math.degrees(radius_m / EARTH_RADIUS_M)
+    edge = min(max(abs(north + dlat), abs(south - dlat)), 89.9)
+    dlon = math.degrees(
+        radius_m / (EARTH_RADIUS_M * math.cos(math.radians(edge))))
+    return (north + dlat, west - dlon, south - dlat, east + dlon)
+
+
+def quadkey_cover_route(
+    points: List[Tuple[float, float]], radius_m: float, zoom: int
+) -> List[str]:
+    """Quadkeys of all tiles within `radius_m` of the polyline — the
+    CORRIDOR cover (route/fleet telemetry: "events along this road"):
+    the radius-expanded route bbox cover refined by the exact planar
+    box-to-segment distance (the circle/polygon refinement pattern).
+    Planar contract as the polygon family: no antimeridian crossing."""
+    bbox = clamp_bbox_lat(_route_bbox_expanded(points, radius_m),
+                          MERCATOR_MAX_LAT)
+    if bbox is None:
+        return []
+    k = _route_lon_scale(points)
+    out = [
+        qk for qk in quadkey_cover_bbox(*bbox, zoom)
+        if route_min_dist_m(points, *quadkey_decode_bbox(qk), k)
+        <= radius_m
+    ]
+    return sorted(out)
+
+
+def geohash_cover_route(
+    points: List[Tuple[float, float]], radius_m: float, precision: int
+) -> List[str]:
+    """Geohash twin of quadkey_cover_route (note decode order)."""
+    bbox = clamp_bbox_lat(_route_bbox_expanded(points, radius_m),
+                          _GEOHASH_MAX_LAT)
+    if bbox is None:
+        return []
+    k = _route_lon_scale(points)
+    out = []
+    for gh in geohash_cover_bbox(*bbox, precision):
+        la_lo, la_hi, lo_lo, lo_hi = geohash_decode_bbox(gh)
+        if route_min_dist_m(points, la_hi, lo_lo, la_lo, lo_hi,
+                            k) <= radius_m:
+            out.append(gh)
+    return sorted(out)

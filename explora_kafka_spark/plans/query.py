@@ -448,6 +448,63 @@ def snapshot_polygon_quadtiling(
     return _agg_projection(merged, aggregate, "gh").orderBy("gh")
 
 
+def snapshot_route_quadtiling(
+    lattice: DataFrame,
+    metric: str,
+    aggregate: str,
+    zoom: int,
+    res: str,
+    ts_ms: int,
+    points: list,
+    radius_m: float,
+) -> DataFrame:
+    """Snapshot over a ROUTE CORRIDOR (polyline + radius) in quad-tiling
+    mode — the fourth region shape next to bbox/circle/polygon: "events
+    within r of this road" (fleet/route telemetry). The radius-expanded
+    route-bbox cover is refined driver-side by the exact planar
+    box-to-segment distance (geo.quadkey_cover_route), then applied
+    through the same adaptive prefix/isin pushdown. Planar contract as
+    the polygon family (no antimeridian crossing); no geometry runs
+    engine-side — at 100 TB the query is still one partition-pruned
+    slice scan with a pushed cell predicate."""
+    bbox = geo.clamp_bbox_lat(
+        geo._route_bbox_expanded(points, radius_m), geo.MERCATOR_MAX_LAT)
+    cover_zoom = adaptive_cover_zoom(*bbox, zoom) if bbox else zoom
+    cover = geo.quadkey_cover_route(points, radius_m, cover_zoom)
+    t = truncate_ts_ms(ts_ms, res)
+    view = _select_view(lattice, metric, zoom, res).filter(
+        F.col("ts") == _ts_at(t))
+    view = _prefix_cover_filter(view, cover, cover_zoom, zoom,
+                                alphabet=geo.QUAD_ALPHABET)
+    merged = view.groupBy("gh").agg(*_merge_cols())
+    return _agg_projection(merged, aggregate, "gh").orderBy("gh")
+
+
+def snapshot_route_geohashing(
+    lattice: DataFrame,
+    metric: str,
+    aggregate: str,
+    precision: int,
+    res: str,
+    ts_ms: int,
+    points: list,
+    radius_m: float,
+) -> DataFrame:
+    """Geohash twin of snapshot_route_quadtiling (same corridor cover,
+    geohash alphabet/prefix path)."""
+    bbox = geo.clamp_bbox_lat(
+        geo._route_bbox_expanded(points, radius_m), 90.0 - 1e-9)
+    cover_prec = adaptive_cover_precision(*bbox, precision) if bbox \
+        else precision
+    cover = geo.geohash_cover_route(points, radius_m, cover_prec)
+    t = truncate_ts_ms(ts_ms, res)
+    view = _select_view(lattice, metric, precision, res).filter(
+        F.col("ts") == _ts_at(t))
+    view = _prefix_cover_filter(view, cover, cover_prec, precision)
+    merged = view.groupBy("gh").agg(*_merge_cols())
+    return _agg_projection(merged, aggregate, "gh").orderBy("gh")
+
+
 def snapshot_regions_quadtiling(
     lattice: DataFrame,
     metric: str,

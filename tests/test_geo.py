@@ -333,3 +333,60 @@ def test_polygon_cover_is_conservative_for_interior_points():
             in cover
         assert geo.geohash_encode(la, lo, 4) in ghc
     assert hits > 50
+
+
+def test_segment_box_distance_cases():
+    from explora_kafka_spark.functions import geo
+
+    k = 1.0  # equatorial scale: degrees are isotropic
+    box = (1.0, 10.0, 0.0, 11.0)  # north, west, south, east
+    # segment crossing the box -> 0
+    assert geo.segment_box_dist_m((0.5, 9.0), (0.5, 12.0), *box, k) == 0.0
+    # endpoint inside -> 0
+    assert geo.segment_box_dist_m((0.5, 10.5), (5.0, 10.5), *box, k) == 0.0
+    # horizontal segment 1 degree north of the box: distance = 1 degree
+    d = geo.segment_box_dist_m((2.0, 9.0), (2.0, 12.0), *box, k)
+    assert abs(d - geo._M_PER_DEG) < 1e-6
+    # diagonal approach to a corner: sqrt(2)/2 degree to the (1, 11) corner
+    d = geo.segment_box_dist_m((2.0, 12.0), (1.5, 11.5), *box, k)
+    want = geo._M_PER_DEG * (0.5 ** 2 + 0.5 ** 2) ** 0.5
+    assert abs(d - want) < 1e-6
+
+
+def test_route_cover_is_conservative_for_corridor_points():
+    """Every probe point within the corridor radius of the polyline has
+    its cell in the cover — the no-false-pruning contract."""
+    import random
+
+    from explora_kafka_spark.functions import geo
+
+    route = [(-20.0, -40.0), (-10.0, -20.0), (-2.0, -5.0)]
+    r = 500_000.0
+    cover = set(geo.quadkey_cover_route(route, r, 8))
+    ghc = set(geo.geohash_cover_route(route, r, 4))
+    k = geo._route_lon_scale(route)
+    rng = random.Random(7)
+    hits = 0
+    for _ in range(400):
+        la = rng.uniform(-25.0, 3.0)
+        lo = rng.uniform(-45.0, 0.0)
+        # distance from the point (as a degenerate box) to the route
+        d = geo.route_min_dist_m(route, la, lo, la, lo, k)
+        if d > r * 0.98:  # stay off the planar-vs-cover boundary
+            continue
+        hits += 1
+        assert geo.tile_to_quadkey(*geo.latlon_to_tile(la, lo, 8), 8) \
+            in cover
+        assert geo.geohash_encode(la, lo, 4) in ghc
+    assert hits > 60
+
+
+def test_route_cover_subset_of_expanded_bbox_cover():
+    from explora_kafka_spark.functions import geo
+
+    route = [(-20.0, -40.0), (-10.0, -20.0), (-2.0, -5.0)]
+    r = 500_000.0
+    rc = set(geo.quadkey_cover_route(route, r, 7))
+    n, w, s, e = geo._route_bbox_expanded(route, r)
+    bc = set(geo.quadkey_cover_bbox(n, w, s, e, 7))
+    assert rc and rc <= bc and rc != bc  # the corridor trims the box
