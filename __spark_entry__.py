@@ -419,6 +419,15 @@ def q_snapshot_route_geohash(spark, sf_dir):
         _ROUTE_RADIUS_M)
 
 
+def q_history_route_quad(spark, sf_dir):
+    """Time series over the ROUTE CORRIDOR (the fourth region shape ×
+    the history query shape): the driver-side corridor cover becomes
+    the history cell set."""
+    lattice = _geo_lattice(spark, sf_dir, "quad", 6, 6)
+    cover = geo.quadkey_cover_route(_ROUTE, _ROUTE_RADIUS_M, 6)
+    return Q.history(lattice, "view", "count", 6, "day", cells=cover)
+
+
 def q_history_radius_quad(spark, sf_dir):
     """Time series over a CIRCLE region (engine extension; the radius
     twin of history_cells_day): the driver-side circle cover becomes the
@@ -2244,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_polygon_geohash": q_snapshot_polygon_geohash,
         "snapshot_route_quad": q_snapshot_route_quad,
         "snapshot_route_geohash": q_snapshot_route_geohash,
+        "history_route_quad": q_history_route_quad,
         "history_polygon_quad": q_history_polygon_quad,
         "history_polygon_geohash": q_history_polygon_geohash,
         "source_dedup_profile": q_source_dedup_profile,
@@ -2970,6 +2980,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type = 'view'
               AND {qk6} IN ({quad_circle_sql})
+            GROUP BY 1 ORDER BY 1
+        """,
+        "history_route_quad": f"""
+            SELECT epoch_ms(date_trunc('day', ts)) AS timestamp,
+                   count(*) AS count
+            FROM events
+            WHERE event_type = 'view'
+              AND {qk6} IN ({quad_route_sql})
             GROUP BY 1 ORDER BY 1
         """,
         "history_polygon_quad": f"""
