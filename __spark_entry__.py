@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from explora_kafka_spark.functions import geo
 from explora_kafka_spark.functions import zorder as ZO
 from explora_kafka_spark.operators import cooccurrence as COOC
+from explora_kafka_spark.operators import mobility as MOB
 from explora_kafka_spark.functions.timeutil import composite_key_col, ts_ms_col
 from explora_kafka_spark.operators import clustering as CL
 from explora_kafka_spark.operators import contamination as CONT
@@ -1978,6 +1979,22 @@ def q_metric_alerts(spark, sf_dir):
     return AL.alert_batch(load_readings(spark, sf_dir))
 
 
+def q_od_flows(spark, sf_dir):
+    """Origin–destination flows: top cell→cell trips from per-user
+    trajectories (lag window over (ts, event_id) order). Position is a
+    deterministic MOVING variant of the synthetic geo derivation (the
+    static per-user lat/lon never moves, so it is shifted per hour).
+    One user shuffle + one flow-matrix agg + TakeOrdered."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr(
+        "unix_millis(date_trunc('HOUR', CAST(ts AS TIMESTAMP)))"
+        " div 3600000")
+    mlat = ((F.col("user_id") * 113 + hour * 7) % 17000) / 100.0 - 85.0
+    mlon = ((F.col("user_id") * 241 + hour * 11) % 36000) / 100.0 - 180.0
+    return MOB.od_flows(
+        ev, geo.quadkey_from_latlon_col(mlat, mlon, 3), top=50)
+
+
 def q_trending_items(spark, sf_dir):
     """Top-5 items per tumbling hour (the trending dashboard): batch
     twin of the watermarked streaming flavor (stream ≡ batch pinned in
@@ -2326,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "item_lift": q_item_lift,
         "trending_items": q_trending_items,
+        "od_flows": q_od_flows,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "asof_hourly_stats": q_asof_hourly_stats,
@@ -2890,6 +2908,14 @@ def oracle_sql() -> dict[str, str]:
         "metric_trend": TS.metric_trend_sql(f"({READINGS_SQL}) AS r"),
         "item_lift": COOC.item_lift_sql(top=50),
         "trending_items": _WD.trending_items_sql(top=5),
+        "od_flows": MOB.od_flows_sql(
+            geo.quadkey_sql(
+                "(((user_id * 113 + (epoch_ms(date_trunc('hour', ts))"
+                " // 3600000) * 7) % 17000) / 100.0 - 85.0)",
+                "(((user_id * 241 + (epoch_ms(date_trunc('hour', ts))"
+                " // 3600000) * 11) % 36000) / 100.0 - 180.0)",
+                3),
+            top=50),
         "zorder_layout": f"""
             WITH c AS (
                 SELECT event_id,
