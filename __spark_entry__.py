@@ -1995,6 +1995,20 @@ def q_od_flows(spark, sf_dir):
         ev, geo.quadkey_from_latlon_col(mlat, mlon, 3), top=50)
 
 
+def q_cell_dwell(spark, sf_dir):
+    """Per-cell dwell aggregate (the other half of the OD readout):
+    total/avg seconds users spend in a cell before their next event —
+    same moving-position derivation and plan family as od_flows."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.expr(
+        "unix_millis(date_trunc('HOUR', CAST(ts AS TIMESTAMP)))"
+        " div 3600000")
+    mlat = ((F.col("user_id") * 113 + hour * 7) % 17000) / 100.0 - 85.0
+    mlon = ((F.col("user_id") * 241 + hour * 11) % 36000) / 100.0 - 180.0
+    return MOB.cell_dwell(
+        ev, geo.quadkey_from_latlon_col(mlat, mlon, 3), top=50)
+
+
 def q_trending_items(spark, sf_dir):
     """Top-5 items per tumbling hour (the trending dashboard): batch
     twin of the watermarked streaming flavor (stream ≡ batch pinned in
@@ -2344,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_lift": q_item_lift,
         "trending_items": q_trending_items,
         "od_flows": q_od_flows,
+        "cell_dwell": q_cell_dwell,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "asof_hourly_stats": q_asof_hourly_stats,
@@ -2909,6 +2924,14 @@ def oracle_sql() -> dict[str, str]:
         "item_lift": COOC.item_lift_sql(top=50),
         "trending_items": _WD.trending_items_sql(top=5),
         "od_flows": MOB.od_flows_sql(
+            geo.quadkey_sql(
+                "(((user_id * 113 + (epoch_ms(date_trunc('hour', ts))"
+                " // 3600000) * 7) % 17000) / 100.0 - 85.0)",
+                "(((user_id * 241 + (epoch_ms(date_trunc('hour', ts))"
+                " // 3600000) * 11) % 36000) / 100.0 - 180.0)",
+                3),
+            top=50),
+        "cell_dwell": MOB.cell_dwell_sql(
             geo.quadkey_sql(
                 "(((user_id * 113 + (epoch_ms(date_trunc('hour', ts))"
                 " // 3600000) * 7) % 17000) / 100.0 - 85.0)",
