@@ -1711,6 +1711,14 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(old, new)
 
 
+def q_event_paths(spark, sf_dir):
+    """Frequent 3-step behavior paths (the discovery complement of the
+    fixed-chain funnels): sliding per-user windows, one lead() window
+    pass + a path-vocab agg + TakeOrdered."""
+    return _FN.event_paths(load_table(spark, sf_dir, "events"),
+                           depth=3, top=20)
+
+
 def q_funnel_day(spark, sf_dir):
     """Earliest-chain funnel (view -> click -> purchase) over the first
     day of events — the one-day slice keeps the chain discriminating on
@@ -2251,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_gate": q_corpus_gate,
         "unigram_bits": q_unigram_bits,
         "funnel_day": q_funnel_day,
+        "event_paths": q_event_paths,
         "funnel_window_2h": q_funnel_window_2h,
         "retention_weekly": q_retention_weekly,
         "corpus_diff": q_corpus_diff,
@@ -2779,6 +2788,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_day": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')"),
         "retention_weekly": _FN.retention_sql(),
+        "event_paths": _FN.event_paths_sql(depth=3, top=20),
         "bpe_pair_counts": T.bpe_pair_counts_sql(),
         "bpe_merges": T.bpe_merges_sql("documents", 20),
         "bigram_bits": T.bigram_bits_sql(),

@@ -208,3 +208,68 @@ def retention_sql(
         GROUP BY 1, 2, s.n_cohort
         ORDER BY 1, 2
     """
+
+
+def event_paths(
+    events: DataFrame,
+    depth: int = 3,
+    top: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+) -> DataFrame:
+    """Frequent k-step behavior PATHS — the discovery complement of
+    the fixed-chain funnels: instead of asking "how many users did
+    A→B→C?", surface WHICH `depth`-step sequences actually happen
+    most. Every length-`depth` window of a user's (ts, event_id)-
+    ordered event stream is one path occurrence (sliding, overlapping
+    — the standard path-mining count). Output: (path, n), n desc then
+    path asc, top `top`.
+
+    100 TB: one shuffle on the user key feeding `depth-1` lead()
+    columns in a single window pass, then a path-vocabulary-sized
+    partial-agg shuffle + TakeOrdered. No joins, no explode."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    d = events.select(user_col, ts_col, "event_id",
+                      F.col(step_col).alias("_s0"))
+    for i in range(1, depth):
+        d = d.withColumn(f"_s{i}", F.lead("_s0", i).over(w))
+    steps = [F.col(f"_s{i}") for i in range(depth)]
+    return (
+        d.filter(F.col(f"_s{depth - 1}").isNotNull())
+        .select(F.concat_ws(">", *steps).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(top)
+    )
+
+
+def event_paths_sql(
+    table: str = "events",
+    depth: int = 3,
+    top: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    step_col: str = "event_type",
+) -> str:
+    """DuckDB mirror of `event_paths`."""
+    leads = ", ".join(
+        f"lead({step_col}, {i}) OVER (PARTITION BY {user_col}"
+        f" ORDER BY {ts_col}, event_id) AS _s{i}"
+        for i in range(1, depth))
+    parts = " || '>' || ".join(f"_s{i}" if i else step_col
+                               for i in range(depth))
+    return f"""
+        WITH seq AS (
+            SELECT {step_col}, {leads} FROM {table}
+        )
+        SELECT {parts} AS path, count(*) AS n
+        FROM seq
+        WHERE _s{depth - 1} IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path
+        LIMIT {top}
+    """

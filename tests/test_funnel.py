@@ -138,3 +138,39 @@ def test_retention_cross_engine_year_boundary(spark, tmp_path):
     # and the cohorts are the ones the calendar says
     assert ("2023-12-25", 0) in {(c, o) for c, o, *_ in got}
     assert ("2024-01-01", 0) in {(c, o) for c, o, *_ in got}
+
+
+def test_event_paths_sliding_windows(spark):
+    import datetime as dt
+
+    from explora_kafka_spark.operators.funnel import event_paths
+
+    rows = [(i, 1, dt.datetime(2024, 1, 1, i), s)
+            for i, s in enumerate(["view", "click", "buy", "view"])]
+    rows += [(10, 2, dt.datetime(2024, 1, 1, 0), "view"),
+             (11, 2, dt.datetime(2024, 1, 1, 1), "click"),
+             (12, 2, dt.datetime(2024, 1, 1, 2), "buy")]
+    ev = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, ts: timestamp,"
+              " event_type: string")
+    out = [(r["path"], r["n"]) for r in event_paths(ev, depth=3).collect()]
+    # u1 windows: view>click>buy, click>buy>view; u2: view>click>buy
+    assert out == [("view>click>buy", 2), ("click>buy>view", 1)]
+
+
+def test_event_paths_matches_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    from explora_kafka_spark.operators.funnel import (event_paths,
+                                                      event_paths_sql)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = [(r["path"], r["n"])
+           for r in event_paths(ev, depth=3, top=20).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = [(p, int(n)) for p, n in con.execute(
+        event_paths_sql(depth=3, top=20)).fetchall()]
+    assert got == want
+    assert len(got) == 20
