@@ -1556,6 +1556,23 @@ def q_corpus_gate_full(spark, sf_dir):
     )
 
 
+def q_corpus_gate_scored(spark, sf_dir):
+    """FOUR-tier admission gate: the stateless quality-classifier tier
+    (quality_logit) stacked onto the three index tiers — the full
+    production admission stack in one verdict."""
+    from explora_kafka_spark.streaming import corpus_gate as CG
+
+    shingle_idx, lsh_idx = _half_text_indexes(spark, sf_dir)
+    sem_idx, split = _sem_index(spark, sf_dir)
+    batch = _docs(spark, sf_dir).filter(F.col("doc_id") >= split)
+    batch_emb = _emb(spark, sf_dir).filter(F.col("vec_id") >= split)
+    return CG.gate_batch_scored(
+        spark, batch, batch_emb, shingle_idx, lsh_idx, sem_idx,
+        taint_max=0.5, semantic_threshold_pct=30,
+        lsh_shingle_n=2, num_bands=8, min_est=0.9,
+    )
+
+
 def q_semdedup_check(spark, sf_dir):
     """Incremental semantic dedup: the second half of the embeddings
     checked against the materialized first-half index (stored Lloyd
@@ -2321,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "semdedup_check": q_semdedup_check,
         "corpus_gate_full": q_corpus_gate_full,
+        "corpus_gate_scored": q_corpus_gate_scored,
         "embedding_standardize": q_embedding_standardize,
         "cluster_top_terms": q_cluster_top_terms,
         "semdedup_check_audit": q_semdedup_check_audit,
@@ -2700,6 +2718,9 @@ def oracle_sql() -> dict[str, str]:
                                                  k=8, iters=2,
                                                  threshold_pct=30),
         "corpus_gate_full": _CG.gate_batch_full_sql(
+            split_id=250, taint_max=0.5, semantic_threshold_pct=30,
+            k=8, iters=2, lsh_shingle_n=2, num_bands=8, min_est=0.9),
+        "corpus_gate_scored": _CG.gate_batch_scored_sql(
             split_id=250, taint_max=0.5, semantic_threshold_pct=30,
             k=8, iters=2, lsh_shingle_n=2, num_bands=8, min_est=0.9),
         "embedding_standardize": CENT.embedding_standardize_sql(),

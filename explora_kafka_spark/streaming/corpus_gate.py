@@ -412,3 +412,74 @@ def gate_batch_sql(
         LEFT JOIN nd ON b.{key} = nd.{key}
         ORDER BY b.{key}
     """
+
+
+def gate_batch_scored(
+    spark,
+    batch: DataFrame,
+    batch_emb: DataFrame,
+    shingle_index: str,
+    dedup_index: str,
+    semantic_index: str,
+    taint_max: float = 0.5,
+    semantic_threshold_pct: int = 95,
+    **gate_kwargs,
+) -> DataFrame:
+    """The FOUR-tier admission verdict: the model-based quality
+    classifier (`operators/quality_rules.quality_logit` — stateless,
+    the tier a production gate runs FIRST since it needs no index)
+    stacked onto the three index tiers of `gate_batch_full`.
+
+    Output (doc_id-ascending): doc_id, contamination, n_near_dups,
+    is_semantic_dup, quality_ok, accepted — accepted requires all four
+    tiers. 100 TB: the classifier tier is a shuffle-free codegen
+    projection over the batch; everything else is gate_batch_full's
+    corpus-size-independent cost."""
+    from ..operators.quality_rules import quality_logit
+
+    full = gate_batch_full(
+        spark, batch, batch_emb, shingle_index, dedup_index,
+        semantic_index, taint_max=taint_max,
+        semantic_threshold_pct=semantic_threshold_pct, **gate_kwargs,
+    )
+    q = quality_logit(batch).select(
+        "doc_id", F.col("keep").alias("quality_ok"))
+    return (
+        full.drop("accepted")
+        .join(q, "doc_id")
+        .withColumn(
+            "accepted",
+            (F.col("contamination") <= F.lit(taint_max))
+            & (F.col("n_near_dups") == 0)
+            & (~F.col("is_semantic_dup"))
+            & F.col("quality_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def gate_batch_scored_sql(
+    table: str = "documents",
+    emb_table: str = "embeddings",
+    split_id: int = 250,
+    taint_max: float = 0.5,
+    **kwargs,
+) -> str:
+    """DuckDB mirror of the split-half `gate_batch_scored` entry
+    (gate_batch_full_sql × quality_logit_sql on the batch half)."""
+    from ..operators.quality_rules import quality_logit_sql
+
+    g = gate_batch_full_sql(table, emb_table, split_id=split_id,
+                            taint_max=taint_max, **kwargs)
+    q = quality_logit_sql(table)
+    return f"""
+        SELECT g.doc_id, g.contamination, g.n_near_dups,
+               g.is_semantic_dup, q.keep AS quality_ok,
+               (g.contamination <= {taint_max}
+                AND g.n_near_dups = 0
+                AND NOT g.is_semantic_dup
+                AND q.keep) AS accepted
+        FROM ({g}) g
+        JOIN ({q}) q ON q.doc_id = g.doc_id
+        ORDER BY g.doc_id
+    """

@@ -299,3 +299,27 @@ def test_learning_gate_rejects_cross_batch_copy(spark, docs, tmp_path):
     learned = next(r for r in rej if r["doc_id"] in (7000, 7001))
     assert learned["contamination"] == 1.0
     assert learned["n_near_dups"] >= 1
+
+
+def test_scored_gate_adds_only_the_classifier_tier(spark, sf_dir):
+    """gate_batch_scored ≡ gate_batch_full on the three index tiers;
+    accepted = full-accepted AND quality_ok, and at least one doc is
+    rejected by the classifier alone (the tier does real work)."""
+    import __spark_entry__ as E
+
+    full = {r["doc_id"]: r for r in
+            E.queries()["corpus_gate_full"](spark, sf_dir).collect()}
+    scored = {r["doc_id"]: r for r in
+              E.queries()["corpus_gate_scored"](spark, sf_dir).collect()}
+    assert set(full) == set(scored)
+    clf_only = 0
+    for d, s in scored.items():
+        f = full[d]
+        assert (s["contamination"], s["n_near_dups"],
+                s["is_semantic_dup"]) == \
+               (f["contamination"], f["n_near_dups"],
+                f["is_semantic_dup"])
+        assert s["accepted"] == (f["accepted"] and s["quality_ok"])
+        if f["accepted"] and not s["quality_ok"]:
+            clf_only += 1
+    assert clf_only > 0

@@ -94,7 +94,9 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   for batch assignment (the kmeans-family allowance, off a parquet
 #:   read); the reps join is an equi-join on cid. corpus_gate_full
 #:   contains semdedup_check as its semantic tier, so it inherits the
-#:   same allowance (the text tiers are all equi-joins).
+#:   same allowance (the text tiers are all equi-joins);
+#:   corpus_gate_scored adds only a doc-keyed classifier equi-join on
+#:   top, so it inherits corpus_gate_full's allowance unchanged.
 #:   cluster_top_terms runs kmeans for the cluster column (same
 #:   centroid broadcast); the token join is a doc-keyed equi-join.
 #:   semdedup_check_audit contains BOTH the frozen-index check and a
@@ -123,7 +125,8 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "semdedup_sweep", "dsir_select", "semdedup_check",
                  "corpus_gate_full", "cluster_top_terms",
                  "semdedup_check_audit", "item_lift",
-                 "ann_recall_truncated", "knn_hubness"}
+                 "ann_recall_truncated", "knn_hubness",
+                 "corpus_gate_scored"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
