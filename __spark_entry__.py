@@ -2078,6 +2078,13 @@ def q_metric_trend(spark, sf_dir):
     return TS.metric_trend(load_readings(spark, sf_dir))
 
 
+def q_metric_movers(spark, sf_dir):
+    """Top day-over-day movers (biggest daily changes per metric):
+    consecutive-day integer deltas of the daily sums — one rollup
+    shuffle + a per-metric lag window + TakeOrdered."""
+    return TS.metric_movers(load_readings(spark, sf_dir), top=20)
+
+
 def q_metric_hour_anomaly(spark, sf_dir):
     """Trailing-24h z-score per (metric, hour) bucket — the monitoring
     question the reference's rollups stop short of. Bounded ROWS window
@@ -2381,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_correlation": q_metric_correlation,
         "metric_hour_anomaly": q_metric_hour_anomaly,
         "metric_trend": q_metric_trend,
+        "metric_movers": q_metric_movers,
         "zorder_layout": q_zorder_layout,
         "item_lift": q_item_lift,
         "trending_items": q_trending_items,
@@ -2952,6 +2960,8 @@ def oracle_sql() -> dict[str, str]:
         "metric_day_percentiles": TS.metric_day_percentiles_sql(
             f"({READINGS_SQL}) AS r"),
         "metric_trend": TS.metric_trend_sql(f"({READINGS_SQL}) AS r"),
+        "metric_movers": TS.metric_movers_sql(
+            f"({READINGS_SQL}) AS r", top=20),
         "item_lift": COOC.item_lift_sql(top=50),
         "trending_items": _WD.trending_items_sql(top=5),
         "od_flows": MOB.od_flows_sql(

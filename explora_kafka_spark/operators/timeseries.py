@@ -347,3 +347,67 @@ def metric_trend_sql(table: str) -> str:
                         // (n * sxx - sx * sx) AS BIGINT) END AS forecast_c
         FROM s ORDER BY metric_id
     """
+
+
+def metric_movers(readings: DataFrame, top: int = 20) -> DataFrame:
+    """Top day-over-day MOVERS: the dashboard's "what changed the most
+    since yesterday?" — per metric, consecutive-day deltas of the
+    daily sum (2-dp centi-units, the metric_trend discipline), ranked
+    by absolute change. Gaps break the chain (a delta needs the
+    PREVIOUS calendar day, not the previous observed day — a metric
+    dark for a week shouldn't report a week-sized "daily" move).
+
+    Output: (metric_id, day_ms, prev_c, cur_c, delta_c), |delta| desc
+    then (metric, day) asc, top `top`. One (metric, day) rollup
+    shuffle + a per-metric lag window + TakeOrdered — all integer."""
+    daily = (
+        readings.groupBy(
+            "metric_id",
+            (F.unix_millis(F.date_trunc("day", F.col("ts")))
+             / F.lit(86_400_000)).cast("bigint").alias("d"))
+        .agg(F.floor(F.round(F.sum("value"), 2) * 100 + F.lit(0.5))
+             .cast("bigint").alias("y"))
+    )
+    w = Window.partitionBy("metric_id").orderBy("d")
+    return (
+        daily.withColumn("prev_d", F.lag("d").over(w))
+        .withColumn("prev_c", F.lag("y").over(w))
+        .filter(F.col("prev_d") == F.col("d") - 1)
+        .select(
+            "metric_id",
+            (F.col("d") * 86_400_000).alias("day_ms"),
+            "prev_c",
+            F.col("y").alias("cur_c"),
+            (F.col("y") - F.col("prev_c")).alias("delta_c"),
+        )
+        .orderBy(F.abs(F.col("delta_c")).desc(), "metric_id", "day_ms")
+        .limit(top)
+    )
+
+
+def metric_movers_sql(table: str, top: int = 20) -> str:
+    """DuckDB mirror of `metric_movers`."""
+    return f"""
+        WITH daily AS (
+            SELECT metric_id,
+                   epoch_ms(date_trunc('day', ts)) // 86400000 AS d,
+                   CAST(floor(round(sum(value), 2) * 100 + 0.5)
+                        AS BIGINT) AS y
+            FROM {table}
+            GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT metric_id, d, y,
+                   lag(d) OVER (PARTITION BY metric_id ORDER BY d)
+                       AS prev_d,
+                   lag(y) OVER (PARTITION BY metric_id ORDER BY d)
+                       AS prev_c
+            FROM daily
+        )
+        SELECT metric_id, d * 86400000 AS day_ms, prev_c,
+               y AS cur_c, y - prev_c AS delta_c
+        FROM lagged
+        WHERE prev_d = d - 1
+        ORDER BY abs(y - prev_c) DESC, metric_id, day_ms
+        LIMIT {top}
+    """

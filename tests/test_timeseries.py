@@ -151,3 +151,33 @@ def test_metric_trend_matches_duckdb_oracle(spark, sf_dir):
 
     assert canon(got) == canon(want)
     assert len(got) >= 2
+
+
+def test_metric_movers_consecutive_days_only(spark):
+    """m: days 0,1,3 with sums 10,25,99 -> only the 0->1 delta (+1500c)
+    qualifies; the 1->3 jump is a gap, not a daily move."""
+    rows = [("m", "g", _day(0), 10.0), ("m", "g", _day(1), 25.0),
+            ("m", "g", _day(3), 99.0)]
+    out = [(r["metric_id"], r["prev_c"], r["cur_c"], r["delta_c"])
+           for r in TS.metric_movers(_readings(spark, rows)).collect()]
+    assert out == [("m", 1000, 2500, 1500)]
+
+
+def test_metric_movers_matches_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    from explora_kafka_spark.sources.tables import (READINGS_SQL,
+                                                    load_readings)
+
+    got = [tuple(r) for r in
+           TS.metric_movers(load_readings(spark, sf_dir), top=20)
+           .collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM"
+                f" '{sf_dir}/events.parquet'")
+    want = [tuple(row) for row in con.execute(
+        TS.metric_movers_sql(f"({READINGS_SQL}) AS r", top=20))
+        .fetchall()]
+    assert [(m, int(d), int(p), int(c), int(x)) for m, d, p, c, x in got] \
+        == [(m, int(d), int(p), int(c), int(x)) for m, d, p, c, x in want]
+    assert len(got) == 20
