@@ -420,6 +420,17 @@ def q_snapshot_route_geohash(spark, sf_dir):
         _ROUTE_RADIUS_M)
 
 
+def q_snapshot_nearest_quad(spark, sf_dir):
+    """Nearest-5 non-empty cells to a point (the "closest stations
+    with data" query): driver-side exact per-cell distances become a
+    broadcast (gh, dist_m) mapping; engine side is one pruned slice
+    scan + tiny equi-join + TakeOrdered(5)."""
+    lattice = _geo_lattice(spark, sf_dir, "quad", 6, 6)
+    return Q.snapshot_nearest_quadtiling(
+        lattice, "view", "count", 6, "day", _SNAP_DAY_MS,
+        -10.0, -20.0, 4_000_000.0, n=5)
+
+
 def q_history_route_quad(spark, sf_dir):
     """Time series over the ROUTE CORRIDOR (the fourth region shape ×
     the history query shape): the driver-side corridor cover becomes
@@ -2318,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_route_quad": q_snapshot_route_quad,
         "snapshot_route_geohash": q_snapshot_route_geohash,
         "history_route_quad": q_history_route_quad,
+        "snapshot_nearest_quad": q_snapshot_nearest_quad,
         "history_polygon_quad": q_history_polygon_quad,
         "history_polygon_geohash": q_history_polygon_geohash,
         "source_dedup_profile": q_source_dedup_profile,
@@ -2448,6 +2460,9 @@ def oracle_sql() -> dict[str, str]:
         f"('{rid}', '{c}')"
         for rid, pts in _REGIONS
         for c in geo.quadkey_cover_polygon(pts, 6))
+    near_cells_sql = ", ".join(
+        f"('{qk}', {round(geo.bbox_min_dist_m(geo.quadkey_decode_bbox(qk), -10.0, -20.0), 6)!r})"
+        for qk in geo.quadkey_cover_circle(-10.0, -20.0, 4_000_000.0, 6))
     quad_route_sql = ", ".join(
         f"'{c}'" for c in geo.quadkey_cover_route(
             _ROUTE, _ROUTE_RADIUS_M, 6))
@@ -3071,6 +3086,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'view'
               AND {qk6} IN ({quad_circle_sql})
             GROUP BY 1 ORDER BY 1
+        """,
+        "snapshot_nearest_quad": f"""
+            WITH near(cell, dist_m) AS (VALUES {near_cells_sql})
+            SELECT {qk6} AS gh, CAST(n.dist_m AS DOUBLE) AS dist_m,
+                   count(*) AS count
+            FROM events e JOIN near n ON {qk6} = n.cell
+            WHERE e.event_type = 'view'
+              AND date_trunc('day', e.ts) = TIMESTAMP '2024-01-10'
+            GROUP BY 1, 2
+            ORDER BY dist_m, gh LIMIT 5
         """,
         "history_route_quad": f"""
             SELECT epoch_ms(date_trunc('day', ts)) AS timestamp,

@@ -119,9 +119,12 @@ def _select_view(lattice: DataFrame, metric: str, precision: int, res: str) -> D
     )
 
 
-def _agg_projection(df: DataFrame, aggregate: str, key_col: str) -> DataFrame:
+def _agg_projection(df: DataFrame, aggregate: str, key_col: str,
+                    extra: list[str] | None = None) -> DataFrame:
     """Project only the requested aggregate (L6, QueryingService.java:131-134,
-    232-254 — reflection on the field name ≙ column selection)."""
+    232-254 — reflection on the field name ≙ column selection).
+    `extra` carries additional passthrough columns (e.g. the nearest-N
+    query's distance)."""
     value = {
         "count": F.col("count").cast("long"),
         "sum": F.col("sum"),
@@ -131,7 +134,9 @@ def _agg_projection(df: DataFrame, aggregate: str, key_col: str) -> DataFrame:
         "min": F.col("min"),
         "max": F.col("max"),
     }[aggregate]
-    return df.select(F.col(key_col), value.alias(aggregate))
+    return df.select(F.col(key_col),
+                     *[F.col(c) for c in (extra or [])],
+                     value.alias(aggregate))
 
 
 def history(
@@ -446,6 +451,54 @@ def snapshot_polygon_quadtiling(
                                 alphabet=geo.QUAD_ALPHABET)
     merged = view.groupBy("gh").agg(*_merge_cols())
     return _agg_projection(merged, aggregate, "gh").orderBy("gh")
+
+
+def snapshot_nearest_quadtiling(
+    lattice: DataFrame,
+    metric: str,
+    aggregate: str,
+    zoom: int,
+    res: str,
+    ts_ms: int,
+    lat: float,
+    lon: float,
+    radius_m: float,
+    n: int = 5,
+) -> DataFrame:
+    """NEAREST-N non-empty cells to a point at one instant — the
+    "closest stations with data" query next to the radius rollup:
+    instead of aggregating everything within r, return the `n` cells
+    NEAREST the point (within the `radius_m` search horizon) with
+    their aggregates and exact distances.
+
+    The geometry is wholly driver-side: the circle cover's per-cell
+    EXACT min-distance (geo.bbox_min_dist_m — already computed by the
+    cover refinement) becomes a broadcast (gh, dist_m) mapping, so
+    both engines rank by identical literal distances. Engine side:
+    one partition-pruned slice scan + a tiny broadcast equi-join + a
+    TakeOrdered(n) — no trigonometry, no window over the corpus.
+
+    Cells with no data contribute nothing (non-empty semantics); if
+    fewer than `n` covered cells have data, the result is shorter —
+    widen `radius_m` to search farther."""
+    cover = geo.quadkey_cover_circle(lat, lon, radius_m, zoom)
+    rows = [
+        (qk, round(geo.bbox_min_dist_m(
+            geo.quadkey_decode_bbox(qk), lat, lon), 6))
+        for qk in cover
+    ]
+    mapping = lattice.sparkSession.createDataFrame(
+        rows, "gh string, dist_m double")
+    t = truncate_ts_ms(ts_ms, res)
+    view = _select_view(lattice, metric, zoom, res).filter(
+        F.col("ts") == _ts_at(t))
+    merged = (
+        view.join(F.broadcast(mapping), "gh")
+        .groupBy("gh", "dist_m")
+        .agg(*_merge_cols())
+    )
+    out = _agg_projection(merged, aggregate, "gh", extra=["dist_m"])
+    return out.orderBy("dist_m", "gh").limit(n)
 
 
 def snapshot_route_quadtiling(

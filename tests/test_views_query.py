@@ -203,3 +203,29 @@ def test_snapshot_regions_matches_per_polygon_sums(spark):
     assert regions.get("r1", 0) == single
     assert set(regions) <= {"r1", "r2", "r3"}
     assert regions["r1"] > 0
+
+
+def test_snapshot_nearest_is_the_exhaustive_ranking(spark):
+    """The 5 returned cells are exactly the 5 nearest NON-EMPTY cells
+    (by the same exact per-cell distance) among all cells with data on
+    the snapshot day — checked against a raw exhaustive rebuild."""
+    import __spark_entry__ as E
+    from explora_kafka_spark.functions import geo
+
+    sf = "/root/testdata/sf0.01"
+    got = [(r["gh"], r["dist_m"], r["count"]) for r in
+           E.queries()["snapshot_nearest_quad"](spark, sf).collect()]
+    assert [d for _, d, _ in got] == sorted(d for _, d, _ in got)
+    raw = (E._geo_readings(spark, sf, "quad", 6)
+           .filter((F.col("metric_id") == "view")
+                   & (F.date_trunc("day", F.col("ts").cast("timestamp"))
+                      == "2024-01-10"))
+           .groupBy("geohash").count().collect())
+    ranked = sorted(
+        ((round(geo.bbox_min_dist_m(
+            geo.quadkey_decode_bbox(r["geohash"]), -10.0, -20.0), 6),
+          r["geohash"], r["count"]) for r in raw
+         if geo.bbox_min_dist_m(
+             geo.quadkey_decode_bbox(r["geohash"]), -10.0, -20.0)
+         <= 4_000_000.0))
+    assert got == [(g, d, c) for d, g, c in ranked[:5]]
