@@ -1622,6 +1622,13 @@ def q_knn_hubness(spark, sf_dir):
                            k=5, top=20)
 
 
+def q_embedding_drift(spark, sf_dir):
+    """Per-label centroid drift between the two corpus halves (id
+    split = time proxy): exact integer squared L2 between the halves'
+    centroid µ-vectors — the embedding-pipeline drift monitor."""
+    return CENT.embedding_drift(_emb(spark, sf_dir), split_id=250)
+
+
 def q_label_propagation(spark, sf_dir):
     """Semi-supervised label propagation over the cluster-local kNN
     graph: id%5==0 seeds keep their true label, everyone else takes the
@@ -2350,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "label_propagation": q_label_propagation,
         "knn_hubness": q_knn_hubness,
+        "embedding_drift": q_embedding_drift,
         "semantic_groups": q_semantic_groups,
         "semdedup_sweep": q_semdedup_sweep,
         "pca_project": q_pca_project,
@@ -3009,6 +3017,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c ORDER BY zkey, event_id LIMIT 200
         """,
         "label_centroids": CENT.label_centroids_sql("embeddings"),
+        "embedding_drift": CENT.embedding_drift_sql(split_id=250),
         "label_centroid_cosine": CENT.label_centroid_cosine_sql(
             "embeddings"),
         "ann_topk_ivf_filtered": S.ann_topk_ivf_sql(

@@ -660,3 +660,80 @@ def pca_project_sql(
         FROM scored, consts
         ORDER BY 1
     """
+
+
+def embedding_drift(
+    emb: DataFrame,
+    split_id: int,
+    key: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label EMBEDDING DRIFT between two corpus slices (ids below /
+    at-or-above `split_id` — the id split is the house time proxy, the
+    semdedup_check convention): how far has each label's centroid
+    moved? The drift monitor an embedding pipeline runs between corpus
+    snapshots — a large shift flags upstream model/data change before
+    it poisons dedup thresholds or ANN recall.
+
+    Output per label present in BOTH halves: (label, n_first,
+    n_second, d2_mu) — d2_mu is the EXACT integer squared L2 between
+    the two centroid µ-vectors (the clustering.py distance
+    discipline), label-ascending. Labels present in only one half are
+    omitted (no pair to compare).
+
+    100 TB: two label-keyed partial-agg passes (the label_centroids
+    cost, one per half) + a (label, dim)-keyed equi-join of two
+    labels×d tables — statistic-sized end to end."""
+    halves = []
+    for name, pred in (("a", F.col(key) < split_id),
+                       ("b", F.col(key) >= split_id)):
+        c = _centroid_mu(emb.filter(pred), label_col, vec_col)
+        n = (emb.filter(pred).groupBy(F.col(label_col).alias("label"))
+             .agg(F.count("*").alias(f"n_{name}")))
+        halves.append((c.withColumnRenamed("cmu", f"cmu_{name}"), n))
+    (ca, na), (cb, nb) = halves
+    d2 = (
+        ca.join(cb, ["label", "dim"])
+        .groupBy("label")
+        .agg(F.sum((F.col("cmu_a") - F.col("cmu_b"))
+                   * (F.col("cmu_a") - F.col("cmu_b"))).alias("d2_mu"))
+    )
+    return (
+        d2.join(na, "label").join(nb, "label")
+        .select("label", F.col("n_a").alias("n_first"),
+                F.col("n_b").alias("n_second"), "d2_mu")
+        .orderBy("label")
+    )
+
+
+def embedding_drift_sql(
+    table: str = "embeddings",
+    split_id: int = 250,
+    key: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB mirror of `embedding_drift`."""
+    a = _centroid_mu_sql(f"(SELECT * FROM {table} WHERE {key} < "
+                         f"{split_id})", label_col, vec_col)
+    b = _centroid_mu_sql(f"(SELECT * FROM {table} WHERE {key} >= "
+                         f"{split_id})", label_col, vec_col)
+    return f"""
+        WITH ca AS ({a}), cb AS ({b}),
+        na AS (SELECT {label_col} AS label, count(*) AS n_first
+               FROM {table} WHERE {key} < {split_id} GROUP BY 1),
+        nb AS (SELECT {label_col} AS label, count(*) AS n_second
+               FROM {table} WHERE {key} >= {split_id} GROUP BY 1),
+        d2 AS (
+            SELECT ca.label,
+                   sum((ca.cmu - cb.cmu) * (ca.cmu - cb.cmu)) AS d2_mu
+            FROM ca JOIN cb ON ca.label = cb.label AND ca.dim = cb.dim
+            GROUP BY 1
+        )
+        SELECT d2.label, na.n_first, nb.n_second,
+               CAST(d2.d2_mu AS BIGINT) AS d2_mu
+        FROM d2 JOIN na ON na.label = d2.label
+        JOIN nb ON nb.label = d2.label
+        ORDER BY d2.label
+    """

@@ -225,3 +225,34 @@ def test_embedding_standardize_constant_dim_emits_zero(spark):
            for r in embedding_standardize(emb).collect()}
     assert all(out[(i, 1)] == 0.0 for i in range(4))
     assert any(out[(i, 0)] != 0.0 for i in range(4))
+
+
+def test_embedding_drift_exact_centroid_shift(spark):
+    from explora_kafka_spark.operators.centroids import embedding_drift
+
+    # label 7: first half centered at 1.0, second at 1.5 -> shift
+    # 0.5 -> d2 = (5e5)^2; label 9 only in the first half -> omitted
+    rows = [(0, [1.0], 7), (1, [1.0], 7), (2, [2.0], 9),
+            (10, [1.5], 7), (11, [1.5], 7)]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    out = [(r["label"], r["n_first"], r["n_second"], r["d2_mu"])
+           for r in embedding_drift(emb, split_id=10).collect()]
+    assert out == [(7, 2, 2, 250_000_000_000)]
+
+
+def test_embedding_drift_matches_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    from explora_kafka_spark.operators.centroids import (
+        embedding_drift, embedding_drift_sql)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [tuple(r) for r in embedding_drift(emb, split_id=250).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM"
+                f" '{sf_dir}/embeddings.parquet'")
+    want = [tuple(int(x) for x in row) for row in con.execute(
+        embedding_drift_sql(split_id=250)).fetchall()]
+    assert [tuple(int(x) for x in r) for r in got] == want
+    assert len(got) > 0
