@@ -2103,6 +2103,15 @@ def q_metric_movers(spark, sf_dir):
     return TS.metric_movers(load_readings(spark, sf_dir), top=20)
 
 
+def q_percentile_approx_audit(spark, sf_dir):
+    """Approximate-percentile scale path priced vs exact: per (metric,
+    day), exact interpolated quantiles + approx_percentile (KLL-style
+    sketch, map-side mergeable — no per-group sort at 100 TB) + abs
+    error. Spark-only sketch ⇒ rows-only driver check (the HLL
+    precedent); the rank-correctness contract is pytest-pinned."""
+    return TS.percentile_approx_audit(load_readings(spark, sf_dir))
+
+
 def q_metric_hour_anomaly(spark, sf_dir):
     """Trailing-24h z-score per (metric, hour) bucket — the monitoring
     question the reference's rollups stop short of. Bounded ROWS window
@@ -2409,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_hour_anomaly": q_metric_hour_anomaly,
         "metric_trend": q_metric_trend,
         "metric_movers": q_metric_movers,
+        "percentile_approx_audit": q_percentile_approx_audit,
         "zorder_layout": q_zorder_layout,
         "item_lift": q_item_lift,
         "trending_items": q_trending_items,

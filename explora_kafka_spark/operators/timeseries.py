@@ -411,3 +411,47 @@ def metric_movers_sql(table: str, top: int = 20) -> str:
         ORDER BY abs(y - prev_c) DESC, metric_id, day_ms
         LIMIT {top}
     """
+
+
+def percentile_approx_audit(
+    readings: DataFrame,
+    probs: tuple = (0.5, 0.95, 0.99),
+    accuracy: int = 1000,
+) -> DataFrame:
+    """AUDIT of the approximate-percentile scale path: per (metric,
+    day), the exact interpolated quantile (`metric_day_percentiles`)
+    next to Spark's `approx_percentile` (KLL-style sketch at
+    `accuracy`) and their absolute error — the priced trade the exact
+    path's docstring points to for groups that outgrow memory at
+    100 TB (sketches merge map-side; no per-group sort ever).
+
+    Spark-only sketch ⇒ no DuckDB mirror (the HLL rows-only
+    precedent); the pytest bounds the error instead. Output:
+    metric_id, bucket_ms, n, then (p{P}, p{P}_approx, p{P}_err) per
+    prob, 6 dp."""
+    aggs = [F.count("*").alias("n")]
+    cols = []
+    for p in probs:
+        tag = f"p{int(p * 100)}"
+        aggs.append(F.round(F.expr(f"percentile(value, {p!r})"), 6)
+                    .alias(tag))
+        aggs.append(F.round(F.expr(
+            f"approx_percentile(value, {p!r}, {accuracy})"), 6)
+            .alias(f"{tag}_approx"))
+        cols += [tag, f"{tag}_approx"]
+    out = (
+        readings.groupBy(
+            "metric_id", F.date_trunc("day", F.col("ts")).alias("_d"))
+        .agg(*aggs)
+    )
+    err_cols = []
+    for p in probs:
+        tag = f"p{int(p * 100)}"
+        err_cols.append(
+            F.round(F.abs(F.col(tag) - F.col(f"{tag}_approx")), 6)
+            .alias(f"{tag}_err"))
+    return (
+        out.select("metric_id", F.unix_millis("_d").alias("bucket_ms"),
+                   "n", *cols, *err_cols)
+        .orderBy("metric_id", "bucket_ms")
+    )

@@ -181,3 +181,39 @@ def test_metric_movers_matches_duckdb_oracle(spark, sf_dir):
     assert [(m, int(d), int(p), int(c), int(x)) for m, d, p, c, x in got] \
         == [(m, int(d), int(p), int(c), int(x)) for m, d, p, c, x in want]
     assert len(got) == 20
+
+
+def test_percentile_approx_audit_is_rank_correct(spark, sf_dir):
+    """The sketch guarantee is on RANK, not value (on sparse groups a
+    nearest-data-point answer can sit far from the interpolated exact
+    quantile in VALUE — that gap is exactly what the audit's err
+    column surfaces). Check the real contract: each approx quantile's
+    empirical rank inside its group is within the sketch's rank
+    tolerance, and the approx value is an actual group member."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from explora_kafka_spark.sources.tables import load_readings
+
+    readings = load_readings(spark, sf_dir)
+    rows = TS.percentile_approx_audit(readings).collect()
+    assert rows
+    groups = defaultdict(list)
+    for r in readings.select(
+            "metric_id",
+            F.unix_millis(F.date_trunc("day", "ts")).alias("b"),
+            "value").collect():
+        groups[(r["metric_id"], r["b"])].append(round(r["value"], 6))
+    for r in rows:
+        vals = sorted(groups[(r["metric_id"], r["bucket_ms"])])
+        n = len(vals)
+        assert r["n"] == n
+        for p, tag in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            approx = r[f"{tag}_approx"]
+            assert approx in vals  # a sketch answer IS a data point
+            below = sum(1 for v in vals if v < approx)
+            at_or_below = sum(1 for v in vals if v <= approx)
+            lo = p - 0.001 - 1.0 / n  # sketch rank tol + discreteness
+            hi = p + 0.001 + 1.0 / n
+            assert below / n <= hi and at_or_below / n >= lo

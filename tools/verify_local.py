@@ -67,7 +67,7 @@ def main():
     # registered query; every query without an oracle must be a known
     # rows-only entry. The driver records at most the FIRST 50 entries, so
     # list what falls past the cap to make the trade-off explicit.
-    ROWS_ONLY = {"distinct_users_daily_approx"}
+    ROWS_ONLY = {"distinct_users_daily_approx", "percentile_approx_audit"}
     stray = set(oracles) - set(qs)
     assert not stray, f"oracles without a query: {sorted(stray)}"
     no_oracle = set(qs) - set(oracles) - ROWS_ONLY
