@@ -20,7 +20,9 @@ shuffle; the pair stage is a self-join ON THE BASKET KEY — output
 bounded by Σ items_per_basket², the LSH-bucket argument (a
 pathologically fat basket is an AQE skew-split case); per-item totals
 are an items-sized table broadcast onto the pair counts. Never a
-corpus-level cartesian.
+corpus-level cartesian. BIGINT bound: ``1e6 · n_ab · N`` holds to
+~1e18 — beyond ~1e6-basket corpora swap the lift numerator to
+DECIMAL(38,0) (the metric_trend precedent), same plan.
 """
 
 from __future__ import annotations
