@@ -823,6 +823,16 @@ def q_sessionize(spark, sf_dir):
     return _SS.batch_sessions(ev)
 
 
+def q_session_stats(spark, sf_dir):
+    """One-row session-health report (count, bounce ppm, exact
+    duration/events quantiles) over the gap sessionization; 12 h gap —
+    the sparse synthetic events are ~2/user/day, so the default 30 min
+    would make every session a bounce."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts",
+                                                    "value")
+    return _SS.session_stats(ev, gap_ms=43_200_000)
+
+
 _STREAM_IN: dict[str, str] = {}  # sf_dir → micro-batch input dir (3 files)
 _STREAMED: dict[str, str] = {}  # sf_dir → store path (session-independent)
 _COMPACTED: set[str] = set()  # sf_dirs whose streamed store was compacted
@@ -2427,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_items": q_trending_items,
         "od_flows": q_od_flows,
         "cell_dwell": q_cell_dwell,
+        "session_stats": q_session_stats,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "asof_hourly_stats": q_asof_hourly_stats,
@@ -2810,6 +2821,7 @@ def oracle_sql() -> dict[str, str]:
         # exactly — same oracle
         "ann_topk_ivf_indexed": S.ann_topk_ivf_sql(),
         "sessionize": _SS.sessions_sql(),
+        "session_stats": _SS.session_stats_sql(gap_ms=43_200_000),
         "median_value_by_metric": """
             SELECT event_type AS metric_id,
                    round(quantile_cont(value, 0.5), 6) AS median_value,

@@ -184,3 +184,57 @@ def streaming_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def session_stats(events: DataFrame, gap_ms: int = DEFAULT_GAP_MS) -> DataFrame:
+    """One-row SESSION HEALTH report over `batch_sessions`: the
+    engagement summary a product dashboard reads next to the funnels —
+    session count, single-event (bounce) share, and exact duration /
+    events-per-session quantiles. All quantiles are the same
+    interpolated definition both engines share (the
+    metric_day_percentiles discipline).
+
+    Output: n_sessions, n_users, bounce_ppm (exact integer div),
+    p50_duration_s, p95_duration_s, p50_events, avg_events (6 dp).
+
+    100 TB: the sessionization shuffle is batch_sessions' own; the
+    report is ONE global aggregate over the session-count-sized table
+    (sessions ≪ events), partial-agg absorbed."""
+    s = batch_sessions(events, gap_ms).select(
+        "user_id", "n_events",
+        ((F.col("session_end_ms") - F.col("session_start_ms")) / 1000.0)
+        .alias("dur_s"),
+    )
+    return s.agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.expr("(1000000 * count_if(n_events = 1)) div count(*)")
+        .alias("bounce_ppm"),
+        F.round(F.expr("percentile(dur_s, 0.5)"), 6)
+        .alias("p50_duration_s"),
+        F.round(F.expr("percentile(dur_s, 0.95)"), 6)
+        .alias("p95_duration_s"),
+        F.round(F.expr("percentile(CAST(n_events AS DOUBLE), 0.5)"), 6)
+        .alias("p50_events"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+    )
+
+
+def session_stats_sql(table: str = "events",
+                      gap_ms: int = DEFAULT_GAP_MS) -> str:
+    """DuckDB mirror of `session_stats` (quantile_cont ≙ percentile)."""
+    return f"""
+        WITH sess AS ({sessions_sql(table, gap_ms)})
+        SELECT count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users,
+               (1000000 * count(*) FILTER (n_events = 1)) // count(*)
+                   AS bounce_ppm,
+               round(quantile_cont((session_end_ms - session_start_ms)
+                                   / 1000.0, 0.5), 6) AS p50_duration_s,
+               round(quantile_cont((session_end_ms - session_start_ms)
+                                   / 1000.0, 0.95), 6) AS p95_duration_s,
+               round(quantile_cont(CAST(n_events AS DOUBLE), 0.5), 6)
+                   AS p50_events,
+               round(avg(n_events), 6) AS avg_events
+        FROM sess
+    """

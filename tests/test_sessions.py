@@ -100,3 +100,42 @@ def test_stream_batch_session_equivalence(spark, events, tmp_path):
     # the timeout must have finalized at least one tail session — the
     # regression this test exists for (NoTimeout held them all forever)
     assert timed_out and timed_out <= streamed
+
+
+def test_session_stats_hand_values(spark):
+    """u1: events at 0h,0.2h (one session, 720s, 2 events) + 13h
+    (bounce); u2: 0h (bounce). -> 3 sessions, 2 users, bounce 2/3."""
+    import datetime as dt
+
+    from explora_kafka_spark.streaming.sessions import session_stats
+
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            (1, dt.datetime(2024, 1, 1, 0, 12), 1.0),
+            (1, dt.datetime(2024, 1, 1, 13, 0), 1.0),
+            (2, dt.datetime(2024, 1, 1, 0, 0), 1.0)]
+    ev = spark.createDataFrame(
+        rows, "user_id: long, ts: timestamp, value: double")
+    r = session_stats(ev, gap_ms=43_200_000).collect()[0]
+    assert (r["n_sessions"], r["n_users"]) == (3, 2)
+    assert r["bounce_ppm"] == 666_666
+    assert r["p50_duration_s"] == 0.0   # two bounces, one 720s session
+    assert r["avg_events"] == round(4 / 3, 6)
+
+
+def test_session_stats_matches_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    from explora_kafka_spark.streaming.sessions import (session_stats,
+                                                        session_stats_sql)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value")
+    got = [tuple(r) for r in
+           session_stats(ev, gap_ms=43_200_000).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = [tuple(row) for row in con.execute(
+        session_stats_sql(gap_ms=43_200_000)).fetchall()]
+    assert [tuple(float(x) for x in r) for r in got] == \
+           [tuple(float(x) for x in r) for r in want]
