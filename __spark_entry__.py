@@ -1425,6 +1425,31 @@ def q_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (pricing summary): the canonical wide aggregate
+    over the fact table — one scan, map-side partial agg into a
+    4-row group set; the shipdate predicate reaches the parquet scan."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2000-09-02")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r6(F.sum("l_quantity")).alias("sum_qty"),
+            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r6(F.sum(disc_price)).alias("sum_disc_price"),
+            _r6(F.sum(disc_price * (1 + F.col("l_tax")))).alias(
+                "sum_charge"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            _r6(F.avg("l_extendedprice")).alias("avg_price"),
+            _r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_ship_priority(spark, sf_dir):
     """TPC-H Q3 shape (shipping priority): segment-filtered customer
     dim broadcast, date-pruned orders, lineitem the only shuffled
@@ -2394,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_regions_quad": q_snapshot_regions_quad,
         "local_supplier_volume": q_local_supplier_volume,
         "ship_priority": q_ship_priority,
+        "pricing_summary": q_pricing_summary,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
@@ -2802,6 +2828,22 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, nation
         """,
         "click_unattributed": _SJ.unattributed_sql(),
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax)), 6) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "ship_priority": """
             SELECT l_orderkey,
                    round(sum(l_extendedprice * (1 - l_discount)), 6)
