@@ -1476,6 +1476,32 @@ def q_ship_priority(spark, sf_dir):
     )
 
 
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returns per customer in a quarter — date-pruned orders join the
+    'R'-filtered fact, customer/nation dims broadcast, top-20 by
+    revenue via TakeOrdered."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01"))
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_r6(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 def q_click_unattributed(spark, sf_dir):
     """Attribution gap audit: clicks with NO view by the same user in
     the 30-min lookback (anti-join on the attribution condition) —
@@ -2420,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "ship_priority": q_ship_priority,
         "pricing_summary": q_pricing_summary,
+        "returned_items": q_returned_items,
         "click_unattributed": q_click_unattributed,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
@@ -2828,6 +2855,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, nation
         """,
         "click_unattributed": _SJ.unattributed_sql(),
+        "returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 6) AS sum_qty,
