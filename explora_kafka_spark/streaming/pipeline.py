@@ -219,8 +219,15 @@ class ParquetViewStore:
     atomic-commit + replay-guard semantics plain parquet lacks.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, keep_versions: int = 1):
+        """`keep_versions` ≥ 2 opts into TIME TRAVEL: that many
+        committed versions are retained (hard-linked — shared leaf
+        files cost metadata, not data) and readable via
+        `read_version`/`list_versions`/`diff_versions`, the
+        Delta/Iceberg snapshot-retention semantic. The default 1 keeps
+        only the current version (the original behavior)."""
         self.path = path
+        self.keep_versions = max(1, keep_versions)
         os.makedirs(path, exist_ok=True)
 
     def _current_file(self) -> str:
@@ -272,14 +279,77 @@ class ParquetViewStore:
         df = self._read_raw(spark)
         return df.drop("ts_m") if df is not None else None
 
+    def _history_file(self) -> str:
+        return os.path.join(self.path, "_HISTORY")
+
+    def list_versions(self) -> list[str]:
+        """Retained version names, oldest→newest commit order (the
+        current version is last). Only meaningful with
+        keep_versions ≥ 2; with the default policy it is the current
+        version alone."""
+        try:
+            with open(self._history_file()) as f:
+                hist = [ln.strip() for ln in f if ln.strip()]
+        except FileNotFoundError:
+            hist = []
+        return [v for v in hist
+                if os.path.isdir(os.path.join(self.path, v))]
+
+    def read_version(self, spark: SparkSession, version: str) -> DataFrame:
+        """TIME TRAVEL: read a retained (non-current) snapshot — the
+        `VERSION AS OF` semantic. Raises if the version was GC'd."""
+        if not os.path.isdir(os.path.join(self.path, version)):
+            raise ValueError(f"version not retained: {version}")
+        df = spark.read.parquet(os.path.join(self.path, version))
+        for col, typ in (("metric_id", "string"), ("precision", "int"),
+                         ("res", "string"), ("ts_m", "int")):
+            if col in df.columns:
+                df = df.withColumn(col, F.col(col).cast(typ))
+        return df.drop("ts_m") if "ts_m" in df.columns else df
+
+    def diff_versions(self, spark: SparkSession, v_old: str,
+                      v_new: str) -> DataFrame:
+        """Key-level diff between two retained snapshots (the
+        corpus_diff shape applied to the store): one row per
+        (metric_id, precision, res, gh, ts) whose count changed —
+        status added/changed plus both counts. A full-outer equi-join
+        on the key columns; both sides are version-pruned scans."""
+        key = ["metric_id", "precision", "res", "gh", "ts"]
+        a = self.read_version(spark, v_old).select(
+            *key, F.col("count").alias("old_count"))
+        b = self.read_version(spark, v_new).select(
+            *key, F.col("count").alias("new_count"))
+        return (
+            a.join(b, key, "full_outer")
+            .filter(F.col("old_count").isNull()
+                    | F.col("new_count").isNull()
+                    | (F.col("old_count") != F.col("new_count")))
+            .withColumn("status", F.when(
+                F.col("old_count").isNull(), F.lit("added")).when(
+                F.col("new_count").isNull(), F.lit("removed")).otherwise(
+                F.lit("changed")))
+            .orderBy(*key)
+        )
+
     def _commit(self, new_v: str, batch_id: int | None,
                 old_v: str | None) -> None:
         tmp = self._current_file() + ".tmp"
         with open(tmp, "w") as f:
             f.write(new_v if batch_id is None else f"{new_v}\n{batch_id}")
         os.replace(tmp, self._current_file())
-        if old_v:
-            shutil.rmtree(os.path.join(self.path, old_v), ignore_errors=True)
+        # append to the commit history, then GC beyond the retention
+        # window (the old unconditional rmtree is the window=1 case)
+        hist = self.list_versions()
+        hist = [v for v in hist if v != new_v] + [new_v]
+        tmp_h = self._history_file() + ".tmp"
+        with open(tmp_h, "w") as f:
+            f.write("\n".join(hist) + "\n")
+        os.replace(tmp_h, self._history_file())
+        for v in hist[:-self.keep_versions]:
+            shutil.rmtree(os.path.join(self.path, v), ignore_errors=True)
+        if old_v and old_v not in hist[-self.keep_versions:]:
+            shutil.rmtree(os.path.join(self.path, old_v),
+                          ignore_errors=True)
 
     @staticmethod
     def _link_untouched(old_dir: str, new_dir: str) -> None:
