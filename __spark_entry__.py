@@ -431,6 +431,14 @@ def q_snapshot_nearest_quad(spark, sf_dir):
         -10.0, -20.0, 4_000_000.0, n=5)
 
 
+def q_snapshot_nearest_geohash(spark, sf_dir):
+    """Nearest-5 non-empty cells, geohash twin (precision 3)."""
+    lattice = _geo_lattice(spark, sf_dir, "geohash", 5, 3)
+    return Q.snapshot_nearest_geohashing(
+        lattice, "view", "count", 3, "day", _SNAP_DAY_MS,
+        -10.0, -20.0, 4_000_000.0, n=5)
+
+
 def q_history_route_quad(spark, sf_dir):
     """Time series over the ROUTE CORRIDOR (the fourth region shape ×
     the history query shape): the driver-side corridor cover becomes
@@ -2405,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_route_geohash": q_snapshot_route_geohash,
         "history_route_quad": q_history_route_quad,
         "snapshot_nearest_quad": q_snapshot_nearest_quad,
+        "snapshot_nearest_geohash": q_snapshot_nearest_geohash,
         "history_polygon_quad": q_history_polygon_quad,
         "history_polygon_geohash": q_history_polygon_geohash,
         "source_dedup_profile": q_source_dedup_profile,
@@ -2545,6 +2554,14 @@ def oracle_sql() -> dict[str, str]:
         f"('{rid}', '{c}')"
         for rid, pts in _REGIONS
         for c in geo.quadkey_cover_polygon(pts, 6))
+    def _gh_dist(gh):
+        la_lo, la_hi, lo_lo, lo_hi = geo.geohash_decode_bbox(gh)
+        return round(geo.bbox_min_dist_m(
+            (la_hi, lo_lo, la_lo, lo_hi), -10.0, -20.0), 6)
+
+    near_gh_sql = ", ".join(
+        f"('{gh}', {_gh_dist(gh)!r})"
+        for gh in geo.geohash_cover_circle(-10.0, -20.0, 4_000_000.0, 3))
     near_cells_sql = ", ".join(
         f"('{qk}', {round(geo.bbox_min_dist_m(geo.quadkey_decode_bbox(qk), -10.0, -20.0), 6)!r})"
         for qk in geo.quadkey_cover_circle(-10.0, -20.0, 4_000_000.0, 6))
@@ -3204,6 +3221,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'view'
               AND {qk6} IN ({quad_circle_sql})
             GROUP BY 1 ORDER BY 1
+        """,
+        "snapshot_nearest_geohash": f"""
+            WITH near(cell, dist_m) AS (VALUES {near_gh_sql})
+            SELECT substr({gh5}, 1, 3) AS gh,
+                   CAST(n.dist_m AS DOUBLE) AS dist_m,
+                   count(*) AS count
+            FROM events e JOIN near n ON substr({gh5}, 1, 3) = n.cell
+            WHERE e.event_type = 'view'
+              AND date_trunc('day', e.ts) = TIMESTAMP '2024-01-10'
+            GROUP BY 1, 2
+            ORDER BY dist_m, gh LIMIT 5
         """,
         "snapshot_nearest_quad": f"""
             WITH near(cell, dist_m) AS (VALUES {near_cells_sql})

@@ -501,6 +501,40 @@ def snapshot_nearest_quadtiling(
     return out.orderBy("dist_m", "gh").limit(n)
 
 
+def snapshot_nearest_geohashing(
+    lattice: DataFrame,
+    metric: str,
+    aggregate: str,
+    precision: int,
+    res: str,
+    ts_ms: int,
+    lat: float,
+    lon: float,
+    radius_m: float,
+    n: int = 5,
+) -> DataFrame:
+    """Geohash twin of snapshot_nearest_quadtiling (same driver-side
+    exact distances, geohash cover/decode)."""
+    cover = geo.geohash_cover_circle(lat, lon, radius_m, precision)
+    rows = []
+    for gh in cover:
+        la_lo, la_hi, lo_lo, lo_hi = geo.geohash_decode_bbox(gh)
+        rows.append((gh, round(geo.bbox_min_dist_m(
+            (la_hi, lo_lo, la_lo, lo_hi), lat, lon), 6)))
+    mapping = lattice.sparkSession.createDataFrame(
+        rows, "gh string, dist_m double")
+    t = truncate_ts_ms(ts_ms, res)
+    view = _select_view(lattice, metric, precision, res).filter(
+        F.col("ts") == _ts_at(t))
+    merged = (
+        view.join(F.broadcast(mapping), "gh")
+        .groupBy("gh", "dist_m")
+        .agg(*_merge_cols())
+    )
+    out = _agg_projection(merged, aggregate, "gh", extra=["dist_m"])
+    return out.orderBy("dist_m", "gh").limit(n)
+
+
 def snapshot_route_quadtiling(
     lattice: DataFrame,
     metric: str,
