@@ -1232,6 +1232,13 @@ def q_dedup_exact(spark, sf_dir):
     return D.dedup_exact(_docs(spark, sf_dir))
 
 
+def q_dedup_sweep(spark, sf_dir):
+    """The MinHash min_est threshold dial priced from ONE pair scan
+    (the text-tier twin of semdedup_sweep): flagged/kept counts at 9
+    rungs, each pinned equal to an independent thresholded run."""
+    return D.dedup_sweep(_docs(spark, sf_dir), shingle_n=2, num_bands=8)
+
+
 def q_dedup_near(spark, sf_dir):
     """MinHash + LSH banding near-dup candidate pairs (bucketed join).
     Bigram shingles + 8 bands × 2 rows: the synthetic corpus has a tiny
@@ -2472,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_truncated": q_ann_recall_truncated,
         "tune_nprobe": q_tune_nprobe,
         "dedup_near": q_dedup_near,
+        "dedup_sweep": q_dedup_sweep,
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_ensemble": q_dedup_ensemble,
@@ -2946,6 +2954,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": T.fingerprint_sql(),
         "dedup_exact": D.dedup_exact_sql(),
         "dedup_near": D.dedup_near_sql(shingle_n=2, num_bands=8),
+        "dedup_sweep": D.dedup_sweep_sql(shingle_n=2, num_bands=8),
         "dedup_check_batch": D.dedup_check_sql(shingle_n=2, num_bands=8),
         "segment_dedup": SEG.segment_dedup_sql(),
         "char_entropy": T.char_entropy_sql(),

@@ -969,3 +969,67 @@ def dedup_recall_audit_sql(
                                / (SELECT count(*) FROM cand), 6) END
                    AS precision
     """
+
+
+def dedup_sweep(
+    docs: DataFrame,
+    rungs: tuple = (10, 20, 30, 40, 50, 60, 70, 80, 90),
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Price the MinHash `min_est` threshold dial — the TEXT-tier twin
+    of `semdedup_sweep`: from ONE LSH pair scan, how many documents
+    would each estimated-Jaccard cutoff flag as near-duplicates (the
+    first-occurrence-survives policy: a doc is flagged at rung t iff
+    some SMALLER-id candidate partner estimates ≥ t/100)?
+
+    Output: (min_est_pct, n_flagged, n_kept), rung-ascending; each row
+    is pytest-pinned equal to an independent
+    `dedup_near(min_est=t/100)` run's flagged-doc count. Estimates are
+    exact multiples of 1/num_hashes, so the ×100 comparison never
+    hits float fuzz and the DuckDB mirror matches exactly.
+
+    100 TB: the pair stage is dedup_near's one banded equi-join;
+    everything after is a per-doc MAX aggregate + ONE |rungs|-column
+    conditional aggregate (a scalar probe row — the bpe/kcenter
+    precedent) over the candidate-doc-sized tier table."""
+    pairs = dedup_near(docs, num_hashes, num_bands, shingle_n)
+    me = pairs.groupBy(F.col("doc_b").alias("d")).agg(
+        F.max("est_jaccard").alias("me"))
+    n_docs = docs.count()
+    row = me.agg(*[
+        F.count(F.when(F.col("me") * 100 >= r, True)).alias(f"_{r}")
+        for r in rungs
+    ]).collect()[0]
+    data = [(int(r), int(row[f"_{r}"]), n_docs - int(row[f"_{r}"]))
+            for r in rungs]
+    return docs.sparkSession.createDataFrame(
+        data, "min_est_pct int, n_flagged bigint, n_kept bigint")
+
+
+def dedup_sweep_sql(
+    table: str = "documents",
+    rungs: tuple = (10, 20, 30, 40, 50, 60, 70, 80, 90),
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_n: int = 1,
+) -> str:
+    """DuckDB mirror of `dedup_sweep`."""
+    pairs = dedup_near_sql(table, num_hashes, num_bands, shingle_n)
+    vals = ", ".join(f"({r})" for r in rungs)
+    return f"""
+        WITH pairs AS ({pairs}),
+        me AS (
+            SELECT doc_b AS d, max(est_jaccard) AS me
+            FROM pairs GROUP BY 1
+        ),
+        nd AS (SELECT count(*) AS n_docs FROM {table})
+        SELECT r AS min_est_pct,
+               (SELECT count(*) FROM me WHERE me * 100 >= r)
+                   AS n_flagged,
+               n_docs - (SELECT count(*) FROM me WHERE me * 100 >= r)
+                   AS n_kept
+        FROM (VALUES {vals}) t(r), nd
+        ORDER BY 1
+    """

@@ -1025,3 +1025,19 @@ def test_update_ivf_index_serves_new_vectors(spark, emb, tmp_path):
     # a parallel vector has cosine 1.0 -> it ranks at the very top
     # alongside the query itself
     assert ids[0] in (0, 999999) and 999999 in ids[:2]
+
+
+def test_dedup_sweep_monotone_and_rung_equivalent(spark, docs):
+    sw = {r["min_est_pct"]: (r["n_flagged"], r["n_kept"])
+          for r in D.dedup_sweep(docs, shingle_n=2,
+                                 num_bands=8).collect()}
+    flags = [sw[r][0] for r in sorted(sw)]
+    assert all(a >= b for a, b in zip(flags, flags[1:]))  # monotone
+    n_docs = docs.count()
+    assert all(f + k == n_docs for f, k in sw.values())
+    # each rung equals an INDEPENDENT thresholded dedup_near run
+    for rung in (30, 50):
+        flagged = (D.dedup_near(docs, shingle_n=2, num_bands=8,
+                                min_est=rung / 100)
+                   .select("doc_b").distinct().count())
+        assert sw[rung][0] == flagged
