@@ -735,6 +735,20 @@ def q_quality_weighted_sample(spark, sf_dir):
     return SMP.quality_weighted_sample(_docs(spark, sf_dir))
 
 
+def q_contamination_sweep(spark, sf_dir):
+    """The taint_max dial priced from one shingle-overlap scan —
+    completing the threshold-curve set (semantic/minhash/contamination
+    all priced)."""
+    return CONT.contamination_sweep(_docs(spark, sf_dir))
+
+
+def q_drop_reason_profile(spark, sf_dir):
+    """Per-tier rejection counts over the full admission verdict (the
+    rule-ablation report): explode of the reason trail + tiers-row
+    aggregate."""
+    return QR.drop_reason_profile(_docs(spark, sf_dir))
+
+
 def q_contamination_ngram(spark, sf_dir):
     """Train/test decontamination: fraction of each test doc's distinct
     word 5-grams that appear anywhere in the train split (GPT-3/PaLM-style
@@ -2432,6 +2446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": q_pack_docs,
         "filter_pipeline": q_filter_pipeline,
         "filter_pipeline_full": q_filter_pipeline_full,
+        "contamination_sweep": q_contamination_sweep,
+        "drop_reason_profile": q_drop_reason_profile,
         "click_attribution": q_click_attribution,
         "curriculum_select": q_curriculum_select,
         "embedding_covariance": q_embedding_covariance,
@@ -2824,6 +2840,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_docs": PK.pack_docs_sql("documents"),
         "filter_pipeline": QR.filter_pipeline_sql(),
         "filter_pipeline_full": QR.filter_pipeline_full_sql(),
+        "contamination_sweep": CONT.contamination_sweep_sql(),
+        "drop_reason_profile": QR.drop_reason_profile_sql(),
         "click_attribution": _SJ.attribution_sql(),
         "curriculum_select": SMP.curriculum_select_sql(frac=0.3),
         "embedding_covariance": CENT.embedding_covariance_sql(),

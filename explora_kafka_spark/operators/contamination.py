@@ -468,3 +468,61 @@ def decontaminate_sql(
         FROM scored
         ORDER BY {key}
     """
+
+
+def contamination_sweep(
+    docs: DataFrame,
+    rungs: Sequence[int] = (10, 20, 30, 40, 50, 60, 70, 80, 90),
+    n: int = 5,
+    weights: Sequence[tuple[str, float]] = DEFAULT_WEIGHTS,
+    key: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Price the `taint_max` dial — the contamination-tier twin of
+    `dedup_sweep`/`semdedup_sweep`, completing the set (every
+    admission threshold in the gate now carries a priced curve): from
+    ONE shingle-overlap scan (`contamination`'s own join), how many
+    test documents would each contamination cutoff reject?
+
+    Output: (taint_max_pct, n_rejected, n_passed) over the test-split
+    docs with ≥1 shingle, rung-ascending. `contamination` is a round-6
+    ratio, so the ×100 comparison is the same float in both engines.
+
+    100 TB: the per-doc contamination table is `contamination`'s own
+    cost; the sweep adds ONE |rungs|-column conditional aggregate
+    (scalar probe row — the dedup_sweep precedent)."""
+    per_doc = contamination(docs, n, weights, key, salt)
+    n_docs = per_doc.count()
+    row = per_doc.agg(*[
+        F.count(F.when(F.col("contamination") * 100 > r, True))
+        .alias(f"_{r}")
+        for r in rungs
+    ]).collect()[0]
+    data = [(int(r), int(row[f"_{r}"]), n_docs - int(row[f"_{r}"]))
+            for r in rungs]
+    return docs.sparkSession.createDataFrame(
+        data, "taint_max_pct int, n_rejected bigint, n_passed bigint")
+
+
+def contamination_sweep_sql(
+    table: str = "documents",
+    rungs: Sequence[int] = (10, 20, 30, 40, 50, 60, 70, 80, 90),
+    n: int = 5,
+    weights: Sequence[tuple[str, float]] = DEFAULT_WEIGHTS,
+    key: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB mirror of `contamination_sweep`."""
+    inner = contamination_sql(table, n, weights, key, salt)
+    vals = ", ".join(f"({r})" for r in rungs)
+    return f"""
+        WITH c AS ({inner}),
+        nd AS (SELECT count(*) AS n_docs FROM c)
+        SELECT r AS taint_max_pct,
+               (SELECT count(*) FROM c WHERE contamination * 100 > r)
+                   AS n_rejected,
+               n_docs - (SELECT count(*) FROM c
+                         WHERE contamination * 100 > r) AS n_passed
+        FROM (VALUES {vals}) t(r), nd
+        ORDER BY 1
+    """

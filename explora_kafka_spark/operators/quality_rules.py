@@ -598,3 +598,42 @@ def filter_pipeline_full_sql(table: str = "documents") -> str:
         FROM base b JOIN clf c ON c.doc_id = b.doc_id
         ORDER BY b.doc_id
     """
+
+
+def drop_reason_profile(docs: DataFrame) -> DataFrame:
+    """Which filter tier does the WORK? Per-tier rejection counts over
+    the full admission verdict (`filter_pipeline_full`): one row per
+    reason token with how many documents it fired on (a doc rejected
+    by three tiers counts toward all three) plus the kept count under
+    the pseudo-reason ``(kept)``. The rule-ablation report a curation
+    run reads before moving any threshold.
+
+    100 TB: the verdict's own stage plans + one explode of the tiny
+    comma-joined reason string + a |tiers|-row aggregate."""
+    v = filter_pipeline_full(docs)
+    reasons = (
+        v.select(F.explode(F.split("drop_reasons", ",")).alias("reason"))
+        .filter(F.col("reason") != "")
+        .groupBy("reason")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    kept = v.filter(F.col("keep")).agg(
+        F.lit("(kept)").alias("reason"), F.count("*").alias("n_docs"))
+    return reasons.unionByName(kept).orderBy(
+        F.col("n_docs").desc(), "reason")
+
+
+def drop_reason_profile_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`drop_reason_profile`."""
+    return f"""
+        WITH v AS ({filter_pipeline_full_sql(table)}),
+        r AS (
+            SELECT unnest(string_split(drop_reasons, ',')) AS reason
+            FROM v
+        )
+        SELECT reason, count(*) AS n_docs
+        FROM r WHERE reason <> '' GROUP BY 1
+        UNION ALL
+        SELECT '(kept)', count(*) FROM v WHERE keep
+        ORDER BY n_docs DESC, reason
+    """

@@ -209,3 +209,20 @@ def test_source_dedup_profile_counts(spark):
     assert out["a"]["n_docs"] == 4 and out["a"]["n_unique"] == 2
     assert out["a"]["n_exact_dup_docs"] == 2 and out["a"]["dup_rate"] == 0.5
     assert out["b"]["n_exact_dup_docs"] == 0 and out["b"]["dup_rate"] == 0.0
+
+
+def test_contamination_sweep_monotone_and_rung_equivalent(spark, sf_dir):
+    from explora_kafka_spark.operators.contamination import (
+        contamination, contamination_sweep)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sw = {r["taint_max_pct"]: (r["n_rejected"], r["n_passed"])
+          for r in contamination_sweep(docs).collect()}
+    rej = [sw[r][0] for r in sorted(sw)]
+    assert all(a >= b for a, b in zip(rej, rej[1:]))
+    per_doc = contamination(docs).collect()
+    assert all(f + k == len(per_doc) for f, k in sw.values())
+    for rung in (30, 70):
+        want = sum(1 for r in per_doc
+                   if r["contamination"] * 100 > rung)
+        assert sw[rung][0] == want

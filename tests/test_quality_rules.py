@@ -239,3 +239,17 @@ def test_filter_pipeline_full_matches_duckdb_oracle(spark, sf_dir):
             con.execute(QR.filter_pipeline_full_sql()).fetchall()]
     assert got == want
     assert any(k for _, k, _ in got) and not all(k for _, k, _ in got)
+
+
+def test_drop_reason_profile_counts_every_firing_tier(spark, sf_dir):
+    """Counts reconcile with the verdict: each reason's count equals
+    the docs whose trail contains it; (kept) equals the keep count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v = QR.filter_pipeline_full(docs).collect()
+    prof = {r["reason"]: r["n_docs"]
+            for r in QR.drop_reason_profile(docs).collect()}
+    assert prof["(kept)"] == sum(1 for r in v if r["keep"])
+    for reason in ("classifier", "gopher", "lang", "repetition"):
+        want = sum(1 for r in v
+                   if reason in r["drop_reasons"].split(","))
+        assert prof.get(reason, 0) == want
