@@ -735,6 +735,13 @@ def q_quality_weighted_sample(spark, sf_dir):
     return SMP.quality_weighted_sample(_docs(spark, sf_dir))
 
 
+def q_gopher_rule_impact(spark, sf_dir):
+    """Rule-level ablation of the Gopher word rules: per rule, failing
+    count + sole-blocker count (the marginal impact of moving that one
+    threshold)."""
+    return QR.gopher_rule_impact(_docs(spark, sf_dir))
+
+
 def q_contamination_sweep(spark, sf_dir):
     """The taint_max dial priced from one shingle-overlap scan —
     completing the threshold-curve set (semantic/minhash/contamination
@@ -2448,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_pipeline_full": q_filter_pipeline_full,
         "contamination_sweep": q_contamination_sweep,
         "drop_reason_profile": q_drop_reason_profile,
+        "gopher_rule_impact": q_gopher_rule_impact,
         "click_attribution": q_click_attribution,
         "curriculum_select": q_curriculum_select,
         "embedding_covariance": q_embedding_covariance,
@@ -2842,6 +2850,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_pipeline_full": QR.filter_pipeline_full_sql(),
         "contamination_sweep": CONT.contamination_sweep_sql(),
         "drop_reason_profile": QR.drop_reason_profile_sql(),
+        "gopher_rule_impact": QR.gopher_rule_impact_sql(),
         "click_attribution": _SJ.attribution_sql(),
         "curriculum_select": SMP.curriculum_select_sql(frac=0.3),
         "embedding_covariance": CENT.embedding_covariance_sql(),

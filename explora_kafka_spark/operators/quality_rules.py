@@ -637,3 +637,53 @@ def drop_reason_profile_sql(table: str = "documents") -> str:
         SELECT '(kept)', count(*) FROM v WHERE keep
         ORDER BY n_docs DESC, reason
     """
+
+
+#: gopher_rules' per-rule flag columns, fixed report order
+GOPHER_FLAGS = ("ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+                "ok_alpha_frac", "ok_stopwords")
+
+
+def gopher_rule_impact(docs: DataFrame) -> DataFrame:
+    """Rule-granularity ablation under `drop_reason_profile`'s tier
+    view: for each MassiveText word rule, how many documents fail it,
+    and for how many is it the ONLY failing rule (the marginal
+    impact — the number that changes if just that threshold moves).
+
+    100 TB: one pass over gopher_rules' flag projection collapsing to
+    a single 2|rules|-column aggregate row, lazily unpivoted with
+    ``stack`` — no driver collect, |rules| output rows."""
+    g = gopher_rules(docs)
+    only = [F.count(F.when(
+        ~F.col(f) & F.expr(" AND ".join(o for o in GOPHER_FLAGS
+                                        if o != f)), True))
+        .alias(f"_only_{f}") for f in GOPHER_FLAGS]
+    fails = [F.count(F.when(~F.col(f), True)).alias(f"_fail_{f}")
+             for f in GOPHER_FLAGS]
+    cells = ", ".join(
+        f"'{f.removeprefix('ok_')}', _fail_{f}, _only_{f}"
+        for f in GOPHER_FLAGS)
+    return (
+        g.agg(*(fails + only))
+        .select(F.expr(
+            f"stack({len(GOPHER_FLAGS)}, {cells})"
+            " AS (rule, n_failing, n_sole_blocker)"))
+        .orderBy("rule")
+    )
+
+
+def gopher_rule_impact_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`gopher_rule_impact`."""
+    rows = []
+    for f in GOPHER_FLAGS:
+        others = " AND ".join(o for o in GOPHER_FLAGS if o != f)
+        rows.append(
+            f"SELECT '{f[3:]}' AS rule,"
+            f" count(*) FILTER (NOT {f}) AS n_failing,"
+            f" count(*) FILTER (NOT {f} AND {others}) AS n_sole_blocker"
+            f" FROM g")
+    union = " UNION ALL ".join(rows)
+    return f"""
+        WITH g AS ({gopher_rules_sql(table)})
+        SELECT * FROM ({union}) ORDER BY rule
+    """

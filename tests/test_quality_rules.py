@@ -253,3 +253,17 @@ def test_drop_reason_profile_counts_every_firing_tier(spark, sf_dir):
         want = sum(1 for r in v
                    if reason in r["drop_reasons"].split(","))
         assert prof.get(reason, 0) == want
+
+
+def test_gopher_rule_impact_reconciles_with_flags(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flags = QR.gopher_rules(docs).collect()
+    imp = {r["rule"]: (r["n_failing"], r["n_sole_blocker"])
+           for r in QR.gopher_rule_impact(docs).collect()}
+    assert set(imp) == {f[3:] for f in QR.GOPHER_FLAGS}
+    for f in QR.GOPHER_FLAGS:
+        failing = sum(1 for r in flags if not r[f])
+        sole = sum(1 for r in flags if not r[f]
+                   and all(r[o] for o in QR.GOPHER_FLAGS if o != f))
+        assert imp[f[3:]] == (failing, sole)
+        assert sole <= failing
