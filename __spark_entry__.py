@@ -756,6 +756,15 @@ def q_drop_reason_profile(spark, sf_dir):
     return QR.drop_reason_profile(_docs(spark, sf_dir))
 
 
+def q_source_overlap(spark, sf_dir):
+    """Directed cross-source shingle-overlap matrix (corpus-mixing
+    diagnostic): per ordered source pair, shared distinct shingles +
+    integer-ppm fraction of a's shingles present in b. One corpus
+    tokenize/explode, hash-keyed self equi-join with per-key fan-out
+    bounded by source count."""
+    return CONT.source_overlap(_docs(spark, sf_dir))
+
+
 def q_contamination_ngram(spark, sf_dir):
     """Train/test decontamination: fraction of each test doc's distinct
     word 5-grams that appear anywhere in the train split (GPT-3/PaLM-style
@@ -2456,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_sweep": q_contamination_sweep,
         "drop_reason_profile": q_drop_reason_profile,
         "gopher_rule_impact": q_gopher_rule_impact,
+        "source_overlap": q_source_overlap,
         "click_attribution": q_click_attribution,
         "curriculum_select": q_curriculum_select,
         "embedding_covariance": q_embedding_covariance,
@@ -2851,6 +2861,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_sweep": CONT.contamination_sweep_sql(),
         "drop_reason_profile": QR.drop_reason_profile_sql(),
         "gopher_rule_impact": QR.gopher_rule_impact_sql(),
+        "source_overlap": CONT.source_overlap_sql(),
         "click_attribution": _SJ.attribution_sql(),
         "curriculum_select": SMP.curriculum_select_sql(frac=0.3),
         "embedding_covariance": CENT.embedding_covariance_sql(),

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .sampling import DEFAULT_WEIGHTS, _sq, split_assign, split_assign_sql
-from .text import norm_sql, tokens_col
+from .text import norm_sql, tokens_col, tokens_sql
 
 
 def word_shingles_col(toks_name: str = "_toks", n: int = 5) -> Column:
@@ -525,4 +525,83 @@ def contamination_sweep_sql(
                          WHERE contamination * 100 > r) AS n_passed
         FROM (VALUES {vals}) t(r), nd
         ORDER BY 1
+    """
+
+
+def source_overlap(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Directed cross-source shingle-overlap matrix — the corpus-MIXING
+    diagnostic this module's per-document checks don't answer: before
+    adding source B to a mixture that already contains source A, how
+    much of B is A already providing? (The reference has no corpus
+    layer; extension surface like `corpus_report`.)
+
+    Output: (source_a, source_b, n_shared, overlap_ppm) for every
+    ordered source pair sharing >= 1 distinct shingle, (a, b)-ascending.
+    `overlap_ppm` = floor(1e6 * |shingles(a) ∩ shingles(b)| /
+    |shingles(a)|) over each source's DISTINCT shingle-hash set —
+    integer ppm so the two engines never disagree on float division.
+    Zero-overlap pairs are omitted (emitting them would need a
+    sources×sources cross join for rows carrying only zeros).
+
+    100 TB: the corpus is tokenized/exploded ONCE; the per-source
+    distinct is one (source, hash)-keyed shuffle of shingle size; the
+    matrix itself is a hash-keyed self equi-join whose per-key fan-out
+    is bounded by the NUMBER OF SOURCES (each side is per-source
+    distinct), never by document count — a stop-phrase shingle costs
+    S^2 rows, not corpus^2. Totals join is a tiny broadcast.
+    """
+    sh = (
+        docs.withColumn("_toks", tokens_col("text"))
+        .select(
+            "source",
+            F.array_distinct(word_shingles_col("_toks", n)).alias("_sh"),
+        )
+        .select("source", F.explode_outer("_sh").alias("_shingle"))
+        .select("source", _shingle_hash_col(F.col("_shingle")).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+        .distinct()
+    )
+    totals = sh.groupBy("source").agg(F.count("*").alias("_n_total"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "_h")
+        .filter(F.col("a.source") != F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.withColumnRenamed("source", "source_a")),
+            "source_a",
+        )
+        .select(
+            "source_a", "source_b", "n_shared",
+            F.expr("div(n_shared * 1000000, _n_total)").alias("overlap_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def source_overlap_sql(table: str = "documents", n: int = 5) -> str:
+    """DuckDB mirror of :func:`source_overlap` (same tokenizer, shingle
+    window and 60-bit hash; DISTINCT applied at hash level on both
+    sides so even a 60-bit collision cannot split the engines)."""
+    toks = f"{tokens_sql('text')}"
+    shingles = _shingles_list_sql("t", n)
+    h = _shingle_hash_sql("shingle")
+    return f"""
+        WITH tok AS (SELECT source, {toks} AS t FROM {table}),
+        sh0 AS (SELECT source, unnest({shingles}) AS shingle FROM tok),
+        sh AS (SELECT DISTINCT source, {h} AS _h FROM sh0),
+        tot AS (SELECT source, count(*) AS _n_total FROM sh GROUP BY source)
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*) AS n_shared,
+               (count(*) * 1000000) // any_value(tot._n_total) AS overlap_ppm
+        FROM sh a JOIN sh b ON a._h = b._h AND a.source <> b.source
+        JOIN tot ON tot.source = a.source
+        GROUP BY a.source, b.source
+        ORDER BY source_a, source_b
     """

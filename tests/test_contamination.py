@@ -226,3 +226,48 @@ def test_contamination_sweep_monotone_and_rung_equivalent(spark, sf_dir):
         want = sum(1 for r in per_doc
                    if r["contamination"] * 100 > rung)
         assert sw[rung][0] == want
+
+
+def test_source_overlap_hand_case_and_symmetric_intersection(spark):
+    # src a: shingles over 6 tokens -> {t1..t6} 5-grams: 2 distinct
+    # ("a b c d e", "b c d e f"); src b repeats the first doc exactly
+    # (intersection 2, total 2 -> 1e6 ppm); src c disjoint.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "sa"),
+            (2, "a b c d e f", "sb"),
+            (3, "q r s t u v", "sc"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {(r["source_a"], r["source_b"]): (r["n_shared"], r["overlap_ppm"])
+           for r in C.source_overlap(docs).collect()}
+    assert out == {("sa", "sb"): (2, 1_000_000),
+                   ("sb", "sa"): (2, 1_000_000)}  # sc shares nothing
+
+
+def test_source_overlap_reconciles_with_python_model(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = {(r["source_a"], r["source_b"]): (r["n_shared"], r["overlap_ppm"])
+           for r in C.source_overlap(docs).collect()}
+    # independent model on normalized text (same tokenizer contract)
+    rows = docs.select("source", F.lower(F.trim(
+        F.regexp_replace("text", r"\s+", " "))).alias("t")).collect()
+    sets: dict[str, set] = {}
+    for r in rows:
+        toks = r["t"].split(" ")
+        sets.setdefault(r["source"], set()).update(
+            " ".join(toks[i:i + 5]) for i in range(len(toks) - 4))
+    for (a, b), (n_shared, ppm) in out.items():
+        inter = len(sets[a] & sets[b])
+        assert n_shared == inter
+        assert ppm == inter * 1_000_000 // len(sets[a])
+    # intersection is symmetric even though the ppm is directed
+    for (a, b) in out:
+        assert out[(b, a)][0] == out[(a, b)][0]
+    # every overlapping pair present
+    srcs = sorted(sets)
+    for a in srcs:
+        for b in srcs:
+            if a != b and sets[a] & sets[b]:
+                assert (a, b) in out
