@@ -2363,124 +2363,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     return {k: _configured(v) for k, v in {
-        # ROUND-8 ROTATION (VERDICT r7 item 2; schedule in COVERAGE.md
-        # "Rotation schedule"): the first-50 window = §2 core re-record
-        # (13) + the 16 entries whose last driver row is CORRECTNESS_r06
-        # (rotated below the cap in r7) + the 17 round-7 operators that
-        # never had a driver row + the reshaped multimodal_features + the
-        # round-8 additions. Everything below the cap holds a green
-        # CORRECTNESS_r07 row and still runs in bench.py and
-        # tools/verify_local.py; it rotates back in r9.
-        # — §2 core re-record: keys, lattices, history/snapshot, stream —
-        "cell_bucket_key": q_cell_bucket_key,
-        "base_view_min_p7": q_base_view_min_p7,
-        "lattice_hour_p6": q_lattice_hour_p6,
-        "history_range_hour": q_history_range_hour,
-        "history_cells_day": q_history_cells_day,
-        "history_raw": q_history_raw,
-        "snapshot_day": q_snapshot_day,
-        "snapshot_prefix_day": q_snapshot_prefix_day,
-        "snapshot_bbox_quad": q_snapshot_bbox_quad,
-        "snapshot_bbox_geohash": q_snapshot_bbox_geohash,
-        "stream_view_hour": q_stream_view_hour,
-        "windowed_base_view": q_windowed_base_view,
-        "ingest_serde": q_ingest_serde,
-        # — last driver row is r6 (rotated out in r7; oldest rows first) —
-        "lattice_month_p7": q_lattice_month_p7,
-        "lattice_minmax_day": q_lattice_minmax_day,
-        "history_prefix_hour": q_history_prefix_hour,
-        "history_interval_1day": q_history_interval_1day,
-        "snapshot_raw": q_snapshot_raw,
-        "snapshot_bbox_quad_z14": q_snapshot_bbox_quad_z14,
-        "compact_store_effect": q_compact_store_effect,
-        "range_join_sessions": q_range_join_sessions,
-        "fingerprint": q_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_decode": q_multimodal_decode,
-        "bpe_token_count": q_bpe_token_count,
-        # — round-7 operators with no driver row yet —
-        "segment_dedup": q_segment_dedup,
-        "dedup_check_batch": q_dedup_check_batch,
-        "char_entropy": q_char_entropy,
-        "kmeans_clusters": q_kmeans_clusters,
-        "kmeans_sizes": q_kmeans_sizes,
-        "kmeans_outliers": q_kmeans_outliers,
-        "decontaminate": q_decontaminate,
-        "term_postings": q_term_postings,
-        "dedup_recall": q_dedup_recall,
-        "corpus_gate": q_corpus_gate,
-        "unigram_bits": q_unigram_bits,
-        "funnel_day": q_funnel_day,
-        "funnel_window_2h": q_funnel_window_2h,
-        "retention_weekly": q_retention_weekly,
-        "corpus_diff": q_corpus_diff,
-        "bpe_pair_counts": q_bpe_pairs,
-        "corpus_report": q_corpus_report,
-        # — r7's one red row, reshaped to driver-hashable rows —
-        "multimodal_features": q_multimodal_features,
-        # — round-8 additions —
-        "write_shards": q_write_shards,
-        "bpe_merges": q_bpe_merges,
-        "ann_topk_ivf_quantized": q_ann_topk_ivf_quantized,
-        # ——— driver cap line (entries below lose their CORRECTNESS row;
-        #     every one holds a green row in CORRECTNESS_r07, except the
-        #     round-8 additions noted inline) ———
-        # r8 additions past the full window: family siblings bpe_merges /
-        # ann_topk_ivf_quantized hold window slots; these take the first
-        # r9 slots per the COVERAGE.md schedule
+        # ROUND-9 ROTATION (schedule in COVERAGE.md "Rotation schedule"):
+        # the first-50 window = the 50 highest-priority round-8 additions
+        # that have never held a driver correctness row (the r9 queue,
+        # in COVERAGE.md order). The 24-entry overflow of that wave sits
+        # immediately below the cap and takes the first r10 slots,
+        # followed by the r6-recorded OLAP tail, the r7-recorded
+        # extension families, and finally the freshly re-recorded r8
+        # window (green in CORRECTNESS_r08). Everything below the cap
+        # still runs in bench.py and tools/verify_local.py.
+        # — r9 window: round-8 additions, never driver-recorded —
         "bpe_encode": q_bpe_encode,
         "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
+        "ann_topk_ivfpq_external": q_ann_topk_ivfpq_external,
+        "ngram_repetition": q_ngram_repetition,
+        "gopher_rules": q_gopher_rules,
+        "pack_docs": q_pack_docs,
+        "filter_pipeline": q_filter_pipeline,
+        "click_attribution": q_click_attribution,
+        "click_unattributed": q_click_unattributed,
+        "curriculum_select": q_curriculum_select,
+        "embedding_covariance": q_embedding_covariance,
+        "pca_top_component": q_pca_top_component,
+        "local_supplier_volume": q_local_supplier_volume,
         "interpolate_hour": q_interpolate_hour,
         "metric_histogram": q_metric_histogram,
+        "metric_day_percentiles": q_metric_day_percentiles,
         "group_aware_split": q_group_aware_split,
         "quality_weighted_sample": q_quality_weighted_sample,
         "metric_alerts": q_metric_alerts,
         "bm25_search": q_bm25_search,
         "retention_sweep": q_retention_sweep,
-        "ann_topk_ivfpq": q_ann_topk_ivfpq,
         "epoch_upsample": q_epoch_upsample,
         "bigram_bits": q_bigram_bits,
         "snapshot_polygon_quad": q_snapshot_polygon_quad,
         "snapshot_polygon_geohash": q_snapshot_polygon_geohash,
-        "snapshot_route_quad": q_snapshot_route_quad,
-        "snapshot_route_geohash": q_snapshot_route_geohash,
-        "history_route_quad": q_history_route_quad,
-        "snapshot_nearest_quad": q_snapshot_nearest_quad,
-        "snapshot_nearest_geohash": q_snapshot_nearest_geohash,
         "history_polygon_quad": q_history_polygon_quad,
         "history_polygon_geohash": q_history_polygon_geohash,
         "source_dedup_profile": q_source_dedup_profile,
-        "metric_day_percentiles": q_metric_day_percentiles,
-        "ann_topk_ivfpq_external": q_ann_topk_ivfpq_external,
-        "ngram_repetition": q_ngram_repetition,
-        "gopher_rules": q_gopher_rules,
-        "quality_logit": q_quality_logit,
-        "pack_docs": q_pack_docs,
-        "filter_pipeline": q_filter_pipeline,
-        "filter_pipeline_full": q_filter_pipeline_full,
-        "contamination_sweep": q_contamination_sweep,
-        "drop_reason_profile": q_drop_reason_profile,
-        "gopher_rule_impact": q_gopher_rule_impact,
-        "source_overlap": q_source_overlap,
-        "click_attribution": q_click_attribution,
-        "curriculum_select": q_curriculum_select,
-        "embedding_covariance": q_embedding_covariance,
-        "pca_top_component": q_pca_top_component,
         "semantic_dedup": q_semantic_dedup,
         "dsir_weights": q_dsir_weights,
         "knn_graph": q_knn_graph,
-        "label_propagation": q_label_propagation,
-        "knn_hubness": q_knn_hubness,
-        # moved out of the first-50 window so the r8 rotation plan
-        # (bpe_merges / ann_topk_ivf_quantized driver rows) holds;
-        # both are in the r9 queue like the rest of this wave
-        "kcenter_select": q_kcenter_select,
-        "event_paths": q_event_paths,
-        "embedding_drift": q_embedding_drift,
         "semantic_groups": q_semantic_groups,
         "semdedup_sweep": q_semdedup_sweep,
         "pca_project": q_pca_project,
@@ -2488,65 +2412,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "semdedup_check": q_semdedup_check,
         "corpus_gate_full": q_corpus_gate_full,
-        "corpus_gate_scored": q_corpus_gate_scored,
         "embedding_standardize": q_embedding_standardize,
         "cluster_top_terms": q_cluster_top_terms,
         "semdedup_check_audit": q_semdedup_check_audit,
         "snapshot_regions_quad": q_snapshot_regions_quad,
-        "local_supplier_volume": q_local_supplier_volume,
-        "ship_priority": q_ship_priority,
-        "pricing_summary": q_pricing_summary,
-        "returned_items": q_returned_items,
-        "click_unattributed": q_click_unattributed,
-        "snapshot_radius_quad": q_snapshot_radius_quad,
-        "snapshot_radius_geohash": q_snapshot_radius_geohash,
-        "history_radius_quad": q_history_radius_quad,
-        "sessionize": q_sessionize,
-        "ingest_dedup": q_ingest_dedup,
-        "embedding_quantization": q_embedding_quantization,
-        "ann_recall_lsh": q_ann_recall_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_brute": q_ann_topk_brute,
-        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
-        "ann_topk_ivf_filtered": q_ann_topk_ivf_filtered,
-        "ann_recall_ivf": q_ann_recall_ivf,
-        "ann_recall_truncated": q_ann_recall_truncated,
-        "tune_nprobe": q_tune_nprobe,
-        "dedup_near": q_dedup_near,
-        "dedup_sweep": q_dedup_sweep,
-        "dedup_groups": q_dedup_groups,
-        "simhash_near_dup": q_simhash_near_dup,
-        "dedup_ensemble": q_dedup_ensemble,
-        "lang_id": q_lang_id,
-        "docs_quality_filter": q_docs_quality_filter,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "token_frequency": q_token_frequency,
-        "source_quality_profile": q_source_quality_profile,
-        "doc_repetition": q_doc_repetition,
-        "contamination_ngram": q_contamination_ngram,
-        "contamination_check": q_contamination_check,
-        "corpus_canonical": q_corpus_canonical,
-        "stratified_sample": q_stratified_sample,
-        "token_budget_sample": q_token_budget_sample,
-        "pack_sequences": q_pack_sequences,
-        "label_centroids": q_label_centroids,
-        "label_centroid_cosine": q_label_centroid_cosine,
-        "metric_correlation": q_metric_correlation,
-        "metric_hour_anomaly": q_metric_hour_anomaly,
+        "label_propagation": q_label_propagation,
+        "kcenter_select": q_kcenter_select,
+        "quality_logit": q_quality_logit,
+        "filter_pipeline_full": q_filter_pipeline_full,
         "metric_trend": q_metric_trend,
-        "metric_movers": q_metric_movers,
-        "percentile_approx_audit": q_percentile_approx_audit,
         "zorder_layout": q_zorder_layout,
         "item_lift": q_item_lift,
+        # ——— driver cap line (entries below lose their CORRECTNESS row) ———
+        # — r9-queue overflow: round-8 additions still without a driver
+        #   row; FIRST r10 slots per the COVERAGE.md schedule —
+        "ann_recall_truncated": q_ann_recall_truncated,
+        "knn_hubness": q_knn_hubness,
         "trending_items": q_trending_items,
+        "ship_priority": q_ship_priority,
+        "snapshot_route_quad": q_snapshot_route_quad,
+        "snapshot_route_geohash": q_snapshot_route_geohash,
+        "history_route_quad": q_history_route_quad,
         "od_flows": q_od_flows,
         "cell_dwell": q_cell_dwell,
+        "event_paths": q_event_paths,
+        "corpus_gate_scored": q_corpus_gate_scored,
+        "metric_movers": q_metric_movers,
+        "snapshot_nearest_quad": q_snapshot_nearest_quad,
+        "embedding_drift": q_embedding_drift,
+        "percentile_approx_audit": q_percentile_approx_audit,
         "session_stats": q_session_stats,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_resize": q_multimodal_resize,
-        "asof_hourly_stats": q_asof_hourly_stats,
-        # — OLAP tail (last driver rows r6; first in line for the r9
-        #   window per the COVERAGE.md rotation schedule) —
+        "pricing_summary": q_pricing_summary,
+        "returned_items": q_returned_items,
+        "snapshot_nearest_geohash": q_snapshot_nearest_geohash,
+        "dedup_sweep": q_dedup_sweep,
+        "contamination_sweep": q_contamination_sweep,
+        "drop_reason_profile": q_drop_reason_profile,
+        "gopher_rule_impact": q_gopher_rule_impact,
+        "source_overlap": q_source_overlap,
+        # — OLAP tail (last driver rows r6; next r10 priority) —
         "zscore_per_metric": q_zscore_per_metric,
         "chunk_documents": q_chunk_documents,
         "split_train_val_test": q_split_train_val_test,
@@ -2568,6 +2472,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_value_by_metric": q_median_value_by_metric,
         "topk_events": q_topk_events,
         "users_view_not_click": q_users_view_not_click,
+        # — last driver rows r7 (extension families) —
+        "snapshot_radius_quad": q_snapshot_radius_quad,
+        "snapshot_radius_geohash": q_snapshot_radius_geohash,
+        "history_radius_quad": q_history_radius_quad,
+        "sessionize": q_sessionize,
+        "ingest_dedup": q_ingest_dedup,
+        "embedding_quantization": q_embedding_quantization,
+        "ann_recall_lsh": q_ann_recall_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_brute": q_ann_topk_brute,
+        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
+        "ann_topk_ivf_filtered": q_ann_topk_ivf_filtered,
+        "ann_recall_ivf": q_ann_recall_ivf,
+        "tune_nprobe": q_tune_nprobe,
+        "dedup_near": q_dedup_near,
+        "dedup_groups": q_dedup_groups,
+        "simhash_near_dup": q_simhash_near_dup,
+        "dedup_ensemble": q_dedup_ensemble,
+        "lang_id": q_lang_id,
+        "docs_quality_filter": q_docs_quality_filter,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "token_frequency": q_token_frequency,
+        "source_quality_profile": q_source_quality_profile,
+        "doc_repetition": q_doc_repetition,
+        "contamination_ngram": q_contamination_ngram,
+        "contamination_check": q_contamination_check,
+        "corpus_canonical": q_corpus_canonical,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_sample": q_token_budget_sample,
+        "pack_sequences": q_pack_sequences,
+        "label_centroids": q_label_centroids,
+        "label_centroid_cosine": q_label_centroid_cosine,
+        "metric_correlation": q_metric_correlation,
+        "metric_hour_anomaly": q_metric_hour_anomaly,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "asof_hourly_stats": q_asof_hourly_stats,
+        # — re-recorded in r8 (green CORRECTNESS_r08 rows; freshest) —
+        "cell_bucket_key": q_cell_bucket_key,
+        "base_view_min_p7": q_base_view_min_p7,
+        "lattice_hour_p6": q_lattice_hour_p6,
+        "history_range_hour": q_history_range_hour,
+        "history_cells_day": q_history_cells_day,
+        "history_raw": q_history_raw,
+        "snapshot_day": q_snapshot_day,
+        "snapshot_prefix_day": q_snapshot_prefix_day,
+        "snapshot_bbox_quad": q_snapshot_bbox_quad,
+        "snapshot_bbox_geohash": q_snapshot_bbox_geohash,
+        "stream_view_hour": q_stream_view_hour,
+        "windowed_base_view": q_windowed_base_view,
+        "ingest_serde": q_ingest_serde,
+        "lattice_month_p7": q_lattice_month_p7,
+        "lattice_minmax_day": q_lattice_minmax_day,
+        "history_prefix_hour": q_history_prefix_hour,
+        "history_interval_1day": q_history_interval_1day,
+        "snapshot_raw": q_snapshot_raw,
+        "snapshot_bbox_quad_z14": q_snapshot_bbox_quad_z14,
+        "compact_store_effect": q_compact_store_effect,
+        "range_join_sessions": q_range_join_sessions,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_decode": q_multimodal_decode,
+        "bpe_token_count": q_bpe_token_count,
+        "segment_dedup": q_segment_dedup,
+        "dedup_check_batch": q_dedup_check_batch,
+        "char_entropy": q_char_entropy,
+        "kmeans_clusters": q_kmeans_clusters,
+        "kmeans_sizes": q_kmeans_sizes,
+        "kmeans_outliers": q_kmeans_outliers,
+        "decontaminate": q_decontaminate,
+        "term_postings": q_term_postings,
+        "dedup_recall": q_dedup_recall,
+        "corpus_gate": q_corpus_gate,
+        "unigram_bits": q_unigram_bits,
+        "funnel_day": q_funnel_day,
+        "funnel_window_2h": q_funnel_window_2h,
+        "retention_weekly": q_retention_weekly,
+        "corpus_diff": q_corpus_diff,
+        "bpe_pair_counts": q_bpe_pairs,
+        "corpus_report": q_corpus_report,
+        "multimodal_features": q_multimodal_features,
+        "write_shards": q_write_shards,
+        "bpe_merges": q_bpe_merges,
+        "ann_topk_ivf_quantized": q_ann_topk_ivf_quantized,
     }.items()}
 
 
