@@ -67,17 +67,17 @@ def test_deterministic_under_repartition(spark, sf_dir):
     assert a == b
 
 
-def test_pair_stage_is_cid_equi_join(spark, sf_dir):
-    # the published recipe's whole point: pairs come from a hash
-    # equi-join on the cluster id (rank + cosine as residual), never a
-    # cartesian — the only nested-loop joins in the plan are the
-    # kmeans-family keyless centroid broadcasts
+def test_pair_stage_is_cluster_local_kernel(spark, sf_dir):
+    # the published recipe's whole point: pairs are generated ONLY
+    # within a cluster, never corpus-wide — the pair stage is a
+    # per-cid Arrow kernel (FlatMapGroupsInPandas grouped on cid),
+    # never a cartesian; the only nested-loop joins in the plan are
+    # the kmeans-family keyless centroid broadcasts
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = (semantic_dedup(emb, k=8, iters=2, threshold_pct=30)
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
-    assert any(("SortMergeJoin [cid#" in ln
-                or "ShuffledHashJoin [cid#" in ln)
+    assert any("FlatMapGroupsInPandas [cid#" in ln
                for ln in plan.splitlines()), plan
 
 
