@@ -609,18 +609,22 @@ def drop_reason_profile(docs: DataFrame) -> DataFrame:
     run reads before moving any threshold.
 
     100 TB: the verdict's own stage plans + one explode of the tiny
-    comma-joined reason string + a |tiers|-row aggregate."""
+    comma-joined reason string + a |tiers|-row aggregate. The kept
+    count rides the same explode as a ``(kept)`` pseudo-reason so the
+    verdict is evaluated ONCE (a union of two branches would run the
+    whole pipeline twice)."""
     v = filter_pipeline_full(docs)
-    reasons = (
-        v.select(F.explode(F.split("drop_reasons", ",")).alias("reason"))
-        .filter(F.col("reason") != "")
+    return (
+        v.select(F.explode(F.concat(
+            F.filter(F.split("drop_reasons", ","),
+                     lambda x: x != F.lit("")),
+            F.when(F.col("keep"), F.array(F.lit("(kept)")))
+             .otherwise(F.array().cast("array<string>")),
+        )).alias("reason"))
         .groupBy("reason")
         .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "reason")
     )
-    kept = v.filter(F.col("keep")).agg(
-        F.lit("(kept)").alias("reason"), F.count("*").alias("n_docs"))
-    return reasons.unionByName(kept).orderBy(
-        F.col("n_docs").desc(), "reason")
 
 
 def drop_reason_profile_sql(table: str = "documents") -> str:
