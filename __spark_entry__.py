@@ -1917,6 +1917,14 @@ def q_bm25_search(spark, sf_dir):
     return PST.bm25_search(_docs(spark, sf_dir), _BM25_TERMS)
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 tower and
+    the exact-cosine vector tower (query = vec 0, aligned ids), integer
+    RRF µunits — operators/postings.py hybrid_search."""
+    return PST.hybrid_search(_docs(spark, sf_dir), _emb(spark, sf_dir),
+                             _BM25_TERMS)
+
+
 def q_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per document."""
     return D.simhash(_docs(spark, sf_dir))
@@ -2422,10 +2430,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_pipeline_full": q_filter_pipeline_full,
         "metric_trend": q_metric_trend,
         "zorder_layout": q_zorder_layout,
-        "item_lift": q_item_lift,
+        # — round-9 additions (new entries enter the window on landing,
+        #   displacing the window tail into the r10 queue) —
+        "hybrid_search": q_hybrid_search,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
+        "item_lift": q_item_lift,
         "ann_recall_truncated": q_ann_recall_truncated,
         "knn_hubness": q_knn_hubness,
         "trending_items": q_trending_items,
@@ -2993,6 +3004,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": CONT.decontaminate_sql(threshold=0.5),
         "term_postings": PST.term_postings_sql(min_df=2),
         "bm25_search": PST.bm25_search_sql(terms=_BM25_TERMS),
+        "hybrid_search": PST.hybrid_search_sql(terms=_BM25_TERMS),
         "kmeans_outliers": CL.kmeans_sql(k=8, iters=3, n_rows=500,
                                          outliers_top=20),
         "kcenter_select": CL.kcenter_select_sql(k=8),

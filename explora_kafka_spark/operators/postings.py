@@ -245,3 +245,124 @@ def bm25_search_sql(
                round(CAST(mu AS DOUBLE) / 1e6, 6) AS score, rank
         FROM ranked WHERE rank <= {top_k} ORDER BY rank
     """
+
+
+def hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str],
+    query_id: int = 0,
+    top_k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    key: str = "doc_id",
+) -> DataFrame:
+    """HYBRID retrieval: reciprocal-rank fusion (Cormack/Clarke/Buettcher
+    2009) of the BM25 keyword ranking and the exact-cosine vector
+    ranking — the standard two-tower serving recipe (sparse lexical +
+    dense semantic), fused without score calibration: each candidate
+    list contributes floor(1e6 / (rrf_k + rank)) µunits per doc, summed
+    across lists. Requires the aligned-ids layout (embedding
+    vec_id == doc_id — the dedup_ensemble convention).
+
+    Output: top_k rows (key, rrf_mu, in_bm25, in_vec, rank) ranked by
+    fused score (ties to the smaller id). `pool` is each tower's
+    candidate depth (RRF's only knob besides rrf_k; fusion sees at most
+    2·pool candidates).
+
+    Determinism: both towers are the already-oracle-proven rankers
+    (bm25_search's integer-µunit scores; ann_topk_brute's rounded
+    cosine + id tie-break), and the fusion is INTEGER division and
+    BIGINT sums — nothing floats, so the fused ranking is bit-stable
+    across engines and partitionings.
+
+    100 TB design: the towers' own serving shapes (postings explode
+    pruned by query terms; ONE broadcast query vector against the
+    corpus scan), then fusion is a full-outer equi-join of two
+    ≤pool-row lists — driver-scale work after corpus-scale scans.
+    """
+    from .similarity import cosine_expr_spark
+
+    b = bm25_search(docs, terms, top_k=pool, key=key).select(
+        F.col(key), F.col("rank").alias("r_bm25"))
+    q = emb.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb"))
+    cand = emb.filter(F.col("vec_id") != query_id).select(
+        F.col("vec_id").alias(key), F.col("embedding").alias("n_emb"))
+    from pyspark.sql.window import Window
+
+    # TakeOrdered to the pool FIRST (per-partition top-pool + merge —
+    # the knn_hubness pattern), so the single-partition rank window
+    # only ever sees `pool` rows, never the corpus
+    w = Window.orderBy(F.col("sim").desc(), F.col(key).asc())
+    v = (
+        cand.join(F.broadcast(q))
+        .select(key, F.round(
+            F.expr(cosine_expr_spark("q_emb", "n_emb")), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(key).asc())
+        .limit(pool)
+        .withColumn("r_vec", F.row_number().over(w))
+        .select(key, "r_vec")
+    )
+    fused = (
+        b.join(v, key, "full_outer")
+        .select(
+            key,
+            (F.coalesce(F.expr(f"CAST(1000000 DIV ({rrf_k} + r_bm25)"
+                               " AS BIGINT)"), F.lit(0))
+             + F.coalesce(F.expr(f"CAST(1000000 DIV ({rrf_k} + r_vec)"
+                                 " AS BIGINT)"), F.lit(0))
+             ).alias("rrf_mu"),
+            F.col("r_bm25").isNotNull().alias("in_bm25"),
+            F.col("r_vec").isNotNull().alias("in_vec"),
+        )
+    )
+    w2 = Window.orderBy(F.col("rrf_mu").desc(), F.col(key).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= top_k)
+        .orderBy("rank")
+    )
+
+
+def hybrid_search_sql(
+    table: str = "documents",
+    emb_table: str = "embeddings",
+    terms: list[str] = (),
+    query_id: int = 0,
+    top_k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    key: str = "doc_id",
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`hybrid_search` (the two proven tower
+    mirrors as CTEs + the identical integer RRF fusion)."""
+    from .similarity import cosine_expr_duck
+
+    cos = cosine_expr_duck("q.embedding", "n.embedding", dim)
+    return f"""
+        WITH bm AS ({bm25_search_sql(table, terms, top_k=pool, key=key)}),
+        vq AS (
+            SELECT n.vec_id AS {key},
+                   row_number() OVER (
+                       ORDER BY round({cos}, 6) DESC, n.vec_id ASC
+                   ) AS r_vec
+            FROM {emb_table} n, {emb_table} q
+            WHERE q.vec_id = {query_id} AND n.vec_id <> {query_id}
+        ),
+        v AS (SELECT * FROM vq WHERE r_vec <= {pool}),
+        fused AS (
+            SELECT COALESCE(bm.{key}, v.{key}) AS {key},
+                   COALESCE(1000000 // ({rrf_k} + bm.rank), 0)
+                   + COALESCE(1000000 // ({rrf_k} + v.r_vec), 0) AS rrf_mu,
+                   bm.rank IS NOT NULL AS in_bm25,
+                   v.r_vec IS NOT NULL AS in_vec
+            FROM bm FULL OUTER JOIN v ON bm.{key} = v.{key}
+        )
+        SELECT {key}, rrf_mu, in_bm25, in_vec,
+               row_number() OVER (ORDER BY rrf_mu DESC, {key} ASC) AS rank
+        FROM fused
+        ORDER BY rrf_mu DESC, {key} ASC
+        LIMIT {top_k}
+    """

@@ -1041,3 +1041,48 @@ def test_dedup_sweep_monotone_and_rung_equivalent(spark, docs):
                                 min_est=rung / 100)
                    .select("doc_b").distinct().count())
         assert sw[rung][0] == flagged
+
+
+def test_hybrid_search_fuses_both_towers(spark):
+    """RRF fusion: a doc ranked by BOTH towers outranks a doc that one
+    tower ranks higher but the other misses; fusion is exact-integer
+    µunits; ranking is repartition-stable."""
+    from explora_kafka_spark.operators import postings as PST
+
+    # text tower: docs 1-3 score on the query terms; doc 4 doesn't
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat dog"),
+            (2, "cat dog"),
+            (3, "cat stone stone stone"),
+            (4, "stone stone"),
+        ],
+        "doc_id bigint, text string",
+    )
+    # vector tower (aligned ids): query = vec 0; vec 3 is closest,
+    # then 4, then 1; 2 is near-orthogonal
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.6, 0.8]),
+            (2, [0.05, 1.0]),
+            (3, [0.99, 0.1]),
+            (4, [0.9, 0.43]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = PST.hybrid_search(docs, emb, ["cat", "dog"], query_id=0,
+                            top_k=4, pool=3).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # doc 3: in both towers (bm25 rank 3, vec rank 1).
+    # doc 4: vector-only (rank 2). doc 3 must outrank doc 4.
+    assert by_id[3]["in_bm25"] and by_id[3]["in_vec"]
+    assert by_id[4]["in_vec"] and not by_id[4]["in_bm25"]
+    assert by_id[3]["rank"] < by_id[4]["rank"]
+    # exact integer RRF: doc 3 = 1e6//63 + 1e6//61, doc 4 = 1e6//62
+    assert by_id[3]["rrf_mu"] == 1000000 // 63 + 1000000 // 61
+    assert by_id[4]["rrf_mu"] == 1000000 // 62
+    again = PST.hybrid_search(docs.repartition(5), emb.repartition(3),
+                              ["cat", "dog"], query_id=0, top_k=4,
+                              pool=3).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
