@@ -2050,6 +2050,30 @@ def q_multimodal_meta(spark, sf_dir):
     return M.extract_meta(media)
 
 
+def q_media_phash(spark, sf_dir):
+    """Block-mean perceptual hash per media payload (exact-integer
+    block means, 64-bit hash) — the media dedup fingerprint
+    (operators/multimodal.py media_phash)."""
+    media = _MM.media_from_documents(_docs(spark, sf_dir))
+    return _MM.media_phash(media).orderBy("media_id")
+
+
+def q_phash_near_dup(spark, sf_dir):
+    """Perceptual near-dup media pairs: pigeonhole-exact hamming-banded
+    equi-join over the 64-bit block-mean hash + exact popcount rerank
+    (the simhash_near_dup machinery on the media tier). The corpus is
+    augmented with a deterministic perturbed twin of every 50th payload
+    (first 3 bytes replaced; id + 1e6 — the ann_topk_ivfpq_external
+    perturbed-fixture pattern) so the entry exercises real hits: a
+    few changed bytes flip few block means ⇒ small hamming."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pert = (docs.filter(F.col("doc_id") % 50 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.expr("concat('zzz', substr(text, 4))").alias("text")))
+    media = _MM.media_from_documents(docs.unionByName(pert))
+    return _MM.phash_near_dup(media)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal decode plumbing (gated fake decoder): binary payload →
     mapInPandas (width, height, n_channels) — the exact schema/batch
@@ -2428,14 +2452,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_select": q_kcenter_select,
         "quality_logit": q_quality_logit,
         "filter_pipeline_full": q_filter_pipeline_full,
-        "metric_trend": q_metric_trend,
-        "zorder_layout": q_zorder_layout,
         # — round-9 additions (new entries enter the window on landing,
         #   displacing the window tail into the r10 queue) —
         "hybrid_search": q_hybrid_search,
+        "media_phash": q_media_phash,
+        "phash_near_dup": q_phash_near_dup,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
+        "metric_trend": q_metric_trend,
+        "zorder_layout": q_zorder_layout,
         "item_lift": q_item_lift,
         "ann_recall_truncated": q_ann_recall_truncated,
         "knn_hubness": q_knn_hubness,
@@ -3005,6 +3031,11 @@ def oracle_sql() -> dict[str, str]:
         "term_postings": PST.term_postings_sql(min_df=2),
         "bm25_search": PST.bm25_search_sql(terms=_BM25_TERMS),
         "hybrid_search": PST.hybrid_search_sql(terms=_BM25_TERMS),
+        "media_phash": _MM.phash_sql(),
+        "phash_near_dup": _MM.phash_near_dup_sql(
+            table="(SELECT doc_id, text FROM documents UNION ALL"
+                  " SELECT doc_id + 1000000, 'zzz' || substr(text, 4)"
+                  " FROM documents WHERE doc_id % 50 = 0) aug"),
         "kmeans_outliers": CL.kmeans_sql(k=8, iters=3, n_rows=500,
                                          outliers_top=20),
         "kcenter_select": CL.kcenter_select_sql(k=8),

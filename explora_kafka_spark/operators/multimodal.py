@@ -308,3 +308,193 @@ def features_exploded_sql(table: str = "documents",
         for i in range(dim)
     ]
     return " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash dedup tier: the media twin of SimHash text dedup.
+# Real pipelines compute pHash/aHash over DECODED grayscale pixels; the
+# sandbox has no decoder (see module docstring), so the hash runs over
+# the payload BYTE stream — the exact block-mean average-hash math and
+# the exact banded-join serving shape, with bytes standing in for
+# pixels (the fake_decode convention). Swapping in a real decoder only
+# changes what fills the byte buffer.
+# ---------------------------------------------------------------------------
+
+_I64_MIN_WRAP = 1 << 64
+_I64_SIGN = 1 << 63
+
+
+def media_phash(media: DataFrame, bits: int = 64) -> DataFrame:
+    """Block-mean perceptual hash (aHash) per payload: split the byte
+    stream into `bits` contiguous blocks (byte j → block j·bits//L),
+    set bit i (MSB-first) iff block i's mean exceeds the global mean —
+    compared in EXACT integers (sum_i·L > total·n_i, no division), so
+    the hash is engine- and partitioning-independent. Payloads shorter
+    than `bits` bytes leave their empty blocks 0; empty payloads hash
+    to 0. Output: (media_id, phash BIGINT), id-ascending upstream use.
+
+    Near-identical payloads (a few bytes changed) flip few block means
+    ⇒ small hamming distance — the property `phash_near_dup` banding
+    exploits. mapInPandas (Arrow-batched numpy bincount per payload;
+    no shuffle)."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                L = len(b)
+                h = 0
+                if L:
+                    v = np.frombuffer(b, dtype=np.uint8)
+                    blk = (np.arange(L, dtype=np.int64) * bits) // L
+                    s = np.bincount(blk, weights=v,
+                                    minlength=bits).astype(np.int64)
+                    n = np.bincount(blk, minlength=bits).astype(np.int64)
+                    total = int(v.sum(dtype=np.int64))
+                    hot = (s * L) > (total * n)
+                    for i in np.nonzero(hot)[0]:
+                        h |= 1 << (bits - 1 - int(i))
+                    if h >= _I64_SIGN:
+                        h -= _I64_MIN_WRAP
+                out.append(h)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "phash": pd.array(out, dtype="int64"),
+            })
+
+    return media.mapInPandas(_batches, "media_id long, phash long")
+
+
+def phash_near_dup(
+    media: DataFrame,
+    hamming_max: int = 7,
+    num_bands: int = 8,
+    bits: int = 64,
+) -> DataFrame:
+    """Perceptual near-dup media pairs: hamming-banded candidate join +
+    exact popcount — the simhash_near_dup machinery on the 64-bit
+    media hash. Pigeonhole-exact: hamming ≤ hamming_max < num_bands ⇒
+    at least one of the num_bands equal-width bands agrees, so the
+    banded equi-join has 100% recall. Output (ordered):
+    media_a, media_b, hamming ≤ hamming_max.
+
+    100 TB: identical scale story to simhash_near_dup — candidates are
+    same-band pairs only (never all-pairs), one xor+bit_count per
+    candidate; a hot band value is the LSH hot-bucket AQE case."""
+    assert num_bands > hamming_max, "pigeonhole needs num_bands > hamming_max"
+    assert bits % num_bands == 0
+    width = bits // num_bands
+    mask = (1 << width) - 1
+    ph = media_phash(media, bits=bits)
+    bands = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"(phash >> {i * width}) & {mask}").alias("val"),
+            )
+            for i in range(num_bands)
+        ])
+    )
+    banded = ph.select("media_id", "phash", bands.alias("b")).select(
+        "media_id", "phash", "b.band", "b.val")
+    a = banded.select(F.col("media_id").alias("media_a"),
+                      F.col("phash").alias("ph_a"), "band", "val")
+    b = banded.select(F.col("media_id").alias("media_b"),
+                      F.col("phash").alias("ph_b"), "band", "val")
+    pairs = (
+        a.join(b, ["band", "val"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "ph_a", "ph_b")
+        .distinct()
+    )
+    ham = F.expr("bit_count(ph_a ^ ph_b)")
+    return (
+        pairs.select("media_a", "media_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= hamming_max)
+        .orderBy("media_a", "media_b")
+    )
+
+
+def _phash_cte(table: str, bits: int = 64) -> str:
+    """Shared DuckDB CTE chain computing (media_id, phash) from the
+    documents fixture (ASCII text bytes stand in for the payload, the
+    meta_sql convention). Exact-integer block means; HUGEINT bit
+    assembly wrapped to signed 64-bit so xor/bit_count match Spark."""
+    return f"""m AS (
+            SELECT doc_id AS media_id, text, length(text) AS L
+            FROM {table}
+        ),
+        ch AS (
+            SELECT media_id, L,
+                   ((u.j - 1) * {bits}) // L AS blk,
+                   ascii(substr(text, u.j, 1)) AS v
+            FROM m, unnest(range(1, L + 1)) AS u(j)
+        ),
+        tot AS (
+            SELECT media_id, any_value(L) AS L, sum(v) AS total
+            FROM ch GROUP BY media_id
+        ),
+        bsum AS (
+            SELECT media_id, blk, sum(v) AS s, count(*) AS n
+            FROM ch GROUP BY 1, 2
+        ),
+        hraw AS (
+            SELECT b.media_id,
+                   bit_or(CASE WHEN b.s * t.L > t.total * b.n
+                          THEN (1::HUGEINT) << ({bits} - 1 - b.blk)
+                          ELSE 0::HUGEINT END) AS hh
+            FROM bsum b JOIN tot t USING (media_id)
+            GROUP BY 1
+        ),
+        ph AS (
+            SELECT m.media_id,
+                   CAST(CASE
+                        WHEN hh IS NULL THEN 0::HUGEINT
+                        WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
+                        THEN hh - CAST('18446744073709551616' AS HUGEINT)
+                        ELSE hh END AS BIGINT) AS phash
+            FROM m LEFT JOIN hraw USING (media_id)
+        )"""
+
+
+def phash_sql(table: str = "documents", bits: int = 64) -> str:
+    """DuckDB mirror of :func:`media_phash` over the documents fixture."""
+    return f"""
+        WITH {_phash_cte(table, bits)}
+        SELECT media_id, phash FROM ph ORDER BY media_id
+    """
+
+
+def phash_near_dup_sql(
+    table: str = "documents",
+    hamming_max: int = 7,
+    num_bands: int = 8,
+    bits: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`phash_near_dup` (same bands, xor +
+    bit_count)."""
+    width = bits // num_bands
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT media_id, phash, {i} AS band,"
+        f" (phash >> {i * width}) & {mask} AS val FROM ph"
+        for i in range(num_bands)
+    )
+    return f"""
+        WITH {_phash_cte(table, bits)},
+        banded AS ({band_rows}),
+        cand AS (
+            SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                   a.phash AS ph_a, b.phash AS ph_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.val = b.val
+             AND a.media_id < b.media_id
+        )
+        SELECT media_a, media_b,
+               CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ph_a, ph_b)) <= {hamming_max}
+        ORDER BY media_a, media_b
+    """

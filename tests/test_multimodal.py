@@ -107,3 +107,46 @@ def test_resize_media_gated_without_pillow(media):
         pytest.skip("Pillow present; gate not exercisable")
     with pytest.raises(NotImplementedError):
         M.resize_media(media, 64, 64)
+
+
+def _media_of(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return M.media_from_documents(docs)
+
+
+def test_media_phash_hand_computed(spark):
+    # 8 bytes, bits=8 -> one byte per block: bit i set iff byte i > mean.
+    # 'aaaazzzz': mean between 'a'(97) and 'z'(122) -> hash 00001111
+    media = _media_of(spark, [(1, "aaaazzzz")])
+    [r] = M.media_phash(media, bits=8).collect()
+    assert r["phash"] == 0b00001111
+    # uniform payload: no block exceeds the mean -> 0
+    media = _media_of(spark, [(2, "bbbbbbbb")])
+    [r] = M.media_phash(media, bits=8).collect()
+    assert r["phash"] == 0
+
+
+def test_media_phash_sign_bit_and_determinism(spark):
+    # first block hottest -> MSB set -> negative signed 64-bit hash
+    media = _media_of(spark, [(1, "z" * 8 + "a" * 504)])
+    [r] = M.media_phash(media).collect()
+    assert r["phash"] < 0
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sorted(map(tuple, M.media_phash(
+        M.media_from_documents(docs)).collect()))
+    b = sorted(map(tuple, M.media_phash(
+        M.media_from_documents(docs.repartition(7))).collect()))
+    assert a == b
+
+
+def test_phash_near_dup_finds_perturbed_twin(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 12
+    rows = [(1, base), (2, "zzz" + base[3:]),      # few-byte twin
+            (3, "".join(reversed(base)))]           # scrambled
+    out = M.phash_near_dup(_media_of(spark, rows)).collect()
+    pairs = {(r.media_a, r.media_b): r.hamming for r in out}
+    assert (1, 2) in pairs, pairs
+    assert pairs[(1, 2)] <= 7
+    # identical payloads always pair at hamming 0 (pigeonhole recall)
+    out2 = M.phash_near_dup(_media_of(spark, [(1, base), (2, base)])).collect()
+    assert [(r.media_a, r.media_b, r.hamming) for r in out2] == [(1, 2, 0)]
