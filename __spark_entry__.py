@@ -34,6 +34,7 @@ from explora_kafka_spark.operators import segments as SEG
 from explora_kafka_spark.operators import semdedup as SDD
 from explora_kafka_spark.operators import dsir as DSIR
 from explora_kafka_spark.operators import multimodal as _MM
+from explora_kafka_spark.operators import spatial as SPA
 from explora_kafka_spark.operators import anomaly as ANOM
 from explora_kafka_spark.operators import timeseries as TS
 from explora_kafka_spark.operators import centroids as CENT
@@ -2074,6 +2075,21 @@ def q_phash_near_dup(spark, sf_dir):
     return _MM.phash_near_dup(media)
 
 
+def q_proximity_pairs(spark, sf_dir):
+    """Grid-bucketed spatial self-join (operators/spatial.py): user
+    pairs observed in the same hour within 300 km — planner-inlined
+    equirectangular projection to integer meters, radius-sized grid
+    cells, 3×3-neighborhood equi-join, exact BIGINT circle rerank."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.expr("unix_millis(date_trunc('HOUR', ts))").alias("hour_ms"),
+        "user_id",
+        _lat_col().alias("lat"),
+        _lon_col().alias("lon"),
+    ).distinct()
+    return SPA.proximity_pairs(pts, radius_m=300_000)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal decode plumbing (gated fake decoder): binary payload →
     mapInPandas (width, height, n_channels) — the exact schema/batch
@@ -2451,15 +2467,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "kcenter_select": q_kcenter_select,
         "quality_logit": q_quality_logit,
-        "filter_pipeline_full": q_filter_pipeline_full,
         # — round-9 additions (new entries enter the window on landing,
         #   displacing the window tail into the r10 queue) —
         "hybrid_search": q_hybrid_search,
         "media_phash": q_media_phash,
         "phash_near_dup": q_phash_near_dup,
+        "proximity_pairs": q_proximity_pairs,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
+        "filter_pipeline_full": q_filter_pipeline_full,
         "metric_trend": q_metric_trend,
         "zorder_layout": q_zorder_layout,
         "item_lift": q_item_lift,
@@ -3032,6 +3049,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": PST.bm25_search_sql(terms=_BM25_TERMS),
         "hybrid_search": PST.hybrid_search_sql(terms=_BM25_TERMS),
         "media_phash": _MM.phash_sql(),
+        "proximity_pairs": SPA.proximity_pairs_sql(
+            "SELECT DISTINCT epoch_ms(date_trunc('hour', ts)) AS hour_ms,"
+            " user_id,"
+            " ((user_id * 113) % 17000) / 100.0 - 85.0 AS lat,"
+            " ((user_id * 241) % 36000) / 100.0 - 180.0 AS lon"
+            " FROM events", radius_m=300_000),
         "phash_near_dup": _MM.phash_near_dup_sql(
             table="(SELECT doc_id, text FROM documents UNION ALL"
                   " SELECT doc_id + 1000000, 'zzz' || substr(text, 4)"
