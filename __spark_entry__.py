@@ -1025,6 +1025,45 @@ def q_windowed_base_view(spark, sf_dir):
     )
 
 
+_HOPPING: dict[str, str] = {}  # sf_dir → append-mode hopping-window output
+
+
+def q_hopping_view(spark, sf_dir):
+    """Hopping (sliding) window flavor of the base view: 2-hour windows
+    every 1 hour (streaming/windowed.py hopping_base_view) — each event
+    lands in two windows; append mode emits the FINALIZED ones (window
+    end <= max event time at the final watermark advance). Single
+    micro-batch input for determinism, the windowed_base_view
+    convention; the oracle reproduces the window expansion AND the
+    finalization cutoff in SQL."""
+    from explora_kafka_spark.streaming.windowed import hopping_base_view
+
+    configure(spark)
+    if sf_dir not in _HOPPING:
+        src = _stream_input(spark, sf_dir)
+        d = tempfile.mkdtemp(prefix="explora_hopping_")
+        _TMPDIRS.append(d)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = hopping_base_view(stream, precision=6, window="2 hours",
+                                slide="1 hour", watermark="0 seconds")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{d}/out")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _HOPPING[sf_dir] = f"{d}/out"
+    v = spark.read.parquet(_HOPPING[sf_dir])
+    return v.select(
+        "metric_id", "gh", ts_ms_col("ts").alias("bucket_ms"),
+        F.col("count").alias("count"), _r6("sum").alias("sum"),
+    )
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Row-level ingestion dedup (at-least-once → exactly-once): events
     delivered twice (simulated producer retry), deduped on event_id, then
@@ -2466,16 +2505,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_regions_quad": q_snapshot_regions_quad,
         "label_propagation": q_label_propagation,
         "kcenter_select": q_kcenter_select,
-        "quality_logit": q_quality_logit,
         # — round-9 additions (new entries enter the window on landing,
         #   displacing the window tail into the r10 queue) —
         "hybrid_search": q_hybrid_search,
         "media_phash": q_media_phash,
         "phash_near_dup": q_phash_near_dup,
         "proximity_pairs": q_proximity_pairs,
+        "hopping_view": q_hopping_view,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
+        "quality_logit": q_quality_logit,
         "filter_pipeline_full": q_filter_pipeline_full,
         "metric_trend": q_metric_trend,
         "zorder_layout": q_zorder_layout,
@@ -2861,6 +2901,19 @@ def oracle_sql() -> dict[str, str]:
             FROM readings
             WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
                   <= (SELECT max(ts) FROM readings)
+            GROUP BY 1, 2, 3
+        """,
+        # hopping windows: each event expands to the 2 covering 2h/1h
+        # windows; finalized = window start + 2h <= max event ts
+        "hopping_view": f"""
+            {_R}
+            SELECT metric_id, substr(geohash, 1, 6) AS gh,
+                   epoch_ms(date_trunc('hour', ts)
+                            - o.k * INTERVAL 1 HOUR) AS bucket_ms,
+                   count(*) AS count, round(sum(value), 6) AS sum
+            FROM readings, unnest([0, 1]) o(k)
+            WHERE date_trunc('hour', ts) - o.k * INTERVAL 1 HOUR
+                  + INTERVAL 2 HOUR <= (SELECT max(ts) FROM readings)
             GROUP BY 1, 2, 3
         """,
         # the oracle recomputes the serde fault-injection arithmetic:

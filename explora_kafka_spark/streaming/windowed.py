@@ -160,3 +160,40 @@ def trending_items_sql(table: str = "events", top: int = 5) -> str:
         ) WHERE rank <= {top}
         ORDER BY bucket_ms, rank
     """
+
+
+def hopping_base_view(
+    readings_stream: DataFrame,
+    precision: int = 6,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """HOPPING (sliding) window count/sum per (metric, cell): the
+    overlapping-window twin of `windowed_base_view` — each event lands
+    in window/slide windows (starts aligned to slide multiples), the
+    shape behind smoothed dashboards and trailing-window SLOs that a
+    tumbling grid can't express. Append-mode-ready under the same
+    watermark-finalization semantics.
+
+    State cost: window/slide × the tumbling state (one row per
+    (metric, cell, OPEN window), windows overlap by construction) —
+    still bounded by the watermark horizon, independent of stream
+    length. The aggregation itself is the same partial-agg shuffle;
+    Spark expands each event to its covering windows before the
+    combine, so the shuffle volume is ×(window/slide)."""
+    readings_stream = ensure_event_time(readings_stream, "ts")
+    return (
+        readings_stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window, slide).alias("w"),
+            F.col("metric_id"),
+            F.substring("geohash", 1, precision).alias("gh"),
+        )
+        .agg(F.count("*").alias("count"), F.sum("value").alias("sum"))
+        .select(
+            "metric_id", "gh",
+            F.col("w.start").alias("ts"),
+            "count", "sum",
+        )
+    )

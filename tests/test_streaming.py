@@ -728,3 +728,44 @@ def test_trending_items_stream_equals_batch(spark, tmp_path):
     full = [(r["bucket_ms"], r["item"], r["n"], r["rank"])
             for r in trending_items(events, top=5).collect()]
     assert set(got) <= set(full)
+
+
+def test_hopping_window_covers_and_finalizes(spark, tmp_path):
+    """Hopping 2h/1h windows: each event lands in exactly the two
+    covering windows; append mode emits only windows whose end the
+    watermark passed (the final event's hour window stays open)."""
+    import explora_kafka_spark.streaming.windowed as W
+
+    rows = [
+        (1, "m", "abcdef", "2024-01-01 00:10:00", 1.0),
+        (2, "m", "abcdef", "2024-01-01 01:20:00", 2.0),
+        (3, "m", "abcdef", "2024-01-01 05:00:00", 8.0),  # advances wm
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "event_id bigint, metric_id string, geohash string,"
+        " ts_s string, value double"
+    ).selectExpr("event_id", "metric_id", "geohash",
+                 "CAST(ts_s AS TIMESTAMP) AS ts", "value"
+                 ).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = W.hopping_base_view(stream, precision=6, window="2 hours",
+                              slide="1 hour", watermark="0 seconds")
+    q = (out.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {
+        (r["ts"].strftime("%H"), r["count"], float(r["sum"]))
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # event@00:10 -> windows starting 23:00(prev day) and 00:00;
+    # event@01:20 -> 00:00 and 01:00; max ts 05:00 finalizes ends <= 05.
+    # window [04:00,06:00) stays open (end 06 > 05): event 3 absent.
+    assert got == {
+        ("23", 1, 1.0),        # [23:00, 01:00): event 1
+        ("00", 2, 3.0),        # [00:00, 02:00): events 1+2
+        ("01", 1, 2.0),        # [01:00, 03:00): event 2
+    }
