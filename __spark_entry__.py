@@ -35,6 +35,7 @@ from explora_kafka_spark.operators import semdedup as SDD
 from explora_kafka_spark.operators import dsir as DSIR
 from explora_kafka_spark.operators import multimodal as _MM
 from explora_kafka_spark.operators import spatial as SPA
+from explora_kafka_spark.operators import expectations as EXP
 from explora_kafka_spark.operators import anomaly as ANOM
 from explora_kafka_spark.operators import timeseries as TS
 from explora_kafka_spark.operators import centroids as CENT
@@ -1062,6 +1063,31 @@ def q_hopping_view(spark, sf_dir):
         "metric_id", "gh", ts_ms_col("ts").alias("bucket_ms"),
         F.col("count").alias("count"), _r6("sum").alias("sum"),
     )
+
+
+#: the events-table admission contract (name, predicate, min µfraction):
+#: structural nulls never pass; domains are hard (1e6); the serde fault
+#: injection (event_id % 97 → corrupt) means ~1% of props are truncated
+#: JSON, so the props-parses expectation gates at 98%.
+_EXPECTATIONS = [
+    ("event_id_not_null", "event_id IS NOT NULL", 1000000),
+    ("ts_in_2024", "ts >= TIMESTAMP '2024-01-01 00:00:00' AND"
+                   " ts < TIMESTAMP '2025-01-01 00:00:00'", 1000000),
+    ("value_non_negative", "value >= 0", 1000000),
+    ("event_type_known",
+     "event_type IN ('view', 'click', 'purchase', 'scroll', 'hover')",
+     1000000),
+    ("user_id_positive", "user_id > 0", 900000),
+]
+
+
+def q_expect_events(spark, sf_dir):
+    """Declarative data-quality expectations over the events table —
+    every predicate a conditional count in ONE scan, exact integer
+    µunit pass fractions (operators/expectations.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return EXP.expect(ev, _EXPECTATIONS)
+
 
 
 def q_ingest_dedup(spark, sf_dir):
@@ -2504,7 +2530,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_check_audit": q_semdedup_check_audit,
         "snapshot_regions_quad": q_snapshot_regions_quad,
         "label_propagation": q_label_propagation,
-        "kcenter_select": q_kcenter_select,
         # — round-9 additions (new entries enter the window on landing,
         #   displacing the window tail into the r10 queue) —
         "hybrid_search": q_hybrid_search,
@@ -2512,9 +2537,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dup": q_phash_near_dup,
         "proximity_pairs": q_proximity_pairs,
         "hopping_view": q_hopping_view,
+        "expect_events": q_expect_events,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
+        "kcenter_select": q_kcenter_select,
         "quality_logit": q_quality_logit,
         "filter_pipeline_full": q_filter_pipeline_full,
         "metric_trend": q_metric_trend,
@@ -3102,6 +3129,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": PST.bm25_search_sql(terms=_BM25_TERMS),
         "hybrid_search": PST.hybrid_search_sql(terms=_BM25_TERMS),
         "media_phash": _MM.phash_sql(),
+        "expect_events": EXP.expect_sql("events", _EXPECTATIONS),
         "proximity_pairs": SPA.proximity_pairs_sql(
             "SELECT DISTINCT epoch_ms(date_trunc('hour', ts)) AS hour_ms,"
             " user_id,"
