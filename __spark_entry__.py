@@ -36,6 +36,7 @@ from explora_kafka_spark.operators import dsir as DSIR
 from explora_kafka_spark.operators import multimodal as _MM
 from explora_kafka_spark.operators import spatial as SPA
 from explora_kafka_spark.operators import expectations as EXP
+from explora_kafka_spark.operators import skew as SKW
 from explora_kafka_spark.operators import anomaly as ANOM
 from explora_kafka_spark.operators import timeseries as TS
 from explora_kafka_spark.operators import centroids as CENT
@@ -1087,6 +1088,17 @@ def q_expect_events(spark, sf_dir):
     µunit pass fractions (operators/expectations.py)."""
     ev = load_table(spark, sf_dir, "events")
     return EXP.expect(ev, _EXPECTATIONS)
+
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the event item key
+    (props.k) with the exact audit column: est >= true always, the
+    overestimate prices the (depth, width) dial
+    (operators/skew.py cms_heavy_hitters)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").alias("item_k"))
+    return SKW.cms_heavy_hitters(ev, "item_k")
 
 
 
@@ -2528,7 +2540,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_standardize": q_embedding_standardize,
         "cluster_top_terms": q_cluster_top_terms,
         "semdedup_check_audit": q_semdedup_check_audit,
-        "snapshot_regions_quad": q_snapshot_regions_quad,
         "label_propagation": q_label_propagation,
         # — round-9 additions (new entries enter the window on landing,
         #   displacing the window tail into the r10 queue) —
@@ -2538,9 +2549,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_pairs": q_proximity_pairs,
         "hopping_view": q_hopping_view,
         "expect_events": q_expect_events,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
+        "snapshot_regions_quad": q_snapshot_regions_quad,
         "kcenter_select": q_kcenter_select,
         "quality_logit": q_quality_logit,
         "filter_pipeline_full": q_filter_pipeline_full,
@@ -3130,6 +3143,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": PST.hybrid_search_sql(terms=_BM25_TERMS),
         "media_phash": _MM.phash_sql(),
         "expect_events": EXP.expect_sql("events", _EXPECTATIONS),
+        "cms_heavy_hitters": SKW.cms_heavy_hitters_sql(
+            "events", "json_extract_string(props, '$.k')"),
         "proximity_pairs": SPA.proximity_pairs_sql(
             "SELECT DISTINCT epoch_ms(date_trunc('hour', ts)) AS hour_ms,"
             " user_id,"

@@ -55,3 +55,131 @@ def approx_distinct(
     return df.groupBy(*group_cols).agg(
         F.approx_count_distinct(value_col, rsd).alias(alias)
     )
+
+
+# --- Count-min sketch -------------------------------------------------------
+
+#: 31-bit Mersenne prime — the dedup.py hash-family modulus; affine
+#: transforms of one md5 base hash give the depth independent rows
+_CMS_P = (1 << 31) - 1
+
+
+def _cms_params(i: int) -> tuple[int, int]:
+    import hashlib
+
+    a = int(hashlib.md5(f"cms_a{i}".encode()).hexdigest()[:15], 16) \
+        % (_CMS_P - 1) + 1
+    b = int(hashlib.md5(f"cms_b{i}".encode()).hexdigest()[:15], 16) % _CMS_P
+    return a, b
+
+
+def _cms_cell_spark(i: int, var: str, width: int) -> str:
+    a, b = _cms_params(i)
+    base = (f"CAST(conv(substring(md5({var}), 1, 15), 16, 10) AS BIGINT)"
+            f" & {_CMS_P}")
+    return f"(({a} * ({base}) + {b}) % {_CMS_P}) % {width}"
+
+
+def _cms_cell_duck(i: int, var: str, width: int) -> str:
+    a, b = _cms_params(i)
+    base = (f"CAST(concat('0x', substr(md5({var}), 1, 15)) AS BIGINT)"
+            f" & {_CMS_P}")
+    return f"(({a} * ({base}) + {b}) % {_CMS_P}) % {width}"
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+    top: int = 20,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters with an exact audit column
+    (Cormode & Muthukrishnan 2005): build the depth×width sketch in one
+    pass (each row explodes to `depth` (row, cell) increments, combined
+    map-side), estimate every candidate item as min over rows of its
+    cell counts, and report the `top` items by estimate with the TRUE
+    count alongside — est ≥ true always (CMS never undercounts), and
+    the overestimate column prices the (depth, width) dial exactly the
+    way dedup_recall/ann_recall price theirs.
+
+    Hashing is the dedup.py md5-affine family (cross-engine exact), so
+    the sketch — not just the result — is bit-identical on both
+    engines. Output: (item, est_count, true_count), est desc, item asc.
+
+    100 TB: the sketch is ONE explode(depth) + a partial-agg shuffle
+    onto depth·width cells (tiny, hot cells combine map-side); serving
+    joins candidates against the BROADCAST sketch. The exact audit
+    aggregate is one more map-combined shuffle — drop it in production
+    serving and the sketch is the only state (that's the point: a
+    heavy-hitter readout without distinct-item state)."""
+    items = df.select(F.col(item_col).cast("string").alias("item"))
+    cells = F.explode(F.array(*[
+        F.struct(
+            F.lit(d).alias("d"),
+            F.expr(_cms_cell_spark(d, "item", width)).alias("cell"),
+        )
+        for d in range(depth)
+    ]))
+    sketch = (
+        items.select(cells.alias("c"))
+        .groupBy("c.d", "c.cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    true_counts = items.groupBy("item").agg(
+        F.count(F.lit(1)).alias("true_count"))
+    probes = true_counts.select(
+        "item", "true_count", cells.alias("c")
+    ).select("item", "true_count", F.col("c.d").alias("d"),
+             F.col("c.cell").alias("cell"))
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "cell"])
+        .groupBy("item", "true_count")
+        .agg(F.min("n").alias("est_count"))
+    )
+    return (
+        est.orderBy(F.col("est_count").desc(), F.col("item").asc())
+        .limit(top)
+        .select("item", "est_count", "true_count")
+    )
+
+
+def cms_heavy_hitters_sql(
+    table: str,
+    item_expr: str,
+    depth: int = 4,
+    width: int = 256,
+    top: int = 20,
+) -> str:
+    """DuckDB mirror of :func:`cms_heavy_hitters` (identical md5-affine
+    cells, min-over-rows estimate, exact audit counts)."""
+    cell_rows = " UNION ALL ".join(
+        f"SELECT item, {d} AS d,"
+        f" {_cms_cell_duck(d, 'item', width)} AS cell FROM items"
+        for d in range(depth))
+    return f"""
+        WITH items AS (
+            SELECT CAST({item_expr} AS VARCHAR) AS item FROM {table}
+        ),
+        cells AS ({cell_rows}),
+        sketch AS (
+            SELECT d, cell, count(*) AS n FROM cells GROUP BY 1, 2
+        ),
+        truec AS (
+            SELECT item, count(*) AS true_count FROM items GROUP BY 1
+        ),
+        probes AS (
+            SELECT DISTINCT t.item, t.true_count, c.d, c.cell
+            FROM truec t JOIN cells c ON c.item = t.item
+        ),
+        est AS (
+            SELECT p.item, p.true_count, min(s.n) AS est_count
+            FROM probes p JOIN sketch s
+              ON s.d = p.d AND s.cell = p.cell
+            GROUP BY 1, 2
+        )
+        SELECT item, est_count, true_count
+        FROM est
+        ORDER BY est_count DESC, item ASC
+        LIMIT {top}
+    """

@@ -47,3 +47,25 @@ def test_approx_within_rsd(events):
     }
     for k, exact in plain.items():
         assert abs(approx[k] - exact) <= max(3, 0.1 * exact)
+
+
+def test_cms_never_undercounts_and_is_exact_when_wide(spark):
+    """est >= true for every item; with width >> n_items collisions
+    vanish and the estimate is exact; deterministic under repartition."""
+    from explora_kafka_spark.operators import skew as SKW
+
+    rows = [(f"item{i % 7}",) for i in range(70)] + [("rare",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = SKW.cms_heavy_hitters(df, "k", depth=4, width=1024, top=10)
+    got = {r["item"]: (r["est_count"], r["true_count"])
+           for r in out.collect()}
+    assert got["rare"] == (1, 1)
+    assert all(est == true for est, true in got.values())
+    assert sum(t for _, t in got.values()) == 71
+    # narrow sketch: collisions may only INFLATE estimates
+    tight = SKW.cms_heavy_hitters(df, "k", depth=2, width=4, top=10)
+    assert all(r["est_count"] >= r["true_count"] for r in tight.collect())
+    again = SKW.cms_heavy_hitters(
+        df.repartition(5), "k", depth=4, width=1024, top=10).collect()
+    assert {r["item"]: (r["est_count"], r["true_count"])
+            for r in again} == got
