@@ -1102,6 +1102,22 @@ def q_cms_heavy_hitters(spark, sf_dir):
 
 
 
+#: deterministic hub POIs (id, lat, lon) spread over the synthetic domain
+_POIS = [(1, 0.0, 0.0), (2, 40.0, -100.0), (3, -30.0, 150.0),
+         (4, 60.0, 20.0), (5, -70.0, -60.0), (6, 10.0, 80.0)]
+
+
+def q_nearest_poi(spark, sf_dir):
+    """Geo-enrichment join: every event tagged with its nearest hub POI
+    (broadcast K-row dim side, map-side-combined argmin; exact integer
+    meters — operators/spatial.py nearest_poi)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select("event_id", _lat_col().alias("lat"),
+                    _lon_col().alias("lon"))
+    return SPA.nearest_poi(pts, _POIS)
+
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Row-level ingestion dedup (at-least-once → exactly-once): events
     delivered twice (simulated producer retry), deduped on event_id, then
@@ -2534,10 +2550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_sweep": q_semdedup_sweep,
         "pca_project": q_pca_project,
         "dsir_select": q_dsir_select,
-        "tokenizer_fertility": q_tokenizer_fertility,
+        "drop_reason_profile": q_drop_reason_profile,
         "semdedup_check": q_semdedup_check,
         "corpus_gate_full": q_corpus_gate_full,
-        "embedding_standardize": q_embedding_standardize,
         "cluster_top_terms": q_cluster_top_terms,
         "semdedup_check_audit": q_semdedup_check_audit,
         "label_propagation": q_label_propagation,
@@ -2550,9 +2565,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_view": q_hopping_view,
         "expect_events": q_expect_events,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "nearest_poi": q_nearest_poi,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
+        "embedding_standardize": q_embedding_standardize,
         "snapshot_regions_quad": q_snapshot_regions_quad,
         "kcenter_select": q_kcenter_select,
         "quality_logit": q_quality_logit,
@@ -2581,7 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_nearest_geohash": q_snapshot_nearest_geohash,
         "dedup_sweep": q_dedup_sweep,
         "contamination_sweep": q_contamination_sweep,
-        "drop_reason_profile": q_drop_reason_profile,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "gopher_rule_impact": q_gopher_rule_impact,
         "source_overlap": q_source_overlap,
         # — OLAP tail (last driver rows r6; next r10 priority) —
@@ -3145,6 +3162,9 @@ def oracle_sql() -> dict[str, str]:
         "expect_events": EXP.expect_sql("events", _EXPECTATIONS),
         "cms_heavy_hitters": SKW.cms_heavy_hitters_sql(
             "events", "json_extract_string(props, '$.k')"),
+        "nearest_poi": SPA.nearest_poi_sql(
+            f"SELECT event_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon"
+            " FROM events", _POIS),
         "proximity_pairs": SPA.proximity_pairs_sql(
             "SELECT DISTINCT epoch_ms(date_trunc('hour', ts)) AS hour_ms,"
             " user_id,"

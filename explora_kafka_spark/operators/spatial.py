@@ -158,3 +158,85 @@ def proximity_pairs_sql(
               + (a.y - n.y) * (a.y - n.y) <= {r2}
         ORDER BY {gsel}, {key}_a, {key}_b
     """
+
+
+def nearest_poi(
+    points: DataFrame,
+    pois: list[tuple[int, float, float]],
+    lat_center_deg: float = 0.0,
+    key: str = "event_id",
+) -> DataFrame:
+    """Geo-enrichment join: tag every point with its nearest POI
+    (point of interest) and the exact integer squared distance — the
+    store-attribution / catchment-area primitive. `pois` is the small
+    dimension side (id, lat, lon), inlined as literals so BOTH the
+    Spark plan and the oracle see identical constants (the cover-
+    literal convention).
+
+    Exactness: the spatial.py projection (planner-inlined constants →
+    integer meters), argmin as min(struct(d2, poi_id)) — lexicographic,
+    so ties break to the smaller POI id, partitioning-independent.
+
+    Output: (key, poi_id, d2_m2), key-ascending.
+
+    100 TB: POIs broadcast (K rows); the join explodes each point to K
+    candidates but the min(struct) aggregate combines MAP-SIDE back to
+    one row per point before any shuffle — one corpus pass, shuffle
+    volume = |points| single rows. For K beyond broadcast size, grid-
+    bucket the POIs (proximity_pairs) instead."""
+    x, y, k_lat, k_lon = _xy_exprs(lat_center_deg)
+    rows = [(int(pid),
+             int(math.floor(plat * k_lat + 0.5)),
+             int(math.floor(plon * k_lon + 0.5)))
+            for pid, plat, plon in pois]
+    spark = points.sparkSession
+    poi_df = spark.createDataFrame(
+        rows, "poi_id bigint, px bigint, py bigint")
+    pt = points.select(F.col(key), F.expr(x).alias("x"),
+                       F.expr(y).alias("y"))
+    return (
+        pt.join(F.broadcast(poi_df))
+        .select(key, F.struct(
+            F.expr("(x - px) * (x - px) + (y - py) * (y - py)")
+            .alias("d2_m2"),
+            F.col("poi_id"),
+        ).alias("c"))
+        .groupBy(key)
+        .agg(F.min("c").alias("c"))
+        .select(key, F.col("c.poi_id").alias("poi_id"),
+                F.col("c.d2_m2").alias("d2_m2"))
+        .orderBy(key)
+    )
+
+
+def nearest_poi_sql(
+    points_sql: str,
+    pois: list[tuple[int, float, float]],
+    lat_center_deg: float = 0.0,
+    key: str = "event_id",
+) -> str:
+    """DuckDB mirror of :func:`nearest_poi`. `points_sql` produces
+    (key, lat, lon)."""
+    x, y, k_lat, k_lon = _xy_exprs(lat_center_deg)
+    vals = ", ".join(
+        f"({int(pid)}, {int(math.floor(plat * k_lat + 0.5))},"
+        f" {int(math.floor(plon * k_lon + 0.5))})"
+        for pid, plat, plon in pois)
+    return f"""
+        WITH pts AS ({points_sql}),
+        px AS (SELECT {key}, {x} AS x, {y} AS y FROM pts),
+        poi(poi_id, px_, py_) AS (VALUES {vals}),
+        scored AS (
+            SELECT p.{key}, poi.poi_id,
+                   (p.x - poi.px_) * (p.x - poi.px_)
+                   + (p.y - poi.py_) * (p.y - poi.py_) AS d2_m2,
+                   row_number() OVER (
+                       PARTITION BY p.{key}
+                       ORDER BY (p.x - poi.px_) * (p.x - poi.px_)
+                                + (p.y - poi.py_) * (p.y - poi.py_) ASC,
+                                poi.poi_id ASC) AS rk
+            FROM px p CROSS JOIN poi
+        )
+        SELECT {key}, poi_id, d2_m2 FROM scored WHERE rk = 1
+        ORDER BY {key}
+    """

@@ -70,3 +70,19 @@ def test_matches_bruteforce_and_repartition_stable(spark):
         for r_ in SP.proximity_pairs(pts.repartition(7),
                                      radius_m=r).collect())
     assert again == got
+
+
+def test_nearest_poi_argmin_and_ties(spark):
+    pois = [(1, 0.0, 0.0), (2, 0.0, 1.0)]
+    pts = spark.createDataFrame(
+        [(10, 0.0, 0.1),   # nearest POI 1
+         (11, 0.0, 0.9),   # nearest POI 2
+         (12, 0.0, 0.5)],  # equidistant -> tie to smaller id
+        "event_id bigint, lat double, lon double")
+    out = {r.event_id: (r.poi_id, r.d2_m2)
+           for r in SP.nearest_poi(pts, pois).collect()}
+    assert out[10][0] == 1 and out[11][0] == 2
+    assert out[12][0] == 1
+    import math
+    assert out[10][1] == (math.floor(0.1 * SP.M_PER_DEG + 0.5)
+                          - math.floor(0.0 * SP.M_PER_DEG + 0.5)) ** 2
