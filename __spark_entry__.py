@@ -1118,6 +1118,14 @@ def q_nearest_poi(spark, sf_dir):
 
 
 
+def q_knn_triangles(spark, sf_dir):
+    """Triangle count + local clustering coefficient per vector over
+    the undirected kNN graph (operators/semdedup.py knn_triangles):
+    oriented wedge joins, exact µunit coefficient."""
+    return SDD.knn_triangles(_emb(spark, sf_dir), 8, 2, 5)
+
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Row-level ingestion dedup (at-least-once → exactly-once): events
     delivered twice (simulated producer retry), deduped on event_id, then
@@ -2553,7 +2561,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_reason_profile": q_drop_reason_profile,
         "semdedup_check": q_semdedup_check,
         "corpus_gate_full": q_corpus_gate_full,
-        "cluster_top_terms": q_cluster_top_terms,
         "semdedup_check_audit": q_semdedup_check_audit,
         "label_propagation": q_label_propagation,
         # — round-9 additions (new entries enter the window on landing,
@@ -2566,9 +2573,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expect_events": q_expect_events,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "nearest_poi": q_nearest_poi,
+        "knn_triangles": q_knn_triangles,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
+        "cluster_top_terms": q_cluster_top_terms,
         "embedding_standardize": q_embedding_standardize,
         "snapshot_regions_quad": q_snapshot_regions_quad,
         "kcenter_select": q_kcenter_select,
@@ -3162,6 +3171,7 @@ def oracle_sql() -> dict[str, str]:
         "expect_events": EXP.expect_sql("events", _EXPECTATIONS),
         "cms_heavy_hitters": SKW.cms_heavy_hitters_sql(
             "events", "json_extract_string(props, '$.k')"),
+        "knn_triangles": SDD.knn_triangles_sql(),
         "nearest_poi": SPA.nearest_poi_sql(
             f"SELECT event_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon"
             " FROM events", _POIS),

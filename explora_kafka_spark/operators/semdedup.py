@@ -1227,3 +1227,121 @@ def knn_hubness_sql(
         ORDER BY in_degree DESC, {key} ASC
         LIMIT {top}
     """
+
+
+def knn_triangles(
+    emb: DataFrame,
+    k_clusters: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Triangle count + local clustering coefficient per vector over
+    the UNDIRECTED kNN graph — the neighborhood-density signal next to
+    hubness: a high coefficient marks a tight near-duplicate clique
+    (members' neighbors know each other), a low one marks a bridge
+    point between topics. Classic MapReduce triangle enumeration:
+    orient each undirected edge low-id → high-id, join wedges
+    (a<b<c with a-b, b-c), probe the third edge (a-c), then credit
+    each corner.
+
+    Output: (key, degree, n_triangles, clustering_mu) for every vector
+    WITH at least one undirected edge, key-ascending; clustering_mu =
+    2e6·triangles DIV (deg·(deg-1)) in exact µunits (0 when deg < 2).
+
+    100 TB: the kNN graph bounds out-degree by k, so undirected degree
+    is k + in-degree — wedge volume Σ deg² stays near-linear unless a
+    hub dominates (knn_hubness is the triage for exactly that; for
+    general graphs orient low-degree → high-degree to bound wedges by
+    O(E^1.5)). Three edge-table equi-joins + one (node) partial-agg
+    shuffle; the graph builds once (per-cluster Arrow kernel)."""
+    g = knn_graph(emb, k_clusters, iters, k, key, vec_col, n_rows)
+    und = (
+        g.select(F.least(F.col(key), F.col("neighbor_id")).alias("a"),
+                 F.greatest(F.col(key), F.col("neighbor_id")).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("v")).unionAll(
+            und.select(F.col("b").alias("v")))
+        .groupBy("v").agg(F.count("*").alias("degree"))
+    )
+    e1 = und.select(F.col("a"), F.col("b"))
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tris.select(F.col("a").alias("v"))
+        .unionAll(tris.select(F.col("b").alias("v")))
+        .unionAll(tris.select(F.col("c").alias("v")))
+        .groupBy("v").agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        deg.join(corners, "v", "left")
+        .select(
+            F.col("v").alias(key),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.expr("CASE WHEN degree < 2 THEN 0 ELSE"
+                   " 2000000 * coalesce(n_triangles, 0)"
+                   " DIV (degree * (degree - 1)) END")
+            .alias("clustering_mu"),
+        )
+        .orderBy(key)
+    )
+
+
+def knn_triangles_sql(
+    table: str = "embeddings",
+    k_clusters: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int = 500,
+) -> str:
+    """DuckDB mirror of :func:`knn_triangles` (the knn_graph CTEs +
+    identical orientation, wedge joins, and µunit coefficient)."""
+    inner = knn_graph_sql(table, k_clusters, iters, k, key, vec_col,
+                          n_rows)
+    return f"""
+        WITH g AS ({inner}),
+        und AS (
+            SELECT DISTINCT least({key}, neighbor_id) AS a,
+                   greatest({key}, neighbor_id) AS b
+            FROM g
+        ),
+        deg AS (
+            SELECT v, count(*) AS degree FROM (
+                SELECT a AS v FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY 1
+        ),
+        tris AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.b
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+            SELECT v, count(*) AS n_triangles FROM (
+                SELECT a AS v FROM tris
+                UNION ALL SELECT b FROM tris
+                UNION ALL SELECT c FROM tris
+            ) GROUP BY 1
+        )
+        SELECT d.v AS {key}, d.degree,
+               coalesce(c.n_triangles, 0) AS n_triangles,
+               CASE WHEN d.degree < 2 THEN 0
+                    ELSE 2000000 * coalesce(c.n_triangles, 0)
+                         // (d.degree * (d.degree - 1)) END
+                   AS clustering_mu
+        FROM deg d LEFT JOIN corners c ON c.v = d.v
+        ORDER BY 1
+    """

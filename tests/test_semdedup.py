@@ -394,3 +394,24 @@ def test_knn_hubness_matches_duckdb_oracle(spark, sf_dir):
     assert got == want
     assert len(got) == 20
     assert got[0][1] >= got[-1][1]
+
+
+def test_knn_triangles_hand_graph(spark):
+    """A 3-clique + a pendant (k=3 kNN in one cluster of 4 close
+    vectors): clique corners close their triangle; coefficient is the
+    exact µunit ratio."""
+    from explora_kafka_spark.operators.semdedup import knn_triangles
+
+    # 4 vectors in one tight cluster (k_clusters=1): ids 0-3.
+    # With k=3 the kNN graph on 4 nodes is complete -> every node has
+    # degree 3, sits in 3 triangles, coefficient = 2*3/(3*2) = 1.
+    emb = spark.createDataFrame(
+        [(i, [1.0 + 0.001 * i, 0.0]) for i in range(4)],
+        "vec_id bigint, embedding array<float>")
+    out = knn_triangles(emb, k_clusters=1, iters=1, k=3).collect()
+    assert [(r.vec_id, r.degree, r.n_triangles, r.clustering_mu)
+            for r in out] == [(i, 3, 3, 1000000) for i in range(4)]
+    # k=1: each node links only its nearest -> path-ish graph, no
+    # triangle, coefficient 0
+    out1 = knn_triangles(emb, k_clusters=1, iters=1, k=1).collect()
+    assert all(r.n_triangles == 0 and r.clustering_mu == 0 for r in out1)
