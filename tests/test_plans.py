@@ -113,6 +113,16 @@ SF_DIR = "/root/testdata/sf0.001"
 #:   B-row bucket-count table only (the unigram_bits constant-attach
 #:   allowance — never onto the corpus); the doc-scoring join is a
 #:   broadcast equi-join on the bucket id.
+#: - hybrid_search composes bm25_search (one-row totals constant-attach)
+#:   with the single-query vector tower — ONE broadcast query vector
+#:   against the corpus scan (ann_topk_brute's deliberate tiny-side
+#:   keyless broadcast); the RRF fusion itself is a ≤pool-row full-outer
+#:   equi-join on the doc key.
+#: - nearest_poi broadcasts the K-row POI dimension keylessly onto the
+#:   point scan (the kmeans-centroid constant-attach, K tiny by
+#:   contract); the argmin folds map-side so the shuffle is one row per
+#:   point. For POI sets beyond broadcast size the operator contract
+#:   says grid-bucket via proximity_pairs instead.
 CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivf", "ann_topk_ivf_indexed",
                  "ann_topk_ivf_filtered", "ann_recall_ivf",
@@ -126,7 +136,7 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "corpus_gate_full", "cluster_top_terms",
                  "semdedup_check_audit", "item_lift",
                  "ann_recall_truncated", "knn_hubness",
-                 "corpus_gate_scored"}
+                 "corpus_gate_scored", "hybrid_search", "nearest_poi"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
