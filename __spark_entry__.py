@@ -1126,6 +1126,34 @@ def q_knn_triangles(spark, sf_dir):
 
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Exact-size weighted sampling without replacement (A-ES top-k by
+    deterministic priority; operators/sampling.py weighted_sample_topk):
+    100 docs weighted by length."""
+    return SMP.weighted_sample_topk(_docs(spark, sf_dir),
+                                    weight_expr="n_chars", k=100)
+
+
+def q_cube_docs(spark, sf_dir):
+    """Native CUBE(lang, source): all four grouping-set combinations in
+    one pass (ROLLUP's lattice twin — SURVEY §2.3 notes the reference
+    hand-rolls its cube; Spark ships the operator). NULL subtotal keys
+    sentinel-coalesced, the rollup_metric_day convention."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.cube("lang", "source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("n_chars"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs", "n_chars",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Row-level ingestion dedup (at-least-once → exactly-once): events
     delivered twice (simulated producer retry), deduped on event_id, then
@@ -2556,8 +2584,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "semantic_groups": q_semantic_groups,
         "semdedup_sweep": q_semdedup_sweep,
-        "pca_project": q_pca_project,
-        "dsir_select": q_dsir_select,
         "drop_reason_profile": q_drop_reason_profile,
         "semdedup_check": q_semdedup_check,
         "corpus_gate_full": q_corpus_gate_full,
@@ -2574,9 +2600,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "nearest_poi": q_nearest_poi,
         "knn_triangles": q_knn_triangles,
+        "weighted_sample": q_weighted_sample,
+        "cube_docs": q_cube_docs,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
+        "pca_project": q_pca_project,
+        "dsir_select": q_dsir_select,
         "cluster_top_terms": q_cluster_top_terms,
         "embedding_standardize": q_embedding_standardize,
         "snapshot_regions_quad": q_snapshot_regions_quad,
@@ -3172,6 +3202,15 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": SKW.cms_heavy_hitters_sql(
             "events", "json_extract_string(props, '$.k')"),
         "knn_triangles": SDD.knn_triangles_sql(),
+        "weighted_sample": SMP.weighted_sample_topk_sql(),
+        "cube_docs": """
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   count(*) AS n_docs, sum(n_chars) AS n_chars
+            FROM documents
+            GROUP BY CUBE (lang, source)
+            ORDER BY 1, 2
+        """,
         "nearest_poi": SPA.nearest_poi_sql(
             f"SELECT event_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon"
             " FROM events", _POIS),

@@ -471,3 +471,73 @@ def curriculum_select_sql(
         WHERE rank <= ceil(n_src * {frac})
         ORDER BY source, rank
     """
+
+
+def weighted_sample_topk(
+    docs: DataFrame,
+    weight_expr: str = "n_chars",
+    k: int = 100,
+    salt: str = "aes",
+    key: str = "doc_id",
+) -> DataFrame:
+    """EXACT-SIZE weighted sampling without replacement (Efraimidis &
+    Spirakis 2006 A-ES): every row draws a deterministic uniform
+    u ∈ (0,1) from md5(salt ‖ key) and takes priority u^(1/w); the k
+    largest priorities ARE a weighted sample without replacement. Where
+    `quality_weighted_sample` keeps each row independently (Bernoulli —
+    output size varies), this returns exactly k rows, the shape a fixed
+    token-budget draw needs.
+
+    Ranking uses the monotone-equivalent ln(u)/w, floored to integer
+    µunits with the row key as tie-break. Determinism: u is a 52-bit
+    dyadic rational (exact in double, identical across engines); ln is
+    the single libm op (the bm25_search last-ulp allowance — a
+    boundary flip needs two priorities within one µunit AND one ulp,
+    ~1e-10 per row). Rows with non-positive weight are excluded (zero
+    weight = never sampled; A-ES domain).
+
+    Output: (key, weight, priority_mu, rank), rank 1..k by priority
+    desc. 100 TB: one projection + TakeOrdered top-k — no shuffle
+    beyond the k-row merge."""
+    u = (f"(CAST(conv(substring(md5(concat('{salt}',"
+         f" CAST({key} AS STRING))), 1, 13), 16, 10) AS DOUBLE) + 0.5)"
+         f" / 4503599627370496.0")
+    w = f"CAST(({weight_expr}) AS DOUBLE)"
+    pri = f"CAST(floor(1e6 * ln({u}) / ({w})) AS BIGINT)"
+    from pyspark.sql.window import Window
+
+    ranked = (
+        docs.filter(F.expr(f"({weight_expr}) > 0"))
+        .select(F.col(key), F.expr(weight_expr).alias("weight"),
+                F.expr(pri).alias("priority_mu"))
+        .orderBy(F.col("priority_mu").desc(), F.col(key).asc())
+        .limit(k)
+    )
+    w2 = Window.orderBy(F.col("priority_mu").desc(), F.col(key).asc())
+    return ranked.withColumn("rank", F.row_number().over(w2))
+
+
+def weighted_sample_topk_sql(
+    table: str = "documents",
+    weight_expr: str = "n_chars",
+    k: int = 100,
+    salt: str = "aes",
+    key: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`weighted_sample_topk`."""
+    u = (f"(CAST(CAST(concat('0x', substr(md5(concat('{salt}',"
+         f" CAST({key} AS VARCHAR))), 1, 13)) AS BIGINT) AS DOUBLE)"
+         f" + 0.5) / 4503599627370496.0")
+    w = f"CAST(({weight_expr}) AS DOUBLE)"
+    pri = f"CAST(floor(1e6 * ln({u}) / ({w})) AS BIGINT)"
+    return f"""
+        SELECT {key}, {weight_expr} AS weight, priority_mu,
+               row_number() OVER (
+                   ORDER BY priority_mu DESC, {key} ASC) AS rank
+        FROM (
+            SELECT {key}, {weight_expr}, {pri} AS priority_mu
+            FROM {table} WHERE ({weight_expr}) > 0
+        )
+        ORDER BY priority_mu DESC, {key} ASC
+        LIMIT {k}
+    """

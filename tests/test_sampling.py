@@ -281,3 +281,31 @@ def test_curriculum_select_is_deterministic_and_subset(spark, sf_dir):
              for r in curriculum_select(docs, frac=0.2).collect()}
     loose = {(r["source"], r["doc_id"]) for r in a}
     assert tight <= loose
+
+
+def test_weighted_sample_topk_exact_size_and_invariants(spark):
+    from explora_kafka_spark.operators.sampling import weighted_sample_topk
+
+    docs = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(60)] + [(100, 0), (101, -5)],
+        "doc_id bigint, n_chars bigint")
+    out = weighted_sample_topk(docs, "n_chars", k=25).collect()
+    # exactly k rows, ranked 1..k, non-positive weights never sampled
+    assert len(out) == 25
+    assert [r["rank"] for r in out] == list(range(1, 26))
+    assert all(r["doc_id"] not in (100, 101) for r in out)
+    pris = [r["priority_mu"] for r in out]
+    assert pris == sorted(pris, reverse=True)
+    # deterministic under repartition
+    again = weighted_sample_topk(docs.repartition(7), "n_chars",
+                                 k=25).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+    # scaling every weight by a constant preserves the selected SET
+    doubled = spark.createDataFrame(
+        [(i, 2 * ((i % 7) + 1)) for i in range(60)],
+        "doc_id bigint, n_chars bigint")
+    sel_a = {r["doc_id"] for r in out}
+    sel_b = {r["doc_id"]
+             for r in weighted_sample_topk(doubled, "n_chars",
+                                           k=25).collect()}
+    assert sel_a == sel_b
