@@ -504,6 +504,7 @@ def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     max_iterations: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Min-label propagation connected components (the groups step that
     turns near-dup PAIRS into dedup GROUPS).
@@ -533,7 +534,51 @@ def connected_components(
     difference between iterating over the duplicate subgraph and
     iterating over the whole corpus.
     """
-    sym = edges.select("doc_a", "doc_b").union(
+    edges = edges.select("doc_a", "doc_b").persist()
+    # Adaptive small-graph path (the COVER_ENUM_LIMIT / kcenter /
+    # bpe_merges precedent: statistic-sized state may visit the
+    # driver): near-dup edge sets are duplicate-subgraph-sized, not
+    # corpus-sized — when the edge count is below the threshold
+    # (200k rows ≈ 3 MB), exact union-find on the driver replaces
+    # ~4-6 distributed rounds × 3 joins each, producing the IDENTICAL
+    # min-label-per-component result (pytest-pinned). The iterative
+    # pointer-jumping path below remains the corpus-scale route and
+    # is exercised directly by tests. The probe count materializes the
+    # cache either way, so neither path pays an extra edge scan.
+    n_dir = edges.count()
+    if n_dir <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        pairs = edges.collect()
+        edges.unpersist()
+        for row in pairs:
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                # union by MIN label so roots are component minima
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        members = sorted({v for row in pairs for v in (row[0], row[1])})
+        lab = [(int(v), int(find(v))) for v in members]
+        spark = nodes.sparkSession
+        labdf = spark.createDataFrame(lab, "doc_id long, _g long") \
+            if lab else spark.createDataFrame([], "doc_id long, _g long")
+        return (
+            nodes.select("doc_id")
+            .join(F.broadcast(labdf), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("_g"), F.col("doc_id")).alias("group_id"),
+            )
+        )
+    sym = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -594,6 +639,7 @@ def connected_components(
             )
     finally:
         sym.unpersist()
+        edges.unpersist()
     # singletons (no edges) label themselves; endpoints take the
     # converged label
     return (

@@ -418,7 +418,10 @@ def test_connected_components_raises_on_non_convergence(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["doc_id"])
     edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        D.connected_components(nodes, edges, max_iterations=1)
+        # driver_threshold=0 forces the distributed path — the adaptive
+        # union-find fallback handles any graph without iterating
+        D.connected_components(nodes, edges, max_iterations=1,
+                               driver_threshold=0)
 
 
 def test_connected_components_matches_union_find_on_random_graph(spark):
@@ -456,7 +459,8 @@ def test_connected_components_matches_union_find_on_random_graph(spark):
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
     edges = spark.createDataFrame(edges_py, ["doc_a", "doc_b"])
     got = {r["doc_id"]: r["group_id"]
-           for r in D.connected_components(nodes, edges).collect()}
+           for r in D.connected_components(nodes, edges,
+                                           driver_threshold=0).collect()}
     assert got == want
 
 
@@ -1086,3 +1090,23 @@ def test_hybrid_search_fuses_both_towers(spark):
                               ["cat", "dog"], query_id=0, top_k=4,
                               pool=3).collect()
     assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_connected_components_driver_path_equals_distributed(spark):
+    """The adaptive small-graph union-find and the distributed
+    pointer-jumping loop produce identical min-label components."""
+    from explora_kafka_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 10), (50, 50)],
+        "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 30, 50, 99]], "doc_id long")
+    small = {(r.doc_id, r.group_id) for r in
+             connected_components(nodes, edges).collect()}
+    big = {(r.doc_id, r.group_id) for r in
+           connected_components(nodes, edges,
+                                driver_threshold=0).collect()}
+    want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (30, 10),
+            (50, 50), (99, 99)}
+    assert small == want and big == want
