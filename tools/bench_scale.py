@@ -77,6 +77,11 @@ HEADLINE = [
     "quality_logit", "filter_pipeline_full", "metric_trend",
     "zorder_layout", "item_lift", "trending_items",
     "ann_recall_truncated", "snapshot_regions_quad",
+    # round-9 wave: retrieval fusion, spatial joins, media dedup,
+    # sketches, quality gate, graph metrics, kernelized kNN
+    "hybrid_search", "proximity_pairs", "nearest_poi", "media_phash",
+    "phash_near_dup", "expect_events", "cms_heavy_hitters",
+    "knn_triangles", "weighted_sample", "cube_docs", "knn_graph",
 ]
 
 
@@ -144,10 +149,39 @@ def _q_knn_hubness_rekeyed(spark, sf_dir):
 
 #: probe-only entry replacements (re-keying etc.); measurement twins,
 #: not correctness entries
+def _q_knn_graph_rekeyed(spark, sf_dir):
+    """knn_graph with the semantic_dedup re-key + k_clusters=64 sizing
+    (dense-id stride contract; same rationale as the other overrides)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from explora_kafka_spark.operators import semdedup as SDD
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .alias("vec_id"), "embedding")
+    return SDD.knn_graph(emb, k_clusters=64, iters=2, k=5)
+
+
+def _q_knn_triangles_rekeyed(spark, sf_dir):
+    """knn_triangles with the same re-key + k_clusters=64 sizing."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from explora_kafka_spark.operators import semdedup as SDD
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .alias("vec_id"), "embedding")
+    return SDD.knn_triangles(emb, k_clusters=64, iters=2, k=5)
+
+
 OVERRIDES = {"semantic_dedup": _q_semantic_dedup_rekeyed,
              "semantic_groups": _q_semantic_groups_rekeyed,
              "label_propagation": _q_label_propagation_rekeyed,
-             "knn_hubness": _q_knn_hubness_rekeyed}
+             "knn_hubness": _q_knn_hubness_rekeyed,
+             "knn_graph": _q_knn_graph_rekeyed,
+             "knn_triangles": _q_knn_triangles_rekeyed}
 
 
 def generate(spark) -> None:
