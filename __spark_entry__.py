@@ -1154,6 +1154,59 @@ def q_cube_docs(spark, sf_dir):
 
 
 
+_SESSIONV: dict[str, str] = {}  # sf_dir → finalized native-session output
+
+
+def q_session_view(spark, sf_dir):
+    """NATIVE session windows (F.session_window, 30-min gap): the third
+    streaming window shape next to tumbling and hopping
+    (streaming/windowed.py session_view). Streamed with availableNow
+    (single micro-batch, the windowed_base_view convention); append
+    mode emits sessions whose end the final watermark passed. The
+    oracle is the gaps-and-islands batch SQL with the identical
+    boundary (a gap of EXACTLY the session gap still MERGES — windows
+    [ts, ts+gap) merge when touching, pinned by
+    tests/test_streaming.py) and end = last event + gap."""
+    from explora_kafka_spark.streaming.windowed import session_view
+
+    configure(spark)
+    if sf_dir not in _SESSIONV:
+        ev = load_table(spark, sf_dir, "events")
+        d = tempfile.mkdtemp(prefix="explora_sessionv_")
+        _TMPDIRS.append(d)
+        src_dir = f"{d}/src"
+        ev.select("user_id", "ts", "value").write.parquet(src_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema).parquet(src_dir)
+        out = session_view(stream, gap="30 minutes",
+                           watermark="0 seconds")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{d}/out")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _SESSIONV[sf_dir] = f"{d}/out"
+    v = spark.read.parquet(_SESSIONV[sf_dir])
+    return v.select(
+        "user_id",
+        ts_ms_col("session_start").alias("start_ms"),
+        ts_ms_col("session_end").alias("end_ms"),
+        "n_events", _r6("sum_value").alias("sum_value"),
+    ).orderBy("user_id", "start_ms")
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) fingerprints: rightmost-min of each w-hash
+    window folded into one integer window MIN
+    (operators/text.py winnow_fingerprints)."""
+    return T.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Row-level ingestion dedup (at-least-once → exactly-once): events
     delivered twice (simulated producer retry), deduped on event_id, then
@@ -2573,14 +2626,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "retention_sweep": q_retention_sweep,
         "epoch_upsample": q_epoch_upsample,
-        "bigram_bits": q_bigram_bits,
         "snapshot_polygon_quad": q_snapshot_polygon_quad,
         "snapshot_polygon_geohash": q_snapshot_polygon_geohash,
         "history_polygon_quad": q_history_polygon_quad,
         "history_polygon_geohash": q_history_polygon_geohash,
         "source_dedup_profile": q_source_dedup_profile,
         "semantic_dedup": q_semantic_dedup,
-        "dsir_weights": q_dsir_weights,
         "knn_graph": q_knn_graph,
         "semantic_groups": q_semantic_groups,
         "semdedup_sweep": q_semdedup_sweep,
@@ -2602,9 +2653,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_triangles": q_knn_triangles,
         "weighted_sample": q_weighted_sample,
         "cube_docs": q_cube_docs,
+        "session_view": q_session_view,
+        "winnow_fingerprints": q_winnow_fingerprints,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
+        "dsir_weights": q_dsir_weights,
+        "bigram_bits": q_bigram_bits,
         "pca_project": q_pca_project,
         "dsir_select": q_dsir_select,
         "cluster_top_terms": q_cluster_top_terms,
@@ -3202,6 +3257,42 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": SKW.cms_heavy_hitters_sql(
             "events", "json_extract_string(props, '$.k')"),
         "knn_triangles": SDD.knn_triangles_sql(),
+        "winnow_fingerprints": T.winnow_fingerprints_sql(),
+        # native session windows: gaps-and-islands with the INCLUSIVE
+        # boundary (session_window merges windows that touch: a gap of
+        # exactly `gap` still merges — pinned by the boundary pytest)
+        # and end = last event + gap; finalized = end <= max event ts
+        # at the final watermark advance
+        "session_view": """
+            WITH e AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN epoch_us(ts)
+                                 - epoch_us(lag(ts) OVER (
+                                       PARTITION BY user_id ORDER BY ts))
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       sum(CASE WHEN brk IS NULL THEN 0 ELSE brk END)
+                           OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM e
+            ),
+            agg AS (
+                SELECT user_id,
+                       epoch_ms(min(ts)) AS start_ms,
+                       epoch_ms(max(ts)) + 1800000 AS end_ms,
+                       count(*) AS n_events,
+                       round(sum(value), 6) AS sum_value
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT user_id, start_ms, end_ms, n_events, sum_value
+            FROM agg
+            WHERE end_ms <= (SELECT epoch_ms(max(ts)) FROM events)
+            ORDER BY 1, 2
+        """,
         "weighted_sample": SMP.weighted_sample_topk_sql(),
         "cube_docs": """
             SELECT coalesce(lang, '<all>') AS lang,

@@ -1144,3 +1144,120 @@ def bpe_pair_counts_sql(table: str = "documents", top_n: int = 50) -> str:
         ORDER BY pair_count DESC, 1, 2
         LIMIT {top_n}
     """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+# local document fingerprinting algorithm)
+# ---------------------------------------------------------------------------
+
+#: positions pack into the low 24 bits of the winnowing composite key
+#: (docs up to 16M chars — contract documented on the operator)
+_WINNOW_POS_BITS = 24
+_WINNOW_POS_MAX = (1 << _WINNOW_POS_BITS) - 1
+#: 39-bit hash keeps h·2^24 + pos inside the BIGINT sign bit
+_WINNOW_HASH_MASK = (1 << 39) - 1
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    key: str = "doc_id",
+) -> DataFrame:
+    """WINNOWING fingerprints per document: hash every char k-gram of
+    the normalized text, slide a w-hash window, and select the
+    RIGHTMOST MINIMAL hash of each window (the MOSS algorithm) — the
+    guarantee-bearing local fingerprint: any shared substring of length
+    ≥ w + k − 1 between two documents yields at least one shared
+    selected fingerprint, while storage is ~2/(w+1) of all k-grams.
+    This is the robust upgrade of the single min-hash `fingerprint`
+    (which a one-char edit near the minimum can flip entirely).
+
+    Determinism without a struct-ordered window: the rightmost-min
+    selection folds into ONE integer key — composite = h39·2²⁴ +
+    (2²⁴−1−pos) — whose plain window MIN is exactly (h asc, pos desc).
+    h39 is the top 39 bits of the md5-derived shingle hash; positions
+    are bounded by the 16M-char document contract. Docs shorter than
+    w + k − 1 chars select their single global minimum (the standard
+    boundary rule); empty normalized docs emit nothing.
+
+    Output: (key, pos, fp) distinct selected fingerprints, ordered —
+    pos is the 1-based k-gram start, fp the 39-bit hash (join-ready
+    for cross-doc overlap detection, the contamination-shingle shape).
+
+    100 TB: one position explode (output-sized: L−k+1 rows/doc), one
+    doc-keyed shuffle for the w-bounded ROWS window, one distinct on
+    the selected rows — all keys well-spread (doc ids)."""
+    n_h = f"greatest(length(_norm) - {k - 1}, 0)"
+    grams = docs.select(
+        F.col(key), norm_col("text").alias("_norm")
+    ).select(
+        key,
+        F.expr(n_h).alias("_n"),
+        F.explode(F.expr(
+            f"CASE WHEN {n_h} < 1 THEN array() "
+            f"ELSE sequence(1, {n_h}) END")).alias("pos"),
+        F.col("_norm"),
+    ).select(
+        key, "_n", "pos",
+        F.expr(
+            f"(CAST(conv(substring(md5(substring(_norm, pos, {k})), 1, 15),"
+            f" 16, 10) AS BIGINT) & {_WINNOW_HASH_MASK}) "
+            f"* {1 << _WINNOW_POS_BITS} + ({_WINNOW_POS_MAX} - pos)"
+        ).alias("_c"),
+    )
+    from pyspark.sql.window import Window
+
+    frame = (
+        Window.partitionBy(key).orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    sel = (
+        grams.withColumn("_minc", F.min("_c").over(frame))
+        .filter(F.col("pos") >= F.least(F.lit(w), F.col("_n")))
+        .select(
+            key,
+            (F.lit(_WINNOW_POS_MAX) - F.col("_minc") % (1 << _WINNOW_POS_BITS))
+            .alias("pos"),
+            F.expr(f"_minc DIV {1 << _WINNOW_POS_BITS}").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel.orderBy(key, "pos")
+
+
+def winnow_fingerprints_sql(
+    table: str = "documents",
+    k: int = 8,
+    w: int = 4,
+    key: str = "doc_id",
+) -> str:
+    """DuckDB mirror of :func:`winnow_fingerprints` (identical composite
+    key, window frame, and boundary rule)."""
+    norm = norm_sql("text")
+    n_h = f"greatest(length(_norm) - {k - 1}, 0)"
+    return f"""
+        WITH n AS (SELECT {key}, {norm} AS _norm FROM {table}),
+        grams AS (
+            SELECT {key}, {n_h} AS _n, u.pos,
+                   (CAST(concat('0x', substr(md5(substr(_norm, u.pos, {k})),
+                                1, 15)) AS BIGINT) & {_WINNOW_HASH_MASK})
+                   * {1 << _WINNOW_POS_BITS}
+                   + ({_WINNOW_POS_MAX} - u.pos) AS _c
+            FROM n, unnest(range(1, {n_h} + 1)) AS u(pos)
+        ),
+        win AS (
+            SELECT {key}, _n, pos,
+                   min(_c) OVER (PARTITION BY {key} ORDER BY pos
+                                 ROWS BETWEEN {w - 1} PRECEDING
+                                 AND CURRENT ROW) AS _minc
+            FROM grams
+        )
+        SELECT DISTINCT {key},
+               {_WINNOW_POS_MAX} - (_minc % {1 << _WINNOW_POS_BITS}) AS pos,
+               _minc // {1 << _WINNOW_POS_BITS} AS fp
+        FROM win
+        WHERE pos >= least({w}, _n)
+        ORDER BY 1, 2
+    """

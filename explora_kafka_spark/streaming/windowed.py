@@ -197,3 +197,42 @@ def hopping_base_view(
             "count", "sum",
         )
     )
+
+
+def session_view(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """NATIVE session windows per user (`F.session_window`): the third
+    window shape next to tumbling (`windowed_base_view`) and hopping
+    (`hopping_base_view`) — Spark merges per-user event-time windows
+    that overlap within `gap` into one dynamic session and finalizes it
+    once the watermark passes its end. Semantically the
+    streaming/sessions.py gap sessionizer (same gap rule, same
+    finalization), expressed with the built-in operator instead of
+    applyInPandasWithState — zero Python in the state path, so this is
+    the preferred form when per-event custom state logic isn't needed.
+
+    Output per finalized session: user_id, session start/end, n_events,
+    sum_value. State: one row per OPEN (user, session) window, merged
+    by the engine, watermark-bounded — identical cost shape to the
+    custom operator, minus the Python worker round-trip.
+
+    Batch twin: the same code runs on a static DataFrame (session_window
+    works in batch), which is what the oracle checks."""
+    events_stream = ensure_event_time(events_stream, "ts")
+    if events_stream.isStreaming:
+        events_stream = events_stream.withWatermark("ts", watermark)
+    return (
+        events_stream
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )

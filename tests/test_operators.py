@@ -1110,3 +1110,36 @@ def test_connected_components_driver_path_equals_distributed(spark):
     want = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (30, 10),
             (50, 50), (99, 99)}
     assert small == want and big == want
+
+
+def test_winnow_fingerprints_hand_example_and_guarantee(spark):
+    """Winnowing: shared substrings of length >= w+k-1 share a selected
+    fingerprint; rightmost-min tie-break; short docs select their
+    global min; deterministic under repartition."""
+    from explora_kafka_spark.operators.text import winnow_fingerprints
+
+    base = "the winnowing algorithm selects robust fingerprints"
+    docs = spark.createDataFrame(
+        [(1, base),
+         (2, "PREFIX " + base + " SUFFIX"),   # shares a long substring
+         (3, "zz")],                          # shorter than k
+        "doc_id bigint, text string")
+    out = winnow_fingerprints(docs, k=8, w=4)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # guarantee: docs 1 and 2 share at least one fingerprint
+    assert by_doc[1] & by_doc[2]
+    # doc 3 has no k-gram at all -> no rows
+    assert 3 not in by_doc
+    # storage is sparse: far fewer fingerprints than k-grams
+    assert len(by_doc[1]) < len(base) - 7
+    again = winnow_fingerprints(docs.repartition(5), k=8, w=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    # a doc with >=1 k-gram but fewer than w hashes still selects its
+    # global minimum (exactly one fingerprint)
+    short = spark.createDataFrame([(9, "abcdefghi")],
+                                  "doc_id bigint, text string")
+    srows = winnow_fingerprints(short, k=8, w=4).collect()
+    assert len(srows) == 1

@@ -769,3 +769,42 @@ def test_hopping_window_covers_and_finalizes(spark, tmp_path):
         ("00", 2, 3.0),        # [00:00, 02:00): events 1+2
         ("01", 1, 2.0),        # [01:00, 03:00): event 2
     }
+
+
+def test_native_session_window_gap_boundary_and_finalize(spark, tmp_path):
+    """F.session_window: a gap exactly equal to the session gap still
+    MERGES (touching [t, t+gap) windows coalesce — the inclusive
+    boundary the oracle mirrors); one second beyond the gap SPLITS;
+    append mode emits only sessions whose end the watermark passed."""
+    import explora_kafka_spark.streaming.windowed as W
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),   # same session (10 min < 30)
+        (1, "2024-01-01 00:40:00", 4.0),   # exactly 30 min -> MERGES
+        (1, "2024-01-01 01:10:01", 6.0),   # 30 min 1 s -> NEW session
+        (2, "2024-01-01 02:00:00", 8.0),   # advances the watermark
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "user_id bigint, ts_s string, value double") \
+        .selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value") \
+        .write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = W.session_view(stream, gap="30 minutes", watermark="0 seconds")
+    q = (out.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.user_id, r.session_start.strftime("%H:%M"),
+            r.session_end.strftime("%H:%M"), r.n_events, float(r.sum_value))
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    # user 1: [00:00, 01:10) (3 events — the exact-gap event merged)
+    # and [01:10:01, 01:40:01) (1 event) — both finalized by 02:00.
+    # user 2's own session ends 02:30 > 02:00 -> still open, absent.
+    assert got == {
+        (1, "00:00", "01:10", 3, 7.0),
+        (1, "01:10", "01:40", 1, 6.0),
+    }
