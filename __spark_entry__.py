@@ -1207,6 +1207,14 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 
+def q_ann_topk_mmr(spark, sf_dir):
+    """Diversified top-k (max-marginal-relevance in exact integer L2):
+    pool = 40 nearest to vec 0, greedy relevance-vs-diversity picks
+    (operators/similarity.py ann_topk_mmr)."""
+    return S.ann_topk_mmr(_emb(spark, sf_dir), query_id=0, pool=40, k=8)
+
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Row-level ingestion dedup (at-least-once → exactly-once): events
     delivered twice (simulated producer retry), deduped on event_id, then
@@ -2618,7 +2626,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top_component": q_pca_top_component,
         "local_supplier_volume": q_local_supplier_volume,
         "interpolate_hour": q_interpolate_hour,
-        "metric_histogram": q_metric_histogram,
         "metric_day_percentiles": q_metric_day_percentiles,
         "group_aware_split": q_group_aware_split,
         "quality_weighted_sample": q_quality_weighted_sample,
@@ -2655,9 +2662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_docs": q_cube_docs,
         "session_view": q_session_view,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "ann_topk_mmr": q_ann_topk_mmr,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
+        "metric_histogram": q_metric_histogram,
         "dsir_weights": q_dsir_weights,
         "bigram_bits": q_bigram_bits,
         "pca_project": q_pca_project,
@@ -3258,6 +3267,7 @@ def oracle_sql() -> dict[str, str]:
             "events", "json_extract_string(props, '$.k')"),
         "knn_triangles": SDD.knn_triangles_sql(),
         "winnow_fingerprints": T.winnow_fingerprints_sql(),
+        "ann_topk_mmr": S.ann_topk_mmr_sql(query_id=0, pool=40, k=8),
         # native session windows: gaps-and-islands with the INCLUSIVE
         # boundary (session_window merges windows that touch: a gap of
         # exactly `gap` still merges — pinned by the boundary pytest)

@@ -1957,3 +1957,139 @@ def ann_recall_truncated_sql(
         LEFT JOIN hits ON q.query_id = hits.query_id
         ORDER BY q.query_id
     """
+
+
+def ann_topk_mmr(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    pool: int = 40,
+    k: int = 8,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DIVERSIFIED top-k (max-marginal-relevance, Carbonell & Goldstein
+    1998, in the exact-integer L2 house flavor): take the `pool`
+    nearest candidates to the query, then greedily pick k of them —
+    first the nearest, then repeatedly the candidate maximizing
+    (distance-to-nearest-SELECTED − distance-to-query), ties to the
+    smaller id. The relevance/diversity trade the plain top-k lacks:
+    a clump of near-duplicate neighbors yields one representative, not
+    k copies (the retrieval-time complement of SemDeDup, and
+    kcenter_select restricted to a query's neighborhood).
+
+    All µunit² BIGINT distances (no floats) → bit-exact on both
+    engines. Output: (rank, key, d2q_mu, minred_mu) rank-ascending;
+    minred_mu = exact squared distance to the nearest earlier pick
+    (-1 for the rank-1 seed, the kcenter convention).
+
+    100 TB: the pool selection is the distributed stage — a per-row
+    codegen d2 against the LITERAL query vector (no join) + TakeOrdered
+    to `pool` rows; the greedy runs on that statistic-sized pool
+    driver-side (the kcenter/bpe_merges precedent)."""
+    mu_expr = ("transform({v}, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6"
+               " + 0.5) AS BIGINT))").format(v=vec_col)
+    mu = embeddings.select(F.col(key).alias("vid"),
+                           F.expr(mu_expr).alias("m"))
+    qrow = mu.filter(F.col("vid") == query_id).select("m").first()
+    qm = [int(x) for x in qrow["m"]]
+    d2q = " + ".join(f"(m[{i}] - ({c})) * (m[{i}] - ({c}))"
+                     for i, c in enumerate(qm))
+    cands = (
+        mu.filter(F.col("vid") != query_id)
+        .select("vid", "m", F.expr(f"CAST({d2q} AS BIGINT)").alias("d2q"))
+        .orderBy(F.col("d2q").asc(), F.col("vid").asc())
+        .limit(pool)
+        .collect()
+    )
+    # exact-integer greedy over the statistic-sized pool
+    remaining = [(int(r["vid"]), [int(x) for x in r["m"]], int(r["d2q"]))
+                 for r in cands]
+    picked = []
+    minred = {vid: None for vid, _, _ in remaining}
+
+    def _d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    while remaining and len(picked) < k:
+        if not picked:
+            best = min(remaining, key=lambda t: (t[2], t[0]))
+        else:
+            best = max(remaining,
+                       key=lambda t: (minred[t[0]] - t[2], -t[0]))
+        picked.append((len(picked) + 1, best[0], best[2],
+                       minred[best[0]]))
+        remaining = [t for t in remaining if t[0] != best[0]]
+        for vid, m, _ in remaining:
+            d = _d2(m, best[1])
+            if minred[vid] is None or d < minred[vid]:
+                minred[vid] = d
+    rows = [(rank, vid, d2q_,
+             -1 if mr is None else int(mr))
+            for (rank, vid, d2q_, mr) in picked]
+    return embeddings.sparkSession.createDataFrame(
+        rows, f"rank int, {key} bigint, d2q_mu bigint, minred_mu bigint"
+    ).orderBy("rank")
+
+
+def ann_topk_mmr_sql(
+    table: str = "embeddings",
+    query_id: int = 0,
+    pool: int = 40,
+    k: int = 8,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = DIM,
+) -> str:
+    """DuckDB mirror of :func:`ann_topk_mmr` (pool CTE + one unrolled
+    (pick, distance-update) pair per greedy step — the
+    kcenter_select_sql pattern)."""
+    d2 = ("list_sum([ (a.m[i] - b.m[i]) * (a.m[i] - b.m[i])"
+          " FOR i IN range(1, len(a.m) + 1) ])")
+    ctes = [
+        f"""mu AS (
+            SELECT {key} AS vid,
+                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                    FOR x IN {vec_col}] AS m
+            FROM {table}
+        )""",
+        f"""qv AS (SELECT m FROM mu WHERE vid = {query_id})""",
+        f"""pool AS (
+            SELECT a.vid, a.m,
+                   CAST({d2.replace('b.m', 'q.m')} AS BIGINT) AS d2q
+            FROM mu a, qv q
+            WHERE a.vid != {query_id}
+            ORDER BY d2q ASC, vid ASC LIMIT {pool}
+        )""",
+        """p1 AS (
+            SELECT vid, m, d2q, CAST(-1 AS BIGINT) AS minred
+            FROM pool ORDER BY d2q ASC, vid ASC LIMIT 1
+        )""",
+        f"""r1 AS (
+            SELECT a.vid, a.m, a.d2q,
+                   CAST({d2.replace('a.m', 'c.m').replace('b.m', 'p.m')}
+                        AS BIGINT) AS minred
+            FROM pool a, p1 p, LATERAL (SELECT a.m) c(m)
+            WHERE a.vid != p.vid
+        )""",
+    ]
+    rows = ["SELECT 1 AS rank, vid, d2q, minred FROM p1"]
+    for r in range(2, k + 1):
+        ctes.append(f"""p{r} AS (
+            SELECT vid, m, d2q, minred FROM r{r - 1}
+            ORDER BY (minred - d2q) DESC, vid ASC LIMIT 1
+        )""")
+        rows.append(f"SELECT {r} AS rank, vid, d2q, minred FROM p{r}")
+        if r < k:
+            ctes.append(f"""r{r} AS (
+                SELECT a.vid, a.m, a.d2q,
+                       least(a.minred,
+                             CAST({d2.replace('a.m', 'c.m')
+                                     .replace('b.m', 'p.m')} AS BIGINT))
+                           AS minred
+                FROM r{r - 1} a, p{r} p, LATERAL (SELECT a.m) c(m)
+                WHERE a.vid != p.vid
+            )""")
+    union = " UNION ALL ".join(rows)
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT rank, vid AS {key}, d2q AS d2q_mu, minred AS minred_mu
+        FROM ({union}) ORDER BY rank""")

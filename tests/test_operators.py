@@ -1143,3 +1143,28 @@ def test_winnow_fingerprints_hand_example_and_guarantee(spark):
                                   "doc_id bigint, text string")
     srows = winnow_fingerprints(short, k=8, w=4).collect()
     assert len(srows) == 1
+
+
+def test_ann_topk_mmr_diversifies(spark):
+    """MMR: a clump of near-duplicates near the query yields ONE
+    representative before farther-but-diverse points; plain top-k
+    would return the whole clump first."""
+    from explora_kafka_spark.operators import similarity as S
+
+    # query at origin-ish; ids 1-3 a tight clump very near the query;
+    # ids 10, 11 farther but in different directions
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]),
+         (1, [0.10, 0.0]), (2, [0.11, 0.0]), (3, [0.12, 0.0]),
+         (10, [0.0, 0.5]), (11, [-0.5, 0.0])],
+        "vec_id bigint, embedding array<float>")
+    out = S.ann_topk_mmr(emb, query_id=0, pool=5, k=3).collect()
+    ranked = [r.vec_id for r in out]
+    # rank 1 = nearest (1); rank 2-3 prefer the diverse far points over
+    # the clump-mates 2 and 3
+    assert ranked[0] == 1
+    assert set(ranked[1:]) == {10, 11}
+    # exact integers: rank-1 minred sentinel, others = true d2 to the
+    # nearest earlier pick
+    assert out[0].minred_mu == -1
+    assert all(r.minred_mu > 0 for r in out[1:])
