@@ -557,19 +557,30 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        pairs = edges.collect()
+        # Arrow both ways: toPandas for the collect and a pandas frame
+        # for the label table — a Python-tuple createDataFrame of ~10^5
+        # label rows costs seconds of serialization (measured at the
+        # sf1 probe), the Arrow path is ~free
+        pdf = edges.toPandas()
         edges.unpersist()
-        for row in pairs:
-            ra, rb = find(row[0]), find(row[1])
+        ea = pdf["doc_a"].tolist()
+        eb = pdf["doc_b"].tolist()
+        for va, vb in zip(ea, eb):
+            ra, rb = find(va), find(vb)
             if ra != rb:
                 # union by MIN label so roots are component minima
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        members = sorted({v for row in pairs for v in (row[0], row[1])})
-        lab = [(int(v), int(find(v))) for v in members]
+        members = sorted(set(ea) | set(eb))
+        import pandas as _pd
+
+        lab_pdf = _pd.DataFrame({
+            "doc_id": _pd.array(members, dtype="int64"),
+            "_g": _pd.array([find(v) for v in members], dtype="int64"),
+        })
         spark = nodes.sparkSession
-        labdf = spark.createDataFrame(lab, "doc_id long, _g long") \
-            if lab else spark.createDataFrame([], "doc_id long, _g long")
+        labdf = spark.createDataFrame(lab_pdf) if members else \
+            spark.createDataFrame([], "doc_id long, _g long")
         return (
             nodes.select("doc_id")
             .join(F.broadcast(labdf), "doc_id", "left")
