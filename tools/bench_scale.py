@@ -149,6 +149,21 @@ def _q_knn_hubness_rekeyed(spark, sf_dir):
 
 #: probe-only entry replacements (re-keying etc.); measurement twins,
 #: not correctness entries
+def _q_ann_recall_truncated_budgeted(spark, sf_dir):
+    """ann_recall_truncated with a FIXED query budget: the registry
+    entry picks queries as a fixed FRACTION (vec_id % 50), which makes
+    the brute audit quadratic under scale-up (queries × corpus both
+    grow). A production audit fixes the query COUNT — query_mod scales
+    with the corpus here (×10 at sf1 ⇒ same ~40 queries), so the probe
+    ratio reflects corpus growth only. The sf0.1/sf0.01 entries are
+    untouched (driver rows unaffected)."""
+    from explora_kafka_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qm = max(1, emb.count() // 40)  # ~40 query ids at every scale
+    return S.ann_recall_truncated(emb, query_mod=qm)
+
+
 def _q_knn_graph_rekeyed(spark, sf_dir):
     """knn_graph with the semantic_dedup re-key + k_clusters=64 sizing
     (dense-id stride contract; same rationale as the other overrides)."""
@@ -181,7 +196,8 @@ OVERRIDES = {"semantic_dedup": _q_semantic_dedup_rekeyed,
              "label_propagation": _q_label_propagation_rekeyed,
              "knn_hubness": _q_knn_hubness_rekeyed,
              "knn_graph": _q_knn_graph_rekeyed,
-             "knn_triangles": _q_knn_triangles_rekeyed}
+             "knn_triangles": _q_knn_triangles_rekeyed,
+             "ann_recall_truncated": _q_ann_recall_truncated_budgeted}
 
 
 def generate(spark) -> None:
