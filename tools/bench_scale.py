@@ -164,6 +164,27 @@ def _q_ann_recall_truncated_budgeted(spark, sf_dir):
     return S.ann_recall_truncated(emb, query_mod=qm)
 
 
+def _q_ann_topk_pq_budgeted(spark, sf_dir):
+    """ann_topk_pq with the fixed ~40-query budget (the
+    ann_recall_truncated override's rationale: serving cost per query
+    is the scaling metric; the registry's fixed query FRACTION would
+    make the probe quadratic)."""
+    from explora_kafka_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qm = max(1, emb.count() // 40)
+    return S.ann_topk_pq(emb, query_mod=qm)
+
+
+def _q_ann_topk_ivf_budgeted(spark, sf_dir):
+    """ann_topk_ivf with the fixed ~40-query budget (same rationale)."""
+    from explora_kafka_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qm = max(1, emb.count() // 40)
+    return S.ann_topk_ivf(emb, query_mod=qm)
+
+
 def _q_knn_graph_rekeyed(spark, sf_dir):
     """knn_graph with the semantic_dedup re-key + k_clusters=64 sizing
     (dense-id stride contract; same rationale as the other overrides)."""
@@ -197,7 +218,9 @@ OVERRIDES = {"semantic_dedup": _q_semantic_dedup_rekeyed,
              "knn_hubness": _q_knn_hubness_rekeyed,
              "knn_graph": _q_knn_graph_rekeyed,
              "knn_triangles": _q_knn_triangles_rekeyed,
-             "ann_recall_truncated": _q_ann_recall_truncated_budgeted}
+             "ann_recall_truncated": _q_ann_recall_truncated_budgeted,
+             "ann_topk_pq": _q_ann_topk_pq_budgeted,
+             "ann_topk_ivf": _q_ann_topk_ivf_budgeted}
 
 
 def generate(spark) -> None:
