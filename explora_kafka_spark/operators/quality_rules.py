@@ -231,18 +231,11 @@ def ngram_repetition_sql(
 # ---------------------------------------------------------------------------
 
 
-def gopher_rules(docs: DataFrame) -> DataFrame:
-    """Per-document MassiveText word-level quality flags.
-
-    Signals: n_words, mean_word_len (chars excluding separating spaces /
-    words), symbol_ratio ((``#`` chars + ``...`` occurrences) / words),
-    alpha_word_frac (words containing ≥ 1 [a-z]), n_stopwords. Flags:
-    each signal against the module thresholds, plus ``passes_gopher`` =
-    AND of all. A pretraining filter keeps ``passes_gopher`` docs;
-    the per-rule flags make rejections auditable.
-
-    Shuffle-free projection — whole-stage codegen end to end.
-    """
+def _gopher_signal_cols() -> dict:
+    """The MassiveText word-level signals as named composable Columns —
+    the single source of truth shared by `gopher_rules` and the fused
+    admission pipeline (`_verdict_base`), so their values can never
+    diverge."""
     toks = tokens_col("text")
     norm = norm_col("text")
     n_words = F.size(toks)
@@ -260,23 +253,51 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         alpha_words / F.greatest(n_words, F.lit(1)), 6
     )
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    sig = docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        alpha_frac.alias("alpha_word_frac"),
-        n_stop.alias("n_stopwords"),
-    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_frac": alpha_frac,
+        "n_stopwords": n_stop,
+    }
+
+
+def _gopher_flag_exprs() -> dict:
+    """Threshold flags over the signal COLUMN NAMES (apply after the
+    signals are materialized as columns) — shared like the signals."""
     ok_words = (F.col("n_words") >= MIN_WORDS) & (
         F.col("n_words") <= MAX_WORDS
     )
     ok_len = (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN) & (
         F.col("mean_word_len") <= MAX_MEAN_WORD_LEN
     )
-    ok_sym = F.col("symbol_ratio") <= MAX_SYMBOL_RATIO
-    ok_alpha = F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRAC
-    ok_stop = F.col("n_stopwords") >= MIN_STOPWORDS
+    return {
+        "ok_word_count": ok_words,
+        "ok_mean_word_len": ok_len,
+        "ok_symbol_ratio": F.col("symbol_ratio") <= MAX_SYMBOL_RATIO,
+        "ok_alpha_frac": F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRAC,
+        "ok_stopwords": F.col("n_stopwords") >= MIN_STOPWORDS,
+    }
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Per-document MassiveText word-level quality flags.
+
+    Signals: n_words, mean_word_len (chars excluding separating spaces /
+    words), symbol_ratio ((``#`` chars + ``...`` occurrences) / words),
+    alpha_word_frac (words containing ≥ 1 [a-z]), n_stopwords. Flags:
+    each signal against the module thresholds, plus ``passes_gopher`` =
+    AND of all. A pretraining filter keeps ``passes_gopher`` docs;
+    the per-rule flags make rejections auditable.
+
+    Shuffle-free projection — whole-stage codegen end to end.
+    """
+    sig = docs.select("doc_id", *[
+        c.alias(n) for n, c in _gopher_signal_cols().items()])
+    flags = _gopher_flag_exprs()
+    ok_words, ok_len = flags["ok_word_count"], flags["ok_mean_word_len"]
+    ok_sym, ok_alpha = flags["ok_symbol_ratio"], flags["ok_alpha_frac"]
+    ok_stop = flags["ok_stopwords"]
     return sig.select(
         "*",
         ok_words.alias("ok_word_count"),
@@ -346,6 +367,49 @@ DUP_FRAC_MAX = {5: 0.15, 10: 0.10}
 PIPELINE_LANG = "en"
 
 
+def _verdict_base(docs: DataFrame, with_classifier: bool = False) -> DataFrame:
+    """ONE corpus scan computing every PROJECTION-stage signal of the
+    admission pipeline — the digest, the language prediction, the
+    Gopher word-level signals, and (optionally) the classifier
+    features — behind an `explode(array(struct(...)))` Generate
+    barrier so each signal evaluates exactly once per row. The old
+    composition ran each stage operator standalone and equi-joined
+    them on doc_id: 6 corpus scans + 5 joins for what are projections
+    over the same text (at 100 TB, 6× the scan IO). The stage
+    OPERATORS are untouched — this shares their signal/flag builders
+    (`_gopher_signal_cols`/`_gopher_flag_exprs`, `text.pred_lang_col`),
+    so the fused verdict is value-identical by construction (and
+    verified by the unchanged oracles)."""
+    from .text import pred_lang_col
+
+    norm = norm_col("text")
+    fields = [
+        F.md5(norm).alias("digest"),
+        pred_lang_col().alias("pred_lang"),
+    ]
+    fields += [c.alias(n) for n, c in _gopher_signal_cols().items()]
+    if with_classifier:
+        fields += [
+            F.length(F.regexp_replace(norm, r"[a-z0-9 ]", ""))
+            .cast("bigint").alias("_pu"),
+            F.length(norm).cast("bigint").alias("_nc"),
+        ]
+    return docs.select("doc_id", *fields)
+
+
+def _ok_repetition(docs: DataFrame) -> DataFrame:
+    """(doc_id, ok_repetition): the one admission stage that is an
+    AGGREGATE (gram explode + per-doc rollup), joined onto the fused
+    projection base."""
+    rep = ngram_repetition(docs)
+    ok_rep = F.lit(True)
+    for n, cap in sorted(TOP_FRAC_MAX.items()):
+        ok_rep = ok_rep & (F.col(f"top_{n}gram_frac") <= cap)
+    for n, cap in sorted(DUP_FRAC_MAX.items()):
+        ok_rep = ok_rep & (F.col(f"dup_{n}gram_frac") <= cap)
+    return rep.select("doc_id", ok_rep.alias("ok_repetition"))
+
+
 def filter_pipeline(docs: DataFrame) -> DataFrame:
     """The composed FineWeb/RefinedWeb-style corpus admission verdict.
 
@@ -357,50 +421,33 @@ def filter_pipeline(docs: DataFrame) -> DataFrame:
     in fixed order ``exact_dup,lang,gopher,repetition``; empty when
     kept).
 
-    Every stage is doc-keyed, so the composition is three equi-joins on
-    doc_id plus the digest window — no new corpus-sized work beyond the
-    stages themselves. At 100 TB each stage's own scale story applies
-    unchanged (see the stage operators); the digest dedup shuffles
-    16-byte md5s, never text.
+    Plan shape (round 9): every projection stage computes in ONE
+    corpus scan (`_verdict_base` — shared signal builders with the
+    standalone stage operators), the digest window adds the
+    first-occurrence flag (16-byte md5 shuffle, never text), and the
+    single join brings in the repetition AGGREGATE — 2 corpus scans +
+    1 doc-keyed join total, down from 6 scans + 5 joins when the
+    stages were composed as standalone operators.
 
     Output (ordered by doc_id): doc_id, keep, drop_reasons.
     """
     from pyspark.sql.window import Window
 
-    from .text import with_lang_id
-
-    g = gopher_rules(docs).select("doc_id", "passes_gopher")
-    rep = ngram_repetition(docs)
-    ok_rep = F.lit(True)
-    for n, cap in sorted(TOP_FRAC_MAX.items()):
-        ok_rep = ok_rep & (F.col(f"top_{n}gram_frac") <= cap)
-    for n, cap in sorted(DUP_FRAC_MAX.items()):
-        ok_rep = ok_rep & (F.col(f"dup_{n}gram_frac") <= cap)
-    r = rep.select("doc_id", ok_rep.alias("ok_repetition"))
-    # with_lang_id echoes the labeled `lang` column; tolerate corpora
-    # that don't carry one (only the prediction matters here)
-    lang_in = (
-        docs
-        if "lang" in docs.columns
-        else docs.withColumn("lang", F.lit(None).cast("string"))
-    )
-    lang = with_lang_id(lang_in).select(
-        "doc_id",
-        (F.col("pred_lang") == PIPELINE_LANG).alias("ok_lang"),
+    base = _verdict_base(docs)
+    flags = _gopher_flag_exprs()
+    passes_gopher = (
+        flags["ok_word_count"] & flags["ok_mean_word_len"]
+        & flags["ok_symbol_ratio"] & flags["ok_alpha_frac"]
+        & flags["ok_stopwords"]
     )
     w = Window.partitionBy("digest")
-    canon = (
-        docs.select("doc_id", F.md5(norm_col("text")).alias("digest"))
-        .withColumn("keep_doc", F.min("doc_id").over(w))
-        .select(
-            "doc_id", (F.col("doc_id") == F.col("keep_doc")).alias("ok_exact")
-        )
+    canon = base.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("ok_exact"),
+        (F.col("pred_lang") == PIPELINE_LANG).alias("ok_lang"),
+        passes_gopher.alias("passes_gopher"),
     )
-    joined = (
-        canon.join(lang, "doc_id")
-        .join(g, "doc_id")
-        .join(r, "doc_id")
-    )
+    joined = canon.join(_ok_repetition(docs), "doc_id")
     keep = (
         F.col("ok_exact") & F.col("ok_lang") & F.col("passes_gopher")
         & F.col("ok_repetition")
@@ -559,28 +606,59 @@ def quality_logit_sql(table: str = "documents") -> str:
 def filter_pipeline_full(docs: DataFrame) -> DataFrame:
     """`filter_pipeline` with the CLASSIFIER tier stacked on — the full
     FineWeb-style stack: exact-dedup × language × Gopher word rules ×
-    repetition × model-based quality (`quality_logit`). One more
-    doc-keyed equi-join and one more reason tag (`classifier`, last in
-    the fixed order); everything else inherits the stage operators'
-    scale stories unchanged.
+    repetition × model-based quality (`quality_logit`'s linear
+    log-odds, one more reason tag `classifier`, last in the fixed
+    order). The classifier features ride the SAME fused projection
+    scan as the other stages (`_verdict_base(with_classifier=True)` —
+    n_words/n_stopwords are shared signals, punctuation/char counts
+    the only extras), so the full five-tier verdict still costs 2
+    corpus scans + 1 doc-keyed join.
 
     Output (ordered by doc_id): doc_id, keep, drop_reasons."""
-    base = filter_pipeline(docs).select(
-        "doc_id", F.col("keep").alias("_k"),
-        F.col("drop_reasons").alias("_r"))
-    clf = quality_logit(docs).select("doc_id", F.col("keep").alias("_ok_clf"))
-    return (
-        base.join(clf, "doc_id")
-        .select(
-            "doc_id",
-            (F.col("_k") & F.col("_ok_clf")).alias("keep"),
-            F.concat_ws(
-                ",", F.when(F.col("_r") != "", F.col("_r")),
-                F.when(~F.col("_ok_clf"), F.lit("classifier")),
-            ).alias("drop_reasons"),
-        )
-        .orderBy("doc_id")
+    from pyspark.sql.window import Window
+
+    base = _verdict_base(docs, with_classifier=True)
+    flags = _gopher_flag_exprs()
+    passes_gopher = (
+        flags["ok_word_count"] & flags["ok_mean_word_len"]
+        & flags["ok_symbol_ratio"] & flags["ok_alpha_frac"]
+        & flags["ok_stopwords"]
     )
+    # quality_logit's exact integer log-odds over the shared signals
+    # (n_words ≡ its token count, n_stopwords ≡ its stopword count)
+    logit = F.expr(f"""CAST(
+        {LOGIT_W0}
+        + {LOGIT_W_STOP} * ((1000000 * CAST(n_stopwords AS BIGINT))
+                            div GREATEST(CAST(n_words AS BIGINT), 1))
+        + {LOGIT_W_PUNCT} * ((1000000 * _pu) div GREATEST(_nc, 1))
+        + {LOGIT_W_LEN} * LEAST(CAST(n_words AS BIGINT), {LOGIT_LEN_CAP})
+        + {LOGIT_W_AWL} * ((1000000 * (_nc - (CAST(n_words AS BIGINT) - 1)))
+                           div GREATEST(CAST(n_words AS BIGINT), 1))
+    AS BIGINT)""")
+    w = Window.partitionBy("digest")
+    canon = base.select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("ok_exact"),
+        (F.col("pred_lang") == PIPELINE_LANG).alias("ok_lang"),
+        passes_gopher.alias("passes_gopher"),
+        (logit >= 0).alias("_ok_clf"),
+    )
+    joined = canon.join(_ok_repetition(docs), "doc_id")
+    keep = (
+        F.col("ok_exact") & F.col("ok_lang") & F.col("passes_gopher")
+        & F.col("ok_repetition") & F.col("_ok_clf")
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(~F.col("ok_exact"), F.lit("exact_dup")),
+        F.when(~F.col("ok_lang"), F.lit("lang")),
+        F.when(~F.col("passes_gopher"), F.lit("gopher")),
+        F.when(~F.col("ok_repetition"), F.lit("repetition")),
+        F.when(~F.col("_ok_clf"), F.lit("classifier")),
+    )
+    return joined.select(
+        "doc_id", keep.alias("keep"), reasons.alias("drop_reasons")
+    ).orderBy("doc_id")
 
 
 def filter_pipeline_full_sql(table: str = "documents") -> str:

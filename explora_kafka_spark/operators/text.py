@@ -128,10 +128,13 @@ def text_stats_sql(table: str = "documents") -> str:
 # ---------------------------------------------------------------------------
 
 
-def with_lang_id(docs: DataFrame) -> DataFrame:
-    """Predict language by marker-stopword hit counts (argmax; ties break
-    by language code order; zero hits everywhere → 'und')."""
-    toks = tokens_col("text")
+def pred_lang_col(text_col: str = "text") -> Column:
+    """The language-ID prediction as a composable Column (argmax of
+    marker-stopword hit counts; ties break by language code order; zero
+    hits everywhere → 'und') — shared by `with_lang_id` and the fused
+    admission pipeline (quality_rules.filter_pipeline) so the two can
+    never diverge."""
+    toks = tokens_col(text_col)
     langs = sorted(LANG_MARKERS)
 
     def _hits(markers: tuple[str, ...]) -> Column:
@@ -145,8 +148,14 @@ def with_lang_id(docs: DataFrame) -> DataFrame:
         pred = F.when(
             (hits[lang] == best) & (best > 0), F.lit(lang)
         ).otherwise(pred)
+    return pred
+
+
+def with_lang_id(docs: DataFrame) -> DataFrame:
+    """Predict language by marker-stopword hit counts (argmax; ties break
+    by language code order; zero hits everywhere → 'und')."""
     return docs.select("doc_id", F.col("lang").alias("labeled_lang"),
-                       pred.alias("pred_lang"))
+                       pred_lang_col().alias("pred_lang"))
 
 
 def lang_id_sql(table: str = "documents") -> str:
