@@ -1215,6 +1215,45 @@ def q_ann_topk_mmr(spark, sf_dir):
 
 
 
+def q_revenue_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecast revenue change): one scan, every
+    predicate (shipdate year band, discount band, quantity cap) pushed
+    to the parquet scan, a single map-side-combined global sum."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.05)
+        & (F.col("l_quantity") < 24))
+    return li.agg(_r6(F.sum(
+        F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+
+
+def q_priority_late_ships(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking) on the fixture's
+    columns: per order priority, how many orders have AT LEAST ONE
+    line shipped more than 60 days after the order date — the EXISTS
+    semi-join (left-semi on the fact table, never a row-multiplying
+    inner join) + a 5-row priority rollup."""
+    configure(spark)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.expr(
+            "o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Row-level ingestion dedup (at-least-once → exactly-once): events
     delivered twice (simulated producer retry), deduped on event_id, then
@@ -2664,6 +2703,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_topk_mmr": q_ann_topk_mmr,
         # ——— driver cap line (entries below lose their CORRECTNESS row) ———
+        # — round-9 late additions (landed after the window was pinned;
+        #   verified green locally, r10 window per the invariant) —
+        "revenue_q6": q_revenue_q6,
+        "priority_late_ships": q_priority_late_ships,
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
         "metric_histogram": q_metric_histogram,
@@ -3267,6 +3310,24 @@ def oracle_sql() -> dict[str, str]:
             "events", "json_extract_string(props, '$.k')"),
         "knn_triangles": SDD.knn_triangles_sql(),
         "winnow_fingerprints": T.winnow_fingerprints_sql(),
+        "revenue_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.03 AND l_discount <= 0.05
+              AND l_quantity < 24
+        """,
+        "priority_late_ships": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY 1 ORDER BY 1
+        """,
         "ann_topk_mmr": S.ann_topk_mmr_sql(query_id=0, pool=40, k=8),
         # native session windows: gaps-and-islands with the INCLUSIVE
         # boundary (session_window merges windows that touch: a gap of
