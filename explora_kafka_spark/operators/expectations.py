@@ -9,6 +9,10 @@ expectations are how a 100 TB ingest run fails FAST and loudly instead
 of poisoning downstream views — the Great-Expectations/dbt-test shape,
 engine-native.
 
+Reference parity: the reference engine has no data-quality gate (its
+only input validation is the metric whitelist, IngestStream.java:296) —
+this is engine-extension surface per the task brief.
+
 Design: ALL expectations evaluate in ONE corpus scan — each predicate
 becomes a conditional count inside a single aggregate (no per-check
 scans, no shuffles beyond the one partial-agg reduce). Pass fractions
