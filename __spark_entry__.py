@@ -1254,6 +1254,35 @@ def q_priority_late_ships(spark, sf_dir):
 
 
 
+_PHASH_IDX: dict[str, str] = {}  # sf_dir → materialized phash index
+
+
+def q_phash_check(spark, sf_dir):
+    """Incremental media admission check (the media tier of the
+    incremental-index family): batch vs the materialized perceptual-
+    hash index — perturbed twins (3 bytes changed) must flag as dups,
+    byte-reversed payloads as novel (operators/multimodal.py
+    build_phash_index / phash_check)."""
+    configure(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    if sf_dir not in _PHASH_IDX:
+        d = tempfile.mkdtemp(prefix="explora_phashidx_")
+        _TMPDIRS.append(d)
+        _MM.build_phash_index(_MM.media_from_documents(docs), d)
+        _PHASH_IDX[sf_dir] = d
+    probe = docs.filter(F.col("doc_id") % 50 == 0)
+    batch = (
+        probe.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     F.expr("concat('zzz', substr(text, 4))").alias("text"))
+        .unionByName(
+            probe.select((F.col("doc_id") + 2000000).alias("doc_id"),
+                         F.reverse("text").alias("text")))
+    )
+    return _MM.phash_check(spark, _MM.media_from_documents(batch),
+                           _PHASH_IDX[sf_dir])
+
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Row-level ingestion dedup (at-least-once → exactly-once): events
     delivered twice (simulated producer retry), deduped on event_id, then
@@ -2707,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   verified green locally, r10 window per the invariant) —
         "revenue_q6": q_revenue_q6,
         "priority_late_ships": q_priority_late_ships,
+        "phash_check": q_phash_check,
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
         "metric_histogram": q_metric_histogram,
@@ -3305,6 +3335,15 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": PST.bm25_search_sql(terms=_BM25_TERMS),
         "hybrid_search": PST.hybrid_search_sql(terms=_BM25_TERMS),
         "media_phash": _MM.phash_sql(),
+        "phash_check": _MM.phash_check_sql(
+            table="documents", corpus_pred="doc_id < 1000000",
+            batch_sql="SELECT doc_id + 1000000 AS doc_id,"
+                      " 'zzz' || substr(text, 4) AS text"
+                      " FROM documents WHERE doc_id % 50 = 0"
+                      " UNION ALL"
+                      " SELECT doc_id + 2000000 AS doc_id,"
+                      " reverse(text) AS text"
+                      " FROM documents WHERE doc_id % 50 = 0"),
         "expect_events": EXP.expect_sql("events", _EXPECTATIONS),
         "cms_heavy_hitters": SKW.cms_heavy_hitters_sql(
             "events", "json_extract_string(props, '$.k')"),

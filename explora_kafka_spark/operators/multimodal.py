@@ -417,45 +417,47 @@ def phash_near_dup(
     )
 
 
-def _phash_cte(table: str, bits: int = 64) -> str:
+def _phash_cte(table: str, bits: int = 64, sfx: str = "") -> str:
     """Shared DuckDB CTE chain computing (media_id, phash) from the
     documents fixture (ASCII text bytes stand in for the payload, the
     meta_sql convention). Exact-integer block means; HUGEINT bit
-    assembly wrapped to signed 64-bit so xor/bit_count match Spark."""
-    return f"""m AS (
+    assembly wrapped to signed 64-bit so xor/bit_count match Spark.
+    `sfx` suffixes every CTE name so two chains (e.g. index + batch in
+    phash_check_sql) can coexist in one WITH clause."""
+    return f"""m{sfx} AS (
             SELECT doc_id AS media_id, text, length(text) AS L
             FROM {table}
         ),
-        ch AS (
+        ch{sfx} AS (
             SELECT media_id, L,
                    ((u.j - 1) * {bits}) // L AS blk,
                    ascii(substr(text, u.j, 1)) AS v
-            FROM m, unnest(range(1, L + 1)) AS u(j)
+            FROM m{sfx}, unnest(range(1, L + 1)) AS u(j)
         ),
-        tot AS (
+        tot{sfx} AS (
             SELECT media_id, any_value(L) AS L, sum(v) AS total
-            FROM ch GROUP BY media_id
+            FROM ch{sfx} GROUP BY media_id
         ),
-        bsum AS (
+        bsum{sfx} AS (
             SELECT media_id, blk, sum(v) AS s, count(*) AS n
-            FROM ch GROUP BY 1, 2
+            FROM ch{sfx} GROUP BY 1, 2
         ),
-        hraw AS (
+        hraw{sfx} AS (
             SELECT b.media_id,
                    bit_or(CASE WHEN b.s * t.L > t.total * b.n
                           THEN (1::HUGEINT) << ({bits} - 1 - b.blk)
                           ELSE 0::HUGEINT END) AS hh
-            FROM bsum b JOIN tot t USING (media_id)
+            FROM bsum{sfx} b JOIN tot{sfx} t USING (media_id)
             GROUP BY 1
         ),
-        ph AS (
+        ph{sfx} AS (
             SELECT m.media_id,
                    CAST(CASE
                         WHEN hh IS NULL THEN 0::HUGEINT
                         WHEN hh >= CAST('9223372036854775808' AS HUGEINT)
                         THEN hh - CAST('18446744073709551616' AS HUGEINT)
                         ELSE hh END AS BIGINT) AS phash
-            FROM m LEFT JOIN hraw USING (media_id)
+            FROM m{sfx} m LEFT JOIN hraw{sfx} USING (media_id)
         )"""
 
 
@@ -497,4 +499,114 @@ def phash_near_dup_sql(
         FROM cand
         WHERE bit_count(xor(ph_a, ph_b)) <= {hamming_max}
         ORDER BY media_a, media_b
+    """
+
+
+def build_phash_index(media: DataFrame, path: str, bits: int = 64) -> None:
+    """Materialize the media dedup state once per corpus snapshot —
+    the media tier of the incremental-index family (text LSH band
+    buckets in operators/dedup.py, semantic reps in
+    operators/semdedup.py): `{path}/phash` holds (media_id, phash).
+    Without it every incoming batch pays a full corpus re-hash; with
+    it a batch pays its own hashes + one banded equi-join."""
+    media_phash(media, bits=bits).write.mode("overwrite").parquet(
+        f"{path}/phash")
+
+
+def phash_check(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    hamming_max: int = 7,
+    num_bands: int = 8,
+    bits: int = 64,
+) -> DataFrame:
+    """Check an incoming media batch against the materialized
+    perceptual-hash index WITHOUT rescanning the corpus: hash the
+    batch payloads, band both sides, equi-join on (band, val), exact
+    popcount ≤ hamming_max. Pigeonhole recall holds exactly as in
+    `phash_near_dup`. Output (media_id-ascending): media_id, is_dup,
+    match_id — match_id the SMALLEST matching stored id (NULL when
+    novel). Contract: batch ids disjoint from stored ids (the
+    semdedup_check convention).
+
+    100 TB: batch-sized hashing + a banded equi-join against the
+    stored table — per-batch cost independent of corpus size once the
+    index is bucketed/partitioned by band value."""
+    assert num_bands > hamming_max
+    width = bits // num_bands
+    mask = (1 << width) - 1
+    bands = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"(phash >> {i * width}) & {mask}").alias("val"),
+            )
+            for i in range(num_bands)
+        ])
+    )
+    bp = media_phash(batch, bits=bits)
+    banded_b = bp.select("media_id", "phash", bands.alias("b")).select(
+        F.col("media_id"), F.col("phash").alias("ph_b"),
+        "b.band", "b.val")
+    idx = spark.read.parquet(f"{index_path}/phash")
+    banded_i = idx.select("media_id", "phash", bands.alias("b")).select(
+        F.col("media_id").alias("stored_id"),
+        F.col("phash").alias("ph_i"), "b.band", "b.val")
+    hits = (
+        banded_b.join(banded_i, ["band", "val"])
+        .filter(F.expr(f"bit_count(ph_b ^ ph_i) <= {hamming_max}"))
+        .groupBy("media_id")
+        .agg(F.min("stored_id").alias("match_id"))
+    )
+    return (
+        bp.select("media_id").join(hits, "media_id", "left")
+        .select("media_id",
+                F.col("match_id").isNotNull().alias("is_dup"),
+                "match_id")
+        .orderBy("media_id")
+    )
+
+
+def phash_check_sql(
+    table: str = "documents",
+    corpus_pred: str = "doc_id < 1000000",
+    batch_sql: str | None = None,
+    hamming_max: int = 7,
+    num_bands: int = 8,
+    bits: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`phash_check`: the index side is
+    `{table}` rows matching `corpus_pred`; the batch side is
+    `batch_sql` (a query producing (doc_id, text); defaults to the
+    non-corpus rows). Both recomputed from scratch — the
+    dedup_check_batch oracle pattern."""
+    width = bits // num_bands
+    mask = (1 << width) - 1
+    if batch_sql is None:
+        batch_sql = (f"SELECT doc_id, text FROM {table}"
+                     f" WHERE NOT ({corpus_pred})")
+    band_rows = " UNION ALL ".join(
+        f"SELECT media_id, phash, {i} AS band,"
+        f" (phash >> {i * width}) & {mask} AS val FROM {{src}}"
+        for i in range(num_bands)
+    )
+    idx_cte = _phash_cte(
+        f"(SELECT doc_id, text FROM {table} WHERE {corpus_pred}) corpus",
+        bits)
+    batch_cte = _phash_cte(f"({batch_sql}) batch", bits, sfx="2")
+    return f"""
+        WITH {idx_cte},
+        {batch_cte},
+        bb AS ({band_rows.format(src="ph2")}),
+        bi AS ({band_rows.format(src="ph")}),
+        hits AS (
+            SELECT b.media_id, min(i.media_id) AS match_id
+            FROM bb b JOIN bi i ON b.band = i.band AND b.val = i.val
+            WHERE bit_count(xor(b.phash, i.phash)) <= {hamming_max}
+            GROUP BY 1
+        )
+        SELECT p.media_id, h.match_id IS NOT NULL AS is_dup, h.match_id
+        FROM ph2 p LEFT JOIN hits h ON h.media_id = p.media_id
+        ORDER BY 1
     """

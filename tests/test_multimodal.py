@@ -150,3 +150,19 @@ def test_phash_near_dup_finds_perturbed_twin(spark):
     # identical payloads always pair at hamming 0 (pigeonhole recall)
     out2 = M.phash_near_dup(_media_of(spark, [(1, base), (2, base)])).collect()
     assert [(r.media_a, r.media_b, r.hamming) for r in out2] == [(1, 2, 0)]
+
+
+def test_phash_check_flags_twins_passes_novel(spark, tmp_path):
+    base = "the quick brown fox jumps over the lazy dog " * 12
+    corpus = _media_of(spark, [(1, base), (2, "completely different text "
+                                              * 20)])
+    M.build_phash_index(corpus, str(tmp_path / "idx"))
+    batch = _media_of(spark, [
+        (100, "zzz" + base[3:]),                # twin of 1 -> dup
+        (101, "".join(reversed(base))),         # scrambled -> novel
+    ])
+    out = {r.media_id: (r.is_dup, r.match_id)
+           for r in M.phash_check(spark, batch,
+                                  str(tmp_path / "idx")).collect()}
+    assert out[100] == (True, 1)
+    assert out[101] == (False, None)
