@@ -1283,6 +1283,20 @@ def q_phash_check(spark, sf_dir):
 
 
 
+def q_expect_by_source(spark, sf_dir):
+    """Per-source data-quality SLA: the expectations gate keyed on the
+    document source (operators/expectations.py expect_by) — one scan,
+    one source-keyed partial-agg shuffle."""
+    docs = _docs(spark, sf_dir)
+    return EXP.expect_by(docs, "source", [
+        ("text_non_empty", "length(text) > 0", 1000000),
+        ("chars_match", "n_chars = length(text)", 1000000),
+        ("lang_known", "lang IN ('en', 'de', 'fr', 'es', 'it')", 900000),
+        ("reasonable_length", "n_chars BETWEEN 20 AND 10000", 950000),
+    ])
+
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Row-level ingestion dedup (at-least-once → exactly-once): events
     delivered twice (simulated producer retry), deduped on event_id, then
@@ -2737,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_q6": q_revenue_q6,
         "priority_late_ships": q_priority_late_ships,
         "phash_check": q_phash_check,
+        "expect_by_source": q_expect_by_source,
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
         "metric_histogram": q_metric_histogram,
@@ -3345,6 +3360,13 @@ def oracle_sql() -> dict[str, str]:
                       " reverse(text) AS text"
                       " FROM documents WHERE doc_id % 50 = 0"),
         "expect_events": EXP.expect_sql("events", _EXPECTATIONS),
+        "expect_by_source": EXP.expect_by_sql("documents", "source", [
+            ("text_non_empty", "length(text) > 0", 1000000),
+            ("chars_match", "n_chars = length(text)", 1000000),
+            ("lang_known", "lang IN ('en', 'de', 'fr', 'es', 'it')",
+             900000),
+            ("reasonable_length", "n_chars BETWEEN 20 AND 10000", 950000),
+        ]),
         "cms_heavy_hitters": SKW.cms_heavy_hitters_sql(
             "events", "json_extract_string(props, '$.k')"),
         "knn_triangles": SDD.knn_triangles_sql(),

@@ -101,3 +101,73 @@ def expect_sql(
                pass_frac_mu >= min_frac_mu AS ok
         FROM r ORDER BY ord
     """
+
+
+def expect_by(
+    df: DataFrame,
+    group_col: str,
+    expectations: list[Expectation],
+) -> DataFrame:
+    """Per-GROUP expectations — the per-source quality SLA ("every
+    source must keep ≥95% parseable props", "source X must stay in its
+    ts range"): same single-scan design as :func:`expect`, with the
+    aggregate keyed on `group_col` instead of global. Output: one row
+    per (group, expectation), group- then declaration-ordered —
+    (group, name, n_rows, n_pass, pass_frac_mu, min_frac_mu, ok).
+    Empty groups cannot occur (a group exists only via its rows).
+
+    100 TB: one scan + ONE partial-agg shuffle on the group key; the
+    fan-out to per-expectation rows happens on the |groups|-row
+    aggregate, never the corpus."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (_, pred, _) in enumerate(expectations):
+        aggs.append(F.sum(
+            F.when(F.expr(pred), 1).otherwise(0)).alias(f"_p{i}"))
+    row = df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+    entries = [
+        F.struct(
+            F.lit(i).alias("_ord"),
+            F.lit(name).alias("name"),
+            F.col("_n").alias("n_rows"),
+            F.coalesce(F.col(f"_p{i}"), F.lit(0)).alias("n_pass"),
+            F.expr(f"coalesce(_p{i}, 0) * 1000000 DIV _n")
+            .alias("pass_frac_mu"),
+            F.lit(min_mu).alias("min_frac_mu"),
+        )
+        for i, (name, _, min_mu) in enumerate(expectations)
+    ]
+    return (
+        row.select("grp", F.explode(F.array(*entries)).alias("e"))
+        .select(F.col("grp").alias(group_col), "e.*")
+        .withColumn("ok", F.col("pass_frac_mu") >= F.col("min_frac_mu"))
+        .orderBy(group_col, "_ord")
+        .drop("_ord")
+    )
+
+
+def expect_by_sql(
+    table: str,
+    group_col: str,
+    expectations: list[Expectation],
+) -> str:
+    """DuckDB mirror of :func:`expect_by`."""
+    counts = ", ".join(
+        f"sum(CASE WHEN ({pred}) THEN 1 ELSE 0 END) AS p{i}"
+        for i, (_, pred, _) in enumerate(expectations))
+    rows = " UNION ALL ".join(
+        f"""SELECT grp, {i} AS ord, '{name}' AS name, n AS n_rows,
+                   coalesce(p{i}, 0) AS n_pass,
+                   coalesce(p{i}, 0) * 1000000 // n AS pass_frac_mu,
+                   {min_mu} AS min_frac_mu
+            FROM agg"""
+        for i, (name, _, min_mu) in enumerate(expectations))
+    return f"""
+        WITH agg AS (
+            SELECT {group_col} AS grp, count(*) AS n, {counts}
+            FROM {table} GROUP BY 1
+        ),
+        r AS ({rows})
+        SELECT grp AS {group_col}, name, n_rows, n_pass, pass_frac_mu,
+               min_frac_mu, pass_frac_mu >= min_frac_mu AS ok
+        FROM r ORDER BY {group_col}, ord
+    """

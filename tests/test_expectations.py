@@ -41,3 +41,24 @@ def test_expect_single_scan(spark):
         ("c", "v % 2 = 0", 1000000),
     ])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 100") == 1, plan
+
+
+def test_expect_by_groups_isolate_and_order(spark):
+    from explora_kafka_spark.operators import expectations as EXP
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", -1.0), ("b", 2.0), ("b", 3.0)],
+        "src string, v double")
+    out = EXP.expect_by(df, "src", [
+        ("v_non_negative", "v >= 0", 600000),
+        ("v_small", "v < 10", 1000000),
+    ]).collect()
+    rows = {(r["src"], r["name"]): r for r in out}
+    assert rows[("a", "v_non_negative")]["pass_frac_mu"] == 500000
+    assert not rows[("a", "v_non_negative")]["ok"]
+    assert rows[("b", "v_non_negative")]["pass_frac_mu"] == 1000000
+    assert rows[("b", "v_non_negative")]["ok"]
+    # group-major, declaration-order within group
+    assert [(r["src"], r["name"]) for r in out] == [
+        ("a", "v_non_negative"), ("a", "v_small"),
+        ("b", "v_non_negative"), ("b", "v_small")]
