@@ -1297,6 +1297,28 @@ def q_expect_by_source(spark, sf_dir):
 
 
 
+def q_cust_order_dist(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): orders-per-customer via
+    a LEFT join (customers with zero orders count at n_orders = 0),
+    then the distribution histogram — two partial-agg shuffles, the
+    join on the natural customer key."""
+    configure(spark)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey",
+                                                   "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_custs"))
+        .orderBy(F.col("n_custs").desc(), F.col("n_orders").desc())
+    )
+
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Row-level ingestion dedup (at-least-once → exactly-once): events
     delivered twice (simulated producer retry), deduped on event_id, then
@@ -2752,6 +2774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_late_ships": q_priority_late_ships,
         "phash_check": q_phash_check,
         "expect_by_source": q_expect_by_source,
+        "cust_order_dist": q_cust_order_dist,
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
         "metric_histogram": q_metric_histogram,
@@ -3378,6 +3401,17 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.03 AND l_discount <= 0.05
               AND l_quantity < 24
+        """,
+        "cust_order_dist": """
+            SELECT n_orders, count(*) AS n_custs
+            FROM (
+                SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+                FROM customer c LEFT JOIN orders o
+                  ON o.o_custkey = c.c_custkey
+                GROUP BY 1
+            )
+            GROUP BY 1
+            ORDER BY n_custs DESC, n_orders DESC
         """,
         "priority_late_ships": """
             SELECT o_orderpriority, count(*) AS n_orders
