@@ -82,6 +82,10 @@ HEADLINE = [
     "hybrid_search", "proximity_pairs", "nearest_poi", "media_phash",
     "phash_near_dup", "expect_events", "cms_heavy_hitters",
     "knn_triangles", "weighted_sample", "cube_docs", "knn_graph",
+    # round-9 late wave
+    "phash_check", "expect_by_source", "revenue_q6",
+    "priority_late_ships", "cust_order_dist", "winnow_fingerprints",
+    "ann_topk_mmr", "session_view", "hopping_view",
 ]
 
 
