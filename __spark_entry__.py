@@ -1319,6 +1319,50 @@ def q_cust_order_dist(spark, sf_dir):
 
 
 
+_SEGV: dict[str, str] = {}  # sf_dir → streamed segment-view output
+
+
+def q_segment_view(spark, sf_dir):
+    """Stream-static enrichment join (streaming/windowed.py
+    enriched_segment_view): event micro-batches broadcast-join the
+    static customer dimension, hourly value rollup per market segment;
+    append mode emits the finalized windows (the windowed_base_view
+    conventions). Oracle = the plain batch join + hour agg with the
+    identical finalization cutoff."""
+    from explora_kafka_spark.streaming.windowed import (
+        enriched_segment_view)
+
+    configure(spark)
+    if sf_dir not in _SEGV:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "value")
+        d = tempfile.mkdtemp(prefix="explora_segv_")
+        _TMPDIRS.append(d)
+        src_dir = f"{d}/src"
+        ev.write.parquet(src_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src_dir).schema).parquet(src_dir)
+        cust = load_table(spark, sf_dir, "customer")
+        out = enriched_segment_view(stream, cust, window="1 hour",
+                                    watermark="0 seconds")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{d}/out")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _SEGV[sf_dir] = f"{d}/out"
+    v = spark.read.parquet(_SEGV[sf_dir])
+    return v.select(
+        "segment", ts_ms_col("ts").alias("bucket_ms"),
+        "n_events", _r6("sum_value").alias("sum_value"),
+    ).orderBy("segment", "bucket_ms")
+
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Row-level ingestion dedup (at-least-once → exactly-once): events
     delivered twice (simulated producer retry), deduped on event_id, then
@@ -2775,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_check": q_phash_check,
         "expect_by_source": q_expect_by_source,
         "cust_order_dist": q_cust_order_dist,
+        "segment_view": q_segment_view,
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
         "metric_histogram": q_metric_histogram,
@@ -3401,6 +3446,17 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.03 AND l_discount <= 0.05
               AND l_quantity < 24
+        """,
+        "segment_view": """
+            SELECT c.c_mktsegment AS segment,
+                   epoch_ms(date_trunc('hour', e.ts)) AS bucket_ms,
+                   count(*) AS n_events,
+                   round(sum(e.value), 6) AS sum_value
+            FROM events e JOIN customer c ON c.c_custkey = e.user_id
+            WHERE date_trunc('hour', e.ts) + INTERVAL 1 HOUR
+                  <= (SELECT max(ts) FROM events)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
         """,
         "cust_order_dist": """
             SELECT n_orders, count(*) AS n_custs

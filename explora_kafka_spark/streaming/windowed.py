@@ -236,3 +236,39 @@ def session_view(
             "n_events", "sum_value",
         )
     )
+
+
+def enriched_segment_view(
+    events_stream: DataFrame,
+    customers: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """STREAM-STATIC enrichment join + windowed rollup: each micro-batch
+    of the event stream broadcast-joins the STATIC customer dimension
+    (Spark re-evaluates the static side per micro-batch — the standard
+    slowly-refreshed-dimension serving pattern; a dim update is picked
+    up at the next trigger with no restart), then aggregates value per
+    (market segment, tumbling window) under the usual watermark
+    finalization. The one streaming join shape the engine didn't yet
+    showcase explicitly (stream-stream interval join: streaming/
+    joins.py; stream-static semi-joins: the admission gates).
+
+    State cost: the join itself is STATELESS (static side is a
+    broadcast lookup); only the windowed aggregate holds state — one
+    row per (segment, open window), watermark-bounded."""
+    ev = ensure_event_time(events_stream, "ts")
+    dim = customers.select(F.col("c_custkey"), F.col("c_mktsegment"))
+    joined = ev.join(F.broadcast(dim),
+                     ev.user_id == dim.c_custkey)
+    if joined.isStreaming:
+        joined = joined.withWatermark("ts", watermark)
+    return (
+        joined.groupBy(F.window("ts", window).alias("w"),
+                       F.col("c_mktsegment"))
+        .agg(F.count("*").alias("n_events"),
+             F.sum("value").alias("sum_value"))
+        .select(F.col("c_mktsegment").alias("segment"),
+                F.col("w.start").alias("ts"),
+                "n_events", "sum_value")
+    )

@@ -808,3 +808,45 @@ def test_native_session_window_gap_boundary_and_finalize(spark, tmp_path):
         (1, "00:00", "01:10", 3, 7.0),
         (1, "01:10", "01:40", 1, 6.0),
     }
+
+
+def test_stream_static_enrichment_equals_batch(spark, tmp_path):
+    """Stream-static join: the streamed segment view equals the batch
+    twin on the same inputs (finalized windows only)."""
+    import explora_kafka_spark.streaming.windowed as W
+    from pyspark.sql import functions as F
+
+    ev_rows = [
+        (0, "2024-01-01 00:10:00", 1.0),
+        (1, "2024-01-01 00:20:00", 2.0),
+        (0, "2024-01-01 01:10:00", 4.0),
+        (2, "2024-01-01 03:00:00", 8.0),   # advances the watermark
+    ]
+    cust = spark.createDataFrame(
+        [(0, "AUTO"), (1, "HOUSE"), (2, "AUTO")],
+        "c_custkey bigint, c_mktsegment string")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        ev_rows, "user_id bigint, ts_s string, value double"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts",
+                 "value").write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = W.enriched_segment_view(stream, cust, watermark="0 seconds")
+    q = (out.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.segment, r.ts.strftime("%H"), r.n_events, float(r.sum_value))
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    # hour 00: AUTO (user 0) 1 event, HOUSE (user 1) 1 event;
+    # hour 01: AUTO 1 event; user 2's hour-03 window stays open.
+    assert got == {("AUTO", "00", 1, 1.0), ("HOUSE", "00", 1, 2.0),
+                   ("AUTO", "01", 1, 4.0)}
+    # batch twin on the static inputs (same code path, no stream)
+    batch = W.enriched_segment_view(
+        spark.read.parquet(src), cust).collect()
+    bt = {(r.segment, r.ts.strftime("%H"), r.n_events, float(r.sum_value))
+          for r in batch}
+    assert got <= bt and len(bt) == 4  # batch keeps the open window too
