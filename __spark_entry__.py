@@ -1363,6 +1363,29 @@ def q_segment_view(spark, sf_dir):
 
 
 
+def q_metric_seasonality(spark, sf_dir):
+    """Hour-of-day seasonality profile per metric: exact-integer µunit
+    mean value per (metric, hour-of-day 0-23) — the diurnal baseline a
+    dashboard overlays on live traffic (and the seasonal expectation
+    anomaly scoring normalizes against). One partial-agg shuffle onto a
+    bounded (metrics × 24)-key space."""
+    configure(spark)
+    r = _readings(spark, sf_dir)
+    return (
+        r.groupBy(
+            "metric_id",
+            F.expr("CAST(extract(HOUR FROM ts) AS INT)").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("CAST(floor(sum(value) * 1000000 / count(*))"
+                   " AS BIGINT)").alias("mean_mu"),
+        )
+        .orderBy("metric_id", "hour")
+    )
+
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Row-level ingestion dedup (at-least-once → exactly-once): events
     delivered twice (simulated producer retry), deduped on event_id, then
@@ -2820,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expect_by_source": q_expect_by_source,
         "cust_order_dist": q_cust_order_dist,
         "segment_view": q_segment_view,
+        "metric_seasonality": q_metric_seasonality,
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
         "metric_histogram": q_metric_histogram,
@@ -3446,6 +3470,16 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.03 AND l_discount <= 0.05
               AND l_quantity < 24
+        """,
+        "metric_seasonality": f"""
+            {_R}
+            SELECT metric_id,
+                   CAST(extract(hour FROM ts) AS INT) AS hour,
+                   count(*) AS n,
+                   CAST(floor(sum(value) * 1000000 / count(*))
+                        AS BIGINT) AS mean_mu
+            FROM readings
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "segment_view": """
             SELECT c.c_mktsegment AS segment,
