@@ -1386,6 +1386,51 @@ def q_metric_seasonality(spark, sf_dir):
 
 
 
+def q_snapshot_smoothed(spark, sf_dir):
+    """Choropleth neighbor smoothing: the day-snapshot per zoom-6 tile,
+    value-averaged over the 3×3 tile neighborhood (the spatial moving
+    average a heatmap renders instead of the raw per-cell means). The
+    proximity-join grid pattern applied to CELL AGGREGATES: per-cell
+    (count, sum) first (one bounded-key shuffle), THEN the 9-way
+    neighbor explode runs on the cells-sized table, never raw events.
+    Output per non-empty tile: (x, y, own_count, nbr_cells, smoothed) —
+    smoothed = round(Σ 3×3 sums / Σ 3×3 counts, 6)."""
+    configure(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.expr("unix_millis(date_trunc('DAY', ts))") == _SNAP_DAY_MS))
+    cells = (
+        ev.select(
+            geo.tile_x_col(_lon_col(), 6).alias("x"),
+            geo.tile_y_col(_lat_col(), 6).alias("y"),
+            "value",
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sm"))
+    )
+    nbr = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ]))
+    contrib = (
+        cells.select("x", "y", "cnt", "sm", nbr.alias("n"))
+        .select((F.col("x") + F.col("n.dx")).alias("x"),
+                (F.col("y") + F.col("n.dy")).alias("y"),
+                "cnt", "sm")
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("nbr_cells"),
+             F.sum("cnt").alias("cnt3"), F.sum("sm").alias("sm3"))
+    )
+    return (
+        cells.join(contrib, ["x", "y"])
+        .select("x", "y",
+                F.col("cnt").alias("own_count"),
+                "nbr_cells",
+                F.round(F.col("sm3") / F.col("cnt3"), 6).alias("smoothed"))
+        .orderBy("x", "y")
+    )
+
+
+
 def q_ingest_dedup(spark, sf_dir):
     """Row-level ingestion dedup (at-least-once → exactly-once): events
     delivered twice (simulated producer retry), deduped on event_id, then
@@ -2844,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_order_dist": q_cust_order_dist,
         "segment_view": q_segment_view,
         "metric_seasonality": q_metric_seasonality,
+        "snapshot_smoothed": q_snapshot_smoothed,
         # — r9-queue overflow: round-8 additions still without a driver
         #   row; FIRST r10 slots per the COVERAGE.md schedule —
         "metric_histogram": q_metric_histogram,
@@ -3470,6 +3516,40 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.03 AND l_discount <= 0.05
               AND l_quantity < 24
+        """,
+        "snapshot_smoothed": f"""
+            WITH cells AS (
+                SELECT CAST(floor((({_LON_SQL}) + 180.0) / 360.0 * 64.0)
+                            AS INT) AS x,
+                       CAST(floor((1.0 - ln(tan(radians(
+                                least(greatest({_LAT_SQL}, -85.05112878),
+                                      85.05112878)))
+                            + 1.0 / cos(radians(
+                                least(greatest({_LAT_SQL}, -85.05112878),
+                                      85.05112878)))) / pi()) / 2.0
+                            * 64.0) AS INT) AS y,
+                       value
+                FROM events
+                WHERE epoch_ms(date_trunc('day', ts)) = {_SNAP_DAY_MS}
+            ),
+            agg AS (
+                SELECT x, y, count(*) AS cnt, sum(value) AS sm
+                FROM cells GROUP BY 1, 2
+            ),
+            contrib AS (
+                SELECT a.x + d.dx AS x, a.y + d.dy AS y,
+                       count(*) AS nbr_cells,
+                       sum(a.cnt) AS cnt3, sum(a.sm) AS sm3
+                FROM agg a,
+                     (SELECT u1.x AS dx, u2.x AS dy
+                      FROM unnest([-1, 0, 1]) u1(x),
+                           unnest([-1, 0, 1]) u2(x)) d
+                GROUP BY 1, 2
+            )
+            SELECT a.x, a.y, a.cnt AS own_count, c.nbr_cells,
+                   round(c.sm3 / c.cnt3, 6) AS smoothed
+            FROM agg a JOIN contrib c ON c.x = a.x AND c.y = a.y
+            ORDER BY 1, 2
         """,
         "metric_seasonality": f"""
             {_R}
