@@ -376,3 +376,62 @@ def source_dedup_profile_sql(table: str = "documents") -> str:
                      / CAST(count(*) AS DOUBLE), 6) AS dup_rate
         FROM per GROUP BY source ORDER BY source
     """
+
+
+def source_mix_entropy(docs: DataFrame) -> DataFrame:
+    """Shannon entropy of the SOURCE MIX (one row): how evenly the
+    corpus draws from its sources — the single drift dial a recurring
+    ingest watches next to `corpus_report` (entropy collapsing toward 0
+    means one source is taking over; rising toward ln(S) means the mix
+    is flattening). Also reports the dominant source and its share.
+
+    Exactness: shares are exact integer ppm (cnt·1e6 DIV total); the
+    entropy term is the single libm `ln` per SOURCE (the bm25_search
+    last-ulp allowance), folded to µnats and summed over the S-row
+    source table — never over the corpus. Output: (n_sources,
+    entropy_mu_nats, top_source, top_share_ppm).
+
+    100 TB: one source-keyed partial-agg shuffle (S keys), then S-row
+    arithmetic."""
+    per = docs.groupBy("source").agg(F.count("*").alias("cnt"))
+    tot = per.agg(F.sum("cnt").alias("tot"))
+    scored = per.join(F.broadcast(tot)).select(
+        "source", "cnt",
+        F.expr("cnt * 1000000 DIV tot").alias("share_ppm"),
+        F.expr("CAST(floor(-ln(CAST(cnt AS DOUBLE) / tot)"
+               " * (CAST(cnt AS DOUBLE) / tot) * 1e6 + 0.5) AS BIGINT)")
+        .alias("h_mu"),
+    )
+    return scored.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("h_mu").alias("entropy_mu_nats"),
+        F.max(F.struct(F.col("cnt"), F.col("source"))).alias("_top"),
+        F.max(F.struct(F.col("cnt"), F.col("share_ppm"))).alias("_ts"),
+    ).select(
+        "n_sources", "entropy_mu_nats",
+        F.col("_top.source").alias("top_source"),
+        F.col("_ts.share_ppm").alias("top_share_ppm"),
+    )
+
+
+def source_mix_entropy_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`source_mix_entropy`."""
+    return f"""
+        WITH per AS (
+            SELECT source, count(*) AS cnt FROM {table} GROUP BY 1
+        ),
+        tot AS (SELECT sum(cnt) AS tot FROM per),
+        scored AS (
+            SELECT source, cnt,
+                   cnt * 1000000 // tot AS share_ppm,
+                   CAST(floor(-ln(CAST(cnt AS DOUBLE) / tot)
+                        * (CAST(cnt AS DOUBLE) / tot) * 1e6 + 0.5)
+                        AS BIGINT) AS h_mu
+            FROM per, tot
+        )
+        SELECT count(*) AS n_sources,
+               sum(h_mu) AS entropy_mu_nats,
+               max_by(source, (cnt, source)) AS top_source,
+               max_by(share_ppm, (cnt, share_ppm)) AS top_share_ppm
+        FROM scored
+    """
