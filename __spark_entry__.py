@@ -3633,7 +3633,8 @@ def oracle_sql() -> dict[str, str]:
         "cube_docs": """
             SELECT coalesce(lang, '<all>') AS lang,
                    coalesce(source, '<all>') AS source,
-                   count(*) AS n_docs, sum(n_chars) AS n_chars
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
             FROM documents
             GROUP BY CUBE (lang, source)
             ORDER BY 1, 2

@@ -264,7 +264,11 @@ def embedding_covariance(
             "j",
             "k",
             F.col("n_d").cast("bigint").alias("n"),
-            F.round(cov, 6).alias("cov"),
+            # `+ 0.0` normalizes IEEE signed zero (-0.0 + 0.0 == 0.0):
+            # the driver's value hash is bitwise, and a rounded -0.0 on
+            # one engine vs 0.0 on the other is value-equal but
+            # hash-different. Mirrored in embedding_covariance_sql.
+            (F.round(cov, 6) + F.lit(0.0)).alias("cov"),
         )
         .orderBy("j", "k")
     )
@@ -301,7 +305,7 @@ def embedding_covariance_sql(
                round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
                       - (CAST(mj AS DOUBLE) / CAST(n AS DOUBLE))
                         * (CAST(mk AS DOUBLE) / CAST(n AS DOUBLE)))
-                     / 1e12, 6) AS cov
+                     / 1e12, 6) + 0.0 AS cov
         FROM pairs
         ORDER BY j, k
     """

@@ -235,7 +235,7 @@ def dsir_weights_sql(
         )
         SELECT d.{key},
                coalesce(s.n_grams, 0) AS n_grams,
-               s.log_ratio_mu
+               CAST(s.log_ratio_mu AS BIGINT) AS log_ratio_mu
         FROM {table} d LEFT JOIN scored s ON d.{key} = s.{key}
         ORDER BY 1
     """

@@ -87,10 +87,10 @@ def expect_sql(
         for i, (_, pred, _) in enumerate(expectations))
     rows = " UNION ALL ".join(
         f"""SELECT {i} AS ord, '{name}' AS name, n AS n_rows,
-                   coalesce(p{i}, 0) AS n_pass,
-                   CASE WHEN n = 0 THEN 1000000
+                   CAST(coalesce(p{i}, 0) AS BIGINT) AS n_pass,
+                   CAST(CASE WHEN n = 0 THEN 1000000
                         ELSE coalesce(p{i}, 0) * 1000000 // n END
-                       AS pass_frac_mu,
+                        AS BIGINT) AS pass_frac_mu,
                    {min_mu} AS min_frac_mu
             FROM agg"""
         for i, (name, _, min_mu) in enumerate(expectations))
@@ -156,8 +156,9 @@ def expect_by_sql(
         for i, (_, pred, _) in enumerate(expectations))
     rows = " UNION ALL ".join(
         f"""SELECT grp, {i} AS ord, '{name}' AS name, n AS n_rows,
-                   coalesce(p{i}, 0) AS n_pass,
-                   coalesce(p{i}, 0) * 1000000 // n AS pass_frac_mu,
+                   CAST(coalesce(p{i}, 0) AS BIGINT) AS n_pass,
+                   CAST(coalesce(p{i}, 0) * 1000000 // n AS BIGINT)
+                       AS pass_frac_mu,
                    {min_mu} AS min_frac_mu
             FROM agg"""
         for i, (name, _, min_mu) in enumerate(expectations))

@@ -144,7 +144,7 @@ def retention(
 ) -> DataFrame:
     """Weekly cohort retention: users are cohorted by the Monday-week of
     their FIRST event; each later active week contributes to that
-    cohort's offset row. Output: (cohort_week date, week_offset int,
+    cohort's offset row. Output: (cohort_week 'yyyy-MM-dd', week_offset int,
     n_active, n_cohort, retention), cohort/offset-ascending. offset 0
     is the cohort week itself (retention 1.0 by construction)."""
     firsts = (
@@ -169,7 +169,11 @@ def retention(
         .agg(F.count("*").alias("n_active"))
         .join(sizes, "_cw")
         .select(
-            F.col("_cw").cast("date").alias("cohort_week"),
+            # ISO string, not DATE: Spark DATE reaches pandas as
+            # object(datetime.date) while DuckDB DATE arrives as
+            # datetime64 — value-equal but dtype-different under the
+            # driver's hash. Strings are dtype-stable on both engines.
+            F.date_format("_cw", "yyyy-MM-dd").alias("cohort_week"),
             "week_offset",
             "n_active",
             "n_cohort",
@@ -201,7 +205,7 @@ def retention_sql(
         sizes AS (
             SELECT _cw, count(*) AS n_cohort FROM firsts GROUP BY 1
         )
-        SELECT CAST(a._cw AS DATE) AS cohort_week, a.week_offset,
+        SELECT strftime(a._cw, '%Y-%m-%d') AS cohort_week, a.week_offset,
                count(*) AS n_active, s.n_cohort,
                round(count(*) * 1.0 / s.n_cohort, 6) AS retention
         FROM active a JOIN sizes s ON a._cw = s._cw

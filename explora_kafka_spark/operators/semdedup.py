@@ -682,15 +682,17 @@ def semdedup_check_audit_sql(
                              vec_col, n_rows=2 * split_id)
     return f"""
         SELECT count(*) AS n_batch,
-               sum(CASE WHEN c.is_dup THEN 1 ELSE 0 END) AS inc_flagged,
-               sum(CASE WHEN NOT o.keep THEN 1 ELSE 0 END)
-                   AS oneshot_dropped,
-               sum(CASE WHEN c.is_dup AND NOT o.keep THEN 1 ELSE 0 END)
-                   AS both,
-               sum(CASE WHEN c.is_dup AND o.keep THEN 1 ELSE 0 END)
-                   AS only_incremental,
-               sum(CASE WHEN NOT c.is_dup AND NOT o.keep THEN 1 ELSE 0
-                   END) AS only_oneshot
+               CAST(sum(CASE WHEN c.is_dup THEN 1 ELSE 0 END)
+                    AS BIGINT) AS inc_flagged,
+               CAST(sum(CASE WHEN NOT o.keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS oneshot_dropped,
+               CAST(sum(CASE WHEN c.is_dup AND NOT o.keep
+                             THEN 1 ELSE 0 END) AS BIGINT) AS both,
+               CAST(sum(CASE WHEN c.is_dup AND o.keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS only_incremental,
+               CAST(sum(CASE WHEN NOT c.is_dup AND NOT o.keep
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS only_oneshot
         FROM ({chk}) c
         JOIN ({one}) o ON c.{key} = o.{key}
         WHERE o.{key} >= {split_id}

@@ -289,8 +289,8 @@ def tokenizer_fertility_sql(table: str = "documents") -> str:
     bpe = f"regexp_extract_all({norm_sql('text')}, '{pat}')"
     return f"""
         SELECT lang, count(*) AS n_docs,
-               sum(len({ws})) AS n_ws_tokens,
-               sum(len({bpe})) AS n_bpe_tokens,
+               CAST(sum(len({ws})) AS BIGINT) AS n_ws_tokens,
+               CAST(sum(len({bpe})) AS BIGINT) AS n_bpe_tokens,
                round(CAST(sum(len({bpe})) AS DOUBLE)
                      / CAST(greatest(sum(len({ws})), 1) AS DOUBLE),
                      6) AS fertility

@@ -2,18 +2,36 @@
 
 Runs every ``__spark_entry__.queries()`` entry on Spark at sf0.01 and the
 matching ``oracle_sql()`` on DuckDB over the same parquet files, then compares
-row count, column names, and (order-insensitively) values.
+row count, column names, (order-insensitively) values, AND — driver-faithful
+since round 10 — the pandas representation both engines hand the driver:
+
+* both result sets are materialized through pandas (``sdf.toPandas()`` /
+  ``res.df()``), exactly the conversion path the driver hashes;
+* per-column pandas **dtype classes** must agree — int-vs-float and
+  object-vs-datetime mismatches FAIL (the r9 escape: DuckDB widens integer
+  ``sum()`` to HUGEINT which pandas renders float64 while Spark emits int64);
+  int32-vs-int64 and datetime ns-vs-us differences stay tolerated (proven
+  benign across many driver-green rows);
+* floats compare **bitwise** (``struct.pack``), so ``-0.0`` vs ``0.0`` FAILS
+  (the r9 ``embedding_covariance`` escape) and NaNs compare equal to NaNs.
+
+History: round 7 the canonicalizer masked ndarray cells; round 9 it masked
+dtype/sign divergence (VERDICT r9 "What's wrong" #3) — hence this rewrite.
 
 Usage: python tools/verify_local.py [query ...]
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
+import struct
 import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -26,28 +44,81 @@ TABLES = [
 ]
 
 
+def _dtype_class(dtype, series) -> str:
+    """Collapse a pandas dtype to the equivalence class the driver's hash
+    is sensitive to. Width (int32/int64) and datetime unit (ns/us) are
+    deliberately NOT part of the class — empirically benign driver-side."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    if dtype == object:
+        for v in series:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, str):
+                return "str"
+            if isinstance(v, bytes):
+                return "bytes"
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            if isinstance(v, _dt.datetime):
+                return "datetime-object"
+            if isinstance(v, _dt.date):
+                return "date-object"
+            return type(v).__name__
+        return "empty-object"
+    return str(dtype)
+
+
 def _canon(v):
-    if v is None:
+    """Value-level canonical form (used for the order-insensitive sort +
+    value compare): ints of any width → python int, timestamps of any
+    unit → ISO string, floats stay floats (bit check is a second pass)."""
+    if v is None or v is pd.NaT:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # exact — the driver hash-compares raw values; the old round(v, 4)
-        # masked a real 1e-9 divergence in embedding_quantization for two
-        # rounds (VERDICT r5 #2)
-        return v
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (np.bool_, bool)):
+        return bool(v)
+    if isinstance(v, (np.integer, int)):
+        return int(v)
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        return "nan" if math.isnan(f) else f
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, np.datetime64):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_canon(x) for x in v)
     return v
 
 
-def _rows(cols, data):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    rows = [tuple(_canon(r[i]) for i in order) for r in data]
+def _bits(v):
+    """Bit-exact form: floats become their IEEE-754 payload so -0.0 vs 0.0
+    (and any sub-round-off divergence) compares unequal."""
+    if isinstance(v, float):
+        return struct.pack("<d", v)
+    if isinstance(v, tuple):
+        return tuple(_bits(x) for x in v)
+    return v
+
+
+def _frame_rows(pdf: pd.DataFrame):
+    """Column-name-sorted, order-insensitive canonical rows + columns."""
+    cols = sorted(pdf.columns)
+    data = pdf[cols].itertuples(index=False, name=None)
+    rows = [tuple(_canon(v) for v in r) for r in data]
     # None-safe total order (rollup subtotal rows carry NULL keys)
-    return sorted(
-        rows, key=lambda t: tuple((v is None, str(type(v)), v) for v in t)
-    ), [cols[i] for i in order]
+    rows.sort(key=lambda t: tuple((v is None, str(type(v)), v) for v in t))
+    return rows, cols
 
 
 def main():
@@ -84,41 +155,62 @@ def main():
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            sdata = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, SF_DIR).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {exc}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows={len(sdata)} (no oracle, rows-only) "
+            print(f"ok?  {name}: rows={len(spdf)} (no oracle, rows-only) "
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            odata = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: oracle error: {exc}")
             failures.append(name)
             continue
-        srows, sc = _rows(scols, sdata)
-        orows, oc = _rows(ocols, odata)
+        srows, sc = _frame_rows(spdf)
+        orows, oc = _frame_rows(opdf)
         if sc != oc:
             print(f"FAIL {name}: columns spark={sc} oracle={oc}")
             failures.append(name)
-        elif len(srows) != len(orows):
+            continue
+        if len(srows) != len(orows):
             print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
             failures.append(name)
-        elif srows != orows:
-            diff = [
-                (a, b) for a, b in zip(srows, orows) if a != b
-            ][:3]
+            continue
+        if srows != orows:
+            diff = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {diff}")
             failures.append(name)
-        else:
-            print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+            continue
+        # driver-faithful strictness layer 1: pandas dtype classes
+        if len(spdf) > 0:
+            bad = []
+            for c in sc:
+                scls = _dtype_class(spdf[c].dtype, spdf[c])
+                ocls = _dtype_class(opdf[c].dtype, opdf[c])
+                # object(str) on one side vs object(str) other; collapse
+                # the two datetime flavors (pandas Timestamp IS a datetime
+                # subclass; both hash as datetimes driver-side)
+                norm = {"datetime-object": "datetime"}
+                if norm.get(scls, scls) != norm.get(ocls, ocls):
+                    bad.append((c, scls, ocls))
+            if bad:
+                print(f"FAIL {name}: dtype class mismatch {bad}")
+                failures.append(name)
+                continue
+        # driver-faithful strictness layer 2: bitwise float equality
+        sbits = [tuple(_bits(v) for v in r) for r in srows]
+        obits = [tuple(_bits(v) for v in r) for r in orows]
+        if sbits != obits:
+            diff = [(a, b) for a, b in zip(srows, orows)
+                    if tuple(_bits(v) for v in a) != tuple(_bits(v) for v in b)][:3]
+            print(f"FAIL {name}: float BIT mismatch (signed zero?): {diff}")
+            failures.append(name)
+            continue
+        print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
     print()
     if failures:
         print(f"{len(failures)} FAILED: {failures}")
