@@ -1803,6 +1803,14 @@ def q_source_dedup_profile(spark, sf_dir):
     return CORP.source_dedup_profile(_docs(spark, sf_dir))
 
 
+def q_source_mix_entropy(spark, sf_dir):
+    """Shannon entropy of the source mix (one row): the drift dial a
+    recurring ingest watches — entropy toward 0 = one source taking
+    over. Exact integer ppm shares + µnat entropy terms; one S-key
+    partial-agg shuffle then S-row arithmetic."""
+    return CORP.source_mix_entropy(_docs(spark, sf_dir))
+
+
 def q_ngram_repetition(spark, sf_dir):
     """MassiveText repetition signals (Rae et al. 2021 table A1): per
     doc, chars covered by the top 2/3/4-gram and by duplicated 5/10-
@@ -2817,71 +2825,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     return {k: _configured(v) for k, v in {
-        # ROUND-9 ROTATION (schedule in COVERAGE.md "Rotation schedule"):
-        # the first-50 window = the 50 highest-priority round-8 additions
-        # that have never held a driver correctness row (the r9 queue,
-        # in COVERAGE.md order). The 24-entry overflow of that wave sits
-        # immediately below the cap and takes the first r10 slots,
-        # followed by the r6-recorded OLAP tail, the r7-recorded
-        # extension families, and finally the freshly re-recorded r8
-        # window (green in CORRECTNESS_r08). Everything below the cap
-        # still runs in bench.py and tools/verify_local.py.
-        # — r9 window: round-8 additions, never driver-recorded —
-        "bpe_encode": q_bpe_encode,
-        "ann_topk_pq": q_ann_topk_pq,
-        "ann_topk_ivfpq": q_ann_topk_ivfpq,
-        "ann_topk_ivfpq_external": q_ann_topk_ivfpq_external,
-        "ngram_repetition": q_ngram_repetition,
-        "gopher_rules": q_gopher_rules,
-        "pack_docs": q_pack_docs,
-        "filter_pipeline": q_filter_pipeline,
-        "click_attribution": q_click_attribution,
-        "click_unattributed": q_click_unattributed,
-        "curriculum_select": q_curriculum_select,
+        # ROUND-10 ROTATION (schedule in COVERAGE.md "Rotation schedule"):
+        # window = the 4 r9-red oracle-fix re-records + the 2 changed/new
+        # entries + the 8 late-r9 additions + the 15 displaced
+        # never-recorded r8 entries + 21 of the 23-entry r9 overflow.
+        # Net registry growth is PAUSED this round (VERDICT r9 #3) so the
+        # never-recorded backlog drains; invariant updated to the
+        # arithmetically honest 4-round cadence (cap 50, registry 204).
+        # — fixed-oracle re-records (red in CORRECTNESS_r09: DuckDB HUGEINT
+        #   dtype / signed-zero representation; engine values were exact) —
         "embedding_covariance": q_embedding_covariance,
-        "pca_top_component": q_pca_top_component,
-        "local_supplier_volume": q_local_supplier_volume,
-        "interpolate_hour": q_interpolate_hour,
-        "metric_day_percentiles": q_metric_day_percentiles,
-        "group_aware_split": q_group_aware_split,
-        "quality_weighted_sample": q_quality_weighted_sample,
-        "metric_alerts": q_metric_alerts,
-        "bm25_search": q_bm25_search,
-        "retention_sweep": q_retention_sweep,
-        "epoch_upsample": q_epoch_upsample,
-        "snapshot_polygon_quad": q_snapshot_polygon_quad,
-        "snapshot_polygon_geohash": q_snapshot_polygon_geohash,
-        "history_polygon_quad": q_history_polygon_quad,
-        "history_polygon_geohash": q_history_polygon_geohash,
-        "source_dedup_profile": q_source_dedup_profile,
-        "semantic_dedup": q_semantic_dedup,
-        "knn_graph": q_knn_graph,
-        "semantic_groups": q_semantic_groups,
-        "semdedup_sweep": q_semdedup_sweep,
-        "drop_reason_profile": q_drop_reason_profile,
-        "semdedup_check": q_semdedup_check,
-        "corpus_gate_full": q_corpus_gate_full,
         "semdedup_check_audit": q_semdedup_check_audit,
-        "label_propagation": q_label_propagation,
-        # — round-9 additions (new entries enter the window on landing,
-        #   displacing the window tail into the r10 queue) —
-        "hybrid_search": q_hybrid_search,
-        "media_phash": q_media_phash,
-        "phash_near_dup": q_phash_near_dup,
-        "proximity_pairs": q_proximity_pairs,
-        "hopping_view": q_hopping_view,
         "expect_events": q_expect_events,
-        "cms_heavy_hitters": q_cms_heavy_hitters,
-        "nearest_poi": q_nearest_poi,
-        "knn_triangles": q_knn_triangles,
-        "weighted_sample": q_weighted_sample,
         "cube_docs": q_cube_docs,
-        "session_view": q_session_view,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "ann_topk_mmr": q_ann_topk_mmr,
-        # ——— driver cap line (entries below lose their CORRECTNESS row) ———
-        # — round-9 late additions (landed after the window was pinned;
-        #   verified green locally, r10 window per the invariant) —
+        # — changed/new entries (invariant: enter the window on landing):
+        #   retention_weekly now emits cohort_week as an ISO string on both
+        #   engines; source_mix_entropy registered this round —
+        "retention_weekly": q_retention_weekly,
+        "source_mix_entropy": q_source_mix_entropy,
+        # — round-9 late additions (landed after the r9 window was pinned) —
         "revenue_q6": q_revenue_q6,
         "priority_late_ships": q_priority_late_ships,
         "phash_check": q_phash_check,
@@ -2890,8 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_view": q_segment_view,
         "metric_seasonality": q_metric_seasonality,
         "snapshot_smoothed": q_snapshot_smoothed,
-        # — r9-queue overflow: round-8 additions still without a driver
-        #   row; FIRST r10 slots per the COVERAGE.md schedule —
+        # — never-recorded round-8 additions displaced from the r9 window —
         "metric_histogram": q_metric_histogram,
         "dsir_weights": q_dsir_weights,
         "bigram_bits": q_bigram_bits,
@@ -2906,6 +2867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_trend": q_metric_trend,
         "zorder_layout": q_zorder_layout,
         "item_lift": q_item_lift,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        # — r9-queue overflow (first 21 of 23; gopher_rule_impact and
+        #   source_overlap head the r11 queue) —
         "ann_recall_truncated": q_ann_recall_truncated,
         "knn_hubness": q_knn_hubness,
         "trending_items": q_trending_items,
@@ -2927,10 +2891,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_nearest_geohash": q_snapshot_nearest_geohash,
         "dedup_sweep": q_dedup_sweep,
         "contamination_sweep": q_contamination_sweep,
-        "tokenizer_fertility": q_tokenizer_fertility,
+        # ——— driver cap line (entries below lose their CORRECTNESS row;
+        #     they still run in bench.py and tools/verify_local.py) ———
+        # — never recorded; r11 queue head —
         "gopher_rule_impact": q_gopher_rule_impact,
         "source_overlap": q_source_overlap,
-        # — OLAP tail (last driver rows r6; next r10 priority) —
+        # — OLAP tail (last driver rows r6; next-oldest, r11 priority) —
         "zscore_per_metric": q_zscore_per_metric,
         "chunk_documents": q_chunk_documents,
         "split_train_val_test": q_split_train_val_test,
@@ -2989,7 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "asof_hourly_stats": q_asof_hourly_stats,
-        # — re-recorded in r8 (green CORRECTNESS_r08 rows; freshest) —
+        # — re-recorded in r8 (green CORRECTNESS_r08 rows) —
         "cell_bucket_key": q_cell_bucket_key,
         "base_view_min_p7": q_base_view_min_p7,
         "lattice_hour_p6": q_lattice_hour_p6,
@@ -3032,7 +2998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_bits": q_unigram_bits,
         "funnel_day": q_funnel_day,
         "funnel_window_2h": q_funnel_window_2h,
-        "retention_weekly": q_retention_weekly,
         "corpus_diff": q_corpus_diff,
         "bpe_pair_counts": q_bpe_pairs,
         "corpus_report": q_corpus_report,
@@ -3040,6 +3005,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_shards": q_write_shards,
         "bpe_merges": q_bpe_merges,
         "ann_topk_ivf_quantized": q_ann_topk_ivf_quantized,
+        # — recorded green in r9 (freshest rows; rotate out per schedule) —
+        "bpe_encode": q_bpe_encode,
+        "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivfpq": q_ann_topk_ivfpq,
+        "ann_topk_ivfpq_external": q_ann_topk_ivfpq_external,
+        "ngram_repetition": q_ngram_repetition,
+        "gopher_rules": q_gopher_rules,
+        "pack_docs": q_pack_docs,
+        "filter_pipeline": q_filter_pipeline,
+        "click_attribution": q_click_attribution,
+        "click_unattributed": q_click_unattributed,
+        "curriculum_select": q_curriculum_select,
+        "pca_top_component": q_pca_top_component,
+        "local_supplier_volume": q_local_supplier_volume,
+        "interpolate_hour": q_interpolate_hour,
+        "metric_day_percentiles": q_metric_day_percentiles,
+        "group_aware_split": q_group_aware_split,
+        "quality_weighted_sample": q_quality_weighted_sample,
+        "metric_alerts": q_metric_alerts,
+        "bm25_search": q_bm25_search,
+        "retention_sweep": q_retention_sweep,
+        "epoch_upsample": q_epoch_upsample,
+        "snapshot_polygon_quad": q_snapshot_polygon_quad,
+        "snapshot_polygon_geohash": q_snapshot_polygon_geohash,
+        "history_polygon_quad": q_history_polygon_quad,
+        "history_polygon_geohash": q_history_polygon_geohash,
+        "source_dedup_profile": q_source_dedup_profile,
+        "semantic_dedup": q_semantic_dedup,
+        "knn_graph": q_knn_graph,
+        "semantic_groups": q_semantic_groups,
+        "semdedup_sweep": q_semdedup_sweep,
+        "drop_reason_profile": q_drop_reason_profile,
+        "semdedup_check": q_semdedup_check,
+        "corpus_gate_full": q_corpus_gate_full,
+        "label_propagation": q_label_propagation,
+        "hybrid_search": q_hybrid_search,
+        "media_phash": q_media_phash,
+        "phash_near_dup": q_phash_near_dup,
+        "proximity_pairs": q_proximity_pairs,
+        "hopping_view": q_hopping_view,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "nearest_poi": q_nearest_poi,
+        "knn_triangles": q_knn_triangles,
+        "weighted_sample": q_weighted_sample,
+        "session_view": q_session_view,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "ann_topk_mmr": q_ann_topk_mmr,
     }.items()}
 
 
@@ -3671,6 +3683,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": T.bpe_encode_sql("documents", 20),
         "corpus_report": CORP.corpus_report_sql(),
         "source_dedup_profile": CORP.source_dedup_profile_sql(),
+        "source_mix_entropy": CORP.source_mix_entropy_sql(),
         "funnel_window_2h": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')",
             within="2 hours"),

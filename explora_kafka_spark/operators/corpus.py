@@ -423,15 +423,18 @@ def source_mix_entropy_sql(table: str = "documents") -> str:
         tot AS (SELECT sum(cnt) AS tot FROM per),
         scored AS (
             SELECT source, cnt,
-                   cnt * 1000000 // tot AS share_ppm,
+                   CAST(cnt * 1000000 // tot AS BIGINT) AS share_ppm,
                    CAST(floor(-ln(CAST(cnt AS DOUBLE) / tot)
                         * (CAST(cnt AS DOUBLE) / tot) * 1e6 + 0.5)
                         AS BIGINT) AS h_mu
             FROM per, tot
         )
         SELECT count(*) AS n_sources,
-               sum(h_mu) AS entropy_mu_nats,
-               max_by(source, (cnt, source)) AS top_source,
-               max_by(share_ppm, (cnt, share_ppm)) AS top_share_ppm
+               CAST(sum(h_mu) AS BIGINT) AS entropy_mu_nats,
+               (SELECT source FROM scored
+                ORDER BY cnt DESC, source DESC LIMIT 1) AS top_source,
+               (SELECT share_ppm FROM scored
+                ORDER BY cnt DESC, share_ppm DESC LIMIT 1)
+                   AS top_share_ppm
         FROM scored
     """

@@ -211,6 +211,34 @@ def test_source_dedup_profile_counts(spark):
     assert out["b"]["n_exact_dup_docs"] == 0 and out["b"]["dup_rate"] == 0.0
 
 
+def test_source_mix_entropy_hand_values(spark):
+    """Hand-computed 4-doc mix: sources a(2), b(1), c(1) → shares
+    0.5/0.25/0.25. µnat terms: -ln(.5)·.5 = 0.3465735903 → 346574
+    (HALF_UP), -ln(.25)·.25 = same value → 346574 each; Σ = 1039722."""
+    from explora_kafka_spark.operators.corpus import source_mix_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")],
+        "doc_id bigint, source string",
+    )
+    r = source_mix_entropy(docs).collect()[0]
+    assert r["n_sources"] == 3
+    assert r["entropy_mu_nats"] == 1039722
+    assert r["top_source"] == "a"
+    assert r["top_share_ppm"] == 500000
+
+
+def test_source_mix_entropy_single_source_is_zero(spark):
+    from explora_kafka_spark.operators.corpus import source_mix_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, "only")], "doc_id bigint, source string")
+    r = source_mix_entropy(docs).collect()[0]
+    assert r["n_sources"] == 1
+    assert r["entropy_mu_nats"] == 0
+    assert r["top_share_ppm"] == 1000000
+
+
 def test_contamination_sweep_monotone_and_rung_equivalent(spark, sf_dir):
     from explora_kafka_spark.operators.contamination import (
         contamination, contamination_sweep)

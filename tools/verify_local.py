@@ -91,7 +91,11 @@ def _canon(v):
         return int(v)
     if isinstance(v, (np.floating, float)):
         f = float(v)
-        return "nan" if math.isnan(f) else f
+        # missing is missing: DuckDB's .df() renders NULL in object
+        # columns as float NaN while Spark gives None — driver-green
+        # rows (metric_hour_anomaly r7) prove the driver treats them
+        # as equal, so both canonicalize to None
+        return None if math.isnan(f) else f
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, np.datetime64):
