@@ -1126,6 +1126,24 @@ def q_knn_triangles(spark, sf_dir):
 
 
 
+def q_knn_pagerank(spark, sf_dir):
+    """PageRank centrality over the cluster-local kNN graph
+    (operators/semdedup.py knn_pagerank): exact-integer ppb power
+    iteration — floor-division damping, uniform dangling-mass
+    redistribution; graph built once + localCheckpoint, each round is
+    edge-table-sized."""
+    return SDD.knn_pagerank(_emb(spark, sf_dir), k_clusters=8, iters=2,
+                            k=5, rounds=5)
+
+
+def q_doremi_weights(spark, sf_dir):
+    """DoReMi-style mixture weight search (Xie et al. 2023) driven by
+    per-source excess bits/token under the corpus unigram LM
+    (operators/sampling.py doremi_weights): multiplicative-weights
+    trajectory averaged + uniform smoothing, exact integer ppm."""
+    return SMP.doremi_weights(_docs(spark, sf_dir))
+
+
 def q_weighted_sample(spark, sf_dir):
     """Exact-size weighted sampling without replacement (A-ES top-k by
     deterministic priority; operators/sampling.py weighted_sample_topk):
@@ -2831,7 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never-recorded r8 entries + 21 of the 23-entry r9 overflow.
         # Net registry growth is PAUSED this round (VERDICT r9 #3) so the
         # never-recorded backlog drains; invariant updated to the
-        # arithmetically honest 4-round cadence (cap 50, registry 204).
+        # arithmetically honest 5-round cadence (ceil(204 / 50)).
         # — fixed-oracle re-records (red in CORRECTNESS_r09: DuckDB HUGEINT
         #   dtype / signed-zero representation; engine values were exact) —
         "embedding_covariance": q_embedding_covariance,
@@ -2896,6 +2914,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — never recorded; r11 queue head —
         "gopher_rule_impact": q_gopher_rule_impact,
         "source_overlap": q_source_overlap,
+        # — round-10 additions (growth-pause exception, registered BELOW
+        #   the cap so CORRECTNESS_r10 keeps its promised 50 rows; they
+        #   take r11 window slots with the two entries above) —
+        "knn_pagerank": q_knn_pagerank,
+        "doremi_weights": q_doremi_weights,
         # — OLAP tail (last driver rows r6; next-oldest, r11 priority) —
         "zscore_per_metric": q_zscore_per_metric,
         "chunk_documents": q_chunk_documents,
@@ -3520,6 +3543,9 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": SKW.cms_heavy_hitters_sql(
             "events", "json_extract_string(props, '$.k')"),
         "knn_triangles": SDD.knn_triangles_sql(),
+        "knn_pagerank": SDD.knn_pagerank_sql(k_clusters=8, iters=2,
+                                             k=5, rounds=5),
+        "doremi_weights": SMP.doremi_weights_sql(),
         "winnow_fingerprints": T.winnow_fingerprints_sql(),
         "revenue_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue

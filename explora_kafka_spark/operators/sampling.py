@@ -541,3 +541,176 @@ def weighted_sample_topk_sql(
         ORDER BY priority_mu DESC, {key} ASC
         LIMIT {k}
     """
+
+
+def doremi_weights(
+    docs: DataFrame,
+    steps: int = 10,
+    eta_ppm: int = 100_000,
+    smooth_ppm: int = 10_000,
+) -> DataFrame:
+    """DoReMi-style domain-mixture weight search (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining") over the corpus's OWN per-source statistics: the
+    multiplicative-weights (Group-DRO) update the paper runs against a
+    proxy model, driven here by a model-free excess-loss signal — each
+    source's mean bits/token under the corpus-wide add-one-smoothed
+    unigram LM (the `unigram_bits` statistic), clipped at the corpus
+    baseline. Sources whose text the corpus LM finds surprising
+    (underrepresented domains) gain weight over the trajectory; the
+    published recipe's final mixture is the AVERAGE of the per-step
+    weights smoothed toward uniform, reproduced verbatim.
+
+    Deterministic exact-integer arithmetic end-to-end: per-source loss
+    is `Σµbits DIV Σtokens` (BIGINT), excess is a clipped BIGINT
+    difference, the per-step multiplicative score exp(η·t·excess) —
+    the single libm op, the unigram_bits/bm25 accepted last-ulp
+    exposure — is µ-rounded IMMEDIATELY to BIGINT, and every
+    normalization is integer ppm floor division, so both engines agree
+    bit-for-bit. Output (source-ascending): source, n_tokens, loss_mu,
+    excess_mu, weight_ppm. weight_ppm feeds `epoch_upsample` directly
+    (weight_ppm / (1e6·share) = the per-source epoch factor).
+
+    100 TB design: ONE corpus token scan (shared shape with
+    unigram_bits: token explode → vocab agg → vocab-sided µbit table →
+    source-keyed partial-agg sum); everything after is S-row
+    arithmetic — the step fan-out is S×steps rows, never the corpus.
+    """
+    from explora_kafka_spark.operators.text import tokens_col
+
+    toks = (
+        docs.select("source",
+                    F.explode(tokens_col("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    totals = vocab.agg(F.sum("c").alias("T"), F.count("*").alias("V"))
+    mu = (
+        vocab.join(F.broadcast(totals))
+        .select(
+            "token",
+            F.floor(
+                -F.log2((F.col("c") + 1).cast("double")
+                        / (F.col("T") + F.col("V")).cast("double"))
+                * 1e6 + F.lit(0.5)
+            ).cast("bigint").alias("mu_bits"),
+        )
+    )
+    per = (
+        toks.join(mu, "token")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum("mu_bits").alias("smu"))
+    )
+    base = per.agg(F.sum("smu").alias("tmu"),
+                   F.sum("n_tokens").alias("tn"),
+                   F.count("*").alias("S"))
+    scored = (
+        per.join(F.broadcast(base))
+        .select(
+            "source", "n_tokens", "S",
+            F.expr("smu DIV n_tokens").alias("loss_mu"),
+            F.greatest(F.expr("smu DIV n_tokens - tmu DIV tn"),
+                       F.lit(0).cast("long")).alias("excess_mu"),
+        )
+    )
+    st = (
+        scored.select(
+            "source", "n_tokens", "S", "loss_mu", "excess_mu",
+            F.explode(F.sequence(F.lit(1), F.lit(steps))).alias("t"),
+        )
+        .withColumn(
+            "e_mu",
+            F.floor(
+                F.exp((F.lit(eta_ppm).cast("long") * F.col("t")
+                       * F.col("excess_mu")).cast("double") / F.lit(1e12))
+                * 1e6 + F.lit(0.5)
+            ).cast("bigint"),
+        )
+    )
+    tot = st.groupBy("t").agg(F.sum("e_mu").alias("se"))
+    w = (
+        st.join(tot, "t")
+        .select("source", "n_tokens", "S", "loss_mu", "excess_mu",
+                F.expr("e_mu * 1000000 DIV se").alias("w_ppm"))
+    )
+    return (
+        w.groupBy("source", "n_tokens", "S", "loss_mu", "excess_mu")
+        .agg(F.sum("w_ppm").alias("sw"))
+        .select(
+            "source", "n_tokens", "loss_mu", "excess_mu",
+            F.expr(
+                f"(({1_000_000 - smooth_ppm}) * (sw DIV {steps})"
+                f" + {smooth_ppm} * (1000000 DIV S)) DIV 1000000"
+            ).alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def doremi_weights_sql(
+    table: str = "documents",
+    steps: int = 10,
+    eta_ppm: int = 100_000,
+    smooth_ppm: int = 10_000,
+) -> str:
+    """DuckDB mirror of :func:`doremi_weights` (same µbit vocabulary,
+    integer losses, µ-rounded exp scores, and ppm floor divisions)."""
+    from explora_kafka_spark.operators.text import tokens_sql
+
+    toks = tokens_sql("text")
+    return f"""
+        WITH tok AS (
+            SELECT source, unnest({toks}) AS token FROM {table}
+        ),
+        tk AS (SELECT source, token FROM tok WHERE token <> ''),
+        vocab AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+        totals AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
+                          count(*) AS vv FROM vocab),
+        mu AS (
+            SELECT token,
+                   CAST(floor(-log2(CAST(c + 1 AS DOUBLE)
+                                    / CAST(tt + vv AS DOUBLE))
+                              * 1e6 + 0.5) AS BIGINT) AS mu_bits
+            FROM vocab, totals
+        ),
+        per AS (
+            SELECT tk.source, count(*) AS n_tokens,
+                   CAST(sum(mu.mu_bits) AS BIGINT) AS smu
+            FROM tk JOIN mu ON tk.token = mu.token
+            GROUP BY 1
+        ),
+        base AS (SELECT CAST(sum(smu) AS BIGINT) AS tmu,
+                        CAST(sum(n_tokens) AS BIGINT) AS tn,
+                        count(*) AS S FROM per),
+        scored AS (
+            SELECT source, n_tokens, S,
+                   CAST(smu // n_tokens AS BIGINT) AS loss_mu,
+                   CAST(greatest(smu // n_tokens - tmu // tn, 0)
+                        AS BIGINT) AS excess_mu
+            FROM per, base
+        ),
+        st AS (
+            SELECT source, n_tokens, S, loss_mu, excess_mu, u.t,
+                   CAST(floor(exp(CAST({eta_ppm} * u.t * excess_mu
+                                       AS DOUBLE) / 1e12)
+                              * 1e6 + 0.5) AS BIGINT) AS e_mu
+            FROM scored, unnest(range(1, {steps} + 1)) AS u(t)
+        ),
+        tot AS (SELECT t, CAST(sum(e_mu) AS BIGINT) AS se
+                FROM st GROUP BY 1),
+        w AS (
+            SELECT st.source, st.n_tokens, st.S, st.loss_mu,
+                   st.excess_mu,
+                   CAST(st.e_mu * 1000000 // tot.se AS BIGINT) AS w_ppm
+            FROM st JOIN tot ON st.t = tot.t
+        )
+        SELECT source, n_tokens, loss_mu, excess_mu,
+               CAST((({1_000_000 - smooth_ppm})
+                     * (CAST(sum(w_ppm) AS BIGINT) // {steps})
+                     + {smooth_ppm} * (1000000 // S)) // 1000000
+                    AS BIGINT) AS weight_ppm
+        FROM w
+        GROUP BY source, n_tokens, S, loss_mu, excess_mu
+        ORDER BY source
+    """

@@ -1231,6 +1231,159 @@ def knn_hubness_sql(
     """
 
 
+def knn_pagerank(
+    emb: DataFrame,
+    k_clusters: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    rounds: int = 5,
+    damping_pct: int = 85,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """PageRank centrality over the cluster-local kNN graph (Page et
+    al. 1999; the directed "who points at whom" refinement of
+    `knn_hubness`'s raw in-degree): a vector is central when CENTRAL
+    vectors list it among their k nearest — the canonical pick-order
+    signal for coreset selection and the inspection queue for
+    retrieval-poisoning hubs.
+
+    Deterministic exact-integer power iteration in ppb (parts per
+    billion): pr0 = 1e9 DIV N for every vector; each round every edge
+    ships `pr(src) DIV out_deg(src)`, dangling vectors (singleton
+    clusters emit no edges) pool their mass and redistribute it
+    uniformly, and pr' = (damping_pct·(in_sum + dangling DIV N)) DIV
+    100 + ((100−damping_pct)·(1e9 DIV N)) DIV 100. Every operation is
+    BIGINT floor division — bit-exact under any partitioning, mirrored
+    verbatim by the DuckDB oracle (floor-division mass leakage is part
+    of the definition, identically on both engines).
+
+    Output: (key, out_degree, pr_ppb), key-ascending.
+
+    100 TB design: the graph is built ONCE (knn_graph's Lloyd passes +
+    per-cluster Arrow kernels) and localCheckpoint'ed; each of the
+    `rounds` iterations touches only the k·n edge table (one src-keyed
+    equi-join + one dst-keyed partial-agg shuffle) and a 3-column
+    node table — the label_propagation statistic-loop pattern, with
+    eager checkpoints capping lineage. The only driver-side value is
+    N (one count), the kmeans/bpe statistic-sized-loop precedent.
+
+    Reference parity: centrality/ranking analytics are an extension
+    surface (the reference's QueryingController exposes only
+    aggregation rollups); semantics follow the public PageRank
+    formulation made floor-division-exact.
+    """
+    edges = (
+        knn_graph(emb, k_clusters, iters, k, key, vec_col, n_rows)
+        .select(F.col(key).alias("src"), F.col("neighbor_id").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    outd = edges.groupBy("src").agg(F.count("*").alias("od"))
+    nodes = (
+        emb.select(F.col(key).alias("vid"))
+        .join(outd.withColumnRenamed("src", "vid"), "vid", "left")
+        .select("vid", F.coalesce("od", F.lit(0)).cast("long").alias("od"))
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    hold = ((100 - damping_pct) * (10**9 // n)) // 100
+    pr = nodes.select("vid", "od",
+                      F.lit(10**9 // n).cast("long").alias("pr"))
+    for _ in range(rounds):
+        contrib = (
+            edges.join(pr.select(F.col("vid").alias("src"), "pr", "od"),
+                       "src")
+            .select("dst", F.expr("pr DIV od").alias("c"))
+        )
+        insum = contrib.groupBy(F.col("dst").alias("vid")).agg(
+            F.sum("c").alias("s"))
+        dang = pr.agg(
+            F.coalesce(F.sum(F.when(F.col("od") == 0, F.col("pr"))),
+                       F.lit(0)).alias("dm"))
+        pr = (
+            nodes.join(insum, "vid", "left")
+            .join(F.broadcast(dang))
+            .select(
+                "vid", "od",
+                (F.lit(hold)
+                 + F.expr(f"{damping_pct} * (coalesce(s, 0)"
+                          f" + dm DIV {n}) DIV 100")).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        pr.select(F.col("vid").alias(key),
+                  F.col("od").alias("out_degree"),
+                  F.col("pr").alias("pr_ppb"))
+        .orderBy(key)
+    )
+
+
+def knn_pagerank_sql(
+    table: str = "embeddings",
+    k_clusters: int = 8,
+    iters: int = 2,
+    k: int = 5,
+    rounds: int = 5,
+    damping_pct: int = 85,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int = 500,
+) -> str:
+    """DuckDB mirror of `knn_pagerank`: the shared Lloyd + knn_graph
+    edge CTEs, then one (contrib, dangling, pr) CTE triple per round —
+    identical BIGINT floor divisions throughout."""
+    ctes, last = CL.kmeans_ctes(table, k_clusters, iters, key, vec_col,
+                                n_rows)
+    d2 = ("list_sum([ (a.m[i] - b.m[i]) * (a.m[i] - b.m[i])"
+          " FOR i IN range(1, len(a.m) + 1) ])")
+    ctes.append(f"""edges AS MATERIALIZED (
+        SELECT va AS src, vb AS dst FROM (
+            SELECT a.vid AS va, b.vid AS vb,
+                   row_number() OVER (PARTITION BY a.vid
+                                      ORDER BY {d2} ASC, b.vid ASC) AS rk
+            FROM {last} a JOIN {last} b
+              ON a.cid = b.cid AND a.vid != b.vid
+        ) WHERE rk <= {k}
+    )""")
+    ctes.append(f"""nodes AS MATERIALIZED (
+        SELECT t.{key} AS vid,
+               CAST(coalesce(o.od, 0) AS BIGINT) AS od
+        FROM {table} t
+        LEFT JOIN (SELECT src, count(*) AS od FROM edges GROUP BY 1) o
+               ON o.src = t.{key}
+    )""")
+    ctes.append("cnt AS (SELECT count(*) AS n FROM nodes)")
+    ctes.append("""pr0 AS MATERIALIZED (
+        SELECT vid, od, CAST(1000000000 // n AS BIGINT) AS pr
+        FROM nodes, cnt
+    )""")
+    for r in range(1, rounds + 1):
+        ctes.append(f"""pgc{r} AS MATERIALIZED (
+            SELECT e.dst AS vid, CAST(sum(p.pr // p.od) AS BIGINT) AS s
+            FROM edges e JOIN pr{r - 1} p ON p.vid = e.src
+            GROUP BY 1
+        )""")
+        ctes.append(f"""pgd{r} AS MATERIALIZED (
+            SELECT CAST(coalesce(
+                sum(CASE WHEN od = 0 THEN pr END), 0) AS BIGINT) AS dm
+            FROM pr{r - 1}
+        )""")
+        ctes.append(f"""pr{r} AS MATERIALIZED (
+            SELECT p.vid, p.od,
+                   CAST(({100 - damping_pct}) * (1000000000 // n) // 100
+                        + {damping_pct} * (coalesce(c.s, 0) + d.dm // n)
+                          // 100 AS BIGINT) AS pr
+            FROM pr{r - 1} p
+            LEFT JOIN pgc{r} c ON c.vid = p.vid, pgd{r} d, cnt
+        )""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT vid AS {key}, od AS out_degree, pr AS pr_ppb
+        FROM pr{rounds}
+        ORDER BY 1""")
+
+
 def knn_triangles(
     emb: DataFrame,
     k_clusters: int = 8,

@@ -136,7 +136,12 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "corpus_gate_full", "cluster_top_terms",
                  "semdedup_check_audit", "item_lift",
                  "ann_recall_truncated", "knn_hubness",
-                 "corpus_gate_scored", "hybrid_search", "nearest_poi"}
+                 "corpus_gate_scored", "hybrid_search", "nearest_poi",
+                 # one-row statistic broadcasts onto statistic-sized
+                 # sides (the tfidf allowance), never the corpus:
+                 # source totals onto the S-row source table / unigram
+                 # totals onto the vocab / dangling mass onto nodes
+                 "source_mix_entropy", "doremi_weights", "knn_pagerank"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan

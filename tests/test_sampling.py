@@ -309,3 +309,90 @@ def test_weighted_sample_topk_exact_size_and_invariants(spark):
              for r in weighted_sample_topk(doubled, "n_chars",
                                            k=25).collect()}
     assert sel_a == sel_b
+
+
+# ---------------------------------------------------------------------------
+# doremi_weights
+# ---------------------------------------------------------------------------
+
+
+def _doremi_expected(src_tokens, steps=10, eta_ppm=100_000,
+                     smooth_ppm=10_000):
+    """Pure-Python mirror of the exact-integer DoReMi recurrence.
+    src_tokens: {source: [token, ...]} — whitespace tokens as the
+    operator sees them."""
+    import math
+    from collections import Counter
+
+    vocab = Counter(t for toks in src_tokens.values() for t in toks)
+    T, V = sum(vocab.values()), len(vocab)
+    mu = {t: math.floor(-math.log2((c + 1) / (T + V)) * 1e6 + 0.5)
+          for t, c in vocab.items()}
+    per = {s: (len(toks), sum(mu[t] for t in toks))
+           for s, toks in src_tokens.items()}
+    tmu = sum(smu for _, smu in per.values())
+    tn = sum(n for n, _ in per.values())
+    S = len(per)
+    base = tmu // tn
+    loss = {s: smu // n for s, (n, smu) in per.items()}
+    excess = {s: max(loss[s] - base, 0) for s in per}
+    sw = {s: 0 for s in per}
+    for t in range(1, steps + 1):
+        e = {s: math.floor(
+            math.exp((eta_ppm * t * excess[s]) / 1e12) * 1e6 + 0.5)
+            for s in per}
+        se = sum(e.values())
+        for s in per:
+            sw[s] += e[s] * 1_000_000 // se
+    return {
+        s: (per[s][0], loss[s], excess[s],
+            ((1_000_000 - smooth_ppm) * (sw[s] // steps)
+             + smooth_ppm * (1_000_000 // S)) // 1_000_000)
+        for s in per
+    }
+
+
+def test_doremi_weights_hand_mirror(spark):
+    rows = [
+        (1, "the cat sat on the mat", "web"),
+        (2, "the dog sat", "web"),
+        (3, "quantum chromodynamics lattice gauge", "papers"),
+        (4, "le chat est sur le tapis", "books"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    got = {r["source"]: (r["n_tokens"], r["loss_mu"], r["excess_mu"],
+                         r["weight_ppm"])
+           for r in SMP.doremi_weights(docs).collect()}
+    want = _doremi_expected({
+        "web": "the cat sat on the mat the dog sat".split(),
+        "papers": "quantum chromodynamics lattice gauge".split(),
+        "books": "le chat est sur le tapis".split(),
+    })
+    assert got == want
+    # rare-vocabulary sources carry positive excess and beat uniform
+    assert got["papers"][2] > 0
+    assert got["papers"][3] > got["web"][3]
+
+
+def test_doremi_weights_sum_and_monotonicity(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = SMP.doremi_weights(docs).collect()
+    s = len(out)
+    total = sum(r["weight_ppm"] for r in out)
+    # ppm floor losses only: within S ppm below 1e6, never above
+    assert 1_000_000 - 3 * s <= total <= 1_000_000
+    # weight is monotone in excess (equal excess -> equal weight)
+    by_excess = sorted(out, key=lambda r: r["excess_mu"])
+    for a, b in zip(by_excess, by_excess[1:]):
+        assert a["weight_ppm"] <= b["weight_ppm"]
+
+
+def test_doremi_weights_uniform_when_no_excess(spark):
+    # identical sources -> zero excess everywhere -> exactly uniform
+    rows = [(i, "same text here", f"s{i % 4}") for i in range(8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    out = SMP.doremi_weights(docs).collect()
+    assert len(out) == 4
+    assert len({r["weight_ppm"] for r in out}) == 1

@@ -415,3 +415,83 @@ def test_knn_triangles_hand_graph(spark):
     # triangle, coefficient 0
     out1 = knn_triangles(emb, k_clusters=1, iters=1, k=1).collect()
     assert all(r.n_triangles == 0 and r.clustering_mu == 0 for r in out1)
+
+
+# ---------------------------------------------------------------------------
+# knn_pagerank
+# ---------------------------------------------------------------------------
+
+
+def _pr_expected(n, od, rounds=5, dangling_uniform=False):
+    """Pure-Python mirror of the exact-integer PageRank recurrence for a
+    REGULAR graph (every node identical): returns the common pr_ppb."""
+    pr = 10**9 // n
+    hold = (15 * (10**9 // n)) // 100
+    for _ in range(rounds):
+        if od == 0:
+            insum, dm = 0, n * pr
+        else:
+            insum, dm = od * (pr // od), 0
+        pr = hold + (85 * (insum + dm // n)) // 100
+    return pr
+
+
+def test_knn_pagerank_uniform_on_regular_graph(spark):
+    from explora_kafka_spark.operators.semdedup import knn_pagerank
+
+    # one cluster of 3 -> complete directed graph, out-degree 2,
+    # symmetric: PageRank stays uniform; values follow the integer
+    # recurrence exactly (floor leakage included)
+    out = knn_pagerank(_emb(spark, [[0.0], [0.1], [0.2]]), k_clusters=1,
+                       iters=1, k=2, rounds=5).collect()
+    want = _pr_expected(n=3, od=2, rounds=5)
+    assert [r["vec_id"] for r in out] == [0, 1, 2]
+    assert all(r["out_degree"] == 2 for r in out)
+    assert all(r["pr_ppb"] == want for r in out)
+
+
+def test_knn_pagerank_dangling_uniform_redistribution(spark):
+    from explora_kafka_spark.operators.semdedup import knn_pagerank
+
+    # two singleton clusters -> NO edges; both nodes dangling. Their
+    # pooled mass redistributes uniformly: pr is stationary at
+    # hold + 85% of the uniform dangling share.
+    out = knn_pagerank(_emb(spark, [[0.0], [1.0]]), k_clusters=2,
+                       iters=1, k=3, rounds=5).collect()
+    want = _pr_expected(n=2, od=0, rounds=5)
+    assert all(r["out_degree"] == 0 for r in out)
+    assert all(r["pr_ppb"] == want for r in out)
+    assert want == 500_000_000  # exactly stationary for n=2
+
+
+def test_knn_pagerank_repartition_deterministic(spark):
+    from explora_kafka_spark.operators.semdedup import knn_pagerank
+
+    vecs = [[0.0], [0.1], [0.2], [0.35], [0.4], [0.9]]
+    a = knn_pagerank(_emb(spark, vecs), k_clusters=1, iters=1, k=3,
+                     rounds=3).collect()
+    b = knn_pagerank(_emb(spark, vecs).repartition(7), k_clusters=1,
+                     iters=1, k=3, rounds=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_knn_pagerank_matches_duckdb_oracle(spark, sf_dir):
+    from explora_kafka_spark.operators.semdedup import (
+        knn_pagerank, knn_pagerank_sql)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [(r["vec_id"], r["out_degree"], r["pr_ppb"])
+           for r in knn_pagerank(emb, k_clusters=8, iters=2, k=5,
+                                 rounds=5).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE VIEW embeddings AS SELECT * FROM"
+                f" '{sf_dir}/embeddings.parquet'")
+    want = [tuple(int(x) for x in row) for row in con.execute(
+        knn_pagerank_sql(k_clusters=8, iters=2, k=5, rounds=5,
+                         n_rows=500)).fetchall()]
+    assert got == want
+    # teleport floor: nobody scores below the hold term
+    hold = (15 * (10**9 // 500)) // 100
+    assert all(pr >= hold for _, _, pr in got)
+    # total mass stays within floor-leakage of 1e9
+    assert 0.98 * 10**9 <= sum(pr for _, _, pr in got) <= 10**9
