@@ -86,6 +86,9 @@ HEADLINE = [
     "phash_check", "expect_by_source", "revenue_q6",
     "priority_late_ships", "cust_order_dist", "winnow_fingerprints",
     "ann_topk_mmr", "session_view", "hopping_view",
+    # round-9 late wave (VERDICT r9 #7) + round-10 additions
+    "segment_view", "snapshot_smoothed", "metric_seasonality",
+    "source_mix_entropy", "knn_pagerank", "doremi_weights",
 ]
 
 
@@ -216,7 +219,22 @@ def _q_knn_triangles_rekeyed(spark, sf_dir):
     return SDD.knn_triangles(emb, k_clusters=64, iters=2, k=5)
 
 
+def _q_knn_pagerank_rekeyed(spark, sf_dir):
+    """knn_pagerank with the semantic_dedup re-key + k_clusters=64
+    sizing (dense-id stride contract; same rationale as knn_graph)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from explora_kafka_spark.operators import semdedup as SDD
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .alias("vec_id"), "embedding")
+    return SDD.knn_pagerank(emb, k_clusters=64, iters=2, k=5, rounds=5)
+
+
 OVERRIDES = {"semantic_dedup": _q_semantic_dedup_rekeyed,
+             "knn_pagerank": _q_knn_pagerank_rekeyed,
              "semantic_groups": _q_semantic_groups_rekeyed,
              "label_propagation": _q_label_propagation_rekeyed,
              "knn_hubness": _q_knn_hubness_rekeyed,
