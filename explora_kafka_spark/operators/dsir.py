@@ -81,20 +81,30 @@ def dsir_weights(
 
     Output: (key, n_grams, log_ratio_mu), key-ascending —
     `log_ratio_mu` is Σ grams λ[bucket] in integer µbits (positive ⇒
-    target-like), NULL for gram-less documents."""
+    target-like), NULL for gram-less documents.
+
+    Two corpus passes exactly (round 10 — previously three): the raw
+    and target bucket LMs come from ONE gram aggregation (the target
+    flag rides the explode, so `cr`/`ct` are two aggregates of the
+    same shuffle), then the scoring join re-scans the grams against
+    the broadcast B-row λ table."""
     grams = _doc_grams(docs, key)
     bucketed = grams.select(key,
                             _bucket_col(F.col("gram"), n_buckets)
                             .alias("b"))
-    tgt_keys = docs.filter(F.col("lang") == target_lang).select(key)
-    raw_cnt = bucketed.groupBy("b").agg(F.count("*").alias("cr"))
-    tgt_cnt = (bucketed.join(F.broadcast(tgt_keys), key)
-               .groupBy("b").agg(F.count("*").alias("ct")))
+    both_cnt = (
+        docs.select((F.col("lang") == target_lang).alias("_is_t"),
+                    F.split(norm_col("text"), " ").alias("_t"))
+        .select("_is_t", F.explode(F.expr(_GRAMS)).alias("gram"))
+        .select(_bucket_col(F.col("gram"), n_buckets).alias("b"), "_is_t")
+        .groupBy("b")
+        .agg(F.count("*").alias("cr"),
+             F.sum(F.col("_is_t").cast("long")).alias("ct"))
+    )
     spine = docs.sparkSession.range(n_buckets).select(
         F.col("id").alias("b"))
     counts = (
-        spine.join(F.broadcast(raw_cnt), "b", "left")
-        .join(F.broadcast(tgt_cnt), "b", "left")
+        spine.join(F.broadcast(both_cnt), "b", "left")
         .select("b",
                 F.coalesce("cr", F.lit(0)).alias("cr"),
                 F.coalesce("ct", F.lit(0)).alias("ct"))
