@@ -269,6 +269,26 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "— the scan and the sort for presentation are the entire plan.",
         [r"FileScan", r"Exchange", r"Project"],
     ),
+    "source_mix_entropy": (
+        "Source-mix entropy: ONE source-keyed partial-agg shuffle "
+        "(S keys, map-side combine), then the 1-row totals broadcast "
+        "onto the S-row table — no corpus-sized join anywhere.",
+        [r"HashAggregate", r"BroadcastExchange", r"Exchange"],
+    ),
+    "knn_pagerank": (
+        "PageRank rounds run over the localCheckpoint'ed edge RDD: the "
+        "per-round plan is one src equi-join + one dst hash aggregate; "
+        "the Lloyd/kNN build never re-executes (scan shows the "
+        "checkpoint, not the parquet).",
+        [r"Scan ExistingRDD", r"HashAggregate", r"SortMergeJoin|BroadcastHashJoin"],
+    ),
+    "doremi_weights": (
+        "DoReMi mixture: the corpus token scan feeds a bucket hash "
+        "aggregate once (map-side combine); the S-row excess table "
+        "fans out to S x steps rows and every normalization is a "
+        "statistic-sized aggregate or broadcast.",
+        [r"HashAggregate", r"BroadcastExchange", r"Generate explode"],
+    ),
 }
 
 
