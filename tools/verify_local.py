@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+import os
 import struct
 import sys
 import time
@@ -37,7 +38,10 @@ sys.path.insert(0, ".")
 
 import __spark_entry__ as E  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+# the driver's gate SF; override for larger-SF parity probes — but note
+# some oracles embed fixture-size constants (kmeans-family n_rows=500,
+# split ids), so cross-SF runs must pick SF-agnostic entries
+SF_DIR = os.environ.get("VERIFY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
