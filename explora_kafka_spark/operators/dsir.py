@@ -59,12 +59,17 @@ def _bucket_col(gram: Column, n_buckets: int) -> Column:
             .cast("bigint") % n_buckets)
 
 
-def _doc_grams(docs: DataFrame, key: str) -> DataFrame:
-    """(key, gram): one row per gram OCCURRENCE (counts matter — the
-    score is a sum over occurrences, not distinct grams)."""
+def _doc_grams(docs: DataFrame, key: str,
+               extra: dict[str, Column] | None = None) -> DataFrame:
+    """(key, *extra, gram): one row per gram OCCURRENCE (counts matter —
+    the score is a sum over occurrences, not distinct grams). `extra`
+    maps output names to Column expressions that ride the explode (so
+    callers never re-inline the gram recipe)."""
+    extra = extra or {}
+    named = [c.alias(n) for n, c in extra.items()]
     return (
-        docs.select(key, F.split(norm_col("text"), " ").alias("_t"))
-        .select(key, F.explode(F.expr(_GRAMS)).alias("gram"))
+        docs.select(key, *named, F.split(norm_col("text"), " ").alias("_t"))
+        .select(key, *extra.keys(), F.explode(F.expr(_GRAMS)).alias("gram"))
     )
 
 
@@ -93,9 +98,8 @@ def dsir_weights(
                             _bucket_col(F.col("gram"), n_buckets)
                             .alias("b"))
     both_cnt = (
-        docs.select((F.col("lang") == target_lang).alias("_is_t"),
-                    F.split(norm_col("text"), " ").alias("_t"))
-        .select("_is_t", F.explode(F.expr(_GRAMS)).alias("gram"))
+        _doc_grams(docs, key,
+                   extra={"_is_t": F.col("lang") == target_lang})
         .select(_bucket_col(F.col("gram"), n_buckets).alias("b"), "_is_t")
         .groupBy("b")
         .agg(F.count("*").alias("cr"),

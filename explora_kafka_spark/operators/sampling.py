@@ -548,6 +548,7 @@ def doremi_weights(
     steps: int = 10,
     eta_ppm: int = 100_000,
     smooth_ppm: int = 10_000,
+    excess_cap_mu: int = 12_000_000,
 ) -> DataFrame:
     """DoReMi-style domain-mixture weight search (Xie et al. 2023,
     "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
@@ -563,7 +564,13 @@ def doremi_weights(
 
     Deterministic exact-integer arithmetic end-to-end: per-source loss
     is `Σµbits DIV Σtokens` (BIGINT), excess is a clipped BIGINT
-    difference, the per-step multiplicative score exp(η·t·excess) —
+    difference CAPPED at `excess_cap_mu` (12 bits/token by default —
+    the Group-DRO loss-clipping convention, and the overflow guard:
+    the µ-rounded score exp(η·steps·excess) must stay below 2^63/1e6
+    ≈ 9.2e12 so the ppm normalization cannot overflow BIGINT — Spark's
+    non-ANSI mode would wrap silently where DuckDB throws, breaking
+    engine parity exactly when a hapax-only source meets a repetitive
+    corpus), the per-step multiplicative score exp(η·t·excess) —
     the single libm op, the unigram_bits/bm25 accepted last-ulp
     exposure — is µ-rounded IMMEDIATELY to BIGINT, and every
     normalization is integer ppm floor division, so both engines agree
@@ -576,26 +583,15 @@ def doremi_weights(
     source-keyed partial-agg sum); everything after is S-row
     arithmetic — the step fan-out is S×steps rows, never the corpus.
     """
-    from explora_kafka_spark.operators.text import tokens_col
+    from explora_kafka_spark.operators.text import (
+        tokens_col, unigram_mu_table)
 
     toks = (
         docs.select("source",
                     F.explode(tokens_col("text")).alias("token"))
         .filter(F.col("token") != "")
     )
-    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
-    totals = vocab.agg(F.sum("c").alias("T"), F.count("*").alias("V"))
-    mu = (
-        vocab.join(F.broadcast(totals))
-        .select(
-            "token",
-            F.floor(
-                -F.log2((F.col("c") + 1).cast("double")
-                        / (F.col("T") + F.col("V")).cast("double"))
-                * 1e6 + F.lit(0.5)
-            ).cast("bigint").alias("mu_bits"),
-        )
-    )
+    mu = unigram_mu_table(toks)
     per = (
         toks.join(mu, "token")
         .groupBy("source")
@@ -610,8 +606,10 @@ def doremi_weights(
         .select(
             "source", "n_tokens", "S",
             F.expr("smu DIV n_tokens").alias("loss_mu"),
-            F.greatest(F.expr("smu DIV n_tokens - tmu DIV tn"),
-                       F.lit(0).cast("long")).alias("excess_mu"),
+            F.least(
+                F.greatest(F.expr("smu DIV n_tokens - tmu DIV tn"),
+                           F.lit(0).cast("long")),
+                F.lit(excess_cap_mu).cast("long")).alias("excess_mu"),
         )
     )
     st = (
@@ -653,27 +651,14 @@ def doremi_weights_sql(
     steps: int = 10,
     eta_ppm: int = 100_000,
     smooth_ppm: int = 10_000,
+    excess_cap_mu: int = 12_000_000,
 ) -> str:
     """DuckDB mirror of :func:`doremi_weights` (same µbit vocabulary,
     integer losses, µ-rounded exp scores, and ppm floor divisions)."""
-    from explora_kafka_spark.operators.text import tokens_sql
+    from explora_kafka_spark.operators.text import unigram_mu_sql_ctes
 
-    toks = tokens_sql("text")
     return f"""
-        WITH tok AS (
-            SELECT source, unnest({toks}) AS token FROM {table}
-        ),
-        tk AS (SELECT source, token FROM tok WHERE token <> ''),
-        vocab AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
-        totals AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
-                          count(*) AS vv FROM vocab),
-        mu AS (
-            SELECT token,
-                   CAST(floor(-log2(CAST(c + 1 AS DOUBLE)
-                                    / CAST(tt + vv AS DOUBLE))
-                              * 1e6 + 0.5) AS BIGINT) AS mu_bits
-            FROM vocab, totals
-        ),
+        WITH {unigram_mu_sql_ctes(table, "source")},
         per AS (
             SELECT tk.source, count(*) AS n_tokens,
                    CAST(sum(mu.mu_bits) AS BIGINT) AS smu
@@ -686,8 +671,8 @@ def doremi_weights_sql(
         scored AS (
             SELECT source, n_tokens, S,
                    CAST(smu // n_tokens AS BIGINT) AS loss_mu,
-                   CAST(greatest(smu // n_tokens - tmu // tn, 0)
-                        AS BIGINT) AS excess_mu
+                   CAST(least(greatest(smu // n_tokens - tmu // tn, 0),
+                              {excess_cap_mu}) AS BIGINT) AS excess_mu
             FROM per, base
         ),
         st AS (

@@ -959,6 +959,26 @@ def knn_graph(
     )
 
 
+#: exact integer squared-L2 between two µunit vectors a.m / b.m — the
+#: single source of truth for every kNN-family SQL mirror below
+_D2_SQL = ("list_sum([ (a.m[i] - b.m[i]) * (a.m[i] - b.m[i])"
+           " FOR i IN range(1, len(a.m) + 1) ])")
+
+
+def _knn_pairs_subquery(last: str) -> str:
+    """The ranked within-cluster pair subquery every kNN-family mirror
+    shares: columns (va, vb, d2_mu, rk) with the (d2 ASC, vb ASC)
+    tie-break — identical to the Arrow kernel's lexsort order."""
+    return f"""SELECT a.vid AS va, b.vid AS vb,
+                   CAST({_D2_SQL} AS BIGINT) AS d2_mu,
+                   row_number() OVER (PARTITION BY a.vid
+                                      ORDER BY {_D2_SQL} ASC, b.vid ASC)
+                       AS rk
+            FROM {last} a JOIN {last} b
+              ON a.cid = b.cid AND a.vid != b.vid"""
+
+
+
 def knn_graph_sql(
     table: str = "embeddings",
     k_clusters: int = 8,
@@ -972,15 +992,8 @@ def knn_graph_sql(
     pair distance / window rank)."""
     ctes, last = CL.kmeans_ctes(table, k_clusters, iters, key, vec_col,
                                 n_rows)
-    d2 = ("list_sum([ (a.m[i] - b.m[i]) * (a.m[i] - b.m[i])"
-          " FOR i IN range(1, len(a.m) + 1) ])")
     ctes.append(f"""pairs AS (
-        SELECT a.vid AS va, b.vid AS vb,
-               CAST({d2} AS BIGINT) AS d2_mu,
-               row_number() OVER (PARTITION BY a.vid
-                                  ORDER BY {d2} ASC, b.vid ASC) AS rank
-        FROM {last} a JOIN {last} b
-          ON a.cid = b.cid AND a.vid != b.vid
+        SELECT va, vb, d2_mu, rk AS rank FROM ({_knn_pairs_subquery(last)})
     )""")
     return ("WITH " + ",\n".join(ctes) + f"""
         SELECT va AS {key}, vb AS neighbor_id, rank, d2_mu
@@ -1121,16 +1134,9 @@ def label_propagation_sql(
     (count DESC, label ASC) tie-break."""
     ctes, last = CL.kmeans_ctes(table, k_clusters, iters, key, vec_col,
                                 n_rows)
-    d2 = ("list_sum([ (a.m[i] - b.m[i]) * (a.m[i] - b.m[i])"
-          " FOR i IN range(1, len(a.m) + 1) ])")
     ctes.append(f"""edges AS (
-        SELECT va AS vid, vb AS nb FROM (
-            SELECT a.vid AS va, b.vid AS vb,
-                   row_number() OVER (PARTITION BY a.vid
-                                      ORDER BY {d2} ASC, b.vid ASC) AS rk
-            FROM {last} a JOIN {last} b
-              ON a.cid = b.cid AND a.vid != b.vid
-        ) WHERE rk <= {k}
+        SELECT va AS vid, vb AS nb FROM ({_knn_pairs_subquery(last)})
+        WHERE rk <= {k}
     )""")
     ctes.append(f"""lab0 AS (
         SELECT {key} AS vid,
@@ -1336,16 +1342,9 @@ def knn_pagerank_sql(
     identical BIGINT floor divisions throughout."""
     ctes, last = CL.kmeans_ctes(table, k_clusters, iters, key, vec_col,
                                 n_rows)
-    d2 = ("list_sum([ (a.m[i] - b.m[i]) * (a.m[i] - b.m[i])"
-          " FOR i IN range(1, len(a.m) + 1) ])")
     ctes.append(f"""edges AS MATERIALIZED (
-        SELECT va AS src, vb AS dst FROM (
-            SELECT a.vid AS va, b.vid AS vb,
-                   row_number() OVER (PARTITION BY a.vid
-                                      ORDER BY {d2} ASC, b.vid ASC) AS rk
-            FROM {last} a JOIN {last} b
-              ON a.cid = b.cid AND a.vid != b.vid
-        ) WHERE rk <= {k}
+        SELECT va AS src, vb AS dst FROM ({_knn_pairs_subquery(last)})
+        WHERE rk <= {k}
     )""")
     ctes.append(f"""nodes AS MATERIALIZED (
         SELECT t.{key} AS vid,

@@ -620,6 +620,49 @@ def char_entropy_sql(
 # ---------------------------------------------------------------------------
 
 
+def unigram_mu_table(toks: DataFrame) -> DataFrame:
+    """(token, mu_bits): the corpus's add-one-smoothed unigram LM in
+    integer µbits — floor(-log2((c+1)/(T+V))·1e6 + 0.5) per DISTINCT
+    token. The single source of truth for the LM behind `unigram_bits`
+    and `doremi_weights` (operators/sampling.py); `toks` is a
+    (…, token) occurrence stream (empty tokens already filtered)."""
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    totals = vocab.agg(F.sum("c").alias("T"), F.count("*").alias("V"))
+    return (
+        vocab.join(F.broadcast(totals))
+        .select(
+            "token",
+            F.floor(
+                -F.log2((F.col("c") + 1).cast("double")
+                        / (F.col("T") + F.col("V")).cast("double"))
+                * 1e6 + F.lit(0.5)
+            ).cast("bigint").alias("mu_bits"),
+        )
+    )
+
+
+def unigram_mu_sql_ctes(table: str, carry: str) -> str:
+    """DuckDB mirror of :func:`unigram_mu_table` as a CTE prefix:
+    `tok` → `tk` (empty-filtered occurrence stream carrying `carry`) →
+    `vocab` → `totals` → `mu(token, mu_bits)`."""
+    toks = tokens_sql("text")
+    return f"""tok AS (
+            SELECT {carry}, unnest({toks}) AS token FROM {table}
+        ),
+        tk AS (SELECT {carry}, token FROM tok WHERE token <> ''),
+        vocab AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+        totals AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
+                          count(*) AS vv FROM vocab),
+        mu AS (
+            SELECT token,
+                   CAST(floor(-log2(CAST(c + 1 AS DOUBLE)
+                                    / CAST(tt + vv AS DOUBLE))
+                              * 1e6 + 0.5) AS BIGINT) AS mu_bits
+            FROM vocab, totals
+        )"""
+
+
+
 def unigram_bits(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     """Per-document cross-entropy (bits/token) under the corpus's own
     add-one-smoothed unigram language model — the CCNet-style "LM
@@ -654,20 +697,7 @@ def unigram_bits(docs: DataFrame, key: str = "doc_id") -> DataFrame:
         docs.select(F.col(key), F.explode(tokens_col("text")).alias("token"))
         .filter(F.col("token") != "")
     )
-    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
-    totals = vocab.agg(
-        F.sum("c").alias("T"), F.count("*").alias("V"))
-    mu = (
-        vocab.join(F.broadcast(totals))
-        .select(
-            "token",
-            F.floor(
-                -F.log2((F.col("c") + 1).cast("double")
-                        / (F.col("T") + F.col("V")).cast("double"))
-                * 1e6 + F.lit(0.5)
-            ).cast("bigint").alias("mu_bits"),
-        )
-    )
+    mu = unigram_mu_table(toks)
     scored = (
         toks.join(mu, "token")
         .groupBy(key)
@@ -694,26 +724,12 @@ def unigram_bits(docs: DataFrame, key: str = "doc_id") -> DataFrame:
 def unigram_bits_sql(table: str = "documents", key: str = "doc_id") -> str:
     """DuckDB mirror of `unigram_bits` (same smoothing, µbit floor,
     integer doc sums)."""
-    toks = tokens_sql("text")
     return f"""
-        WITH tok AS (
-            SELECT {key}, unnest({toks}) AS token FROM {table}
-        ),
-        t AS (SELECT {key}, token FROM tok WHERE token <> ''),
-        vocab AS (SELECT token, count(*) AS c FROM t GROUP BY 1),
-        totals AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
-                          count(*) AS vv FROM vocab),
-        mu AS (
-            SELECT token,
-                   CAST(floor(-log2(CAST(c + 1 AS DOUBLE)
-                                    / CAST(tt + vv AS DOUBLE))
-                              * 1e6 + 0.5) AS BIGINT) AS mu_bits
-            FROM vocab, totals
-        ),
+        WITH {unigram_mu_sql_ctes(table, key)},
         scored AS (
-            SELECT t.{key}, count(*) AS n_tokens,
+            SELECT tk.{key}, count(*) AS n_tokens,
                    CAST(sum(mu.mu_bits) AS BIGINT) AS _mu
-            FROM t JOIN mu ON t.token = mu.token
+            FROM tk JOIN mu ON tk.token = mu.token
             GROUP BY 1
         )
         SELECT d.{key},

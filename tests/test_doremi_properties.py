@@ -23,7 +23,8 @@ src_s = st.sampled_from(["s1", "s2", "s3"])
 corpus_s = st.lists(st.tuples(doc_s, src_s), min_size=1, max_size=8)
 
 
-def _ref_doremi(rows, steps=10, eta_ppm=100_000, smooth_ppm=10_000):
+def _ref_doremi(rows, steps=10, eta_ppm=100_000, smooth_ppm=10_000,
+                excess_cap_mu=12_000_000):
     """Pure-Python mirror: norm = lower + whitespace collapse; add-one
     unigram µbit vocabulary; per-source integer loss; clipped excess;
     µ-rounded exp multiplicative weights averaged + uniform-smoothed."""
@@ -47,7 +48,8 @@ def _ref_doremi(rows, steps=10, eta_ppm=100_000, smooth_ppm=10_000):
     S = len(per)
     base = tmu // tn
     out = []
-    excess = {s: max(smu // n - base, 0) for s, (n, smu) in per.items()}
+    excess = {s: min(max(smu // n - base, 0), excess_cap_mu)
+              for s, (n, smu) in per.items()}
     sw = {s: 0 for s in per}
     for t in range(1, steps + 1):
         e = {s: math.floor(

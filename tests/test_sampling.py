@@ -317,7 +317,7 @@ def test_weighted_sample_topk_exact_size_and_invariants(spark):
 
 
 def _doremi_expected(src_tokens, steps=10, eta_ppm=100_000,
-                     smooth_ppm=10_000):
+                     smooth_ppm=10_000, excess_cap_mu=12_000_000):
     """Pure-Python mirror of the exact-integer DoReMi recurrence.
     src_tokens: {source: [token, ...]} — whitespace tokens as the
     operator sees them."""
@@ -335,7 +335,7 @@ def _doremi_expected(src_tokens, steps=10, eta_ppm=100_000,
     S = len(per)
     base = tmu // tn
     loss = {s: smu // n for s, (n, smu) in per.items()}
-    excess = {s: max(loss[s] - base, 0) for s in per}
+    excess = {s: min(max(loss[s] - base, 0), excess_cap_mu) for s in per}
     sw = {s: 0 for s in per}
     for t in range(1, steps + 1):
         e = {s: math.floor(
@@ -386,6 +386,25 @@ def test_doremi_weights_sum_and_monotonicity(spark, sf_dir):
     by_excess = sorted(out, key=lambda r: r["excess_mu"])
     for a, b in zip(by_excess, by_excess[1:]):
         assert a["weight_ppm"] <= b["weight_ppm"]
+
+
+def test_doremi_weights_caps_extreme_excess(spark):
+    """A hapax-only source inside a huge repetitive corpus drives raw
+    excess past the 12e6 µbit cap — the clamp must engage (keeping the
+    µ-rounded exp score far from BIGINT overflow, where Spark's
+    non-ANSI wrap would silently diverge from DuckDB's error) and the
+    output must still match the Python mirror exactly."""
+    big = "x " * 60_000
+    rows = [(1, big, "bulk"), (2, "qz wq zq", "rare")]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    out = {r["source"]: r for r in SMP.doremi_weights(docs).collect()}
+    assert out["rare"]["excess_mu"] == 12_000_000  # clamped
+    want = _doremi_expected({"bulk": big.split(), "rare": "qz wq zq".split()})
+    got = {s: (r["n_tokens"], r["loss_mu"], r["excess_mu"],
+               r["weight_ppm"]) for s, r in out.items()}
+    assert got == want
+    assert 0 < out["rare"]["weight_ppm"] <= 1_000_000
 
 
 def test_doremi_weights_uniform_when_no_excess(spark):

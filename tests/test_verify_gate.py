@@ -22,8 +22,9 @@ import pytest
 
 @pytest.fixture(scope="module")
 def gate():
-    spec = importlib.util.spec_from_file_location(
-        "verify_local", "tools/verify_local.py")
+    from pathlib import Path
+    path = Path(__file__).resolve().parent.parent / "tools/verify_local.py"
+    spec = importlib.util.spec_from_file_location("verify_local", path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules["verify_local"] = mod
     spec.loader.exec_module(mod)
@@ -77,6 +78,18 @@ def test_frame_rows_order_insensitive_and_column_sorted(gate):
     rb, cb = gate._frame_rows(b)
     assert ca == cb == ["a", "b"]
     assert ra == rb
+
+
+def test_signed_zero_multiset_pairs_deterministically(gate):
+    # bitwise-identical multisets in different input orders must pass
+    # the bit layer: the sort key includes the float bit pattern, so
+    # (-0.0, 0.0) ties cannot cross-pair between engines
+    a = pd.DataFrame({"k": [1, 1], "v": [-0.0, 0.0]})
+    b = pd.DataFrame({"k": [1, 1], "v": [0.0, -0.0]})
+    ra, _ = gate._frame_rows(a)
+    rb, _ = gate._frame_rows(b)
+    assert [tuple(gate._bits(v) for v in r) for r in ra] == \
+           [tuple(gate._bits(v) for v in r) for r in rb]
 
 
 def test_int_vs_float_values_differ_at_bit_layer(gate):

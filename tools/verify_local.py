@@ -34,7 +34,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as E  # noqa: E402
 
@@ -119,13 +119,24 @@ def _bits(v):
     return v
 
 
+def _sort_key(t):
+    """None-safe total order (rollup subtotal rows carry NULL keys),
+    refined by the float BIT pattern so value-equal rows that differ
+    only bitwise (-0.0 vs 0.0) pair deterministically on both engines —
+    a value-level tie broken by engine-specific input order would
+    cross-pair such rows and fail bitwise-identical multisets."""
+    return tuple(
+        (v is None, str(type(v)), v,
+         _bits(v) if isinstance(v, float) else b"")
+        for v in t)
+
+
 def _frame_rows(pdf: pd.DataFrame):
     """Column-name-sorted, order-insensitive canonical rows + columns."""
     cols = sorted(pdf.columns)
     data = pdf[cols].itertuples(index=False, name=None)
     rows = [tuple(_canon(v) for v in r) for r in data]
-    # None-safe total order (rollup subtotal rows carry NULL keys)
-    rows.sort(key=lambda t: tuple((v is None, str(type(v)), v) for v in t))
+    rows.sort(key=_sort_key)
     return rows, cols
 
 
