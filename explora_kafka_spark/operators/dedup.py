@@ -521,7 +521,7 @@ def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     max_iterations: int = 25,
-    driver_threshold: int = 200_000,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Min-label propagation connected components (the groups step that
     turns near-dup PAIRS into dedup GROUPS).
@@ -556,9 +556,14 @@ def connected_components(
     # bpe_merges precedent: statistic-sized state may visit the
     # driver): near-dup edge sets are duplicate-subgraph-sized, not
     # corpus-sized — when the edge count is below the threshold
-    # (200k rows ≈ 3 MB), exact union-find on the driver replaces
-    # ~4-6 distributed rounds × 3 joins each, producing the IDENTICAL
-    # min-label-per-component result (pytest-pinned). The iterative
+    # (500k rows ≈ 8 MB Arrow; the parent dict stays endpoint-bounded,
+    # worst-case ~1M small-int entries), exact union-find on the driver
+    # replaces ~4-6 distributed rounds × 3 joins each, producing the
+    # IDENTICAL min-label-per-component result (pytest-pinned). The
+    # threshold was 200k through r9; the r10 sf1 probe showed the
+    # semantic-groups edge set (~450k at 10× data) falling just past it
+    # onto the distributed path and paying ~3.5 s of join rounds where
+    # the driver loop takes well under a second. The iterative
     # pointer-jumping path below remains the corpus-scale route and
     # is exercised directly by tests. The probe count materializes the
     # cache either way, so neither path pays an extra edge scan.
