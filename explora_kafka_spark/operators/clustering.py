@@ -70,20 +70,41 @@ def _assign(mu: DataFrame, cent: DataFrame) -> DataFrame:
     unit-scale embeddings ⇒ 64-dim dot ≤ ~2.3e13, far from 2^63), and
     np.argmin returns the FIRST minimal column with rows ordered by
     cid — exactly the (d2 ASC, cid ASC) tie-break the SQL mirrors pin.
+
+    The |µ| bound is ENFORCED, not assumed (VERDICT r10 advice):
+    every term of D is bounded by d·(max|X| + max|C|)², so the kernel
+    asserts d·(mx + mc)² < 2^62 on the collected centroids and again
+    on each Arrow batch — larger-magnitude embeddings raise instead
+    of wrapping silently and diverging from the DuckDB mirror.
     """
     import numpy as np
     import pandas as pd
 
     rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    if not rows:  # empty corpus → empty assignment (same schema)
+        return mu.sparkSession.createDataFrame(
+            [], "vid bigint, m array<bigint>, cid int, _d2 bigint")
     cids = np.array([r["cid"] for r in rows], dtype=np.int64)
     C = np.stack([np.asarray(r["cm"], dtype=np.int64) for r in rows])
     c2 = (C * C).sum(axis=1)
+    d = C.shape[1]
+    mc = int(np.abs(C).max()) if C.size else 0
+
+    def _check(mx: int) -> None:
+        if d * (mx + mc) ** 2 >= 2**62:
+            raise OverflowError(
+                f"_assign int64 envelope exceeded: dim={d}, max|x|={mx}, "
+                f"max|c|={mc} (need dim*(mx+mc)^2 < 2^62); µunit "
+                "embeddings must stay unit-scale (|value| <= ~6e5)")
+
+    _check(0)
 
     def _kern(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["m"]])
+            _check(int(np.abs(X).max()))
             D = ((X * X).sum(axis=1)[:, None]
                  - 2 * (X @ C.T) + c2[None, :])
             idx = D.argmin(axis=1)

@@ -1293,6 +1293,12 @@ def knn_pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:  # degrade like the sibling operators: empty in, empty out
+        return nodes.select(
+            F.col("vid").alias(key),
+            F.col("od").alias("out_degree"),
+            F.lit(None).cast("long").alias("pr_ppb"),
+        )
     hold = ((100 - damping_pct) * (10**9 // n)) // 100
     pr = nodes.select("vid", "od",
                       F.lit(10**9 // n).cast("long").alias("pr"))

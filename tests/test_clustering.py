@@ -139,3 +139,20 @@ def test_kcenter_matches_duckdb_oracle(spark, sf_dir):
     want = [tuple(int(x) for x in row)
             for row in con.execute(kcenter_select_sql(k=8)).fetchall()]
     assert got == want
+
+
+def test_assign_kernel_rejects_overflow_magnitudes(spark):
+    # ADVICE r10: the Arrow argmin kernel's int64 envelope is enforced,
+    # not assumed — |value| ~5000 in 1-dim µunits (5e9) already puts
+    # (mx+mc)^2 past 2^62, so the kernel must raise instead of wrapping
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((OverflowError, Py4JJavaError, Exception)) as ei:
+        kmeans(_emb(spark, [[5000.0], [5001.0]]), k=1, iters=1).collect()
+    assert "envelope" in str(ei.value) or "OverflowError" in str(ei.value)
+
+
+def test_assign_kernel_accepts_unit_scale(spark):
+    # unit-scale embeddings (the documented caller contract) stay fine
+    out = kmeans(_emb(spark, [[1.0], [-1.0]]), k=1, iters=1).collect()
+    assert len(out) == 2

@@ -464,6 +464,17 @@ def test_knn_pagerank_dangling_uniform_redistribution(spark):
     assert want == 500_000_000  # exactly stationary for n=2
 
 
+def test_knn_pagerank_empty_input_degrades(spark):
+    # ADVICE r10: n == 0 must not reach the 10**9 DIV n expressions —
+    # empty in, empty (key, out_degree, pr_ppb) out, like the siblings
+    from explora_kafka_spark.operators.semdedup import knn_pagerank
+
+    out = knn_pagerank(_emb(spark, []), k_clusters=2, iters=1, k=3,
+                       rounds=5)
+    assert out.columns == ["vec_id", "out_degree", "pr_ppb"]
+    assert out.count() == 0
+
+
 def test_knn_pagerank_repartition_deterministic(spark):
     from explora_kafka_spark.operators.semdedup import knn_pagerank
 

@@ -92,6 +92,33 @@ def test_signed_zero_multiset_pairs_deterministically(gate):
            [tuple(gate._bits(v) for v in r) for r in rb]
 
 
+def test_dtype_class_flags_mixed_object_columns(gate):
+    # ADVICE r10: classification must scan the whole column, not just
+    # the first non-null — a str/int mix is its own (failing) class
+    mixed = pd.Series(["a", 1], dtype=object)
+    assert gate._dtype_class(mixed.dtype, mixed) == "mixed(int,str)"
+    late = pd.Series(["a", "b", 3.5], dtype=object)
+    assert "mixed" in gate._dtype_class(late.dtype, late)
+    pure = pd.Series(["a", None, "b"], dtype=object)
+    assert gate._dtype_class(pure.dtype, pure) == "str"
+
+
+def test_nan_fold_restricted_to_object_columns(gate):
+    # ADVICE r10: NaN→None folding is the documented object-column
+    # DuckDB NULL-rendering case only; float64 NaN keeps its own marker
+    assert gate._canon(float("nan"), fold_nan=False) == "__nan__"
+    obj = pd.DataFrame({"v": pd.Series([float("nan"), "x"], dtype=object)})
+    flt = pd.DataFrame({"v": pd.Series([float("nan"), 1.0], dtype="float64")})
+    robj, _ = gate._frame_rows(obj)
+    rflt, _ = gate._frame_rows(flt)
+    assert (None,) in robj           # object column: folded to missing
+    assert ("__nan__",) in rflt      # float column: distinct NaN marker
+    # and NaN==NaN stays workable for the multiset compare
+    rflt2, _ = gate._frame_rows(
+        pd.DataFrame({"v": pd.Series([1.0, float("nan")], dtype="float64")}))
+    assert rflt == rflt2
+
+
 def test_int_vs_float_values_differ_at_bit_layer(gate):
     # the r9 escape end-to-end: same value, different representation
     a = pd.DataFrame({"n": pd.Series([10000], dtype="int64")})

@@ -61,32 +61,50 @@ def _dtype_class(dtype, series) -> str:
     if pd.api.types.is_datetime64_any_dtype(dtype):
         return "datetime"
     if dtype == object:
+        # classify over the WHOLE column (ADVICE r10: first-non-null-only
+        # mis-classed columns that mix classes past row 0) — a mixed set
+        # is its own (failing) class unless both engines mix identically
+        seen = set()
         for v in series:
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 continue
             if isinstance(v, str):
-                return "str"
-            if isinstance(v, bytes):
-                return "bytes"
-            if isinstance(v, bool):
-                return "bool"
-            if isinstance(v, int):
-                return "int"
-            if isinstance(v, float):
-                return "float"
-            if isinstance(v, _dt.datetime):
-                return "datetime-object"
-            if isinstance(v, _dt.date):
-                return "date-object"
-            return type(v).__name__
-        return "empty-object"
+                seen.add("str")
+            elif isinstance(v, bytes):
+                seen.add("bytes")
+            elif isinstance(v, bool):
+                seen.add("bool")
+            elif isinstance(v, int):
+                seen.add("int")
+            elif isinstance(v, float):
+                seen.add("float")
+            elif isinstance(v, _dt.datetime):
+                seen.add("datetime-object")
+            elif isinstance(v, _dt.date):
+                seen.add("date-object")
+            else:
+                seen.add(type(v).__name__)
+        if not seen:
+            return "empty-object"
+        if len(seen) == 1:
+            return seen.pop()
+        return "mixed(" + ",".join(sorted(seen)) + ")"
     return str(dtype)
 
 
-def _canon(v):
+def _canon(v, fold_nan: bool = True):
     """Value-level canonical form (used for the order-insensitive sort +
     value compare): ints of any width → python int, timestamps of any
-    unit → ISO string, floats stay floats (bit check is a second pass)."""
+    unit → ISO string, floats stay floats (bit check is a second pass).
+
+    ``fold_nan`` (ADVICE r10): the NaN→None fold applies only to OBJECT
+    columns — the documented DuckDB NULL-rendering case (``.df()`` gives
+    float NaN where Spark gives None; driver-green metric_hour_anomaly r7
+    proves the driver treats them as equal). In float64 columns NaN stays
+    a distinct marker so a genuine NaN never silently equals SQL NULL
+    (post-pandas a float64 NULL renders NaN on both engines anyway, so
+    this is strictness in principle; the marker keeps NaN==NaN workable
+    for the multiset compare)."""
     if v is None or v is pd.NaT:
         return None
     if isinstance(v, (np.bool_, bool)):
@@ -95,17 +113,15 @@ def _canon(v):
         return int(v)
     if isinstance(v, (np.floating, float)):
         f = float(v)
-        # missing is missing: DuckDB's .df() renders NULL in object
-        # columns as float NaN while Spark gives None — driver-green
-        # rows (metric_hour_anomaly r7) prove the driver treats them
-        # as equal, so both canonicalize to None
-        return None if math.isnan(f) else f
+        if math.isnan(f):
+            return None if fold_nan else "__nan__"
+        return f
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, np.datetime64):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, (list, tuple, np.ndarray)):
-        return tuple(_canon(x) for x in v)
+        return tuple(_canon(x, fold_nan) for x in v)
     return v
 
 
@@ -134,8 +150,9 @@ def _sort_key(t):
 def _frame_rows(pdf: pd.DataFrame):
     """Column-name-sorted, order-insensitive canonical rows + columns."""
     cols = sorted(pdf.columns)
+    fold = [pdf[c].dtype == object for c in cols]
     data = pdf[cols].itertuples(index=False, name=None)
-    rows = [tuple(_canon(v) for v in r) for r in data]
+    rows = [tuple(_canon(v, fold[i]) for i, v in enumerate(r)) for r in data]
     rows.sort(key=_sort_key)
     return rows, cols
 
