@@ -541,16 +541,19 @@ def q_distinct_users_daily_salted(spark, sf_dir):
     )
 
 
-def q_distinct_users_daily_approx(spark, sf_dir):
-    """HLL approximate distinct (scale path) — no SQL oracle (sketch
-    estimates are engine-specific); the driver records a rows-only check."""
+def q_distinct_users_daily_hll_audit(spark, sf_dir):
+    """EXACT-AUDIT TWIN of the HLL scale path (replaces the rows-only
+    `distinct_users_daily_approx` driver entry, VERDICT r10 #2 / the
+    cms_heavy_hitters precedent): exact per-day distinct (oracle-matched)
+    + a deterministic within-3σ flag on the HLL estimate. HLL register
+    merges are commutative max(), so the flag is a pure function of the
+    data — the oracle pins TRUE."""
     from explora_kafka_spark.operators import skew as SK
 
     ev = load_table(spark, sf_dir, "events")
     day = ts_ms_col(F.date_trunc("day", "ts")).alias("day_ms")
-    return SK.approx_distinct(ev, [day], "user_id", alias="n_users_approx").orderBy(
-        "day_ms"
-    )
+    return SK.approx_distinct_audit(
+        ev, [day], "user_id", alias="n_users").orderBy("day_ms")
 
 
 def q_json_props_extract(spark, sf_dir):
@@ -2689,13 +2692,15 @@ def q_metric_movers(spark, sf_dir):
     return TS.metric_movers(load_readings(spark, sf_dir), top=20)
 
 
-def q_percentile_approx_audit(spark, sf_dir):
-    """Approximate-percentile scale path priced vs exact: per (metric,
-    day), exact interpolated quantiles + approx_percentile (KLL-style
-    sketch, map-side mergeable — no per-group sort at 100 TB) + abs
-    error. Spark-only sketch ⇒ rows-only driver check (the HLL
-    precedent); the rank-correctness contract is pytest-pinned."""
-    return TS.percentile_approx_audit(load_readings(spark, sf_dir))
+def q_percentile_rank_audit(spark, sf_dir):
+    """EXACT-AUDIT TWIN of the approximate-percentile scale path
+    (replaces the rows-only `percentile_approx_audit` driver entry,
+    VERDICT r10 #2): per (metric, day), the exact interpolated
+    quantiles (oracle-matched values) + one boolean per prob asserting
+    approx_percentile's returned rank is inside the sketch's published
+    n/accuracy bound — a guarantee that holds for EVERY merge order, so
+    the flag is deterministically TRUE and the oracle pins it."""
+    return TS.percentile_rank_audit(load_readings(spark, sf_dir))
 
 
 def q_metric_hour_anomaly(spark, sf_dir):
@@ -2843,118 +2848,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     return {k: _configured(v) for k, v in {
-        # ROUND-10 ROTATION (schedule in COVERAGE.md "Rotation schedule"):
-        # window = the 4 r9-red oracle-fix re-records + the 2 changed/new
-        # entries + the 8 late-r9 additions + the 15 displaced
-        # never-recorded r8 entries + 21 of the 23-entry r9 overflow.
-        # Net registry growth is PAUSED this round (VERDICT r9 #3) so the
-        # never-recorded backlog drains; invariant updated to the
-        # arithmetically honest 5-round cadence (ceil(204 / 50)).
-        # — fixed-oracle re-records (red in CORRECTNESS_r09: DuckDB HUGEINT
-        #   dtype / signed-zero representation; engine values were exact) —
-        "embedding_covariance": q_embedding_covariance,
-        "semdedup_check_audit": q_semdedup_check_audit,
-        "expect_events": q_expect_events,
-        "cube_docs": q_cube_docs,
-        # — changed/new entries (invariant: enter the window on landing):
-        #   retention_weekly now emits cohort_week as an ISO string on both
-        #   engines; source_mix_entropy registered this round —
-        "retention_weekly": q_retention_weekly,
-        "source_mix_entropy": q_source_mix_entropy,
-        # — round-9 late additions (landed after the r9 window was pinned) —
-        "revenue_q6": q_revenue_q6,
-        "priority_late_ships": q_priority_late_ships,
-        "phash_check": q_phash_check,
-        "expect_by_source": q_expect_by_source,
-        "cust_order_dist": q_cust_order_dist,
-        "segment_view": q_segment_view,
-        "metric_seasonality": q_metric_seasonality,
-        "snapshot_smoothed": q_snapshot_smoothed,
-        # — never-recorded round-8 additions displaced from the r9 window —
-        "metric_histogram": q_metric_histogram,
-        "dsir_weights": q_dsir_weights,
-        "bigram_bits": q_bigram_bits,
-        "pca_project": q_pca_project,
-        "dsir_select": q_dsir_select,
-        "cluster_top_terms": q_cluster_top_terms,
-        "embedding_standardize": q_embedding_standardize,
-        "snapshot_regions_quad": q_snapshot_regions_quad,
-        "kcenter_select": q_kcenter_select,
-        "quality_logit": q_quality_logit,
-        "filter_pipeline_full": q_filter_pipeline_full,
-        "metric_trend": q_metric_trend,
-        "zorder_layout": q_zorder_layout,
-        "item_lift": q_item_lift,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        # — r9-queue overflow (first 21 of 23; gopher_rule_impact and
-        #   source_overlap head the r11 queue) —
-        "ann_recall_truncated": q_ann_recall_truncated,
-        "knn_hubness": q_knn_hubness,
-        "trending_items": q_trending_items,
-        "ship_priority": q_ship_priority,
-        "snapshot_route_quad": q_snapshot_route_quad,
-        "snapshot_route_geohash": q_snapshot_route_geohash,
-        "history_route_quad": q_history_route_quad,
-        "od_flows": q_od_flows,
-        "cell_dwell": q_cell_dwell,
-        "event_paths": q_event_paths,
-        "corpus_gate_scored": q_corpus_gate_scored,
-        "metric_movers": q_metric_movers,
-        "snapshot_nearest_quad": q_snapshot_nearest_quad,
-        "embedding_drift": q_embedding_drift,
-        "percentile_approx_audit": q_percentile_approx_audit,
-        "session_stats": q_session_stats,
-        "pricing_summary": q_pricing_summary,
-        "returned_items": q_returned_items,
-        "snapshot_nearest_geohash": q_snapshot_nearest_geohash,
-        "dedup_sweep": q_dedup_sweep,
-        "contamination_sweep": q_contamination_sweep,
-        # ——— driver cap line (entries below lose their CORRECTNESS row;
-        #     they still run in bench.py and tools/verify_local.py) ———
-        # — never recorded; r11 queue head —
-        "gopher_rule_impact": q_gopher_rule_impact,
-        "source_overlap": q_source_overlap,
-        # — round-10 additions (growth-pause exception, registered BELOW
-        #   the cap so CORRECTNESS_r10 keeps its promised 50 rows; they
-        #   take r11 window slots with the two entries above) —
-        "knn_pagerank": q_knn_pagerank,
-        "doremi_weights": q_doremi_weights,
-        # — OLAP tail (last driver rows r6; next-oldest, r11 priority) —
-        "zscore_per_metric": q_zscore_per_metric,
-        "chunk_documents": q_chunk_documents,
-        "split_train_val_test": q_split_train_val_test,
-        "redact_pii": q_redact_pii,
-        "text_stats": q_text_stats,
-        "multimodal_frames": q_multimodal_frames,
-        "history_max_day": q_history_max_day,
-        "distinct_users_daily_approx": q_distinct_users_daily_approx,
-        "quadkey_cells": q_quadkey_cells,
-        "geohash_cells": q_geohash_cells,
-        "distinct_users_daily_salted": q_distinct_users_daily_salted,
-        "join_rollup_nation": q_join_rollup_nation,
-        "distinct_users_daily": q_distinct_users_daily,
+        # ROUND-11 ROTATION (schedule in COVERAGE.md):  window = the
+        # 21 stale r3-r6 entries + the 4 never-driver-recorded entries
+        # + the 2 exact-audit twins (changed entries; VERDICT r10 #2)
+        # + 24 of the 36-entry r7 band (IVF family first - touched by
+        # this round's perf work). New r11 operators enter the window
+        # on landing, displacing the tail into the r12 queue.
+        # - last driver rows r3 (seven rounds stale) -
+        "topk_events": q_topk_events,
+        "users_view_not_click": q_users_view_not_click,
+        "median_value_by_metric": q_median_value_by_metric,
         "json_props_extract": q_json_props_extract,
         "rollup_metric_day": q_rollup_metric_day,
         "pivot_daily_by_metric": q_pivot_daily_by_metric,
         "history_dense_day": q_history_dense_day,
         "window_top_orders": q_window_top_orders,
-        "median_value_by_metric": q_median_value_by_metric,
-        "topk_events": q_topk_events,
-        "users_view_not_click": q_users_view_not_click,
-        # — last driver rows r7 (extension families) —
+        "join_rollup_nation": q_join_rollup_nation,
+        "distinct_users_daily": q_distinct_users_daily,
+        # - last driver rows r5 (incl. the SURVEY 2 geo codecs) -
+        "quadkey_cells": q_quadkey_cells,
+        "geohash_cells": q_geohash_cells,
+        "history_max_day": q_history_max_day,
+        "text_stats": q_text_stats,
+        "multimodal_frames": q_multimodal_frames,
+        "distinct_users_daily_salted": q_distinct_users_daily_salted,
+        # - changed entry: exact-audit twin of the HLL scale path
+        #   (replaces rows-only distinct_users_daily_approx) -
+        "distinct_users_daily_hll_audit": q_distinct_users_daily_hll_audit,
+        # - last driver rows r6 -
+        "chunk_documents": q_chunk_documents,
+        "redact_pii": q_redact_pii,
+        "split_train_val_test": q_split_train_val_test,
+        "zscore_per_metric": q_zscore_per_metric,
+        # - never driver-recorded (strict-local-verified r10) -
+        "gopher_rule_impact": q_gopher_rule_impact,
+        "source_overlap": q_source_overlap,
+        "knn_pagerank": q_knn_pagerank,
+        "doremi_weights": q_doremi_weights,
+        # - changed entry: exact-audit twin of the approx-percentile
+        #   path (replaces rows-only percentile_approx_audit) -
+        "percentile_rank_audit": q_percentile_rank_audit,
+        # - r7 band, first 24 (IVF family leads: this round's perf
+        #   target must re-verify under the driver) -
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_recall_ivf": q_ann_recall_ivf,
+        "tune_nprobe": q_tune_nprobe,
+        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
+        "ann_topk_ivf_filtered": q_ann_topk_ivf_filtered,
+        "embedding_quantization": q_embedding_quantization,
+        "ann_recall_lsh": q_ann_recall_lsh,
+        "ann_topk_brute": q_ann_topk_brute,
         "snapshot_radius_quad": q_snapshot_radius_quad,
         "snapshot_radius_geohash": q_snapshot_radius_geohash,
         "history_radius_quad": q_history_radius_quad,
         "sessionize": q_sessionize,
         "ingest_dedup": q_ingest_dedup,
-        "embedding_quantization": q_embedding_quantization,
-        "ann_recall_lsh": q_ann_recall_lsh,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_topk_brute": q_ann_topk_brute,
-        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
-        "ann_topk_ivf_filtered": q_ann_topk_ivf_filtered,
-        "ann_recall_ivf": q_ann_recall_ivf,
-        "tune_nprobe": q_tune_nprobe,
         "dedup_near": q_dedup_near,
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2966,6 +2914,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_profile": q_source_quality_profile,
         "doc_repetition": q_doc_repetition,
         "contamination_ngram": q_contamination_ngram,
+        # ——— driver cap line (entries below lose their CORRECTNESS row;
+        #     they still run in bench.py and tools/verify_local.py) ———
+        # - r12 queue head: the r7-band remainder -
         "contamination_check": q_contamination_check,
         "corpus_canonical": q_corpus_canonical,
         "stratified_sample": q_stratified_sample,
@@ -2978,7 +2929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "asof_hourly_stats": q_asof_hourly_stats,
-        # — re-recorded in r8 (green CORRECTNESS_r08 rows) —
+        # - last driver rows r8/r9 (fresher; rotate per schedule) -
         "cell_bucket_key": q_cell_bucket_key,
         "base_view_min_p7": q_base_view_min_p7,
         "lattice_hour_p6": q_lattice_hour_p6,
@@ -3028,7 +2979,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_shards": q_write_shards,
         "bpe_merges": q_bpe_merges,
         "ann_topk_ivf_quantized": q_ann_topk_ivf_quantized,
-        # — recorded green in r9 (freshest rows; rotate out per schedule) —
         "bpe_encode": q_bpe_encode,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
@@ -3075,6 +3025,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_view": q_session_view,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_topk_mmr": q_ann_topk_mmr,
+        # - recorded green in r10 (freshest rows; rotate out last) -
+        "embedding_covariance": q_embedding_covariance,
+        "semdedup_check_audit": q_semdedup_check_audit,
+        "expect_events": q_expect_events,
+        "cube_docs": q_cube_docs,
+        "retention_weekly": q_retention_weekly,
+        "source_mix_entropy": q_source_mix_entropy,
+        "revenue_q6": q_revenue_q6,
+        "priority_late_ships": q_priority_late_ships,
+        "phash_check": q_phash_check,
+        "expect_by_source": q_expect_by_source,
+        "cust_order_dist": q_cust_order_dist,
+        "segment_view": q_segment_view,
+        "metric_seasonality": q_metric_seasonality,
+        "snapshot_smoothed": q_snapshot_smoothed,
+        "metric_histogram": q_metric_histogram,
+        "dsir_weights": q_dsir_weights,
+        "bigram_bits": q_bigram_bits,
+        "pca_project": q_pca_project,
+        "dsir_select": q_dsir_select,
+        "cluster_top_terms": q_cluster_top_terms,
+        "embedding_standardize": q_embedding_standardize,
+        "snapshot_regions_quad": q_snapshot_regions_quad,
+        "kcenter_select": q_kcenter_select,
+        "quality_logit": q_quality_logit,
+        "filter_pipeline_full": q_filter_pipeline_full,
+        "metric_trend": q_metric_trend,
+        "zorder_layout": q_zorder_layout,
+        "item_lift": q_item_lift,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "ann_recall_truncated": q_ann_recall_truncated,
+        "knn_hubness": q_knn_hubness,
+        "trending_items": q_trending_items,
+        "ship_priority": q_ship_priority,
+        "snapshot_route_quad": q_snapshot_route_quad,
+        "snapshot_route_geohash": q_snapshot_route_geohash,
+        "history_route_quad": q_history_route_quad,
+        "od_flows": q_od_flows,
+        "cell_dwell": q_cell_dwell,
+        "event_paths": q_event_paths,
+        "corpus_gate_scored": q_corpus_gate_scored,
+        "metric_movers": q_metric_movers,
+        "snapshot_nearest_quad": q_snapshot_nearest_quad,
+        "embedding_drift": q_embedding_drift,
+        "session_stats": q_session_stats,
+        "pricing_summary": q_pricing_summary,
+        "returned_items": q_returned_items,
+        "snapshot_nearest_geohash": q_snapshot_nearest_geohash,
+        "dedup_sweep": q_dedup_sweep,
+        "contamination_sweep": q_contamination_sweep,
     }.items()}
 
 
@@ -3278,8 +3278,15 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1 ORDER BY 1
         """,
-        # distinct_users_daily_approx: intentionally NO oracle — HLL
-        # estimates are engine-specific (driver records rows-only)
+        # the HLL scale path's exact-audit twin: exact count is oracle-
+        # matched; the within-bound flag is deterministic (commutative
+        # register merges) so the oracle pins TRUE
+        "distinct_users_daily_hll_audit": """
+            SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+                   count(DISTINCT user_id) AS n_users,
+                   TRUE AS hll_ok
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
         "json_props_extract": """
             SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
                    count(*) AS n, round(sum(value), 6) AS sum_value
@@ -3842,6 +3849,11 @@ def oracle_sql() -> dict[str, str]:
             + ANOM.metric_hour_anomaly_sql(f"({READINGS_SQL}) AS r")
             + ") WHERE is_anomaly"),
         "metric_histogram": TS.metric_histogram_sql(
+            f"({READINGS_SQL}) AS r"),
+        # the approx-percentile scale path's exact-audit twin: exact
+        # quantiles oracle-matched; rank-bound flags pinned TRUE (the
+        # GK guarantee holds under every merge order)
+        "percentile_rank_audit": TS.percentile_rank_audit_sql(
             f"({READINGS_SQL}) AS r"),
         "metric_day_percentiles": TS.metric_day_percentiles_sql(
             f"({READINGS_SQL}) AS r"),

@@ -57,6 +57,46 @@ def approx_distinct(
     )
 
 
+def approx_distinct_audit(
+    df: DataFrame,
+    group_cols: list[str | Column],
+    value_col: str,
+    rsd: float = 0.02,
+    sigma: float = 3.0,
+    alias: str = "n_distinct",
+) -> DataFrame:
+    """Oracle-checkable AUDIT of the HLL scale path (the
+    `cms_heavy_hitters` exact-audit pattern; VERDICT r10 #2 — the
+    registry twin that replaces the rows-only
+    `distinct_users_daily_approx` driver entry): per group, the EXACT
+    distinct count (oracle-matched) plus a boolean asserting the HLL
+    estimate landed within `sigma`× its configured relative standard
+    deviation (abs slack max(4, ceil(sigma·rsd·exact)) absorbs the
+    tiny-cardinality regime where rsd is not meaningful).
+
+    Determinism: HLL++ register merges are commutative max() — the
+    estimate is a pure function of the data regardless of partitioning
+    or merge order, so the flag is a fixed value for a fixed dataset;
+    the oracle pins TRUE and the row goes red only if the sketch drifts
+    outside its documented error envelope.
+
+    100 TB design: ONE aggregate scan computes both sides (the exact
+    count is the audit's price — production reads drop it and keep the
+    mergeable single-pass sketch)."""
+    est = F.approx_count_distinct(value_col, rsd)
+    exact = F.countDistinct(value_col)
+    out = df.groupBy(*group_cols).agg(
+        exact.alias(alias), est.alias("_a"))
+    tol = F.greatest(
+        F.lit(4).cast("long"),
+        F.ceil(F.col(alias).cast("double") * rsd * sigma).cast("long"))
+    return out.select(
+        *[x for x in out.columns if x not in (alias, "_a")],
+        F.col(alias),
+        (F.abs(F.col("_a") - F.col(alias)) <= tol).alias("hll_ok"),
+    )
+
+
 # --- Count-min sketch -------------------------------------------------------
 
 #: 31-bit Mersenne prime — the dedup.py hash-family modulus; affine

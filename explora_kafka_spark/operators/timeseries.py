@@ -455,3 +455,94 @@ def percentile_approx_audit(
                    "n", *cols, *err_cols)
         .orderBy("metric_id", "bucket_ms")
     )
+
+
+def percentile_rank_audit(
+    readings: DataFrame,
+    probs: tuple = (0.5, 0.95, 0.99),
+    accuracy: int = 1000,
+) -> DataFrame:
+    """Oracle-checkable AUDIT of the approximate-percentile scale path
+    (the `cms_heavy_hitters` exact-audit pattern; VERDICT r10 #2 — the
+    registry twin that replaces the rows-only `percentile_approx_audit`
+    driver entry): per (metric, day), the EXACT interpolated quantiles
+    (`metric_day_percentiles` semantics — oracle-matched values) plus
+    one boolean per prob asserting Spark's `approx_percentile`
+    (KLL/GK-style sketch at `accuracy`) landed within its published
+    rank-error bound.
+
+    The booleans are deterministic even though the sketch's merge order
+    is not: GK guarantees the returned value's RANK is within
+    n/accuracy of the target for EVERY merge order, so the flag is
+    provably TRUE whenever the implementation honors its contract — the
+    oracle simply pins TRUE, and the row goes red only if Spark's
+    sketch ever violates its bound. Rank check: the approx value v's
+    rank interval in the group is [count(<v)+1, count(<=v)]; it must
+    intersect [p·n − err, p·n + err] with err = n/accuracy + 2 (the +2
+    absorbs the p·n vs p·(n−1)+1 definitional slack).
+
+    Output: metric_id, bucket_ms, n, p50, p95, p99 (exact, 6 dp),
+    ok50, ok95, ok99.
+
+    100 TB design: one rollup aggregate (exact percentile per bounded
+    (metric, day) group + mergeable sketch), then ONE re-join of the
+    statistic-sized group table back to readings (broadcast) for the
+    rank counts — no per-group sort beyond the bounded groups the exact
+    path already documents."""
+    keys = ["metric_id", F.date_trunc("day", F.col("ts")).alias("_d")]
+    aggs = [F.count("*").alias("n")]
+    for p in probs:
+        tag = f"p{int(p * 100)}"
+        aggs.append(F.round(F.expr(f"percentile(value, {p!r})"), 6)
+                    .alias(tag))
+        aggs.append(F.expr(
+            f"approx_percentile(value, {p!r}, {accuracy})").alias(f"_a{tag}"))
+    g = readings.groupBy(*keys).agg(*aggs)
+    r = readings.select(
+        "metric_id", F.date_trunc("day", F.col("ts")).alias("_d"), "value")
+    j = r.join(F.broadcast(g), ["metric_id", "_d"])
+    aggs2 = [F.max("n").alias("n")]
+    for p in probs:
+        tag = f"p{int(p * 100)}"
+        aggs2.append(F.max(tag).alias(tag))
+        aggs2.append(F.sum((F.col("value") < F.col(f"_a{tag}"))
+                           .cast("long")).alias(f"_lo{tag}"))
+        aggs2.append(F.sum((F.col("value") <= F.col(f"_a{tag}"))
+                           .cast("long")).alias(f"_hi{tag}"))
+    out = j.groupBy("metric_id", "_d").agg(*aggs2)
+    oks = []
+    for p in probs:
+        tag = f"p{int(p * 100)}"
+        err = F.col("n").cast("double") / accuracy + 2.0
+        t = F.col("n").cast("double") * p
+        oks.append(
+            (((F.col(f"_lo{tag}") + 1).cast("double") - err <= t)
+             & (t <= F.col(f"_hi{tag}").cast("double") + err))
+            .alias(f"ok{int(p * 100)}"))
+    return (
+        out.select("metric_id", F.unix_millis("_d").alias("bucket_ms"),
+                   "n", *[f"p{int(p * 100)}" for p in probs], *oks)
+        .orderBy("metric_id", "bucket_ms")
+    )
+
+
+def percentile_rank_audit_sql(
+    table: str, probs: tuple = (0.5, 0.95, 0.99)
+) -> str:
+    """DuckDB mirror of `percentile_rank_audit`: exact quantiles are
+    computed (quantile_cont ≡ Spark `percentile`, the
+    metric_day_percentiles parity note); the bound flags are pinned
+    TRUE — the sketch's published guarantee, which the Spark side
+    re-derives from actual rank counts."""
+    cols = ", ".join(
+        f"round(quantile_cont(value, {p!r}), 6) AS p{int(p * 100)}"
+        for p in probs)
+    flags = ", ".join(f"TRUE AS ok{int(p * 100)}" for p in probs)
+    return f"""
+        SELECT metric_id,
+               epoch_ms(date_trunc('day', ts)) AS bucket_ms,
+               count(*) AS n, {cols}, {flags}
+        FROM {table}
+        GROUP BY 1, 2
+        ORDER BY metric_id, bucket_ms
+    """

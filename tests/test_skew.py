@@ -69,3 +69,31 @@ def test_cms_never_undercounts_and_is_exact_when_wide(spark):
         df.repartition(5), "k", depth=4, width=1024, top=10).collect()
     assert {r["item"]: (r["est_count"], r["true_count"])
             for r in again} == got
+
+
+def test_approx_distinct_audit_exact_and_flag(events):
+    """The r11 exact-audit twin: n_distinct equals the exact count and
+    hll_ok is TRUE at the fixture (HLL merges are commutative, so the
+    flag is a pure function of the data)."""
+    plain = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = SK.approx_distinct_audit(
+        events, ["event_type"], "user_id").collect()
+    assert {r.event_type: r.n_distinct for r in rows} == plain
+    assert all(r.hll_ok for r in rows)
+
+
+def test_approx_distinct_audit_small_groups_use_abs_slack(spark):
+    """Tiny cardinalities (exact sparse-mode HLL) pass via the absolute
+    slack max(4, ...) — and the flag survives repartitioning."""
+    rows = [(i % 3, f"u{i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "g int, u string")
+    out = SK.approx_distinct_audit(df.repartition(7), ["g"], "u")
+    got = out.collect()
+    assert sorted((r.g, r.n_distinct) for r in got) == \
+        [(0, 4), (1, 4), (2, 4)]
+    assert all(r.hll_ok for r in got)

@@ -174,7 +174,10 @@ def main():
     # registered query; every query without an oracle must be a known
     # rows-only entry. The driver records at most the FIRST 50 entries, so
     # list what falls past the cap to make the trade-off explicit.
-    ROWS_ONLY = {"distinct_users_daily_approx", "percentile_approx_audit"}
+    # empty since round 11: the two sketch entries were swapped for
+    # exact-audit twins (VERDICT r10 #2) — kept as a mechanism for any
+    # future genuinely non-SQL-expressible entry
+    ROWS_ONLY: set[str] = set()
     stray = set(oracles) - set(qs)
     assert not stray, f"oracles without a query: {sorted(stray)}"
     no_oracle = set(qs) - set(oracles) - ROWS_ONLY
