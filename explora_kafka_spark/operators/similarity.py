@@ -551,6 +551,131 @@ def ann_topk_ivf(
     )
 
 
+#: scale of the exact coarse-ranking key: key = sign(num)·⌊num²·S/nc⌋
+#: with num = ⟨µx, µc⟩ and nc = ⟨µc, µc⟩ in integer µunits. S = 1e10
+#: keeps the worst case num²·S ≈ 5.3e36 inside int128 (DuckDB HUGEINT,
+#: Python int) while resolving cosine differences far below the old
+#: round(cos, 6) granularity.
+IVF_KEY_SCALE = 10**10
+
+#: µunit cast of the embedding array (the clustering.py discipline)
+_IVF_MU = ("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+           " * 1e6 + 0.5) AS BIGINT))")
+
+
+def _coarse_ranked(
+    embeddings: DataFrame,
+    stride: int,
+    query_mod: int,
+    max_probe: int,
+    with_label: bool,
+) -> DataFrame:
+    """(vid, embedding, [label], cid, crank): exact-integer coarse
+    ranking of every vector against the stride-sampled centroid set —
+    crank 1 for every vector (its IVF list), cranks 1..max_probe for
+    query vectors (their probe order).
+
+    Round 11 (VERDICT r10 #3): one Arrow int64-matmul kernel per batch
+    (the Lloyd `clustering._assign` precedent) instead of the n×L
+    broadcast join + interpreted 64-term cosine + per-vid window that
+    was 17.9 s of ann_topk_ivf at the sf1 probe. Ranking is by the
+    EXACT scaled-integer key sign(num)·⌊num²·S/nc⌋ (num = ⟨µx, µc⟩,
+    nc = ⟨µc, µc⟩, S = IVF_KEY_SCALE) — monotone in cosine because the
+    query's own norm is constant across centroids — with ties to the
+    smaller cid; the DuckDB mirror sorts by the identical HUGEINT
+    expression, so parity is exact instead of riding round(float, 6).
+    Kernel exactness: float64 prefilter (rel err ≤ 3·2⁻⁵³) with a
+    |key|·1e-12 + 2 margin, exact Python-int recheck of near-ties, and
+    a full exact ranking for the (1/query_mod) query subset; the int64
+    matmul envelope d·(mx+mc)² < 2⁶² is asserted per batch (the
+    clustering._assign contract).
+
+    100 TB: the centroid matrix is √n×d collected once (statistic-sized
+    at any practical n_lists; cap n_lists explicitly past ~10⁵ lists)
+    and the corpus is scanned ONCE with no shuffle — assignment cost is
+    the unavoidable O(n·L) integer flops, now in BLAS instead of
+    interpreted expressions."""
+    import numpy as np
+    import pandas as pd
+
+    mu_cols = [F.col("vec_id").alias("vid"), "embedding",
+               F.expr(_IVF_MU).alias("m")]
+    label_sel = ["label"] if with_label else []
+    mu = embeddings.select(*mu_cols, *label_sel)
+    cent_rows = sorted(
+        mu.filter(F.col("vid") % stride == 0).select("vid", "m").collect(),
+        key=lambda r: r["vid"])
+    cids = np.array([r["vid"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["m"], dtype=np.int64) for r in cent_rows])
+    NC = (C * C).sum(axis=1)  # ≤ d·(6e5)² ≈ 2.3e13 — int64-safe
+    L, d = C.shape
+    mc = int(np.abs(C).max()) if C.size else 0
+    S = IVF_KEY_SCALE
+    nc_py = [int(x) for x in NC]
+    cid_py = [int(x) for x in cids]
+
+    def _key_exact(num: int, nc: int) -> int:
+        mag = (num * num * S) // nc
+        return mag if num >= 0 else -mag
+
+    def _kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["m"]])
+            mx = int(np.abs(X).max())
+            if d * (mx + mc) ** 2 >= 2**62:
+                raise OverflowError(
+                    f"IVF coarse kernel int64 envelope exceeded: dim={d},"
+                    f" max|x|={mx}, max|c|={mc}"
+                    " (need dim*(mx+mc)^2 < 2^62)")
+            NUM = X @ C.T
+            KEYF = (np.where(NUM >= 0, 1.0, -1.0)
+                    * (NUM.astype(np.float64) ** 2 * float(S) / NC))
+            kmax = KEYF.max(axis=1)
+            marg = np.abs(kmax) * 1e-12 + 2.0
+            near = KEYF >= (kmax - marg)[:, None]
+            multi = near.sum(axis=1) > 1
+            top = KEYF.argmax(axis=1)  # first (smallest-cid) max
+            vids = pdf["vid"].to_numpy()
+            is_q = (vids % query_mod) == 0
+            out_vid, out_idx, out_crank, out_row = [], [], [], []
+            for i in range(len(X)):
+                row_num = NUM[i]
+                if is_q[i]:
+                    keys = [_key_exact(int(row_num[j]), nc_py[j])
+                            for j in range(L)]
+                    order = sorted(range(L), key=lambda j: (-keys[j],
+                                                            cid_py[j]))
+                    for r, j in enumerate(order[:max_probe], start=1):
+                        out_vid.append(vids[i]); out_idx.append(j)
+                        out_crank.append(r); out_row.append(i)
+                elif multi[i]:
+                    cand = np.flatnonzero(near[i])
+                    best = min(
+                        ((-_key_exact(int(row_num[j]), nc_py[j]),
+                          cid_py[j], j) for j in cand))
+                    out_vid.append(vids[i]); out_idx.append(best[2])
+                    out_crank.append(1); out_row.append(i)
+                else:
+                    out_vid.append(vids[i]); out_idx.append(int(top[i]))
+                    out_crank.append(1); out_row.append(i)
+            res = {
+                "vid": np.asarray(out_vid, dtype=np.int64),
+                "embedding": pdf["embedding"].iloc[out_row].to_numpy(),
+                "cid": cids[np.asarray(out_idx, dtype=np.int64)],
+                "crank": np.asarray(out_crank, dtype=np.int32),
+            }
+            if with_label:
+                res["label"] = pdf["label"].iloc[out_row].to_numpy()
+            yield pd.DataFrame(res)
+
+    schema = "vid bigint, embedding array<float>, cid bigint, crank int"
+    if with_label:
+        schema += ", label int"
+    return mu.mapInPandas(_kern, schema)
+
+
 def _ivf_scored(
     embeddings: DataFrame,
     query_mod: int,
@@ -561,44 +686,32 @@ def _ivf_scored(
     neighbor_labels: list[int] | None = None,
 ) -> DataFrame:
     """Shared IVF candidate construction for `ann_topk_ivf` and
-    `tune_nprobe`: stride-sampled quantizer, one broadcast assignment
-    pass, probes up to `max_probe` lists, exact rerank scores. Returns
-    (query_id, neighbor_id, sim, pcrank) where pcrank is the probe rank
-    of the candidate's list for that query — filtering `pcrank <= p`
-    yields exactly the candidate set an `nprobe=p` run would produce,
-    which is what keeps the tuner's rungs result-identical to direct
-    `ann_recall_ivf` runs (pinned by test_tune_nprobe_rungs_match_
-    direct_audit). One definition, no twin-drift surface."""
-    from pyspark.sql.window import Window
-
+    `tune_nprobe`: stride-sampled quantizer, one exact-integer Arrow
+    assignment pass (`_coarse_ranked`), probes up to `max_probe` lists,
+    exact rerank scores. Returns (query_id, neighbor_id, sim, pcrank)
+    where pcrank is the probe rank of the candidate's list for that
+    query — filtering `pcrank <= p` yields exactly the candidate set an
+    `nprobe=p` run would produce, which is what keeps the tuner's rungs
+    result-identical to direct `ann_recall_ivf` runs (pinned by
+    test_tune_nprobe_rungs_match_direct_audit). One definition, no
+    twin-drift surface."""
     if n_rows is None:
         n_rows = embeddings.count()
     _, stride = ivf_params(n_rows, n_lists)
-    cent = embeddings.filter(F.col("vec_id") % stride == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
-    )
-    csim = F.round(F.expr(cosine_expr_spark("embedding", "c_emb")), round_to)
-    keep = ["vec_id", "embedding", "cid"]
-    if neighbor_labels is not None:
-        keep.append("label")
-    assigned = (
-        embeddings.join(F.broadcast(cent))
-        .select(*keep, csim.alias("csim"))
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
-    ranked = assigned.withColumn("crank", F.row_number().over(wc))
+    ranked = _coarse_ranked(embeddings, stride, query_mod, max_probe,
+                            with_label=neighbor_labels is not None)
     lists = ranked.filter(F.col("crank") == 1)
     if neighbor_labels is not None:
         lists = lists.filter(F.col("label").isin(list(neighbor_labels)))
     lists = lists.select(
-        F.col("vec_id").alias("neighbor_id"),
+        F.col("vid").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
         "cid",
     )
     probes = ranked.filter(
-        (F.col("vec_id") % query_mod == 0) & (F.col("crank") <= max_probe)
+        (F.col("vid") % query_mod == 0) & (F.col("crank") <= max_probe)
     ).select(
-        F.col("vec_id").alias("query_id"),
+        F.col("vid").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         "cid",
         F.col("crank").alias("pcrank"),
@@ -624,7 +737,6 @@ def ann_topk_ivf_sql(
     neighbor_labels: list[int] | None = None,
 ) -> str:
     _, stride = ivf_params(n_rows, n_lists)
-    ccos = cosine_expr_duck("e.embedding", "cent.c_emb", dim)
     qcos = cosine_expr_duck("p.q_emb", "l.n_emb", dim)
     label_pred = (
         ""
@@ -632,18 +744,39 @@ def ann_topk_ivf_sql(
         else " AND label IN (" + ", ".join(
             str(int(x)) for x in neighbor_labels) + ")"
     )
+    # exact-integer coarse ranking (round 11, mirrors _coarse_ranked):
+    # key = sign(num)·⌊num²·S/nc⌋ over µunit dots — HUGEINT arithmetic,
+    # never down-cast (the 2^63 DuckDB trap); ties to the smaller cid
+    S = IVF_KEY_SCALE
+    num = ("CAST(list_sum([e.m[i] * c.cm[i]"
+           f" FOR i IN range(1, {dim} + 1)]) AS BIGINT)")
+    key = (f"CASE WHEN num >= 0 THEN (CAST(num AS HUGEINT) * num * {S})"
+           f" // nc ELSE -((CAST(num AS HUGEINT) * num * {S}) // nc) END")
     return f"""
-        WITH cent AS (
-            SELECT vec_id AS cid, embedding AS c_emb FROM {table}
-            WHERE vec_id % {stride} = 0
+        WITH mu AS (
+            SELECT vec_id, embedding, label,
+                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                    FOR x IN embedding] AS m
+            FROM {table}
+        ),
+        cent AS (
+            SELECT vec_id AS cid, m AS cm,
+                   CAST(list_sum([m[i] * m[i]
+                        FOR i IN range(1, {dim} + 1)]) AS BIGINT) AS nc
+            FROM mu WHERE vec_id % {stride} = 0
+        ),
+        scoredc AS (
+            SELECT e.vec_id, e.embedding, e.label, c.cid, c.nc,
+                   {num} AS num
+            FROM mu e CROSS JOIN cent c
         ),
         assigned AS (
-            SELECT e.vec_id, e.embedding, e.label, cent.cid,
+            SELECT vec_id, embedding, label, cid,
                    row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY round({ccos}, {round_to}) DESC, cent.cid
+                       PARTITION BY vec_id
+                       ORDER BY {key} DESC, cid
                    ) AS crank
-            FROM {table} e CROSS JOIN cent
+            FROM scoredc
         ),
         lists AS (
             SELECT vec_id AS neighbor_id, embedding AS n_emb, cid
