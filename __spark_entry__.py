@@ -1832,6 +1832,42 @@ def q_source_mix_entropy(spark, sf_dir):
     return CORP.source_mix_entropy(_docs(spark, sf_dir))
 
 
+def q_domain_dedup(spark, sf_dir):
+    """Host-level exact dedup (RefinedWeb): within each (source, text
+    digest) the smallest doc_id survives; cross-source copies kept —
+    one digest projection + one bounded (domain, digest) window."""
+    return CORP.domain_dedup(_docs(spark, sf_dir))
+
+
+def q_domain_cap_sample(spark, sf_dir):
+    """Per-domain document cap (RefinedWeb/FineWeb anti-over-
+    representation): keep <= cap docs per source by deterministic
+    salted-hash rank — one domain-keyed window, layout-independent."""
+    return CORP.domain_cap_sample(_docs(spark, sf_dir), cap=18)
+
+
+def q_contamination_width_audit(spark, sf_dir):
+    """Contamination at two shingle widths (5 vs the GPT-3 13-gram):
+    flags narrow-only docs — the short-match false-positive review
+    queue; two overlap scans + one doc-keyed join."""
+    return CONT.contamination_width_audit(_docs(spark, sf_dir))
+
+
+def q_edu_tier(spark, sf_dir):
+    """FineWeb-edu-style educational tier (0-5): a second exact-integer
+    linear scorer (vocabulary richness, word length, digits, stopword
+    filler) bucketed to the paper's int scale — codegen projection."""
+    return QR.edu_tier(_docs(spark, sf_dir))
+
+
+def q_edu_web_disagreement(spark, sf_dir):
+    """Per-source disagreement between the web-quality and edu-tier
+    classifiers (keep vs tier>=3): the FineWeb-edu observation that the
+    two rankings select different documents — two projections + one
+    doc-keyed join + an S-key aggregate."""
+    return QR.edu_web_disagreement(_docs(spark, sf_dir))
+
+
 def q_ngram_repetition(spark, sf_dir):
     """MassiveText repetition signals (Rae et al. 2021 table A1): per
     doc, chars covered by the top 2/3/4-gram and by duplicated 5/10-
@@ -2888,8 +2924,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # - changed entry: exact-audit twin of the approx-percentile
         #   path (replaces rows-only percentile_approx_audit) -
         "percentile_rank_audit": q_percentile_rank_audit,
-        # - r7 band, first 24 (IVF family leads: this round's perf
-        #   target must re-verify under the driver) -
+        # - NEW round-11 operators (enter the window on landing per the
+        #   invariant; each displaces one r7-band tail name into the
+        #   r12 queue): RefinedWeb host-level dedup + per-domain caps,
+        #   second-width (GPT-3 13-gram) contamination audit,
+        #   FineWeb-edu tier + disagreement audit -
+        "domain_dedup": q_domain_dedup,
+        "domain_cap_sample": q_domain_cap_sample,
+        "contamination_width_audit": q_contamination_width_audit,
+        "edu_tier": q_edu_tier,
+        "edu_web_disagreement": q_edu_web_disagreement,
+        # - r7 band, first 19 (IVF family leads: this round's perf
+        #   target must re-verify under the driver; tfidf_top_terms,
+        #   token_frequency, source_quality_profile, doc_repetition,
+        #   contamination_ngram displaced to the r12 queue head by the
+        #   five new entries above) -
         "ann_topk_ivf": q_ann_topk_ivf,
         "ann_recall_ivf": q_ann_recall_ivf,
         "tune_nprobe": q_tune_nprobe,
@@ -2909,14 +2958,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ensemble": q_dedup_ensemble,
         "lang_id": q_lang_id,
         "docs_quality_filter": q_docs_quality_filter,
+        # ——— driver cap line (entries below lose their CORRECTNESS row;
+        #     they still run in bench.py and tools/verify_local.py) ———
+        # - r12 queue head: the 5 r7-band names displaced by the new
+        #   round-11 entries, then the r7-band remainder -
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_frequency": q_token_frequency,
         "source_quality_profile": q_source_quality_profile,
         "doc_repetition": q_doc_repetition,
         "contamination_ngram": q_contamination_ngram,
-        # ——— driver cap line (entries below lose their CORRECTNESS row;
-        #     they still run in bench.py and tools/verify_local.py) ———
-        # - r12 queue head: the r7-band remainder -
         "contamination_check": q_contamination_check,
         "corpus_canonical": q_corpus_canonical,
         "stratified_sample": q_stratified_sample,
@@ -3382,6 +3432,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_repetition": QR.ngram_repetition_sql(),
         "gopher_rules": QR.gopher_rules_sql(),
         "quality_logit": QR.quality_logit_sql(),
+        # round-11 additions: host-level dedup + caps, width audit,
+        # edu tier + disagreement
+        "domain_dedup": CORP.domain_dedup_sql(),
+        "domain_cap_sample": CORP.domain_cap_sample_sql(cap=18),
+        "contamination_width_audit": CONT.contamination_width_audit_sql(),
+        "edu_tier": QR.edu_tier_sql(),
+        "edu_web_disagreement": QR.edu_web_disagreement_sql(),
         "pack_docs": PK.pack_docs_sql("documents"),
         "filter_pipeline": QR.filter_pipeline_sql(),
         "filter_pipeline_full": QR.filter_pipeline_full_sql(),

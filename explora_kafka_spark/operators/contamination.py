@@ -528,6 +528,84 @@ def contamination_sweep_sql(
     """
 
 
+def contamination_width_audit(
+    docs: DataFrame,
+    n_narrow: int = 5,
+    n_wide: int = 13,
+    taint_pct: int = 30,
+    weights: Sequence[tuple[str, float]] = DEFAULT_WEIGHTS,
+    key: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Contamination at a SECOND shingle width (VERDICT r10 #5b) —
+    the suffix-array-free stand-in for exact-substring decontamination:
+    a narrow shingle (n=5, this module's default) catches short
+    verbatim spans but can fire on incidental phrase reuse; a wide
+    shingle (n=13, the GPT-3 decontamination n-gram; Brown et al. 2020
+    appendix C) only fires on long verbatim runs. The audit joins the
+    per-doc contamination at BOTH widths and flags the narrow-only
+    documents — the "short-match false positive" set a decontamination
+    pipeline reviews before dropping training data.
+
+    Output per test-split document (doc_id-ascending): doc_id,
+    contam_narrow, contam_wide (NULL when the doc is shorter than
+    n_wide tokens — no wide shingle exists), flagged_narrow,
+    flagged_wide, narrow_only. Flags use the same round-6 ratio × 100 >
+    taint_pct comparison as `contamination_sweep` (identical float on
+    both engines).
+
+    100 TB: two shingle-overlap scans (one per width — each is
+    `contamination`'s own banded equi-join cost) + ONE doc-keyed join
+    of the two statistic-sized per-doc tables; widths could share the
+    tokenization pass if this audit ever runs hot."""
+    a = contamination(docs, n_narrow, weights, key, salt).select(
+        key,
+        F.col("contamination").alias("contam_narrow"))
+    b = contamination(docs, n_wide, weights, key, salt).select(
+        key,
+        F.col("contamination").alias("contam_wide"))
+    fn = F.col("contam_narrow") * 100 > taint_pct
+    fw = F.coalesce(F.col("contam_wide") * 100 > taint_pct, F.lit(False))
+    return (
+        a.join(b, key, "left")
+        .select(
+            key, "contam_narrow", "contam_wide",
+            fn.alias("flagged_narrow"),
+            fw.alias("flagged_wide"),
+            (fn & ~fw).alias("narrow_only"),
+        )
+        .orderBy(key)
+    )
+
+
+def contamination_width_audit_sql(
+    table: str = "documents",
+    n_narrow: int = 5,
+    n_wide: int = 13,
+    taint_pct: int = 30,
+    weights: Sequence[tuple[str, float]] = DEFAULT_WEIGHTS,
+    key: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB mirror of `contamination_width_audit`."""
+    na = contamination_sql(table, n_narrow, weights, key, salt)
+    wi = contamination_sql(table, n_wide, weights, key, salt)
+    return f"""
+        WITH a AS ({na}), b AS ({wi})
+        SELECT a.{key} AS {key},
+               a.contamination AS contam_narrow,
+               b.contamination AS contam_wide,
+               a.contamination * 100 > {taint_pct} AS flagged_narrow,
+               coalesce(b.contamination * 100 > {taint_pct}, FALSE)
+                   AS flagged_wide,
+               (a.contamination * 100 > {taint_pct}) AND NOT
+               coalesce(b.contamination * 100 > {taint_pct}, FALSE)
+                   AS narrow_only
+        FROM a LEFT JOIN b ON a.{key} = b.{key}
+        ORDER BY {key}
+    """
+
+
 def source_overlap(docs: DataFrame, n: int = 5) -> DataFrame:
     """Directed cross-source shingle-overlap matrix — the corpus-MIXING
     diagnostic this module's per-document checks don't answer: before

@@ -603,6 +603,163 @@ def quality_logit_sql(table: str = "documents") -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# model-scored EDUCATIONAL tier (the FineWeb-edu second classifier)
+# ---------------------------------------------------------------------------
+
+#: fixture weights for the educational-value model (VERDICT r10 #5c —
+#: FineWeb-edu, Penedo et al. 2024: a SECOND scorer over the same
+#: features ranking "educational value" rather than generic web
+#: quality, emitting the paper's integer 0–5 tier). Deterministic
+#: fixture weights standing in for the Llama-annotated classifier (the
+#: quality_logit precedent): vocabulary richness and long words are
+#: positive evidence, filler stopwords negative, digits mildly
+#: positive (data/figures).
+EDU_W0 = -19_000_000           # intercept, µ-logits
+EDU_W_UNIQ = 9                 # per unique-token-ratio ppm
+EDU_W_AWL = 4                  # per avg-token-length ppm
+EDU_W_DIGIT = 2                # per digit-density ppm
+EDU_W_STOP = -5                # per stopword-ppm
+EDU_TIER_STEP = 1_500_000      # µ-logits per tier rung
+EDU_TIERS = 5                  # tiers 0..5, the FineWeb-edu scale
+
+
+def edu_tier(docs: DataFrame) -> DataFrame:
+    """FineWeb-edu-style educational-quality tier: a second linear
+    model in exact integer µ-logits over shuffle-free projection
+    features — unique-token ratio (ppm), average token length (ppm),
+    digit density (ppm), stopword density (ppm) — bucketed to the
+    integer 0–5 tier FineWeb-edu trains its classifier to emit
+    (tier ≥ 3 is the paper's "keep for edu corpus" cut).
+
+    Exactness: every feature is BIGINT floor division, the score a
+    BIGINT dot product, the tier a clamped BIGINT floor division — no
+    float op anywhere, bit-identical in DuckDB. Output: (doc_id,
+    edu_mu, tier), doc_id-ascending.
+
+    100 TB: one whole-stage-codegen projection — no shuffle, no join,
+    no UDF; stacks on `quality_logit` as an independent second scorer
+    (disagreement audited by `edu_web_disagreement`)."""
+    toks = tokens_col("text")
+    norm = norm_col("text")
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length(norm).cast("bigint")
+    uniq = F.size(F.array_distinct(toks)).cast("bigint")
+    digits = F.length(F.regexp_replace(norm, r"[^0-9]", "")).cast("bigint")
+    stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint")
+    d = docs.select(
+        "doc_id",
+        n_tokens.alias("_nt"), n_chars.alias("_nc"),
+        uniq.alias("_uq"), digits.alias("_dg"), stop.alias("_st"),
+    )
+    mu = F.expr(f"""
+        {EDU_W0}
+        + {EDU_W_UNIQ} * ((1000000 * _uq) div GREATEST(_nt, 1))
+        + {EDU_W_AWL} * ((1000000 * (_nc - (_nt - 1))) div GREATEST(_nt, 1))
+        + {EDU_W_DIGIT} * ((1000000 * _dg) div GREATEST(_nc, 1))
+        + {EDU_W_STOP} * ((1000000 * _st) div GREATEST(_nt, 1))
+    """).cast("bigint")
+    tier = F.expr(
+        f"LEAST({EDU_TIERS}, GREATEST(0, edu_mu div {EDU_TIER_STEP}))"
+    ).cast("int")
+    return (
+        d.select("doc_id", mu.alias("edu_mu"))
+        .withColumn("tier", tier)
+        .orderBy("doc_id")
+    )
+
+
+def edu_tier_sql(table: str = "documents") -> str:
+    """DuckDB mirror of `edu_tier` (operands non-negative where `//`
+    runs, so DuckDB floor ≡ Spark `div` truncation — except edu_mu DIV
+    step, where edu_mu can be negative: both sides clamp AFTER the
+    division and any negative quotient clamps to 0 either way, so the
+    floor-vs-truncate divergence is absorbed by GREATEST(0, ·))."""
+    toks = tokens_sql("text")
+    norm = norm_sql("text")
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    mu = f"""({EDU_W0}
+        + {EDU_W_UNIQ} * ((1000000 * uq) // greatest(nt, 1))
+        + {EDU_W_AWL} * ((1000000 * (nc - (nt - 1))) // greatest(nt, 1))
+        + {EDU_W_DIGIT} * ((1000000 * dg) // greatest(nc, 1))
+        + {EDU_W_STOP} * ((1000000 * st) // greatest(nt, 1)))"""
+    return f"""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(len({toks}) AS BIGINT) AS nt,
+                   CAST(len({norm}) AS BIGINT) AS nc,
+                   CAST(len(list_distinct({toks})) AS BIGINT) AS uq,
+                   CAST(len(regexp_replace({norm}, '[^0-9]', '', 'g'))
+                        AS BIGINT) AS dg,
+                   CAST(len(list_filter({toks}, t -> t IN ({stop_list})))
+                        AS BIGINT) AS st
+            FROM {table}
+        )
+        SELECT doc_id, CAST({mu} AS BIGINT) AS edu_mu,
+               CAST(least({EDU_TIERS},
+                    greatest(0, {mu} // {EDU_TIER_STEP})) AS INTEGER)
+                   AS tier
+        FROM f ORDER BY doc_id
+    """
+
+
+def edu_web_disagreement(docs: DataFrame, keep_tier: int = 3) -> DataFrame:
+    """Per-source disagreement audit between the two classifier tiers
+    (the FineWeb-edu paper's observation that edu-ranking and generic
+    web-quality ranking select DIFFERENT documents): joins
+    `quality_logit` (web keep) with `edu_tier` (edu keep = tier ≥
+    `keep_tier`) and profiles, per source: n_docs, n_web_keep,
+    n_edu_keep, n_web_only, n_edu_only, source-ascending.
+
+    100 TB: both scorers are shuffle-free projections over the same
+    corpus scan; the audit adds one doc-keyed join of two
+    statistic-shaped score tables + one S-key aggregate."""
+    web = quality_logit(docs).select("doc_id", "keep")
+    edu = edu_tier(docs).select(
+        "doc_id", (F.col("tier") >= keep_tier).alias("edu_keep"))
+    j = (
+        docs.select("doc_id", "source")
+        .join(web, "doc_id")
+        .join(edu, "doc_id")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("keep"), True)).alias("n_web_keep"),
+            F.count(F.when(F.col("edu_keep"), True)).alias("n_edu_keep"),
+            F.count(F.when(F.col("keep") & ~F.col("edu_keep"), True))
+            .alias("n_web_only"),
+            F.count(F.when(F.col("edu_keep") & ~F.col("keep"), True))
+            .alias("n_edu_only"),
+        )
+        .orderBy("source")
+    )
+
+
+def edu_web_disagreement_sql(table: str = "documents",
+                             keep_tier: int = 3) -> str:
+    """DuckDB mirror of `edu_web_disagreement`."""
+    return f"""
+        WITH web AS ({quality_logit_sql(table)}),
+        edu AS ({edu_tier_sql(table)})
+        SELECT d.source,
+               count(*) AS n_docs,
+               count(CASE WHEN web.keep THEN 1 END) AS n_web_keep,
+               count(CASE WHEN edu.tier >= {keep_tier} THEN 1 END)
+                   AS n_edu_keep,
+               count(CASE WHEN web.keep AND edu.tier < {keep_tier}
+                          THEN 1 END) AS n_web_only,
+               count(CASE WHEN edu.tier >= {keep_tier} AND NOT web.keep
+                          THEN 1 END) AS n_edu_only
+        FROM {table} d
+        JOIN web ON web.doc_id = d.doc_id
+        JOIN edu ON edu.doc_id = d.doc_id
+        GROUP BY d.source
+        ORDER BY d.source
+    """
+
+
 def filter_pipeline_full(docs: DataFrame) -> DataFrame:
     """`filter_pipeline` with the CLASSIFIER tier stacked on — the full
     FineWeb-style stack: exact-dedup × language × Gopher word rules ×

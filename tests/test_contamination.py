@@ -299,3 +299,104 @@ def test_source_overlap_reconciles_with_python_model(spark, sf_dir):
         for b in srcs:
             if a != b and sets[a] & sets[b]:
                 assert (a, b) in out
+
+
+# ---------------------------------------------------------------------------
+# round-11: domain-level dedup + caps, second-width contamination audit
+# ---------------------------------------------------------------------------
+
+
+def test_domain_dedup_within_vs_cross_source(spark):
+    """RefinedWeb host-level semantics: a copy WITHIN a source drops,
+    the same text on ANOTHER source survives."""
+    from explora_kafka_spark.operators.corpus import domain_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "a"), (2, "same text", "a"),      # within
+            (3, "  SAME   text ", "b"),                        # cross
+            (4, "unique", "a"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = {r["doc_id"]: r["keep"] for r in domain_dedup(docs).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_domain_cap_sample_exact_cap_and_determinism(spark):
+    from explora_kafka_spark.operators.corpus import domain_cap_sample
+
+    rows = [(i, f"t{i}", f"s{i % 3}") for i in range(30)]  # 10 per source
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    out = domain_cap_sample(docs, cap=4).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], []).append((r["rk"], r["doc_id"]))
+    assert set(per) == {"s0", "s1", "s2"}
+    for src, kept in per.items():
+        assert sorted(r for r, _ in kept) == [1, 2, 3, 4]
+    # layout-independent: identical kept set under repartitioning
+    out2 = domain_cap_sample(docs.repartition(7), cap=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # cap above group size keeps everything
+    assert domain_cap_sample(docs, cap=100).count() == 30
+
+
+def test_contamination_width_audit_narrow_only_flag(spark):
+    """A 5-token verbatim overlap fires the narrow width only; a full
+    verbatim copy fires both. Split membership is hash-determined, so
+    the test discovers a (train, test) id pair first."""
+    from explora_kafka_spark.operators.sampling import split_assign
+
+    probe = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "doc_id bigint, text string")
+    splits = {r["doc_id"]: r["split"]
+              for r in split_assign(probe).collect()}
+    train_ids = [i for i, s in splits.items() if s == "train"]
+    test_ids = [i for i, s in splits.items() if s == "test"]
+    assert train_ids and len(test_ids) >= 2
+    t_full, t_short = test_ids[0], test_ids[1]
+    src = train_ids[0]
+    src_text = " ".join(f"w{j}" for j in range(20))
+    rows = [
+        (src, src_text),                                   # train source
+        (t_full, src_text),                                # verbatim copy
+        # 5-token overlap embedded in otherwise-unique text
+        (t_short, " ".join(f"u{j}" for j in range(10))
+         + " w0 w1 w2 w3 w4 "
+         + " ".join(f"v{j}" for j in range(10))),
+    ]
+    docs = _docs_df(spark, rows)
+    out = {r["doc_id"]: r
+           for r in C.contamination_width_audit(docs, n_wide=13).collect()}
+    full, short = out[t_full], out[t_short]
+    assert full["contam_narrow"] == 1.0 and full["contam_wide"] == 1.0
+    assert full["flagged_narrow"] and full["flagged_wide"]
+    assert not full["narrow_only"]
+    assert short["contam_narrow"] > 0.0
+    assert short["contam_wide"] == 0.0
+    assert not short["narrow_only"] or short["flagged_narrow"]
+
+
+def test_contamination_width_audit_short_doc_null_wide(spark):
+    """A test doc shorter than n_wide tokens has NO wide shingle →
+    contam_wide NULL, flagged_wide False."""
+    from explora_kafka_spark.operators.sampling import split_assign
+
+    probe = spark.createDataFrame(
+        [(i, "x") for i in range(40)], "doc_id bigint, text string")
+    splits = {r["doc_id"]: r["split"]
+              for r in split_assign(probe).collect()}
+    test_ids = [i for i, s in splits.items() if s == "test"]
+    train_ids = [i for i, s in splits.items() if s == "train"]
+    tid = test_ids[0]
+    rows = [(train_ids[0], "a b c d e f g h"),
+            (tid, "a b c d e f g h")]  # 8 tokens < 13
+    out = {r["doc_id"]: r
+           for r in C.contamination_width_audit(
+               _docs_df(spark, rows), n_wide=13).collect()}
+    r = out[tid]
+    assert r["contam_wide"] is None
+    assert r["flagged_wide"] is False
+    assert r["flagged_narrow"] and r["narrow_only"]

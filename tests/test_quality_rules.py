@@ -267,3 +267,76 @@ def test_gopher_rule_impact_reconciles_with_flags(spark, sf_dir):
                    and all(r[o] for o in QR.GOPHER_FLAGS if o != f))
         assert imp[f[3:]] == (failing, sole)
         assert sole <= failing
+
+
+# ---------------------------------------------------------------------------
+# round-11: edu tier + disagreement audit
+# ---------------------------------------------------------------------------
+
+
+def _edu_mu_py(text: str) -> int:
+    """Pure-python mirror of edu_tier's integer recurrence."""
+    import re
+
+    norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9 ]", " ",
+                                      text.lower())).strip()
+    toks = norm.split(" ") if norm else []
+    nt, nc = len(toks), len(norm)
+    uq = len(set(toks))
+    dg = sum(c.isdigit() for c in norm)
+    st = sum(t in QR.STOPWORDS for t in toks)
+    return (QR.EDU_W0
+            + QR.EDU_W_UNIQ * ((1_000_000 * uq) // max(nt, 1))
+            + QR.EDU_W_AWL * ((1_000_000 * (nc - (nt - 1))) // max(nt, 1))
+            + QR.EDU_W_DIGIT * ((1_000_000 * dg) // max(nc, 1))
+            + QR.EDU_W_STOP * ((1_000_000 * st) // max(nt, 1)))
+
+
+def test_edu_tier_hand_value(spark):
+    texts = ["the quick brown foxes jumped over 12 lazy dogs",
+             "the the the the the"]
+    out = {r["doc_id"]: r for r in QR.edu_tier(_docs(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        mu = _edu_mu_py(t)
+        assert out[i]["edu_mu"] == mu
+        # Spark div truncates toward zero; negatives clamp to 0 anyway
+        trunc = int(mu / QR.EDU_TIER_STEP)
+        assert out[i]["tier"] == min(QR.EDU_TIERS, max(0, trunc))
+
+
+def test_edu_tier_clamps_and_repetition_penalty(spark):
+    # pure stopword filler should land at tier 0; rich vocabulary with
+    # long words and digits climbs tiers
+    low = "the and of to a in is it the and of to a in is it"
+    high = ("thermodynamics 1824 entropy carnot 1850 clausius "
+            "statistical 1877 boltzmann formulation 1902 gibbs")
+    out = {r["doc_id"]: r["tier"]
+           for r in QR.edu_tier(_docs(spark, [low, high])).collect()}
+    assert out[0] == 0
+    assert out[1] >= 3
+
+
+def test_edu_web_disagreement_counts_consistent(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 8,
+        "alpha beta gamma delta " * 10,
+        "the and of " * 30,
+        "photosynthesis chlorophyll 680 " * 12,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, f"s{i % 2}") for i, t in enumerate(texts)],
+        "doc_id bigint, text string, source string")
+    web = {r["doc_id"]: r["keep"]
+           for r in QR.quality_logit(docs).collect()}
+    edu = {r["doc_id"]: r["tier"] >= 3
+           for r in QR.edu_tier(docs).collect()}
+    out = {r["source"]: r
+           for r in QR.edu_web_disagreement(docs).collect()}
+    for src in ("s0", "s1"):
+        ids = [i for i in range(4) if f"s{i % 2}" == src]
+        r = out[src]
+        assert r["n_docs"] == len(ids)
+        assert r["n_web_keep"] == sum(web[i] for i in ids)
+        assert r["n_edu_keep"] == sum(edu[i] for i in ids)
+        assert r["n_web_only"] == sum(web[i] and not edu[i] for i in ids)
+        assert r["n_edu_only"] == sum(edu[i] and not web[i] for i in ids)
