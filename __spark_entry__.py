@@ -2019,6 +2019,141 @@ def q_returned_items(spark, sf_dir):
     )
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): one shipdate-pruned month of
+    the fact joined to the broadcast part dim; promo share derived from
+    the two ROUNDED revenue sums so the final division is the same
+    IEEE op on both engines. One row."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    g = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            _r6(F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                      .otherwise(F.lit(0.0)))).alias("promo_revenue"),
+            _r6(F.sum(rev)).alias("total_revenue"),
+        )
+    )
+    return g.select(
+        "promo_revenue", "total_revenue",
+        _r6(F.lit(100.0) * F.col("promo_revenue")
+            / F.col("total_revenue")).alias("promo_share_pct"))
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): for one brand,
+    revenue of lines whose quantity is under 20% of that part's average
+    — the correlated-subquery threshold computed as ONE per-part
+    aggregate joined back, and the comparison done in EXACT integers
+    (5·q·cnt < Σq; quantities are integer-valued) so no float boundary
+    can flip between engines. One row: avg_yearly (Σ/7, round 6) +
+    n_lines."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#12").select("p_partkey")
+    brand_li = li.join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    per_part = brand_li.groupBy("l_partkey").agg(
+        F.count("*").alias("_cnt"),
+        F.sum(F.col("l_quantity").cast("bigint")).alias("_sumq"))
+    small = brand_li.join(per_part, "l_partkey").filter(
+        F.col("l_quantity").cast("bigint") * 5 * F.col("_cnt")
+        < F.col("_sumq"))
+    return small.agg(
+        _r6(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+        F.count("*").alias("n_lines"))
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    line quantity exceeds 250 (integer-exact HAVING), joined to
+    customer/orders, top-20 by (o_totalprice DESC, o_orderkey) via
+    TakeOrdered. Output: c_custkey, o_orderkey, order_ms, total_qty,
+    o_totalprice."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_custkey", "o_orderkey",
+            # driver parquet loads give TIMESTAMP_NTZ; session TZ is
+            # pinned UTC so the cast is value-preserving (timeutil note)
+            ts_ms_col(F.col("o_orderdate").cast("timestamp"))
+            .alias("order_ms"),
+            "total_qty", "o_totalprice",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+def q_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity) on the fixture's
+    columns: customers with an above-average positive balance and NO
+    order since 2000-01-01 (left-anti join), profiled per market
+    segment. The average-balance threshold compares in EXACT integer
+    cents (bal·n_pos > Σpos — floor(x·100 + 0.5) on both engines), and
+    the segment totals are exact cent sums. Output: (c_mktsegment,
+    numcust, total_acctbal_cents), segment-ascending."""
+    configure(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint").alias("_cents"))
+    pos = c.filter(F.col("_cents") > 0).agg(
+        F.count("*").alias("_n"), F.sum("_cents").alias("_s"))
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01").select("o_custkey")
+    rich = (
+        c.join(F.broadcast(pos))
+        .filter(F.col("_cents") * F.col("_n") > F.col("_s"))
+    )
+    idle = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"),
+             F.sum("_cents").alias("total_acctbal_cents"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q_late_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-priority audit; the fixture has no
+    shipmode column, so l_returnflag stands in as the mode dimension):
+    per returnflag, lines shipped more than 90 days after the order
+    date split into high-priority (1-URGENT/2-HIGH) vs low-priority
+    counts — one fact-dim equi-join + a 3-row conditional rollup."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    late = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAYS"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, True)).alias("high_late"),
+            F.count(F.when(~high, True)).alias("low_late"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_click_unattributed(spark, sf_dir):
     """Attribution gap audit: clicks with NO view by the same user in
     the 30-min lookback (anti-join on the attribution condition) —
@@ -2934,6 +3069,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_width_audit": q_contamination_width_audit,
         "edu_tier": q_edu_tier,
         "edu_web_disagreement": q_edu_web_disagreement,
+        # - NEW round-11 TPC-H wave (Q14/Q17/Q18/Q22/Q12 shapes; each
+        #   displaces one more r7-band tail name into the r12 queue) -
+        "promo_revenue": q_promo_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_orders": q_large_orders,
+        "idle_customers": q_idle_customers,
+        "late_priority_lines": q_late_priority_lines,
         # - r7 band, first 19 (IVF family leads: this round's perf
         #   target must re-verify under the driver; tfidf_top_terms,
         #   token_frequency, source_quality_profile, doc_repetition,
@@ -2953,15 +3095,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "ingest_dedup": q_ingest_dedup,
         "dedup_near": q_dedup_near,
+        # ——— driver cap line (entries below lose their CORRECTNESS row;
+        #     they still run in bench.py and tools/verify_local.py) ———
+        # - r12 queue head: the 10 r7-band names displaced by the new
+        #   round-11 entries, then the r7-band remainder -
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_ensemble": q_dedup_ensemble,
         "lang_id": q_lang_id,
         "docs_quality_filter": q_docs_quality_filter,
-        # ——— driver cap line (entries below lose their CORRECTNESS row;
-        #     they still run in bench.py and tools/verify_local.py) ———
-        # - r12 queue head: the 5 r7-band names displaced by the new
-        #   round-11 entries, then the r7-band remainder -
         "tfidf_top_terms": q_tfidf_top_terms,
         "token_frequency": q_token_frequency,
         "source_quality_profile": q_source_quality_profile,
@@ -3618,6 +3760,89 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.03 AND l_discount <= 0.05
               AND l_quantity < 24
+        """,
+        # round-11 TPC-H wave: Q14/Q17/Q18/Q22/Q12 shapes
+        "promo_revenue": """
+            WITH g AS (
+                SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
+                                 THEN l.l_extendedprice * (1 - l.l_discount)
+                                 ELSE 0.0 END), 6) AS promo_revenue,
+                       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                           AS total_revenue
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+                  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+            )
+            SELECT promo_revenue, total_revenue,
+                   round(100.0 * promo_revenue / total_revenue, 6)
+                       AS promo_share_pct
+            FROM g
+        """,
+        "small_qty_revenue": """
+            WITH brand_li AS (
+                SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_brand = 'Brand#12'
+            ),
+            per_part AS (
+                SELECT l_partkey, count(*) AS cnt,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS sumq
+                FROM brand_li GROUP BY 1
+            )
+            SELECT round(sum(b.l_extendedprice) / 7.0, 6) AS avg_yearly,
+                   count(*) AS n_lines
+            FROM brand_li b JOIN per_part pp ON pp.l_partkey = b.l_partkey
+            WHERE CAST(b.l_quantity AS BIGINT) * 5 * pp.cnt < pp.sumq
+        """,
+        "large_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS total_qty
+                FROM lineitem GROUP BY 1
+                HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+            )
+            SELECT o.o_custkey, o.o_orderkey,
+                   epoch_ms(o.o_orderdate) AS order_ms,
+                   b.total_qty, o.o_totalprice
+            FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 20
+        """,
+        "idle_customers": """
+            WITH c AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM customer
+            ),
+            pos AS (
+                SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+                FROM c WHERE cents > 0
+            )
+            SELECT c.c_mktsegment,
+                   count(*) AS numcust,
+                   CAST(sum(c.cents) AS BIGINT) AS total_acctbal_cents
+            FROM c, pos
+            WHERE c.cents * pos.n > pos.s
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "late_priority_lines": """
+            SELECT l.l_returnflag,
+                   count(CASE WHEN o.o_orderpriority IN
+                              ('1-URGENT', '2-HIGH') THEN 1 END)
+                       AS high_late,
+                   count(CASE WHEN o.o_orderpriority NOT IN
+                              ('1-URGENT', '2-HIGH') THEN 1 END)
+                       AS low_late
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+            GROUP BY 1 ORDER BY 1
         """,
         "snapshot_smoothed": f"""
             WITH cells AS (

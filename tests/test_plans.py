@@ -141,7 +141,14 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  # sides (the tfidf allowance), never the corpus:
                  # source totals onto the S-row source table / unigram
                  # totals onto the vocab / dangling mass onto nodes
-                 "source_mix_entropy", "doremi_weights", "knn_pagerank"}
+                 "source_mix_entropy", "doremi_weights", "knn_pagerank",
+                 # idle_customers (TPC-H Q22 shape): the ONE-ROW
+                 # avg-balance threshold broadcast keylessly onto the
+                 # customer dim scan — a map-side constant attach (the
+                 # bm25_search one-row-totals allowance), not a
+                 # cartesian blowup; every other join in the entry is
+                 # an equi- or anti-join.
+                 "idle_customers"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
