@@ -2154,6 +2154,165 @@ def q_late_priority_lines(spark, sf_dir):
     )
 
 
+def _rev_e4(price_col, disc_col):
+    """Exact-integer line revenue in 1e-4 currency units:
+    cents(price) x (100 - hundredths(discount)). The fixture's prices
+    are exact cents and discounts exact hundredths (probed), so
+    floor(x*100 + 0.5) recovers the integers on both engines and every
+    downstream sum/argmax/compare is exact int64 — no float boundary
+    can flip a group or a winner."""
+    cents = F.floor(price_col * 100 + F.lit(0.5)).cast("bigint")
+    disc = F.floor(disc_col * 100 + F.lit(0.5)).cast("bigint")
+    return cents * (F.lit(100) - disc)
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    nations in both directions, by ship year. Supplier/customer/nation
+    dims broadcast; lineitem and orders are the only shuffled tables;
+    the nation-pair predicate is applied as soon as both nation names
+    are attached. Revenue summed in exact 1e-4 integer units."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        _rev_e4(F.col("l_extendedprice"), F.col("l_discount"))
+        .alias("_rev_e4"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    n1 = n.select(F.col("n_nationkey").alias("_sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("_cn_key"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(F.count("*").alias("n_lines"),
+             F.sum("_rev_e4").alias("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): per-supplier revenue over one
+    quarter, returning every supplier that achieves the maximum. The
+    per-supplier table is supplier-count-sized, so the max is attached
+    with an unpartitioned window over that statistic-sized aggregate
+    (one single-partition exchange of ~|suppliers| rows — never the
+    fact). Exact 1e-4 integer revenue makes 'equals the max'
+    deterministic; no float argmax tie risk."""
+    from pyspark.sql.window import Window
+
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01"))
+    srev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev_e4(F.col("l_extendedprice"),
+                           F.col("l_discount"))).alias("revenue_e4"))
+    )
+    w = Window.partitionBy()
+    top = srev.withColumn("_mx", F.max("revenue_e4").over(w)).filter(
+        F.col("revenue_e4") == F.col("_mx"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "revenue_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    three brand/size/quantity OR-branches evaluated after ONE broadcast
+    part join — Catalyst keeps the disjunction as a residual filter on
+    the joined row, so the fact is scanned once. One row out."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & qty.between(20, 30))
+    )
+    return j.filter(branch).agg(
+        F.count("*").alias("n_lines"),
+        _r6(F.sum(F.col("l_extendedprice")
+                  * (1 - F.col("l_discount")))).alias("revenue"))
+
+
+def q_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+    the fixture's columns (no commit/receipt dates — 'late' = shipped
+    more than 60 days after the order date): suppliers that were the
+    SOLE late shipper on a multi-supplier order, ranked by how often.
+    The classic EXISTS / NOT-EXISTS pair collapses to ONE aggregation:
+    distinct (order, supplier) late pairs grouped by order — a group
+    with exactly one supplier IS the sole-late case (max() recovers the
+    supplier), which replaces two lineitem self-joins with a single
+    shuffle of the late pairs. Top 10 by (numwait DESC, s_name)."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate")
+                > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey").distinct()
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.count("*").alias("_n_late"),
+             F.max("l_suppkey").alias("_supp"))
+        .filter(F.col("_n_late") == 1)
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("_n_supp"))
+        .filter(F.col("_n_supp") >= 2)
+        .select("l_orderkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    return (
+        sole.join(multi, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
 def q_click_unattributed(spark, sf_dir):
     """Attribution gap audit: clicks with NO view by the same user in
     the 30-min lookback (anti-join on the attribution condition) —
@@ -3097,8 +3256,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near": q_dedup_near,
         # ——— driver cap line (entries below lose their CORRECTNESS row;
         #     they still run in bench.py and tools/verify_local.py) ———
-        # - r12 queue head: the 10 r7-band names displaced by the new
-        #   round-11 entries, then the r7-band remainder -
+        # - r12 queue head: the second round-11 TPC-H wave
+        #   (Q7/Q15/Q19/Q21 shapes — landed below the cap per the
+        #   growth-pause pattern so the committed r11 window stays
+        #   exactly what CORRECTNESS_r11 records; strict-gate green at
+        #   landing), then the 10 r7-band names displaced by the
+        #   in-window round-11 entries, then the r7-band remainder -
+        "volume_shipping": q_volume_shipping,
+        "top_supplier": q_top_supplier,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "waiting_supplier": q_waiting_supplier,
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_ensemble": q_dedup_ensemble,
@@ -3843,6 +4010,83 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
             WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
             GROUP BY 1 ORDER BY 1
+        """,
+        # second round-11 TPC-H wave: Q7/Q15/Q19/Q21 shapes. Revenue in
+        # exact 1e-4 integer units = cents(price) x (100 - hundredths
+        # (discount)); fixture prices/discounts are exact at those
+        # precisions (probed), so both engines recover the same
+        # integers and the sums/argmax are exact (BIGINT cast per the
+        # HUGEINT-widening rule).
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+                   count(*) AS n_lines,
+                   CAST(sum(
+                       CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                     AS BIGINT))) AS BIGINT) AS revenue_e4
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "top_supplier": """
+            WITH srev AS (
+                SELECT l_suppkey,
+                       CAST(sum(
+                           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                           * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                         AS BIGINT))) AS BIGINT) AS revenue_e4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name, srev.revenue_e4
+            FROM srev JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+            WHERE srev.revenue_e4 = (SELECT max(revenue_e4) FROM srev)
+            ORDER BY s.s_suppkey
+        """,
+        "disjunctive_revenue": """
+            SELECT count(*) AS n_lines,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                       AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12'
+                   AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23'
+                   AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34'
+                   AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "waiting_supplier": """
+            WITH late AS (
+                SELECT DISTINCT l.l_orderkey, l.l_suppkey
+                FROM lineitem l JOIN orders o
+                     ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            ),
+            sole AS (
+                SELECT l_orderkey, max(l_suppkey) AS supp
+                FROM late GROUP BY 1 HAVING count(*) = 1
+            ),
+            multi AS (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 2
+            )
+            SELECT s.s_name, count(*) AS numwait
+            FROM sole
+            JOIN multi m ON m.l_orderkey = sole.l_orderkey
+            JOIN supplier s ON s.s_suppkey = sole.supp
+            GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10
         """,
         "snapshot_smoothed": f"""
             WITH cells AS (
