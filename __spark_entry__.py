@@ -2313,6 +2313,24 @@ def q_waiting_supplier(spark, sf_dir):
     )
 
 
+def q_cluster_source_mi(spark, sf_dir):
+    """Cluster<->source dependence audit: per-cluster source purity +
+    exact-ppm shares + per-cluster mutual-information contribution in
+    µnats (does embedding clustering re-discover the source split, or
+    add a new diversity axis?)."""
+    return CL.cluster_source_mi(_docs(spark, sf_dir),
+                                _emb(spark, sf_dir), k=8, iters=2)
+
+
+def q_cluster_balance_sample(spark, sf_dir):
+    """Cluster-balanced selection: ≤30 docs per embedding cluster by
+    deterministic salted-hash rank — domain_cap_sample's machinery on
+    a LEARNED quota key."""
+    return CL.cluster_balance_sample(_docs(spark, sf_dir),
+                                     _emb(spark, sf_dir), cap=30,
+                                     k=8, iters=2)
+
+
 def q_click_unattributed(spark, sf_dir):
     """Attribution gap audit: clicks with NO view by the same user in
     the 30-min lookback (anti-join on the attribution condition) —
@@ -3266,6 +3284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
         "waiting_supplier": q_waiting_supplier,
+        "cluster_source_mi": q_cluster_source_mi,
+        "cluster_balance_sample": q_cluster_balance_sample,
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_ensemble": q_dedup_ensemble,
@@ -3790,6 +3810,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_standardize": CENT.embedding_standardize_sql(),
         "cluster_top_terms": SDD.cluster_top_terms_sql(k=8, iters=2,
                                                        n_rows=500),
+        "cluster_source_mi": CL.cluster_source_mi_sql(k=8, iters=2,
+                                                      n_rows=500),
+        "cluster_balance_sample": CL.cluster_balance_sample_sql(
+            cap=30, k=8, iters=2, n_rows=500),
         "semdedup_check_audit": SDD.semdedup_check_audit_sql(
             split_id=250, k=8, iters=2, threshold_pct=30),
         "local_supplier_volume": """

@@ -425,3 +425,204 @@ def kcenter_select_sql(
     union = " UNION ALL ".join(rows)
     return ("WITH " + ",\n".join(ctes) + f"""
         SELECT rank, vid AS {key}, d2_mu FROM ({union}) ORDER BY rank""")
+
+
+def cluster_source_mi(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    key: str = "doc_id",
+    vec_key: str = "vec_id",
+) -> DataFrame:
+    """Cluster <-> source dependence audit: per-cluster source purity
+    plus each cluster's mutual-information contribution, the diagnostic
+    a mixture builder reads before cluster-balanced sampling (high MI =
+    embedding clusters just re-discover the source split, so balancing
+    on clusters double-counts the source mix; MI near 0 = clusters cut
+    across sources and add a genuinely new diversity axis). Same
+    motivation as the per-cluster source histograms in Abbas 2023
+    (SemDeDup) Fig. 5's cluster composition analysis.
+
+    Joins the Lloyd assignment (operators/clustering.kmeans) onto the
+    document table via the vec_id == doc_id cross-modal contract and
+    reduces to the C x S cell table; every count/share is exact integer
+    (ppm via DIV), and the only float is ONE libm `ln` per CELL folded
+    to micro-nats with floor(x*1e6 + 0.5) before the per-cluster sum —
+    the `source_mix_entropy` exactness discipline, applied to
+    mi_cs = p(c,s) * ln( p(c,s) / (p(c) * p(s)) ), with the ln operand
+    formed as (n_cs / n_c) * (N / n_s) in that exact operand order on
+    both engines. Output, cluster-ascending:
+    (cluster, n_docs, n_sources, top_source, top_share_ppm, mi_mu_nats).
+
+    100 TB: one corpus-keyed equi-join (assignment is one row per doc),
+    one (cluster, source)-keyed partial-agg shuffle, then all
+    arithmetic on the C x S statistic table.
+    """
+    assigned = kmeans(emb, k=k, iters=iters, key=vec_key)
+    cells = (
+        docs.select(key, "source")
+        .join(assigned, F.col(key) == F.col(vec_key))
+        .groupBy("cluster", "source")
+        .agg(F.count("*").alias("n_cs"))
+    )
+    cmarg = cells.groupBy("cluster").agg(F.sum("n_cs").alias("n_c"))
+    smarg = cells.groupBy("source").agg(F.sum("n_cs").alias("n_s"))
+    tot = cells.agg(F.sum("n_cs").alias("n_tot"))
+    scored = (
+        cells.join(cmarg, "cluster")
+        .join(smarg, "source")
+        .join(F.broadcast(tot))
+        .select(
+            "cluster", "source", "n_cs", "n_c",
+            F.expr("n_cs * 1000000 DIV n_c").alias("share_ppm"),
+            F.expr(
+                "CAST(floor((CAST(n_cs AS DOUBLE) / n_tot)"
+                " * ln((CAST(n_cs AS DOUBLE) / n_c)"
+                "      * (CAST(n_tot AS DOUBLE) / n_s))"
+                " * 1e6 + 0.5) AS BIGINT)"
+            ).alias("mi_mu"),
+        )
+    )
+    return (
+        scored.groupBy("cluster")
+        .agg(
+            F.max("n_c").alias("n_docs"),
+            F.count("*").alias("n_sources"),
+            F.max(F.struct(F.col("n_cs"), F.col("source"))).alias("_top"),
+            F.max(F.struct(F.col("n_cs"), F.col("share_ppm"))).alias("_ts"),
+            F.sum("mi_mu").alias("mi_mu_nats"),
+        )
+        .select(
+            "cluster", "n_docs", "n_sources",
+            F.col("_top.source").alias("top_source"),
+            F.col("_ts.share_ppm").alias("top_share_ppm"),
+            "mi_mu_nats",
+        )
+        .orderBy("cluster")
+    )
+
+
+def cluster_source_mi_sql(
+    doc_table: str = "documents",
+    emb_table: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    key: str = "doc_id",
+    vec_key: str = "vec_id",
+    n_rows: int = 500,
+) -> str:
+    """DuckDB mirror of :func:`cluster_source_mi` (shared Lloyd CTEs +
+    the identical cell/marginal/ln-operand arithmetic)."""
+    ctes, last = kmeans_ctes(emb_table, k, iters, vec_key,
+                             "embedding", n_rows)
+    ctes.append(f"""cells AS (
+        SELECT a.cid AS cluster, d.source, count(*) AS n_cs
+        FROM {doc_table} d JOIN {last} a ON d.{key} = a.vid
+        GROUP BY 1, 2
+    )""")
+    ctes.append("""cmarg AS (
+        SELECT cluster, CAST(sum(n_cs) AS BIGINT) AS n_c
+        FROM cells GROUP BY 1
+    )""")
+    ctes.append("""smarg AS (
+        SELECT source, CAST(sum(n_cs) AS BIGINT) AS n_s
+        FROM cells GROUP BY 1
+    )""")
+    ctes.append("""tot AS (
+        SELECT CAST(sum(n_cs) AS BIGINT) AS n_tot FROM cells
+    )""")
+    ctes.append("""scored AS (
+        SELECT c.cluster, c.source, c.n_cs, cm.n_c,
+               CAST(c.n_cs * 1000000 // cm.n_c AS BIGINT) AS share_ppm,
+               CAST(floor((CAST(c.n_cs AS DOUBLE) / t.n_tot)
+                    * ln((CAST(c.n_cs AS DOUBLE) / cm.n_c)
+                         * (CAST(t.n_tot AS DOUBLE) / sm.n_s))
+                    * 1e6 + 0.5) AS BIGINT) AS mi_mu
+        FROM cells c
+        JOIN cmarg cm ON cm.cluster = c.cluster
+        JOIN smarg sm ON sm.source = c.source
+        CROSS JOIN tot t
+    )""")
+    return ("WITH " + ",\n".join(ctes) + """
+        SELECT cluster, max(n_c) AS n_docs, count(*) AS n_sources,
+               (SELECT source FROM scored s2 WHERE s2.cluster = scored.cluster
+                ORDER BY n_cs DESC, source DESC LIMIT 1) AS top_source,
+               (SELECT share_ppm FROM scored s3
+                WHERE s3.cluster = scored.cluster
+                ORDER BY n_cs DESC, share_ppm DESC LIMIT 1)
+                   AS top_share_ppm,
+               CAST(sum(mi_mu) AS BIGINT) AS mi_mu_nats
+        FROM scored GROUP BY cluster ORDER BY cluster""")
+
+
+def cluster_balance_sample(
+    docs: DataFrame,
+    emb: DataFrame,
+    cap: int = 30,
+    k: int = 8,
+    iters: int = 2,
+    key: str = "doc_id",
+    vec_key: str = "vec_id",
+    salt: str = "cluster_balance",
+) -> DataFrame:
+    """Cluster-balanced (embedding-diversity-preserving) selection: at
+    most `cap` documents per Lloyd cluster, chosen by the deterministic
+    salted-hash order — the embedding-space analogue of
+    `corpus.domain_cap_sample` (same rank machinery, but the quota key
+    is a LEARNED cluster instead of a metadata domain), so a corpus
+    dominated by one dense topic region cannot dominate the subset even
+    when its documents span many sources. The equal-per-cluster quota
+    is the flattened mixture used for diversity-first curation.
+
+    Output (kept rows only, doc_id-ascending): doc_id, cluster, rk
+    (1-based hash rank within the cluster, <= cap).
+
+    100 TB: the Lloyd passes, one assignment equi-join, then ONE window
+    shuffle keyed by cluster (k keys; a mega-cluster hot partition
+    switches to the two-phase salted top-k per the domain_cap_sample
+    note)."""
+    from .sampling import _bucket_col
+
+    assigned = kmeans(emb, k=k, iters=iters, key=vec_key)
+    b = _bucket_col(F.col(key).cast("string"), salt)
+    w = Window.partitionBy("cluster").orderBy("bucket", key)
+    return (
+        docs.select(key)
+        .join(assigned, F.col(key) == F.col(vec_key))
+        .select(key, "cluster", b)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select(key, "cluster", "rk")
+        .orderBy(key)
+    )
+
+
+def cluster_balance_sample_sql(
+    doc_table: str = "documents",
+    emb_table: str = "embeddings",
+    cap: int = 30,
+    k: int = 8,
+    iters: int = 2,
+    key: str = "doc_id",
+    vec_key: str = "vec_id",
+    salt: str = "cluster_balance",
+    n_rows: int = 500,
+) -> str:
+    """DuckDB mirror of :func:`cluster_balance_sample`."""
+    from .sampling import _bucket_sql
+
+    ctes, last = kmeans_ctes(emb_table, k, iters, vec_key,
+                             "embedding", n_rows)
+    b = _bucket_sql(f"CAST({key} AS VARCHAR)", salt)
+    ctes.append(f"""ranked AS (
+        SELECT d.{key}, a.cid AS cluster,
+               row_number() OVER (
+                   PARTITION BY a.cid
+                   ORDER BY ({b}), d.{key}
+               ) AS rk
+        FROM {doc_table} d JOIN {last} a ON d.{key} = a.vid
+    )""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT {key}, cluster, rk FROM ranked
+        WHERE rk <= {cap} ORDER BY {key}""")

@@ -156,3 +156,57 @@ def test_assign_kernel_accepts_unit_scale(spark):
     # unit-scale embeddings (the documented caller contract) stay fine
     out = kmeans(_emb(spark, [[1.0], [-1.0]]), k=1, iters=1).collect()
     assert len(out) == 2
+
+
+def _docs4(spark, sources):
+    rows = [(i, s) for i, s in enumerate(sources)]
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+def test_cluster_source_mi_perfect_dependence(spark):
+    # 1-d vectors split clusters {0,1} vs {2,3} (stride init seeds ids
+    # 0 and 2); sources align exactly with clusters -> MI = ln 2.
+    # Per-cluster contribution: 2 cells x p=1/2 each cluster holding
+    # one cell: 0.5*ln((0.5/0.5)*(4/2)) = 0.5*ln 2 ->
+    # floor(346573.59 + 0.5) = 346574 mu-nats.
+    from explora_kafka_spark.operators.clustering import cluster_source_mi
+
+    emb = _emb(spark, [[0.0], [0.0], [1.0], [1.0]])
+    docs = _docs4(spark, ["A", "A", "B", "B"])
+    out = cluster_source_mi(docs, emb, k=2, iters=2).collect()
+    assert [r["cluster"] for r in out] == [0, 1]
+    for r, src in zip(out, ["A", "B"]):
+        assert r["n_docs"] == 2
+        assert r["n_sources"] == 1
+        assert r["top_source"] == src
+        assert r["top_share_ppm"] == 1_000_000
+        assert r["mi_mu_nats"] == 346_574
+
+
+def test_cluster_source_mi_independence_is_zero(spark):
+    # each cluster holds one A and one B -> every cell has
+    # p(c,s) = p(c)p(s), ln 1 = 0: MI contribution exactly 0.
+    from explora_kafka_spark.operators.clustering import cluster_source_mi
+
+    emb = _emb(spark, [[0.0], [0.0], [1.0], [1.0]])
+    docs = _docs4(spark, ["A", "B", "A", "B"])
+    out = cluster_source_mi(docs, emb, k=2, iters=2).collect()
+    assert all(r["mi_mu_nats"] == 0 for r in out)
+    assert all(r["n_sources"] == 2 for r in out)
+    assert all(r["top_share_ppm"] == 500_000 for r in out)
+
+
+def test_cluster_balance_sample_caps_each_cluster(spark):
+    from explora_kafka_spark.operators.clustering import (
+        cluster_balance_sample)
+
+    emb = _emb(spark, [[0.0], [0.0], [1.0], [1.0]])
+    docs = _docs4(spark, ["A", "A", "B", "B"])
+    out = cluster_balance_sample(docs, emb, cap=1, k=2, iters=2).collect()
+    assert len(out) == 2
+    assert {r["cluster"] for r in out} == {0, 1}
+    assert all(r["rk"] == 1 for r in out)
+    # deterministic: a second run picks the identical docs
+    again = cluster_balance_sample(docs, emb, cap=1, k=2, iters=2).collect()
+    assert sorted(r["doc_id"] for r in out) == \
+        sorted(r["doc_id"] for r in again)

@@ -142,6 +142,11 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  # source totals onto the S-row source table / unigram
                  # totals onto the vocab / dangling mass onto nodes
                  "source_mix_entropy", "doremi_weights", "knn_pagerank",
+                 # cluster_source_mi: the ONE-ROW corpus total
+                 # broadcast keylessly onto the C x S statistic cell
+                 # table (the source_mix_entropy allowance — never the
+                 # corpus; the corpus-side join is the doc_id equi-join)
+                 "cluster_source_mi",
                  # idle_customers (TPC-H Q22 shape): the ONE-ROW
                  # avg-balance threshold broadcast keylessly onto the
                  # customer dim scan — a map-side constant attach (the
