@@ -2021,27 +2021,32 @@ def q_returned_items(spark, sf_dir):
 
 def q_promo_revenue(spark, sf_dir):
     """TPC-H Q14 shape (promotion effect): one shipdate-pruned month of
-    the fact joined to the broadcast part dim; promo share derived from
-    the two ROUNDED revenue sums so the final division is the same
-    IEEE op on both engines. One row."""
+    the fact joined to the broadcast part dim. Revenue summed in exact
+    1e-4 integer units (`_rev_e4`) so the sums are order-independent at
+    ANY scale (round-11 self-review: round(sum(double), 6) stops
+    absorbing accumulation error once sums pass ~1e10); the share is
+    ONE division of the two exact integers, identical on both
+    engines. One row."""
     configure(spark)
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-03-01")
         & (F.col("l_shipdate") < "1996-04-01"))
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _rev_e4(F.col("l_extendedprice"), F.col("l_discount"))
     g = (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            _r6(F.sum(F.when(F.col("p_type") == "PROMO", rev)
-                      .otherwise(F.lit(0.0)))).alias("promo_revenue"),
-            _r6(F.sum(rev)).alias("total_revenue"),
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                  .otherwise(F.lit(0).cast("bigint")))
+            .alias("promo_revenue_e4"),
+            F.sum(rev).alias("total_revenue_e4"),
         )
     )
     return g.select(
-        "promo_revenue", "total_revenue",
-        _r6(F.lit(100.0) * F.col("promo_revenue")
-            / F.col("total_revenue")).alias("promo_share_pct"))
+        "promo_revenue_e4", "total_revenue_e4",
+        _r6(F.lit(100.0) * F.col("promo_revenue_e4").cast("double")
+            / F.col("total_revenue_e4").cast("double"))
+        .alias("promo_share_pct"))
 
 
 def q_small_qty_revenue(spark, sf_dir):
@@ -2065,8 +2070,13 @@ def q_small_qty_revenue(spark, sf_dir):
     small = brand_li.join(per_part, "l_partkey").filter(
         F.col("l_quantity").cast("bigint") * 5 * F.col("_cnt")
         < F.col("_sumq"))
+    # exact integer cent sum, then ONE division (round-11 self-review:
+    # order-independent at any scale, unlike round(sum(double), 6))
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) \
+        .cast("bigint")
     return small.agg(
-        _r6(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+        _r6(F.sum(cents).cast("double") / F.lit(700.0))
+        .alias("avg_yearly"),
         F.count("*").alias("n_lines"))
 
 
@@ -2264,8 +2274,8 @@ def q_disjunctive_revenue(spark, sf_dir):
     )
     return j.filter(branch).agg(
         F.count("*").alias("n_lines"),
-        _r6(F.sum(F.col("l_extendedprice")
-                  * (1 - F.col("l_discount")))).alias("revenue"))
+        F.sum(_rev_e4(F.col("l_extendedprice"), F.col("l_discount")))
+        .alias("revenue_e4"))
 
 
 def q_waiting_supplier(spark, sf_dir):
@@ -3955,17 +3965,25 @@ def oracle_sql() -> dict[str, str]:
         # round-11 TPC-H wave: Q14/Q17/Q18/Q22/Q12 shapes
         "promo_revenue": """
             WITH g AS (
-                SELECT round(sum(CASE WHEN p.p_type = 'PROMO'
-                                 THEN l.l_extendedprice * (1 - l.l_discount)
-                                 ELSE 0.0 END), 6) AS promo_revenue,
-                       round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
-                           AS total_revenue
+                SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                            THEN CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                      AS BIGINT)
+                                 * (100 - CAST(floor(l.l_discount * 100
+                                                     + 0.5) AS BIGINT))
+                            ELSE 0 END) AS BIGINT) AS promo_revenue_e4,
+                       CAST(sum(
+                           CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                AS BIGINT)
+                           * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                         AS BIGINT))) AS BIGINT)
+                           AS total_revenue_e4
                 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
                 WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
                   AND l.l_shipdate < TIMESTAMP '1996-04-01'
             )
-            SELECT promo_revenue, total_revenue,
-                   round(100.0 * promo_revenue / total_revenue, 6)
+            SELECT promo_revenue_e4, total_revenue_e4,
+                   round(100.0 * CAST(promo_revenue_e4 AS DOUBLE)
+                         / CAST(total_revenue_e4 AS DOUBLE), 6)
                        AS promo_share_pct
             FROM g
         """,
@@ -3981,7 +3999,9 @@ def oracle_sql() -> dict[str, str]:
                            AS sumq
                 FROM brand_li GROUP BY 1
             )
-            SELECT round(sum(b.l_extendedprice) / 7.0, 6) AS avg_yearly,
+            SELECT round(CAST(sum(CAST(floor(b.l_extendedprice * 100 + 0.5)
+                                       AS BIGINT)) AS DOUBLE) / 700.0, 6)
+                       AS avg_yearly,
                    count(*) AS n_lines
             FROM brand_li b JOIN per_part pp ON pp.l_partkey = b.l_partkey
             WHERE CAST(b.l_quantity AS BIGINT) * 5 * pp.cnt < pp.sumq
@@ -4078,8 +4098,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "disjunctive_revenue": """
             SELECT count(*) AS n_lines,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 6)
-                       AS revenue
+                   CAST(sum(
+                       CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                     AS BIGINT))) AS BIGINT) AS revenue_e4
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
             WHERE (p.p_brand = 'Brand#12'
                    AND p.p_size BETWEEN 1 AND 15

@@ -547,12 +547,14 @@ def contamination_width_audit(
     documents — the "short-match false positive" set a decontamination
     pipeline reviews before dropping training data.
 
-    Output per test-split document (doc_id-ascending): doc_id,
-    contam_narrow, contam_wide (NULL when the doc is shorter than
-    n_wide tokens — no wide shingle exists), flagged_narrow,
-    flagged_wide, narrow_only. Flags use the same round-6 ratio × 100 >
-    taint_pct comparison as `contamination_sweep` (identical float on
-    both engines).
+    Output per test-split document that has at least one NARROW shingle
+    (doc_id-ascending; the audit is driven off the narrow-width frame,
+    so a doc shorter than n_narrow tokens has no row at all — it cannot
+    be contaminated at either width): doc_id, contam_narrow,
+    contam_wide (NULL when the doc is shorter than n_wide tokens — no
+    wide shingle exists), flagged_narrow, flagged_wide, narrow_only.
+    Flags use the same round-6 ratio × 100 > taint_pct comparison as
+    `contamination_sweep` (identical float on both engines).
 
     100 TB: two shingle-overlap scans (one per width — each is
     `contamination`'s own banded equi-join cost) + ONE doc-keyed join

@@ -83,8 +83,17 @@ def _dot_spark(a: str, b: str) -> str:
 
 
 def cosine_expr_spark(a: str, b: str) -> str:
+    """Exact rerank cosine. A zero vector on either side is defined as
+    cosine 0 (the coarse key-0 convention): the denominator is zero
+    exactly when the numerator is, so plain division would be 0/0 —
+    a hard SparkArithmeticException under ANSI while DuckDB floats
+    through to NaN (round-11 self-review). try_divide -> NULL ->
+    coalesce evaluates every dot aggregate ONCE and is bit-identical
+    to the bare division for every nonzero denominator."""
     return (
-        f"({_dot_spark(a, b)}) / (sqrt({_dot_spark(a, a)}) * sqrt({_dot_spark(b, b)}))"
+        f"coalesce(try_divide({_dot_spark(a, b)},"
+        f" sqrt({_dot_spark(a, a)}) * sqrt({_dot_spark(b, b)})),"
+        f" CAST(0 AS DOUBLE))"
     )
 
 
@@ -96,9 +105,13 @@ def _dot_duck(a: str, b: str, dim: int = DIM) -> str:
 
 
 def cosine_expr_duck(a: str, b: str, dim: int = DIM) -> str:
+    """DuckDB mirror of `cosine_expr_spark` (zero vector -> cosine 0
+    via nullif so every dot evaluates once; bit-identical to the bare
+    division for every nonzero denominator)."""
     return (
-        f"({_dot_duck(a, b, dim)}) / "
-        f"(sqrt({_dot_duck(a, a, dim)}) * sqrt({_dot_duck(b, b, dim)}))"
+        f"coalesce(({_dot_duck(a, b, dim)}) / "
+        f"nullif(sqrt({_dot_duck(a, a, dim)})"
+        f" * sqrt({_dot_duck(b, b, dim)}), 0), 0.0)"
     )
 
 
@@ -563,6 +576,46 @@ _IVF_MU = ("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
            " * 1e6 + 0.5) AS BIGINT))")
 
 
+def _key_exact(num: int, nc: int) -> int:
+    """The exact coarse-ranking key sign(num)·⌊num²·S/nc⌋ in Python
+    ints (no overflow). nc == 0 (an all-zero µunit centroid) keys to 0
+    — the cosine of a zero vector is 0 with everything, and the DuckDB
+    mirror carries the matching CASE."""
+    if nc == 0:
+        return 0
+    mag = (num * num * IVF_KEY_SCALE) // nc
+    return mag if num >= 0 else -mag
+
+
+def _check_envelope(d: int, mx: int, mc: int) -> None:
+    """Shared int64 envelope for the integer-matmul kernels (the
+    clustering._assign contract): d·(max|x| + max|c|)² must stay inside
+    int64 so X @ C.T cannot wrap."""
+    if d * (mx + mc) ** 2 >= 2**62:
+        raise OverflowError(
+            f"IVF coarse kernel int64 envelope exceeded: dim={d},"
+            f" max|x|={mx}, max|c|={mc}"
+            " (need dim*(mx+mc)^2 < 2^62)")
+
+
+def _collect_centroid_matrix(cent_mu_rows):
+    """(cids, C, NC, nc_py, cid_py, mc) from collected (cid, m) rows,
+    cid-ascending. Empty input yields C with shape (0, 0)."""
+    import numpy as np
+
+    rows = sorted(cent_mu_rows, key=lambda r: r[0])
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    if rows:
+        C = np.stack([np.asarray(r[1], dtype=np.int64) for r in rows])
+    else:
+        C = np.zeros((0, 0), dtype=np.int64)
+    NC = (C * C).sum(axis=1) if C.size else np.zeros(len(rows),
+                                                     dtype=np.int64)
+    mc = int(np.abs(C).max()) if C.size else 0
+    return (cids, C, NC, [int(x) for x in NC], [int(x) for x in cids],
+            mc)
+
+
 def _coarse_ranked(
     embeddings: DataFrame,
     stride: int,
@@ -602,21 +655,23 @@ def _coarse_ranked(
                F.expr(_IVF_MU).alias("m")]
     label_sel = ["label"] if with_label else []
     mu = embeddings.select(*mu_cols, *label_sel)
-    cent_rows = sorted(
-        mu.filter(F.col("vid") % stride == 0).select("vid", "m").collect(),
-        key=lambda r: r["vid"])
-    cids = np.array([r["vid"] for r in cent_rows], dtype=np.int64)
-    C = np.stack([np.asarray(r["m"], dtype=np.int64) for r in cent_rows])
-    NC = (C * C).sum(axis=1)  # ≤ d·(6e5)² ≈ 2.3e13 — int64-safe
+    schema = "vid bigint, embedding array<float>, cid bigint, crank int"
+    if with_label:
+        schema += ", label int"
+    cids, C, NC, nc_py, cid_py, mc = _collect_centroid_matrix(
+        [(r["vid"], r["m"]) for r in
+         mu.filter(F.col("vid") % stride == 0).select("vid", "m")
+         .collect()])
+    if len(cids) == 0:
+        # empty corpus (no stride seeds): degrade to an empty frame
+        # like the pre-kernel broadcast-join implementation did
+        return mu.sparkSession.createDataFrame([], schema)
     L, d = C.shape
-    mc = int(np.abs(C).max()) if C.size else 0
     S = IVF_KEY_SCALE
-    nc_py = [int(x) for x in NC]
-    cid_py = [int(x) for x in cids]
-
-    def _key_exact(num: int, nc: int) -> int:
-        mag = (num * num * S) // nc
-        return mag if num >= 0 else -mag
+    # float prefilter divisor: a zero µunit centroid keys to exactly 0
+    # (_key_exact contract), so divide by 1 and zero the column
+    NCf = np.where(NC == 0, 1.0, NC.astype(np.float64))
+    zero_c = NC == 0
 
     def _kern(batches):
         for pdf in batches:
@@ -624,14 +679,12 @@ def _coarse_ranked(
                 continue
             X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["m"]])
             mx = int(np.abs(X).max())
-            if d * (mx + mc) ** 2 >= 2**62:
-                raise OverflowError(
-                    f"IVF coarse kernel int64 envelope exceeded: dim={d},"
-                    f" max|x|={mx}, max|c|={mc}"
-                    " (need dim*(mx+mc)^2 < 2^62)")
+            _check_envelope(d, mx, mc)
             NUM = X @ C.T
             KEYF = (np.where(NUM >= 0, 1.0, -1.0)
-                    * (NUM.astype(np.float64) ** 2 * float(S) / NC))
+                    * (NUM.astype(np.float64) ** 2 * float(S) / NCf))
+            if zero_c.any():
+                KEYF[:, zero_c] = 0.0
             kmax = KEYF.max(axis=1)
             marg = np.abs(kmax) * 1e-12 + 2.0
             near = KEYF >= (kmax - marg)[:, None]
@@ -670,9 +723,6 @@ def _coarse_ranked(
                 res["label"] = pdf["label"].iloc[out_row].to_numpy()
             yield pd.DataFrame(res)
 
-    schema = "vid bigint, embedding array<float>, cid bigint, crank int"
-    if with_label:
-        schema += ", label int"
     return mu.mapInPandas(_kern, schema)
 
 
@@ -750,7 +800,8 @@ def ann_topk_ivf_sql(
     S = IVF_KEY_SCALE
     num = ("CAST(list_sum([e.m[i] * c.cm[i]"
            f" FOR i IN range(1, {dim} + 1)]) AS BIGINT)")
-    key = (f"CASE WHEN num >= 0 THEN (CAST(num AS HUGEINT) * num * {S})"
+    key = (f"CASE WHEN nc = 0 THEN 0"
+           f" WHEN num >= 0 THEN (CAST(num AS HUGEINT) * num * {S})"
            f" // nc ELSE -((CAST(num AS HUGEINT) * num * {S}) // nc) END")
     return f"""
         WITH mu AS (
@@ -804,6 +855,85 @@ def ann_topk_ivf_sql(
     """
 
 
+def _rank_against_centroids(
+    df: DataFrame,
+    cent: DataFrame,
+    max_probe: int,
+    id_col: str,
+    emb_col: str,
+) -> DataFrame:
+    """(id_col, emb_col, cid, crank): exact-integer coarse ranking of
+    every row of `df` against a (cid, c_emb) centroid frame — the
+    STORED-centroid twin of `_coarse_ranked` (same µunit cast, key,
+    prefilter margin, exact near-tie recheck and smaller-cid
+    tie-break), used by the index build/update/serve paths so they
+    rank with the IDENTICAL algorithm as `ann_topk_ivf` and its shared
+    DuckDB oracle (round 11 self-review: these paths previously kept
+    the old round(cos, 6) ranking, which already disagreed with the
+    exact key on fixture near-ties).
+
+    Per row: float64 prefilter keys, candidates = everything within
+    |kth|·1e-12 + 2 of the max_probe-th largest, exact Python-int keys
+    decide among candidates. max_probe = 1 is pure assignment.
+
+    100 TB: the centroid matrix is collected once (statistic-sized by
+    the √n-lists contract) and `df` is scanned ONCE with no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    mu_expr = _IVF_MU.replace("embedding", emb_col)
+    cmu = cent.select(
+        F.col("cid"),
+        F.expr(_IVF_MU.replace("embedding", "c_emb")).alias("m"))
+    schema = f"{id_col} bigint, {emb_col} array<float>, cid bigint, crank int"
+    cids, C, NC, nc_py, cid_py, mc = _collect_centroid_matrix(
+        [(r["cid"], r["m"]) for r in cmu.collect()])
+    if len(cids) == 0:
+        return df.sparkSession.createDataFrame([], schema)
+    L, d = C.shape
+    S = IVF_KEY_SCALE
+    kth = min(max_probe, L)
+    NCf = np.where(NC == 0, 1.0, NC.astype(np.float64))
+    zero_c = NC == 0
+    mu = df.select(F.col(id_col), F.col(emb_col),
+                   F.expr(mu_expr).alias("m"))
+
+    def _kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["m"]])
+            mx = int(np.abs(X).max())
+            _check_envelope(d, mx, mc)
+            NUM = X @ C.T
+            KEYF = (np.where(NUM >= 0, 1.0, -1.0)
+                    * (NUM.astype(np.float64) ** 2 * float(S) / NCf))
+            if zero_c.any():
+                KEYF[:, zero_c] = 0.0
+            # kth-largest float key per row bounds the candidate set
+            kf = np.partition(KEYF, L - kth, axis=1)[:, L - kth]
+            marg = np.abs(kf) * 1e-12 + 2.0
+            ids = pdf[id_col].to_numpy()
+            out_id, out_row, out_idx, out_crank = [], [], [], []
+            for i in range(len(X)):
+                cand = np.flatnonzero(KEYF[i] >= kf[i] - marg[i])
+                row_num = NUM[i]
+                order = sorted(
+                    ((-_key_exact(int(row_num[j]), nc_py[j]),
+                      cid_py[j], int(j)) for j in cand))
+                for r, (_, _, j) in enumerate(order[:kth], start=1):
+                    out_id.append(ids[i]); out_row.append(i)
+                    out_idx.append(j); out_crank.append(r)
+            yield pd.DataFrame({
+                id_col: np.asarray(out_id, dtype=np.int64),
+                emb_col: pdf[emb_col].iloc[out_row].to_numpy(),
+                "cid": cids[np.asarray(out_idx, dtype=np.int64)],
+                "crank": np.asarray(out_crank, dtype=np.int32),
+            })
+
+    return mu.mapInPandas(_kern, schema)
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     path: str,
@@ -820,24 +950,17 @@ def build_ivf_index(
     batch, and serving reads only the probed lists (partition pruning on
     cid). At 100 TB, √n lists ≈ tens of thousands of partitions — fine
     for a parquet/hive layout; re-sample centroids only on distribution
-    drift."""
-    from pyspark.sql.window import Window
-
+    drift. `round_to` is unused since the round-11 exact-key migration
+    (kept for signature stability); assignment ranks by the exact
+    integer key via `_rank_against_centroids`."""
     if n_rows is None:
         n_rows = embeddings.count()
     _, stride = ivf_params(n_rows, n_lists)
     cent = embeddings.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    csim = F.round(F.expr(cosine_expr_spark("embedding", "c_emb")), round_to)
-    assigned = (
-        embeddings.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", csim.alias("csim"))
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
     lists = (
-        assigned.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") == 1)
+        _rank_against_centroids(embeddings, cent, 1, "vec_id", "embedding")
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("n_emb"),
@@ -867,21 +990,13 @@ def update_ivf_index(
     the partition its nearest stored centroid owns, so subsequent
     `ann_topk_ivf_indexed` queries probing that list see it — the
     build → serve → UPDATE lifecycle shared with the dedup /
-    contamination / semantic indexes. Batch cost: one tiny centroid
-    broadcast + a per-row argmax, corpus never rescanned."""
-    from pyspark.sql.window import Window
-
+    contamination / semantic indexes. Batch cost: one statistic-sized
+    centroid collect + a per-row exact-key argmax, corpus never
+    rescanned (`round_to` unused since the round-11 exact-key
+    migration; kept for signature stability)."""
     cent = spark.read.parquet(f"{path}/centroids")
-    csim = F.round(F.expr(cosine_expr_spark("embedding", "c_emb")),
-                   round_to)
-    assigned = (
-        batch.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", csim.alias("csim"))
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
     new_rows = (
-        assigned.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") == 1)
+        _rank_against_centroids(batch, cent, 1, "vec_id", "embedding")
         .select(F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("n_emb"), "cid")
     )
@@ -903,8 +1018,10 @@ def ann_topk_ivf_indexed(
     Result-identical to `ann_topk_ivf` (same centroids, assignment and
     tie-breaks — the shared DuckDB oracle checks it), but the corpus-wide
     assignment never reruns: queries (rows of the index itself here;
-    an external query table in general) rank the broadcast centroid set
-    to pick their `nprobe` lists, and the candidate join is an equi-join
+    an external query table in general) rank the stored centroid set by
+    the exact integer key (`_rank_against_centroids` — same algorithm
+    as the build-side assignment and the shared oracle) to pick their
+    `nprobe` lists, and the candidate join is an equi-join
     on cid against the partitioned lists table — Spark's dynamic
     partition pruning skips every unprobed list at scan time."""
     from pyspark.sql.window import Window
@@ -915,13 +1032,8 @@ def ann_topk_ivf_indexed(
         F.col("neighbor_id").alias("query_id"),
         F.col("n_emb").alias("q_emb"),
     )
-    csim = F.round(F.expr(cosine_expr_spark("q_emb", "c_emb")), round_to)
-    wc = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "cid")
     probes = (
-        queries.join(F.broadcast(cent))
-        .select("query_id", "q_emb", "cid", csim.alias("csim"))
-        .withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= nprobe)
+        _rank_against_centroids(queries, cent, nprobe, "query_id", "q_emb")
         .select("query_id", "q_emb", "cid")
     )
     sim = F.expr(cosine_expr_spark("q_emb", "n_emb"))

@@ -490,7 +490,12 @@ def percentile_rank_audit(
     rank counts — no per-group sort beyond the bounded groups the exact
     path already documents."""
     keys = ["metric_id", F.date_trunc("day", F.col("ts")).alias("_d")]
-    aggs = [F.count("*").alias("n")]
+    # count(value), not count(*): percentile/approx_percentile and the
+    # rank-count sums all ignore NULL readings, so the rank target
+    # t = p·n must live on the same non-null scale (round-11
+    # self-review — a NULL-bearing group previously tested an inflated
+    # target against deflated rank counts)
+    aggs = [F.count("value").alias("n")]
     for p in probs:
         tag = f"p{int(p * 100)}"
         aggs.append(F.round(F.expr(f"percentile(value, {p!r})"), 6)
@@ -541,7 +546,7 @@ def percentile_rank_audit_sql(
     return f"""
         SELECT metric_id,
                epoch_ms(date_trunc('day', ts)) AS bucket_ms,
-               count(*) AS n, {cols}, {flags}
+               count(value) AS n, {cols}, {flags}
         FROM {table}
         GROUP BY 1, 2
         ORDER BY metric_id, bucket_ms

@@ -1168,3 +1168,38 @@ def test_ann_topk_mmr_diversifies(spark):
     # nearest earlier pick
     assert out[0].minred_mu == -1
     assert all(r.minred_mu > 0 for r in out[1:])
+
+
+def test_ivf_empty_embeddings_degrades_to_empty(spark):
+    """Round-11 self-review guard: an empty embeddings table must yield
+    an empty result (the pre-kernel broadcast-join behavior), not a
+    driver-side np.stack crash."""
+    from explora_kafka_spark.operators import similarity as S
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label int")
+    assert S.ann_topk_ivf(empty, n_rows=0).collect() == []
+
+
+def test_ivf_zero_vector_centroid_keys_to_zero(spark, tmp_path):
+    """Round-11 self-review guard: a centroid whose µunit vector is all
+    zeros (|x| < 5e-7) must rank by key 0 (cosine of the zero vector),
+    not raise ZeroDivisionError — and the pipeline must still produce
+    the right neighbors from the non-degenerate lists."""
+    from explora_kafka_spark.operators import similarity as S
+
+    # n=8, n_lists=max(IVF_MIN_LISTS, isqrt(8)); stride puts vec_id 0
+    # (the zero vector) on a centroid boundary
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.1]), (2, [1.0, 0.2]),
+            (3, [1.0, 0.3]), (4, [0.9, 0.1]), (5, [0.8, 0.2]),
+            (6, [1.0, 0.25]), (7, [0.95, 0.15])]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>")
+    out = S.ann_topk_ivf(emb, query_mod=4, k=2, n_rows=8).collect()
+    assert len(out) > 0  # ran to completion past the zero centroid
+    # index build/serve paths share the guard
+    S.build_ivf_index(emb, str(tmp_path / "ivf0"), n_rows=8)
+    served = S.ann_topk_ivf_indexed(spark, str(tmp_path / "ivf0"),
+                                    query_mod=4, k=2).collect()
+    assert len(served) > 0

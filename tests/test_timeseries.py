@@ -255,3 +255,23 @@ def test_percentile_rank_audit_flag_catches_violations(spark):
     assert not ((lo + 1) - err <= t <= hi + err)
     lo, hi = 9890, 9905          # genuinely near the target rank
     assert (lo + 1) - err <= t <= hi + err
+
+
+def test_percentile_rank_audit_ignores_null_readings(spark):
+    """Round-11 self-review: n and the rank target must live on the
+    NON-NULL scale (percentile/approx_percentile skip NULLs). A group
+    with 20% NULL readings must report n = non-null count, exact
+    quantiles over non-null values, and TRUE flags."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("m1", base, float(v)) for v in range(1, 81)]
+    rows += [("m1", base, None)] * 20
+    readings = spark.createDataFrame(
+        rows, "metric_id string, ts timestamp, value double")
+    out = TS.percentile_rank_audit(readings).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 80
+    assert r["p50"] == 40.5  # interpolated median of 1..80
+    assert r["ok50"] and r["ok95"] and r["ok99"]
