@@ -2323,6 +2323,70 @@ def q_waiting_supplier(spark, sf_dir):
     )
 
 
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_1 suppliers'
+    share of PROMO-part revenue delivered into ASIA customers, by
+    order year — a 7-table star with every dim broadcast and the fact
+    shuffled once. Revenue in exact 1e-4 integer units; the share is
+    ONE division of the two exact integer sums per year."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        _rev_e4(F.col("l_extendedprice"), F.col("l_discount"))
+        .alias("_rev_e4"))
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"),
+        F.col("n_name").alias("supp_nation"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_cn_key"),
+        F.col("n_regionkey").alias("_cr_key"))
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA").select("r_regionkey")
+    nat = F.when(F.col("supp_nation") == "NATION_1",
+                 F.col("_rev_e4")).otherwise(F.lit(0).cast("bigint"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(F.broadcast(r), F.col("_cr_key") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(nat).alias("nation_revenue_e4"),
+             F.sum("_rev_e4").alias("total_revenue_e4"),
+             F.count("*").alias("n_lines"))
+        .select("o_year", "nation_revenue_e4", "total_revenue_e4",
+                "n_lines",
+                _r6(F.lit(100.0)
+                    * F.col("nation_revenue_e4").cast("double")
+                    / F.col("total_revenue_e4").cast("double"))
+                .alias("mkt_share_pct"))
+        .orderBy("o_year")
+    )
+
+
+def q_tier_dup_lift(spark, sf_dir):
+    """Quality-tier × near-dup correlation audit: per edu tier, the
+    exact-ppm near-duplicate rate and its lift vs the corpus average
+    (are low-quality strata dup-heavy?)."""
+    return CORP.tier_dup_lift(_docs(spark, sf_dir))
+
+
+def q_token_mix_by_tier(spark, sf_dir):
+    """The (source × edu tier) mixture table with exact-ppm token
+    shares — what a tiered curriculum samples from."""
+    return CORP.token_mix_by_tier(_docs(spark, sf_dir))
+
+
 def q_cluster_source_mi(spark, sf_dir):
     """Cluster<->source dependence audit: per-cluster source purity +
     exact-ppm shares + per-cluster mutual-information contribution in
@@ -3296,6 +3360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_supplier": q_waiting_supplier,
         "cluster_source_mi": q_cluster_source_mi,
         "cluster_balance_sample": q_cluster_balance_sample,
+        "market_share": q_market_share,
+        "tier_dup_lift": q_tier_dup_lift,
+        "token_mix_by_tier": q_token_mix_by_tier,
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_ensemble": q_dedup_ensemble,
@@ -3824,6 +3891,41 @@ def oracle_sql() -> dict[str, str]:
                                                       n_rows=500),
         "cluster_balance_sample": CL.cluster_balance_sample_sql(
             cap=30, k=8, iters=2, n_rows=500),
+        "tier_dup_lift": CORP.tier_dup_lift_sql(),
+        "token_mix_by_tier": CORP.token_mix_by_tier_sql(),
+        "market_share": """
+            WITH rev AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                     AS BIGINT)) AS rev_e4,
+                       n1.n_name AS supp_nation
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                           AND p.p_type = 'PROMO'
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = n2.n_regionkey
+                            AND r.r_name = 'ASIA'
+            ),
+            g AS (
+                SELECT o_year,
+                       CAST(sum(CASE WHEN supp_nation = 'NATION_1'
+                                THEN rev_e4 ELSE 0 END) AS BIGINT)
+                           AS nation_revenue_e4,
+                       CAST(sum(rev_e4) AS BIGINT) AS total_revenue_e4,
+                       count(*) AS n_lines
+                FROM rev GROUP BY 1
+            )
+            SELECT o_year, nation_revenue_e4, total_revenue_e4, n_lines,
+                   round(100.0 * CAST(nation_revenue_e4 AS DOUBLE)
+                         / CAST(total_revenue_e4 AS DOUBLE), 6)
+                       AS mkt_share_pct
+            FROM g ORDER BY o_year
+        """,
         "semdedup_check_audit": SDD.semdedup_check_audit_sql(
             split_id=250, k=8, iters=2, threshold_pct=30),
         "local_supplier_volume": """

@@ -545,3 +545,170 @@ def source_mix_entropy_sql(table: str = "documents") -> str:
                    AS top_share_ppm
         FROM scored
     """
+
+
+def tier_dup_lift(
+    docs: DataFrame,
+    min_est: float = 0.9,
+    shingle_n: int = 2,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Quality-tier × near-duplicate CORRELATION audit: per edu tier,
+    how much likelier are its documents to be verified near-duplicates
+    than the corpus average — the RefinedWeb observation that
+    low-quality strata are dup-heavy (so quality filtering and dedup
+    partly overlap, and running both must be priced, not assumed
+    additive).
+
+    A document is "near-dup" when it appears on either side of a
+    MinHash-LSH candidate pair with estimated Jaccard >= `min_est`
+    (the round-6 estimate compares identically on both engines).
+    Counts, ppm rates, and the lift ratio are all exact integers:
+    dup_ppm = 1e6·n_dup DIV n_docs per tier, lift_ppm = dup_ppm·1e6
+    DIV corpus_ppm (operands non-negative, so Spark DIV ≡ DuckDB //;
+    dup_ppm ≤ 1e6 keeps the product ≤ 1e12, far inside int64).
+
+    Output (tier-ascending): tier, n_docs, n_dup_docs, dup_ppm,
+    lift_ppm.
+
+    100 TB: the MinHash pass is `dedup_near`'s own banded-equi-join
+    cost (shared with the dedup pipeline when both run); everything
+    after is one distinct over pair endpoints, one doc-keyed left
+    join, and a T-row statistic table with a 1-row broadcast attach."""
+    from .dedup import dedup_near
+    from .quality_rules import edu_tier
+
+    tiers = edu_tier(docs).select("doc_id", "tier")
+    pairs = dedup_near(docs, shingle_n=shingle_n, num_bands=num_bands,
+                       min_est=min_est)
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1).cast("bigint"))
+    )
+    per = (
+        tiers.join(dup_ids, "doc_id", "left")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.coalesce(F.col("_dup"), F.lit(0).cast("bigint")))
+             .alias("n_dup_docs"))
+    )
+    tot = per.agg(F.sum("n_docs").alias("_td"),
+                  F.sum("n_dup_docs").alias("_tn"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "tier", "n_docs", "n_dup_docs",
+            F.expr("1000000 * n_dup_docs DIV n_docs").alias("dup_ppm"),
+            F.expr("(1000000 * n_dup_docs DIV n_docs) * 1000000"
+                   " DIV GREATEST(1000000 * _tn DIV _td, 1)")
+            .alias("lift_ppm"),
+        )
+        .orderBy("tier")
+    )
+
+
+def tier_dup_lift_sql(
+    table: str = "documents",
+    min_est: float = 0.9,
+    shingle_n: int = 2,
+    num_bands: int = 8,
+) -> str:
+    """DuckDB mirror of :func:`tier_dup_lift` (edu_tier + dedup_near
+    mirrors composed as derived tables, then the identical integer
+    arithmetic)."""
+    from .dedup import dedup_near_sql
+    from .quality_rules import edu_tier_sql
+
+    tiers = edu_tier_sql(table)
+    pairs = dedup_near_sql(table, shingle_n=shingle_n,
+                           num_bands=num_bands)
+    return f"""
+        WITH tiers AS (SELECT doc_id, tier FROM ({tiers})),
+        pairs AS (SELECT * FROM ({pairs}) WHERE est_jaccard >= {min_est}),
+        dup_ids AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM pairs
+                UNION ALL SELECT doc_b FROM pairs)
+        ),
+        per AS (
+            SELECT t.tier, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_dup_docs
+            FROM tiers t LEFT JOIN dup_ids d ON d.doc_id = t.doc_id
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+                   CAST(sum(n_dup_docs) AS BIGINT) AS tn
+            FROM per
+        )
+        SELECT tier, n_docs, n_dup_docs,
+               CAST(1000000 * n_dup_docs // n_docs AS BIGINT) AS dup_ppm,
+               CAST((1000000 * n_dup_docs // n_docs) * 1000000
+                    // greatest(1000000 * tn // td, 1) AS BIGINT)
+                   AS lift_ppm
+        FROM per, tot ORDER BY tier
+    """
+
+
+def token_mix_by_tier(docs: DataFrame) -> DataFrame:
+    """The MIXTURE TABLE a tiered curriculum actually samples from:
+    per (source, edu tier), document count, total whitespace tokens,
+    and each cell's exact-ppm share of corpus tokens — the join of the
+    source axis (`source_mix_entropy`, `domain_cap_sample`) with the
+    quality axis (`edu_tier`) that upsampling/curriculum policies
+    (`epoch_upsample`, `curriculum_select`, DoReMi weights) consume.
+
+    All integers: token counts are BIGINT sums, shares are
+    1e6·tokens DIV total. Output (source- then tier-ascending):
+    source, tier, n_docs, tokens, token_share_ppm.
+
+    100 TB: ONE codegen projection (tier features + token count in the
+    same scan), one (source, tier)-keyed partial-agg shuffle (S×T
+    keys), then statistic-table arithmetic with a 1-row broadcast."""
+    from .quality_rules import edu_tier
+    from .text import tokens_col
+
+    tiers = edu_tier(docs).select("doc_id", "tier")
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(tokens_col("text")).cast("bigint").alias("_nt"))
+    per = (
+        toks.join(tiers, "doc_id")
+        .groupBy("source", "tier")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("_nt").alias("tokens"))
+    )
+    tot = per.agg(F.sum("tokens").alias("_tt"))
+    return (
+        per.join(F.broadcast(tot))
+        .select("source", "tier", "n_docs", "tokens",
+                F.expr("1000000 * tokens DIV _tt")
+                .alias("token_share_ppm"))
+        .orderBy("source", "tier")
+    )
+
+
+def token_mix_by_tier_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`token_mix_by_tier`."""
+    from .quality_rules import edu_tier_sql
+    from .text import tokens_sql
+
+    tiers = edu_tier_sql(table)
+    toks = tokens_sql("text")
+    return f"""
+        WITH tiers AS (SELECT doc_id, tier FROM ({tiers})),
+        per AS (
+            SELECT d.source, t.tier, count(*) AS n_docs,
+                   CAST(sum(CAST(len({toks}) AS BIGINT)) AS BIGINT)
+                       AS tokens
+            FROM {table} d JOIN tiers t ON t.doc_id = d.doc_id
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM per)
+        SELECT source, tier, n_docs, tokens,
+               CAST(1000000 * tokens // tt AS BIGINT) AS token_share_ppm
+        FROM per, tot ORDER BY source, tier
+    """

@@ -400,3 +400,55 @@ def test_contamination_width_audit_short_doc_null_wide(spark):
     assert r["contam_wide"] is None
     assert r["flagged_wide"] is False
     assert r["flagged_narrow"] and r["narrow_only"]
+
+
+def test_token_mix_by_tier_shares_sum_and_hand_counts(spark):
+    from explora_kafka_spark.operators.corpus import token_mix_by_tier
+
+    rows = [
+        (0, "alpha beta gamma delta", "en", "srcA", 22),
+        (1, "alpha beta", "en", "srcA", 10),
+        (2, "one two three four five six", "en", "srcB", 27),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint")
+    out = token_mix_by_tier(docs).collect()
+    # every (source, tier) cell's tokens sum to the corpus total and
+    # the exact-ppm shares reconcile: sum(share) in (1e6 - T, 1e6]
+    total = sum(r["tokens"] for r in out)
+    assert total == 4 + 2 + 6
+    assert all(r["token_share_ppm"] == 1_000_000 * r["tokens"] // total
+               for r in out)
+    by_source = {}
+    for r in out:
+        by_source[r["source"]] = by_source.get(r["source"], 0) + r["n_docs"]
+    assert by_source == {"srcA": 2, "srcB": 1}
+
+
+def test_tier_dup_lift_flags_near_dups_per_tier(spark):
+    from explora_kafka_spark.operators.corpus import tier_dup_lift
+
+    # two verbatim copies (bigram-shingle Jaccard 1.0 -> est 1.0 >= 0.9)
+    # plus two singletons; every doc lands in some tier, the dup pair
+    # is counted in its tier, the singletons are not
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+        (2, "one two three four five six seven", "en", "s", 33),
+        (3, "purple monkey dishwasher quantum flux", "en", "s", 37),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint")
+    out = tier_dup_lift(docs).collect()
+    assert sum(r["n_docs"] for r in out) == 4
+    assert sum(r["n_dup_docs"] for r in out) == 2
+    for r in out:
+        assert r["dup_ppm"] == 1_000_000 * r["n_dup_docs"] // r["n_docs"]
+    # corpus rate is 2/4 -> 500000 ppm; a tier holding only the dup
+    # pair has dup_ppm 1e6 and lift 2e6 ppm (exactly 2x)
+    dup_tiers = [r for r in out if r["n_dup_docs"] > 0]
+    assert dup_tiers
+    for r in dup_tiers:
+        assert r["lift_ppm"] == r["dup_ppm"] * 1_000_000 // 500_000

@@ -142,6 +142,10 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  # source totals onto the S-row source table / unigram
                  # totals onto the vocab / dangling mass onto nodes
                  "source_mix_entropy", "doremi_weights", "knn_pagerank",
+                 # tier_dup_lift / token_mix_by_tier: the ONE-ROW
+                 # corpus-total broadcast onto the T-row / SxT-row
+                 # statistic table (the source_mix_entropy allowance)
+                 "tier_dup_lift", "token_mix_by_tier",
                  # cluster_source_mi: the ONE-ROW corpus total
                  # broadcast keylessly onto the C x S statistic cell
                  # table (the source_mix_entropy allowance — never the
