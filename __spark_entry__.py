@@ -2387,6 +2387,14 @@ def q_token_mix_by_tier(spark, sf_dir):
     return CORP.token_mix_by_tier(_docs(spark, sf_dir))
 
 
+def q_kmeans_inertia_sweep(spark, sf_dir):
+    """Elbow diagnostic: exact integer inertia per candidate k
+    (2/4/8/16) + the per-rung percentage drop — chooses k for every
+    cluster-consuming stage."""
+    return CL.kmeans_inertia_sweep(_emb(spark, sf_dir), ks=(2, 4, 8, 16),
+                                   iters=2)
+
+
 def q_cluster_source_mi(spark, sf_dir):
     """Cluster<->source dependence audit: per-cluster source purity +
     exact-ppm shares + per-cluster mutual-information contribution in
@@ -3363,6 +3371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "market_share": q_market_share,
         "tier_dup_lift": q_tier_dup_lift,
         "token_mix_by_tier": q_token_mix_by_tier,
+        "kmeans_inertia_sweep": q_kmeans_inertia_sweep,
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_ensemble": q_dedup_ensemble,
@@ -3893,6 +3902,8 @@ def oracle_sql() -> dict[str, str]:
             cap=30, k=8, iters=2, n_rows=500),
         "tier_dup_lift": CORP.tier_dup_lift_sql(),
         "token_mix_by_tier": CORP.token_mix_by_tier_sql(),
+        "kmeans_inertia_sweep": CL.kmeans_inertia_sweep_sql(
+            ks=(2, 4, 8, 16), iters=2, n_rows=500),
         "market_share": """
             WITH rev AS (
                 SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,

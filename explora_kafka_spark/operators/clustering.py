@@ -38,6 +38,8 @@ runs 2-10 rounds, not to convergence).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -626,3 +628,100 @@ def cluster_balance_sample_sql(
     return ("WITH " + ",\n".join(ctes) + f"""
         SELECT {key}, cluster, rk FROM ranked
         WHERE rk <= {cap} ORDER BY {key}""")
+
+
+def kmeans_inertia_sweep(
+    emb: DataFrame,
+    ks: Sequence[int] = (2, 4, 8, 16),
+    iters: int = 2,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """The ELBOW diagnostic that chooses k before any cluster-consuming
+    stage (SemDeDup k, IVF n_lists, cluster-balanced quotas): total
+    within-cluster squared distance (inertia) per candidate k, plus the
+    percentage drop from the previous rung — the curve whose
+    flattening point is the elbow. Per-vector d2 is the Lloyd kernel's
+    exact µunit² BIGINT and inertia its exact sum; the drop is the one
+    intentional float — (prev−cur) stays an exact BIGINT (1e6·inertia
+    would overflow int64 at fixture magnitudes, so no integer-ppm form
+    exists) and round(diff/prev·100, 6) is the identical IEEE op
+    sequence on both engines. Output (k-ascending): k, n_vectors,
+    inertia_mu2, drop_pct (NULL on the first rung).
+
+    100 TB: one Lloyd run per rung (each = iters corpus scans with the
+    Arrow argmin kernel, no shuffle on the assignment side) and a
+    1-row aggregate per rung; the rung table is len(ks) rows, the
+    window over it trivial."""
+    if n_rows is None:
+        n_rows = emb.count()
+    per = None
+    for k in ks:
+        assigned, _ = _final_assignment(emb, k, iters, key, vec_col,
+                                        n_rows)
+        row = assigned.agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("_d2").alias("inertia_mu2"),
+        ).select(F.lit(k).cast("int").alias("k"), "n_vectors",
+                 "inertia_mu2")
+        per = row if per is None else per.unionByName(row)
+    w = Window.orderBy("k")
+    return (
+        per.withColumn("_prev", F.lag("inertia_mu2").over(w))
+        .withColumn(
+            "drop_pct",
+            F.expr("round(CAST(_prev - inertia_mu2 AS DOUBLE)"
+                   " / CAST(_prev AS DOUBLE) * 100, 6)"),
+        )
+        .select("k", "n_vectors", "inertia_mu2", "drop_pct")
+        .orderBy("k")
+    )
+
+
+def kmeans_inertia_sweep_sql(
+    table: str = "embeddings",
+    ks: Sequence[int] = (2, 4, 8, 16),
+    iters: int = 2,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int = 500,
+) -> str:
+    """DuckDB mirror of :func:`kmeans_inertia_sweep` (one unrolled
+    Lloyd CTE chain per rung, CTE names suffixed by k)."""
+    rungs = []
+    all_ctes: list[str] = []
+    for k in ks:
+        ctes, last = kmeans_ctes(table, k, iters, key, vec_col, n_rows)
+        suffixed = []
+        for c in ctes:
+            name, body = c.split(" AS ", 1)
+            new = f"{name.strip()}_k{k} AS {body}"
+            for t in range(iters):
+                new = new.replace(f"FROM mu e, c{t} c",
+                                  f"FROM mu_k{k} e, c{t}_k{k} c")
+                new = new.replace(f"FROM a{t},", f"FROM a{t}_k{k},")
+                new = new.replace(f"FROM c{t + 1}d", f"FROM c{t + 1}d_k{k}")
+            new = new.replace(f"FROM {table}", f"FROM {table}", 1)
+            suffixed.append(new)
+        # the mu CTE references the raw table; centroid/assign CTEs
+        # reference mu and each other — suffix those references too
+        fixed = []
+        for c in suffixed:
+            c = c.replace("FROM mu\n", f"FROM mu_k{k}\n")
+            c = c.replace("FROM mu WHERE", f"FROM mu_k{k} WHERE")
+            fixed.append(c)
+        all_ctes.extend(fixed)
+        rungs.append(
+            f"SELECT {k} AS k, count(*) AS n_vectors,"
+            f" CAST(sum(_d2) AS BIGINT) AS inertia_mu2"
+            f" FROM {last}_k{k}")
+    union = " UNION ALL ".join(rungs)
+    return ("WITH " + ",\n".join(all_ctes) + f""",
+        per AS ({union})
+        SELECT CAST(k AS INTEGER) AS k, n_vectors, inertia_mu2,
+               round(CAST(lag(inertia_mu2) OVER (ORDER BY k)
+                          - inertia_mu2 AS DOUBLE)
+                     / CAST(lag(inertia_mu2) OVER (ORDER BY k)
+                            AS DOUBLE) * 100, 6) AS drop_pct
+        FROM per ORDER BY k""")

@@ -210,3 +210,19 @@ def test_cluster_balance_sample_caps_each_cluster(spark):
     again = cluster_balance_sample(docs, emb, cap=1, k=2, iters=2).collect()
     assert sorted(r["doc_id"] for r in out) == \
         sorted(r["doc_id"] for r in again)
+
+
+def test_kmeans_inertia_sweep_hand_values(spark):
+    # 1-d: [0,0,1,1]. k=1 with iters=2: after the update the single
+    # centroid is the mean 0.5 (5e5 µunits), so inertia =
+    # 4 * (5e5)^2 = 1e12. k=2 (seeds ids 0, 2): both clusters exact,
+    # inertia 0, drop_pct = 100.0. First rung's drop is NULL.
+    from explora_kafka_spark.operators.clustering import (
+        kmeans_inertia_sweep)
+
+    emb = _emb(spark, [[0.0], [0.0], [1.0], [1.0]])
+    out = kmeans_inertia_sweep(emb, ks=(1, 2), iters=2).collect()
+    assert [(r["k"], r["inertia_mu2"]) for r in out] == \
+        [(1, 10**12), (2, 0)]
+    assert out[0]["drop_pct"] is None
+    assert out[1]["drop_pct"] == 100.0
