@@ -50,6 +50,35 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "Dimension joins broadcast (no full shuffle of the fact side).",
         [r"BroadcastHashJoin", r"BroadcastExchange", r"SortMergeJoin"],
     ),
+    "market_share": (
+        "TPC-H Q8 (round 11): a 7-table star where EVERY dimension is "
+        "a BroadcastHashJoin build side — the lineitem fact is the only "
+        "shuffled input, and the p_type filter prunes the part dim "
+        "before it broadcasts.",
+        [r"BroadcastHashJoin", r"PushedFilters", r"SortMergeJoin"],
+    ),
+    "waiting_supplier": (
+        "TPC-H Q21 (round 11): the classic EXISTS/NOT-EXISTS pair is "
+        "ONE aggregation over distinct late (order, supplier) pairs — "
+        "no lineitem self-join appears; joins are hash-partitioned "
+        "equi-joins plus one broadcast of the supplier dim.",
+        [r"Join", r"Exchange hashpartitioning", r"HashAggregate"],
+    ),
+    "disjunctive_revenue": (
+        "TPC-H Q19 (round 11): the three brand/size/quantity "
+        "OR-branches reach the parquet scan as a pushed disjunction "
+        "(row-group skipping on l_quantity) with the residual applied "
+        "after ONE broadcast part join.",
+        [r"PushedFilters", r"BroadcastHashJoin"],
+    ),
+    "cluster_source_mi": (
+        "Cluster-source MI (round 11): the corpus-side join is a "
+        "doc_id equi-join onto the Arrow-kernel assignment; the only "
+        "keyless attach is the ONE-ROW total onto the CxS statistic "
+        "cell table.",
+        [r"BroadcastNestedLoopJoin", r"BroadcastHashJoin",
+         r"HashAggregate"],
+    ),
     "dedup_near": (
         "LSH banding is an equi-join on band buckets: shuffle-hash/sort-"
         "merge on the bucket key, NO CartesianProduct / "
