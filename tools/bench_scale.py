@@ -89,6 +89,15 @@ HEADLINE = [
     # round-9 late wave (VERDICT r9 #7) + round-10 additions
     "segment_view", "snapshot_smoothed", "metric_seasonality",
     "source_mix_entropy", "knn_pagerank", "doremi_weights",
+    # round-11 waves: TPC-H shapes (exact-integer revenue), corpus
+    # mixture audits, cluster diagnostics (kmeans family rides the
+    # rekey overrides' rationale but these registry entries run the
+    # sf-scoped fixture constants, so probe at registry parameters)
+    "promo_revenue", "volume_shipping", "waiting_supplier",
+    "large_orders", "idle_customers", "market_share",
+    "domain_dedup", "domain_cap_sample", "contamination_width_audit",
+    "edu_tier", "edu_web_disagreement", "token_mix_by_tier",
+    "tier_dup_lift", "ann_topk_ivf_indexed",
 ]
 
 
