@@ -2387,6 +2387,13 @@ def q_token_mix_by_tier(spark, sf_dir):
     return CORP.token_mix_by_tier(_docs(spark, sf_dir))
 
 
+def q_pack_efficiency_report(spark, sf_dir):
+    """Packing-strategy efficiency audit: exact padding/split
+    accounting for concat-and-chunk vs whole-doc next-fit (the table a
+    training job reads before picking its packer)."""
+    return PK.pack_efficiency_report(_docs(spark, sf_dir))
+
+
 def q_kmeans_inertia_sweep(spark, sf_dir):
     """Elbow diagnostic: exact integer inertia per candidate k
     (2/4/8/16) + the per-rung percentage drop — chooses k for every
@@ -3372,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_dup_lift": q_tier_dup_lift,
         "token_mix_by_tier": q_token_mix_by_tier,
         "kmeans_inertia_sweep": q_kmeans_inertia_sweep,
+        "pack_efficiency_report": q_pack_efficiency_report,
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_ensemble": q_dedup_ensemble,
@@ -3904,6 +3912,8 @@ def oracle_sql() -> dict[str, str]:
         "token_mix_by_tier": CORP.token_mix_by_tier_sql(),
         "kmeans_inertia_sweep": CL.kmeans_inertia_sweep_sql(
             ks=(2, 4, 8, 16), iters=2, n_rows=500),
+        "pack_efficiency_report": PK.pack_efficiency_report_sql(
+            "documents"),
         "market_share": """
             WITH rev AS (
                 SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,

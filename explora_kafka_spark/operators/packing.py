@@ -399,3 +399,141 @@ def pack_docs_sql(
         FROM state
         ORDER BY shard, bin_id, doc_id
     """
+
+
+def pack_efficiency_report(
+    docs: DataFrame,
+    budget: int = DEFAULT_BUDGET,
+    shards: int = DEFAULT_SHARDS,
+) -> DataFrame:
+    """Packing-strategy efficiency audit: one row per strategy with the
+    exact padding-waste accounting a training job reads before picking
+    its packer — concat-and-chunk (`pack_sequences`: zero padding
+    except each shard's final partial pack, but documents split across
+    pack boundaries) vs whole-document next-fit (`pack_docs`: boundary
+    integrity, real per-bin padding).
+
+    Columns (strategy-ascending): strategy, n_docs, n_packs,
+    used_tokens, capacity_tokens (n_packs·budget), pad_tokens
+    (Σ per-pack max(budget − fill, 0) — an overflowing whole-doc bin
+    contributes 0, not negative), pad_ppm (1e6·pad DIV capacity), and
+    n_exceptions — the strategy's boundary-rule count: documents SPLIT
+    across packs for concat_chunk, OVERSIZE bins (single doc longer
+    than the budget) for whole_doc.
+
+    All integers (counts, token sums, ppm by DIV — operands
+    non-negative so Spark DIV ≡ DuckDB floor).
+
+    100 TB: both packing passes are the underlying operators' own cost
+    (window cumsum / grouped-map next-fit); the audit adds one
+    (shard, pack)-keyed partial agg per strategy and 2-row arithmetic."""
+    seq = pack_sequences(docs, budget, shards)
+    seq_packs = (
+        seq.groupBy("shard", "pack_id")
+        .agg(F.sum("n_slice_tokens").alias("_fill"))
+    )
+    seq_docs = seq.groupBy("doc_id").agg(F.count("*").alias("_n_slices"))
+    seq_row = (
+        seq_packs.agg(
+            F.count("*").alias("n_packs"),
+            F.sum("_fill").alias("used_tokens"),
+            F.sum(F.greatest(F.lit(budget) - F.col("_fill"),
+                             F.lit(0).cast("bigint")))
+            .alias("pad_tokens"))
+        .join(F.broadcast(seq_docs.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("_n_slices") > 1, 1).otherwise(0))
+            .alias("n_exceptions"))))
+        .select(F.lit("concat_chunk").alias("strategy"), "n_docs",
+                "n_packs", "used_tokens", "pad_tokens", "n_exceptions")
+    )
+    whole = pack_docs(docs, budget, shards)
+    whole_bins = (
+        whole.groupBy("shard", "bin_id")
+        .agg(F.sum("n_tokens").alias("_fill"))
+    )
+    whole_row = (
+        whole_bins.agg(
+            F.count("*").alias("n_packs"),
+            F.sum("_fill").alias("used_tokens"),
+            F.sum(F.greatest(F.lit(budget) - F.col("_fill"),
+                             F.lit(0).cast("bigint")))
+            .alias("pad_tokens"),
+            F.sum(F.when(F.col("_fill") > budget, 1).otherwise(0))
+            .alias("n_exceptions"))
+        .join(F.broadcast(whole.agg(F.count("*").alias("n_docs"))))
+        .select(F.lit("whole_doc").alias("strategy"), "n_docs",
+                "n_packs", "used_tokens", "pad_tokens", "n_exceptions")
+    )
+    return (
+        seq_row.unionByName(whole_row)
+        .select(
+            "strategy", "n_docs", "n_packs", "used_tokens",
+            (F.col("n_packs") * budget).alias("capacity_tokens"),
+            "pad_tokens",
+            F.expr(f"1000000 * pad_tokens DIV (n_packs * {budget})")
+            .alias("pad_ppm"),
+            "n_exceptions",
+        )
+        .orderBy("strategy")
+    )
+
+
+def pack_efficiency_report_sql(
+    table: str = "documents",
+    budget: int = DEFAULT_BUDGET,
+    shards: int = DEFAULT_SHARDS,
+) -> str:
+    """DuckDB mirror of :func:`pack_efficiency_report` (both packing
+    mirrors as derived tables, identical integer accounting)."""
+    seq = pack_sequences_sql(table, budget, shards)
+    whole = pack_docs_sql(table, budget, shards)
+    return f"""
+        WITH seq AS ({seq}),
+        seq_packs AS (
+            SELECT shard, pack_id,
+                   CAST(sum(n_slice_tokens) AS BIGINT) AS fill
+            FROM seq GROUP BY 1, 2
+        ),
+        seq_docs AS (
+            SELECT doc_id, count(*) AS n_slices FROM seq GROUP BY 1
+        ),
+        seq_row AS (
+            SELECT 'concat_chunk' AS strategy,
+                   (SELECT count(*) FROM seq_docs) AS n_docs,
+                   count(*) AS n_packs,
+                   CAST(sum(fill) AS BIGINT) AS used_tokens,
+                   CAST(sum(greatest({budget} - fill, 0)) AS BIGINT)
+                       AS pad_tokens,
+                   (SELECT CAST(sum(CASE WHEN n_slices > 1 THEN 1
+                                    ELSE 0 END) AS BIGINT)
+                    FROM seq_docs) AS n_exceptions
+            FROM seq_packs
+        ),
+        whole AS ({whole}),
+        whole_bins AS (
+            SELECT shard, bin_id, CAST(sum(n_tokens) AS BIGINT) AS fill
+            FROM whole GROUP BY 1, 2
+        ),
+        whole_row AS (
+            SELECT 'whole_doc' AS strategy,
+                   (SELECT count(*) FROM whole) AS n_docs,
+                   count(*) AS n_packs,
+                   CAST(sum(fill) AS BIGINT) AS used_tokens,
+                   CAST(sum(greatest({budget} - fill, 0)) AS BIGINT)
+                       AS pad_tokens,
+                   CAST(sum(CASE WHEN fill > {budget} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exceptions
+            FROM whole_bins
+        ),
+        both_rows AS (
+            SELECT * FROM seq_row UNION ALL SELECT * FROM whole_row
+        )
+        SELECT strategy, n_docs, n_packs, used_tokens,
+               CAST(n_packs * {budget} AS BIGINT) AS capacity_tokens,
+               pad_tokens,
+               CAST(1000000 * pad_tokens // (n_packs * {budget})
+                    AS BIGINT) AS pad_ppm,
+               n_exceptions
+        FROM both_rows ORDER BY strategy
+    """

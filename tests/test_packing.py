@@ -207,3 +207,33 @@ def test_pack_docs_bins_close_only_when_next_doc_overflows(spark):
         )
         for b in fills.index[:-1]:
             assert fills[b] + first_of_next[b + 1] > budget
+
+
+def test_pack_efficiency_report_hand_values(spark):
+    # one shard, budget 8, token counts 5,12,3,30,1 (total 51):
+    # concat-chunk: ceil(51/8)=7 packs, capacity 56, pad 5 (final
+    #   partial pack), used 51; docs spanning a cut: doc2 (5..17 spans
+    #   8 and 16), doc4 (20..50 spans 24,32,40,48) -> 2 exceptions.
+    # whole-doc next-fit in doc_id order: [5,(12)],[(3)+? ...] ->
+    #   bins: [5]+12>8 so bin0={5} fill5; bin1={12} (oversize); 3
+    #   fits? bin1 fill 12 already > start new: 12+3>8 -> bin2={3};
+    #   30 oversize -> 3+30>8 -> bin3={30}; 1 -> 30+1>8 -> bin4={1}.
+    #   5 bins, capacity 40, used 51, pad = (8-5)+(0)+(8-3)+(0)+(8-1)
+    #   = 15, oversize bins = 2.
+    df = _docs_df(spark, [
+        (i, " ".join(["w"] * n), "s")
+        for i, n in [(1, 5), (2, 12), (3, 3), (4, 30), (5, 1)]
+    ])
+    out = {r["strategy"]: r
+           for r in P.pack_efficiency_report(df, budget=8,
+                                             shards=1).collect()}
+    cc = out["concat_chunk"]
+    assert (cc["n_docs"], cc["n_packs"], cc["used_tokens"],
+            cc["capacity_tokens"], cc["pad_tokens"],
+            cc["n_exceptions"]) == (5, 7, 51, 56, 5, 2)
+    assert cc["pad_ppm"] == 1_000_000 * 5 // 56
+    wd = out["whole_doc"]
+    assert (wd["n_docs"], wd["n_packs"], wd["used_tokens"],
+            wd["capacity_tokens"], wd["pad_tokens"],
+            wd["n_exceptions"]) == (5, 5, 51, 40, 15, 2)
+    assert wd["pad_ppm"] == 1_000_000 * 15 // 40

@@ -146,6 +146,10 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  # corpus-total broadcast onto the T-row / SxT-row
                  # statistic table (the source_mix_entropy allowance)
                  "tier_dup_lift", "token_mix_by_tier",
+                 # pack_efficiency_report: two ONE-ROW aggregate
+                 # attaches (per-strategy doc stats onto the 1-row
+                 # pack stats) — 1-row x 1-row, never the corpus
+                 "pack_efficiency_report",
                  # cluster_source_mi: the ONE-ROW corpus total
                  # broadcast keylessly onto the C x S statistic cell
                  # table (the source_mix_entropy allowance — never the
