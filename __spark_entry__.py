@@ -3363,12 +3363,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near": q_dedup_near,
         # ——— driver cap line (entries below lose their CORRECTNESS row;
         #     they still run in bench.py and tools/verify_local.py) ———
-        # - r12 queue head: the second round-11 TPC-H wave
-        #   (Q7/Q15/Q19/Q21 shapes — landed below the cap per the
+        # - r12 queue head: the 11 late round-11 additions (second
+        #   TPC-H wave Q7/Q15/Q19/Q21 + Q8, the cluster diagnostics
+        #   pair, the two mixture audits, the inertia sweep, the pack
+        #   efficiency audit — all landed below the cap per the
         #   growth-pause pattern so the committed r11 window stays
-        #   exactly what CORRECTNESS_r11 records; strict-gate green at
-        #   landing), then the 10 r7-band names displaced by the
-        #   in-window round-11 entries, then the r7-band remainder -
+        #   exactly what CORRECTNESS_r11 records; every one
+        #   strict-gate green at landing), then the 10 r7-band names
+        #   displaced by the in-window round-11 entries, then the
+        #   r7-band remainder -
         "volume_shipping": q_volume_shipping,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,

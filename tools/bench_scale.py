@@ -97,7 +97,7 @@ HEADLINE = [
     "large_orders", "idle_customers", "market_share",
     "domain_dedup", "domain_cap_sample", "contamination_width_audit",
     "edu_tier", "edu_web_disagreement", "token_mix_by_tier",
-    "tier_dup_lift", "ann_topk_ivf_indexed",
+    "tier_dup_lift", "ann_topk_ivf_indexed", "pack_efficiency_report",
 ]
 
 
