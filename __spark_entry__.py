@@ -2374,6 +2374,220 @@ def q_market_share(spark, sf_dir):
     )
 
 
+def q_nation_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product profit by nation and year) adapted to
+    the fixture's schema: there is no partsupp table, so the part's
+    retail price stands in for ps_supplycost (documented adaptation —
+    the SHAPE is the point: a part-name LIKE filter, four broadcast
+    dims, two shuffled facts, a two-key rollup). Profit per line in
+    exact 1e-4 integer units = rev_e4 − cents(retailprice)·100·qty, so
+    the sums are order-independent BIGINTs on both engines."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+        .alias("_qty"),
+        _rev_e4(F.col("l_extendedprice"), F.col("l_discount"))
+        .alias("_rev_e4"))
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")).select(
+        "p_partkey",
+        (F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+         .cast("bigint") * F.lit(100)).alias("_retail_e4"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.count("*").alias("n_lines"),
+             F.sum(F.col("_rev_e4")
+                   - F.col("_retail_e4") * F.col("_qty"))
+             .alias("profit_e4"))
+        .orderBy("nation", "o_year")
+    )
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification) adapted: the
+    fixture has no partsupp, so a part's "stock value" is the exact
+    revenue that flowed through ASIA-region suppliers; keep parts
+    worth MORE THAN TWICE the average part value, compared in EXACT
+    integers (value_e4·n_parts > 2·total_e4 — no float fraction, and
+    scale-free: Q11's fraction/SF rescaling is built in because the
+    average already divides by the part count). The global threshold
+    is a ONE-ROW broadcast onto the part-keyed aggregate
+    (statistic-sized, never the fact — the idle_customers
+    allowance)."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        _rev_e4(F.col("l_extendedprice"), F.col("l_discount"))
+        .alias("_rev_e4"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA").select("r_regionkey")
+    asian = (s.join(F.broadcast(n),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+             .join(F.broadcast(r),
+                   F.col("n_regionkey") == F.col("r_regionkey"))
+             .select("s_suppkey"))
+    val = (
+        li.join(F.broadcast(asian),
+                F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("_rev_e4").alias("value_e4"))
+    )
+    total = val.agg(F.sum("value_e4").alias("_total_e4"),
+                    F.count("*").alias("_n_parts"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("value_e4") * F.col("_n_parts")
+                > F.col("_total_e4") * 2)
+        .select(F.col("l_partkey").alias("p_partkey"), "value_e4")
+        .orderBy(F.col("value_e4").desc(), "p_partkey")
+    )
+
+
+def q_parts_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    distinct suppliers ship each (brand, type, size) combination —
+    excluding one brand, the PROMO type, and (the fixture's stand-in
+    for Q16's complaints predicate) suppliers with a negative account
+    balance. Distinct (part, supplier) pairs are reduced FIRST (one
+    map-side-combining shuffle of the key pair), then the part dim is
+    broadcast onto the pair table."""
+    configure(spark)
+    pairs = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey").distinct()
+    ok = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") >= 0).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2") & (F.col("p_type") != "PROMO")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(F.broadcast(ok),
+                   F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(),
+                 "p_brand", "p_type", "p_size")
+    )
+
+
+def q_concentrated_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion) adapted: suppliers
+    who shipped MORE THAN 10% of a PROMO part's total 1996 volume
+    (no partsupp/availqty in the fixture, so the share-of-total
+    stands in for availqty > ½·shipped). Quantities are exact
+    integers, the share compares as 10·pair_qty > part_total, and the
+    per-part total re-aggregates the (part, supplier) table — one
+    fact shuffle, then statistic-sized joins; the survivor set
+    left-semi-joins the EUROPE supplier dim."""
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")).select(
+        "l_partkey", "l_suppkey",
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint")
+        .alias("_qty"))
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO").select("p_partkey")
+    pair = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("_qty").alias("pair_qty"))
+    )
+    tot = pair.groupBy("l_partkey").agg(
+        F.sum("pair_qty").alias("_part_qty"))
+    heavy = (
+        pair.join(tot, "l_partkey")
+        .filter(F.col("pair_qty") * 10 > F.col("_part_qty"))
+        .select("l_suppkey").distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE").select("r_regionkey")
+    eur = (s.join(F.broadcast(n),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(r),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("s_suppkey", "s_name", "n_name"))
+    return (
+        heavy.join(F.broadcast(eur),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for every STANDARD
+    part of size ≤ 10, the EUROPE supplier(s) offering the best unit
+    price — no partsupp in the fixture, so a supplier's offer is the
+    minimum observed per-unit price across their shipments of the
+    part. The unit price is ONE IEEE division of two exact integers
+    (cents / qty — both < 2⁵³ so the cast is exact and the division
+    exactly rounded, identical bits on both engines; the promo_revenue
+    discipline), so the per-part min and the equality filter are
+    deterministic. The correlated min attaches via a window over the
+    (part, supplier)-sized aggregate — never the fact — and ALL
+    achievers are returned (the top_supplier convention)."""
+    from pyspark.sql.window import Window
+
+    configure(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+         .cast("bigint").cast("double")
+         / F.floor(F.col("l_quantity") + F.lit(0.5))
+         .cast("bigint").cast("double")).alias("_unit_cents"))
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE").select("r_regionkey")
+    eur = (s.join(F.broadcast(n),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+           .join(F.broadcast(r),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("s_suppkey", "s_name", "n_name"))
+    offers = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_partkey"),
+                 "s_suppkey", "s_name", "n_name")
+        .agg(F.min("_unit_cents").alias("unit_cents"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("_best", F.min("unit_cents").over(w))
+        .filter(F.col("unit_cents") == F.col("_best"))
+        .select("p_partkey", "s_suppkey", "s_name",
+                F.col("n_name").alias("nation"), "unit_cents")
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
 def q_tier_dup_lift(spark, sf_dir):
     """Quality-tier × near-dup correlation audit: per edu tier, the
     exact-ppm near-duplicate rate and its lift vs the corpus average
@@ -3363,15 +3577,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near": q_dedup_near,
         # ——— driver cap line (entries below lose their CORRECTNESS row;
         #     they still run in bench.py and tools/verify_local.py) ———
-        # - r12 queue head: the 11 late round-11 additions (second
+        # - r12 queue head: the 16 late round-11 additions (second
         #   TPC-H wave Q7/Q15/Q19/Q21 + Q8, the cluster diagnostics
         #   pair, the two mixture audits, the inertia sweep, the pack
-        #   efficiency audit — all landed below the cap per the
-        #   growth-pause pattern so the committed r11 window stays
-        #   exactly what CORRECTNESS_r11 records; every one
-        #   strict-gate green at landing), then the 10 r7-band names
-        #   displaced by the in-window round-11 entries, then the
-        #   r7-band remainder -
+        #   efficiency audit, then the THIRD TPC-H wave Q9/Q11/Q16/
+        #   Q20/Q2 — all landed below the cap per the growth-pause
+        #   pattern so the committed r11 window stays exactly what
+        #   CORRECTNESS_r11 records; every one strict-gate green at
+        #   landing), then the 10 r7-band names displaced by the
+        #   in-window round-11 entries, then the r7-band remainder -
         "volume_shipping": q_volume_shipping,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -3383,6 +3597,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_mix_by_tier": q_token_mix_by_tier,
         "kmeans_inertia_sweep": q_kmeans_inertia_sweep,
         "pack_efficiency_report": q_pack_efficiency_report,
+        # - third TPC-H wave (Q9/Q11/Q16/Q20/Q2 shapes adapted to the
+        #   no-partsupp fixture; below the cap per the growth-pause
+        #   pattern, r12 queue) -
+        "nation_profit": q_nation_profit,
+        "important_parts": q_important_parts,
+        "parts_supplier_variety": q_parts_supplier_variety,
+        "concentrated_part_suppliers": q_concentrated_part_suppliers,
+        "min_cost_supplier": q_min_cost_supplier,
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_ensemble": q_dedup_ensemble,
@@ -3949,6 +4171,123 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(total_revenue_e4 AS DOUBLE), 6)
                        AS mkt_share_pct
             FROM g ORDER BY o_year
+        """,
+        # third TPC-H wave: Q9/Q11/Q16/Q20/Q2 shapes adapted to the
+        # no-partsupp fixture (adaptations documented per query).
+        # Revenue/profit in exact 1e-4 integer units; quantities and
+        # prices recovered as exact integers on both engines; the only
+        # float anywhere is min_cost_supplier's ONE IEEE division of
+        # two exact integers (identical bits on both engines).
+        "nation_profit": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   count(*) AS n_lines,
+                   CAST(sum(
+                       CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                     AS BIGINT))
+                       - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)
+                         * 100 * CAST(floor(l.l_quantity + 0.5) AS BIGINT)
+                   ) AS BIGINT) AS profit_e4
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "important_parts": """
+            WITH val AS (
+                SELECT l.l_partkey AS p_partkey,
+                       CAST(sum(
+                           CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                AS BIGINT)
+                           * (100 - CAST(floor(l.l_discount * 100 + 0.5)
+                                         AS BIGINT))) AS BIGINT) AS value_e4
+                FROM lineitem l
+                WHERE l.l_suppkey IN (
+                    SELECT s.s_suppkey
+                    FROM supplier s
+                    JOIN nation n ON n.n_nationkey = s.s_nationkey
+                    JOIN region r ON r.r_regionkey = n.n_regionkey
+                    WHERE r.r_name = 'ASIA')
+                GROUP BY 1
+            )
+            SELECT p_partkey, value_e4
+            FROM val
+            WHERE value_e4 * (SELECT count(*) FROM val)
+                  > 2 * (SELECT sum(value_e4) FROM val)
+            ORDER BY value_e4 DESC, p_partkey
+        """,
+        "parts_supplier_variety": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   count(DISTINCT pr.l_suppkey) AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pr
+            JOIN part p ON p.p_partkey = pr.l_partkey
+            WHERE p.p_brand <> 'Brand#2' AND p.p_type <> 'PROMO'
+              AND pr.l_suppkey IN (SELECT s_suppkey FROM supplier
+                                   WHERE s_acctbal >= 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, 1, 2, 3
+        """,
+        "concentrated_part_suppliers": """
+            WITH pair AS (
+                SELECT l.l_partkey, l.l_suppkey,
+                       CAST(sum(CAST(floor(l.l_quantity + 0.5) AS BIGINT))
+                            AS BIGINT) AS pair_qty
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                           AND p.p_type = 'PROMO'
+                WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT l_partkey,
+                       CAST(sum(pair_qty) AS BIGINT) AS part_qty
+                FROM pair GROUP BY 1
+            ),
+            heavy AS (
+                SELECT DISTINCT pr.l_suppkey
+                FROM pair pr JOIN tot t ON t.l_partkey = pr.l_partkey
+                WHERE pr.pair_qty * 10 > t.part_qty
+            )
+            SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+            FROM heavy h
+            JOIN supplier s ON s.s_suppkey = h.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'EUROPE'
+            ORDER BY s.s_suppkey
+        """,
+        "min_cost_supplier": """
+            WITH eur AS (
+                SELECT s.s_suppkey, s.s_name, n.n_name
+                FROM supplier s
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = 'EUROPE'
+            ),
+            offers AS (
+                SELECT l.l_partkey AS p_partkey, e.s_suppkey, e.s_name,
+                       e.n_name,
+                       min(CAST(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                                     AS BIGINT) AS DOUBLE)
+                           / CAST(CAST(floor(l.l_quantity + 0.5)
+                                       AS BIGINT) AS DOUBLE)) AS unit_cents
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                           AND p.p_type = 'STANDARD' AND p.p_size <= 10
+                JOIN eur e ON e.s_suppkey = l.l_suppkey
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT p_partkey, s_suppkey, s_name, n_name AS nation,
+                   unit_cents
+            FROM offers
+            QUALIFY unit_cents = min(unit_cents)
+                OVER (PARTITION BY p_partkey)
+            ORDER BY p_partkey, s_suppkey
         """,
         "semdedup_check_audit": SDD.semdedup_check_audit_sql(
             split_id=250, k=8, iters=2, threshold_pct=30),

@@ -161,7 +161,12 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  # bm25_search one-row-totals allowance), not a
                  # cartesian blowup; every other join in the entry is
                  # an equi- or anti-join.
-                 "idle_customers"}
+                 "idle_customers",
+                 # important_parts (TPC-H Q11 shape): the ONE-ROW
+                 # grand-total threshold broadcast keylessly onto the
+                 # part-keyed aggregate (statistic-sized, never the
+                 # fact — the idle_customers allowance).
+                 "important_parts"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan

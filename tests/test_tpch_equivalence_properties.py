@@ -78,3 +78,92 @@ def test_integer_threshold_equals_rational_fifth_of_avg(qtys):
         integer_form = 5 * q * cnt < total
         rational_form = Fraction(q) < Fraction(1, 5) * Fraction(total, cnt)
         assert integer_form == rational_form
+
+# --- third-wave pins (Q11 / Q20 / Q2 shapes) ---
+
+_vals = st.lists(st.integers(0, 10**9), min_size=1, max_size=25)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_vals)
+def test_q11_integer_threshold_equals_twice_average(vals):
+    """important_parts keeps v iff v > 2·avg(v); the registry compares
+    v·n > 2·Σv in exact integers. Same rational inequality."""
+    total, n = sum(vals), len(vals)
+    for v in vals:
+        integer_form = v * n > 2 * total
+        rational_form = Fraction(v) > 2 * Fraction(total, n)
+        assert integer_form == rational_form
+
+
+_pairs = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 3), st.integers(1, 50)),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_pairs)
+def test_q20_integer_share_equals_rational_tenth(pairs):
+    """concentrated_part_suppliers keeps a (part, supp) pair iff its
+    qty share exceeds 10%; the registry compares 10·pair > total."""
+    import collections
+    pair_qty = collections.Counter()
+    for part, supp, q in pairs:
+        pair_qty[(part, supp)] += q
+    part_qty = collections.Counter()
+    for (part, _), q in pair_qty.items():
+        part_qty[part] += q
+    for (part, _), q in pair_qty.items():
+        integer_form = 10 * q > part_qty[part]
+        rational_form = Fraction(q, part_qty[part]) > Fraction(1, 10)
+        assert integer_form == rational_form
+
+
+_offers = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 3),
+              st.integers(1, 10**7), st.integers(1, 50)),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_offers)
+def test_q2_window_min_returns_all_achievers(offers):
+    """min_cost_supplier's window-min-equality form must equal the
+    correlated-subquery min AND the unit price must be the SAME IEEE
+    division on both engines (exact bigint→double cast, one exactly
+    rounded op) — pinned by comparing DuckDB's division bitwise to
+    Python's."""
+    import struct
+
+    df = pd.DataFrame(offers,
+                      columns=["part", "supp", "cents", "qty"])
+    con = duckdb.connect()
+    con.register("li", df)
+    rows = con.execute("""
+        WITH offers AS (
+            SELECT part, supp,
+                   min(CAST(cents AS DOUBLE) / CAST(qty AS DOUBLE))
+                       AS unit
+            FROM li GROUP BY 1, 2)
+        SELECT part, supp, unit FROM offers
+        QUALIFY unit = min(unit) OVER (PARTITION BY part)
+        ORDER BY 1, 2
+    """).fetchall()
+    # python model: exact same float ops
+    best_per_pair = {}
+    for part, supp, cents, qty in offers:
+        u = float(cents) / float(qty)
+        k = (part, supp)
+        if k not in best_per_pair or u < best_per_pair[k]:
+            best_per_pair[k] = u
+    best_per_part = {}
+    for (part, _), u in best_per_pair.items():
+        if part not in best_per_part or u < best_per_part[part]:
+            best_per_part[part] = u
+    expect = sorted(
+        (part, supp, u) for (part, supp), u in best_per_pair.items()
+        if u == best_per_part[part])
+    assert len(rows) == len(expect)
+    for (gp, gs, gu), (ep, es, eu) in zip(rows, expect):
+        assert (gp, gs) == (ep, es)
+        assert struct.pack("<d", gu) == struct.pack("<d", eu)
