@@ -2588,6 +2588,34 @@ def q_min_cost_supplier(spark, sf_dir):
     )
 
 
+def q_ttr_profile(spark, sf_dir):
+    """Per-source lexical diversity: type-token ratio in exact ppm
+    (distinct·1e6 DIV total whitespace tokens) — the repetitive-
+    template-source dial."""
+    return T.ttr_profile(_docs(spark, sf_dir))
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency audit: integer least-squares slope of
+    ln(freq) vs ln(rank) over the top-256 tokens (milli-nat folding;
+    natural text ≈ −1, boilerplate flattens toward 0)."""
+    return T.zipf_slope(_docs(spark, sf_dir))
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Boilerplate share per source: fraction of each doc's distinct
+    5-gram shingles seen in ≥2 documents, in exact ppm — the
+    sub-duplication dial between doc_repetition and dedup_near."""
+    return T.ngram_novelty(_docs(spark, sf_dir))
+
+
+def q_length_bucket_drift(spark, sf_dir):
+    """Per-source length-distribution drift: L1 distance in exact ppm
+    between the source's and the corpus's token-count bit-width
+    histograms, over the dense source×bucket grid."""
+    return CORP.length_bucket_drift(_docs(spark, sf_dir))
+
+
 def q_tier_dup_lift(spark, sf_dir):
     """Quality-tier × near-dup correlation audit: per edu tier, the
     exact-ppm near-duplicate rate and its lift vs the corpus average
@@ -3577,11 +3605,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near": q_dedup_near,
         # ——— driver cap line (entries below lose their CORRECTNESS row;
         #     they still run in bench.py and tools/verify_local.py) ———
-        # - r12 queue head: the 16 late round-11 additions (second
+        # - r12 queue head: the 20 late round-11 additions (second
         #   TPC-H wave Q7/Q15/Q19/Q21 + Q8, the cluster diagnostics
         #   pair, the two mixture audits, the inertia sweep, the pack
         #   efficiency audit, then the THIRD TPC-H wave Q9/Q11/Q16/
-        #   Q20/Q2 — all landed below the cap per the growth-pause
+        #   Q20/Q2 and the lexical-diversity audit wave ttr_profile/
+        #   zipf_slope/ngram_novelty/length_bucket_drift — all landed
+        #   below the cap per the growth-pause
         #   pattern so the committed r11 window stays exactly what
         #   CORRECTNESS_r11 records; every one strict-gate green at
         #   landing), then the 10 r7-band names displaced by the
@@ -3605,6 +3635,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_supplier_variety": q_parts_supplier_variety,
         "concentrated_part_suppliers": q_concentrated_part_suppliers,
         "min_cost_supplier": q_min_cost_supplier,
+        # - corpus lexical-diversity wave (below the cap, r12 queue) -
+        "ttr_profile": q_ttr_profile,
+        "zipf_slope": q_zipf_slope,
+        "ngram_novelty": q_ngram_novelty,
+        "length_bucket_drift": q_length_bucket_drift,
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_ensemble": q_dedup_ensemble,
@@ -4754,6 +4789,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": CORP.corpus_report_sql(),
         "source_dedup_profile": CORP.source_dedup_profile_sql(),
         "source_mix_entropy": CORP.source_mix_entropy_sql(),
+        "ttr_profile": T.ttr_profile_sql(),
+        "zipf_slope": T.zipf_slope_sql(),
+        "ngram_novelty": T.ngram_novelty_sql(),
+        "length_bucket_drift": CORP.length_bucket_drift_sql(),
         "funnel_window_2h": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')",
             within="2 hours"),

@@ -712,3 +712,84 @@ def token_mix_by_tier_sql(table: str = "documents") -> str:
                CAST(1000000 * tokens // tt AS BIGINT) AS token_share_ppm
         FROM per, tot ORDER BY source, tier
     """
+
+
+def length_bucket_drift(docs: DataFrame) -> DataFrame:
+    """Per-source document-length distribution drift vs the corpus:
+    docs bucket by the BIT WIDTH of their whitespace token count
+    (length(bin(n)) — an exact integer ⌊log₂⌋+1 both engines compute
+    identically, no float log), shares fold to exact integer ppm, and
+    each source's drift is the L1 distance between its bucket
+    distribution and the corpus distribution over the DENSE
+    source×bucket grid (missing cells count as 0 — dropping them
+    would understate drift for sources missing a corpus-heavy
+    bucket). The "did this source's length profile shift the mix?"
+    dial next to `source_mix_entropy`.
+
+    100 TB: the bucket is a codegen projection; one (source, bucket)
+    partial-agg shuffle; everything after is statistic-sized — the
+    S×B grid is an S-row × B-row broadcast cross join (≤ a few
+    hundred cells), never the corpus."""
+    from .text import tokens_col
+
+    b = docs.select(
+        "source",
+        F.length(F.bin(F.size(tokens_col("text")).cast("bigint")))
+        .cast("bigint").alias("bucket"))
+    cell = b.groupBy("source", "bucket").agg(F.count("*").alias("cnt"))
+    stot = cell.groupBy("source").agg(F.sum("cnt").alias("_s_tot"))
+    btot = cell.groupBy("bucket").agg(F.sum("cnt").alias("_b_cnt"))
+    gtot = btot.agg(F.sum("_b_cnt").alias("_g_tot"))
+    corpus = btot.join(F.broadcast(gtot)).select(
+        "bucket", F.expr("_b_cnt * 1000000 DIV _g_tot").alias("_c_ppm"))
+    grid = stot.join(F.broadcast(corpus))  # S-row × B-row statistic grid
+    return (
+        grid.join(cell, ["source", "bucket"], "left")
+        .select(
+            "source", "_s_tot",
+            F.expr("abs(coalesce(cnt, 0) * 1000000 DIV _s_tot - _c_ppm)")
+            .alias("_d"))
+        .groupBy("source")
+        .agg(F.max("_s_tot").alias("n_docs"),
+             F.sum("_d").alias("l1_drift_ppm"))
+        .orderBy("source")
+    )
+
+
+def length_bucket_drift_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`length_bucket_drift`."""
+    from .text import norm_sql
+
+    toks = f"string_split({norm_sql('text')}, ' ')"
+    return f"""
+        WITH b AS (
+            SELECT source,
+                   CAST(length(bin(CAST(len({toks}) AS BIGINT)))
+                        AS BIGINT) AS bucket
+            FROM {table}
+        ),
+        cell AS (
+            SELECT source, bucket, count(*) AS cnt FROM b GROUP BY 1, 2
+        ),
+        stot AS (
+            SELECT source, CAST(sum(cnt) AS BIGINT) AS s_tot
+            FROM cell GROUP BY 1
+        ),
+        btot AS (
+            SELECT bucket, CAST(sum(cnt) AS BIGINT) AS b_cnt
+            FROM cell GROUP BY 1
+        ),
+        corpus AS (
+            SELECT bucket,
+                   CAST(b_cnt * 1000000 // (SELECT sum(b_cnt) FROM btot)
+                        AS BIGINT) AS c_ppm
+            FROM btot
+        ),
+        grid AS (SELECT * FROM stot CROSS JOIN corpus)
+        SELECT g.source, max(g.s_tot) AS n_docs,
+               CAST(sum(abs(coalesce(c.cnt, 0) * 1000000 // g.s_tot
+                            - g.c_ppm)) AS BIGINT) AS l1_drift_ppm
+        FROM grid g
+        LEFT JOIN cell c ON c.source = g.source AND c.bucket = g.bucket
+        GROUP BY 1 ORDER BY 1
+    """

@@ -1286,3 +1286,219 @@ def winnow_fingerprints_sql(
         WHERE pos >= least({w}, _n)
         ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus lexical-diversity audits (round 11)
+# ---------------------------------------------------------------------------
+
+
+def ttr_profile(docs: DataFrame) -> DataFrame:
+    """Per-source lexical diversity: total vs DISTINCT whitespace
+    tokens and the type-token ratio in exact integer ppm
+    (distinct·1e6 DIV total) — the classic "is this source repetitive
+    template text?" dial next to `source_quality_profile`.
+
+    100 TB: ONE (source, token) partial-agg shuffle (map-side combine
+    absorbs the stopword mass), then an S-row rollup; the doc counts
+    ride a separate S-key aggregate broadcast onto the result."""
+    toks = docs.select(
+        "source", F.explode(tokens_col("text")).alias("token"))
+    per = toks.groupBy("source", "token").agg(F.count("*").alias("cnt"))
+    agg = per.groupBy("source").agg(
+        F.count("*").alias("distinct_tokens"),
+        F.sum("cnt").alias("total_tokens"))
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        agg.join(F.broadcast(nd), "source")
+        .select("source", "n_docs", "total_tokens", "distinct_tokens",
+                F.expr("distinct_tokens * 1000000 DIV total_tokens")
+                .alias("ttr_ppm"))
+        .orderBy("source")
+    )
+
+
+def ttr_profile_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`ttr_profile`."""
+    toks = tokens_sql("text")
+    return f"""
+        WITH tok AS (
+            SELECT source, unnest({toks}) AS token FROM {table}
+        ),
+        per AS (
+            SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT source, count(*) AS distinct_tokens,
+                   CAST(sum(cnt) AS BIGINT) AS total_tokens
+            FROM per GROUP BY 1
+        ),
+        nd AS (SELECT source, count(*) AS n_docs FROM {table} GROUP BY 1)
+        SELECT a.source, nd.n_docs, a.total_tokens, a.distinct_tokens,
+               CAST(a.distinct_tokens * 1000000 // a.total_tokens
+                    AS BIGINT) AS ttr_ppm
+        FROM agg a JOIN nd ON nd.source = a.source
+        ORDER BY a.source
+    """
+
+
+def zipf_slope(docs: DataFrame, top_n: int = 256) -> DataFrame:
+    """Zipf rank-frequency audit: the least-squares slope of
+    ln(freq) vs ln(rank) over the top-N corpus tokens (natural text
+    sits near −1; template/boilerplate corpora flatten toward 0).
+
+    Exactness: rank is a total order (freq DESC, token ASC) so both
+    engines pick the same N rows; ln(rank) and ln(freq) fold to
+    integer MILLI-nats (one libm ln per statistic row — the
+    source_mix_entropy allowance; milli not micro so every slope term
+    stays far inside int64: n·Σxy ≤ ~5e12 at N=256), the regression
+    numerator/denominator are exact BIGINT sums, and the slope itself
+    is ONE IEEE division of the two integers (identical bits on both
+    engines; NULL when the denominator is 0, i.e. N < 2).
+
+    100 TB: one token-keyed partial-agg shuffle, a vocab-sized top-N,
+    then N-row arithmetic — the statistic-loop pattern."""
+    from pyspark.sql.window import Window
+
+    freq = token_frequencies(docs, top_k=top_n)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    ranked = freq.select(
+        "freq", F.row_number().over(w).alias("rank"))
+    mnat = ("CAST(floor(ln(CAST({e} AS DOUBLE)) * 1000 + 0.5) "
+            "AS BIGINT)")
+    sc = ranked.select(
+        F.expr(mnat.format(e="rank")).alias("x"),
+        F.expr(mnat.format(e="freq")).alias("y"))
+    s = sc.agg(
+        F.count("*").alias("n_ranks"),
+        F.sum("x").alias("_sx"), F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"))
+    return s.select(
+        "n_ranks",
+        (F.col("n_ranks") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        .alias("slope_num"),
+        (F.col("n_ranks") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        .alias("slope_den"),
+    ).select(
+        "n_ranks", "slope_num", "slope_den",
+        (F.col("slope_num").cast("double")
+         / F.nullif(F.col("slope_den").cast("double"), F.lit(0.0)))
+        .alias("zipf_slope"))
+
+
+def zipf_slope_sql(table: str = "documents", top_n: int = 256) -> str:
+    """DuckDB mirror of :func:`zipf_slope`."""
+    toks = tokens_sql("text")
+    return f"""
+        WITH freq AS (
+            SELECT token, count(*) AS freq
+            FROM (SELECT unnest({toks}) AS token FROM {table})
+            GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT {top_n}
+        ),
+        ranked AS (
+            SELECT freq, row_number() OVER (ORDER BY freq DESC, token)
+                       AS rank
+            FROM freq
+        ),
+        sc AS (
+            SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000 + 0.5)
+                        AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000 + 0.5)
+                        AS BIGINT) AS y
+            FROM ranked
+        ),
+        s AS (
+            SELECT count(*) AS n_ranks,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM sc
+        )
+        SELECT n_ranks,
+               CAST(n_ranks * sxy - sx * sy AS BIGINT) AS slope_num,
+               CAST(n_ranks * sxx - sx * sx AS BIGINT) AS slope_den,
+               CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+                   / nullif(CAST(n_ranks * sxx - sx * sx AS DOUBLE), 0.0)
+                   AS zipf_slope
+        FROM s
+    """
+
+
+def ngram_novelty(docs: DataFrame, shingle_n: int = 5) -> DataFrame:
+    """Boilerplate share per source: of each document's DISTINCT word
+    n-gram shingles (60-bit hashed — `dedup.shingle_sets`, the
+    contamination join-key discipline), how many appear in at least
+    one OTHER document? Sources full of shared shingles are
+    template/boilerplate-heavy even when no document pair crosses the
+    near-dup threshold — the sub-duplication dial between
+    `doc_repetition` (within-doc) and `dedup_near` (whole-doc).
+
+    Exactness: shares in exact integer ppm; "shared" means the hash
+    occurs in ≥ 2 documents (within-doc dedup happens map-side in
+    shingle_sets, so the gram table counts documents, not
+    occurrences; a cross-doc 60-bit collision would fold two grams on
+    BOTH engines identically).
+
+    100 TB: gram doc-frequency is one hash-keyed partial-agg shuffle;
+    the join back is on the same key (co-partitioned, no second
+    exchange of the gram table); per-doc and per-source rollups are
+    doc- and S-keyed. Never all-pairs."""
+    from .dedup import shingle_sets
+
+    sh = shingle_sets(docs, shingle_n).select(
+        "doc_id", F.explode("shingles").alias("_h"))
+    dfreq = sh.groupBy("_h").agg(F.count("*").alias("_ndocs"))
+    per_doc = (
+        sh.join(dfreq, "_h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_n_sh"),
+             F.count(F.when(F.col("_ndocs") >= 2, True)).alias("_n_shared"))
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("_n_sh").alias("total_shingles"),
+             F.sum("_n_shared").alias("shared_shingles"))
+        .select("source", "n_docs", "total_shingles", "shared_shingles",
+                F.expr("shared_shingles * 1000000 DIV total_shingles")
+                .alias("boilerplate_ppm"))
+        .orderBy("source")
+    )
+
+
+def ngram_novelty_sql(table: str = "documents", shingle_n: int = 5) -> str:
+    """DuckDB mirror of :func:`ngram_novelty` (same normalize →
+    shingle → 60-bit-hash → hash-level distinct pipeline as
+    `shingle_sets`)."""
+    n = shingle_n
+    toks = f"string_split({norm_sql('text')}, ' ')"
+    shingles = (
+        f"[array_to_string(list_slice(_toks, i, i + {n - 1}), ' ')"
+        f" FOR i IN range(1, greatest(len(_toks) - {n - 1}, 1) + 1)]"
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, source, {toks} AS _toks FROM {table}),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+                       AS _h
+            FROM (SELECT doc_id, unnest({shingles}) AS s FROM t)
+        ),
+        dfreq AS (SELECT _h, count(*) AS _ndocs FROM sh GROUP BY 1),
+        per_doc AS (
+            SELECT sh.doc_id, count(*) AS _n_sh,
+                   count(*) FILTER (WHERE d._ndocs >= 2) AS _n_shared
+            FROM sh JOIN dfreq d ON d._h = sh._h
+            GROUP BY 1
+        )
+        SELECT t.source, count(*) AS n_docs,
+               CAST(sum(p._n_sh) AS BIGINT) AS total_shingles,
+               CAST(sum(p._n_shared) AS BIGINT) AS shared_shingles,
+               CAST(sum(p._n_shared) * 1000000 // sum(p._n_sh)
+                    AS BIGINT) AS boilerplate_ppm
+        FROM per_doc p JOIN t ON t.doc_id = p.doc_id
+        GROUP BY 1 ORDER BY 1
+    """

@@ -1,0 +1,90 @@
+"""Hand-computed pins for the round-11 lexical-diversity audits
+(ttr_profile, zipf_slope, ngram_novelty, length_bucket_drift)."""
+
+from __future__ import annotations
+
+import math
+
+from explora_kafka_spark.operators.corpus import length_bucket_drift
+from explora_kafka_spark.operators.text import (
+    ngram_novelty,
+    ttr_profile,
+    zipf_slope,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_ttr_profile_hand_example(spark):
+    # src tokens: a a b | b c  -> total 5, distinct {a,b,c} = 3
+    df = _docs(spark, [(1, "a a b", "s1"), (2, "b c", "s1"),
+                       (3, "x", "s2")])
+    rows = {r["source"]: r for r in ttr_profile(df).collect()}
+    assert rows["s1"]["n_docs"] == 2
+    assert rows["s1"]["total_tokens"] == 5
+    assert rows["s1"]["distinct_tokens"] == 3
+    assert rows["s1"]["ttr_ppm"] == 3 * 1_000_000 // 5
+    assert rows["s2"]["ttr_ppm"] == 1_000_000
+
+
+def test_zipf_slope_matches_integer_regression_model(spark):
+    # freqs: a=8, b=4, c=2, d=1 -> ranks 1..4
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = _docs(spark, [(1, text, "s")])
+    row = zipf_slope(df).collect()[0]
+    freqs = [8, 4, 2, 1]
+    xs = [math.floor(math.log(r) * 1000 + 0.5) for r in (1, 2, 3, 4)]
+    ys = [math.floor(math.log(f) * 1000 + 0.5) for f in freqs]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    assert row["n_ranks"] == 4
+    assert row["slope_num"] == num
+    assert row["slope_den"] == den
+    assert row["zipf_slope"] == float(num) / float(den)
+    # a power law over ranks should slope steeply negative
+    assert row["zipf_slope"] < -0.9
+
+
+def test_zipf_slope_single_rank_yields_null_slope(spark):
+    df = _docs(spark, [(1, "a a a", "s")])
+    row = zipf_slope(df).collect()[0]
+    assert row["n_ranks"] == 1
+    assert row["slope_den"] == 0
+    assert row["zipf_slope"] is None
+
+
+def test_ngram_novelty_hand_example(spark):
+    # 3-token docs -> ONE whole-doc 5-gram shingle each; docs 1+2 share
+    df = _docs(spark, [(1, "x y z", "s1"), (2, "x y z", "s1"),
+                       (3, "q r s", "s1"), (4, "u v w", "s2")])
+    rows = {r["source"]: r for r in ngram_novelty(df).collect()}
+    assert rows["s1"]["n_docs"] == 3
+    assert rows["s1"]["total_shingles"] == 3
+    assert rows["s1"]["shared_shingles"] == 2
+    assert rows["s1"]["boilerplate_ppm"] == 2 * 1_000_000 // 3
+    assert rows["s2"]["shared_shingles"] == 0
+
+
+def test_length_bucket_drift_hand_example(spark):
+    # s1: two 1-token docs (bucket 1); s2: two 2- and 3-token docs
+    # (bucket 2). Corpus split 50/50 over the two buckets, so each
+    # source's L1 = |1e6 - 5e5| + |0 - 5e5| = 1e6.
+    df = _docs(spark, [(1, "a", "s1"), (2, "b", "s1"),
+                       (3, "a b", "s2"), (4, "a b c", "s2")])
+    rows = {r["source"]: r for r in length_bucket_drift(df).collect()}
+    assert rows["s1"]["n_docs"] == 2
+    assert rows["s1"]["l1_drift_ppm"] == 1_000_000
+    assert rows["s2"]["l1_drift_ppm"] == 1_000_000
+
+
+def test_length_bucket_drift_identical_distribution_is_zero(spark):
+    df = _docs(spark, [(1, "a b", "s1"), (2, "a b c", "s2")])
+    # both sources 100% bucket-2 -> zero drift everywhere
+    rows = {r["source"]: r for r in length_bucket_drift(df).collect()}
+    assert rows["s1"]["l1_drift_ppm"] == 0
+    assert rows["s2"]["l1_drift_ppm"] == 0

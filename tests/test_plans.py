@@ -166,7 +166,14 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  # grand-total threshold broadcast keylessly onto the
                  # part-keyed aggregate (statistic-sized, never the
                  # fact — the idle_customers allowance).
-                 "important_parts"}
+                 "important_parts",
+                 # length_bucket_drift: the dense S-row x B-row
+                 # source x bucket grid (a few hundred statistic
+                 # cells) is a keyless broadcast of the B-row bucket
+                 # table onto the S-row source table, plus the 1-row
+                 # grand total onto the bucket table — never the
+                 # corpus (the source_mix_entropy allowance).
+                 "length_bucket_drift"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan
