@@ -1072,28 +1072,25 @@ def build_ivf_index_quantized(
     `n_emb` column is touched only for the few rerank candidates, on a
     second partition-pruned read. `scale` is stored for dot-product/L2
     consumers; cosine ranking doesn't need it (a per-vector scalar
-    cancels in the cosine)."""
-    from pyspark.sql.window import Window
+    cancels in the cosine).
 
+    Assignment ranks by the exact integer key via
+    `_rank_against_centroids` since the round-11 PQ-tier migration
+    (same kernel as `build_ivf_index`; `round_to` kept for signature
+    stability) — the quantized index now shares the float-free coarse
+    stage with every other IVF path."""
     if n_rows is None:
         n_rows = embeddings.count()
     _, stride = ivf_params(n_rows, n_lists)
     cent = embeddings.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    csim = F.round(F.expr(cosine_expr_spark("embedding", "c_emb")), round_to)
-    assigned = (
-        embeddings.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "cid", csim.alias("csim"))
-    )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
     absmax = F.expr(
         "aggregate(embedding, CAST(0 AS DOUBLE),"
         " (acc, v) -> greatest(acc, abs(CAST(v AS DOUBLE))))"
     )
     lists = (
-        assigned.withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") == 1)
+        _rank_against_centroids(embeddings, cent, 1, "vec_id", "embedding")
         .withColumn("_scale", absmax / F.lit(127.0))
         .select(
             F.col("vec_id").alias("neighbor_id"),
@@ -1139,7 +1136,12 @@ def ann_topk_ivf_quantized(
 
     With `rerank` comfortably above k, the result is IDENTICAL to the
     float path (`ann_topk_ivf_indexed`) — pinned by pytest equality and
-    by sharing this entry's oracle derivation."""
+    by sharing this entry's oracle derivation.
+
+    Coarse probe ranking uses the exact integer key via
+    `_rank_against_centroids` since the round-11 PQ-tier migration —
+    algorithm-identical to `ann_topk_ivf_indexed`, so the pytest
+    equality pin no longer rides two different tie disciplines."""
     from pyspark.sql.window import Window
 
     cent = spark.read.parquet(f"{index_path}/centroids")
@@ -1148,13 +1150,9 @@ def ann_topk_ivf_quantized(
         F.col("neighbor_id").alias("query_id"),
         F.col("n_emb").alias("q_emb"),
     )
-    csim = F.round(F.expr(cosine_expr_spark("q_emb", "c_emb")), round_to)
-    wc = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), "cid")
     probes = (
-        queries.join(F.broadcast(cent))
-        .select("query_id", "q_emb", "cid", csim.alias("csim"))
-        .withColumn("crank", F.row_number().over(wc))
-        .filter(F.col("crank") <= nprobe)
+        _rank_against_centroids(queries, cent, nprobe,
+                                "query_id", "q_emb")
         .select("query_id", "q_emb", "cid")
     )
     asim = F.round(F.expr(cosine_expr_spark("q_emb", "q")), round_to)
@@ -1201,29 +1199,48 @@ def ann_topk_ivf_quantized_sql(
     n_rows: int = ORACLE_N_ROWS,
 ) -> str:
     """DuckDB mirror of the quantized serving path: same centroids and
-    assignment as `ann_topk_ivf_sql`, plus the int8 quantization of
-    `quantize_int8` (full-precision scale, like quantization_error_sql),
-    the quantized top-`rerank` cut, and the exact rerank."""
+    EXACT-integer-key assignment/probe ranking as `ann_topk_ivf_sql`
+    (the round-11 PQ-tier migration — HUGEINT arithmetic, ties to the
+    smaller cid), plus the int8 quantization of `quantize_int8`
+    (full-precision scale, like quantization_error_sql), the quantized
+    top-`rerank` cut, and the exact rerank."""
     _, stride = ivf_params(n_rows, n_lists)
-    ccos = cosine_expr_duck("e.embedding", "cent.c_emb", dim)
     acos = cosine_expr_duck("p.q_emb", "l.q", dim)
     qcos = cosine_expr_duck("q_emb", "n_emb", dim)
     absmax = (
         f"list_max([abs(CAST(n_emb[i] AS DOUBLE))"
         f" FOR i IN range(1, {dim} + 1)])"
     )
+    S = IVF_KEY_SCALE
+    num = ("CAST(list_sum([e.m[i] * c.cm[i]"
+           f" FOR i IN range(1, {dim} + 1)]) AS BIGINT)")
+    key = (f"CASE WHEN nc = 0 THEN 0"
+           f" WHEN num >= 0 THEN (CAST(num AS HUGEINT) * num * {S})"
+           f" // nc ELSE -((CAST(num AS HUGEINT) * num * {S}) // nc) END")
     return f"""
-        WITH cent AS (
-            SELECT vec_id AS cid, embedding AS c_emb FROM {table}
-            WHERE vec_id % {stride} = 0
+        WITH mu AS (
+            SELECT vec_id, embedding,
+                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                    FOR x IN embedding] AS m
+            FROM {table}
+        ),
+        cent AS (
+            SELECT vec_id AS cid, m AS cm,
+                   CAST(list_sum([m[i] * m[i]
+                        FOR i IN range(1, {dim} + 1)]) AS BIGINT) AS nc
+            FROM mu WHERE vec_id % {stride} = 0
+        ),
+        scoredc AS (
+            SELECT e.vec_id, e.embedding, c.cid, c.nc, {num} AS num
+            FROM mu e CROSS JOIN cent c
         ),
         assigned AS (
-            SELECT e.vec_id, e.embedding, cent.cid,
+            SELECT vec_id, embedding, cid,
                    row_number() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY round({ccos}, {round_to}) DESC, cent.cid
+                       PARTITION BY vec_id
+                       ORDER BY {key} DESC, cid
                    ) AS crank
-            FROM {table} e CROSS JOIN cent
+            FROM scoredc
         ),
         fl AS (
             SELECT vec_id AS neighbor_id, embedding AS n_emb, cid

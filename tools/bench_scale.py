@@ -98,6 +98,10 @@ HEADLINE = [
     "domain_dedup", "domain_cap_sample", "contamination_width_audit",
     "edu_tier", "edu_web_disagreement", "token_mix_by_tier",
     "tier_dup_lift", "ann_topk_ivf_indexed", "pack_efficiency_report",
+    # round-11 late waves: third TPC-H wave + lexical-diversity audits
+    "nation_profit", "important_parts", "parts_supplier_variety",
+    "concentrated_part_suppliers", "min_cost_supplier",
+    "ttr_profile", "zipf_slope", "ngram_novelty", "length_bucket_drift",
 ]
 
 
