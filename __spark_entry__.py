@@ -2609,6 +2609,20 @@ def q_ngram_novelty(spark, sf_dir):
     return T.ngram_novelty(_docs(spark, sf_dir))
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source sampling shares (mT5/XLM-R rule,
+    α = 0.7): exact-integer shares with ONE libm pow per source row,
+    plus the per-source boost factor in exact ppm."""
+    return CORP.temperature_mix(_docs(spark, sf_dir))
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary sizing dial: exact minimum vocab size covering
+    50/90/95/99% of token occurrences — entirely integer, cumsums over
+    frequency CLASSES (never a vocab-sized sort)."""
+    return T.vocab_coverage(_docs(spark, sf_dir))
+
+
 def q_length_bucket_drift(spark, sf_dir):
     """Per-source length-distribution drift: L1 distance in exact ppm
     between the source's and the corpus's token-count bit-width
@@ -3605,13 +3619,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near": q_dedup_near,
         # ——— driver cap line (entries below lose their CORRECTNESS row;
         #     they still run in bench.py and tools/verify_local.py) ———
-        # - r12 queue head: the 20 late round-11 additions (second
+        # - r12 queue head: the 22 late round-11 additions (second
         #   TPC-H wave Q7/Q15/Q19/Q21 + Q8, the cluster diagnostics
         #   pair, the two mixture audits, the inertia sweep, the pack
         #   efficiency audit, then the THIRD TPC-H wave Q9/Q11/Q16/
-        #   Q20/Q2 and the lexical-diversity audit wave ttr_profile/
-        #   zipf_slope/ngram_novelty/length_bucket_drift — all landed
-        #   below the cap per the growth-pause
+        #   Q20/Q2, the lexical-diversity audit wave ttr_profile/
+        #   zipf_slope/ngram_novelty/length_bucket_drift, and the
+        #   mixture/sizing pair temperature_mix/vocab_coverage — all
+        #   landed below the cap per the growth-pause
         #   pattern so the committed r11 window stays exactly what
         #   CORRECTNESS_r11 records; every one strict-gate green at
         #   landing), then the 10 r7-band names displaced by the
@@ -3640,6 +3655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "ngram_novelty": q_ngram_novelty,
         "length_bucket_drift": q_length_bucket_drift,
+        "temperature_mix": q_temperature_mix,
+        "vocab_coverage": q_vocab_coverage,
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_ensemble": q_dedup_ensemble,
@@ -4793,6 +4810,8 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope": T.zipf_slope_sql(),
         "ngram_novelty": T.ngram_novelty_sql(),
         "length_bucket_drift": CORP.length_bucket_drift_sql(),
+        "temperature_mix": CORP.temperature_mix_sql(),
+        "vocab_coverage": T.vocab_coverage_sql(),
         "funnel_window_2h": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')",
             within="2 hours"),

@@ -793,3 +793,81 @@ def length_bucket_drift_sql(table: str = "documents") -> str:
         LEFT JOIN cell c ON c.source = g.source AND c.bucket = g.bucket
         GROUP BY 1 ORDER BY 1
     """
+
+
+def temperature_mix(docs: DataFrame, alpha_ppm: int = 700_000) -> DataFrame:
+    """Temperature-scaled source sampling shares (the mT5/XLM-R
+    mixing rule): p(s) ∝ share(s)^α with α = alpha_ppm/1e6 — α < 1
+    up-weights low-resource sources; the table a mixture sampler
+    consumes next to `doremi_weights` (learned) and
+    `token_budget_sample` (fixed quotas).
+
+    Exactness: per-source token counts are exact integers (size() of
+    the token array, no explode); share is ONE IEEE division of two
+    exact integers; pow(share, α) is the single libm call per SOURCE
+    row (the source_mix_entropy ln allowance — S rows, never the
+    corpus), folded to µunits; the normalized temperature share is
+    then exact integer ppm of the µunit weights. Output: (source,
+    n_docs, tokens, share_ppm, temp_share_ppm, boost_ppm =
+    temp·1e6 DIV share — >1e6 means the temperature up-weighted the
+    source), source-ascending.
+
+    100 TB: one corpus scan with a codegen size() projection, one
+    S-key partial-agg shuffle, then S-row arithmetic."""
+    from .text import tokens_col
+
+    alpha = alpha_ppm / 1e6
+    per = docs.select(
+        "source", F.size(tokens_col("text")).cast("bigint").alias("_nt")
+    ).groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("_nt").alias("tokens"))
+    tot = per.agg(F.sum("tokens").alias("_tt"))
+    w = per.join(F.broadcast(tot)).select(
+        "source", "n_docs", "tokens",
+        F.expr("tokens * 1000000 DIV _tt").alias("share_ppm"),
+        F.expr(
+            f"CAST(floor(power(CAST(tokens AS DOUBLE) / _tt, {alpha!r})"
+            " * 1e6 + 0.5) AS BIGINT)").alias("_w_mu"))
+    wt = w.agg(F.sum("_w_mu").alias("_sw"))
+    return (
+        w.join(F.broadcast(wt))
+        .select(
+            "source", "n_docs", "tokens", "share_ppm",
+            F.expr("_w_mu * 1000000 DIV _sw").alias("temp_share_ppm"),
+            F.expr("CASE WHEN share_ppm = 0 THEN NULL ELSE"
+                   " (_w_mu * 1000000 DIV _sw) * 1000000 DIV share_ppm"
+                   " END").alias("boost_ppm"))
+        .orderBy("source")
+    )
+
+
+def temperature_mix_sql(table: str = "documents",
+                        alpha_ppm: int = 700_000) -> str:
+    """DuckDB mirror of :func:`temperature_mix`."""
+    from .text import norm_sql
+
+    alpha = alpha_ppm / 1e6
+    toks = f"string_split({norm_sql('text')}, ' ')"
+    return f"""
+        WITH per AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len({toks})) AS BIGINT) AS tokens
+            FROM {table} GROUP BY 1
+        ),
+        tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM per),
+        w AS (
+            SELECT source, n_docs, tokens,
+                   CAST(tokens * 1000000 // tt AS BIGINT) AS share_ppm,
+                   CAST(floor(pow(CAST(tokens AS DOUBLE) / tt, {alpha!r})
+                        * 1e6 + 0.5) AS BIGINT) AS w_mu
+            FROM per, tot
+        ),
+        wt AS (SELECT CAST(sum(w_mu) AS BIGINT) AS sw FROM w)
+        SELECT source, n_docs, tokens, share_ppm,
+               CAST(w_mu * 1000000 // sw AS BIGINT) AS temp_share_ppm,
+               CASE WHEN share_ppm = 0 THEN NULL ELSE
+                   CAST((w_mu * 1000000 // sw) * 1000000 // share_ppm
+                        AS BIGINT) END AS boost_ppm
+        FROM w, wt
+        ORDER BY source
+    """

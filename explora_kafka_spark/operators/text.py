@@ -1502,3 +1502,121 @@ def ngram_novelty_sql(table: str = "documents", shingle_n: int = 5) -> str:
         FROM per_doc p JOIN t ON t.doc_id = p.doc_id
         GROUP BY 1 ORDER BY 1
     """
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    thresholds_ppm: tuple[int, ...] = (500_000, 900_000, 950_000, 990_000),
+) -> DataFrame:
+    """Vocabulary sizing dial: for each coverage threshold, the MINIMUM
+    vocabulary size (tokens taken in frequency order, ties by token
+    string) whose cumulative frequency covers that share of all token
+    occurrences — the "how big must the tokenizer vocab be to cover
+    95% of the stream" question asked before every BPE train.
+
+    ENTIRELY integer: target = ⌈total·t/1e6⌉; tokens GROUP to
+    frequency classes first (the heavy-tail trick: |classes| ≪
+    |vocab|, bounded by max frequency AND by √(2·total) since distinct
+    positive frequencies summing to total are at most that), cumsums
+    run over the class table, and the within-class remainder is
+    ⌈(target − cum_before)/f⌉ — so the answer is exact at any scale
+    with no vocab-sized sort.
+
+    Output: (threshold_ppm, target_tokens, min_vocab, total_vocab,
+    total_tokens), threshold-ascending.
+
+    100 TB: one token-keyed partial-agg shuffle (the vocab build), one
+    freq-keyed re-aggregation (class table), then class-table windows —
+    the unpartitioned cumsum window runs over frequency CLASSES, not
+    the vocab."""
+    from pyspark.sql.window import Window
+
+    freq = (
+        docs.select(F.explode(tokens_col("text")).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("freq"))
+    )
+    cls = freq.groupBy("freq").agg(F.count("*").alias("n_toks"))
+    w = Window.orderBy(F.col("freq").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = cls.select(
+        "freq", "n_toks",
+        F.sum(F.col("freq") * F.col("n_toks")).over(w).alias("_cum_tok"),
+        F.sum("n_toks").over(w).alias("_cum_voc"))
+    th = docs.sparkSession.createDataFrame(
+        [(t,) for t in thresholds_ppm], "threshold_ppm bigint")
+    tot = cum.agg(F.max("_cum_tok").alias("_tt"),
+                  F.max("_cum_voc").alias("_tv"))
+    targets = th.join(F.broadcast(tot)).select(
+        "threshold_ppm", "_tt", "_tv",
+        F.expr("(threshold_ppm * _tt + 999999) DIV 1000000")
+        .alias("_target"))
+    # boundary class per threshold: the first (freq-desc) class whose
+    # cumulative tokens reach the target = min _cum_tok among those >=
+    hit = (
+        targets.join(F.broadcast(cum),
+                     F.col("_cum_tok") >= F.col("_target"))
+        .groupBy("threshold_ppm", "_tt", "_tv", "_target")
+        .agg(F.min(F.struct("_cum_tok", "freq", "n_toks", "_cum_voc"))
+             .alias("_b"))
+    )
+    return (
+        hit.select(
+            "threshold_ppm",
+            F.col("_target").alias("target_tokens"),
+            (F.col("_b._cum_voc") - F.col("_b.n_toks")
+             + F.expr("(_target - (_b._cum_tok - _b.freq * _b.n_toks)"
+                      " + _b.freq - 1) DIV _b.freq"))
+            .alias("min_vocab"),
+            F.col("_tv").alias("total_vocab"),
+            F.col("_tt").alias("total_tokens"))
+        .orderBy("threshold_ppm")
+    )
+
+
+def vocab_coverage_sql(
+    table: str = "documents",
+    thresholds_ppm: tuple[int, ...] = (500_000, 900_000, 950_000, 990_000),
+) -> str:
+    """DuckDB mirror of :func:`vocab_coverage` (integer ceil via
+    (a + b - 1) // b on the same exact integers)."""
+    toks = tokens_sql("text")
+    th = ", ".join(f"({t})" for t in thresholds_ppm)
+    return f"""
+        WITH freq AS (
+            SELECT token, count(*) AS freq
+            FROM (SELECT unnest({toks}) AS token FROM {table})
+            GROUP BY 1
+        ),
+        cls AS (SELECT freq, count(*) AS n_toks FROM freq GROUP BY 1),
+        cum AS (
+            SELECT freq, n_toks,
+                   CAST(sum(freq * n_toks) OVER (ORDER BY freq DESC)
+                        AS BIGINT) AS cum_tok,
+                   CAST(sum(n_toks) OVER (ORDER BY freq DESC)
+                        AS BIGINT) AS cum_voc
+            FROM cls
+        ),
+        tot AS (
+            SELECT max(cum_tok) AS tt, max(cum_voc) AS tv FROM cum
+        ),
+        th(threshold_ppm) AS (VALUES {th}),
+        targets AS (
+            SELECT threshold_ppm, tt, tv,
+                   CAST((threshold_ppm * tt + 999999) // 1000000
+                        AS BIGINT) AS target
+            FROM th, tot
+        ),
+        hit AS (
+            SELECT t.threshold_ppm, t.tt, t.tv, t.target,
+                   min_by(c.cum_voc - c.n_toks
+                          + (t.target - (c.cum_tok - c.freq * c.n_toks)
+                             + c.freq - 1) // c.freq,
+                          c.cum_tok) AS min_vocab
+            FROM targets t JOIN cum c ON c.cum_tok >= t.target
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT threshold_ppm, target AS target_tokens,
+               CAST(min_vocab AS BIGINT) AS min_vocab,
+               tv AS total_vocab, tt AS total_tokens
+        FROM hit ORDER BY threshold_ppm
+    """

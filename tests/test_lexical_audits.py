@@ -88,3 +88,43 @@ def test_length_bucket_drift_identical_distribution_is_zero(spark):
     rows = {r["source"]: r for r in length_bucket_drift(df).collect()}
     assert rows["s1"]["l1_drift_ppm"] == 0
     assert rows["s2"]["l1_drift_ppm"] == 0
+
+
+def test_temperature_mix_hand_example(spark):
+    # tokens: s1 = 9, s2 = 1 -> shares 0.9 / 0.1; alpha = 0.7
+    df = _docs(spark, [(1, "a b c d e f g h i", "s1"), (2, "z", "s2")])
+    from explora_kafka_spark.operators.corpus import temperature_mix
+    rows = {r["source"]: r for r in temperature_mix(df).collect()}
+    w1 = math.floor(math.pow(0.9, 0.7) * 1e6 + 0.5)
+    w2 = math.floor(math.pow(0.1, 0.7) * 1e6 + 0.5)
+    assert rows["s1"]["share_ppm"] == 900_000
+    assert rows["s2"]["share_ppm"] == 100_000
+    assert rows["s1"]["temp_share_ppm"] == w1 * 1_000_000 // (w1 + w2)
+    assert rows["s2"]["temp_share_ppm"] == w2 * 1_000_000 // (w1 + w2)
+    # alpha < 1 boosts the low-resource source, damps the big one
+    assert rows["s2"]["boost_ppm"] > 1_000_000 > rows["s1"]["boost_ppm"]
+
+
+def test_vocab_coverage_hand_example(spark):
+    # freqs: a=3, b=2, c=1 -> total 6, vocab 3
+    from explora_kafka_spark.operators.text import vocab_coverage
+    df = _docs(spark, [(1, "a a a b b c", "s")])
+    rows = {r["threshold_ppm"]: r for r in vocab_coverage(df).collect()}
+    assert rows[500_000]["target_tokens"] == 3
+    assert rows[500_000]["min_vocab"] == 1          # "a" alone covers 3/6
+    assert rows[900_000]["target_tokens"] == 6      # ceil(5.4) = 6
+    assert rows[900_000]["min_vocab"] == 3          # needs the full vocab
+    assert rows[990_000]["min_vocab"] == 3
+    assert rows[500_000]["total_vocab"] == 3
+    assert rows[500_000]["total_tokens"] == 6
+
+
+def test_vocab_coverage_mid_class_boundary(spark):
+    # freqs: a=4, b=4, c=4, d=4 (one class of four) -> 75% needs 3 of 4
+    from explora_kafka_spark.operators.text import vocab_coverage
+    df = _docs(spark, [(1, " ".join(["a", "b", "c", "d"] * 4), "s")])
+    rows = {r["threshold_ppm"]: r
+            for r in vocab_coverage(df, thresholds_ppm=(750_000,))
+            .collect()}
+    assert rows[750_000]["target_tokens"] == 12
+    assert rows[750_000]["min_vocab"] == 3
