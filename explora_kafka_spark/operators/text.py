@@ -1436,19 +1436,30 @@ def ngram_novelty(docs: DataFrame, shingle_n: int = 5) -> DataFrame:
     `doc_repetition` (within-doc) and `dedup_near` (whole-doc).
 
     Exactness: shares in exact integer ppm; "shared" means the hash
-    occurs in ≥ 2 documents (within-doc dedup happens map-side in
-    shingle_sets, so the gram table counts documents, not
-    occurrences; a cross-doc 60-bit collision would fold two grams on
-    BOTH engines identically).
+    occurs in ≥ 2 documents (within-doc dedup happens map-side via
+    array_distinct on the shingle STRINGS, so the gram table counts
+    documents, not occurrences; the mirror dedups at the same string
+    level, so even a within-doc 60-bit collision cannot split the
+    engines — the contamination._keyed_shingle_hashes discipline).
+
+    Perf: the md5 runs POST-explode as a regular codegen projection —
+    hashing inside a transform() lambda is interpreted per shingle and
+    measured 3.5× slower end-to-end (contamination.py:100).
 
     100 TB: gram doc-frequency is one hash-keyed partial-agg shuffle;
     the join back is on the same key (co-partitioned, no second
     exchange of the gram table); per-doc and per-source rollups are
     doc- and S-keyed. Never all-pairs."""
-    from .dedup import shingle_sets
+    from .contamination import _shingle_hash_col
+    from .dedup import _NORM_SPARK, _shingles_expr_spark
 
-    sh = shingle_sets(docs, shingle_n).select(
-        "doc_id", F.explode("shingles").alias("_h"))
+    sh = (
+        docs.withColumn("_toks", F.expr(f"split({_NORM_SPARK}, ' ')"))
+        .select("doc_id", F.explode(F.expr(
+            f"array_distinct({_shingles_expr_spark(shingle_n)})"))
+            .alias("_s"))
+        .select("doc_id", _shingle_hash_col(F.col("_s")).alias("_h"))
+    )
     dfreq = sh.groupBy("_h").agg(F.count("*").alias("_ndocs"))
     per_doc = (
         sh.join(dfreq, "_h")
@@ -1471,8 +1482,7 @@ def ngram_novelty(docs: DataFrame, shingle_n: int = 5) -> DataFrame:
 
 def ngram_novelty_sql(table: str = "documents", shingle_n: int = 5) -> str:
     """DuckDB mirror of :func:`ngram_novelty` (same normalize →
-    shingle → 60-bit-hash → hash-level distinct pipeline as
-    `shingle_sets`)."""
+    string-level within-doc distinct → 60-bit hash pipeline)."""
     n = shingle_n
     toks = f"string_split({norm_sql('text')}, ' ')"
     shingles = (
@@ -1482,10 +1492,11 @@ def ngram_novelty_sql(table: str = "documents", shingle_n: int = 5) -> str:
     return f"""
         WITH t AS (SELECT doc_id, source, {toks} AS _toks FROM {table}),
         sh AS (
-            SELECT DISTINCT doc_id,
+            SELECT doc_id,
                    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
                        AS _h
-            FROM (SELECT doc_id, unnest({shingles}) AS s FROM t)
+            FROM (SELECT DISTINCT doc_id, s
+                  FROM (SELECT doc_id, unnest({shingles}) AS s FROM t))
         ),
         dfreq AS (SELECT _h, count(*) AS _ndocs FROM sh GROUP BY 1),
         per_doc AS (
