@@ -587,6 +587,23 @@ def _key_exact(num: int, nc: int) -> int:
     return mag if num >= 0 else -mag
 
 
+def _ivf_key_sql(dim: int) -> tuple[str, str]:
+    """(num, key) DuckDB strings of the exact coarse-ranking key —
+    THE single source for every oracle that mirrors `_key_exact` /
+    `_coarse_ranked` / `_rank_against_centroids` (ann_topk_ivf and
+    the quantized tier share these verbatim, so a key-discipline fix
+    lands in every mirror at once). num = ⟨e.m, c.cm⟩ over µunit
+    arrays; key = sign(num)·⌊num²·S/nc⌋ in HUGEINT arithmetic, never
+    down-cast (the 2⁶³ DuckDB trap); nc = 0 keys to 0."""
+    S = IVF_KEY_SCALE
+    num = ("CAST(list_sum([e.m[i] * c.cm[i]"
+           f" FOR i IN range(1, {dim} + 1)]) AS BIGINT)")
+    key = (f"CASE WHEN nc = 0 THEN 0"
+           f" WHEN num >= 0 THEN (CAST(num AS HUGEINT) * num * {S})"
+           f" // nc ELSE -((CAST(num AS HUGEINT) * num * {S}) // nc) END")
+    return num, key
+
+
 def _check_envelope(d: int, mx: int, mc: int) -> None:
     """Shared int64 envelope for the integer-matmul kernels (the
     clustering._assign contract): d·(max|x| + max|c|)² must stay inside
@@ -795,14 +812,8 @@ def ann_topk_ivf_sql(
             str(int(x)) for x in neighbor_labels) + ")"
     )
     # exact-integer coarse ranking (round 11, mirrors _coarse_ranked):
-    # key = sign(num)·⌊num²·S/nc⌋ over µunit dots — HUGEINT arithmetic,
-    # never down-cast (the 2^63 DuckDB trap); ties to the smaller cid
-    S = IVF_KEY_SCALE
-    num = ("CAST(list_sum([e.m[i] * c.cm[i]"
-           f" FOR i IN range(1, {dim} + 1)]) AS BIGINT)")
-    key = (f"CASE WHEN nc = 0 THEN 0"
-           f" WHEN num >= 0 THEN (CAST(num AS HUGEINT) * num * {S})"
-           f" // nc ELSE -((CAST(num AS HUGEINT) * num * {S}) // nc) END")
+    # shared key strings — see _ivf_key_sql; ties to the smaller cid
+    num, key = _ivf_key_sql(dim)
     return f"""
         WITH mu AS (
             SELECT vec_id, embedding, label,
@@ -1211,12 +1222,7 @@ def ann_topk_ivf_quantized_sql(
         f"list_max([abs(CAST(n_emb[i] AS DOUBLE))"
         f" FOR i IN range(1, {dim} + 1)])"
     )
-    S = IVF_KEY_SCALE
-    num = ("CAST(list_sum([e.m[i] * c.cm[i]"
-           f" FOR i IN range(1, {dim} + 1)]) AS BIGINT)")
-    key = (f"CASE WHEN nc = 0 THEN 0"
-           f" WHEN num >= 0 THEN (CAST(num AS HUGEINT) * num * {S})"
-           f" // nc ELSE -((CAST(num AS HUGEINT) * num * {S}) // nc) END")
+    num, key = _ivf_key_sql(dim)
     return f"""
         WITH mu AS (
             SELECT vec_id, embedding,

@@ -1482,19 +1482,18 @@ def ngram_novelty(docs: DataFrame, shingle_n: int = 5) -> DataFrame:
 
 def ngram_novelty_sql(table: str = "documents", shingle_n: int = 5) -> str:
     """DuckDB mirror of :func:`ngram_novelty` (same normalize →
-    string-level within-doc distinct → 60-bit hash pipeline)."""
-    n = shingle_n
+    string-level within-doc distinct → 60-bit hash pipeline, reusing
+    the dedup/contamination shingle + hash strings so the mirror
+    cannot drift from the discipline it shares)."""
+    from .contamination import _shingle_hash_sql
+    from .dedup import _shingles_expr_duck
+
     toks = f"string_split({norm_sql('text')}, ' ')"
-    shingles = (
-        f"[array_to_string(list_slice(_toks, i, i + {n - 1}), ' ')"
-        f" FOR i IN range(1, greatest(len(_toks) - {n - 1}, 1) + 1)]"
-    )
+    shingles = _shingles_expr_duck("_toks", shingle_n)
     return f"""
         WITH t AS (SELECT doc_id, source, {toks} AS _toks FROM {table}),
         sh AS (
-            SELECT doc_id,
-                   CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
-                       AS _h
+            SELECT doc_id, {_shingle_hash_sql('s')} AS _h
             FROM (SELECT DISTINCT doc_id, s
                   FROM (SELECT doc_id, unnest({shingles}) AS s FROM t))
         ),

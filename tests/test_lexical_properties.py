@@ -126,3 +126,55 @@ def test_length_bucket_drift_mirror_matches_model(docs):
                      - c_ppm[b]) for b in btot)
         expect.append((s, stot[s], l1))
     assert got == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(_corpus)
+def test_temperature_mix_mirror_matches_model(docs):
+    from explora_kafka_spark.operators.corpus import temperature_mix_sql
+
+    got = _run(temperature_mix_sql(), docs)
+    per: dict[str, list[int]] = {}
+    for t, s in docs:
+        a = per.setdefault(s, [0, 0])
+        a[0] += 1
+        a[1] += len(t.split(" "))
+    tt = sum(a[1] for a in per.values())
+    w = {s: math.floor(math.pow(a[1] / tt, 0.7) * 1e6 + 0.5)
+         for s, a in per.items()}
+    sw = sum(w.values())
+    expect = []
+    for s in sorted(per):
+        n_docs, toks = per[s]
+        share = toks * 1_000_000 // tt
+        temp = w[s] * 1_000_000 // sw
+        boost = temp * 1_000_000 // share if share else None
+        expect.append((s, n_docs, toks, share, temp, boost))
+    assert got == expect
+
+
+@settings(max_examples=100, deadline=None)
+@given(_corpus)
+def test_vocab_coverage_mirror_matches_model(docs):
+    from explora_kafka_spark.operators.text import vocab_coverage_sql
+
+    got = _run(vocab_coverage_sql(), docs)
+    freq: dict[str, int] = {}
+    for t, _ in docs:
+        for w in t.split(" "):
+            freq[w] = freq.get(w, 0) + 1
+    ordered = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    tt = sum(freq.values())
+    tv = len(freq)
+    expect = []
+    for t in (500_000, 900_000, 950_000, 990_000):
+        target = (t * tt + 999_999) // 1_000_000
+        cum = 0
+        vocab = 0
+        for _, f in ordered:
+            if cum >= target:
+                break
+            cum += f
+            vocab += 1
+        expect.append((t, target, vocab, tv, tt))
+    assert got == expect

@@ -173,7 +173,18 @@ CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  # table onto the S-row source table, plus the 1-row
                  # grand total onto the bucket table — never the
                  # corpus (the source_mix_entropy allowance).
-                 "length_bucket_drift"}
+                 "length_bucket_drift",
+                 # temperature_mix: two ONE-ROW total attaches onto
+                 # the S-row source table (the source_mix_entropy
+                 # allowance).
+                 "temperature_mix",
+                 # vocab_coverage: the ONE-ROW totals onto the 4-row
+                 # threshold table, and the non-equi cum_tok >= target
+                 # boundary join of the 4-row threshold table against
+                 # the frequency-CLASS table (<= sqrt(2*total) rows by
+                 # the class argument) — both statistic-sized, never
+                 # the vocab or the corpus.
+                 "vocab_coverage"}
 
 #: lattice-backed queries that must show partition pruning on the
 #: materialized view scan

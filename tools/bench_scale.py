@@ -102,6 +102,7 @@ HEADLINE = [
     "nation_profit", "important_parts", "parts_supplier_variety",
     "concentrated_part_suppliers", "min_cost_supplier",
     "ttr_profile", "zipf_slope", "ngram_novelty", "length_bucket_drift",
+    "temperature_mix", "vocab_coverage",
 ]
 
 
