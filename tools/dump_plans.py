@@ -318,6 +318,37 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "statistic-sized aggregate or broadcast.",
         [r"HashAggregate", r"BroadcastExchange", r"Generate explode"],
     ),
+    "nation_profit": (
+        "TPC-H Q9 shape: the part-name LIKE filter is PUSHED to the "
+        "part scan (Contains), part/supplier/nation broadcast, and the "
+        "only shuffled tables are the two facts (lineitem via the "
+        "orders equi-join).",
+        [r"FileScan", r"PushedFilters", r"BroadcastHashJoin",
+         r"SortMergeJoin"],
+    ),
+    "min_cost_supplier": (
+        "TPC-H Q2 shape: the size/type filters reach the part scan, "
+        "every dim broadcasts, and the correlated-min window runs over "
+        "the (part, supplier)-sized AGGREGATE — the fact never enters "
+        "a window.",
+        [r"PushedFilters", r"BroadcastHashJoin", r"Window",
+         r"HashAggregate"],
+    ),
+    "ngram_novelty": (
+        "Boilerplate share: the md5 is a post-explode codegen "
+        "projection (no interpreted lambda); ONE hash-keyed exchange "
+        "builds gram doc-frequency and the join back is on the same "
+        "key — no second gram-table exchange, never all-pairs.",
+        [r"Generate explode", r"Exchange hashpartitioning",
+         r"SortMergeJoin|BroadcastHashJoin", r"HashAggregate"],
+    ),
+    "vocab_coverage": (
+        "Vocab sizing: the unpartitioned cumsum window runs over the "
+        "frequency-CLASS table (<= sqrt(2 tokens) rows), not the "
+        "vocab; the threshold boundary join is 4 rows x classes.",
+        [r"Window", r"Exchange", r"HashAggregate",
+         r"BroadcastNestedLoopJoin"],
+    ),
 }
 
 
