@@ -2609,6 +2609,45 @@ def q_ngram_novelty(spark, sf_dir):
     return T.ngram_novelty(_docs(spark, sf_dir))
 
 
+#: embedding admission expectations: the projected per-vector stats
+#: are exact integers (µunit² norms), so the gate is deterministic;
+#: the unit-norm band is ±2% around 1.0 (µunit² 1e12)
+_EMB_EXPECTATIONS = [
+    ("dim_is_64", "dim = 64", 1_000_000),
+    ("no_nan", "NOT has_nan", 1_000_000),
+    ("nonzero_vector", "norm2_mu > 0", 1_000_000),
+    ("unit_norm_band",
+     "norm2_mu BETWEEN 980000000000 AND 1020000000000", 990_000),
+]
+
+_EMB_STATS_SPARK = (
+    "aggregate(transform(embedding,"
+    " x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)),"
+    " 0L, (a, v) -> a + v * v)")
+
+
+def q_expect_embeddings(spark, sf_dir):
+    """Embedding admission gate (the expect_events pattern on the
+    vector table): dim consistency, NaN scan, zero-vector and
+    unit-norm-band checks over exact integer µunit² norms — the vet
+    an indexing pipeline runs before build_ivf_index. ONE scan: the
+    per-vector stats are codegen projections feeding the single
+    expectations aggregate."""
+    emb = _emb(spark, sf_dir).select(
+        F.size("embedding").alias("dim"),
+        F.expr(_EMB_STATS_SPARK).alias("norm2_mu"),
+        F.expr("exists(embedding, v -> isnan(CAST(v AS DOUBLE)))")
+        .alias("has_nan"))
+    return EXP.expect(emb, _EMB_EXPECTATIONS)
+
+
+def q_near_dup_cluster_profile(spark, sf_dir):
+    """Near-dup cluster size profile: groups/docs/docs-removed per
+    group size — the dedup report read before committing a threshold
+    (composes dedup_groups; the rollups are statistic-sized)."""
+    return D.near_dup_cluster_profile(_docs(spark, sf_dir))
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-scaled source sampling shares (mT5/XLM-R rule,
     α = 0.7): exact-integer shares with ONE libm pow per source row,
@@ -3619,13 +3658,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near": q_dedup_near,
         # ——— driver cap line (entries below lose their CORRECTNESS row;
         #     they still run in bench.py and tools/verify_local.py) ———
-        # - r12 queue head: the 22 late round-11 additions (second
+        # - r12 queue head: the 24 late round-11 additions (second
         #   TPC-H wave Q7/Q15/Q19/Q21 + Q8, the cluster diagnostics
         #   pair, the two mixture audits, the inertia sweep, the pack
         #   efficiency audit, then the THIRD TPC-H wave Q9/Q11/Q16/
         #   Q20/Q2, the lexical-diversity audit wave ttr_profile/
         #   zipf_slope/ngram_novelty/length_bucket_drift, and the
-        #   mixture/sizing pair temperature_mix/vocab_coverage — all
+        #   mixture/sizing pair temperature_mix/vocab_coverage, and
+        #   the admission-gate pair expect_embeddings/
+        #   near_dup_cluster_profile — all
         #   landed below the cap per the growth-pause
         #   pattern so the committed r11 window stays exactly what
         #   CORRECTNESS_r11 records; every one strict-gate green at
@@ -3657,6 +3698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucket_drift": q_length_bucket_drift,
         "temperature_mix": q_temperature_mix,
         "vocab_coverage": q_vocab_coverage,
+        "expect_embeddings": q_expect_embeddings,
+        "near_dup_cluster_profile": q_near_dup_cluster_profile,
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_ensemble": q_dedup_ensemble,
@@ -4812,6 +4855,16 @@ def oracle_sql() -> dict[str, str]:
         "length_bucket_drift": CORP.length_bucket_drift_sql(),
         "temperature_mix": CORP.temperature_mix_sql(),
         "vocab_coverage": T.vocab_coverage_sql(),
+        "expect_embeddings": EXP.expect_sql(
+            "(SELECT len(embedding) AS dim,"
+            " CAST(list_sum([CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)"
+            " AS BIGINT) * CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)"
+            " AS BIGINT) FOR x IN embedding]) AS BIGINT) AS norm2_mu,"
+            " list_bool_or([isnan(CAST(x AS DOUBLE))"
+            " FOR x IN embedding]) AS has_nan"
+            " FROM embeddings)",
+            _EMB_EXPECTATIONS),
+        "near_dup_cluster_profile": D.near_dup_cluster_profile_sql(),
         "funnel_window_2h": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')",
             within="2 hours"),

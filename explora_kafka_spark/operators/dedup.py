@@ -1114,3 +1114,55 @@ def dedup_sweep_sql(
         FROM (VALUES {vals}) t(r), nd
         ORDER BY 1
     """
+
+
+def near_dup_cluster_profile(docs: DataFrame, threshold: float = 0.6,
+                             shingle_n: int = 1,
+                             num_hashes: int = NUM_HASHES,
+                             num_bands: int = NUM_BANDS) -> DataFrame:
+    """Near-dup cluster SIZE profile — the one-page dedup report a
+    pipeline reads before committing a threshold: for each group size,
+    how many groups, how many documents they hold, and how many a
+    keep-one-per-group pass removes (singletons remove 0).
+
+    Output: (group_size, n_groups, n_docs, docs_removed),
+    size-ascending. Composition over `dedup_groups` (LSH candidates →
+    exact-Jaccard edges → connected components) — the expensive part
+    is the already-scale-audited grouping; this adds one group-keyed
+    count and one size-keyed rollup, both statistic-sized."""
+    g = dedup_groups(docs, threshold=threshold, shingle_n=shingle_n,
+                     num_hashes=num_hashes, num_bands=num_bands)
+    sizes = g.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count("*").alias("n_groups"))
+        .select(
+            "group_size", "n_groups",
+            (F.col("group_size") * F.col("n_groups")).alias("n_docs"),
+            ((F.col("group_size") - 1) * F.col("n_groups"))
+            .alias("docs_removed"))
+        .orderBy("group_size")
+    )
+
+
+def near_dup_cluster_profile_sql(table: str = "documents",
+                                 threshold: float = 0.6,
+                                 shingle_n: int = 1,
+                                 num_hashes: int = NUM_HASHES,
+                                 num_bands: int = NUM_BANDS) -> str:
+    """DuckDB mirror of :func:`near_dup_cluster_profile` (same
+    recursive-CTE grouping as `dedup_groups_sql`)."""
+    groups = dedup_groups_sql(table, threshold=threshold,
+                              shingle_n=shingle_n, num_hashes=num_hashes,
+                              num_bands=num_bands)
+    return f"""
+        WITH g AS ({groups}),
+        sizes AS (
+            SELECT group_id, count(*) AS group_size FROM g GROUP BY 1
+        )
+        SELECT group_size, count(*) AS n_groups,
+               CAST(group_size * count(*) AS BIGINT) AS n_docs,
+               CAST((group_size - 1) * count(*) AS BIGINT)
+                   AS docs_removed
+        FROM sizes GROUP BY 1 ORDER BY 1
+    """
