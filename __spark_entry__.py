@@ -2644,8 +2644,12 @@ def q_expect_embeddings(spark, sf_dir):
 def q_near_dup_cluster_profile(spark, sf_dir):
     """Near-dup cluster size profile: groups/docs/docs-removed per
     group size — the dedup report read before committing a threshold
-    (composes dedup_groups; the rollups are statistic-sized)."""
-    return D.near_dup_cluster_profile(_docs(spark, sf_dir))
+    (composes dedup_groups at the SAME parameters as the dedup_groups
+    entry — bigram shingles, 8 bands; unigram shingles would inflate
+    LSH collisions ~7×; the rollups are statistic-sized)."""
+    return D.near_dup_cluster_profile(_docs(spark, sf_dir),
+                                      threshold=0.6, shingle_n=2,
+                                      num_bands=8)
 
 
 def q_temperature_mix(spark, sf_dir):
@@ -4864,7 +4868,8 @@ def oracle_sql() -> dict[str, str]:
             " FOR x IN embedding]) AS has_nan"
             " FROM embeddings)",
             _EMB_EXPECTATIONS),
-        "near_dup_cluster_profile": D.near_dup_cluster_profile_sql(),
+        "near_dup_cluster_profile": D.near_dup_cluster_profile_sql(
+            threshold=0.6, shingle_n=2, num_bands=8),
         "funnel_window_2h": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')",
             within="2 hours"),
