@@ -926,3 +926,65 @@ def gopher_rule_impact_sql(table: str = "documents") -> str:
         WITH g AS ({gopher_rules_sql(table)})
         SELECT * FROM ({union}) ORDER BY rule
     """
+
+
+#: default banned-term list (the C4 "bad words" mechanism; the fixture
+#: corpus is synthetic DB prose, so the defaults include one common
+#: fixture term plus terms that exercise the zero-hit path)
+BLOCKLIST = ("slow", "broken", "offensive")
+
+
+def blocklist_filter(docs, blocklist=BLOCKLIST):
+    """C4-style banned-term filter profile: per source, how many
+    documents contain at least one blocklisted token and the flag
+    rate in exact integer ppm — the "bad words" admission rule every
+    web-corpus pipeline runs (C4 §2.2 uses a public list; the list
+    here is a parameter).
+
+    Per-doc hits = DISTINCT blocklisted tokens present
+    (array_intersect dedups), computed as a pure codegen projection —
+    no explode, no join, no shuffle beyond the S-key rollup. The
+    per-doc verdict composes into `filter_pipeline`-style gates via
+    hits = 0.
+
+    100 TB: one corpus scan + one S-key partial agg; the blocklist is
+    a literal array in the plan (broadcast-free). For list sizes past
+    expression limits (~10⁴), switch to the token-explode +
+    broadcast-semi-join shape (the decontaminate pattern)."""
+    lit = F.array(*[F.lit(w) for w in blocklist])
+    per = docs.select(
+        "source",
+        F.size(F.array_intersect(tokens_col("text"), lit))
+        .alias("_hits"))
+    return (
+        per.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.count(F.when(F.col("_hits") > 0, True))
+             .alias("flagged_docs"),
+             F.sum("_hits").alias("total_hits"))
+        .select("source", "n_docs", "flagged_docs", "total_hits",
+                F.expr("flagged_docs * 1000000 DIV n_docs")
+                .alias("flagged_ppm"))
+        .orderBy("source")
+    )
+
+
+def blocklist_filter_sql(table="documents", blocklist=BLOCKLIST):
+    """DuckDB mirror of :func:`blocklist_filter`."""
+    lit = "[" + ", ".join(f"'{w}'" for w in blocklist) + "]"
+    toks = ("string_split(trim(regexp_replace(lower(text),"
+            " '\\s+', ' ', 'g')), ' ')")
+    return f"""
+        WITH per AS (
+            SELECT source,
+                   len(list_intersect({toks}, {lit})) AS hits
+            FROM {table}
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE hits > 0) AS BIGINT)
+                   AS flagged_docs,
+               CAST(sum(hits) AS BIGINT) AS total_hits,
+               CAST(count(*) FILTER (WHERE hits > 0) * 1000000
+                    // count(*) AS BIGINT) AS flagged_ppm
+        FROM per GROUP BY 1 ORDER BY 1
+    """

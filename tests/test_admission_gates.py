@@ -47,3 +47,21 @@ def test_near_dup_cluster_profile_hand_example(spark):
     rows = [tuple(r) for r in near_dup_cluster_profile(docs).collect()]
     # one pair group (removes 1), one singleton (removes 0)
     assert rows == [(1, 1, 1, 0), (2, 1, 2, 1)]
+
+
+def test_blocklist_filter_hand_example(spark):
+    from explora_kafka_spark.operators.quality_rules import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "this is slow and broken text", "s1"),   # 2 distinct hits
+         (2, "perfectly fine text", "s1"),            # 0 hits
+         (3, "slow slow slow", "s2")],                # 1 DISTINCT hit
+        "doc_id long, text string, source string")
+    rows = {r["source"]: r for r in blocklist_filter(docs).collect()}
+    assert rows["s1"]["n_docs"] == 2
+    assert rows["s1"]["flagged_docs"] == 1
+    assert rows["s1"]["total_hits"] == 2        # distinct per doc
+    assert rows["s1"]["flagged_ppm"] == 500_000
+    assert rows["s2"]["flagged_docs"] == 1
+    assert rows["s2"]["total_hits"] == 1        # dedup'd within doc
+    assert rows["s2"]["flagged_ppm"] == 1_000_000
