@@ -4867,13 +4867,20 @@ def oracle_sql() -> dict[str, str]:
         "length_bucket_drift": CORP.length_bucket_drift_sql(),
         "temperature_mix": CORP.temperature_mix_sql(),
         "vocab_coverage": T.vocab_coverage_sql(),
+        # NaN components fold to µunit 0 (Spark's floor(DOUBLE)→LONG
+        # does this implicitly; DuckDB would THROW on CAST(nan AS
+        # BIGINT), so the CASE mirrors the fold) and empty arrays give
+        # norm2_mu = 0 / has_nan = false on both engines (coalesce —
+        # DuckDB list aggregates return NULL on [])
         "expect_embeddings": EXP.expect_sql(
             "(SELECT len(embedding) AS dim,"
-            " CAST(list_sum([CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)"
+            " coalesce(CAST(list_sum([CASE WHEN isnan(CAST(x AS DOUBLE))"
+            " THEN 0 ELSE CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)"
             " AS BIGINT) * CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)"
-            " AS BIGINT) FOR x IN embedding]) AS BIGINT) AS norm2_mu,"
-            " list_bool_or([isnan(CAST(x AS DOUBLE))"
-            " FOR x IN embedding]) AS has_nan"
+            " AS BIGINT) END FOR x IN embedding]) AS BIGINT), 0)"
+            " AS norm2_mu,"
+            " coalesce(list_bool_or([isnan(CAST(x AS DOUBLE))"
+            " FOR x IN embedding]), false) AS has_nan"
             " FROM embeddings)",
             _EMB_EXPECTATIONS),
         "near_dup_cluster_profile": D.near_dup_cluster_profile_sql(

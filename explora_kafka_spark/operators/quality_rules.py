@@ -970,10 +970,12 @@ def blocklist_filter(docs, blocklist=BLOCKLIST):
 
 
 def blocklist_filter_sql(table="documents", blocklist=BLOCKLIST):
-    """DuckDB mirror of :func:`blocklist_filter`."""
-    lit = "[" + ", ".join(f"'{w}'" for w in blocklist) + "]"
-    toks = ("string_split(trim(regexp_replace(lower(text),"
-            " '\\s+', ' ', 'g')), ' ')")
+    """DuckDB mirror of :func:`blocklist_filter` (words are a USER
+    parameter — single quotes are escaped; real bad-word lists carry
+    apostrophes)."""
+    lit = "[" + ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in blocklist) + "]"
+    toks = tokens_sql("text")
     return f"""
         WITH per AS (
             SELECT source,

@@ -18,7 +18,10 @@ def test_embedding_gate_flags_bad_vectors(spark):
         (1, [1.0 / math.sqrt(2)] * 2 + [0.0] * 62),   # unit, dim 64
         (2, [0.0] * 64),                              # zero vector
         (3, [0.5] * 32),                              # wrong dim
-        (4, [float("nan")] + [0.0] * 63),             # NaN
+        (4, [float("nan")] + [0.0] * 63),             # NaN + zeros
+        # NaN component but otherwise unit-norm: ONLY the no_nan
+        # expectation catches this vector (see band math below)
+        (5, [float("nan")] + [1.0 / math.sqrt(63)] * 63),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     stats = emb.select(
@@ -28,14 +31,23 @@ def test_embedding_gate_flags_bad_vectors(spark):
         .alias("has_nan"))
     got = {r["name"]: r for r in
            EXP.expect(stats, E._EMB_EXPECTATIONS).collect()}
-    assert got["dim_is_64"]["n_pass"] == 3
+    assert got["dim_is_64"]["n_pass"] == 4
     assert got["no_nan"]["n_pass"] == 3
-    # NaN µunits fold via floor(NaN)=NULL-ish path: the nonzero check
-    # counts vectors whose exact integer norm is positive
-    assert got["nonzero_vector"]["n_pass"] <= 3
+    # Spark's floor(DOUBLE)->BIGINT folds a NaN component to µunit 0
+    # (the DuckDB mirror carries a matching CASE — CAST(nan AS BIGINT)
+    # would THROW there), so vec 4's norm is exactly 0 and fails the
+    # nonzero check, while vec 5's remaining components still sum
+    # float32 storage: recompute the fold from the stored float value
+    import struct as _st
+    f32 = _st.unpack("f", _st.pack("f", 1.0 / math.sqrt(63)))[0]
+    norm5 = 63 * math.floor(f32 * 1e6 + 0.5) ** 2
+    in_band = 980_000_000_000 <= norm5 <= 1_020_000_000_000
+    assert got["nonzero_vector"]["n_pass"] == 3  # vecs 1, 3, 5
     assert not got["dim_is_64"]["ok"]
-    # the unit vector sits inside the ±2% band
-    assert got["unit_norm_band"]["n_pass"] >= 1
+    # vec 1 is in the ±2% band; vec 3 (norm 8e12) is far outside;
+    # vec 5 sits in the band iff the integer math above says so —
+    # documenting that only no_nan flags a NaN-but-unit vector
+    assert got["unit_norm_band"]["n_pass"] == 1 + int(in_band)
 
 
 def test_near_dup_cluster_profile_hand_example(spark):
@@ -65,3 +77,43 @@ def test_blocklist_filter_hand_example(spark):
     assert rows["s2"]["flagged_docs"] == 1
     assert rows["s2"]["total_hits"] == 1        # dedup'd within doc
     assert rows["s2"]["flagged_ppm"] == 1_000_000
+
+
+def test_embedding_gate_dirty_input_engine_parity(spark, tmp_path):
+    """The oracle must survive and MATCH on exactly the dirty inputs
+    the gate exists to flag: NaN components (DuckDB CAST(nan AS
+    BIGINT) would throw without the CASE fold), empty arrays (DuckDB
+    list aggregates return NULL on [] without the coalesce), and
+    wrong dims — checked through PARQUET, the driver's actual path
+    (pandas registration maps NaN to NULL and masks the divergence)."""
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from explora_kafka_spark.operators import expectations as EXP
+
+    rows = [
+        (1, [1.0 / math.sqrt(2)] * 2 + [0.0] * 62),
+        (2, [float("nan")] + [0.0] * 63),
+        (3, []),
+        (4, [0.5] * 32),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = str(tmp_path / "embeddings.parquet")
+    emb.write.mode("overwrite").parquet(p)
+    stats = spark.read.parquet(p).select(
+        F.size("embedding").alias("dim"),
+        F.expr(E._EMB_STATS_SPARK).alias("norm2_mu"),
+        F.expr("exists(embedding, v -> isnan(CAST(v AS DOUBLE)))")
+        .alias("has_nan"))
+    sp = [(r["name"], r["n_pass"]) for r in
+          EXP.expect(stats, E._EMB_EXPECTATIONS).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM"
+                f" read_parquet('{p}/*.parquet')")
+    du = [(r[0], r[2]) for r in
+          con.execute(E.oracle_sql()["expect_embeddings"]).fetchall()]
+    assert sp == du
+    assert dict(sp)["no_nan"] == 3       # the NaN row is caught
+    assert dict(sp)["nonzero_vector"] == 2  # NaN+zeros folds to norm 0
