@@ -2652,6 +2652,14 @@ def q_near_dup_cluster_profile(spark, sf_dir):
                                       num_bands=8)
 
 
+def q_source_pair_jaccard(spark, sf_dir):
+    """Source-pair vocabulary Jaccard in exact ppm — the near-mirror
+    dial at the vocab level (source_overlap answers it at the doc
+    level); one (source, token) distinct shuffle + a token-keyed pair
+    join bounded by vocab·S²."""
+    return CORP.source_pair_jaccard(_docs(spark, sf_dir))
+
+
 def q_blocklist_filter(spark, sf_dir):
     """C4-style banned-term filter profile: per-source flagged-doc
     rate in exact ppm — distinct blocklist hits per doc as a pure
@@ -3669,7 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near": q_dedup_near,
         # ——— driver cap line (entries below lose their CORRECTNESS row;
         #     they still run in bench.py and tools/verify_local.py) ———
-        # - r12 queue head: the 25 late round-11 additions (second
+        # - r12 queue head: the 26 late round-11 additions (second
         #   TPC-H wave Q7/Q15/Q19/Q21 + Q8, the cluster diagnostics
         #   pair, the two mixture audits, the inertia sweep, the pack
         #   efficiency audit, then the THIRD TPC-H wave Q9/Q11/Q16/
@@ -3677,7 +3685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   zipf_slope/ngram_novelty/length_bucket_drift, and the
         #   mixture/sizing pair temperature_mix/vocab_coverage, and
         #   the admission-gate pair expect_embeddings/
-        #   near_dup_cluster_profile, and blocklist_filter — all
+        #   near_dup_cluster_profile, blocklist_filter, and
+        #   source_pair_jaccard — all
         #   landed below the cap per the growth-pause
         #   pattern so the committed r11 window stays exactly what
         #   CORRECTNESS_r11 records; every one strict-gate green at
@@ -3712,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expect_embeddings": q_expect_embeddings,
         "near_dup_cluster_profile": q_near_dup_cluster_profile,
         "blocklist_filter": q_blocklist_filter,
+        "source_pair_jaccard": q_source_pair_jaccard,
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_ensemble": q_dedup_ensemble,
@@ -4886,6 +4896,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_cluster_profile": D.near_dup_cluster_profile_sql(
             threshold=0.6, shingle_n=2, num_bands=8),
         "blocklist_filter": QR.blocklist_filter_sql(),
+        "source_pair_jaccard": CORP.source_pair_jaccard_sql(),
         "funnel_window_2h": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')",
             within="2 hours"),

@@ -871,3 +871,84 @@ def temperature_mix_sql(table: str = "documents",
         FROM w, wt
         ORDER BY source
     """
+
+
+def source_pair_jaccard(docs: DataFrame) -> DataFrame:
+    """Source-pair VOCABULARY overlap: exact Jaccard (in integer ppm)
+    between every pair of sources' distinct-token sets — the "are two
+    sources near-mirrors of each other" dial (e.g. two crawl dumps of
+    the same sites) that `source_overlap` answers at the DOCUMENT
+    level and this answers at the vocabulary level.
+
+    Output: (source_a, source_b, vocab_a, vocab_b, common,
+    jaccard_ppm), source_a < source_b, ordered by jaccard desc then
+    the pair. Exact: |A∩B| counted on the (token, source)-distinct
+    table, |A∪B| = |A| + |B| − |A∩B|, ppm by integer DIV. Pairs with
+    an EMPTY intersection are ABSENT (token inner join) — at corpus
+    scale the interesting output is the near-mirror head, and an
+    all-pairs zero-fill would be S² rows of noise.
+
+    100 TB: ONE (source, token) distinct shuffle; the pair join is
+    token-keyed and emits at most S²/2 rows per token (S = sources,
+    tiny), so the join output is bounded by |vocab|·S² — never
+    doc-sized; per-source vocab sizes ride the same distinct table."""
+    tok = docs.select(
+        "source", F.explode(F.expr(
+            "array_distinct(split(trim(regexp_replace(lower(text),"
+            " '\\\\s+', ' ')), ' '))")).alias("token")
+    ).distinct()
+    a = tok.select(F.col("source").alias("source_a"), "token")
+    b = tok.select(F.col("source").alias("source_b"), "token")
+    common = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sizes = tok.groupBy("source").agg(F.count("*").alias("vocab"))
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("vocab").alias("vocab_b"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "vocab_a", "vocab_b", "common",
+            F.expr("common * 1000000"
+                   " DIV (vocab_a + vocab_b - common)")
+            .alias("jaccard_ppm"))
+        .orderBy(F.col("jaccard_ppm").desc(), "source_a", "source_b")
+    )
+
+
+def source_pair_jaccard_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`source_pair_jaccard`."""
+    from .text import norm_sql
+
+    toks = f"string_split({norm_sql('text')}, ' ')"
+    return f"""
+        WITH tok AS (
+            SELECT DISTINCT source, token
+            FROM (SELECT source, unnest(list_distinct({toks})) AS token
+                  FROM {table})
+        ),
+        common AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS common
+            FROM tok a JOIN tok b ON a.token = b.token
+                                 AND a.source < b.source
+            GROUP BY 1, 2
+        ),
+        sizes AS (SELECT source, count(*) AS vocab FROM tok GROUP BY 1)
+        SELECT c.source_a, c.source_b,
+               sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+               CAST(c.common AS BIGINT) AS common,
+               CAST(c.common * 1000000
+                    // (sa.vocab + sb.vocab - c.common) AS BIGINT)
+                   AS jaccard_ppm
+        FROM common c
+        JOIN sizes sa ON sa.source = c.source_a
+        JOIN sizes sb ON sb.source = c.source_b
+        ORDER BY jaccard_ppm DESC, c.source_a, c.source_b
+    """

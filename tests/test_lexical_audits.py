@@ -128,3 +128,16 @@ def test_vocab_coverage_mid_class_boundary(spark):
             .collect()}
     assert rows[750_000]["target_tokens"] == 12
     assert rows[750_000]["min_vocab"] == 3
+
+
+def test_source_pair_jaccard_hand_example(spark):
+    from explora_kafka_spark.operators.corpus import source_pair_jaccard
+
+    df = _docs(spark, [(1, "a b c", "s1"), (2, "b c d", "s2"),
+                       (3, "x", "s3"), (4, "c b", "s2")])
+    rows = [tuple(r) for r in source_pair_jaccard(df).collect()]
+    # s1={a,b,c}, s2={b,c,d}, s3={x}: |s1 ∩ s2|=2, union 4 -> 500000;
+    # pairs with an EMPTY intersection are absent entirely (inner
+    # join on the token — the documented contract), so s3 never
+    # appears
+    assert rows == [("s1", "s2", 3, 3, 2, 500_000)]

@@ -102,7 +102,9 @@ HEADLINE = [
     "nation_profit", "important_parts", "parts_supplier_variety",
     "concentrated_part_suppliers", "min_cost_supplier",
     "ttr_profile", "zipf_slope", "ngram_novelty", "length_bucket_drift",
-    "temperature_mix", "vocab_coverage",
+    "temperature_mix", "vocab_coverage", "expect_embeddings",
+    "near_dup_cluster_profile", "blocklist_filter",
+    "source_pair_jaccard",
 ]
 
 
