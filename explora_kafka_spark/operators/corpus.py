@@ -888,15 +888,25 @@ def source_pair_jaccard(docs: DataFrame) -> DataFrame:
     scale the interesting output is the near-mirror head, and an
     all-pairs zero-fill would be S² rows of noise.
 
+    Empty/whitespace-only documents tokenize to [''] (the split
+    convention); the '' phantom is FILTERED here (the unigram_bits
+    precedent) — without it two sources sharing only blank docs would
+    report a perfect near-mirror.
+
     100 TB: ONE (source, token) distinct shuffle; the pair join is
     token-keyed and emits at most S²/2 rows per token (S = sources,
     tiny), so the join output is bounded by |vocab|·S² — never
     doc-sized; per-source vocab sizes ride the same distinct table."""
-    tok = docs.select(
-        "source", F.explode(F.expr(
-            "array_distinct(split(trim(regexp_replace(lower(text),"
-            " '\\\\s+', ' ')), ' '))")).alias("token")
-    ).distinct()
+    from .text import tokens_col
+
+    tok = (
+        docs.select(
+            "source",
+            F.explode(F.array_distinct(tokens_col("text")))
+            .alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
     a = tok.select(F.col("source").alias("source_a"), "token")
     b = tok.select(F.col("source").alias("source_b"), "token")
     common = (
@@ -932,6 +942,7 @@ def source_pair_jaccard_sql(table: str = "documents") -> str:
             SELECT DISTINCT source, token
             FROM (SELECT source, unnest(list_distinct({toks})) AS token
                   FROM {table})
+            WHERE token <> ''
         ),
         common AS (
             SELECT a.source AS source_a, b.source AS source_b,

@@ -141,3 +141,13 @@ def test_source_pair_jaccard_hand_example(spark):
     # join on the token — the documented contract), so s3 never
     # appears
     assert rows == [("s1", "s2", 3, 3, 2, 500_000)]
+
+
+def test_source_pair_jaccard_ignores_blank_documents(spark):
+    from explora_kafka_spark.operators.corpus import source_pair_jaccard
+
+    # two sources sharing ONLY blank docs must NOT read as mirrors
+    df = _docs(spark, [(1, "", "e1"), (2, "   ", "e2"),
+                       (3, "a b", "e1"), (4, "c d", "e2")])
+    rows = [tuple(r) for r in source_pair_jaccard(df).collect()]
+    assert rows == []  # no real shared vocab -> no pair row at all
