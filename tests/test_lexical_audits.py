@@ -1,5 +1,6 @@
-"""Hand-computed pins for the round-11 lexical-diversity audits
-(ttr_profile, zipf_slope, ngram_novelty, length_bucket_drift)."""
+"""Hand-computed pins for the round-11 lexical/mixture audits
+(ttr_profile, zipf_slope, ngram_novelty, length_bucket_drift,
+temperature_mix, vocab_coverage, source_pair_jaccard)."""
 
 from __future__ import annotations
 
