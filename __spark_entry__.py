@@ -2420,9 +2420,15 @@ def q_important_parts(spark, sf_dir):
     fixture has no partsupp, so a part's "stock value" is the exact
     revenue that flowed through ASIA-region suppliers; keep parts
     worth MORE THAN TWICE the average part value, compared in EXACT
-    integers (value_e4·n_parts > 2·total_e4 — no float fraction, and
+    integers via quotient+remainder — value > 2q+1 OR (value = 2q+1
+    AND n > 2r) with q = total DIV n, r = total % n, which is
+    algebraically value·n > 2·total but never multiplies by n_parts
+    (the naive cross-product form overflows int64 around SF1000 and
+    throws under ANSI — ADVICE r11; no float fraction, and
     scale-free: Q11's fraction/SF rescaling is built in because the
-    average already divides by the part count). The global threshold
+    average already divides by the part count; the remaining envelope
+    is sum(rev_e4) itself, int64-safe to ≈SF3000 like every rev_e4
+    aggregate here). The global threshold
     is a ONE-ROW broadcast onto the part-keyed aggregate
     (statistic-sized, never the fact — the idle_customers
     allowance)."""
@@ -2452,8 +2458,10 @@ def q_important_parts(spark, sf_dir):
                     F.count("*").alias("_n_parts"))
     return (
         val.join(F.broadcast(total))
-        .filter(F.col("value_e4") * F.col("_n_parts")
-                > F.col("_total_e4") * 2)
+        .filter(F.expr(
+            "value_e4 > 2 * (_total_e4 DIV _n_parts) + 1 OR"
+            " (value_e4 = 2 * (_total_e4 DIV _n_parts) + 1"
+            "  AND _n_parts > 2 * (_total_e4 % _n_parts))"))
         .select(F.col("l_partkey").alias("p_partkey"), "value_e4")
         .orderBy(F.col("value_e4").desc(), "p_partkey")
     )
@@ -2615,20 +2623,39 @@ def q_ngram_novelty(spark, sf_dir):
 _EMB_EXPECTATIONS = [
     ("dim_is_64", "dim = 64", 1_000_000),
     ("no_nan", "NOT has_nan", 1_000_000),
+    ("finite_envelope", "NOT has_oob", 1_000_000),
     ("nonzero_vector", "norm2_mu > 0", 1_000_000),
     ("unit_norm_band",
      "norm2_mu BETWEEN 980000000000 AND 1020000000000", 990_000),
 ]
 
+#: components outside [-30, 30] (incl. NaN/±Inf — NaN compares above
+#: every value on BOTH engines, so one BETWEEN excludes all three
+#: classes identically) fold to µunit 0 before squaring: the squared
+#: µunit of a ±30 component is 9e14, so even a 4096-long dirty vector
+#: sums to ≤3.7e18 < int64 max — the gate can never itself throw
+#: ARITHMETIC_OVERFLOW under Spark 4 ANSI (ADVICE r11). Vectors
+#: longer than 4096 get sentinel norm −1 (fails nonzero + band).
+_EMB_ENVELOPE_SQL = "BETWEEN -30.0D AND 30.0D"
+
 _EMB_STATS_SPARK = (
-    "aggregate(transform(embedding,"
-    " x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)),"
-    " 0L, (a, v) -> a + v * v)")
+    "CASE WHEN size(embedding) > 4096 THEN -1L ELSE"
+    " aggregate(transform(embedding,"
+    " x -> CASE WHEN CAST(x AS DOUBLE) " + _EMB_ENVELOPE_SQL +
+    " THEN CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)"
+    " ELSE 0L END),"
+    " 0L, (a, v) -> a + v * v) END")
+
+_EMB_OOB_SPARK = (
+    "exists(embedding,"
+    " x -> NOT (CAST(x AS DOUBLE) " + _EMB_ENVELOPE_SQL + "))")
 
 
 def q_expect_embeddings(spark, sf_dir):
     """Embedding admission gate (the expect_events pattern on the
-    vector table): dim consistency, NaN scan, zero-vector and
+    vector table): dim consistency, NaN scan, finite-envelope scan
+    (NaN/±Inf/|x|>30 components — the dirty classes that would
+    otherwise overflow the integer norm under ANSI), zero-vector and
     unit-norm-band checks over exact integer µunit² norms — the vet
     an indexing pipeline runs before build_ivf_index. ONE scan: the
     per-vector stats are codegen projections feeding the single
@@ -2637,7 +2664,8 @@ def q_expect_embeddings(spark, sf_dir):
         F.size("embedding").alias("dim"),
         F.expr(_EMB_STATS_SPARK).alias("norm2_mu"),
         F.expr("exists(embedding, v -> isnan(CAST(v AS DOUBLE)))")
-        .alias("has_nan"))
+        .alias("has_nan"),
+        F.expr(_EMB_OOB_SPARK).alias("has_oob"))
     return EXP.expect(emb, _EMB_EXPECTATIONS)
 
 
@@ -4330,11 +4358,19 @@ def oracle_sql() -> dict[str, str]:
                     JOIN region r ON r.r_regionkey = n.n_regionkey
                     WHERE r.r_name = 'ASIA')
                 GROUP BY 1
+            ),
+            stats AS (
+                SELECT CAST(sum(value_e4) AS BIGINT) AS total_e4,
+                       count(*) AS n_parts
+                FROM val
             )
+            -- quotient+remainder form of value*n > 2*total: exact and
+            -- never multiplies by n_parts (int64-safe, ADVICE r11)
             SELECT p_partkey, value_e4
-            FROM val
-            WHERE value_e4 * (SELECT count(*) FROM val)
-                  > 2 * (SELECT sum(value_e4) FROM val)
+            FROM val, stats
+            WHERE value_e4 > 2 * (total_e4 // n_parts) + 1
+               OR (value_e4 = 2 * (total_e4 // n_parts) + 1
+                   AND n_parts > 2 * (total_e4 % n_parts))
             ORDER BY value_e4 DESC, p_partkey
         """,
         "parts_supplier_variety": """
@@ -4877,20 +4913,28 @@ def oracle_sql() -> dict[str, str]:
         "length_bucket_drift": CORP.length_bucket_drift_sql(),
         "temperature_mix": CORP.temperature_mix_sql(),
         "vocab_coverage": T.vocab_coverage_sql(),
-        # NaN components fold to µunit 0 (Spark's floor(DOUBLE)→LONG
-        # does this implicitly; DuckDB would THROW on CAST(nan AS
-        # BIGINT), so the CASE mirrors the fold) and empty arrays give
-        # norm2_mu = 0 / has_nan = false on both engines (coalesce —
-        # DuckDB list aggregates return NULL on [])
+        # components outside the [-30, 30] envelope (NaN/±Inf/huge —
+        # one BETWEEN excludes all three classes identically on both
+        # engines since NaN compares above every value) fold to µunit
+        # 0 before squaring, so neither engine can hit CAST-nan /
+        # BIGINT-multiply overflow (ADVICE r11); empty arrays give
+        # norm2_mu = 0 / flags false on both engines (coalesce —
+        # DuckDB list aggregates return NULL on []); >4096-long
+        # vectors get sentinel norm −1 like the Spark side
         "expect_embeddings": EXP.expect_sql(
             "(SELECT len(embedding) AS dim,"
-            " coalesce(CAST(list_sum([CASE WHEN isnan(CAST(x AS DOUBLE))"
-            " THEN 0 ELSE CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)"
+            " CASE WHEN len(embedding) > 4096 THEN -1 ELSE"
+            " coalesce(CAST(list_sum([CASE WHEN CAST(x AS DOUBLE)"
+            " BETWEEN -30.0 AND 30.0"
+            " THEN CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)"
             " AS BIGINT) * CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)"
-            " AS BIGINT) END FOR x IN embedding]) AS BIGINT), 0)"
-            " AS norm2_mu,"
+            " AS BIGINT) ELSE 0 END FOR x IN embedding]) AS BIGINT), 0)"
+            " END AS norm2_mu,"
             " coalesce(list_bool_or([isnan(CAST(x AS DOUBLE))"
-            " FOR x IN embedding]), false) AS has_nan"
+            " FOR x IN embedding]), false) AS has_nan,"
+            " coalesce(list_bool_or([NOT (CAST(x AS DOUBLE)"
+            " BETWEEN -30.0 AND 30.0)"
+            " FOR x IN embedding]), false) AS has_oob"
             " FROM embeddings)",
             _EMB_EXPECTATIONS),
         "near_dup_cluster_profile": D.near_dup_cluster_profile_sql(

@@ -804,9 +804,14 @@ def temperature_mix(docs: DataFrame, alpha_ppm: int = 700_000) -> DataFrame:
 
     Exactness: per-source token counts are exact integers (size() of
     the token array, no explode); share is ONE IEEE division of two
-    exact integers; pow(share, α) is the single libm call per SOURCE
-    row (the source_mix_entropy ln allowance — S rows, never the
-    corpus), folded to µunits; the normalized temperature share is
+    exact integers; share^α is computed as exp(α·ln(share)) — NOT
+    pow() — so both engines compose the same two correctly-rounded
+    primitives (JVM Math.pow is only 1-ulp-accurate and its rounding
+    can differ from libm pow on unlucky shares, flipping the µunit
+    fold by 1; exp∘ln sidesteps the divergence — ADVICE r11). The
+    two libm calls are per SOURCE row (the source_mix_entropy ln
+    allowance — S rows, never the corpus), folded to µunits; the
+    normalized temperature share is
     then exact integer ppm of the µunit weights. Output: (source,
     n_docs, tokens, share_ppm, temp_share_ppm, boost_ppm =
     temp·1e6 DIV share — >1e6 means the temperature up-weighted the
@@ -826,7 +831,8 @@ def temperature_mix(docs: DataFrame, alpha_ppm: int = 700_000) -> DataFrame:
         "source", "n_docs", "tokens",
         F.expr("tokens * 1000000 DIV _tt").alias("share_ppm"),
         F.expr(
-            f"CAST(floor(power(CAST(tokens AS DOUBLE) / _tt, {alpha!r})"
+            "CAST(floor(CASE WHEN tokens <= 0 THEN 0.0D ELSE"
+            f" exp({alpha!r} * ln(CAST(tokens AS DOUBLE) / _tt)) END"
             " * 1e6 + 0.5) AS BIGINT)").alias("_w_mu"))
     wt = w.agg(F.sum("_w_mu").alias("_sw"))
     return (
@@ -858,8 +864,9 @@ def temperature_mix_sql(table: str = "documents",
         w AS (
             SELECT source, n_docs, tokens,
                    CAST(tokens * 1000000 // tt AS BIGINT) AS share_ppm,
-                   CAST(floor(pow(CAST(tokens AS DOUBLE) / tt, {alpha!r})
-                        * 1e6 + 0.5) AS BIGINT) AS w_mu
+                   CAST(floor(CASE WHEN tokens <= 0 THEN 0.0 ELSE
+                        exp({alpha!r} * ln(CAST(tokens AS DOUBLE) / tt))
+                        END * 1e6 + 0.5) AS BIGINT) AS w_mu
             FROM per, tot
         ),
         wt AS (SELECT CAST(sum(w_mu) AS BIGINT) AS sw FROM w)

@@ -1299,21 +1299,36 @@ def ttr_profile(docs: DataFrame) -> DataFrame:
     (distinct·1e6 DIV total) — the classic "is this source repetitive
     template text?" dial next to `source_quality_profile`.
 
+    Empty/whitespace-only documents tokenize to [''] (the split
+    convention); the '' phantom is FILTERED from both totals (the
+    unigram_bits/source_pair_jaccard precedent — ADVICE r11: counting
+    it inflates diversity for blank-heavy sources). A source of only
+    blank docs thus has total_tokens = 0 and NULL ttr_ppm (DIV-0 →
+    NULL on both engines) rather than a fake perfect TTR.
+
     100 TB: ONE (source, token) partial-agg shuffle (map-side combine
     absorbs the stopword mass), then an S-row rollup; the doc counts
     ride a separate S-key aggregate broadcast onto the result."""
     toks = docs.select(
-        "source", F.explode(tokens_col("text")).alias("token"))
+        "source", F.explode(tokens_col("text")).alias("token")
+    ).filter(F.col("token") != "")
     per = toks.groupBy("source", "token").agg(F.count("*").alias("cnt"))
     agg = per.groupBy("source").agg(
         F.count("*").alias("distinct_tokens"),
         F.sum("cnt").alias("total_tokens"))
     nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # nd is the driving side so a blank-only source still reports
+    # (with zero totals) instead of silently vanishing
     return (
-        agg.join(F.broadcast(nd), "source")
-        .select("source", "n_docs", "total_tokens", "distinct_tokens",
-                F.expr("distinct_tokens * 1000000 DIV total_tokens")
-                .alias("ttr_ppm"))
+        nd.join(agg, "source", "left")
+        .select("source", "n_docs",
+                F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
+                F.coalesce("distinct_tokens", F.lit(0))
+                .alias("distinct_tokens"))
+        .withColumn(
+            "ttr_ppm",
+            F.expr("CASE WHEN total_tokens = 0 THEN NULL ELSE"
+                   " distinct_tokens * 1000000 DIV total_tokens END"))
         .orderBy("source")
     )
 
@@ -1326,7 +1341,8 @@ def ttr_profile_sql(table: str = "documents") -> str:
             SELECT source, unnest({toks}) AS token FROM {table}
         ),
         per AS (
-            SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+            SELECT source, token, count(*) AS cnt FROM tok
+            WHERE token <> '' GROUP BY 1, 2
         ),
         agg AS (
             SELECT source, count(*) AS distinct_tokens,
@@ -1334,11 +1350,16 @@ def ttr_profile_sql(table: str = "documents") -> str:
             FROM per GROUP BY 1
         ),
         nd AS (SELECT source, count(*) AS n_docs FROM {table} GROUP BY 1)
-        SELECT a.source, nd.n_docs, a.total_tokens, a.distinct_tokens,
-               CAST(a.distinct_tokens * 1000000 // a.total_tokens
-                    AS BIGINT) AS ttr_ppm
-        FROM agg a JOIN nd ON nd.source = a.source
-        ORDER BY a.source
+        SELECT nd.source, nd.n_docs,
+               CAST(coalesce(a.total_tokens, 0) AS BIGINT)
+                   AS total_tokens,
+               CAST(coalesce(a.distinct_tokens, 0) AS BIGINT)
+                   AS distinct_tokens,
+               CAST(CASE WHEN coalesce(a.total_tokens, 0) = 0 THEN NULL
+                    ELSE a.distinct_tokens * 1000000 // a.total_tokens
+                    END AS BIGINT) AS ttr_ppm
+        FROM nd LEFT JOIN agg a ON nd.source = a.source
+        ORDER BY nd.source
     """
 
 

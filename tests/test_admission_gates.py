@@ -22,17 +22,25 @@ def test_embedding_gate_flags_bad_vectors(spark):
         # NaN component but otherwise unit-norm: ONLY the no_nan
         # expectation catches this vector (see band math below)
         (5, [float("nan")] + [1.0 / math.sqrt(63)] * 63),
+        # out-of-envelope magnitudes: pre-ADVICE-r11 these overflowed
+        # the int64 µunit square under ANSI; now they fold to norm 0
+        # and are flagged by finite_envelope instead of throwing
+        (6, [float("inf")] + [0.0] * 63),
+        (7, [1.0e5] * 64),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     stats = emb.select(
         F.size("embedding").alias("dim"),
         F.expr(E._EMB_STATS_SPARK).alias("norm2_mu"),
         F.expr("exists(embedding, v -> isnan(CAST(v AS DOUBLE)))")
-        .alias("has_nan"))
+        .alias("has_nan"),
+        F.expr(E._EMB_OOB_SPARK).alias("has_oob"))
     got = {r["name"]: r for r in
            EXP.expect(stats, E._EMB_EXPECTATIONS).collect()}
-    assert got["dim_is_64"]["n_pass"] == 4
-    assert got["no_nan"]["n_pass"] == 3
+    assert got["dim_is_64"]["n_pass"] == 6
+    assert got["no_nan"]["n_pass"] == 5
+    # finite_envelope catches NaN (4, 5), inf (6) and huge (7)
+    assert got["finite_envelope"]["n_pass"] == 3
     # Spark's floor(DOUBLE)->BIGINT folds a NaN component to µunit 0
     # (the DuckDB mirror carries a matching CASE — CAST(nan AS BIGINT)
     # would THROW there), so vec 4's norm is exactly 0 and fails the
@@ -46,7 +54,8 @@ def test_embedding_gate_flags_bad_vectors(spark):
     assert not got["dim_is_64"]["ok"]
     # vec 1 is in the ±2% band; vec 3 (norm 8e12) is far outside;
     # vec 5 sits in the band iff the integer math above says so —
-    # documenting that only no_nan flags a NaN-but-unit vector
+    # documenting that only no_nan flags a NaN-but-unit vector;
+    # vecs 6/7 fold to norm 0 (out of band, out of nonzero)
     assert got["unit_norm_band"]["n_pass"] == 1 + int(in_band)
 
 
@@ -82,10 +91,12 @@ def test_blocklist_filter_hand_example(spark):
 def test_embedding_gate_dirty_input_engine_parity(spark, tmp_path):
     """The oracle must survive and MATCH on exactly the dirty inputs
     the gate exists to flag: NaN components (DuckDB CAST(nan AS
-    BIGINT) would throw without the CASE fold), empty arrays (DuckDB
-    list aggregates return NULL on [] without the coalesce), and
-    wrong dims — checked through PARQUET, the driver's actual path
-    (pandas registration maps NaN to NULL and masks the divergence)."""
+    BIGINT) would throw without the CASE fold), ±Inf and huge
+    magnitudes (pre-fold, DuckDB CAST(inf AS BIGINT) and the int64
+    µunit square both THROW — ADVICE r11), empty arrays (DuckDB list
+    aggregates return NULL on [] without the coalesce), and wrong
+    dims — checked through PARQUET, the driver's actual path (pandas
+    registration maps NaN to NULL and masks the divergence)."""
     import math
 
     import duckdb
@@ -98,6 +109,10 @@ def test_embedding_gate_dirty_input_engine_parity(spark, tmp_path):
         (2, [float("nan")] + [0.0] * 63),
         (3, []),
         (4, [0.5] * 32),
+        (5, [float("inf")] + [0.0] * 63),
+        (6, [-float("inf")] + [1.0 / math.sqrt(63)] * 63),
+        (7, [1.0e5] * 64),
+        (8, [-4.0e3] + [0.0] * 63),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     p = str(tmp_path / "embeddings.parquet")
@@ -106,7 +121,8 @@ def test_embedding_gate_dirty_input_engine_parity(spark, tmp_path):
         F.size("embedding").alias("dim"),
         F.expr(E._EMB_STATS_SPARK).alias("norm2_mu"),
         F.expr("exists(embedding, v -> isnan(CAST(v AS DOUBLE)))")
-        .alias("has_nan"))
+        .alias("has_nan"),
+        F.expr(E._EMB_OOB_SPARK).alias("has_oob"))
     sp = [(r["name"], r["n_pass"]) for r in
           EXP.expect(stats, E._EMB_EXPECTATIONS).collect()]
     con = duckdb.connect()
@@ -115,5 +131,9 @@ def test_embedding_gate_dirty_input_engine_parity(spark, tmp_path):
     du = [(r[0], r[2]) for r in
           con.execute(E.oracle_sql()["expect_embeddings"]).fetchall()]
     assert sp == du
-    assert dict(sp)["no_nan"] == 3       # the NaN row is caught
-    assert dict(sp)["nonzero_vector"] == 2  # NaN+zeros folds to norm 0
+    assert dict(sp)["no_nan"] == 7       # the NaN row is caught
+    assert dict(sp)["finite_envelope"] == 3  # rows 2, 5-8 flagged
+    # NaN+zeros, inf+zeros, huge-only all fold to norm 0; row 6's
+    # finite components still carry a (near-unit) norm
+    assert dict(sp)["nonzero_vector"] == 3  # rows 1, 4, 6
+

@@ -19,15 +19,22 @@ def _docs(spark, rows):
 
 
 def test_ttr_profile_hand_example(spark):
-    # src tokens: a a b | b c  -> total 5, distinct {a,b,c} = 3
+    # src tokens: a a b | b c  -> total 5, distinct {a,b,c} = 3;
+    # the blank doc's '' phantom token is filtered (ADVICE r11) and
+    # a blank-only source reports zero totals with NULL ttr
     df = _docs(spark, [(1, "a a b", "s1"), (2, "b c", "s1"),
-                       (3, "x", "s2")])
+                       (3, "x", "s2"), (4, "", "s2"),
+                       (5, "", "s3")])
     rows = {r["source"]: r for r in ttr_profile(df).collect()}
     assert rows["s1"]["n_docs"] == 2
     assert rows["s1"]["total_tokens"] == 5
     assert rows["s1"]["distinct_tokens"] == 3
     assert rows["s1"]["ttr_ppm"] == 3 * 1_000_000 // 5
+    assert rows["s2"]["total_tokens"] == 1      # '' not counted
     assert rows["s2"]["ttr_ppm"] == 1_000_000
+    assert rows["s3"]["n_docs"] == 1
+    assert rows["s3"]["total_tokens"] == 0
+    assert rows["s3"]["ttr_ppm"] is None
 
 
 def test_zipf_slope_matches_integer_regression_model(spark):
@@ -96,8 +103,10 @@ def test_temperature_mix_hand_example(spark):
     df = _docs(spark, [(1, "a b c d e f g h i", "s1"), (2, "z", "s2")])
     from explora_kafka_spark.operators.corpus import temperature_mix
     rows = {r["source"]: r for r in temperature_mix(df).collect()}
-    w1 = math.floor(math.pow(0.9, 0.7) * 1e6 + 0.5)
-    w2 = math.floor(math.pow(0.1, 0.7) * 1e6 + 0.5)
+    # the operator computes share^alpha as exp(alpha*ln(share)) so
+    # both engines share correctly-rounded primitives; model likewise
+    w1 = math.floor(math.exp(0.7 * math.log(0.9)) * 1e6 + 0.5)
+    w2 = math.floor(math.exp(0.7 * math.log(0.1)) * 1e6 + 0.5)
     assert rows["s1"]["share_ppm"] == 900_000
     assert rows["s2"]["share_ppm"] == 100_000
     assert rows["s1"]["temp_share_ppm"] == w1 * 1_000_000 // (w1 + w2)

@@ -51,10 +51,13 @@ def test_ttr_profile_mirror_matches_model(docs):
         per.setdefault(s, []).extend(t.split(" "))
     expect = []
     for s in sorted(per):
-        toks = per[s]
+        # the '' phantom from blank/whitespace-only docs is filtered
+        # (ADVICE r11); a blank-only source reports zero totals
+        toks = [t for t in per[s] if t != ""]
         n_docs = sum(1 for _, src in docs if src == s)
-        expect.append((s, n_docs, len(toks), len(set(toks)),
-                       len(set(toks)) * 1_000_000 // len(toks)))
+        ttr = (len(set(toks)) * 1_000_000 // len(toks)
+               if toks else None)
+        expect.append((s, n_docs, len(toks), len(set(toks)), ttr))
     assert got == expect
 
 
@@ -140,7 +143,7 @@ def test_temperature_mix_mirror_matches_model(docs):
         a[0] += 1
         a[1] += len(t.split(" "))
     tt = sum(a[1] for a in per.values())
-    w = {s: math.floor(math.pow(a[1] / tt, 0.7) * 1e6 + 0.5)
+    w = {s: math.floor(math.exp(0.7 * math.log(a[1] / tt)) * 1e6 + 0.5)
          for s, a in per.items()}
     sw = sum(w.values())
     expect = []
