@@ -1598,6 +1598,70 @@ def q_ann_topk_ivf_indexed(spark, sf_dir):
     return S.ann_topk_ivf_indexed(spark, _ivf_index(spark, sf_dir))
 
 
+#: base/delta split for the index-maintenance entries: the index is
+#: built on vec_id % 10 != 0 (the corpus snapshot) and the % 10 == 0
+#: slice is the newly-admitted batch
+_IVF_BASE_MOD = 10
+
+_IVF_APPEND_INDEXES: dict[str, str] = {}
+_IVF_STALE_INDEXES: dict[str, str] = {}
+
+
+def _ivf_append_index(spark, sf_dir) -> str:
+    """Cached build→UPDATE index: built on the base slice, then the
+    delta batch appended via the stored centroids."""
+    if sf_dir not in _IVF_APPEND_INDEXES:
+        d = tempfile.mkdtemp(prefix="explora_ivfapp_")
+        _TMPDIRS.append(d)
+        emb = _emb(spark, sf_dir)
+        S.build_ivf_index(
+            emb.filter(F.col("vec_id") % _IVF_BASE_MOD != 0), f"{d}/ivf")
+        S.update_ivf_index(
+            spark, emb.filter(F.col("vec_id") % _IVF_BASE_MOD == 0),
+            f"{d}/ivf")
+        _IVF_APPEND_INDEXES[sf_dir] = f"{d}/ivf"
+    return _IVF_APPEND_INDEXES[sf_dir]
+
+
+def _ivf_stale_index(spark, sf_dir) -> str:
+    """Cached STALE index: built on the base slice and never updated —
+    the drift audit's subject."""
+    if sf_dir not in _IVF_STALE_INDEXES:
+        d = tempfile.mkdtemp(prefix="explora_ivfstale_")
+        _TMPDIRS.append(d)
+        S.build_ivf_index(
+            _emb(spark, sf_dir).filter(F.col("vec_id") % _IVF_BASE_MOD != 0),
+            f"{d}/ivf")
+        _IVF_STALE_INDEXES[sf_dir] = f"{d}/ivf"
+    return _IVF_STALE_INDEXES[sf_dir]
+
+
+def q_ivf_index_append(spark, sf_dir):
+    """Incremental IVF index maintenance (build → UPDATE → serve): the
+    index is built on the base corpus slice, the newly-admitted delta
+    batch is appended via the STORED centroids (`update_ivf_index` —
+    frozen quantizer, no rebuild, corpus never rescanned; the
+    build_dedup_index/dedup_check lifecycle on the ANN axis), and
+    `ann_topk_ivf_indexed` serves the union — appended vectors are
+    immediately queryable AND immediately query (every % 50 query id
+    is a delta member here). Oracle: assign ALL vectors to the
+    base-sampled centroids with the shared exact key and serve top-k
+    (ivf_index_append_sql; sf-scoped constants like the kmeans
+    family)."""
+    return S.ann_topk_ivf_indexed(spark, _ivf_append_index(spark, sf_dir))
+
+
+def q_ann_recall_drift(spark, sf_dir):
+    """Index-staleness audit: recall@k of the STALE index (built
+    before the delta arrived, never updated) against fresh brute-force
+    truth over the CURRENT corpus, plus n_truth_unindexed = true
+    neighbors the index has never seen (the unrecoverable loss no
+    nprobe can fix) — the number that prices the append/rebuild
+    cadence next to ann_recall_ivf's nprobe pricing."""
+    return S.ann_recall_drift(
+        spark, _emb(spark, sf_dir), _ivf_stale_index(spark, sf_dir))
+
+
 _IVF_Q_INDEXES: dict[str, str] = {}
 
 
@@ -3627,99 +3691,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     return {k: _configured(v) for k, v in {
-        # ROUND-11 ROTATION (schedule in COVERAGE.md):  window = the
-        # 21 stale r3-r6 entries + the 4 never-driver-recorded entries
-        # + the 2 exact-audit twins (changed entries; VERDICT r10 #2)
-        # + 24 of the 36-entry r7 band (IVF family first - touched by
-        # this round's perf work). New r11 operators enter the window
-        # on landing, displacing the tail into the r12 queue.
-        # - last driver rows r3 (seven rounds stale) -
-        "topk_events": q_topk_events,
-        "users_view_not_click": q_users_view_not_click,
-        "median_value_by_metric": q_median_value_by_metric,
-        "json_props_extract": q_json_props_extract,
-        "rollup_metric_day": q_rollup_metric_day,
-        "pivot_daily_by_metric": q_pivot_daily_by_metric,
-        "history_dense_day": q_history_dense_day,
-        "window_top_orders": q_window_top_orders,
-        "join_rollup_nation": q_join_rollup_nation,
-        "distinct_users_daily": q_distinct_users_daily,
-        # - last driver rows r5 (incl. the SURVEY 2 geo codecs) -
-        "quadkey_cells": q_quadkey_cells,
-        "geohash_cells": q_geohash_cells,
-        "history_max_day": q_history_max_day,
-        "text_stats": q_text_stats,
-        "multimodal_frames": q_multimodal_frames,
-        "distinct_users_daily_salted": q_distinct_users_daily_salted,
-        # - changed entry: exact-audit twin of the HLL scale path
-        #   (replaces rows-only distinct_users_daily_approx) -
-        "distinct_users_daily_hll_audit": q_distinct_users_daily_hll_audit,
-        # - last driver rows r6 -
-        "chunk_documents": q_chunk_documents,
-        "redact_pii": q_redact_pii,
-        "split_train_val_test": q_split_train_val_test,
-        "zscore_per_metric": q_zscore_per_metric,
-        # - never driver-recorded (strict-local-verified r10) -
-        "gopher_rule_impact": q_gopher_rule_impact,
-        "source_overlap": q_source_overlap,
-        "knn_pagerank": q_knn_pagerank,
-        "doremi_weights": q_doremi_weights,
-        # - changed entry: exact-audit twin of the approx-percentile
-        #   path (replaces rows-only percentile_approx_audit) -
-        "percentile_rank_audit": q_percentile_rank_audit,
-        # - NEW round-11 operators (enter the window on landing per the
-        #   invariant; each displaces one r7-band tail name into the
-        #   r12 queue): RefinedWeb host-level dedup + per-domain caps,
-        #   second-width (GPT-3 13-gram) contamination audit,
-        #   FineWeb-edu tier + disagreement audit -
-        "domain_dedup": q_domain_dedup,
-        "domain_cap_sample": q_domain_cap_sample,
-        "contamination_width_audit": q_contamination_width_audit,
-        "edu_tier": q_edu_tier,
-        "edu_web_disagreement": q_edu_web_disagreement,
-        # - NEW round-11 TPC-H wave (Q14/Q17/Q18/Q22/Q12 shapes; each
-        #   displaces one more r7-band tail name into the r12 queue) -
-        "promo_revenue": q_promo_revenue,
-        "small_qty_revenue": q_small_qty_revenue,
-        "large_orders": q_large_orders,
-        "idle_customers": q_idle_customers,
-        "late_priority_lines": q_late_priority_lines,
-        # - r7 band, first 19 (IVF family leads: this round's perf
-        #   target must re-verify under the driver; tfidf_top_terms,
-        #   token_frequency, source_quality_profile, doc_repetition,
-        #   contamination_ngram displaced to the r12 queue head by the
-        #   five new entries above) -
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "ann_recall_ivf": q_ann_recall_ivf,
-        "tune_nprobe": q_tune_nprobe,
-        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
-        "ann_topk_ivf_filtered": q_ann_topk_ivf_filtered,
-        "embedding_quantization": q_embedding_quantization,
-        "ann_recall_lsh": q_ann_recall_lsh,
-        "ann_topk_brute": q_ann_topk_brute,
-        "snapshot_radius_quad": q_snapshot_radius_quad,
-        "snapshot_radius_geohash": q_snapshot_radius_geohash,
-        "history_radius_quad": q_history_radius_quad,
-        "sessionize": q_sessionize,
-        "ingest_dedup": q_ingest_dedup,
-        "dedup_near": q_dedup_near,
-        # ——— driver cap line (entries below lose their CORRECTNESS row;
-        #     they still run in bench.py and tools/verify_local.py) ———
-        # - r12 queue head: the 26 late round-11 additions (second
-        #   TPC-H wave Q7/Q15/Q19/Q21 + Q8, the cluster diagnostics
-        #   pair, the two mixture audits, the inertia sweep, the pack
-        #   efficiency audit, then the THIRD TPC-H wave Q9/Q11/Q16/
-        #   Q20/Q2, the lexical-diversity audit wave ttr_profile/
-        #   zipf_slope/ngram_novelty/length_bucket_drift, and the
-        #   mixture/sizing pair temperature_mix/vocab_coverage, and
-        #   the admission-gate pair expect_embeddings/
-        #   near_dup_cluster_profile, blocklist_filter, and
-        #   source_pair_jaccard — all
-        #   landed below the cap per the growth-pause
-        #   pattern so the committed r11 window stays exactly what
-        #   CORRECTNESS_r11 records; every one strict-gate green at
-        #   landing), then the 10 r7-band names displaced by the
-        #   in-window round-11 entries, then the r7-band remainder -
+        # ROUND-12 ROTATION (VERDICT r11 task #1): window = the 26
+        # never-driver-recorded late-r11 entries + the 2 NEW round-12
+        # index-maintenance entries + all 22 r7-stale entries = exactly
+        # 50; after this round no entry's last driver row predates r8.
+        # Below the cap the bands queue oldest-first (r8 -> r11) for the
+        # r13 rotation.
+        # - never driver-recorded: TPC-H waves 2-3, cluster diagnostics,
+        #   mixture audits, inertia sweep, pack efficiency -
         "volume_shipping": q_volume_shipping,
         "top_supplier": q_top_supplier,
         "disjunctive_revenue": q_disjunctive_revenue,
@@ -3731,15 +3710,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_mix_by_tier": q_token_mix_by_tier,
         "kmeans_inertia_sweep": q_kmeans_inertia_sweep,
         "pack_efficiency_report": q_pack_efficiency_report,
-        # - third TPC-H wave (Q9/Q11/Q16/Q20/Q2 shapes adapted to the
-        #   no-partsupp fixture; below the cap per the growth-pause
-        #   pattern, r12 queue) -
         "nation_profit": q_nation_profit,
         "important_parts": q_important_parts,
         "parts_supplier_variety": q_parts_supplier_variety,
         "concentrated_part_suppliers": q_concentrated_part_suppliers,
         "min_cost_supplier": q_min_cost_supplier,
-        # - corpus lexical-diversity wave (below the cap, r12 queue) -
+        # - never driver-recorded: lexical-audit wave, admission-gate
+        #   pair, blocklist, source-pair Jaccard -
         "ttr_profile": q_ttr_profile,
         "zipf_slope": q_zipf_slope,
         "ngram_novelty": q_ngram_novelty,
@@ -3750,6 +3727,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_cluster_profile": q_near_dup_cluster_profile,
         "blocklist_filter": q_blocklist_filter,
         "source_pair_jaccard": q_source_pair_jaccard,
+        # - NEW round-12 operators (enter the window on landing):
+        #   incremental IVF index append + index-staleness recall audit -
+        "ivf_index_append": q_ivf_index_append,
+        "ann_recall_drift": q_ann_recall_drift,
+        # - last driver rows r7 (five rounds stale) -
         "dedup_groups": q_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
         "dedup_ensemble": q_dedup_ensemble,
@@ -3772,7 +3754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "asof_hourly_stats": q_asof_hourly_stats,
-        # - last driver rows r8/r9 (fresher; rotate per schedule) -
+        # --- driver cap line (entries below lose their CORRECTNESS row;
+        #     they still run in bench.py and tools/verify_local.py) ---
+        # - last driver rows r8 (r13 rotation head) -
         "cell_bucket_key": q_cell_bucket_key,
         "base_view_min_p7": q_base_view_min_p7,
         "lattice_hour_p6": q_lattice_hour_p6,
@@ -3822,6 +3806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_shards": q_write_shards,
         "bpe_merges": q_bpe_merges,
         "ann_topk_ivf_quantized": q_ann_topk_ivf_quantized,
+        # - last driver rows r9 -
         "bpe_encode": q_bpe_encode,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
@@ -3868,7 +3853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_view": q_session_view,
         "winnow_fingerprints": q_winnow_fingerprints,
         "ann_topk_mmr": q_ann_topk_mmr,
-        # - recorded green in r10 (freshest rows; rotate out last) -
+        # - last driver rows r10 -
         "embedding_covariance": q_embedding_covariance,
         "semdedup_check_audit": q_semdedup_check_audit,
         "expect_events": q_expect_events,
@@ -3918,6 +3903,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_nearest_geohash": q_snapshot_nearest_geohash,
         "dedup_sweep": q_dedup_sweep,
         "contamination_sweep": q_contamination_sweep,
+        # - last driver rows r11 (freshest; rotate out last) -
+        "topk_events": q_topk_events,
+        "users_view_not_click": q_users_view_not_click,
+        "median_value_by_metric": q_median_value_by_metric,
+        "json_props_extract": q_json_props_extract,
+        "rollup_metric_day": q_rollup_metric_day,
+        "pivot_daily_by_metric": q_pivot_daily_by_metric,
+        "history_dense_day": q_history_dense_day,
+        "window_top_orders": q_window_top_orders,
+        "join_rollup_nation": q_join_rollup_nation,
+        "distinct_users_daily": q_distinct_users_daily,
+        "quadkey_cells": q_quadkey_cells,
+        "geohash_cells": q_geohash_cells,
+        "history_max_day": q_history_max_day,
+        "text_stats": q_text_stats,
+        "multimodal_frames": q_multimodal_frames,
+        "distinct_users_daily_salted": q_distinct_users_daily_salted,
+        "distinct_users_daily_hll_audit": q_distinct_users_daily_hll_audit,
+        "chunk_documents": q_chunk_documents,
+        "redact_pii": q_redact_pii,
+        "split_train_val_test": q_split_train_val_test,
+        "zscore_per_metric": q_zscore_per_metric,
+        "gopher_rule_impact": q_gopher_rule_impact,
+        "source_overlap": q_source_overlap,
+        "knn_pagerank": q_knn_pagerank,
+        "doremi_weights": q_doremi_weights,
+        "percentile_rank_audit": q_percentile_rank_audit,
+        "domain_dedup": q_domain_dedup,
+        "domain_cap_sample": q_domain_cap_sample,
+        "contamination_width_audit": q_contamination_width_audit,
+        "edu_tier": q_edu_tier,
+        "edu_web_disagreement": q_edu_web_disagreement,
+        "promo_revenue": q_promo_revenue,
+        "small_qty_revenue": q_small_qty_revenue,
+        "large_orders": q_large_orders,
+        "idle_customers": q_idle_customers,
+        "late_priority_lines": q_late_priority_lines,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_recall_ivf": q_ann_recall_ivf,
+        "tune_nprobe": q_tune_nprobe,
+        "ann_topk_ivf_indexed": q_ann_topk_ivf_indexed,
+        "ann_topk_ivf_filtered": q_ann_topk_ivf_filtered,
+        "embedding_quantization": q_embedding_quantization,
+        "ann_recall_lsh": q_ann_recall_lsh,
+        "ann_topk_brute": q_ann_topk_brute,
+        "snapshot_radius_quad": q_snapshot_radius_quad,
+        "snapshot_radius_geohash": q_snapshot_radius_geohash,
+        "history_radius_quad": q_history_radius_quad,
+        "sessionize": q_sessionize,
+        "ingest_dedup": q_ingest_dedup,
+        "dedup_near": q_dedup_near,
     }.items()}
 
 
@@ -4512,6 +4548,10 @@ def oracle_sql() -> dict[str, str]:
         # the indexed serving path must reproduce the direct computation
         # exactly — same oracle
         "ann_topk_ivf_indexed": S.ann_topk_ivf_sql(),
+        "ivf_index_append": S.ivf_index_append_sql(
+            base_mod=_IVF_BASE_MOD),
+        "ann_recall_drift": S.ann_recall_drift_sql(
+            base_mod=_IVF_BASE_MOD),
         "sessionize": _SS.sessions_sql(),
         "session_stats": _SS.session_stats_sql(gap_ms=43_200_000),
         "median_value_by_metric": """

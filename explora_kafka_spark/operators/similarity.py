@@ -1035,14 +1035,35 @@ def ann_topk_ivf_indexed(
     `nprobe` lists, and the candidate join is an equi-join
     on cid against the partitioned lists table — Spark's dynamic
     partition pruning skips every unprobed list at scan time."""
-    from pyspark.sql.window import Window
-
-    cent = spark.read.parquet(f"{index_path}/centroids")
     lists = spark.read.parquet(f"{index_path}/lists")
     queries = lists.filter(F.col("neighbor_id") % query_mod == 0).select(
         F.col("neighbor_id").alias("query_id"),
         F.col("n_emb").alias("q_emb"),
     )
+    return serve_ivf_indexed(spark, index_path, queries, k, nprobe,
+                             round_to)
+
+
+def serve_ivf_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 6,
+) -> DataFrame:
+    """Serve an EXTERNAL (query_id, q_emb) batch from a materialized
+    IVF index — the general serving entry point `ann_topk_ivf_indexed`
+    (queries drawn from the index itself) and `ann_recall_drift`
+    (queries probing a STALE index) both ride. Each query ranks the
+    stored centroids by the exact integer key to pick its `nprobe`
+    lists; the candidate join is a cid equi-join against the
+    partitioned lists table (dynamic partition pruning skips every
+    unprobed list). Self-matches are excluded by id."""
+    from pyspark.sql.window import Window
+
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    lists = spark.read.parquet(f"{index_path}/lists")
     probes = (
         _rank_against_centroids(queries, cent, nprobe, "query_id", "q_emb")
         .select("query_id", "q_emb", "cid")
@@ -1062,6 +1083,261 @@ def ann_topk_ivf_indexed(
         .select("query_id", "neighbor_id", "sim", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def _appended_stride(n_rows: int, base_mod: int,
+                     n_lists: int | None = None) -> int:
+    """Centroid stride `build_ivf_index` derives when built on the
+    base slice (vec_id % base_mod != 0) of a CONTIGUOUS 0..n-1 id
+    fixture — the oracle-side twin of the builder's count()-driven
+    `ivf_params` call. Embeds the fixture's contiguity the way the
+    kmeans-family oracles embed n_rows (sf-scoped by design)."""
+    n_base = n_rows - (n_rows + base_mod - 1) // base_mod
+    _, stride = ivf_params(n_base, n_lists)
+    return stride
+
+
+def ivf_index_append_sql(
+    table: str = "embeddings",
+    base_mod: int = 10,
+    query_mod: int = 50,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 6,
+    dim: int = DIM,
+    n_rows: int = ORACLE_N_ROWS,
+    n_lists: int | None = None,
+) -> str:
+    """DuckDB oracle of the build → UPDATE → serve index lifecycle:
+    the index is built on the base slice (vec_id % base_mod != 0), the
+    complementary delta batch is appended via the STORED centroids
+    (`update_ivf_index` — the quantizer is frozen, so every vector,
+    base or delta, is simply assigned to its nearest base centroid),
+    and serving reads the union. The mirror therefore assigns ALL
+    vectors against the base-sampled centroid set with the shared
+    exact-key ranking (`_ivf_key_sql`) and serves top-k exactly like
+    `ann_topk_ivf_sql`. sf-scoped: embeds n_rows/contiguity like the
+    kmeans-family oracles (tools/verify_local.py:43-46)."""
+    stride = _appended_stride(n_rows, base_mod, n_lists)
+    qcos = cosine_expr_duck("p.q_emb", "l.n_emb", dim)
+    num, key = _ivf_key_sql(dim)
+    return f"""
+        WITH mu AS (
+            SELECT vec_id, embedding,
+                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                    FOR x IN embedding] AS m
+            FROM {table}
+        ),
+        cent AS (
+            SELECT vec_id AS cid, m AS cm,
+                   CAST(list_sum([m[i] * m[i]
+                        FOR i IN range(1, {dim} + 1)]) AS BIGINT) AS nc
+            FROM mu
+            WHERE vec_id % {stride} = 0 AND vec_id % {base_mod} <> 0
+        ),
+        scoredc AS (
+            SELECT e.vec_id, e.embedding, c.cid, c.nc,
+                   {num} AS num
+            FROM mu e CROSS JOIN cent c
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY {key} DESC, cid
+                   ) AS crank
+            FROM scoredc
+        ),
+        lists AS (
+            SELECT vec_id AS neighbor_id, embedding AS n_emb, cid
+            FROM assigned WHERE crank = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, cid
+            FROM assigned
+            WHERE vec_id % {query_mod} = 0 AND crank <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, l.neighbor_id,
+                   round({qcos}, {round_to}) AS sim
+            FROM lists l JOIN probes p USING (cid)
+            WHERE p.query_id != l.neighbor_id
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def ann_recall_drift(
+    spark,
+    embeddings: DataFrame,
+    index_path: str,
+    query_mod: int = 50,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 6,
+) -> DataFrame:
+    """Index-staleness / recall-drift audit: recall@k of a STALE
+    materialized index (built before `embeddings` grew) against the
+    fresh brute-force truth over the CURRENT corpus — the number that
+    prices the rebuild/append cadence (`ann_recall_ivf` prices nprobe
+    on a fresh index; this prices index AGE). n_truth_unindexed
+    counts, per query, how many true top-k neighbors are absent from
+    the index entirely — the unrecoverable part of the loss (no
+    nprobe setting can surface a vector the index has never seen; the
+    remainder is ordinary coarse-quantization loss).
+
+    100 TB: brute truth on a query SAMPLE (query_mod — the
+    dedup_recall_audit allowance), stale serving via the partition-
+    pruned index path, membership via one id-keyed equi-join against
+    the lists' id projection; no new corpus-sized stage."""
+    brute = ann_topk_brute(embeddings, query_mod, k, round_to)
+    queries = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    stale = serve_ivf_indexed(spark, index_path, queries, k, nprobe,
+                              round_to)
+    indexed = (
+        spark.read.parquet(f"{index_path}/lists")
+        .select(F.col("neighbor_id").alias("_ix_id")).distinct()
+    )
+    truth = (
+        brute.select("query_id", "neighbor_id")
+        .join(indexed, F.col("neighbor_id") == F.col("_ix_id"), "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.when(F.col("_ix_id").isNull(), 1).otherwise(0))
+             .alias("n_truth_unindexed"))
+    )
+    hits = (
+        brute.select("query_id", "neighbor_id")
+        .join(stale.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        truth.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)),
+                    round_to).alias("recall_at_k"),
+            "n_truth_unindexed",
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_recall_drift_sql(
+    table: str = "embeddings",
+    base_mod: int = 10,
+    query_mod: int = 50,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+    round_to: int = 6,
+    dim: int = DIM,
+    n_rows: int = ORACLE_N_ROWS,
+    n_lists: int | None = None,
+) -> str:
+    """DuckDB mirror of :func:`ann_recall_drift` against an index
+    built on the base slice (vec_id % base_mod != 0) and never
+    updated: lists/centroids come from the base only, queries and the
+    brute-force truth from the FULL table. sf-scoped like
+    `ivf_index_append_sql` (embeds n_rows/contiguity)."""
+    stride = _appended_stride(n_rows, base_mod, n_lists)
+    brute = ann_topk_brute_sql(table, query_mod, k, round_to, dim)
+    qcos = cosine_expr_duck("p.q_emb", "l.n_emb", dim)
+    num, key = _ivf_key_sql(dim)
+    return f"""
+        WITH mu AS (
+            SELECT vec_id, embedding,
+                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                    FOR x IN embedding] AS m
+            FROM {table}
+        ),
+        cent AS (
+            SELECT vec_id AS cid, m AS cm,
+                   CAST(list_sum([m[i] * m[i]
+                        FOR i IN range(1, {dim} + 1)]) AS BIGINT) AS nc
+            FROM mu
+            WHERE vec_id % {stride} = 0 AND vec_id % {base_mod} <> 0
+        ),
+        basec AS (
+            SELECT e.vec_id, e.embedding, c.cid, c.nc, {num} AS num
+            FROM mu e CROSS JOIN cent c
+            WHERE e.vec_id % {base_mod} <> 0
+        ),
+        lists AS (
+            SELECT vec_id AS neighbor_id, embedding AS n_emb, cid
+            FROM (
+                SELECT vec_id, embedding, cid,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY {key} DESC, cid
+                       ) AS crank
+                FROM basec
+            ) WHERE crank = 1
+        ),
+        queryc AS (
+            SELECT e.vec_id, e.embedding, c.cid, c.nc, {num} AS num
+            FROM mu e CROSS JOIN cent c
+            WHERE e.vec_id % {query_mod} = 0
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, cid
+            FROM (
+                SELECT vec_id, embedding, cid,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY {key} DESC, cid
+                       ) AS crank
+                FROM queryc
+            ) WHERE crank <= {nprobe}
+        ),
+        stale AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT p.query_id, l.neighbor_id,
+                       round({qcos}, {round_to}) AS sim,
+                       row_number() OVER (
+                           PARTITION BY p.query_id
+                           ORDER BY round({qcos}, {round_to}) DESC,
+                                    l.neighbor_id
+                       ) AS rank
+                FROM lists l JOIN probes p USING (cid)
+                WHERE p.query_id != l.neighbor_id
+            ) WHERE rank <= {k}
+        ),
+        brute AS ({brute}),
+        truth AS (
+            SELECT b.query_id,
+                   CAST(sum(CASE WHEN ix.neighbor_id IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_truth_unindexed
+            FROM brute b
+            LEFT JOIN (SELECT DISTINCT neighbor_id FROM lists) ix
+              ON ix.neighbor_id = b.neighbor_id
+            GROUP BY 1
+        ),
+        hits AS (
+            SELECT b.query_id, count(*) AS n_hits
+            FROM brute b JOIN stale s
+              ON b.query_id = s.query_id
+             AND b.neighbor_id = s.neighbor_id
+            GROUP BY 1
+        )
+        SELECT t.query_id,
+               round(coalesce(h.n_hits, 0) / {float(k)}, {round_to})
+                   AS recall_at_k,
+               t.n_truth_unindexed
+        FROM truth t LEFT JOIN hits h ON t.query_id = h.query_id
+        ORDER BY t.query_id
+    """
 
 
 def build_ivf_index_quantized(

@@ -1008,6 +1008,48 @@ def test_tokenizer_fertility_is_corpus_ratio_per_lang(spark, docs):
     assert got == want
 
 
+def test_recall_drift_stale_vs_appended_index(spark, emb, tmp_path):
+    """The staleness audit prices exactly what the append repairs: on
+    an index missing the delta slice, n_truth_unindexed counts true
+    top-k neighbors the index has never seen; after update_ivf_index
+    appends the delta, the same audit reports every truth row indexed
+    and recall can only improve per query."""
+    idx = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    S.build_ivf_index(base, idx)
+    stale = {r["query_id"]: r
+             for r in S.ann_recall_drift(spark, emb, idx).collect()}
+    # the fixture's replica structure makes some true neighbors delta
+    # members -> the stale index must show unrecoverable loss somewhere
+    assert sum(r["n_truth_unindexed"] for r in stale.values()) > 0
+    S.update_ivf_index(spark, delta, idx)
+    fresh = {r["query_id"]: r
+             for r in S.ann_recall_drift(spark, emb, idx).collect()}
+    assert set(fresh) == set(stale)
+    assert all(r["n_truth_unindexed"] == 0 for r in fresh.values())
+    # monotone: an appended vector can only displace a stale hit if it
+    # outranks it under the shared (sim desc, id) order — in which
+    # case it is itself a truth member
+    assert all(fresh[q]["recall_at_k"] >= stale[q]["recall_at_k"]
+               for q in stale)
+
+
+def test_serve_ivf_indexed_matches_internal_queries(spark, emb, tmp_path):
+    """serve_ivf_indexed with the index's own % 50 rows as the external
+    query batch must reproduce ann_topk_ivf_indexed exactly (the
+    refactor contract: one serving path, two query sources)."""
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"))
+    a = [tuple(r) for r in S.ann_topk_ivf_indexed(spark, idx).collect()]
+    b = [tuple(r) for r in
+         S.serve_ivf_indexed(spark, idx, queries).collect()]
+    assert a == b and len(a) > 0
+
+
 def test_update_ivf_index_serves_new_vectors(spark, emb, tmp_path):
     """The IVF lifecycle: append a new vector via the STORED centroids
     and the indexed serving path finds it — near-identical direction

@@ -126,6 +126,12 @@ SF_DIR = "/root/testdata/sf0.001"
 CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivf", "ann_topk_ivf_indexed",
                  "ann_topk_ivf_filtered", "ann_recall_ivf",
+                 # ann_recall_drift: the BNLJ is the ann_topk_brute
+                 # ground-truth baseline (tiny query sample broadcast
+                 # over one corpus scan — the recall-audit allowance
+                 # shared with ann_recall_ivf/ann_recall_lsh); the
+                 # stale-index serving side prunes via DPP (PLANS.md)
+                 "ann_recall_drift",
                  "tune_nprobe", "kmeans_clusters", "kmeans_sizes",
                  "kmeans_outliers", "dedup_recall", "unigram_bits",
                  "ann_topk_ivf_quantized", "ann_topk_pq",

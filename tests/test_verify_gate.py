@@ -47,6 +47,28 @@ def test_dtype_class_tolerates_int_width_and_datetime_unit(gate):
     assert gate._dtype_class(c.dtype, c) == gate._dtype_class(d.dtype, d)
 
 
+def test_width_mismatches_reports_tolerated_divergence(gate):
+    """The tolerated-width WARN (VERDICT r11 #5): class-equal but
+    width-different columns are listed; class MISMATCHES and exact
+    matches are not (those fail or pass silently elsewhere)."""
+    sp = pd.DataFrame({
+        "a": pd.Series([1, 2], dtype="int32"),
+        "b": pd.Series(pd.to_datetime(["2024-01-01", "2024-01-02"]))
+        .astype("datetime64[ns]"),
+        "c": pd.Series([1, 2], dtype="int64"),
+        "d": pd.Series([1.0, 2.0], dtype="float64"),
+    })
+    du = pd.DataFrame({
+        "a": pd.Series([1, 2], dtype="int64"),
+        "b": sp["b"].astype("datetime64[us]"),
+        "c": pd.Series([1, 2], dtype="int64"),
+        "d": pd.Series([1, 2], dtype="int64"),   # class mismatch: not a WARN
+    })
+    got = gate.width_mismatches(["a", "b", "c", "d"], sp, du)
+    assert got == [("a", "int32", "int64"),
+                   ("b", "datetime64[ns]", "datetime64[us]")]
+
+
 def test_dtype_class_flags_object_date_vs_datetime64(gate):
     import datetime
     obj = pd.Series([datetime.date(2024, 1, 1)], dtype=object)

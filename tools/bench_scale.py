@@ -105,6 +105,10 @@ HEADLINE = [
     "temperature_mix", "vocab_coverage", "expect_embeddings",
     "near_dup_cluster_profile", "blocklist_filter",
     "source_pair_jaccard",
+    # round-12 wave: incremental index maintenance + staleness audit
+    # (ann_recall_drift rides a budgeted override — its brute truth
+    # side shares ann_recall_truncated's fixed-fraction quadratic)
+    "ivf_index_append", "ann_recall_drift",
 ]
 
 
@@ -249,7 +253,23 @@ def _q_knn_pagerank_rekeyed(spark, sf_dir):
     return SDD.knn_pagerank(emb, k_clusters=64, iters=2, k=5, rounds=5)
 
 
+def _q_ann_recall_drift_budgeted(spark, sf_dir):
+    """ann_recall_drift with the fixed ~40-query budget (the
+    ann_recall_truncated override's rationale: the brute truth side is
+    quadratic under a fixed query FRACTION). Builds the stale index on
+    the base slice in a probe-local temp dir via the entry layer's
+    cached helper."""
+    import __spark_entry__ as EE
+    from explora_kafka_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qm = max(1, emb.count() // 40)
+    return S.ann_recall_drift(
+        spark, emb, EE._ivf_stale_index(spark, sf_dir), query_mod=qm)
+
+
 OVERRIDES = {"semantic_dedup": _q_semantic_dedup_rekeyed,
+             "ann_recall_drift": _q_ann_recall_drift_budgeted,
              "knn_pagerank": _q_knn_pagerank_rekeyed,
              "semantic_groups": _q_semantic_groups_rekeyed,
              "label_propagation": _q_label_propagation_rekeyed,

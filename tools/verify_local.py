@@ -92,6 +92,25 @@ def _dtype_class(dtype, series) -> str:
     return str(dtype)
 
 
+def width_mismatches(cols, spdf, opdf) -> list[tuple[str, str, str]]:
+    """(col, spark_dtype, oracle_dtype) for every TOLERATED width
+    divergence — same `_dtype_class` but different concrete dtype
+    (int32-vs-int64, datetime ns-vs-us). The gate passes these by
+    design (proven benign driver-side), but silently is how a future
+    driver-side hash change would diverge from this gate unnoticed
+    (VERDICT r11 #5) — so the caller prints one WARN line each."""
+    out = []
+    for c in cols:
+        scls = _dtype_class(spdf[c].dtype, spdf[c])
+        ocls = _dtype_class(opdf[c].dtype, opdf[c])
+        if scls != ocls or scls not in ("int", "datetime"):
+            continue
+        sdt, odt = str(spdf[c].dtype), str(opdf[c].dtype)
+        if sdt != odt:
+            out.append((c, sdt, odt))
+    return out
+
+
 def _canon(v, fold_nan: bool = True):
     """Value-level canonical form (used for the order-insensitive sort +
     value compare): ints of any width → python int, timestamps of any
@@ -240,6 +259,9 @@ def main():
                 print(f"FAIL {name}: dtype class mismatch {bad}")
                 failures.append(name)
                 continue
+            for c, sdt, odt in width_mismatches(sc, spdf, opdf):
+                print(f"WARN {name}: tolerated width mismatch "
+                      f"col={c} spark={sdt} oracle={odt}")
         # driver-faithful strictness layer 2: bitwise float equality
         sbits = [tuple(_bits(v) for v in r) for r in srows]
         obits = [tuple(_bits(v) for v in r) for r in orows]
