@@ -1651,6 +1651,16 @@ def q_ivf_index_append(spark, sf_dir):
     return S.ann_topk_ivf_indexed(spark, _ivf_append_index(spark, sf_dir))
 
 
+def q_ivf_list_skew(spark, sf_dir):
+    """Per-list load audit of the APPENDED index (the maintenance
+    triple's third axis: append = ivf_index_append, recall age =
+    ann_recall_drift, cost skew = this): (cid, n_vectors, load_ppm)
+    with 1e6 = balanced — the max load factor is the worst-case
+    probe-cost multiplier a frozen quantizer accumulates as appends
+    drift; crossing the serving budget ⇒ rebuild."""
+    return S.ivf_list_stats(spark, _ivf_append_index(spark, sf_dir))
+
+
 def q_ann_recall_drift(spark, sf_dir):
     """Index-staleness audit: recall@k of the STALE index (built
     before the delta arrived, never updated) against fresh brute-force
@@ -3756,7 +3766,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_hourly_stats": q_asof_hourly_stats,
         # --- driver cap line (entries below lose their CORRECTNESS row;
         #     they still run in bench.py and tools/verify_local.py) ---
-        # - last driver rows r8 (r13 rotation head) -
+        # - NEW round-12 (landed after the 50-slot window filled —
+        #   growth-pause pattern; r13 rotation head) -
+        "ivf_list_skew": q_ivf_list_skew,
+        # - last driver rows r8 -
         "cell_bucket_key": q_cell_bucket_key,
         "base_view_min_p7": q_base_view_min_p7,
         "lattice_hour_p6": q_lattice_hour_p6,
@@ -4551,6 +4564,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_index_append": S.ivf_index_append_sql(
             base_mod=_IVF_BASE_MOD),
         "ann_recall_drift": S.ann_recall_drift_sql(
+            base_mod=_IVF_BASE_MOD),
+        "ivf_list_skew": S.ivf_list_stats_sql(
             base_mod=_IVF_BASE_MOD),
         "sessionize": _SS.sessions_sql(),
         "session_stats": _SS.session_stats_sql(gap_ms=43_200_000),

@@ -1174,6 +1174,104 @@ def ivf_index_append_sql(
     """
 
 
+def ivf_list_stats(spark, index_path: str) -> DataFrame:
+    """Per-list load audit of a materialized IVF index: (cid,
+    n_vectors, load_ppm) with load_ppm = n_vectors·L·1e6 DIV total
+    (1e6 = perfectly balanced) — the skew dial read after a run of
+    `update_ivf_index` appends. A frozen quantizer funnels drifted
+    new data into whichever lists sit nearest the drift, so hot lists
+    grow without bound while the centroid set stays fixed; serving
+    cost per probe is proportional to probed-list SIZE, so the max
+    load factor here IS the worst-case probe-cost multiplier vs
+    balanced. When it crosses the serving budget, re-sample centroids
+    (rebuild) — this audit and `ann_recall_drift` together price the
+    two failure axes of index age (cost skew / recall loss). Empty
+    lists report 0 (a centroid the corpus drifted AWAY from).
+
+    100 TB: one cid-keyed partial-agg shuffle over the lists' id
+    projection (√n keys), then an L-row statistic table; no vector
+    bytes move."""
+    cent = spark.read.parquet(f"{index_path}/centroids").select("cid")
+    counts = (
+        spark.read.parquet(f"{index_path}/lists")
+        .groupBy("cid").agg(F.count("*").alias("n_vectors"))
+    )
+    per = (
+        cent.join(counts, "cid", "left")
+        .select("cid",
+                F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"))
+    )
+    tot = per.agg(F.sum("n_vectors").alias("_t"),
+                  F.count("*").alias("_l"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "cid", "n_vectors",
+            F.expr("CASE WHEN _t = 0 THEN NULL"
+                   " ELSE n_vectors * _l * 1000000 DIV _t END")
+            .alias("load_ppm"))
+        .orderBy("cid")
+    )
+
+
+def ivf_list_stats_sql(
+    table: str = "embeddings",
+    base_mod: int = 10,
+    dim: int = DIM,
+    n_rows: int = ORACLE_N_ROWS,
+    n_lists: int | None = None,
+) -> str:
+    """DuckDB mirror of :func:`ivf_list_stats` over the APPENDED
+    index of `ivf_index_append_sql` (base-sampled centroids, ALL
+    vectors assigned via the shared exact key). sf-scoped constants
+    per the kmeans convention."""
+    stride = _appended_stride(n_rows, base_mod, n_lists)
+    num, key = _ivf_key_sql(dim)
+    return f"""
+        WITH mu AS (
+            SELECT vec_id,
+                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                    FOR x IN embedding] AS m
+            FROM {table}
+        ),
+        cent AS (
+            SELECT vec_id AS cid, m AS cm,
+                   CAST(list_sum([m[i] * m[i]
+                        FOR i IN range(1, {dim} + 1)]) AS BIGINT) AS nc
+            FROM mu
+            WHERE vec_id % {stride} = 0 AND vec_id % {base_mod} <> 0
+        ),
+        assigned AS (
+            SELECT vec_id, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY {key} DESC, cid
+                   ) AS crank
+            FROM (SELECT e.vec_id, c.cid, c.nc, {num} AS num
+                  FROM mu e CROSS JOIN cent c)
+        ),
+        counts AS (
+            SELECT cid, count(*) AS n_vectors
+            FROM assigned WHERE crank = 1 GROUP BY 1
+        ),
+        per AS (
+            SELECT c.cid,
+                   CAST(coalesce(n.n_vectors, 0) AS BIGINT) AS n_vectors
+            FROM cent c LEFT JOIN counts n ON n.cid = c.cid
+        ),
+        tot AS (
+            SELECT CAST(sum(n_vectors) AS BIGINT) AS t,
+                   count(*) AS l FROM per
+        )
+        SELECT cid, n_vectors,
+               CAST(CASE WHEN t = 0 THEN NULL
+                    ELSE n_vectors * l * 1000000 // t END AS BIGINT)
+                   AS load_ppm
+        FROM per, tot
+        ORDER BY cid
+    """
+
+
 def ann_recall_drift(
     spark,
     embeddings: DataFrame,

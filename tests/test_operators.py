@@ -1050,6 +1050,35 @@ def test_serve_ivf_indexed_matches_internal_queries(spark, emb, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_ivf_list_stats_tracks_append_skew(spark, emb, tmp_path):
+    """The load audit prices what appends accumulate: a batch of
+    vectors parallel to ONE existing row all land in that row's list,
+    raising exactly its count; totals re-normalize; invariants hold
+    (sum of counts = indexed rows, mean load = 1e6 by construction)."""
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx)
+    before = {r["cid"]: r["n_vectors"]
+              for r in S.ivf_list_stats(spark, idx).collect()}
+    n0 = emb.count()
+    assert sum(before.values()) == n0
+    q0 = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    hot = spark.createDataFrame(
+        [(10_000_000 + i, [float(x) for x in q0]) for i in range(8)],
+        "vec_id bigint, embedding array<float>")
+    S.update_ivf_index(spark, hot, idx)
+    after = {r["cid"]: r for r in S.ivf_list_stats(spark, idx).collect()}
+    assert sum(r["n_vectors"] for r in after.values()) == n0 + 8
+    grown = {c for c in after
+             if after[c]["n_vectors"] != before.get(c, 0)}
+    assert len(grown) == 1  # identical vectors share one nearest list
+    hot_cid = grown.pop()
+    assert after[hot_cid]["n_vectors"] == before[hot_cid] + 8
+    # load_ppm: n·L·1e6 DIV total, exactly
+    L = len(after)
+    for c, r in after.items():
+        assert r["load_ppm"] == r["n_vectors"] * L * 1_000_000 // (n0 + 8)
+
+
 def test_update_ivf_index_serves_new_vectors(spark, emb, tmp_path):
     """The IVF lifecycle: append a new vector via the STORED centroids
     and the indexed serving path finds it — near-identical direction

@@ -126,6 +126,10 @@ SF_DIR = "/root/testdata/sf0.001"
 CROSS_JOIN_OK = {"ann_topk_brute", "tfidf_top_terms", "ann_recall_lsh",
                  "ann_topk_ivf", "ann_topk_ivf_indexed",
                  "ann_topk_ivf_filtered", "ann_recall_ivf",
+                 # ivf_list_skew: the ONE-ROW (total, L) broadcast
+                 # onto the L-row per-list statistic table (the
+                 # source_mix_entropy allowance — never the corpus)
+                 "ivf_list_skew",
                  # ann_recall_drift: the BNLJ is the ann_topk_brute
                  # ground-truth baseline (tiny query sample broadcast
                  # over one corpus scan — the recall-audit allowance

@@ -108,7 +108,7 @@ HEADLINE = [
     # round-12 wave: incremental index maintenance + staleness audit
     # (ann_recall_drift rides a budgeted override — its brute truth
     # side shares ann_recall_truncated's fixed-fraction quadratic)
-    "ivf_index_append", "ann_recall_drift",
+    "ivf_index_append", "ann_recall_drift", "ivf_list_skew",
 ]
 
 
