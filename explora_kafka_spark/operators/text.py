@@ -51,7 +51,21 @@ def norm_sql(expr: str) -> str:
 
 
 def tokens_col(text: Column | str) -> Column:
-    """Whitespace tokenization of the normalized text."""
+    """Whitespace tokenization of the normalized text.
+
+    Convention: empty/whitespace-only text tokenizes to [''] — one
+    phantom empty token — identically on both engines (Spark split /
+    DuckDB string_split), so cross-engine parity never depends on it.
+    Semantics per consumer (ADVICE r11 review): VOCABULARY-shaped
+    audits where the phantom would register as a fake type filter it
+    explicitly (token_frequencies and its riders zipf_slope /
+    vocab_coverage, ttr_profile, source_pair_jaccard, unigram_bits,
+    bigram_bits, tfidf/postings terms, the BPE word table); pure
+    COUNT consumers
+    (token-count stats, length buckets, fertility denominators,
+    packing budgets) deliberately keep it so every doc costs ≥ 1
+    token — a blank doc still occupies sampler/packer budget, which
+    is the operationally correct reading."""
     return F.split(norm_col(text), " ")
 
 
@@ -315,12 +329,16 @@ def token_counts_sql(table: str = "documents") -> str:
 
 def token_frequencies(docs: DataFrame, top_k: int | None = None) -> DataFrame:
     """Corpus token frequency: explode the token arrays and count —
-    the vocabulary-building primitive. One shuffle on the token; heavy
-    hitters (stopwords) are exactly the keys AQE's skew handling and
-    partial aggregation absorb."""
+    the vocabulary-building primitive (zipf_slope and vocab_coverage
+    ride it). The '' phantom from blank docs is filtered (the
+    tokens_col vocabulary-consumer convention — a blank doc must not
+    mint a vocabulary type). One shuffle on the token; heavy hitters
+    (stopwords) are exactly the keys AQE's skew handling and partial
+    aggregation absorb."""
     toks = tokens_col("text")
     freq = (
         docs.select(F.explode(toks).alias("token"))
+        .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
         .orderBy(F.col("freq").desc(), F.col("token"))
@@ -335,6 +353,7 @@ def token_frequencies_sql(table: str = "documents",
     return f"""
         SELECT token, count(*) AS freq
         FROM (SELECT unnest({toks}) AS token FROM {table})
+        WHERE token <> ''
         GROUP BY 1 ORDER BY 2 DESC, 1 {limit}
     """
 
@@ -344,11 +363,14 @@ def tfidf(docs: DataFrame, top_per_doc: int = 3) -> DataFrame:
     idf = ln(N / df) over distinct-doc frequency. Two shuffles (per-doc
     term counts, then the document-frequency join — df table is tiny and
     broadcast). Ranking window picks the top terms per doc with
-    deterministic tie-break."""
+    deterministic tie-break. The '' phantom from blank docs is filtered
+    (the tokens_col vocabulary-consumer convention — a blank doc has no
+    top terms, not one fake term), so doc_len counts real terms."""
     from pyspark.sql.window import Window
 
     toks = tokens_col("text")
-    terms = docs.select("doc_id", F.explode(toks).alias("token"))
+    terms = docs.select("doc_id", F.explode(toks).alias("token")).filter(
+        F.col("token") != "")
     tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf_count"))
     doc_len = terms.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
     df_tbl = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
@@ -385,7 +407,9 @@ def tfidf_sql(table: str = "documents", top_per_doc: int = 3) -> str:
     toks = tokens_sql("text")
     return f"""
         WITH terms AS (
-            SELECT doc_id, unnest({toks}) AS token FROM {table}
+            SELECT doc_id, token
+            FROM (SELECT doc_id, unnest({toks}) AS token FROM {table})
+            WHERE token <> ''
         ),
         tf AS (
             SELECT doc_id, token, count(*) AS tf_count
@@ -1426,6 +1450,7 @@ def zipf_slope_sql(table: str = "documents", top_n: int = 256) -> str:
         WITH freq AS (
             SELECT token, count(*) AS freq
             FROM (SELECT unnest({toks}) AS token FROM {table})
+            WHERE token <> ''
             GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT {top_n}
         ),
         ranked AS (
@@ -1575,6 +1600,7 @@ def vocab_coverage(
 
     freq = (
         docs.select(F.explode(tokens_col("text")).alias("token"))
+        .filter(F.col("token") != "")
         .groupBy("token").agg(F.count("*").alias("freq"))
     )
     cls = freq.groupBy("freq").agg(F.count("*").alias("n_toks"))
@@ -1627,6 +1653,7 @@ def vocab_coverage_sql(
         WITH freq AS (
             SELECT token, count(*) AS freq
             FROM (SELECT unnest({toks}) AS token FROM {table})
+            WHERE token <> ''
             GROUP BY 1
         ),
         cls AS (SELECT freq, count(*) AS n_toks FROM freq GROUP BY 1),
