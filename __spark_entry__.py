@@ -14,6 +14,7 @@ value hash; column names are aliased identically on both sides.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -1607,25 +1608,9 @@ _IVF_APPEND_INDEXES: dict[str, str] = {}
 _IVF_STALE_INDEXES: dict[str, str] = {}
 
 
-def _ivf_append_index(spark, sf_dir) -> str:
-    """Cached build→UPDATE index: built on the base slice, then the
-    delta batch appended via the stored centroids."""
-    if sf_dir not in _IVF_APPEND_INDEXES:
-        d = tempfile.mkdtemp(prefix="explora_ivfapp_")
-        _TMPDIRS.append(d)
-        emb = _emb(spark, sf_dir)
-        S.build_ivf_index(
-            emb.filter(F.col("vec_id") % _IVF_BASE_MOD != 0), f"{d}/ivf")
-        S.update_ivf_index(
-            spark, emb.filter(F.col("vec_id") % _IVF_BASE_MOD == 0),
-            f"{d}/ivf")
-        _IVF_APPEND_INDEXES[sf_dir] = f"{d}/ivf"
-    return _IVF_APPEND_INDEXES[sf_dir]
-
-
 def _ivf_stale_index(spark, sf_dir) -> str:
     """Cached STALE index: built on the base slice and never updated —
-    the drift audit's subject."""
+    the drift audit's subject and the append index's parent."""
     if sf_dir not in _IVF_STALE_INDEXES:
         d = tempfile.mkdtemp(prefix="explora_ivfstale_")
         _TMPDIRS.append(d)
@@ -1634,6 +1619,26 @@ def _ivf_stale_index(spark, sf_dir) -> str:
             f"{d}/ivf")
         _IVF_STALE_INDEXES[sf_dir] = f"{d}/ivf"
     return _IVF_STALE_INDEXES[sf_dir]
+
+
+def _ivf_append_index(spark, sf_dir) -> str:
+    """Cached build→UPDATE index: the stale base-slice index
+    hard-link-copied (update_ivf_index only ADDS files, so links are
+    safe — r12 review: rebuilding the base from scratch doubled the
+    O(n·√n) fixture cost), then the delta batch appended via the
+    stored centroids."""
+    if sf_dir not in _IVF_APPEND_INDEXES:
+        d = tempfile.mkdtemp(prefix="explora_ivfapp_")
+        _TMPDIRS.append(d)
+        shutil.copytree(_ivf_stale_index(spark, sf_dir), f"{d}/ivf",
+                        copy_function=os.link)
+        S.update_ivf_index(
+            spark,
+            _emb(spark, sf_dir).filter(
+                F.col("vec_id") % _IVF_BASE_MOD == 0),
+            f"{d}/ivf")
+        _IVF_APPEND_INDEXES[sf_dir] = f"{d}/ivf"
+    return _IVF_APPEND_INDEXES[sf_dir]
 
 
 def q_ivf_index_append(spark, sf_dir):
@@ -2710,6 +2715,12 @@ _EMB_EXPECTATIONS = [
 #: sums to ≤3.7e18 < int64 max — the gate can never itself throw
 #: ARITHMETIC_OVERFLOW under Spark 4 ANSI (ADVICE r11). Vectors
 #: longer than 4096 get sentinel norm −1 (fails nonzero + band).
+#: NULL components are a fourth dirty class: they fold to 0 in the
+#: norm (CASE → ELSE on the NULL predicate, both engines) and the
+#: oob flag is made NULL-TOTAL (IS NULL OR NOT BETWEEN) because the
+#: engines' bool-aggregates disagree on NULL lambda results (Spark
+#: exists() propagates NULL, DuckDB list_bool_or ignores it — r12
+#: review finding).
 _EMB_ENVELOPE_SQL = "BETWEEN -30.0D AND 30.0D"
 
 _EMB_STATS_SPARK = (
@@ -2722,7 +2733,8 @@ _EMB_STATS_SPARK = (
 
 _EMB_OOB_SPARK = (
     "exists(embedding,"
-    " x -> NOT (CAST(x AS DOUBLE) " + _EMB_ENVELOPE_SQL + "))")
+    " x -> CAST(x AS DOUBLE) IS NULL"
+    " OR NOT (CAST(x AS DOUBLE) " + _EMB_ENVELOPE_SQL + "))")
 
 
 def q_expect_embeddings(spark, sf_dir):
@@ -4987,8 +4999,8 @@ def oracle_sql() -> dict[str, str]:
             " END AS norm2_mu,"
             " coalesce(list_bool_or([isnan(CAST(x AS DOUBLE))"
             " FOR x IN embedding]), false) AS has_nan,"
-            " coalesce(list_bool_or([NOT (CAST(x AS DOUBLE)"
-            " BETWEEN -30.0 AND 30.0)"
+            " coalesce(list_bool_or([CAST(x AS DOUBLE) IS NULL"
+            " OR NOT (CAST(x AS DOUBLE) BETWEEN -30.0 AND 30.0)"
             " FOR x IN embedding]), false) AS has_oob"
             " FROM embeddings)",
             _EMB_EXPECTATIONS),

@@ -805,10 +805,14 @@ def temperature_mix(docs: DataFrame, alpha_ppm: int = 700_000) -> DataFrame:
     Exactness: per-source token counts are exact integers (size() of
     the token array, no explode); share is ONE IEEE division of two
     exact integers; share^α is computed as exp(α·ln(share)) — NOT
-    pow() — so both engines compose the same two correctly-rounded
-    primitives (JVM Math.pow is only 1-ulp-accurate and its rounding
-    can differ from libm pow on unlucky shares, flipping the µunit
-    fold by 1; exp∘ln sidesteps the divergence — ADVICE r11). The
+    pow() — which NARROWS the cross-engine exposure (ADVICE r11):
+    pow is a single primitive whose rounding paths differ most
+    between JVM Math.pow and libm, while exp/ln are the tightest
+    (≤1-ulp, near-always correctly rounded) primitives on both.
+    Neither engine GUARANTEES correct rounding, so the residual
+    last-ulp-at-an-x.5-floor-boundary flip remains the accepted
+    exposure class documented at unigram_bits — not eliminated; do
+    not build exactness-load-bearing logic on this fold. The
     two libm calls are per SOURCE row (the source_mix_entropy ln
     allowance — S rows, never the corpus), folded to µunits; the
     normalized temperature share is

@@ -792,6 +792,44 @@ def _ivf_scored(
     )
 
 
+def _ivf_assign_sql_ctes(table: str, cent_pred: str, dim: int) -> str:
+    """The mu → cent → scoredc → assigned CTE prefix shared by EVERY
+    IVF oracle (ann_topk_ivf_sql, ivf_index_append_sql,
+    ivf_list_stats_sql, ann_recall_drift_sql) — exact-integer coarse
+    ranking mirroring `_coarse_ranked`/`_rank_against_centroids` via
+    the shared `_ivf_key_sql` key strings, ties to the smaller cid.
+    `cent_pred` is the ONLY thing the oracles vary (full-corpus vs
+    base-slice centroid sampling); a key-discipline fix here lands in
+    every mirror at once (the unigram_mu_sql_ctes precedent — r12
+    review: four inlined copies had drifted into existence)."""
+    num, key = _ivf_key_sql(dim)
+    return f"""mu AS (
+            SELECT vec_id, embedding, label,
+                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+                    FOR x IN embedding] AS m
+            FROM {table}
+        ),
+        cent AS (
+            SELECT vec_id AS cid, m AS cm,
+                   CAST(list_sum([m[i] * m[i]
+                        FOR i IN range(1, {dim} + 1)]) AS BIGINT) AS nc
+            FROM mu WHERE {cent_pred}
+        ),
+        scoredc AS (
+            SELECT e.vec_id, e.embedding, e.label, c.cid, c.nc,
+                   {num} AS num
+            FROM mu e CROSS JOIN cent c
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, label, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY {key} DESC, cid
+                   ) AS crank
+            FROM scoredc
+        )"""
+
+
 def ann_topk_ivf_sql(
     table: str = "embeddings",
     query_mod: int = 50,
@@ -811,35 +849,9 @@ def ann_topk_ivf_sql(
         else " AND label IN (" + ", ".join(
             str(int(x)) for x in neighbor_labels) + ")"
     )
-    # exact-integer coarse ranking (round 11, mirrors _coarse_ranked):
-    # shared key strings — see _ivf_key_sql; ties to the smaller cid
-    num, key = _ivf_key_sql(dim)
+    ctes = _ivf_assign_sql_ctes(table, f"vec_id % {stride} = 0", dim)
     return f"""
-        WITH mu AS (
-            SELECT vec_id, embedding, label,
-                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
-                    FOR x IN embedding] AS m
-            FROM {table}
-        ),
-        cent AS (
-            SELECT vec_id AS cid, m AS cm,
-                   CAST(list_sum([m[i] * m[i]
-                        FOR i IN range(1, {dim} + 1)]) AS BIGINT) AS nc
-            FROM mu WHERE vec_id % {stride} = 0
-        ),
-        scoredc AS (
-            SELECT e.vec_id, e.embedding, e.label, c.cid, c.nc,
-                   {num} AS num
-            FROM mu e CROSS JOIN cent c
-        ),
-        assigned AS (
-            SELECT vec_id, embedding, label, cid,
-                   row_number() OVER (
-                       PARTITION BY vec_id
-                       ORDER BY {key} DESC, cid
-                   ) AS crank
-            FROM scoredc
-        ),
+        WITH {ctes},
         lists AS (
             SELECT vec_id AS neighbor_id, embedding AS n_emb, cid
             FROM assigned WHERE crank = 1{label_pred}
@@ -1115,39 +1127,17 @@ def ivf_index_append_sql(
     base or delta, is simply assigned to its nearest base centroid),
     and serving reads the union. The mirror therefore assigns ALL
     vectors against the base-sampled centroid set with the shared
-    exact-key ranking (`_ivf_key_sql`) and serves top-k exactly like
-    `ann_topk_ivf_sql`. sf-scoped: embeds n_rows/contiguity like the
-    kmeans-family oracles (tools/verify_local.py:43-46)."""
+    exact-key ranking (`_ivf_assign_sql_ctes`) and serves top-k
+    exactly like `ann_topk_ivf_sql`. sf-scoped: embeds
+    n_rows/contiguity like the kmeans-family oracles
+    (tools/verify_local.py:43-46)."""
     stride = _appended_stride(n_rows, base_mod, n_lists)
     qcos = cosine_expr_duck("p.q_emb", "l.n_emb", dim)
-    num, key = _ivf_key_sql(dim)
+    ctes = _ivf_assign_sql_ctes(
+        table, f"vec_id % {stride} = 0 AND vec_id % {base_mod} <> 0",
+        dim)
     return f"""
-        WITH mu AS (
-            SELECT vec_id, embedding,
-                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
-                    FOR x IN embedding] AS m
-            FROM {table}
-        ),
-        cent AS (
-            SELECT vec_id AS cid, m AS cm,
-                   CAST(list_sum([m[i] * m[i]
-                        FOR i IN range(1, {dim} + 1)]) AS BIGINT) AS nc
-            FROM mu
-            WHERE vec_id % {stride} = 0 AND vec_id % {base_mod} <> 0
-        ),
-        scoredc AS (
-            SELECT e.vec_id, e.embedding, c.cid, c.nc,
-                   {num} AS num
-            FROM mu e CROSS JOIN cent c
-        ),
-        assigned AS (
-            SELECT vec_id, embedding, cid,
-                   row_number() OVER (
-                       PARTITION BY vec_id
-                       ORDER BY {key} DESC, cid
-                   ) AS crank
-            FROM scoredc
-        ),
+        WITH {ctes},
         lists AS (
             SELECT vec_id AS neighbor_id, embedding AS n_emb, cid
             FROM assigned WHERE crank = 1
@@ -1223,33 +1213,14 @@ def ivf_list_stats_sql(
 ) -> str:
     """DuckDB mirror of :func:`ivf_list_stats` over the APPENDED
     index of `ivf_index_append_sql` (base-sampled centroids, ALL
-    vectors assigned via the shared exact key). sf-scoped constants
-    per the kmeans convention."""
+    vectors assigned via the shared `_ivf_assign_sql_ctes` prefix).
+    sf-scoped constants per the kmeans convention."""
     stride = _appended_stride(n_rows, base_mod, n_lists)
-    num, key = _ivf_key_sql(dim)
+    ctes = _ivf_assign_sql_ctes(
+        table, f"vec_id % {stride} = 0 AND vec_id % {base_mod} <> 0",
+        dim)
     return f"""
-        WITH mu AS (
-            SELECT vec_id,
-                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
-                    FOR x IN embedding] AS m
-            FROM {table}
-        ),
-        cent AS (
-            SELECT vec_id AS cid, m AS cm,
-                   CAST(list_sum([m[i] * m[i]
-                        FOR i IN range(1, {dim} + 1)]) AS BIGINT) AS nc
-            FROM mu
-            WHERE vec_id % {stride} = 0 AND vec_id % {base_mod} <> 0
-        ),
-        assigned AS (
-            SELECT vec_id, cid,
-                   row_number() OVER (
-                       PARTITION BY vec_id
-                       ORDER BY {key} DESC, cid
-                   ) AS crank
-            FROM (SELECT e.vec_id, c.cid, c.nc, {num} AS num
-                  FROM mu e CROSS JOIN cent c)
-        ),
+        WITH {ctes},
         counts AS (
             SELECT cid, count(*) AS n_vectors
             FROM assigned WHERE crank = 1 GROUP BY 1
@@ -1346,57 +1317,29 @@ def ann_recall_drift_sql(
     """DuckDB mirror of :func:`ann_recall_drift` against an index
     built on the base slice (vec_id % base_mod != 0) and never
     updated: lists/centroids come from the base only, queries and the
-    brute-force truth from the FULL table. sf-scoped like
-    `ivf_index_append_sql` (embeds n_rows/contiguity)."""
+    brute-force truth from the FULL table. Per-row centroid ranking
+    is independent of other rows, so ONE shared `assigned` over the
+    full table serves both the base-only lists (crank = 1 ∧ base
+    pred) and the query probes (query pred ∧ crank ≤ nprobe).
+    sf-scoped like `ivf_index_append_sql` (embeds
+    n_rows/contiguity)."""
     stride = _appended_stride(n_rows, base_mod, n_lists)
     brute = ann_topk_brute_sql(table, query_mod, k, round_to, dim)
     qcos = cosine_expr_duck("p.q_emb", "l.n_emb", dim)
-    num, key = _ivf_key_sql(dim)
+    ctes = _ivf_assign_sql_ctes(
+        table, f"vec_id % {stride} = 0 AND vec_id % {base_mod} <> 0",
+        dim)
     return f"""
-        WITH mu AS (
-            SELECT vec_id, embedding,
-                   [CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
-                    FOR x IN embedding] AS m
-            FROM {table}
-        ),
-        cent AS (
-            SELECT vec_id AS cid, m AS cm,
-                   CAST(list_sum([m[i] * m[i]
-                        FOR i IN range(1, {dim} + 1)]) AS BIGINT) AS nc
-            FROM mu
-            WHERE vec_id % {stride} = 0 AND vec_id % {base_mod} <> 0
-        ),
-        basec AS (
-            SELECT e.vec_id, e.embedding, c.cid, c.nc, {num} AS num
-            FROM mu e CROSS JOIN cent c
-            WHERE e.vec_id % {base_mod} <> 0
-        ),
+        WITH {ctes},
         lists AS (
             SELECT vec_id AS neighbor_id, embedding AS n_emb, cid
-            FROM (
-                SELECT vec_id, embedding, cid,
-                       row_number() OVER (
-                           PARTITION BY vec_id
-                           ORDER BY {key} DESC, cid
-                       ) AS crank
-                FROM basec
-            ) WHERE crank = 1
-        ),
-        queryc AS (
-            SELECT e.vec_id, e.embedding, c.cid, c.nc, {num} AS num
-            FROM mu e CROSS JOIN cent c
-            WHERE e.vec_id % {query_mod} = 0
+            FROM assigned
+            WHERE crank = 1 AND vec_id % {base_mod} <> 0
         ),
         probes AS (
             SELECT vec_id AS query_id, embedding AS q_emb, cid
-            FROM (
-                SELECT vec_id, embedding, cid,
-                       row_number() OVER (
-                           PARTITION BY vec_id
-                           ORDER BY {key} DESC, cid
-                       ) AS crank
-                FROM queryc
-            ) WHERE crank <= {nprobe}
+            FROM assigned
+            WHERE vec_id % {query_mod} = 0 AND crank <= {nprobe}
         ),
         stale AS (
             SELECT query_id, neighbor_id FROM (

@@ -113,6 +113,11 @@ def test_embedding_gate_dirty_input_engine_parity(spark, tmp_path):
         (6, [-float("inf")] + [1.0 / math.sqrt(63)] * 63),
         (7, [1.0e5] * 64),
         (8, [-4.0e3] + [0.0] * 63),
+        # NULL component (r12 review): folds to µunit 0 in the norm
+        # and must flag has_oob IDENTICALLY on both engines — Spark
+        # exists() propagates a NULL lambda result where DuckDB
+        # list_bool_or ignores it, so the flag is NULL-total
+        (9, [None] + [1.0 / math.sqrt(63)] * 63),
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     p = str(tmp_path / "embeddings.parquet")
@@ -131,9 +136,9 @@ def test_embedding_gate_dirty_input_engine_parity(spark, tmp_path):
     du = [(r[0], r[2]) for r in
           con.execute(E.oracle_sql()["expect_embeddings"]).fetchall()]
     assert sp == du
-    assert dict(sp)["no_nan"] == 7       # the NaN row is caught
-    assert dict(sp)["finite_envelope"] == 3  # rows 2, 5-8 flagged
-    # NaN+zeros, inf+zeros, huge-only all fold to norm 0; row 6's
+    assert dict(sp)["no_nan"] == 8       # only the NaN row is caught
+    assert dict(sp)["finite_envelope"] == 3  # rows 2, 5-9 flagged
+    # NaN+zeros, inf+zeros, huge-only all fold to norm 0; rows 6/9's
     # finite components still carry a (near-unit) norm
-    assert dict(sp)["nonzero_vector"] == 3  # rows 1, 4, 6
+    assert dict(sp)["nonzero_vector"] == 4  # rows 1, 4, 6, 9
 
