@@ -23,7 +23,10 @@ comprehension) so values agree to rounding.
 from __future__ import annotations
 
 import hashlib
+import json
 import math
+import os
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -997,6 +1000,50 @@ def build_ivf_index(
         .partitionBy("cid")
         .parquet(f"{path}/lists")
     )
+    _commit_ivf_manifest(path, {"dirs": ["lists"], "batches": []})
+
+
+#: manifest file name of the committed-lists ledger (the lakehouse
+#: file-listing idea: readers read the dirs the manifest names, never
+#: the raw directory — Delta/Iceberg's manifest, minimally)
+_IVF_MANIFEST = "_manifest.json"
+
+
+def _ivf_manifest(path: str) -> dict:
+    """The index's committed state: {"dirs": [...], "batches": [...]}.
+    A pre-manifest (legacy) index reads as the single `lists` dir with
+    no recorded batches — fully backward compatible."""
+    try:
+        with open(os.path.join(path, _IVF_MANIFEST)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"dirs": ["lists"], "batches": []}
+
+
+def _commit_ivf_manifest(path: str, manifest: dict) -> None:
+    """Atomic manifest swap (write-temp + os.replace — the
+    ParquetViewStore pointer discipline): a crash before the replace
+    leaves the previous manifest intact and any just-written delta
+    dir orphaned/unread; the replaying batch overwrites the orphan
+    and commits, so appends are exactly-once end-to-end."""
+    tmp = os.path.join(path, f"{_IVF_MANIFEST}.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, _IVF_MANIFEST))
+
+
+def read_index_lists(spark, path: str) -> DataFrame:
+    """The index's lists table = union of the manifest's committed
+    dirs. The base `lists` dir keeps its single-root partitioned scan
+    (partition pruning / DPP unaffected); each delta dir is
+    BATCH-sized by construction, so even a full scan of the open
+    deltas is cheap — and `compact_ivf_index` folds them back into
+    one dir when their count grows."""
+    from functools import reduce
+
+    dirs = _ivf_manifest(path)["dirs"]
+    parts = [spark.read.parquet(os.path.join(path, d)) for d in dirs]
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def update_ivf_index(
@@ -1004,28 +1051,80 @@ def update_ivf_index(
     batch: DataFrame,
     path: str,
     round_to: int = 6,
-) -> None:
+    batch_id: int | str | None = None,
+) -> bool:
     """Append newly admitted vectors into the IVF lists using the
     STORED centroids — the serving index learns new corpus items
     without a rebuild (assignment stays stable because the quantizer
     is frozen; re-fit = rebuild on distribution drift, the
     build_ivf_index contract). Each appended vector lands in exactly
-    the partition its nearest stored centroid owns, so subsequent
+    the list its nearest stored centroid owns, so subsequent
     `ann_topk_ivf_indexed` queries probing that list see it — the
     build → serve → UPDATE lifecycle shared with the dedup /
-    contamination / semantic indexes. Batch cost: one statistic-sized
-    centroid collect + a per-row exact-key argmax, corpus never
-    rescanned (`round_to` unused since the round-11 exact-key
-    migration; kept for signature stability)."""
+    contamination / semantic indexes.
+
+    EXACTLY-ONCE (round 12): with `batch_id` set (e.g. the
+    foreachBatch epoch id — `ivf_index_update_stream`), the append is
+    a committed ledger entry: a replayed id is a NO-OP (returns
+    False), and the batch's rows land in their own delta dir that
+    becomes visible only at the atomic manifest swap — a crash
+    between the data write and the commit leaves an orphan the replay
+    overwrites. This is the streaming-ingest guarantee
+    `ParquetViewStore.merge` gives views, on the ANN axis; Structured
+    Streaming's at-least-once foreachBatch replays therefore cannot
+    duplicate index rows (reference parity: the flush/batch-id
+    exactly-once theme, flush-kafka-stream-app.sh). Without
+    `batch_id` the append still commits via the manifest but is not
+    replay-protected (ad-hoc batch use).
+
+    Batch cost: one statistic-sized centroid collect + a per-row
+    exact-key argmax, corpus never rescanned (`round_to` unused since
+    the round-11 exact-key migration; kept for signature stability).
+    Returns True if the batch was applied, False on a replay no-op."""
+    manifest = _ivf_manifest(path)
+    bid = None if batch_id is None else str(batch_id)
+    if bid is not None and bid in manifest["batches"]:
+        return False
     cent = spark.read.parquet(f"{path}/centroids")
     new_rows = (
         _rank_against_centroids(batch, cent, 1, "vec_id", "embedding")
         .select(F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("n_emb"), "cid")
-    )
-    (new_rows.repartition("cid")
-     .write.mode("append").partitionBy("cid")
-     .parquet(f"{path}/lists"))
+    ).persist()
+    try:
+        delta = (f"lists_delta_{bid}" if bid is not None
+                 else f"lists_delta_{uuid.uuid4().hex[:12]}")
+        if new_rows.count() > 0:
+            (new_rows.repartition("cid")
+             .write.mode("overwrite").partitionBy("cid")
+             .parquet(os.path.join(path, delta)))
+            manifest["dirs"] = [*manifest["dirs"], delta]
+    finally:
+        new_rows.unpersist()
+    if bid is not None:
+        manifest["batches"] = [*manifest["batches"], bid]
+    _commit_ivf_manifest(path, manifest)
+    return True
+
+
+def compact_ivf_index(spark, path: str) -> None:
+    """Fold the manifest's delta dirs back into one `lists` dir (the
+    OPTIMIZE job of the index lifecycle, the compact_store twin):
+    rewrite the union into a fresh dir, then atomically re-point the
+    manifest at it — committed batch ids survive, so replay
+    protection is unaffected; readers before the swap see the old
+    dirs, after it the compacted one. Run when open deltas accumulate
+    (each costs one batch-sized scan at serve time)."""
+    manifest = _ivf_manifest(path)
+    if manifest["dirs"] == ["lists"] and len(manifest["dirs"]) == 1:
+        return
+    new_dir = f"lists_compact_{uuid.uuid4().hex[:12]}"
+    (read_index_lists(spark, path)
+     .repartition("cid")
+     .write.mode("overwrite").partitionBy("cid")
+     .parquet(os.path.join(path, new_dir)))
+    _commit_ivf_manifest(
+        path, {"dirs": [new_dir], "batches": manifest["batches"]})
 
 
 def ann_topk_ivf_indexed(
@@ -1047,7 +1146,7 @@ def ann_topk_ivf_indexed(
     `nprobe` lists, and the candidate join is an equi-join
     on cid against the partitioned lists table — Spark's dynamic
     partition pruning skips every unprobed list at scan time."""
-    lists = spark.read.parquet(f"{index_path}/lists")
+    lists = read_index_lists(spark, index_path)
     queries = lists.filter(F.col("neighbor_id") % query_mod == 0).select(
         F.col("neighbor_id").alias("query_id"),
         F.col("n_emb").alias("q_emb"),
@@ -1071,21 +1170,34 @@ def serve_ivf_indexed(
     stored centroids by the exact integer key to pick its `nprobe`
     lists; the candidate join is a cid equi-join against the
     partitioned lists table (dynamic partition pruning skips every
-    unprobed list). Self-matches are excluded by id."""
+    unprobed list). Self-matches are excluded by id.
+
+    Manifest-aware (round 12): the join is taken PER committed dir
+    and the results unioned — join-over-union and union-of-joins are
+    identical, but Spark only plants the DPP subquery on a
+    single-root scan, so joining the union directly would lose
+    partition pruning on the (big) base dir whenever open deltas
+    exist. Per-dir joins keep the base scan pruned; each delta scan
+    is batch-sized by construction."""
+    from functools import reduce
+
     from pyspark.sql.window import Window
 
     cent = spark.read.parquet(f"{index_path}/centroids")
-    lists = spark.read.parquet(f"{index_path}/lists")
     probes = (
         _rank_against_centroids(queries, cent, nprobe, "query_id", "q_emb")
         .select("query_id", "q_emb", "cid")
     )
     sim = F.expr(cosine_expr_spark("q_emb", "n_emb"))
-    scored = (
-        lists.join(probes, "cid")
+    scored_parts = [
+        spark.read.parquet(os.path.join(index_path, d))
+        .join(probes, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(sim, round_to).alias("sim"))
-    )
+        .select("query_id", "neighbor_id",
+                F.round(sim, round_to).alias("sim"))
+        for d in _ivf_manifest(index_path)["dirs"]
+    ]
+    scored = reduce(lambda a, b: a.unionByName(b), scored_parts)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
@@ -1183,7 +1295,7 @@ def ivf_list_stats(spark, index_path: str) -> DataFrame:
     bytes move."""
     cent = spark.read.parquet(f"{index_path}/centroids").select("cid")
     counts = (
-        spark.read.parquet(f"{index_path}/lists")
+        read_index_lists(spark, index_path)
         .groupBy("cid").agg(F.count("*").alias("n_vectors"))
     )
     per = (
@@ -1274,7 +1386,7 @@ def ann_recall_drift(
     stale = serve_ivf_indexed(spark, index_path, queries, k, nprobe,
                               round_to)
     indexed = (
-        spark.read.parquet(f"{index_path}/lists")
+        read_index_lists(spark, index_path)
         .select(F.col("neighbor_id").alias("_ix_id")).distinct()
     )
     truth = (

@@ -1,0 +1,60 @@
+"""Streaming IVF index maintenance: a vector stream appended into a
+materialized ANN index, exactly-once.
+
+The round-12 maintenance triple (append / recall-drift / list-skew)
+assumed batch appends; production ingest is a STREAM of newly admitted
+vectors (the corpus_gate accept side), and Structured Streaming's
+foreachBatch is at-least-once — a crashed epoch is REPLAYED. A naive
+`update_ivf_index` per micro-batch would therefore double-append
+replayed vectors into the serving lists, silently inflating every list
+the replay touches (and every downstream skew/drift audit).
+
+`update_ivf_index(batch_id=epoch_id)` closes this with the committed
+batch ledger in the index manifest (`operators/similarity.py`): a
+replayed epoch id is a no-op, and a crash between the delta-dir write
+and the atomic manifest swap leaves an orphan the replay overwrites —
+the same exactly-once discipline `ParquetViewStore.merge` gives the
+view store (reference parity: the flush/batch-id theme,
+flush-kafka-stream-app.sh). This module is just the thin streaming
+face over that primitive, the corpus_gate.py pattern.
+
+100 TB: per epoch, work is O(batch) — one statistic-sized centroid
+collect + a per-row exact-key argmax + one batch-sized partitioned
+write; the base lists are never read or rewritten. Open delta dirs
+accumulate one per epoch; `compact_ivf_index` is the OPTIMIZE job that
+folds them back (scheduled by delta count, the compact_store cadence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..operators.similarity import update_ivf_index
+
+
+def ivf_index_update_stream(
+    spark,
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Append a streaming (vec_id, embedding) source into the IVF
+    index at `index_path`, one exactly-once committed batch per
+    micro-batch epoch. Returns the started StreamingQuery (callers
+    awaitTermination / stop). With `available_now`, drains the
+    currently-available input and finishes — the test/backfill
+    trigger; continuous ingest passes False."""
+
+    def _apply(df: DataFrame, epoch_id: int) -> None:
+        update_ivf_index(df.sparkSession, df, index_path,
+                         batch_id=epoch_id)
+
+    writer = (
+        vec_stream.writeStream
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,133 @@
+"""Exactly-once IVF index maintenance (round 12): the committed batch
+ledger in the index manifest, the streaming foreachBatch face, and the
+delta-compaction job — the discipline `ParquetViewStore.merge` gives
+views, pinned on the ANN axis."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from explora_kafka_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _counts(spark, idx):
+    return {r["cid"]: r["n_vectors"]
+            for r in S.ivf_list_stats(spark, idx).collect()}
+
+
+def _mk_batch(spark, emb, start_id, n=5):
+    base = emb.limit(n).collect()
+    return spark.createDataFrame(
+        [(start_id + i, [float(x) for x in r["embedding"]])
+         for i, r in enumerate(base)],
+        "vec_id bigint, embedding array<float>")
+
+
+def test_update_replay_is_noop(spark, emb, tmp_path):
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx)
+    n0 = sum(_counts(spark, idx).values())
+    batch = _mk_batch(spark, emb, 5_000_000)
+    assert S.update_ivf_index(spark, batch, idx, batch_id=7) is True
+    after_first = _counts(spark, idx)
+    assert sum(after_first.values()) == n0 + 5
+    # the at-least-once replay: same epoch id, possibly same rows
+    assert S.update_ivf_index(spark, batch, idx, batch_id=7) is False
+    assert _counts(spark, idx) == after_first
+    # a NEW epoch still applies
+    assert S.update_ivf_index(
+        spark, _mk_batch(spark, emb, 6_000_000), idx, batch_id=8) is True
+    assert sum(_counts(spark, idx).values()) == n0 + 10
+
+
+def test_crashed_epoch_orphan_is_overwritten(spark, emb, tmp_path):
+    """Crash between the delta write and the manifest swap: the delta
+    dir exists but is uncommitted — readers must not see it, and the
+    replay must overwrite it and commit exactly the batch's rows."""
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx)
+    n0 = sum(_counts(spark, idx).values())
+    batch = _mk_batch(spark, emb, 5_000_000)
+    # simulate the pre-crash partial write: delta dir on disk with
+    # DOUBLE the rows (a torn write), no manifest entry
+    cent = spark.read.parquet(f"{idx}/centroids")
+    rows = S._rank_against_centroids(
+        batch.unionByName(batch), cent, 1, "vec_id", "embedding"
+    ).select(F.col("vec_id").alias("neighbor_id"),
+             F.col("embedding").alias("n_emb"), "cid")
+    rows.write.mode("overwrite").partitionBy("cid").parquet(
+        os.path.join(idx, "lists_delta_7"))
+    assert sum(_counts(spark, idx).values()) == n0  # orphan invisible
+    assert S.update_ivf_index(spark, batch, idx, batch_id=7) is True
+    assert sum(_counts(spark, idx).values()) == n0 + 5  # not +10
+
+
+def test_compact_folds_deltas_and_keeps_ledger(spark, emb, tmp_path):
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx)
+    S.update_ivf_index(spark, _mk_batch(spark, emb, 5_000_000), idx,
+                       batch_id=1)
+    S.update_ivf_index(spark, _mk_batch(spark, emb, 6_000_000), idx,
+                       batch_id=2)
+    before = _counts(spark, idx)
+    served_before = [tuple(r) for r in
+                     S.ann_topk_ivf_indexed(spark, idx).collect()]
+    S.compact_ivf_index(spark, idx)
+    m = json.load(open(os.path.join(idx, "_manifest.json")))
+    assert len(m["dirs"]) == 1 and m["batches"] == ["1", "2"]
+    assert _counts(spark, idx) == before
+    assert [tuple(r) for r in
+            S.ann_topk_ivf_indexed(spark, idx).collect()] == served_before
+    # replay protection survives compaction
+    assert S.update_ivf_index(
+        spark, _mk_batch(spark, emb, 5_000_000), idx, batch_id=1) is False
+    assert _counts(spark, idx) == before
+
+
+def test_streaming_append_exactly_once(spark, emb, tmp_path):
+    """File-source vector stream → foreachBatch append: every input
+    vector lands exactly once; RERUNNING the drained stream on the
+    same checkpoint appends nothing; serving sees the union."""
+    from explora_kafka_spark.streaming.index_update import (
+        ivf_index_update_stream,
+    )
+
+    idx = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    S.build_ivf_index(base, idx)
+    n0 = sum(_counts(spark, idx).values())
+    n_delta = delta.count()
+    src = str(tmp_path / "stream_in")
+    delta.repartition(3).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>, label int"
+    ).parquet(src).select("vec_id", "embedding")
+    q = ivf_index_update_stream(spark, stream, idx, ckpt)
+    q.awaitTermination(120)
+    assert sum(_counts(spark, idx).values()) == n0 + n_delta
+    # drained re-run: checkpoint already holds the committed offsets
+    q2 = ivf_index_update_stream(
+        spark,
+        spark.readStream.schema(
+            "vec_id bigint, embedding array<float>, label int"
+        ).parquet(src).select("vec_id", "embedding"),
+        idx, ckpt)
+    q2.awaitTermination(120)
+    assert sum(_counts(spark, idx).values()) == n0 + n_delta
+    # every delta member is servable from its assigned list
+    ids = {r["neighbor_id"] for r in
+           S.read_index_lists(spark, idx).select("neighbor_id").collect()}
+    assert set(r["vec_id"] for r in delta.collect()) <= ids
