@@ -1010,26 +1010,67 @@ _IVF_MANIFEST = "_manifest.json"
 
 
 def _ivf_manifest(path: str) -> dict:
-    """The index's committed state: {"dirs": [...], "batches": [...]}.
-    A pre-manifest (legacy) index reads as the single `lists` dir with
-    no recorded batches — fully backward compatible."""
+    """The index's committed state: {"dirs": [...], "batches": [...],
+    "streams": {stream_id: last_epoch}}. A pre-manifest (legacy)
+    index reads as the single `lists` dir with no recorded batches —
+    fully backward compatible (older manifests without "streams"
+    likewise)."""
     try:
         with open(os.path.join(path, _IVF_MANIFEST)) as f:
-            return json.load(f)
+            m = json.load(f)
     except FileNotFoundError:
-        return {"dirs": ["lists"], "batches": []}
+        m = {"dirs": ["lists"], "batches": []}
+    m.setdefault("streams", {})
+    return m
 
 
 def _commit_ivf_manifest(path: str, manifest: dict) -> None:
-    """Atomic manifest swap (write-temp + os.replace — the
-    ParquetViewStore pointer discipline): a crash before the replace
+    """Atomic + durable manifest swap (write-temp, fsync file,
+    os.replace, fsync dir — the ParquetViewStore pointer discipline
+    hardened against power loss: without the fsyncs a crash can
+    persist the rename but lose the data blocks, leaving a truncated
+    manifest that bricks every reader). A crash before the replace
     leaves the previous manifest intact and any just-written delta
     dir orphaned/unread; the replaying batch overwrites the orphan
     and commits, so appends are exactly-once end-to-end."""
     tmp = os.path.join(path, f"{_IVF_MANIFEST}.tmp.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, _IVF_MANIFEST))
+    dfd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _mutate_ivf_manifest(path: str, mutate) -> dict | None:
+    """Serialized read→mutate→commit of the manifest under an
+    exclusive POSIX lock file: concurrent committers (a streaming
+    append and a scheduled compaction — r12 review: an unsynchronized
+    read-modify-write let compaction silently drop a batch that
+    committed between its read and its write) each see the LATEST
+    state and replace it atomically. `mutate(manifest)` edits in
+    place and returns the manifest to commit, or None to commit
+    nothing. Single-host scope (flock): on a shared object store,
+    run ONE maintenance writer per index — the Delta/Iceberg
+    optimistic-commit protocol is the out-of-sandbox upgrade."""
+    import fcntl
+
+    lock = os.path.join(path, "_manifest.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        manifest = _ivf_manifest(path)
+        out = mutate(manifest)
+        if out is not None:
+            _commit_ivf_manifest(path, out)
+        return out
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def read_index_lists(spark, path: str) -> DataFrame:
@@ -1052,6 +1093,7 @@ def update_ivf_index(
     path: str,
     round_to: int = 6,
     batch_id: int | str | None = None,
+    stream_id: str | None = None,
 ) -> bool:
     """Append newly admitted vectors into the IVF lists using the
     STORED centroids — the serving index learns new corpus items
@@ -1073,17 +1115,43 @@ def update_ivf_index(
     `ParquetViewStore.merge` gives views, on the ANN axis; Structured
     Streaming's at-least-once foreachBatch replays therefore cannot
     duplicate index rows (reference parity: the flush/batch-id
-    exactly-once theme, flush-kafka-stream-app.sh). Without
-    `batch_id` the append still commits via the manifest but is not
-    replay-protected (ad-hoc batch use).
+    exactly-once theme, flush-kafka-stream-app.sh). The ledger has
+    two scopes (r12 review hardening):
+
+    - `stream_id` + `batch_id`: per-stream MONOTONIC watermark —
+      foreachBatch epoch ids are monotonic per checkpoint and only
+      the LATEST epoch can replay, so the manifest keeps ONE integer
+      per stream and no-ops on `epoch <= last` (the
+      ParquetViewStore.merge discipline; O(1) and bounded however
+      long the stream runs). Epoch ids are only unique PER
+      checkpoint, so the bare-id ledger would wrongly drop fresh
+      batches after a checkpoint change — the stream scope is the
+      Delta txnAppId idea.
+    - bare `batch_id` (ad-hoc batch use): exact membership in an
+      id LIST — unbounded ids here mean an unbounded manifest, so
+      reserve it for occasional manual appends.
+
+    Concurrency: the manifest commit is a serialized
+    read→mutate→swap under the index's lock file
+    (`_mutate_ivf_manifest`), so a concurrent compaction cannot
+    drop this batch's commit. Without any id the append commits
+    unprotected (no replay guard).
 
     Batch cost: one statistic-sized centroid collect + a per-row
     exact-key argmax, corpus never rescanned (`round_to` unused since
     the round-11 exact-key migration; kept for signature stability).
     Returns True if the batch was applied, False on a replay no-op."""
-    manifest = _ivf_manifest(path)
     bid = None if batch_id is None else str(batch_id)
-    if bid is not None and bid in manifest["batches"]:
+    sid = None if stream_id is None else str(stream_id)
+
+    def _already(manifest: dict) -> bool:
+        if sid is not None:
+            return (batch_id is not None
+                    and int(batch_id)
+                    <= manifest["streams"].get(sid, -1))
+        return bid is not None and bid in manifest["batches"]
+
+    if _already(_ivf_manifest(path)):
         return False
     cent = spark.read.parquet(f"{path}/centroids")
     new_rows = (
@@ -1092,39 +1160,74 @@ def update_ivf_index(
                 F.col("embedding").alias("n_emb"), "cid")
     ).persist()
     try:
-        delta = (f"lists_delta_{bid}" if bid is not None
+        # stream ids are often paths — hash them into the dir name
+        tag = (bid if sid is None else
+               f"{hashlib.sha1(sid.encode()).hexdigest()[:8]}_{bid}")
+        delta = (f"lists_delta_{tag}" if tag is not None
                  else f"lists_delta_{uuid.uuid4().hex[:12]}")
-        if new_rows.count() > 0:
+        has_rows = new_rows.count() > 0
+        if has_rows:
             (new_rows.repartition("cid")
              .write.mode("overwrite").partitionBy("cid")
              .parquet(os.path.join(path, delta)))
-            manifest["dirs"] = [*manifest["dirs"], delta]
     finally:
         new_rows.unpersist()
-    if bid is not None:
-        manifest["batches"] = [*manifest["batches"], bid]
-    _commit_ivf_manifest(path, manifest)
-    return True
+
+    applied = {"v": False}
+
+    def _commit(manifest: dict) -> dict | None:
+        if _already(manifest):  # re-check under the lock
+            return None
+        if has_rows:
+            manifest["dirs"] = [*manifest["dirs"], delta]
+        if sid is not None:
+            manifest["streams"][sid] = int(batch_id)
+        elif bid is not None:
+            manifest["batches"] = [*manifest["batches"], bid]
+        applied["v"] = True
+        return manifest
+
+    _mutate_ivf_manifest(path, _commit)
+    return applied["v"]
 
 
 def compact_ivf_index(spark, path: str) -> None:
-    """Fold the manifest's delta dirs back into one `lists` dir (the
+    """Fold the manifest's committed dirs back into one dir (the
     OPTIMIZE job of the index lifecycle, the compact_store twin):
     rewrite the union into a fresh dir, then atomically re-point the
-    manifest at it — committed batch ids survive, so replay
-    protection is unaffected; readers before the swap see the old
-    dirs, after it the compacted one. Run when open deltas accumulate
-    (each costs one batch-sized scan at serve time)."""
-    manifest = _ivf_manifest(path)
-    if manifest["dirs"] == ["lists"] and len(manifest["dirs"]) == 1:
+    manifest at it — the batch/stream ledgers survive, so replay
+    protection is unaffected. The folded dirs are DELETED after the
+    swap (the ParquetViewStore retention discipline — without GC
+    every compaction would leak a full index copy); a reader that
+    planned against the old manifest in that brief window re-plans,
+    the documented compact_store trade-off. The commit merges under
+    the manifest lock: delta dirs committed by a concurrent append
+    AFTER the compaction's read are carried over untouched (r12
+    review: the unsynchronized version silently dropped them). A
+    single-dir index is a no-op — scheduled compactors don't rewrite
+    a compacted index. Run when open deltas accumulate (each costs
+    one batch-sized scan at serve time)."""
+    snapshot = _ivf_manifest(path)
+    folded = list(snapshot["dirs"])
+    if len(folded) <= 1:
         return
     new_dir = f"lists_compact_{uuid.uuid4().hex[:12]}"
     (read_index_lists(spark, path)
      .repartition("cid")
      .write.mode("overwrite").partitionBy("cid")
      .parquet(os.path.join(path, new_dir)))
-    _commit_ivf_manifest(
-        path, {"dirs": [new_dir], "batches": manifest["batches"]})
+
+    def _commit(manifest: dict) -> dict:
+        # carry over dirs that committed since the snapshot read
+        late = [d for d in manifest["dirs"] if d not in folded]
+        manifest["dirs"] = [new_dir, *late]
+        return manifest
+
+    _mutate_ivf_manifest(path, _commit)
+    import shutil as _sh
+
+    for d in folded:
+        _sh.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def ann_topk_ivf_indexed(
@@ -1188,6 +1291,13 @@ def serve_ivf_indexed(
         _rank_against_centroids(queries, cent, nprobe, "query_id", "q_emb")
         .select("query_id", "q_emb", "cid")
     )
+    dirs = _ivf_manifest(index_path)["dirs"]
+    if len(dirs) > 1:
+        # bound the probe computation (the Arrow centroid-ranking
+        # kernel) to ONCE: each per-dir join re-references the probes
+        # subtree and plan reuse across union branches is not
+        # guaranteed — materialize the (batch-sized) probe table
+        probes = probes.localCheckpoint(eager=True)
     sim = F.expr(cosine_expr_spark("q_emb", "n_emb"))
     scored_parts = [
         spark.read.parquet(os.path.join(index_path, d))
@@ -1195,7 +1305,7 @@ def serve_ivf_indexed(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
                 F.round(sim, round_to).alias("sim"))
-        for d in _ivf_manifest(index_path)["dirs"]
+        for d in dirs
     ]
     scored = reduce(lambda a, b: a.unionByName(b), scored_parts)
     w = Window.partitionBy("query_id").orderBy(

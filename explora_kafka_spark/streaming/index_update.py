@@ -38,17 +38,28 @@ def ivf_index_update_stream(
     index_path: str,
     checkpoint: str,
     available_now: bool = True,
+    stream_id: str | None = None,
 ):
     """Append a streaming (vec_id, embedding) source into the IVF
     index at `index_path`, one exactly-once committed batch per
     micro-batch epoch. Returns the started StreamingQuery (callers
     awaitTermination / stop). With `available_now`, drains the
     currently-available input and finishes — the test/backfill
-    trigger; continuous ingest passes False."""
+    trigger; continuous ingest passes False.
+
+    `stream_id` scopes the ledger (the Delta txnAppId idea): epoch
+    ids are only unique PER checkpoint, so two streams — or one
+    stream restarted on a FRESH checkpoint — must not share a
+    watermark or fresh epochs would read as replays and be silently
+    dropped (r12 review). Defaults to the checkpoint path, which is
+    stable across restarts of the same checkpoint and naturally
+    distinct for a new one; pass an explicit durable id if the
+    checkpoint may be relocated mid-stream."""
+    sid = stream_id if stream_id is not None else checkpoint
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
         update_ivf_index(df.sparkSession, df, index_path,
-                         batch_id=epoch_id)
+                         batch_id=epoch_id, stream_id=sid)
 
     writer = (
         vec_stream.writeStream

@@ -51,6 +51,31 @@ def test_update_replay_is_noop(spark, emb, tmp_path):
     assert sum(_counts(spark, idx).values()) == n0 + 10
 
 
+def test_stream_scope_is_monotonic_watermark(spark, emb, tmp_path):
+    """Stream-scoped ledger (the Delta txnAppId idea): per stream, one
+    monotonic watermark — only `epoch <= last` no-ops; a DIFFERENT
+    stream's epoch 0 is not a replay of this stream's (epoch ids are
+    unique per checkpoint only, r12 review)."""
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx)
+    n0 = sum(_counts(spark, idx).values())
+    mk = lambda s: _mk_batch(spark, emb, s)  # noqa: E731
+    assert S.update_ivf_index(spark, mk(5_000_000), idx,
+                              batch_id=5, stream_id="a") is True
+    assert S.update_ivf_index(spark, mk(5_000_000), idx,
+                              batch_id=5, stream_id="a") is False
+    assert S.update_ivf_index(spark, mk(5_100_000), idx,
+                              batch_id=4, stream_id="a") is False
+    assert S.update_ivf_index(spark, mk(5_200_000), idx,
+                              batch_id=6, stream_id="a") is True
+    # a second stream starting at epoch 0 APPLIES (not a replay)
+    assert S.update_ivf_index(spark, mk(6_000_000), idx,
+                              batch_id=0, stream_id="b") is True
+    assert sum(_counts(spark, idx).values()) == n0 + 15
+    m = json.load(open(os.path.join(idx, "_manifest.json")))
+    assert m["streams"] == {"a": 6, "b": 0}
+
+
 def test_crashed_epoch_orphan_is_overwritten(spark, emb, tmp_path):
     """Crash between the delta write and the manifest swap: the delta
     dir exists but is uncommitted — readers must not see it, and the
@@ -89,6 +114,14 @@ def test_compact_folds_deltas_and_keeps_ledger(spark, emb, tmp_path):
     assert _counts(spark, idx) == before
     assert [tuple(r) for r in
             S.ann_topk_ivf_indexed(spark, idx).collect()] == served_before
+    # GC: the folded dirs are deleted (r12 review: no leaked copies)
+    on_disk = {d for d in os.listdir(idx) if d.startswith("lists")}
+    assert on_disk == set(m["dirs"])
+    # a second compaction of a single-dir index is a NO-OP (no
+    # corpus rewrite: the dir is unchanged)
+    S.compact_ivf_index(spark, idx)
+    assert json.load(open(os.path.join(idx, "_manifest.json")))[
+        "dirs"] == m["dirs"]
     # replay protection survives compaction
     assert S.update_ivf_index(
         spark, _mk_batch(spark, emb, 5_000_000), idx, batch_id=1) is False
@@ -116,7 +149,7 @@ def test_streaming_append_exactly_once(spark, emb, tmp_path):
         "vec_id bigint, embedding array<float>, label int"
     ).parquet(src).select("vec_id", "embedding")
     q = ivf_index_update_stream(spark, stream, idx, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "availableNow drain timed out"
     assert sum(_counts(spark, idx).values()) == n0 + n_delta
     # drained re-run: checkpoint already holds the committed offsets
     q2 = ivf_index_update_stream(
@@ -125,7 +158,7 @@ def test_streaming_append_exactly_once(spark, emb, tmp_path):
             "vec_id bigint, embedding array<float>, label int"
         ).parquet(src).select("vec_id", "embedding"),
         idx, ckpt)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(300), "rerun drain timed out"
     assert sum(_counts(spark, idx).values()) == n0 + n_delta
     # every delta member is servable from its assigned list
     ids = {r["neighbor_id"] for r in
