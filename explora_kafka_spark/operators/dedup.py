@@ -799,17 +799,32 @@ def update_dedup_index(
     """Append newly admitted documents' banded signatures into the
     index — the gate-learns step for the MinHash tier: once a batch is
     admitted, re-sent near-copies must collide with it in
-    `dedup_check`. Band rows are keyed by doc_id, so appending NEW
-    documents cannot duplicate existing rows; the caller's contract is
-    to append each admitted batch exactly once (ids are unique across
-    batches by the ingest key discipline). Same lifecycle as
-    `contamination.update_shingle_index` /
-    `semdedup.update_semantic_index`."""
+    `dedup_check`.
+
+    Replay-safe by VALUE (r12, the `update_shingle_index` precedent):
+    the batch's band rows are anti-joined on (doc_id, band_idx) — a
+    row's full identity, band_key being a function of the doc — so a
+    replayed batch appends nothing and a crash mid-append CONVERGES on
+    retry (already-written rows drop out, missing rows land); a
+    duplicated band row would otherwise duplicate `dedup_check`
+    candidate rows. The anti-join probes only the index's two key
+    columns (column-pruned scan), and the checkpoint freezes the new
+    rows before the append reads-and-writes the same path. Same
+    lifecycle as `contamination.update_shingle_index` /
+    `semdedup.update_semantic_index` (the latter is replay-idempotent
+    by construction — a replayed vector matches itself in the reps
+    store)."""
     banded = banded_signatures(
         minhash_signatures(docs, num_hashes, shingle_n),
         num_bands, num_hashes // num_bands,
     )
-    (banded.repartition("band_idx", "band_key")
+    existing = docs.sparkSession.read.parquet(f"{path}/bands").select(
+        "doc_id", "band_idx")
+    new_rows = (
+        banded.join(existing, ["doc_id", "band_idx"], "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    (new_rows.repartition("band_idx", "band_key")
      .write.mode("append").parquet(f"{path}/bands"))
 
 

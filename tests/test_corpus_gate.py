@@ -249,9 +249,18 @@ def test_gate_learns_after_index_updates(spark, docs, tmp_path):
     update_shingle_index(spark, fresh, str(tmp_path / "sh"))
     sh_after = spark.read.parquet(str(tmp_path / "sh/train_shingles"))
     assert sh_after.count() == n_before
+    # same invariant for the LSH band store (r12: replay-safe by
+    # value — a foreachBatch replay of the admitted batch must not
+    # duplicate band rows / dedup_check candidates)
+    lsh = str(tmp_path / "lsh/bands")
+    bands_before = spark.read.parquet(lsh).count()
+    update_dedup_index(fresh, str(tmp_path / "lsh"), shingle_n=2,
+                       num_bands=8)
+    assert spark.read.parquet(lsh).count() == bands_before
     third = gate_batch(spark, resent, str(tmp_path / "sh"),
                        str(tmp_path / "lsh"), **kw).collect()[0]
     assert third["contamination"] == 1.0
+    assert third["n_near_dups"] >= 1 and not third["accepted"]
 
 
 def test_learning_gate_rejects_cross_batch_copy(spark, docs, tmp_path):
