@@ -3713,75 +3713,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     return {k: _configured(v) for k, v in {
-        # ROUND-12 ROTATION (VERDICT r11 task #1): window = the 26
-        # never-driver-recorded late-r11 entries + the 2 NEW round-12
-        # index-maintenance entries + all 22 r7-stale entries = exactly
-        # 50; after this round no entry's last driver row predates r8.
-        # Below the cap the bands queue oldest-first (r8 -> r11) for the
-        # r13 rotation.
-        # - never driver-recorded: TPC-H waves 2-3, cluster diagnostics,
-        #   mixture audits, inertia sweep, pack efficiency -
-        "volume_shipping": q_volume_shipping,
-        "top_supplier": q_top_supplier,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "waiting_supplier": q_waiting_supplier,
-        "cluster_source_mi": q_cluster_source_mi,
-        "cluster_balance_sample": q_cluster_balance_sample,
-        "market_share": q_market_share,
-        "tier_dup_lift": q_tier_dup_lift,
-        "token_mix_by_tier": q_token_mix_by_tier,
-        "kmeans_inertia_sweep": q_kmeans_inertia_sweep,
-        "pack_efficiency_report": q_pack_efficiency_report,
-        "nation_profit": q_nation_profit,
-        "important_parts": q_important_parts,
-        "parts_supplier_variety": q_parts_supplier_variety,
-        "concentrated_part_suppliers": q_concentrated_part_suppliers,
-        "min_cost_supplier": q_min_cost_supplier,
-        # - never driver-recorded: lexical-audit wave, admission-gate
-        #   pair, blocklist, source-pair Jaccard -
-        "ttr_profile": q_ttr_profile,
-        "zipf_slope": q_zipf_slope,
-        "ngram_novelty": q_ngram_novelty,
-        "length_bucket_drift": q_length_bucket_drift,
-        "temperature_mix": q_temperature_mix,
-        "vocab_coverage": q_vocab_coverage,
-        "expect_embeddings": q_expect_embeddings,
-        "near_dup_cluster_profile": q_near_dup_cluster_profile,
-        "blocklist_filter": q_blocklist_filter,
-        "source_pair_jaccard": q_source_pair_jaccard,
-        # - NEW round-12 operators (enter the window on landing):
-        #   incremental IVF index append + index-staleness recall audit -
-        "ivf_index_append": q_ivf_index_append,
-        "ann_recall_drift": q_ann_recall_drift,
-        # - last driver rows r7 (five rounds stale) -
-        "dedup_groups": q_dedup_groups,
-        "simhash_near_dup": q_simhash_near_dup,
-        "dedup_ensemble": q_dedup_ensemble,
-        "lang_id": q_lang_id,
-        "docs_quality_filter": q_docs_quality_filter,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "token_frequency": q_token_frequency,
-        "source_quality_profile": q_source_quality_profile,
-        "doc_repetition": q_doc_repetition,
-        "contamination_ngram": q_contamination_ngram,
-        "contamination_check": q_contamination_check,
-        "corpus_canonical": q_corpus_canonical,
-        "stratified_sample": q_stratified_sample,
-        "token_budget_sample": q_token_budget_sample,
-        "pack_sequences": q_pack_sequences,
-        "label_centroids": q_label_centroids,
-        "label_centroid_cosine": q_label_centroid_cosine,
-        "metric_correlation": q_metric_correlation,
-        "metric_hour_anomaly": q_metric_hour_anomaly,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_resize": q_multimodal_resize,
-        "asof_hourly_stats": q_asof_hourly_stats,
-        # --- driver cap line (entries below lose their CORRECTNESS row;
-        #     they still run in bench.py and tools/verify_local.py) ---
-        # - NEW round-12 (landed after the 50-slot window filled —
-        #   growth-pause pattern; r13 rotation head) -
+        # ROUND-13 ROTATION (VERDICT r12 task #1): window = ivf_list_skew
+        # (the only never-driver-recorded entry, queued past the cap when
+        # it landed late in r12) + all 49 r8-stale entries = exactly 50;
+        # after this round no entry's last driver row predates r9. Below
+        # the cap the bands queue oldest-first (r9 -> r12) for the r14
+        # rotation; NEW round-13 entries queue at the r14 rotation head
+        # (growth-pause pattern, same as ivf_list_skew last round).
+        # - never driver-recorded: the r12 late landing -
         "ivf_list_skew": q_ivf_list_skew,
-        # - last driver rows r8 -
+        # - last driver rows r8 (four rounds stale) -
         "cell_bucket_key": q_cell_bucket_key,
         "base_view_min_p7": q_base_view_min_p7,
         "lattice_hour_p6": q_lattice_hour_p6,
@@ -3831,6 +3772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "write_shards": q_write_shards,
         "bpe_merges": q_bpe_merges,
         "ann_topk_ivf_quantized": q_ann_topk_ivf_quantized,
+        # --- driver cap line (entries below lose their CORRECTNESS row;
+        #     they still run in bench.py and tools/verify_local.py) ---
         # - last driver rows r9 -
         "bpe_encode": q_bpe_encode,
         "ann_topk_pq": q_ann_topk_pq,
@@ -3979,6 +3922,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "ingest_dedup": q_ingest_dedup,
         "dedup_near": q_dedup_near,
+        # - last driver rows r12 (freshest; rotate out last) -
+        "volume_shipping": q_volume_shipping,
+        "top_supplier": q_top_supplier,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "waiting_supplier": q_waiting_supplier,
+        "cluster_source_mi": q_cluster_source_mi,
+        "cluster_balance_sample": q_cluster_balance_sample,
+        "market_share": q_market_share,
+        "tier_dup_lift": q_tier_dup_lift,
+        "token_mix_by_tier": q_token_mix_by_tier,
+        "kmeans_inertia_sweep": q_kmeans_inertia_sweep,
+        "pack_efficiency_report": q_pack_efficiency_report,
+        "nation_profit": q_nation_profit,
+        "important_parts": q_important_parts,
+        "parts_supplier_variety": q_parts_supplier_variety,
+        "concentrated_part_suppliers": q_concentrated_part_suppliers,
+        "min_cost_supplier": q_min_cost_supplier,
+        "ttr_profile": q_ttr_profile,
+        "zipf_slope": q_zipf_slope,
+        "ngram_novelty": q_ngram_novelty,
+        "length_bucket_drift": q_length_bucket_drift,
+        "temperature_mix": q_temperature_mix,
+        "vocab_coverage": q_vocab_coverage,
+        "expect_embeddings": q_expect_embeddings,
+        "near_dup_cluster_profile": q_near_dup_cluster_profile,
+        "blocklist_filter": q_blocklist_filter,
+        "source_pair_jaccard": q_source_pair_jaccard,
+        "ivf_index_append": q_ivf_index_append,
+        "ann_recall_drift": q_ann_recall_drift,
+        "dedup_groups": q_dedup_groups,
+        "simhash_near_dup": q_simhash_near_dup,
+        "dedup_ensemble": q_dedup_ensemble,
+        "lang_id": q_lang_id,
+        "docs_quality_filter": q_docs_quality_filter,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "token_frequency": q_token_frequency,
+        "source_quality_profile": q_source_quality_profile,
+        "doc_repetition": q_doc_repetition,
+        "contamination_ngram": q_contamination_ngram,
+        "contamination_check": q_contamination_check,
+        "corpus_canonical": q_corpus_canonical,
+        "stratified_sample": q_stratified_sample,
+        "token_budget_sample": q_token_budget_sample,
+        "pack_sequences": q_pack_sequences,
+        "label_centroids": q_label_centroids,
+        "label_centroid_cosine": q_label_centroid_cosine,
+        "metric_correlation": q_metric_correlation,
+        "metric_hour_anomaly": q_metric_hour_anomaly,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "asof_hourly_stats": q_asof_hourly_stats,
     }.items()}
 
 

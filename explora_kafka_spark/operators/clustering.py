@@ -459,7 +459,11 @@ def cluster_source_mi(
 
     100 TB: one corpus-keyed equi-join (assignment is one row per doc),
     one (cluster, source)-keyed partial-agg shuffle, then all
-    arithmetic on the C x S statistic table.
+    arithmetic on the C x S statistic table. The cell table feeds FOUR
+    consumers (cmarg/smarg/tot/final join) and Spark does not dedupe
+    common subplans, so it is localCheckpointed (C x S rows,
+    statistic-sized — the same lineage-cut discipline kmeans applies to
+    centroids) to keep the corpus join+agg at exactly ONE execution.
     """
     assigned = kmeans(emb, k=k, iters=iters, key=vec_key)
     cells = (
@@ -467,7 +471,7 @@ def cluster_source_mi(
         .join(assigned, F.col(key) == F.col(vec_key))
         .groupBy("cluster", "source")
         .agg(F.count("*").alias("n_cs"))
-    )
+    ).localCheckpoint(eager=True)
     cmarg = cells.groupBy("cluster").agg(F.sum("n_cs").alias("n_c"))
     smarg = cells.groupBy("source").agg(F.sum("n_cs").alias("n_s"))
     tot = cells.agg(F.sum("n_cs").alias("n_tot"))

@@ -26,6 +26,7 @@ import hashlib
 import json
 import math
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame
@@ -1141,6 +1142,13 @@ def update_ivf_index(
     exact-key argmax, corpus never rescanned (`round_to` unused since
     the round-11 exact-key migration; kept for signature stability).
     Returns True if the batch was applied, False on a replay no-op."""
+    if stream_id is not None and batch_id is None:
+        # validate BEFORE any data write: failing later (at the locked
+        # commit's int() cast) would leave an orphan delta dir and no
+        # committed batch (r13 review)
+        raise ValueError(
+            "stream_id requires batch_id (the foreachBatch epoch id): "
+            "the stream ledger is a per-stream epoch watermark")
     bid = None if batch_id is None else str(batch_id)
     sid = None if stream_id is None else str(stream_id)
 
@@ -1160,9 +1168,16 @@ def update_ivf_index(
                 F.col("embedding").alias("n_emb"), "cid")
     ).persist()
     try:
-        # stream ids are often paths — hash them into the dir name
-        tag = (bid if sid is None else
-               f"{hashlib.sha1(sid.encode()).hexdigest()[:8]}_{bid}")
+        # ids go into the DIR NAME, so both scopes sanitize: stream ids
+        # are often paths (hashed), and a bare batch id containing '/'
+        # or other path chars would create nested/invalid dirs the
+        # manifest can't resolve (r13 review) — the RAW id stays in the
+        # ledger; only the dir name is hashed/escaped.
+        safe_bid = (None if bid is None
+                    else bid if re.fullmatch(r"[A-Za-z0-9_.-]{1,64}", bid)
+                    else hashlib.sha1(bid.encode()).hexdigest()[:12])
+        tag = (safe_bid if sid is None else
+               f"{hashlib.sha1(sid.encode()).hexdigest()[:8]}_{safe_bid}")
         delta = (f"lists_delta_{tag}" if tag is not None
                  else f"lists_delta_{uuid.uuid4().hex[:12]}")
         has_rows = new_rows.count() > 0
@@ -1206,13 +1221,23 @@ def compact_ivf_index(spark, path: str) -> None:
     review: the unsynchronized version silently dropped them). A
     single-dir index is a no-op — scheduled compactors don't rewrite
     a compacted index. Run when open deltas accumulate (each costs
-    one batch-sized scan at serve time)."""
+    one batch-sized scan at serve time).
+
+    The rewrite unions the SNAPSHOT's dirs directly — NOT
+    read_index_lists, which re-reads the manifest: a delta committed
+    between the snapshot and that second read would be folded into
+    the new dir AND carried over as a 'late' dir by the commit,
+    duplicating its rows (r13 review — exactly the concurrent-append
+    window the lock protects)."""
+    from functools import reduce
+
     snapshot = _ivf_manifest(path)
     folded = list(snapshot["dirs"])
     if len(folded) <= 1:
         return
     new_dir = f"lists_compact_{uuid.uuid4().hex[:12]}"
-    (read_index_lists(spark, path)
+    parts = [spark.read.parquet(os.path.join(path, d)) for d in folded]
+    (reduce(lambda a, b: a.unionByName(b), parts)
      .repartition("cid")
      .write.mode("overwrite").partitionBy("cid")
      .parquet(os.path.join(path, new_dir)))
@@ -1415,12 +1440,17 @@ def ivf_list_stats(spark, index_path: str) -> DataFrame:
     )
     tot = per.agg(F.sum("n_vectors").alias("_t"),
                   F.count("*").alias("_l"))
+    # quotient+remainder instead of n*l*1e6 (which overflows int64
+    # around a 4e8-row fully-skewed list under ANSI — the
+    # important_parts DIV+remainder discipline): exact because
+    # n*1e6 = q*t + r  =>  floor(n*1e6*l/t) = q*l + floor(r*l/t).
+    ppm = ("(n_vectors * 1000000 DIV _t) * _l"
+           " + (n_vectors * 1000000 % _t) * _l DIV _t")
     return (
         per.join(F.broadcast(tot))
         .select(
             "cid", "n_vectors",
-            F.expr("CASE WHEN _t = 0 THEN NULL"
-                   " ELSE n_vectors * _l * 1000000 DIV _t END")
+            F.expr(f"CASE WHEN _t = 0 THEN NULL ELSE {ppm} END")
             .alias("load_ppm"))
         .orderBy("cid")
     )
@@ -1458,8 +1488,9 @@ def ivf_list_stats_sql(
         )
         SELECT cid, n_vectors,
                CAST(CASE WHEN t = 0 THEN NULL
-                    ELSE n_vectors * l * 1000000 // t END AS BIGINT)
-                   AS load_ppm
+                    ELSE (n_vectors * 1000000 // t) * l
+                         + (n_vectors * 1000000 % t) * l // t
+                    END AS BIGINT) AS load_ppm
         FROM per, tot
         ORDER BY cid
     """

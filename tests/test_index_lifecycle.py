@@ -164,3 +164,100 @@ def test_streaming_append_exactly_once(spark, emb, tmp_path):
     ids = {r["neighbor_id"] for r in
            S.read_index_lists(spark, idx).select("neighbor_id").collect()}
     assert set(r["vec_id"] for r in delta.collect()) <= ids
+
+
+def test_stream_scope_requires_batch_id(spark, emb, tmp_path):
+    """stream_id without batch_id fails AT ENTRY (r13 review): the old
+    code passed the pre-check, wrote the delta dir, then raised at the
+    locked commit's int() cast — an orphan dir and no committed batch."""
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx)
+    batch = _mk_batch(spark, emb, 5_000_000)
+    with pytest.raises(ValueError, match="batch_id"):
+        S.update_ivf_index(spark, batch, idx, stream_id="a")
+    # no orphan delta dir was written
+    assert not [d for d in os.listdir(idx) if d.startswith("lists_delta")]
+
+
+def test_bare_batch_id_path_chars_sanitized(spark, emb, tmp_path):
+    """A bare batch_id containing path characters must not create
+    nested/invalid delta dirs (r13 review): the dir name is hashed, the
+    RAW id stays in the ledger, and replay protection still keys on it."""
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx)
+    n0 = sum(_counts(spark, idx).values())
+    batch = _mk_batch(spark, emb, 5_000_000)
+    assert S.update_ivf_index(spark, batch, idx,
+                              batch_id="job/2026-08-16/..x") is True
+    m = json.load(open(os.path.join(idx, "_manifest.json")))
+    assert m["batches"] == ["job/2026-08-16/..x"]  # raw id in ledger
+    delta_dirs = [d for d in m["dirs"] if d != "lists"]
+    assert len(delta_dirs) == 1
+    assert "/" not in delta_dirs[0] and ".." not in delta_dirs[0]
+    assert sum(_counts(spark, idx).values()) == n0 + 5
+    # readers resolve the manifest dir consistently + replay no-ops
+    assert S.update_ivf_index(spark, batch, idx,
+                              batch_id="job/2026-08-16/..x") is False
+    assert sum(_counts(spark, idx).values()) == n0 + 5
+
+
+def test_compact_concurrent_append_carried_not_folded(
+        spark, emb, tmp_path, monkeypatch):
+    """A delta committed while compaction is in flight is carried over
+    exactly once (r13 review): the rewrite unions the SNAPSHOT's dirs —
+    the old read_index_lists re-read could fold the late delta into the
+    compacted dir AND carry it, duplicating its rows."""
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(emb, idx)
+    S.update_ivf_index(spark, _mk_batch(spark, emb, 5_000_000), idx,
+                       batch_id=1)
+    n_snapshot = sum(_counts(spark, idx).values())
+    real_mutate = S._mutate_ivf_manifest
+    state = {"injected": False}
+
+    def inject_then_commit(path, mutate):
+        # fires at the compaction's commit: a concurrent append lands
+        # between the snapshot read and the manifest swap
+        if not state["injected"]:
+            state["injected"] = True
+            monkeypatch.setattr(S, "_mutate_ivf_manifest", real_mutate)
+            S.update_ivf_index(spark, _mk_batch(spark, emb, 6_000_000),
+                               idx, batch_id=2)
+        return real_mutate(path, mutate)
+
+    monkeypatch.setattr(S, "_mutate_ivf_manifest", inject_then_commit)
+    S.compact_ivf_index(spark, idx)
+    m = json.load(open(os.path.join(idx, "_manifest.json")))
+    # late delta carried over as its own dir, not folded
+    assert len(m["dirs"]) == 2
+    compact_dir = [d for d in m["dirs"] if d.startswith("lists_compact")]
+    assert len(compact_dir) == 1
+    n_compacted = spark.read.parquet(
+        os.path.join(idx, compact_dir[0])).count()
+    assert n_compacted == n_snapshot  # snapshot rows only
+    assert sum(_counts(spark, idx).values()) == n_snapshot + 5  # no dup
+    assert sorted(m["batches"]) == ["1", "2"]
+
+
+def test_load_ppm_quotient_remainder_no_overflow():
+    """load_ppm via quotient+remainder (r13 review): the straight
+    n*l*1e6 form overflows int64 near a 4e8-row fully-skewed list with
+    l≈√n; the reordered form is exact and stays in range — checked on
+    both engines' dialects at the overflow boundary."""
+    import duckdb
+
+    n, l, t = 500_000_000, 22_360, 500_000_000
+    want = n * l * 1_000_000 // t  # python bigint truth
+    got = duckdb.sql(
+        f"SELECT (n * 1000000 // t) * l + (n * 1000000 % t) * l // t "
+        f"FROM (SELECT CAST({n} AS BIGINT) n, CAST({l} AS BIGINT) l, "
+        f"CAST({t} AS BIGINT) t)").fetchone()[0]
+    assert got == want
+    # skewed remainder path: n < t so the remainder term is non-zero
+    n2, t2 = 123_456_789, 500_000_000
+    want2 = n2 * l * 1_000_000 // t2
+    got2 = duckdb.sql(
+        f"SELECT (n * 1000000 // t) * l + (n * 1000000 % t) * l // t "
+        f"FROM (SELECT CAST({n2} AS BIGINT) n, CAST({l} AS BIGINT) l, "
+        f"CAST({t2} AS BIGINT) t)").fetchone()[0]
+    assert got2 == want2

@@ -72,12 +72,16 @@ CASES: dict[str, tuple[str, list[str]]] = {
         [r"PushedFilters", r"BroadcastHashJoin"],
     ),
     "cluster_source_mi": (
-        "Cluster-source MI (round 11): the corpus-side join is a "
-        "doc_id equi-join onto the Arrow-kernel assignment; the only "
-        "keyless attach is the ONE-ROW total onto the CxS statistic "
-        "cell table.",
+        "Cluster-source MI (round 13 fix): the CxS cell table is "
+        "localCheckpointed before the marginals derive from it, so the "
+        "corpus-side doc_id equi-join + (cluster,source) agg runs "
+        "EXACTLY ONCE (r12 verdict: the four consumers each re-ran the "
+        "corpus subtree — four BroadcastHashJoin scans where one "
+        "suffices); downstream the plan is Scan ExistingRDD arithmetic "
+        "on statistic-sized tables, and the only keyless attach is the "
+        "ONE-ROW total onto the cell table.",
         [r"BroadcastNestedLoopJoin", r"BroadcastHashJoin",
-         r"HashAggregate"],
+         r"HashAggregate", r"Scan ExistingRDD"],
     ),
     "dedup_near": (
         "LSH banding is an equi-join on band buckets: shuffle-hash/sort-"
