@@ -1818,6 +1818,64 @@ def q_dedup_check_batch(spark, sf_dir):
                          shingle_n=2, num_bands=8)
 
 
+_DEDUP_APPEND_INDEXES: dict[str, str] = {}
+
+
+def _dedup_append_index(spark, sf_dir) -> str:
+    """Cached build→STREAM-UPDATE dedup index (round 13 — the
+    _ivf_append_index twin on the dedup axis): the base-slice index
+    hard-link-copied (updates only ADD dirs, so links are safe), then
+    the delta slice (doc_id % 5 == 0) appended through the streaming
+    face — exactly-once ledgered delta dirs committed per epoch
+    (streaming/index_update.dedup_index_update_stream)."""
+    if sf_dir not in _DEDUP_APPEND_INDEXES:
+        from explora_kafka_spark.streaming.index_update import (
+            dedup_index_update_stream,
+        )
+
+        d = tempfile.mkdtemp(prefix="explora_dedupapp_")
+        _TMPDIRS.append(d)
+        shutil.copytree(_dedup_index(spark, sf_dir), f"{d}/lsh",
+                        copy_function=os.link)
+        src = f"{d}/stream_in"
+        (_docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+         .select("doc_id", "text").write.parquet(src))
+        stream = (spark.readStream.schema("doc_id bigint, text string")
+                  .parquet(src))
+        q = dedup_index_update_stream(
+            spark, stream, f"{d}/lsh", f"{d}/ckpt",
+            num_bands=8, shingle_n=2)
+        assert q.awaitTermination(600), "dedup index stream drain"
+        _DEDUP_APPEND_INDEXES[sf_dir] = f"{d}/lsh"
+    return _DEDUP_APPEND_INDEXES[sf_dir]
+
+
+def q_dedup_index_append(spark, sf_dir):
+    """Incremental dedup-index maintenance (build → STREAM-UPDATE →
+    serve; round 13): the index is built on the corpus slice
+    (doc_id % 5 != 0), the delta slice is appended through the
+    exactly-once foreachBatch face (one ledgered delta dir per epoch —
+    the ivf_index_append lifecycle on the dedup axis), and
+    `dedup_check` serves the committed union: a probe batch
+    (doc_id % 7 == 0, overlapping both slices) must collide with base
+    AND streamed-in docs identically to a from-scratch index. Oracle:
+    dedup_check_sql over the FULL corpus as the index side."""
+    batch = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
+    return D.dedup_check(spark, batch,
+                         _dedup_append_index(spark, sf_dir),
+                         shingle_n=2, num_bands=8)
+
+
+def q_dedup_band_skew(spark, sf_dir):
+    """Fingerprint-shard skew audit of the APPENDED dedup index (the
+    ivf_list_skew twin, round 13): per band — bucket count, row count,
+    hottest bucket, its band share (ppm) and load factor vs balanced
+    (milli, 1000 = balanced). Prices the dedup_check equi-join's
+    worst probed bucket as boilerplate-heavy appends accumulate;
+    integer quotient forms on both engines."""
+    return D.dedup_band_skew(spark, _dedup_append_index(spark, sf_dir))
+
+
 def q_segment_dedup(spark, sf_dir):
     """C4/CCNet-style segment-level corpus dedup: drop every repeated
     10-token span except its corpus-wide first occurrence, reassemble
@@ -3973,6 +4031,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "asof_hourly_stats": q_asof_hourly_stats,
+        # - NEW round-13 (landed past the 50-slot window — growth-pause
+        #   pattern; r14 rotation head): dedup-index ledger lifecycle -
+        "dedup_index_append": q_dedup_index_append,
+        "dedup_band_skew": q_dedup_band_skew,
     }.items()}
 
 
@@ -4600,6 +4662,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_near": D.dedup_near_sql(shingle_n=2, num_bands=8),
         "dedup_sweep": D.dedup_sweep_sql(shingle_n=2, num_bands=8),
         "dedup_check_batch": D.dedup_check_sql(shingle_n=2, num_bands=8),
+        # streamed-in delta + base == the full corpus as the index side
+        "dedup_index_append": D.dedup_check_sql(
+            batch_pred="doc_id % 7 = 0", corpus_pred="1 = 1",
+            shingle_n=2, num_bands=8),
+        "dedup_band_skew": D.dedup_band_skew_sql(
+            shingle_n=2, num_bands=8),
         "segment_dedup": SEG.segment_dedup_sql(),
         "char_entropy": T.char_entropy_sql(),
         "kmeans_clusters": CL.kmeans_sql(k=8, iters=3, n_rows=500),

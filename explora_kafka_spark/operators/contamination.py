@@ -31,6 +31,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from . import index_ledger as ledger
 from .sampling import DEFAULT_WEIGHTS, _sq, split_assign, split_assign_sql
 from .text import norm_sql, tokens_col, tokens_sql
 
@@ -258,12 +259,22 @@ def build_shingle_index(
         f"{path}/train_shingles")
 
 
+def read_shingle_index(spark, path: str) -> DataFrame:
+    """The index's shingle-hash set = union of the manifest's committed
+    dirs (`index_ledger.committed_union`); a pre-manifest (legacy)
+    index reads as the single `train_shingles` dir — fully backward
+    compatible. `compact_shingle_index` folds open deltas back."""
+    return ledger.committed_union(spark, path, "train_shingles")
+
+
 def update_shingle_index(
     spark,
     docs: DataFrame,
     path: str,
     n: int = 5,
-) -> None:
+    batch_id: int | str | None = None,
+    stream_id: str | None = None,
+) -> bool:
     """Append newly admitted documents' shingle hashes into the index —
     the gate-learns step: once a batch is admitted to the corpus,
     re-sent copies must score contamination 1.0 against it. The new
@@ -271,15 +282,54 @@ def update_shingle_index(
     `contamination_check`'s LEFT join counts matches, so a duplicated
     `_h` row would silently multiply a document's hit count — the
     index must stay a set (uniqueness is the index's invariant, kept
-    here, not at read time). Same semantic-tier lifecycle as
-    `semdedup.update_semantic_index`."""
-    existing = spark.read.parquet(f"{path}/train_shingles")
-    new_h = (
-        _distinct_shingle_hashes(docs, n)
-        .join(existing, "_h", "left_anti")
-        .localCheckpoint(eager=True)
-    )
-    new_h.write.mode("append").parquet(f"{path}/train_shingles")
+    here, not at read time).
+
+    With `batch_id` (e.g. a foreachBatch epoch id) and optionally
+    `stream_id`, the append additionally commits through the
+    exactly-once manifest ledger (`operators/index_ledger`, round 13 —
+    the IVF/dedup tier parity): a replayed epoch no-ops in O(1)
+    metadata without paying the explode or the index anti-join, and
+    the delta dir becomes visible only at the atomic manifest swap.
+    Without ids (legacy ad-hoc use), behavior is unchanged from r12:
+    value-converged append into the base `train_shingles` dir. Returns
+    True if applied, False on a ledger replay no-op. Same
+    semantic-tier lifecycle as `semdedup.update_semantic_index` (which
+    needs NO ledger: a replayed vector matches itself in the reps
+    store, so its check IS its replay guard)."""
+
+    def _new_h() -> DataFrame:
+        return (
+            _distinct_shingle_hashes(docs, n)
+            .join(read_shingle_index(spark, path), "_h", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
+    if batch_id is None and stream_id is None:
+        _new_h().write.mode("append").parquet(f"{path}/train_shingles")
+        return True
+
+    def _write(delta_path: str) -> bool:
+        rows = _new_h()
+        if rows.isEmpty():
+            return False
+        rows.write.mode("overwrite").parquet(delta_path)
+        return True
+
+    return ledger.ledger_append(path, "train_shingles",
+                                "train_shingles_delta", _write,
+                                batch_id, stream_id)
+
+
+def compact_shingle_index(spark, path: str) -> None:
+    """Fold accumulated shingle delta dirs back into one
+    (`index_ledger.compact`: snapshot-scoped fold, late deltas carried
+    over, ledgers kept, folded dirs GC'd)."""
+
+    def _rewrite(union: DataFrame, new_path: str) -> None:
+        union.write.mode("overwrite").parquet(new_path)
+
+    ledger.compact(spark, path, "train_shingles",
+                   "train_shingles_compact", _rewrite)
 
 
 def contamination_check(
@@ -302,7 +352,7 @@ def contamination_check(
     is a plain hash equi-join both sides of which are distinct-compacted —
     AQE handles stop-word-shingle skew as in the one-shot path."""
     train_sh = (
-        spark.read.parquet(f"{index_path}/train_shingles")
+        read_shingle_index(spark, index_path)
         .withColumn("_hit", F.lit(1))
     )
     # explode_outer + notNull post-filter: same inferred-filter-pushdown

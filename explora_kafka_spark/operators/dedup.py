@@ -25,6 +25,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import index_ledger as ledger
 from .text import norm_sql, tokens_sql
 
 #: MinHash configuration: 16 hashes, 2 bands × 8 rows. r=8 keeps the
@@ -789,43 +790,201 @@ def build_dedup_index(
      .write.mode("overwrite").parquet(f"{path}/bands"))
 
 
+def read_dedup_bands(spark, path: str) -> DataFrame:
+    """The index's band table = union of the manifest's committed dirs
+    (`index_ledger.committed_union`); a pre-manifest (legacy) index
+    reads as the single `bands` dir — fully backward compatible. Each
+    delta dir is batch-sized by construction; `compact_dedup_index`
+    folds them back when their count grows."""
+    return ledger.committed_union(spark, path, "bands")
+
+
 def update_dedup_index(
     docs: DataFrame,
     path: str,
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
     shingle_n: int = 1,
-) -> None:
+    batch_id: int | str | None = None,
+    stream_id: str | None = None,
+) -> bool:
     """Append newly admitted documents' banded signatures into the
     index — the gate-learns step for the MinHash tier: once a batch is
     admitted, re-sent near-copies must collide with it in
     `dedup_check`.
 
-    Replay-safe by VALUE (r12, the `update_shingle_index` precedent):
-    the batch's band rows are anti-joined on (doc_id, band_idx) — a
-    row's full identity, band_key being a function of the doc — so a
-    replayed batch appends nothing and a crash mid-append CONVERGES on
-    retry (already-written rows drop out, missing rows land); a
-    duplicated band row would otherwise duplicate `dedup_check`
-    candidate rows. The anti-join probes only the index's two key
-    columns (column-pruned scan), and the checkpoint freezes the new
-    rows before the append reads-and-writes the same path. Same
-    lifecycle as `contamination.update_shingle_index` /
-    `semdedup.update_semantic_index` (the latter is replay-idempotent
-    by construction — a replayed vector matches itself in the reps
-    store)."""
-    banded = banded_signatures(
-        minhash_signatures(docs, num_hashes, shingle_n),
-        num_bands, num_hashes // num_bands,
+    Two safety layers (round 13 — the IVF-index ledger ported to the
+    dedup axis, VERDICT r12 #3):
+
+    - **Replay-safe by VALUE** (r12): the batch's band rows are
+      anti-joined on (doc_id, band_idx) against the COMMITTED index —
+      a row's full identity, band_key being a function of the doc —
+      so a replayed batch appends nothing and a crash mid-append
+      CONVERGES on retry. The anti-join probes only the index's two
+      key columns (column-pruned scan).
+    - **Exactly-once by LEDGER** (r13): with `batch_id` set (e.g. the
+      foreachBatch epoch id — `dedup_index_update_stream`), the
+      append is a committed manifest entry (`operators/index_ledger`):
+      a replayed epoch no-ops in O(1) metadata — it never pays the
+      signature computation or the index anti-join scan — and the
+      batch's rows land in their own delta dir that becomes visible
+      only at the atomic manifest swap, so readers never observe a
+      torn append. `stream_id` scopes the watermark per checkpoint
+      (the Delta txnAppId idea), same contract as
+      `similarity.update_ivf_index`.
+
+    Without ids (legacy ad-hoc use, the streaming/corpus_gate.py
+    default), behavior is unchanged from r12: value-converged append
+    into the base `bands` dir. Returns True if the batch was applied,
+    False on a ledger replay no-op."""
+    spark = docs.sparkSession
+
+    def _new_rows() -> DataFrame:
+        banded = banded_signatures(
+            minhash_signatures(docs, num_hashes, shingle_n),
+            num_bands, num_hashes // num_bands,
+        )
+        existing = read_dedup_bands(spark, path).select(
+            "doc_id", "band_idx")
+        return (
+            banded.join(existing, ["doc_id", "band_idx"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
+    if batch_id is None and stream_id is None:
+        (_new_rows().repartition("band_idx", "band_key")
+         .write.mode("append").parquet(f"{path}/bands"))
+        return True
+
+    def _write(delta_path: str) -> bool:
+        rows = _new_rows()
+        if rows.isEmpty():
+            return False
+        (rows.repartition("band_idx", "band_key")
+         .write.mode("overwrite").parquet(delta_path))
+        return True
+
+    return ledger.ledger_append(path, "bands", "bands_delta", _write,
+                                batch_id, stream_id)
+
+
+def compact_dedup_index(spark, path: str) -> None:
+    """Fold accumulated band delta dirs back into one (the OPTIMIZE
+    job of the dedup-index lifecycle — `index_ledger.compact`: folds
+    only its snapshot's dirs, carries late-committed deltas over,
+    keeps the batch/stream ledgers, GCs the folded dirs). The fold is
+    rewritten band-bucket-clustered like `build_dedup_index`."""
+
+    def _rewrite(union: DataFrame, new_path: str) -> None:
+        (union.repartition("band_idx", "band_key")
+         .write.mode("overwrite").parquet(new_path))
+
+    ledger.compact(spark, path, "bands", "bands_compact", _rewrite)
+
+
+def dedup_band_skew(spark, index_path: str) -> DataFrame:
+    """Per-band bucket-load audit of a materialized dedup index — the
+    fingerprint-shard skew dial read after a run of
+    `update_dedup_index` appends (the `ivf_list_stats` twin on the
+    dedup axis: boilerplate-heavy ingest funnels re-sent template text
+    into a few hot band buckets, and `dedup_check`'s equi-join cost on
+    a probed bucket is proportional to bucket SIZE). Output, one row
+    per band, band-ascending:
+
+        (band_idx, n_buckets, n_rows, max_bucket,
+         max_share_ppm, hot_load_milli)
+
+    max_share_ppm = max_bucket·1e6 DIV n_rows (the hottest bucket's
+    share of its band); hot_load_milli = max_share_ppm·n_buckets DIV
+    1000 (load factor vs perfectly balanced, 1000 = balanced) —
+    derived from the SHARE quotient rather than the raw triple
+    product max·buckets·1e6, which overflows int64 once
+    rows·buckets crosses ~9e18 (the load_ppm lesson, r13 review).
+    When hot_load_milli crosses the serving budget, the hot buckets
+    are the AQE skew-join case — or the banding config (bands×rows)
+    needs re-pricing via `dedup_recall_audit`.
+
+    100 TB: one (band_idx, band_key)-keyed partial-agg shuffle over
+    the index's key projection (no signature bytes move), then a
+    num_bands-row statistic table."""
+    per = (
+        read_dedup_bands(spark, index_path)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count("*").alias("n_docs"))
     )
-    existing = docs.sparkSession.read.parquet(f"{path}/bands").select(
-        "doc_id", "band_idx")
-    new_rows = (
-        banded.join(existing, ["doc_id", "band_idx"], "left_anti")
-        .localCheckpoint(eager=True)
+    return (
+        per.groupBy(F.col("band_idx").cast("bigint").alias("band_idx"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("n_docs").alias("n_rows"),
+            F.max("n_docs").alias("max_bucket"),
+        )
+        .select(
+            "band_idx", "n_buckets", "n_rows", "max_bucket",
+            F.expr("max_bucket * 1000000 DIV n_rows")
+            .alias("max_share_ppm"),
+            F.expr("(max_bucket * 1000000 DIV n_rows) * n_buckets"
+                   " DIV 1000").alias("hot_load_milli"),
+        )
+        .orderBy("band_idx")
     )
-    (new_rows.repartition("band_idx", "band_key")
-     .write.mode("append").parquet(f"{path}/bands"))
+
+
+def dedup_band_skew_sql(
+    table: str = "documents",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_n: int = 1,
+) -> str:
+    """DuckDB mirror of :func:`dedup_band_skew` over an index holding
+    ALL rows of `table` (the appended-index fixture: base slice built
+    + delta slice streamed in = the whole corpus) — same shingle/
+    minhash/banding CTEs as `dedup_check_sql`, same integer quotient
+    forms. The banded CTE's 1-based unnest ordinal maps to the
+    0-based Spark band_idx."""
+    rows = num_hashes // num_bands
+    toks = tokens_sql("text")
+    sh = _shingles_expr_duck("_toks", shingle_n)
+    mins = ", ".join(
+        "list_min([(({a} * h + {b}) % {p}) FOR h IN _bh])".format(
+            a=_family_params(i)[0], b=_family_params(i)[1], p=_P
+        )
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        f"md5(array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], ','))"
+        for b in range(num_bands)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS _toks FROM {table}),
+        s AS (SELECT doc_id,
+                     list_distinct([CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) FOR s IN {sh}])
+                         AS _sh FROM t),
+        bh AS (SELECT doc_id, [(h & {_P}) FOR h IN _sh] AS _bh FROM s),
+        sig AS (SELECT doc_id, [{mins}] AS sig FROM bh),
+        banded AS (
+            SELECT doc_id, CAST(u.b - 1 AS BIGINT) AS band_idx,
+                   [{band_keys}][u.b] AS band_key
+            FROM sig, unnest(range(1, {num_bands} + 1)) AS u(b)
+        ),
+        per AS (
+            SELECT band_idx, band_key, count(*) AS n_docs
+            FROM banded GROUP BY 1, 2
+        )
+        SELECT band_idx,
+               count(*) AS n_buckets,
+               CAST(sum(n_docs) AS BIGINT) AS n_rows,
+               CAST(max(n_docs) AS BIGINT) AS max_bucket,
+               CAST(max(n_docs) * 1000000
+                    // CAST(sum(n_docs) AS BIGINT) AS BIGINT)
+                   AS max_share_ppm,
+               CAST((max(n_docs) * 1000000
+                     // CAST(sum(n_docs) AS BIGINT)) * count(*) // 1000
+                    AS BIGINT) AS hot_load_milli
+        FROM per
+        GROUP BY 1
+        ORDER BY 1
+    """
 
 
 def dedup_check(
@@ -856,7 +1015,7 @@ def dedup_check(
     band rows join in, on (band_idx, band_key), a plain hash equi-join.
     A hot band bucket (boilerplate-heavy corpora) is an AQE skew-join
     case, same story as the one-shot path (tests/test_lsh_skew.py)."""
-    idx = spark.read.parquet(f"{index_path}/bands").select(
+    idx = read_dedup_bands(spark, index_path).select(
         "band_idx", "band_key",
         F.col("doc_id").alias("match_id"), F.col("sig").alias("sig_b"),
     )

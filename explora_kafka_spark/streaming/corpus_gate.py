@@ -161,14 +161,20 @@ def gate_stream_learning(
     dedup without any Spark state store: the indexes ARE the state,
     durable, shared, and inspectable.
 
-    Delivery: same availableNow/replay contract as `gate_stream`, with
-    one addition — a replayed batch re-appends its band rows
-    (signatures are doc-keyed, so verdict booleans stay correct; only
-    candidate counts inflate) while the shingle append stays exactly-
-    once-equivalent by its anti-join set invariant. Within a single
-    micro-batch, mutual near-dups are both admitted (the
-    update_semantic_index contract) — shrink the trigger or pre-dedup
-    the batch when that matters."""
+    Delivery: same availableNow/replay contract as `gate_stream`, and
+    since round 13 the index appends are EXACTLY-ONCE — each update
+    commits through the index manifest ledger scoped to this stream's
+    checkpoint (`operators/index_ledger`; epoch ids are only unique
+    per checkpoint), so a replayed micro-batch no-ops in O(1) metadata
+    instead of re-running the signature anti-joins (which were already
+    value-converged — the r12 contract — but paid an index scan per
+    replay). The accepted/rejected parquet sinks stay plain appends: a
+    replayed epoch can duplicate THOSE rows (read them with
+    dropDuplicates(doc_id) or point them at a ParquetViewStore for the
+    full guarantee); the indexes — the part that feeds back into
+    verdicts — cannot drift. Within a single micro-batch, mutual
+    near-dups are both admitted (the update_semantic_index contract)
+    — shrink the trigger or pre-dedup the batch when that matters."""
     from ..operators.contamination import update_shingle_index
     from ..operators.dedup import update_dedup_index
 
@@ -194,10 +200,12 @@ def gate_stream_learning(
             .write.mode("append").parquet(rejected_path)
         if not accepted.isEmpty():
             update_shingle_index(spark, accepted, shingle_index,
-                                 n=shingle_n)
+                                 n=shingle_n,
+                                 batch_id=batch_id, stream_id=checkpoint)
             update_dedup_index(accepted, dedup_index,
                                num_bands=num_bands,
-                               shingle_n=lsh_shingle_n)
+                               shingle_n=lsh_shingle_n,
+                               batch_id=batch_id, stream_id=checkpoint)
 
     return (
         doc_stream.writeStream

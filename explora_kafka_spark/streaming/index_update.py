@@ -1,5 +1,8 @@
-"""Streaming IVF index maintenance: a vector stream appended into a
-materialized ANN index, exactly-once.
+"""Streaming index maintenance: admitted batches appended into
+materialized serving indexes, exactly-once — the thin foreachBatch
+faces over the `operators/index_ledger` commit protocol. Round 12
+built the IVF face; round 13 adds the dedup-band and contamination-
+shingle faces (tier parity, VERDICT r12 #3/#6).
 
 The round-12 maintenance triple (append / recall-drift / list-skew)
 assumed batch appends; production ingest is a STREAM of newly admitted
@@ -63,6 +66,83 @@ def ivf_index_update_stream(
 
     writer = (
         vec_stream.writeStream
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def dedup_index_update_stream(
+    spark,
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    stream_id: str | None = None,
+    num_bands: int | None = None,
+    shingle_n: int = 1,
+):
+    """Append a streaming (doc_id, text) source into the banded
+    MinHash dedup index at `index_path`, one exactly-once committed
+    batch per micro-batch epoch (`operators/dedup.update_dedup_index`
+    with the epoch id — the `ivf_index_update_stream` twin on the
+    dedup axis): a replayed epoch no-ops in O(1) metadata, a crash
+    between the delta write and the manifest swap leaves an orphan the
+    replay overwrites, and `dedup_check` serves the committed union.
+    `stream_id` defaults to the checkpoint path (the per-checkpoint
+    epoch-uniqueness contract — see ivf_index_update_stream).
+
+    100 TB: per epoch, work is O(batch) signatures + one anti-join
+    probing the index's two key columns + one batch-sized write; the
+    base band dirs are never rewritten. `compact_dedup_index` is the
+    OPTIMIZE job when open deltas accumulate."""
+    from ..operators.dedup import NUM_BANDS, update_dedup_index
+
+    sid = stream_id if stream_id is not None else checkpoint
+    nb = num_bands if num_bands is not None else NUM_BANDS
+
+    def _apply(df: DataFrame, epoch_id: int) -> None:
+        update_dedup_index(df, index_path, num_bands=nb,
+                           shingle_n=shingle_n,
+                           batch_id=epoch_id, stream_id=sid)
+
+    writer = (
+        doc_stream.writeStream
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def shingle_index_update_stream(
+    spark,
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    stream_id: str | None = None,
+    n: int = 5,
+):
+    """Append a streaming (doc_id, text) source into the contamination
+    shingle index at `index_path`, one exactly-once committed batch
+    per epoch (`operators/contamination.update_shingle_index` with the
+    epoch id). Same contract as `dedup_index_update_stream`; the
+    index's set invariant (distinct `_h`) is kept by the in-write
+    anti-join, the ledger makes replays free."""
+    from ..operators.contamination import update_shingle_index
+
+    sid = stream_id if stream_id is not None else checkpoint
+
+    def _apply(df: DataFrame, epoch_id: int) -> None:
+        update_shingle_index(df.sparkSession, df, index_path, n=n,
+                             batch_id=epoch_id, stream_id=sid)
+
+    writer = (
+        doc_stream.writeStream
         .foreachBatch(_apply)
         .option("checkpointLocation", checkpoint)
     )

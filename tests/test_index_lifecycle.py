@@ -261,3 +261,196 @@ def test_load_ppm_quotient_remainder_no_overflow():
         f"FROM (SELECT CAST({n2} AS BIGINT) n, CAST({l} AS BIGINT) l, "
         f"CAST({t2} AS BIGINT) t)").fetchone()[0]
     assert got2 == want2
+
+
+# ---------------------------------------------------------------------------
+# round 13: the ledger ported to the dedup / contamination axes
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _band_rows(spark, idx):
+    from explora_kafka_spark.operators.dedup import read_dedup_bands
+    return read_dedup_bands(spark, idx).count()
+
+
+def test_dedup_update_ledger_replay_and_scope(spark, docs, tmp_path):
+    """Ledgered dedup appends: replay no-ops at O(1), stream scopes are
+    independent watermarks, and the raw id is never a dir name."""
+    from explora_kafka_spark.operators import dedup as D
+
+    idx = str(tmp_path / "lsh")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    D.build_dedup_index(base, idx, shingle_n=2, num_bands=8)
+    n0 = _band_rows(spark, idx)
+    assert D.update_dedup_index(delta, idx, num_bands=8, shingle_n=2,
+                                batch_id=3, stream_id="s/ckpt") is True
+    n1 = _band_rows(spark, idx)
+    assert n1 == n0 + delta.count() * 8  # 8 band rows per doc
+    # replay of the same epoch: no-op without recomputing signatures
+    assert D.update_dedup_index(delta, idx, num_bands=8, shingle_n=2,
+                                batch_id=3, stream_id="s/ckpt") is False
+    assert _band_rows(spark, idx) == n1
+    # a different stream's epoch 0 is NOT a replay
+    assert D.update_dedup_index(
+        docs.filter(F.col("doc_id") % 5 == 0).limit(0), idx,
+        num_bands=8, shingle_n=2, batch_id=0, stream_id="t") is True
+    m = json.load(open(os.path.join(idx, "_manifest.json")))
+    assert m["streams"] == {"s/ckpt": 3, "t": 0}
+    for d in m["dirs"]:
+        assert "/" not in d
+
+
+def test_dedup_check_serves_committed_union(spark, docs, tmp_path):
+    """dedup_check against a base+ledgered-delta index must equal the
+    check against a from-scratch index over the SAME full corpus."""
+    from explora_kafka_spark.operators import dedup as D
+
+    idx = str(tmp_path / "lsh")
+    full = str(tmp_path / "full")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    D.build_dedup_index(base, idx, shingle_n=2, num_bands=8)
+    D.update_dedup_index(delta, idx, num_bands=8, shingle_n=2,
+                         batch_id=1)
+    D.build_dedup_index(docs, full, shingle_n=2, num_bands=8)
+    probe = docs.filter(F.col("doc_id") % 7 == 0)
+    got = [tuple(r) for r in D.dedup_check(
+        spark, probe, idx, shingle_n=2, num_bands=8).collect()]
+    want = [tuple(r) for r in D.dedup_check(
+        spark, probe, full, shingle_n=2, num_bands=8).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_dedup_compact_folds_and_keeps_ledger(spark, docs, tmp_path):
+    from explora_kafka_spark.operators import dedup as D
+
+    idx = str(tmp_path / "lsh")
+    D.build_dedup_index(docs.filter(F.col("doc_id") % 5 != 0), idx,
+                        shingle_n=2, num_bands=8)
+    D.update_dedup_index(docs.filter(F.col("doc_id") % 10 == 0), idx,
+                         num_bands=8, shingle_n=2, batch_id=1)
+    D.update_dedup_index(docs.filter(F.col("doc_id") % 10 == 5), idx,
+                         num_bands=8, shingle_n=2, batch_id=2)
+    before = _band_rows(spark, idx)
+    D.compact_dedup_index(spark, idx)
+    m = json.load(open(os.path.join(idx, "_manifest.json")))
+    assert len(m["dirs"]) == 1 and m["batches"] == ["1", "2"]
+    assert _band_rows(spark, idx) == before
+    on_disk = {d for d in os.listdir(idx) if d.startswith("bands")}
+    assert on_disk == set(m["dirs"])
+    # replay protection survives compaction
+    assert D.update_dedup_index(
+        docs.filter(F.col("doc_id") % 10 == 0), idx,
+        num_bands=8, shingle_n=2, batch_id=1) is False
+
+
+def test_dedup_legacy_no_id_append_unchanged(spark, docs, tmp_path):
+    """Without ids the r12 contract holds bit-for-bit: value-converged
+    append into the base `bands` dir, no manifest minted."""
+    from explora_kafka_spark.operators import dedup as D
+
+    idx = str(tmp_path / "lsh")
+    D.build_dedup_index(docs.filter(F.col("doc_id") % 5 != 0), idx,
+                        shingle_n=2, num_bands=8)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    assert D.update_dedup_index(delta, idx, num_bands=8,
+                                shingle_n=2) is True
+    assert not os.path.exists(os.path.join(idx, "_manifest.json"))
+    assert {d for d in os.listdir(idx) if d.startswith("bands")} \
+        == {"bands"}
+    # value convergence: the replayed no-id batch appends nothing
+    n1 = _band_rows(spark, idx)
+    D.update_dedup_index(delta, idx, num_bands=8, shingle_n=2)
+    assert _band_rows(spark, idx) == n1
+
+
+def test_dedup_streaming_append_exactly_once(spark, docs, tmp_path):
+    """File-source doc stream → foreachBatch dedup append: rerunning
+    the drained stream on the same checkpoint appends nothing."""
+    from explora_kafka_spark.operators import dedup as D
+    from explora_kafka_spark.streaming.index_update import (
+        dedup_index_update_stream,
+    )
+
+    idx = str(tmp_path / "lsh")
+    D.build_dedup_index(docs.filter(F.col("doc_id") % 5 != 0), idx,
+                        shingle_n=2, num_bands=8)
+    n0 = _band_rows(spark, idx)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    src = str(tmp_path / "in")
+    delta.select("doc_id", "text").repartition(2).write.parquet(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def _stream():
+        return (spark.readStream.schema("doc_id bigint, text string")
+                .parquet(src))
+
+    q = dedup_index_update_stream(spark, _stream(), idx, ckpt,
+                                  num_bands=8, shingle_n=2)
+    assert q.awaitTermination(300)
+    n1 = _band_rows(spark, idx)
+    assert n1 == n0 + delta.count() * 8
+    q2 = dedup_index_update_stream(spark, _stream(), idx, ckpt,
+                                   num_bands=8, shingle_n=2)
+    assert q2.awaitTermination(300)
+    assert _band_rows(spark, idx) == n1
+
+
+def test_shingle_update_ledger_replay(spark, docs, tmp_path):
+    """Contamination-axis ledger: a replayed epoch no-ops; the check
+    against base+delta equals the check against a from-scratch index."""
+    from explora_kafka_spark.operators import contamination as C
+
+    idx = str(tmp_path / "sh")
+    full = str(tmp_path / "full")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    C.build_shingle_index(base, idx)
+    C.build_shingle_index(docs, full)
+    assert C.update_shingle_index(spark, delta, idx,
+                                  batch_id=4, stream_id="s") is True
+    n1 = C.read_shingle_index(spark, idx).count()
+    assert n1 == C.read_shingle_index(spark, full).count()
+    assert C.update_shingle_index(spark, delta, idx,
+                                  batch_id=4, stream_id="s") is False
+    assert C.read_shingle_index(spark, idx).count() == n1
+    probe = docs.filter(F.col("doc_id") % 7 == 0)
+    got = [tuple(r) for r in C.contamination_check(
+        spark, probe, idx).collect()]
+    want = [tuple(r) for r in C.contamination_check(
+        spark, probe, full).collect()]
+    assert got == want
+    # compaction folds, set size invariant, check unchanged
+    C.compact_shingle_index(spark, idx)
+    m = json.load(open(os.path.join(idx, "_manifest.json")))
+    assert len(m["dirs"]) == 1
+    assert C.read_shingle_index(spark, idx).count() == n1
+    assert [tuple(r) for r in C.contamination_check(
+        spark, probe, idx).collect()] == got
+
+
+def test_semdedup_replay_safe_by_construction(spark, tmp_path):
+    """The semantic axis needs NO ledger (pinning the r12/r13 design
+    claim): a replayed admitted batch matches ITSELF in the reps store,
+    so nothing is re-admitted and the reps count is unchanged."""
+    from explora_kafka_spark.operators import semdedup as SD
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    idx = str(tmp_path / "sem")
+    # dense-prefix split: the kmeans stride init needs contiguous ids
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    SD.build_semantic_index(base, idx, threshold_pct=30)
+    v1 = SD.update_semantic_index(spark, batch, idx, threshold_pct=30)
+    admitted = v1.filter(~F.col("is_dup")).count()
+    assert admitted > 0
+    n1 = spark.read.parquet(f"{idx}/reps").count()
+    v2 = SD.update_semantic_index(spark, batch, idx, threshold_pct=30)
+    assert v2.filter(~F.col("is_dup")).count() == 0  # all flagged now
+    assert spark.read.parquet(f"{idx}/reps").count() == n1

@@ -89,6 +89,15 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "BroadcastNestedLoopJoin anywhere.",
         [r"Join", r"Exchange hashpartitioning"],
     ),
+    "dedup_index_append": (
+        "Serving a ledgered dedup index (round 13): dedup_check joins "
+        "the probe batch against the committed UNION (base dir + "
+        "streamed delta dirs) on (band_idx, band_key) — still a plain "
+        "hash equi-join; the delta scans are batch-sized by "
+        "construction and compact_dedup_index folds them back. No "
+        "CartesianProduct / BroadcastNestedLoopJoin.",
+        [r"Join", r"Exchange hashpartitioning", r"Union"],
+    ),
     "ann_topk_brute": (
         "The exact baseline deliberately broadcasts the (small) query "
         "side; this BNLJ is the one allow-listed nested-loop in the repo.",
