@@ -1304,6 +1304,60 @@ def q_phash_check(spark, sf_dir):
                            _PHASH_IDX[sf_dir])
 
 
+_PHASH_APPEND_IDX: dict[str, str] = {}
+
+
+def _phash_append_index(spark, sf_dir) -> str:
+    """Cached build→STREAM-UPDATE media phash index (round 13 — the
+    media tier of the appended-index family): base slice
+    (doc_id % 5 != 0) built, the % 5 == 0 slice's media payloads
+    appended through the exactly-once streaming face
+    (streaming/index_update.phash_index_update_stream)."""
+    if sf_dir not in _PHASH_APPEND_IDX:
+        from explora_kafka_spark.streaming.index_update import (
+            phash_index_update_stream,
+        )
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        d = tempfile.mkdtemp(prefix="explora_phashapp_")
+        _TMPDIRS.append(d)
+        _MM.build_phash_index(_MM.media_from_documents(
+            docs.filter(F.col("doc_id") % 5 != 0)), f"{d}/idx")
+        src = f"{d}/stream_in"
+        (_MM.media_from_documents(docs.filter(F.col("doc_id") % 5 == 0))
+         .write.parquet(src))
+        stream = (spark.readStream
+                  .schema("media_id bigint, kind string, payload binary")
+                  .parquet(src))
+        q = phash_index_update_stream(spark, stream, f"{d}/idx",
+                                      f"{d}/ckpt")
+        assert q.awaitTermination(600), "phash index stream drain"
+        _PHASH_APPEND_IDX[sf_dir] = f"{d}/idx"
+    return _PHASH_APPEND_IDX[sf_dir]
+
+
+def q_phash_index_append(spark, sf_dir):
+    """Media-tier index maintenance (build → STREAM-UPDATE → serve;
+    round 13): the phash index is built on the corpus slice, the delta
+    slice streams in through the exactly-once ledger face, and
+    `phash_check` serves the committed union — perturbed twins of
+    docs from BOTH slices must flag as dups (a twin of a streamed-in
+    doc only matches if the append really serves), byte-reversed
+    payloads as novel. Oracle: phash_check_sql with the FULL corpus as
+    the index side."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    probe = docs.filter(F.col("doc_id") % 50 == 0)
+    batch = (
+        probe.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     F.expr("concat('zzz', substr(text, 4))").alias("text"))
+        .unionByName(
+            probe.select((F.col("doc_id") + 2000000).alias("doc_id"),
+                         F.reverse("text").alias("text")))
+    )
+    return _MM.phash_check(spark, _MM.media_from_documents(batch),
+                           _phash_append_index(spark, sf_dir))
+
+
 
 def q_expect_by_source(spark, sf_dir):
     """Per-source data-quality SLA: the expectations gate keyed on the
@@ -4032,9 +4086,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "asof_hourly_stats": q_asof_hourly_stats,
         # - NEW round-13 (landed past the 50-slot window — growth-pause
-        #   pattern; r14 rotation head): dedup-index ledger lifecycle -
+        #   pattern; r14 rotation head): the index ledger ported to the
+        #   dedup and media tiers -
         "dedup_index_append": q_dedup_index_append,
         "dedup_band_skew": q_dedup_band_skew,
+        "phash_index_append": q_phash_index_append,
     }.items()}
 
 
@@ -4678,6 +4734,16 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": PST.hybrid_search_sql(terms=_BM25_TERMS),
         "media_phash": _MM.phash_sql(),
         "phash_check": _MM.phash_check_sql(
+            table="documents", corpus_pred="doc_id < 1000000",
+            batch_sql="SELECT doc_id + 1000000 AS doc_id,"
+                      " 'zzz' || substr(text, 4) AS text"
+                      " FROM documents WHERE doc_id % 50 = 0"
+                      " UNION ALL"
+                      " SELECT doc_id + 2000000 AS doc_id,"
+                      " reverse(text) AS text"
+                      " FROM documents WHERE doc_id % 50 = 0"),
+        # base + streamed-in delta == the full corpus as the index side
+        "phash_index_append": _MM.phash_check_sql(
             table="documents", corpus_pred="doc_id < 1000000",
             batch_sql="SELECT doc_id + 1000000 AS doc_id,"
                       " 'zzz' || substr(text, 4) AS text"

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import index_ledger as ledger
+
 #: output schema of extract_meta
 META_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -513,6 +515,69 @@ def build_phash_index(media: DataFrame, path: str, bits: int = 64) -> None:
         f"{path}/phash")
 
 
+def read_phash_index(spark, path: str) -> DataFrame:
+    """The index's (media_id, phash) table = union of the manifest's
+    committed dirs (`index_ledger.committed_union`); a pre-manifest
+    (legacy) index reads as the single `phash` dir."""
+    return ledger.committed_union(spark, path, "phash")
+
+
+def update_phash_index(
+    media: DataFrame,
+    path: str,
+    bits: int = 64,
+    batch_id: int | str | None = None,
+    stream_id: str | None = None,
+) -> bool:
+    """Append newly admitted media payloads' perceptual hashes into
+    the index — the gate-learns step for the media tier, completing
+    ledger parity across all four incremental index families (ANN
+    lists r12; text bands + shingles r13; phash here). With
+    `batch_id` (a foreachBatch epoch id) the append commits through
+    the exactly-once manifest ledger (`operators/index_ledger`):
+    replays no-op in O(1) metadata without re-hashing the batch, and
+    the delta dir is invisible until the atomic swap. New hashes are
+    anti-joined on media_id against the committed union first (id
+    identity — the dedup-axis value layer; duplicate phash rows would
+    be harmless to `phash_check`'s min-match but bloat the scan).
+    Without ids, legacy value-converged append into the base `phash`
+    dir. Returns True if applied, False on a replay no-op."""
+    spark = media.sparkSession
+
+    def _new_rows() -> DataFrame:
+        existing = read_phash_index(spark, path).select("media_id")
+        return (
+            media_phash(media, bits=bits)
+            .join(existing, "media_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+
+    if batch_id is None and stream_id is None:
+        _new_rows().write.mode("append").parquet(f"{path}/phash")
+        return True
+
+    def _write(delta_path: str) -> bool:
+        rows = _new_rows()
+        if rows.isEmpty():
+            return False
+        rows.write.mode("overwrite").parquet(delta_path)
+        return True
+
+    return ledger.ledger_append(path, "phash", "phash_delta", _write,
+                                batch_id, stream_id)
+
+
+def compact_phash_index(spark, path: str) -> None:
+    """Fold accumulated phash delta dirs back into one
+    (`index_ledger.compact`: snapshot-scoped, late deltas carried,
+    ledgers kept, folded dirs GC'd)."""
+
+    def _rewrite(union: DataFrame, new_path: str) -> None:
+        union.write.mode("overwrite").parquet(new_path)
+
+    ledger.compact(spark, path, "phash", "phash_compact", _rewrite)
+
+
 def phash_check(
     spark,
     batch: DataFrame,
@@ -549,7 +614,7 @@ def phash_check(
     banded_b = bp.select("media_id", "phash", bands.alias("b")).select(
         F.col("media_id"), F.col("phash").alias("ph_b"),
         "b.band", "b.val")
-    idx = spark.read.parquet(f"{index_path}/phash")
+    idx = read_phash_index(spark, index_path)
     banded_i = idx.select("media_id", "phash", bands.alias("b")).select(
         F.col("media_id").alias("stored_id"),
         F.col("phash").alias("ph_i"), "b.band", "b.val")

@@ -149,3 +149,37 @@ def shingle_index_update_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def phash_index_update_stream(
+    spark,
+    media_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+    stream_id: str | None = None,
+    bits: int = 64,
+):
+    """Append a streaming (media_id, kind, payload) source into the
+    perceptual-hash media index at `index_path`, one exactly-once
+    committed batch per epoch
+    (`operators/multimodal.update_phash_index` with the epoch id) —
+    the media tier's face, completing ledger parity across all four
+    incremental index families. Same contract as
+    `dedup_index_update_stream`."""
+    from ..operators.multimodal import update_phash_index
+
+    sid = stream_id if stream_id is not None else checkpoint
+
+    def _apply(df: DataFrame, epoch_id: int) -> None:
+        update_phash_index(df, index_path, bits=bits,
+                           batch_id=epoch_id, stream_id=sid)
+
+    writer = (
+        media_stream.writeStream
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -454,3 +454,39 @@ def test_semdedup_replay_safe_by_construction(spark, tmp_path):
     v2 = SD.update_semantic_index(spark, batch, idx, threshold_pct=30)
     assert v2.filter(~F.col("is_dup")).count() == 0  # all flagged now
     assert spark.read.parquet(f"{idx}/reps").count() == n1
+
+
+def test_phash_update_ledger_replay_and_serving(spark, docs, tmp_path):
+    """Media-tier ledger (completing four-family parity): replayed
+    epochs no-op, serving the base+delta union equals a from-scratch
+    full-corpus index, compaction preserves both."""
+    from explora_kafka_spark.operators import multimodal as MM
+
+    idx = str(tmp_path / "ph")
+    full = str(tmp_path / "full")
+    base = MM.media_from_documents(docs.filter(F.col("doc_id") % 5 != 0))
+    delta = MM.media_from_documents(docs.filter(F.col("doc_id") % 5 == 0))
+    MM.build_phash_index(base, idx)
+    MM.build_phash_index(MM.media_from_documents(docs), full)
+    n0 = MM.read_phash_index(spark, idx).count()
+    assert MM.update_phash_index(delta, idx, batch_id=2,
+                                 stream_id="s") is True
+    n1 = MM.read_phash_index(spark, idx).count()
+    assert n1 == MM.read_phash_index(spark, full).count()
+    assert n1 > n0
+    assert MM.update_phash_index(delta, idx, batch_id=2,
+                                 stream_id="s") is False
+    assert MM.read_phash_index(spark, idx).count() == n1
+    probe = MM.media_from_documents(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("concat('zzz', substr(text, 4))").alias("text")))
+    got = [tuple(r) for r in MM.phash_check(spark, probe, idx).collect()]
+    want = [tuple(r) for r in MM.phash_check(spark, probe,
+                                             full).collect()]
+    assert got == want and len(got) > 0
+    MM.compact_phash_index(spark, idx)
+    m = json.load(open(os.path.join(idx, "_manifest.json")))
+    assert len(m["dirs"]) == 1
+    assert [tuple(r) for r in
+            MM.phash_check(spark, probe, idx).collect()] == got

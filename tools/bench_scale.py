@@ -109,9 +109,9 @@ HEADLINE = [
     # (ann_recall_drift rides a budgeted override — its brute truth
     # side shares ann_recall_truncated's fixed-fraction quadratic)
     "ivf_index_append", "ann_recall_drift", "ivf_list_skew",
-    # round-13 wave: the index ledger ported to the dedup axis
-    # (stream-appended band index served + its shard-skew audit)
-    "dedup_index_append", "dedup_band_skew",
+    # round-13 wave: the index ledger ported to the dedup + media axes
+    # (stream-appended indexes served + the band shard-skew audit)
+    "dedup_index_append", "dedup_band_skew", "phash_index_append",
 ]
 
 
