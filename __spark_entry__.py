@@ -808,6 +808,25 @@ def q_contamination_check(spark, sf_dir):
     return CONT.contamination_check(spark, batch, _cont_index(spark, sf_dir))
 
 
+def q_contamination_bloom_audit(spark, sf_dir):
+    """Bloom-filter contamination gate with its exact audit (round 13):
+    the train-shingle index folds into a broadcast 2^21-bit bitmap
+    (32-bit words packed in bigints, md5 position family — bit-exact
+    on both engines) and the test batch is checked with k=4 membership
+    probes NEXT TO the exact index join, so every row pins
+    n_bloom_hits >= n_contaminated (no false negatives) and prices the
+    false-positive rate — the sketch path a streaming admission gate
+    takes when the shingle set outgrows the join budget
+    (operators/contamination.py contamination_bloom_audit)."""
+    batch = (
+        SMP.split_assign(_docs(spark, sf_dir))
+        .filter(F.col("split") == "test")
+        .select("doc_id", "text")
+    )
+    return CONT.contamination_bloom_audit(spark, batch,
+                                          _cont_index(spark, sf_dir))
+
+
 def q_doc_repetition(spark, sf_dir):
     """Within-doc repeated 3-gram ratio (boilerplate/degenerate-text
     signal): 1 - distinct/total word trigrams. Pure projection, zero
@@ -4091,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_append": q_dedup_index_append,
         "dedup_band_skew": q_dedup_band_skew,
         "phash_index_append": q_phash_index_append,
+        "contamination_bloom_audit": q_contamination_bloom_audit,
     }.items()}
 
 
@@ -5229,6 +5249,8 @@ def oracle_sql() -> dict[str, str]:
         # indexed path is result-identical to the one-shot path — shared
         # oracle (the ann_topk_ivf_indexed convention)
         "contamination_check": CONT.contamination_sql("documents"),
+        "contamination_bloom_audit":
+            CONT.contamination_bloom_audit_sql("documents"),
         "doc_repetition": CONT.repetition_sql("documents"),
         "ingest_dedup": """
             WITH dup AS (

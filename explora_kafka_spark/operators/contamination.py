@@ -332,6 +332,193 @@ def compact_shingle_index(spark, path: str) -> None:
                    "train_shingles_compact", _rewrite)
 
 
+def _bloom_pos_col(h: Column, i: int, m_bits: int) -> Column:
+    """Position of hash family member i for shingle-hash `h` in an
+    m_bits Bloom bitmap — md5-derived like every cross-engine hash in
+    the repo (`_shingle_hash_col`), so DuckDB reproduces the bitmap
+    BIT-FOR-BIT. Production swaps in xxhash64 for the same layout; the
+    md5 family is the oracle-parity convention."""
+    tag = F.concat_ws("|", F.lit(str(i)), h.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(tag), 1, 15), 16, 10).cast("bigint")
+        % m_bits
+    )
+
+
+def _bloom_pos_sql(expr: str, i: int, m_bits: int) -> str:
+    return (f"CAST(concat('0x', substr(md5(concat('{i}', '|',"
+            f" CAST({expr} AS VARCHAR))), 1, 15)) AS BIGINT)"
+            f" % {m_bits}")
+
+
+def contamination_bloom_audit(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    n: int = 5,
+    m_bits: int = 1 << 21,
+    k: int = 4,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter scale path for the contamination gate, AUDITED
+    against the exact index join (the `distinct_users_daily_hll_audit`
+    pattern: the sketch runs next to its exact twin so the oracle can
+    pin both). The materialized train-shingle set folds into an
+    m_bits-bit Bloom bitmap — a STATISTIC-SIZED (m_bits/32 words of
+    packed 32-bit masks in bigints) mergeable sketch — and each batch
+    shingle is checked with k membership probes against the
+    broadcast bitmap instead of the `_h` equi-join. Output,
+    key-ascending:
+
+        (key, n_shingles, n_contaminated, n_bloom_hits, n_false_pos)
+
+    n_bloom_hits >= n_contaminated always (Bloom filters have no
+    false negatives — the oracle equality proves it on every row);
+    n_false_pos prices the m_bits/k config against the corpus the way
+    `ann_recall_*` prices the ANN approximations. Bits live in 32-bit
+    words (mask < 2^32) so the shift/bit_or arithmetic is exact and
+    overflow-free on BOTH engines (a 1<<63 mask is engine-dependent).
+
+    100 TB: the gate's per-batch cost drops from an O(index) shuffle
+    equi-join to k broadcast lookups against a ~256 KB bitmap that an
+    executor holds in L2 — the trade a streaming admission gate wants
+    when the train-shingle set outgrows the broadcast-join budget; the
+    bitmap rebuilds from the index in one linear pass (or merges
+    incrementally: bit_or is commutative, the HLL property). The
+    exact join here exists for the AUDIT — production serves from the
+    sketch alone and re-audits on a sample cadence."""
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    train = read_shingle_index(spark, index_path)
+    pos = F.explode(F.array(*[
+        _bloom_pos_col(F.col("_h"), i, m_bits) for i in range(k)
+    ])).alias("pos")
+    # localCheckpoint: the bitmap feeds k probe joins and Spark does
+    # not dedupe common subplans — without the cut, the train scan +
+    # k md5s per shingle would run once PER PROBE JOIN (the
+    # cluster_source_mi lesson); the table is statistic-sized
+    # (<= m_bits/32 rows)
+    bitmap = (
+        train.select(pos)
+        .select(
+            F.expr("CAST(pos DIV 32 AS INT)").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("m"),
+        )
+        .groupBy("w").agg(F.expr("bit_or(m)").alias("mask"))
+    ).localCheckpoint(eager=True)
+    probes = (
+        batch.withColumn("_toks", tokens_col("text"))
+        .select(
+            key,
+            F.explode_outer(
+                F.array_distinct(word_shingles_col("_toks", n))
+            ).alias("_shingle"),
+        )
+        .select(key, _shingle_hash_col(F.col("_shingle")).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+    )
+    for i in range(k):
+        probes = (
+            probes
+            .withColumn(f"_p{i}", _bloom_pos_col(F.col("_h"), i, m_bits))
+            .withColumn(f"_w{i}", F.expr(f"CAST(_p{i} DIV 32 AS INT)"))
+            .withColumn(f"_b{i}", F.expr(
+                f"shiftleft(1L, CAST(_p{i} % 32 AS INT))"))
+        )
+    for i in range(k):
+        bm = bitmap.select(F.col("w").alias(f"_w{i}"),
+                           F.col("mask").alias(f"_m{i}"))
+        probes = probes.join(F.broadcast(bm), f"_w{i}", "left")
+    bloom_hit = _reduce(_and, [
+        (F.coalesce(F.col(f"_m{i}"), F.lit(0)).bitwiseAND(
+            F.col(f"_b{i}")) != 0)
+        for i in range(k)
+    ])
+    scored = (
+        probes.withColumn("_bloom", bloom_hit.cast("int"))
+        .join(train.withColumn("_hit", F.lit(1)), "_h", "left")
+    )
+    return (
+        scored.groupBy(key)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+            F.sum("_bloom").alias("n_bloom_hits"),
+        )
+        .withColumn("n_false_pos",
+                    F.col("n_bloom_hits") - F.col("n_contaminated"))
+        .orderBy(key)
+    )
+
+
+def contamination_bloom_audit_sql(
+    table: str = "documents",
+    n: int = 5,
+    m_bits: int = 1 << 21,
+    k: int = 4,
+    weights: Sequence[tuple[str, float]] = DEFAULT_WEIGHTS,
+    key: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB mirror of :func:`contamination_bloom_audit` where the
+    index holds the train split and the batch is the test split (the
+    `contamination_sql` split convention) — bitmap, probe positions
+    and masks recomputed bit-for-bit (32-bit words, bit_or)."""
+    toks = f"string_split({norm_sql('text')}, ' ')"
+    shingles = _shingles_list_sql("t", n)
+    h = _shingle_hash_sql("shingle")
+    probe_cols = ", ".join(
+        f"CAST({_bloom_pos_sql('_h', i, m_bits)} // 32 AS INT) AS w{i},"
+        f" CAST(1 AS BIGINT)"
+        f" << CAST({_bloom_pos_sql('_h', i, m_bits)} % 32 AS INT) AS b{i}"
+        for i in range(k)
+    )
+    joins = " ".join(
+        f"LEFT JOIN bitmap m{i} ON m{i}.w = probe.w{i}"
+        for i in range(k)
+    )
+    hit = " AND ".join(
+        f"(coalesce(m{i}.mask, 0) & b{i}) != 0" for i in range(k)
+    )
+    return f"""
+        WITH assigned AS ({split_assign_sql(table, weights, key=key,
+                                            salt=salt)}),
+        tok AS (SELECT {key}, split, {toks} AS t FROM assigned),
+        sh AS (SELECT {key}, split, unnest({shingles}) AS shingle
+               FROM tok),
+        trh AS (SELECT DISTINCT {h} AS _h FROM sh
+                WHERE split = 'train'),
+        tsh AS (SELECT {key}, {h} AS _h FROM
+                (SELECT DISTINCT {key}, shingle FROM sh
+                 WHERE split = 'test')),
+        pos AS (SELECT unnest([{', '.join(
+            _bloom_pos_sql('_h', i, m_bits) for i in range(k))}])
+                    AS pos FROM trh),
+        bitmap AS (
+            SELECT CAST(pos // 32 AS INT) AS w,
+                   bit_or(CAST(1 AS BIGINT)
+                          << CAST(pos % 32 AS INT)) AS mask
+            FROM pos GROUP BY 1
+        ),
+        probe AS (SELECT {key}, _h, {probe_cols} FROM tsh),
+        hits AS (
+            SELECT probe.{key} AS {key}, probe._h AS _h,
+                   CASE WHEN {hit} THEN 1 ELSE 0 END AS bloom
+            FROM probe {joins}
+        )
+        SELECT hits.{key} AS {key},
+               COUNT(*) AS n_shingles,
+               COUNT(trh._h) AS n_contaminated,
+               CAST(sum(bloom) AS BIGINT) AS n_bloom_hits,
+               CAST(sum(bloom) - COUNT(trh._h) AS BIGINT)
+                   AS n_false_pos
+        FROM hits LEFT JOIN trh ON hits._h = trh._h
+        GROUP BY hits.{key}
+        ORDER BY {key}
+    """
+
+
 def contamination_check(
     spark,
     batch: DataFrame,

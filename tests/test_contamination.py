@@ -452,3 +452,58 @@ def test_tier_dup_lift_flags_near_dups_per_tier(spark):
     assert dup_tiers
     for r in dup_tiers:
         assert r["lift_ppm"] == r["dup_ppm"] * 1_000_000 // 500_000
+
+
+def test_bloom_audit_no_false_negatives_and_exact_parity(spark, tmp_path):
+    """The Bloom scale path (round 13): exact columns reproduce
+    contamination_check row-for-row, and the sketch has NO false
+    negatives (n_bloom_hits >= n_contaminated on every row; a fully
+    contaminated doc is fully bloom-hit)."""
+    from explora_kafka_spark.operators.sampling import split_assign
+
+    rows = [
+        (i, f"the quick brown fox {i % 7} jumps over the lazy dog {i % 3}"
+            f" word{i % 5} filler tokens here")
+        for i in range(80)
+    ]
+    df = _docs_df(spark, rows)
+    C.build_contamination_index(df, str(tmp_path / "cont"))
+    batch = split_assign(df).filter(F.col("split") == "test").select(
+        "doc_id", "text")
+    audit = C.contamination_bloom_audit(
+        spark, batch, str(tmp_path / "cont")).collect()
+    exact = {r["doc_id"]: (r["n_shingles"], r["n_contaminated"])
+             for r in C.contamination_check(
+                 spark, batch, str(tmp_path / "cont")).collect()}
+    assert audit and len(audit) == len(exact)
+    for r in audit:
+        assert (r["n_shingles"], r["n_contaminated"]) \
+            == exact[r["doc_id"]]
+        assert r["n_bloom_hits"] >= r["n_contaminated"]  # no false neg
+        assert r["n_false_pos"] == r["n_bloom_hits"] - r["n_contaminated"]
+        assert r["n_bloom_hits"] <= r["n_shingles"]
+    # the index holds the TRAIN split; these test docs share their
+    # shingle vocabulary with train docs (templated text), so at least
+    # one row must be contaminated AND bloom-hit
+    assert any(r["n_contaminated"] > 0 for r in audit)
+
+
+def test_bloom_audit_tiny_filter_forces_false_positives(spark, tmp_path):
+    """With a deliberately tiny bitmap the filter saturates: novel
+    shingles collide and n_false_pos > 0 — proving the audit's
+    false-positive column actually measures the sketch, not the exact
+    join."""
+    train = _docs_df(spark, [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta iota{i}")
+        for i in range(30)
+    ])
+    C.build_shingle_index(train, str(tmp_path / "sh"))
+    novel = _docs_df(spark, [
+        (100 + i, f"omega{i} psi{i} chi{i} phi{i} upsilon{i} tau{i}"
+                  f" sigma{i} rho{i} pi{i}")
+        for i in range(10)
+    ])
+    audit = C.contamination_bloom_audit(
+        spark, novel, str(tmp_path / "sh"), m_bits=64, k=2).collect()
+    assert all(r["n_contaminated"] == 0 for r in audit)
+    assert sum(r["n_false_pos"] for r in audit) > 0

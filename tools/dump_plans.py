@@ -89,6 +89,15 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "BroadcastNestedLoopJoin anywhere.",
         [r"Join", r"Exchange hashpartitioning"],
     ),
+    "contamination_bloom_audit": (
+        "Bloom sketch path (round 13): the k membership probes are "
+        "BROADCAST hash joins against the statistic-sized bitmap word "
+        "table — the probe side never shuffles; the only exchange is "
+        "the per-doc aggregation. The exact `_h` join rides along for "
+        "the audit columns.",
+        [r"BroadcastHashJoin", r"Exchange hashpartitioning",
+         r"SortMergeJoin"],
+    ),
     "dedup_index_append": (
         "Serving a ledgered dedup index (round 13): dedup_check joins "
         "the probe batch against the committed UNION (base dir + "
