@@ -827,6 +827,21 @@ def q_contamination_bloom_audit(spark, sf_dir):
                                           _cont_index(spark, sf_dir))
 
 
+def q_contamination_bloom_sweep(spark, sf_dir):
+    """Bloom bitmap-size dial priced at three rungs (2^18/2^20/2^22
+    bits): one corpus-level row per rung with the observed
+    false-positive rate (fp_ppm over clean probe shingles) — pick the
+    smallest bitmap clearing the gate's budget (the tune_nprobe
+    convention for the sketch path)."""
+    batch = (
+        SMP.split_assign(_docs(spark, sf_dir))
+        .filter(F.col("split") == "test")
+        .select("doc_id", "text")
+    )
+    return CONT.contamination_bloom_sweep(spark, batch,
+                                          _cont_index(spark, sf_dir))
+
+
 def q_doc_repetition(spark, sf_dir):
     """Within-doc repeated 3-gram ratio (boilerplate/degenerate-text
     signal): 1 - distinct/total word trigrams. Pure projection, zero
@@ -4111,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_band_skew": q_dedup_band_skew,
         "phash_index_append": q_phash_index_append,
         "contamination_bloom_audit": q_contamination_bloom_audit,
+        "contamination_bloom_sweep": q_contamination_bloom_sweep,
     }.items()}
 
 
@@ -5251,6 +5267,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": CONT.contamination_sql("documents"),
         "contamination_bloom_audit":
             CONT.contamination_bloom_audit_sql("documents"),
+        "contamination_bloom_sweep":
+            CONT.contamination_bloom_sweep_sql("documents"),
         "doc_repetition": CONT.repetition_sql("documents"),
         "ingest_dedup": """
             WITH dup AS (

@@ -519,6 +519,87 @@ def contamination_bloom_audit_sql(
     """
 
 
+def contamination_bloom_sweep(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    n: int = 5,
+    m_list: Sequence[int] = (1 << 18, 1 << 20, 1 << 22),
+    k: int = 4,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Price the Bloom bitmap-size dial BEFORE committing a gate to
+    it (the `tune_nprobe` / `contamination_sweep` convention: one
+    corpus-level row per rung, every number exact-integer and
+    oracle-pinned). For each m_bits rung the full audit runs and
+    reduces to:
+
+        (m_bits, n_shingles, n_contaminated, n_bloom_hits, fp_ppm)
+
+    fp_ppm = false positives per million CLEAN probe shingles —
+    the observed false-positive rate to hold against the gate's
+    budget; pick the smallest m whose fp_ppm clears it. Rungs use
+    disjoint position families only through `% m`, so they are
+    independent filters (fp_ppm is expected, not guaranteed, to fall
+    with m — the sweep measures, it does not assume).
+
+    Cost: one audit per rung (train bitmap fold + batch probes) —
+    len(m_list) linear passes, the kmeans_inertia_sweep shape."""
+    from functools import reduce as _reduce
+
+    rungs = []
+    for m_bits in m_list:
+        agg = (
+            contamination_bloom_audit(spark, batch, index_path, n,
+                                      m_bits, k, key)
+            .agg(
+                F.sum("n_shingles").alias("n_shingles"),
+                F.sum("n_contaminated").alias("n_contaminated"),
+                F.sum("n_bloom_hits").alias("n_bloom_hits"),
+            )
+            .select(
+                F.lit(m_bits).cast("bigint").alias("m_bits"),
+                "n_shingles", "n_contaminated", "n_bloom_hits",
+                F.expr("(n_bloom_hits - n_contaminated) * 1000000"
+                       " DIV greatest(n_shingles - n_contaminated, 1)")
+                .alias("fp_ppm"),
+            )
+        )
+        rungs.append(agg)
+    return _reduce(lambda a, b: a.unionByName(b), rungs).orderBy("m_bits")
+
+
+def contamination_bloom_sweep_sql(
+    table: str = "documents",
+    n: int = 5,
+    m_list: Sequence[int] = (1 << 18, 1 << 20, 1 << 22),
+    k: int = 4,
+    weights: Sequence[tuple[str, float]] = DEFAULT_WEIGHTS,
+    key: str = "doc_id",
+    salt: str = "split",
+) -> str:
+    """DuckDB mirror of :func:`contamination_bloom_sweep`: each rung
+    aggregates the rung's audit mirror; UNION ALL, m-ascending."""
+    rungs = []
+    for m_bits in m_list:
+        inner = contamination_bloom_audit_sql(
+            table, n, m_bits, k, weights, key, salt)
+        rungs.append(f"""
+            SELECT CAST({m_bits} AS BIGINT) AS m_bits,
+                   CAST(sum(n_shingles) AS BIGINT) AS n_shingles,
+                   CAST(sum(n_contaminated) AS BIGINT)
+                       AS n_contaminated,
+                   CAST(sum(n_bloom_hits) AS BIGINT) AS n_bloom_hits,
+                   CAST((sum(n_bloom_hits) - sum(n_contaminated))
+                        * 1000000
+                        // greatest(sum(n_shingles)
+                                    - sum(n_contaminated), 1)
+                        AS BIGINT) AS fp_ppm
+            FROM ({inner})
+        """)
+    return " UNION ALL ".join(rungs) + " ORDER BY m_bits"
+
+
 def contamination_check(
     spark,
     batch: DataFrame,

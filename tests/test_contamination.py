@@ -507,3 +507,32 @@ def test_bloom_audit_tiny_filter_forces_false_positives(spark, tmp_path):
         spark, novel, str(tmp_path / "sh"), m_bits=64, k=2).collect()
     assert all(r["n_contaminated"] == 0 for r in audit)
     assert sum(r["n_false_pos"] for r in audit) > 0
+
+
+def test_bloom_sweep_rungs_consistent(spark, tmp_path):
+    """The size sweep: exact columns identical across rungs (they don't
+    depend on m), and on this fixture — a NOVEL probe batch, so every
+    probe shingle is clean and can false-positive — the observed rate
+    falls as the bitmap grows (deterministic for fixed data)."""
+    train = _docs_df(spark, [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta iota{i}")
+        for i in range(30)
+    ])
+    C.build_shingle_index(train, str(tmp_path / "sh"))
+    novel = _docs_df(spark, [
+        (100 + i, f"omega{i} psi{i} chi{i} phi{i} upsilon{i} tau{i}"
+                  f" sigma{i} rho{i} pi{i}")
+        for i in range(10)
+    ])
+    sweep = C.contamination_bloom_sweep(
+        spark, novel, str(tmp_path / "sh"),
+        m_list=(64, 1024, 1 << 16)).collect()
+    assert [r["m_bits"] for r in sweep] == [64, 1024, 1 << 16]
+    assert len({(r["n_shingles"], r["n_contaminated"])
+                for r in sweep}) == 1  # exact columns m-invariant
+    assert all(r["n_contaminated"] == 0 for r in sweep)  # novel batch
+    fps = [r["fp_ppm"] for r in sweep]
+    assert fps[0] > 0          # a 64-bit filter must saturate here
+    assert fps[-1] < fps[0]    # growing the bitmap pays off
+    for r in sweep:
+        assert r["n_bloom_hits"] >= r["n_contaminated"]

@@ -112,7 +112,7 @@ HEADLINE = [
     # round-13 wave: the index ledger ported to the dedup + media axes
     # (stream-appended indexes served + the band shard-skew audit)
     "dedup_index_append", "dedup_band_skew", "phash_index_append",
-    "contamination_bloom_audit",
+    "contamination_bloom_audit", "contamination_bloom_sweep",
 ]
 
 
