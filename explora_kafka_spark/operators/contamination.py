@@ -332,6 +332,16 @@ def compact_shingle_index(spark, path: str) -> None:
                    "train_shingles_compact", _rewrite)
 
 
+def vacuum_shingle_index(path: str, grace_secs: float = 86400.0
+                         ) -> list[str]:
+    """Delete crash-orphaned shingle delta/compact dirs older than the
+    grace lease (`index_ledger.vacuum`; lease rule documented there)."""
+    return ledger.vacuum(
+        path, "train_shingles",
+        ("train_shingles_delta_", "train_shingles_compact_"),
+        grace_secs)
+
+
 def _bloom_pos_col(h: Column, i: int, m_bits: int) -> Column:
     """Position of hash family member i for shingle-hash `h` in an
     m_bits Bloom bitmap — md5-derived like every cross-engine hash in

@@ -882,6 +882,14 @@ def compact_dedup_index(spark, path: str) -> None:
     ledger.compact(spark, path, "bands", "bands_compact", _rewrite)
 
 
+def vacuum_dedup_index(path: str, grace_secs: float = 86400.0
+                       ) -> list[str]:
+    """Delete crash-orphaned band delta/compact dirs older than the
+    grace lease (`index_ledger.vacuum`; lease rule documented there)."""
+    return ledger.vacuum(path, "bands",
+                         ("bands_delta_", "bands_compact_"), grace_secs)
+
+
 def dedup_band_skew(spark, index_path: str) -> DataFrame:
     """Per-band bucket-load audit of a materialized dedup index — the
     fingerprint-shard skew dial read after a run of

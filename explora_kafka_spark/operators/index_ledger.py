@@ -129,8 +129,12 @@ def _safe_component(s: str) -> str:
     """Dir-name-safe form of an id: kept verbatim when it is already a
     plain token, hashed otherwise (stream ids are often paths; a bare
     batch id containing '/' would create nested/invalid dirs the
-    manifest cannot resolve — the RAW id always stays in the ledger)."""
-    if _SAFE_RE.fullmatch(s):
+    manifest cannot resolve — the RAW id always stays in the ledger).
+    The pure-dot names '.'/'..' hash too: components are always
+    prefixed today (`<delta_prefix>_<tag>`), but a path-special token
+    must never survive into a dir name on its own (hypothesis-found
+    edge, r13)."""
+    if _SAFE_RE.fullmatch(s) and s not in (".", ".."):
         return s
     return hashlib.sha1(s.encode()).hexdigest()[:12]
 
@@ -220,6 +224,71 @@ def committed_union(
     dirs = read_fn(path)["dirs"]
     parts = [spark.read.parquet(os.path.join(path, d)) for d in dirs]
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def open_delta_count(path: str, base_dir: str,
+                     read_fn: Callable[[str], dict] | None = None) -> int:
+    """Number of committed dirs beyond the first — the compaction
+    trigger a scheduled maintainer (or a stream face's
+    `compact_after`) polls; O(1) manifest metadata."""
+    read_fn = read_fn or (lambda p: read_manifest(p, base_dir))
+    return max(0, len(read_fn(path)["dirs"]) - 1)
+
+
+def vacuum(
+    path: str,
+    base_dir: str,
+    prefixes: tuple[str, ...],
+    grace_secs: float = 86400.0,
+    read_fn: Callable[[str], dict] | None = None,
+) -> list[str]:
+    """Delete ORPHANED index dirs: on disk with one of the index's
+    delta/compact name prefixes, absent from the committed manifest,
+    and untouched for `grace_secs` — the crash debris of an append or
+    compaction that died between its data write and its commit (the
+    protocol makes such dirs invisible to readers, but they hold a
+    batch — or a full index copy, for a died compaction — of disk
+    forever). The lakehouse VACUUM job, with the same safety rule as
+    Delta's retention window: **the grace period is the write lease**
+    — it must exceed the longest possible delta/compaction write,
+    because an IN-FLIGHT writer's dir is indistinguishable from an
+    orphan until its commit; a grace shorter than a live write can
+    delete the dir out from under it. Prefix-scoped on purpose: dirs
+    the ledger never names (`centroids`, the base dir, foreign files)
+    are untouchable regardless of age. Returns the deleted dir names.
+
+    Orphans need no replay coordination to delete: a replayed epoch
+    rewrites its delta dir with mode=overwrite before committing, so
+    removing the debris early (within the lease rule) never loses a
+    batch — the ledger, not the directory, is the source of truth."""
+    import shutil as _sh
+    import time as _time
+
+    read_fn = read_fn or (lambda p: read_manifest(p, base_dir))
+    committed = set(read_fn(path)["dirs"])
+    now = _time.time()
+    deleted: list[str] = []
+    for d in sorted(os.listdir(path)):
+        full = os.path.join(path, d)
+        if not os.path.isdir(full):
+            continue
+        if d in committed or not d.startswith(prefixes):
+            continue
+        if now - os.path.getmtime(full) < grace_secs:
+            continue
+        # re-check under the lock: the dir may have committed between
+        # the listing and the delete (the compaction-race discipline)
+        still_orphan = {"v": False}
+
+        def _check(manifest: dict) -> None:
+            still_orphan["v"] = d not in manifest["dirs"]
+            return None
+
+        mutate_manifest(path, _check, base_dir)
+        if still_orphan["v"]:
+            _sh.rmtree(full, ignore_errors=True)
+            deleted.append(d)
+    return deleted
 
 
 def compact(

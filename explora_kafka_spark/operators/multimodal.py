@@ -578,6 +578,14 @@ def compact_phash_index(spark, path: str) -> None:
     ledger.compact(spark, path, "phash", "phash_compact", _rewrite)
 
 
+def vacuum_phash_index(path: str, grace_secs: float = 86400.0
+                       ) -> list[str]:
+    """Delete crash-orphaned phash delta/compact dirs older than the
+    grace lease (`index_ledger.vacuum`; lease rule documented there)."""
+    return ledger.vacuum(path, "phash",
+                         ("phash_delta_", "phash_compact_"), grace_secs)
+
+
 def phash_check(
     spark,
     batch: DataFrame,

@@ -42,6 +42,7 @@ def ivf_index_update_stream(
     checkpoint: str,
     available_now: bool = True,
     stream_id: str | None = None,
+    compact_after: int | None = None,
 ):
     """Append a streaming (vec_id, embedding) source into the IVF
     index at `index_path`, one exactly-once committed batch per
@@ -57,12 +58,26 @@ def ivf_index_update_stream(
     dropped (r12 review). Defaults to the checkpoint path, which is
     stable across restarts of the same checkpoint and naturally
     distinct for a new one; pass an explicit durable id if the
-    checkpoint may be relocated mid-stream."""
+    checkpoint may be relocated mid-stream.
+
+    `compact_after` (round 13): with a threshold set, the face runs
+    `compact_ivf_index` inline whenever the committed open-delta count
+    exceeds it — a long-running stream no longer accumulates one
+    serve-time delta scan per epoch forever (the auto-OPTIMIZE
+    cadence; the trigger poll is O(1) manifest metadata and the
+    snapshot-scoped compaction is concurrency-safe by design)."""
+    from ..operators import index_ledger as ledger
+    from ..operators.similarity import compact_ivf_index
+
     sid = stream_id if stream_id is not None else checkpoint
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
         update_ivf_index(df.sparkSession, df, index_path,
                          batch_id=epoch_id, stream_id=sid)
+        if (compact_after is not None
+                and ledger.open_delta_count(index_path, "lists")
+                > compact_after):
+            compact_ivf_index(df.sparkSession, index_path)
 
     writer = (
         vec_stream.writeStream
@@ -83,6 +98,7 @@ def dedup_index_update_stream(
     stream_id: str | None = None,
     num_bands: int | None = None,
     shingle_n: int = 1,
+    compact_after: int | None = None,
 ):
     """Append a streaming (doc_id, text) source into the banded
     MinHash dedup index at `index_path`, one exactly-once committed
@@ -97,8 +113,13 @@ def dedup_index_update_stream(
     100 TB: per epoch, work is O(batch) signatures + one anti-join
     probing the index's two key columns + one batch-sized write; the
     base band dirs are never rewritten. `compact_dedup_index` is the
-    OPTIMIZE job when open deltas accumulate."""
-    from ..operators.dedup import NUM_BANDS, update_dedup_index
+    OPTIMIZE job when open deltas accumulate — run inline past the
+    `compact_after` open-delta threshold (the ivf face's auto-OPTIMIZE
+    cadence)."""
+    from ..operators import index_ledger as ledger
+    from ..operators.dedup import (
+        NUM_BANDS, compact_dedup_index, update_dedup_index,
+    )
 
     sid = stream_id if stream_id is not None else checkpoint
     nb = num_bands if num_bands is not None else NUM_BANDS
@@ -107,6 +128,10 @@ def dedup_index_update_stream(
         update_dedup_index(df, index_path, num_bands=nb,
                            shingle_n=shingle_n,
                            batch_id=epoch_id, stream_id=sid)
+        if (compact_after is not None
+                and ledger.open_delta_count(index_path, "bands")
+                > compact_after):
+            compact_dedup_index(df.sparkSession, index_path)
 
     writer = (
         doc_stream.writeStream
@@ -126,20 +151,29 @@ def shingle_index_update_stream(
     available_now: bool = True,
     stream_id: str | None = None,
     n: int = 5,
+    compact_after: int | None = None,
 ):
     """Append a streaming (doc_id, text) source into the contamination
     shingle index at `index_path`, one exactly-once committed batch
     per epoch (`operators/contamination.update_shingle_index` with the
-    epoch id). Same contract as `dedup_index_update_stream`; the
-    index's set invariant (distinct `_h`) is kept by the in-write
-    anti-join, the ledger makes replays free."""
-    from ..operators.contamination import update_shingle_index
+    epoch id). Same contract as `dedup_index_update_stream` (incl. the
+    `compact_after` auto-OPTIMIZE cadence); the index's set invariant
+    (distinct `_h`) is kept by the in-write anti-join, the ledger
+    makes replays free."""
+    from ..operators import index_ledger as ledger
+    from ..operators.contamination import (
+        compact_shingle_index, update_shingle_index,
+    )
 
     sid = stream_id if stream_id is not None else checkpoint
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
         update_shingle_index(df.sparkSession, df, index_path, n=n,
                              batch_id=epoch_id, stream_id=sid)
+        if (compact_after is not None
+                and ledger.open_delta_count(index_path, "train_shingles")
+                > compact_after):
+            compact_shingle_index(df.sparkSession, index_path)
 
     writer = (
         doc_stream.writeStream
@@ -159,6 +193,7 @@ def phash_index_update_stream(
     available_now: bool = True,
     stream_id: str | None = None,
     bits: int = 64,
+    compact_after: int | None = None,
 ):
     """Append a streaming (media_id, kind, payload) source into the
     perceptual-hash media index at `index_path`, one exactly-once
@@ -166,14 +201,22 @@ def phash_index_update_stream(
     (`operators/multimodal.update_phash_index` with the epoch id) —
     the media tier's face, completing ledger parity across all four
     incremental index families. Same contract as
-    `dedup_index_update_stream`."""
-    from ..operators.multimodal import update_phash_index
+    `dedup_index_update_stream` (incl. the `compact_after`
+    auto-OPTIMIZE cadence)."""
+    from ..operators import index_ledger as ledger
+    from ..operators.multimodal import (
+        compact_phash_index, update_phash_index,
+    )
 
     sid = stream_id if stream_id is not None else checkpoint
 
     def _apply(df: DataFrame, epoch_id: int) -> None:
         update_phash_index(df, index_path, bits=bits,
                            batch_id=epoch_id, stream_id=sid)
+        if (compact_after is not None
+                and ledger.open_delta_count(index_path, "phash")
+                > compact_after):
+            compact_phash_index(df.sparkSession, index_path)
 
     writer = (
         media_stream.writeStream

@@ -206,3 +206,40 @@ def test_compact_with_stub_rewrite(tmp_path):
     m = L.read_manifest(p, "base")
     assert m["dirs"] == [new_dir]
     assert m["batches"] == ["x", "y"]  # ledger survives
+
+
+# ---------------------------------------------------------------------------
+# VACUUM: crash-orphan GC under the grace lease
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_deletes_only_aged_orphans(tmp_path):
+    p = str(tmp_path)
+    L.ledger_append(p, "base", "base_delta", _touch_write, batch_id="a")
+    _touch_write(os.path.join(p, "base"))
+    # crash debris: a delta that never committed and a died compaction
+    _touch_write(os.path.join(p, "base_delta_orphan"))
+    _touch_write(os.path.join(p, "base_compact_died"))
+    # a foreign dir the prefixes must protect
+    _touch_write(os.path.join(p, "centroids"))
+    prefixes = ("base_delta_", "base_compact_")
+    # inside the grace lease: nothing deleted
+    assert L.vacuum(p, "base", prefixes, grace_secs=3600) == []
+    # past the lease: exactly the two orphans go
+    deleted = L.vacuum(p, "base", prefixes, grace_secs=0)
+    assert sorted(deleted) == ["base_compact_died", "base_delta_orphan"]
+    on_disk = {d for d in os.listdir(p) if os.path.isdir(
+        os.path.join(p, d))}
+    committed = set(L.read_manifest(p, "base")["dirs"])
+    assert committed <= on_disk          # committed dirs survive
+    assert "centroids" in on_disk        # foreign dirs survive
+    # idempotent
+    assert L.vacuum(p, "base", prefixes, grace_secs=0) == []
+
+
+def test_open_delta_count(tmp_path):
+    p = str(tmp_path)
+    assert L.open_delta_count(p, "base") == 0
+    L.ledger_append(p, "base", "base_delta", _touch_write, batch_id="a")
+    L.ledger_append(p, "base", "base_delta", _touch_write, batch_id="b")
+    assert L.open_delta_count(p, "base") == 2

@@ -490,3 +490,36 @@ def test_phash_update_ledger_replay_and_serving(spark, docs, tmp_path):
     assert len(m["dirs"]) == 1
     assert [tuple(r) for r in
             MM.phash_check(spark, probe, idx).collect()] == got
+
+
+def test_stream_auto_compaction_bounds_open_deltas(spark, emb, tmp_path):
+    """compact_after: a multi-epoch stream compacts inline once the
+    committed open-delta count crosses the threshold — the index never
+    accumulates one serve-time delta scan per epoch, and serving stays
+    identical."""
+    from explora_kafka_spark.operators import index_ledger as L
+    from explora_kafka_spark.streaming.index_update import (
+        ivf_index_update_stream,
+    )
+
+    idx = str(tmp_path / "ivf")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    S.build_ivf_index(base, idx)
+    n0 = sum(_counts(spark, idx).values())
+    src = str(tmp_path / "in")
+    # several input files + 1-file triggers => several epochs
+    delta.repartition(6).write.parquet(src)
+    stream = (spark.readStream.schema(
+        "vec_id bigint, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .select("vec_id", "embedding"))
+    q = ivf_index_update_stream(spark, stream, idx,
+                                str(tmp_path / "ckpt"),
+                                compact_after=2)
+    assert q.awaitTermination(600)
+    assert sum(_counts(spark, idx).values()) == n0 + delta.count()
+    assert L.open_delta_count(idx, "lists") <= 2
+    # the stream ledger survived every inline compaction
+    m = json.load(open(os.path.join(idx, "_manifest.json")))
+    assert list(m["streams"].values()) == [5]  # 6 files -> epochs 0..5
