@@ -807,6 +807,7 @@ def update_dedup_index(
     shingle_n: int = 1,
     batch_id: int | str | None = None,
     stream_id: str | None = None,
+    enforce_unique: bool = True,
 ) -> bool:
     """Append newly admitted documents' banded signatures into the
     index — the gate-learns step for the MinHash tier: once a batch is
@@ -836,14 +837,28 @@ def update_dedup_index(
     Without ids (legacy ad-hoc use, the streaming/corpus_gate.py
     default), behavior is unchanged from r12: value-converged append
     into the base `bands` dir. Returns True if the batch was applied,
-    False on a ledger replay no-op."""
+    False on a ledger replay no-op.
+
+    `enforce_unique=False` (ledgered path only) skips the anti-join —
+    the index's ONE per-batch cost that grows with index size (a
+    column-pruned scan of its two key columns). With the ledger
+    already making replays exactly-once, the anti-join only guards
+    against the SAME doc id arriving in two DIFFERENT committed
+    batches; when the upstream mints fresh ids per admitted doc (the
+    normal ingest contract), that cannot happen and the scan is pure
+    cost at 100 TB. Safety either way: `dedup_check` dedups candidate
+    PAIRS before scoring, so duplicated band rows can never change
+    its output (test-pinned) — the invariant trades storage tidiness,
+    not correctness."""
     spark = docs.sparkSession
 
-    def _new_rows() -> DataFrame:
+    def _new_rows(anti_join: bool = True) -> DataFrame:
         banded = banded_signatures(
             minhash_signatures(docs, num_hashes, shingle_n),
             num_bands, num_hashes // num_bands,
         )
+        if not anti_join:
+            return banded.localCheckpoint(eager=True)
         existing = read_dedup_bands(spark, path).select(
             "doc_id", "band_idx")
         return (
@@ -852,12 +867,14 @@ def update_dedup_index(
         )
 
     if batch_id is None and stream_id is None:
+        # legacy path always anti-joins: without a ledger the
+        # anti-join is ALSO the replay guard
         (_new_rows().repartition("band_idx", "band_key")
          .write.mode("append").parquet(f"{path}/bands"))
         return True
 
     def _write(delta_path: str) -> bool:
-        rows = _new_rows()
+        rows = _new_rows(anti_join=enforce_unique)
         if rows.isEmpty():
             return False
         (rows.repartition("band_idx", "band_key")

@@ -99,6 +99,7 @@ def dedup_index_update_stream(
     num_bands: int | None = None,
     shingle_n: int = 1,
     compact_after: int | None = None,
+    enforce_unique: bool = True,
 ):
     """Append a streaming (doc_id, text) source into the banded
     MinHash dedup index at `index_path`, one exactly-once committed
@@ -115,7 +116,10 @@ def dedup_index_update_stream(
     base band dirs are never rewritten. `compact_dedup_index` is the
     OPTIMIZE job when open deltas accumulate — run inline past the
     `compact_after` open-delta threshold (the ivf face's auto-OPTIMIZE
-    cadence)."""
+    cadence). An ingest that mints fresh doc ids per admitted batch
+    passes `enforce_unique=False` to drop the per-epoch anti-join —
+    the face's only index-sized cost (contract + output-invariance
+    proof in `update_dedup_index`)."""
     from ..operators import index_ledger as ledger
     from ..operators.dedup import (
         NUM_BANDS, compact_dedup_index, update_dedup_index,
@@ -127,7 +131,8 @@ def dedup_index_update_stream(
     def _apply(df: DataFrame, epoch_id: int) -> None:
         update_dedup_index(df, index_path, num_bands=nb,
                            shingle_n=shingle_n,
-                           batch_id=epoch_id, stream_id=sid)
+                           batch_id=epoch_id, stream_id=sid,
+                           enforce_unique=enforce_unique)
         if (compact_after is not None
                 and ledger.open_delta_count(index_path, "bands")
                 > compact_after):

@@ -523,3 +523,36 @@ def test_stream_auto_compaction_bounds_open_deltas(spark, emb, tmp_path):
     # the stream ledger survived every inline compaction
     m = json.load(open(os.path.join(idx, "_manifest.json")))
     assert list(m["streams"].values()) == [5]  # 6 files -> epochs 0..5
+
+
+def test_dedup_duplicate_band_rows_cannot_change_check_output(
+        spark, docs, tmp_path):
+    """The enforce_unique=False contract: even when the SAME docs are
+    committed in two different epochs (duplicated band rows in the
+    index), dedup_check's pair-dedup makes the served output identical
+    to the clean index — the set invariant trades storage, not
+    correctness."""
+    from explora_kafka_spark.operators import dedup as D
+
+    clean = str(tmp_path / "clean")
+    dirty = str(tmp_path / "dirty")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    for idx in (clean, dirty):
+        D.build_dedup_index(base, idx, shingle_n=2, num_bands=8)
+        assert D.update_dedup_index(delta, idx, num_bands=8,
+                                    shingle_n=2, batch_id=1,
+                                    enforce_unique=False) is True
+    # the dirty index gets the SAME delta docs again under a NEW epoch
+    # with the anti-join off -> duplicated band rows
+    assert D.update_dedup_index(delta, dirty, num_bands=8, shingle_n=2,
+                                batch_id=2, enforce_unique=False) is True
+    n_clean = _band_rows(spark, clean)
+    n_dirty = _band_rows(spark, dirty)
+    assert n_dirty == n_clean + delta.count() * 8  # rows duplicated...
+    probe = docs.filter(F.col("doc_id") % 7 == 0)
+    got = [tuple(r) for r in D.dedup_check(
+        spark, probe, dirty, shingle_n=2, num_bands=8).collect()]
+    want = [tuple(r) for r in D.dedup_check(
+        spark, probe, clean, shingle_n=2, num_bands=8).collect()]
+    assert got == want and len(got) > 0  # ...output identical
