@@ -1377,10 +1377,13 @@ def q_phash_index_append(spark, sf_dir):
     `phash_check` serves the committed union — perturbed twins of
     docs from BOTH slices must flag as dups (a twin of a streamed-in
     doc only matches if the append really serves), byte-reversed
-    payloads as novel. Oracle: phash_check_sql with the FULL corpus as
-    the index side."""
+    payloads as novel. The probe stride is 7 — COPRIME to the 5-slice
+    split, so twins target base AND delta docs (r13 review: a % 50
+    probe was a subset of the streamed slice and never exercised the
+    base dir). Oracle: phash_check_sql with the FULL corpus as the
+    index side."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    probe = docs.filter(F.col("doc_id") % 50 == 0)
+    probe = docs.filter(F.col("doc_id") % 7 == 0)
     batch = (
         probe.select((F.col("doc_id") + 1000000).alias("doc_id"),
                      F.expr("concat('zzz', substr(text, 4))").alias("text"))
@@ -4778,16 +4781,18 @@ def oracle_sql() -> dict[str, str]:
                       " SELECT doc_id + 2000000 AS doc_id,"
                       " reverse(text) AS text"
                       " FROM documents WHERE doc_id % 50 = 0"),
-        # base + streamed-in delta == the full corpus as the index side
+        # base + streamed-in delta == the full corpus as the index
+        # side; % 7 probe stride is coprime to the 5-slice split so
+        # twins target docs from BOTH dirs
         "phash_index_append": _MM.phash_check_sql(
             table="documents", corpus_pred="doc_id < 1000000",
             batch_sql="SELECT doc_id + 1000000 AS doc_id,"
                       " 'zzz' || substr(text, 4) AS text"
-                      " FROM documents WHERE doc_id % 50 = 0"
+                      " FROM documents WHERE doc_id % 7 = 0"
                       " UNION ALL"
                       " SELECT doc_id + 2000000 AS doc_id,"
                       " reverse(text) AS text"
-                      " FROM documents WHERE doc_id % 50 = 0"),
+                      " FROM documents WHERE doc_id % 7 = 0"),
         "expect_events": EXP.expect_sql("events", _EXPECTATIONS),
         "expect_by_source": EXP.expect_by_sql("documents", "source", [
             ("text_non_empty", "length(text) > 0", 1000000),

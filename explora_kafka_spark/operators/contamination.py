@@ -26,6 +26,7 @@ materialize it once per corpus snapshot and semi-join each candidate batch.
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -226,6 +227,7 @@ def build_contamination_index(
         .distinct()
     )
     train_sh.write.mode("overwrite").parquet(f"{path}/train_shingles")
+    ledger.reset_manifest_if_present(path, "train_shingles")
 
 
 def _distinct_shingle_hashes(docs: DataFrame, n: int) -> DataFrame:
@@ -257,6 +259,7 @@ def build_shingle_index(
     `contamination_check` reads either interchangeably."""
     _distinct_shingle_hashes(docs, n).write.mode("overwrite").parquet(
         f"{path}/train_shingles")
+    ledger.reset_manifest_if_present(path, "train_shingles")
 
 
 def read_shingle_index(spark, path: str) -> DataFrame:
@@ -304,10 +307,6 @@ def update_shingle_index(
             .localCheckpoint(eager=True)
         )
 
-    if batch_id is None and stream_id is None:
-        _new_h().write.mode("append").parquet(f"{path}/train_shingles")
-        return True
-
     def _write(delta_path: str) -> bool:
         rows = _new_h()
         if rows.isEmpty():
@@ -315,21 +314,33 @@ def update_shingle_index(
         rows.write.mode("overwrite").parquet(delta_path)
         return True
 
+    if batch_id is None and stream_id is None:
+        # legacy no-id path: on a MANIFESTED index route through an
+        # unguarded ledger commit — after a compaction the base dir is
+        # no longer in the manifest and a raw append there would be
+        # permanently invisible to readers (r13 review)
+        if os.path.exists(os.path.join(path, ledger.MANIFEST)):
+            return ledger.ledger_append(path, "train_shingles",
+                                        "train_shingles_delta", _write)
+        _new_h().write.mode("append").parquet(f"{path}/train_shingles")
+        return True
+
     return ledger.ledger_append(path, "train_shingles",
                                 "train_shingles_delta", _write,
                                 batch_id, stream_id)
 
 
-def compact_shingle_index(spark, path: str) -> None:
+def compact_shingle_index(spark, path: str, gc: bool = True) -> None:
     """Fold accumulated shingle delta dirs back into one
     (`index_ledger.compact`: snapshot-scoped fold, late deltas carried
-    over, ledgers kept, folded dirs GC'd)."""
+    over, ledgers kept; `gc=False` defers folded-dir deletion to
+    `vacuum_shingle_index`, the serving-safe mode)."""
 
     def _rewrite(union: DataFrame, new_path: str) -> None:
         union.write.mode("overwrite").parquet(new_path)
 
     ledger.compact(spark, path, "train_shingles",
-                   "train_shingles_compact", _rewrite)
+                   "train_shingles_compact", _rewrite, gc=gc)
 
 
 def vacuum_shingle_index(path: str, grace_secs: float = 86400.0

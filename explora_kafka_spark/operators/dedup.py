@@ -21,6 +21,7 @@ are the LLM-data-pipeline extensions the task brief mandates.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -788,6 +789,7 @@ def build_dedup_index(
     )
     (banded.repartition("band_idx", "band_key")
      .write.mode("overwrite").parquet(f"{path}/bands"))
+    ledger.reset_manifest_if_present(path, "bands")
 
 
 def read_dedup_bands(spark, path: str) -> DataFrame:
@@ -866,37 +868,49 @@ def update_dedup_index(
             .localCheckpoint(eager=True)
         )
 
-    if batch_id is None and stream_id is None:
-        # legacy path always anti-joins: without a ledger the
-        # anti-join is ALSO the replay guard
-        (_new_rows().repartition("band_idx", "band_key")
-         .write.mode("append").parquet(f"{path}/bands"))
-        return True
-
-    def _write(delta_path: str) -> bool:
-        rows = _new_rows(anti_join=enforce_unique)
+    def _write_delta(delta_path: str, anti_join: bool) -> bool:
+        rows = _new_rows(anti_join=anti_join)
         if rows.isEmpty():
             return False
         (rows.repartition("band_idx", "band_key")
          .write.mode("overwrite").parquet(delta_path))
         return True
 
-    return ledger.ledger_append(path, "bands", "bands_delta", _write,
-                                batch_id, stream_id)
+    if batch_id is None and stream_id is None:
+        # legacy path always anti-joins: without a ledger the
+        # anti-join is ALSO the replay guard. On a MANIFESTED index
+        # the rows go through an unguarded ledger commit instead of
+        # the raw base dir — after a compaction the base dir is no
+        # longer in the manifest, and an append there would be
+        # permanently invisible to readers (r13 review)
+        if os.path.exists(os.path.join(path, ledger.MANIFEST)):
+            return ledger.ledger_append(
+                path, "bands", "bands_delta",
+                lambda dp: _write_delta(dp, True))
+        (_new_rows().repartition("band_idx", "band_key")
+         .write.mode("append").parquet(f"{path}/bands"))
+        return True
+
+    return ledger.ledger_append(
+        path, "bands", "bands_delta",
+        lambda dp: _write_delta(dp, enforce_unique),
+        batch_id, stream_id)
 
 
-def compact_dedup_index(spark, path: str) -> None:
+def compact_dedup_index(spark, path: str, gc: bool = True) -> None:
     """Fold accumulated band delta dirs back into one (the OPTIMIZE
     job of the dedup-index lifecycle — `index_ledger.compact`: folds
     only its snapshot's dirs, carries late-committed deltas over,
-    keeps the batch/stream ledgers, GCs the folded dirs). The fold is
-    rewritten band-bucket-clustered like `build_dedup_index`."""
+    keeps the batch/stream ledgers; `gc=False` defers folded-dir
+    deletion to `vacuum_dedup_index`, the serving-safe mode). The
+    fold is rewritten band-bucket-clustered like `build_dedup_index`."""
 
     def _rewrite(union: DataFrame, new_path: str) -> None:
         (union.repartition("band_idx", "band_key")
          .write.mode("overwrite").parquet(new_path))
 
-    ledger.compact(spark, path, "bands", "bands_compact", _rewrite)
+    ledger.compact(spark, path, "bands", "bands_compact", _rewrite,
+                   gc=gc)
 
 
 def vacuum_dedup_index(path: str, grace_secs: float = 86400.0

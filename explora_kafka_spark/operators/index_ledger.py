@@ -125,6 +125,25 @@ def mutate_manifest(path: str, mutate, base_dir: str) -> dict | None:
         os.close(fd)
 
 
+def reset_manifest_if_present(path: str, base_dir: str) -> None:
+    """Rebuild hygiene (r13 review): an index REBUILT in place over a
+    previously stream-appended path must re-point its manifest at the
+    fresh base dir alone — otherwise the surviving manifest keeps
+    serving the OLD delta dirs next to the new base (duplicated rows)
+    and replays a stale stream watermark against the new corpus
+    snapshot (fresh epochs silently dropped). Committed under the
+    lock; the orphaned old delta/compact dirs become `vacuum`'s job.
+    A path with NO manifest is left manifest-free, so a pure-legacy
+    build stays bit-compatible (no file minted)."""
+    if not os.path.exists(os.path.join(path, MANIFEST)):
+        return
+
+    def _reset(manifest: dict) -> dict:
+        return {"dirs": [base_dir], "batches": [], "streams": {}}
+
+    mutate_manifest(path, _reset, base_dir)
+
+
 def _safe_component(s: str) -> str:
     """Dir-name-safe form of an id: kept verbatim when it is already a
     plain token, hashed otherwise (stream ids are often paths; a bare
@@ -248,31 +267,45 @@ def vacuum(
     compaction that died between its data write and its commit (the
     protocol makes such dirs invisible to readers, but they hold a
     batch — or a full index copy, for a died compaction — of disk
-    forever). The lakehouse VACUUM job, with the same safety rule as
-    Delta's retention window: **the grace period is the write lease**
-    — it must exceed the longest possible delta/compaction write,
-    because an IN-FLIGHT writer's dir is indistinguishable from an
-    orphan until its commit; a grace shorter than a live write can
-    delete the dir out from under it. Prefix-scoped on purpose: dirs
-    the ledger never names (`centroids`, the base dir, foreign files)
-    are untouchable regardless of age. Returns the deleted dir names.
+    forever), plus the folded dirs a `compact(..., gc=False)` left
+    behind for deferred reclamation. The lakehouse VACUUM job, with
+    the same safety rule as Delta's retention window: **the grace
+    period is the write lease** — it must exceed the longest possible
+    delta/compaction write, because an IN-FLIGHT writer's dir is
+    indistinguishable from an orphan until its commit; a grace
+    shorter than a live write can delete the dir out from under it.
+    Prefix-scoped on purpose — with ONE exception: the bare base dir
+    is reclaimable too, but only when a manifest FILE exists and does
+    not name it (a compaction folded it away; on a pre-manifest
+    legacy index the base dir is implicitly committed and untouchable,
+    as are `centroids` and every foreign dir). Returns the deleted
+    dir names.
 
-    Orphans need no replay coordination to delete: a replayed epoch
-    rewrites its delta dir with mode=overwrite before committing, so
-    removing the debris early (within the lease rule) never loses a
-    batch — the ledger, not the directory, is the source of truth."""
+    Race hardening (r13 review): each candidate's mtime is re-checked
+    AFTER the locked manifest re-check and immediately before the
+    delete — a replaying epoch that began rewriting the dir mid-vacuum
+    bumps its mtime and the delete is skipped; the grace lease remains
+    the backstop for a writer that opened the dir before the vacuum
+    started. Orphans need no replay coordination beyond that: a
+    replayed epoch rewrites its delta dir with mode=overwrite before
+    committing, so reclaiming genuine debris never loses a batch —
+    the ledger, not the directory, is the source of truth."""
     import shutil as _sh
     import time as _time
 
     read_fn = read_fn or (lambda p: read_manifest(p, base_dir))
     committed = set(read_fn(path)["dirs"])
+    has_manifest = os.path.exists(os.path.join(path, MANIFEST))
     now = _time.time()
     deleted: list[str] = []
     for d in sorted(os.listdir(path)):
         full = os.path.join(path, d)
         if not os.path.isdir(full):
             continue
-        if d in committed or not d.startswith(prefixes):
+        if d in committed:
+            continue
+        base_orphan = d == base_dir and has_manifest
+        if not (d.startswith(prefixes) or base_orphan):
             continue
         if now - os.path.getmtime(full) < grace_secs:
             continue
@@ -285,9 +318,16 @@ def vacuum(
             return None
 
         mutate_manifest(path, _check, base_dir)
-        if still_orphan["v"]:
-            _sh.rmtree(full, ignore_errors=True)
-            deleted.append(d)
+        if not still_orphan["v"]:
+            continue
+        try:
+            # a writer that started mid-vacuum bumped the mtime — skip
+            if _time.time() - os.path.getmtime(full) < grace_secs:
+                continue
+        except FileNotFoundError:
+            continue
+        _sh.rmtree(full, ignore_errors=True)
+        deleted.append(d)
     return deleted
 
 
@@ -299,16 +339,26 @@ def compact(
     rewrite_fn: Callable[[DataFrame, str], None],
     read_fn: Callable[[str], dict] | None = None,
     mutate_fn=None,
+    gc: bool = True,
 ) -> None:
     """Fold the manifest's committed dirs back into one (the OPTIMIZE
     job): `rewrite_fn(union_df, abs_new_dir)` writes the fold in the
     index's layout, then the manifest atomically re-points at it — the
     batch/stream ledgers survive, so replay protection is unaffected.
     The union is built from the SNAPSHOT's dirs directly, so a delta
-    committed mid-compaction is only carried over, never folded; folded
-    dirs are deleted after the swap (retention discipline — without GC
-    every compaction leaks a full index copy). Single-dir indexes
-    no-op."""
+    committed mid-compaction is only carried over, never folded.
+    Single-dir indexes no-op.
+
+    GC policy (r13 review): with `gc=True` (the maintenance-window
+    default) the folded dirs are deleted right after the swap — an
+    IN-FLIGHT query that already resolved its file listing from the
+    pre-swap manifest can fail on the vanished files and must retry,
+    the documented compact_store trade-off. `gc=False` is the
+    serving-safe mode the streaming faces' inline auto-compaction
+    uses: folded dirs are left on disk as unmanifested orphans —
+    invisible to new readers, still scannable by in-flight ones — and
+    `vacuum` reclaims them after its grace lease, exactly the Delta
+    OPTIMIZE (rewrite) / VACUUM (retention-gated delete) split."""
     read_fn = read_fn or (lambda p: read_manifest(p, base_dir))
     mutate_fn = mutate_fn or (
         lambda p, mu: mutate_manifest(p, mu, base_dir))
@@ -327,6 +377,8 @@ def compact(
         return manifest
 
     mutate_fn(path, _commit)
+    if not gc:
+        return
     import shutil as _sh
 
     for d in folded:

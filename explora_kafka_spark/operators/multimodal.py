@@ -19,6 +19,7 @@ projection (no shuffle).
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -513,6 +514,7 @@ def build_phash_index(media: DataFrame, path: str, bits: int = 64) -> None:
     it a batch pays its own hashes + one banded equi-join."""
     media_phash(media, bits=bits).write.mode("overwrite").parquet(
         f"{path}/phash")
+    ledger.reset_manifest_if_present(path, "phash")
 
 
 def read_phash_index(spark, path: str) -> DataFrame:
@@ -552,10 +554,6 @@ def update_phash_index(
             .localCheckpoint(eager=True)
         )
 
-    if batch_id is None and stream_id is None:
-        _new_rows().write.mode("append").parquet(f"{path}/phash")
-        return True
-
     def _write(delta_path: str) -> bool:
         rows = _new_rows()
         if rows.isEmpty():
@@ -563,19 +561,32 @@ def update_phash_index(
         rows.write.mode("overwrite").parquet(delta_path)
         return True
 
+    if batch_id is None and stream_id is None:
+        # legacy no-id path: on a MANIFESTED index route through an
+        # unguarded ledger commit — after a compaction the base dir is
+        # no longer in the manifest and a raw append there would be
+        # permanently invisible to readers (r13 review)
+        if os.path.exists(os.path.join(path, ledger.MANIFEST)):
+            return ledger.ledger_append(path, "phash", "phash_delta",
+                                        _write)
+        _new_rows().write.mode("append").parquet(f"{path}/phash")
+        return True
+
     return ledger.ledger_append(path, "phash", "phash_delta", _write,
                                 batch_id, stream_id)
 
 
-def compact_phash_index(spark, path: str) -> None:
+def compact_phash_index(spark, path: str, gc: bool = True) -> None:
     """Fold accumulated phash delta dirs back into one
     (`index_ledger.compact`: snapshot-scoped, late deltas carried,
-    ledgers kept, folded dirs GC'd)."""
+    ledgers kept; `gc=False` defers folded-dir deletion to
+    `vacuum_phash_index`, the serving-safe mode)."""
 
     def _rewrite(union: DataFrame, new_path: str) -> None:
         union.write.mode("overwrite").parquet(new_path)
 
-    ledger.compact(spark, path, "phash", "phash_compact", _rewrite)
+    ledger.compact(spark, path, "phash", "phash_compact", _rewrite,
+                   gc=gc)
 
 
 def vacuum_phash_index(path: str, grace_secs: float = 86400.0

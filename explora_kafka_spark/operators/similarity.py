@@ -1123,7 +1123,7 @@ def update_ivf_index(
         mutate_fn=lambda p, mu: _mutate_ivf_manifest(p, mu))
 
 
-def compact_ivf_index(spark, path: str) -> None:
+def compact_ivf_index(spark, path: str, gc: bool = True) -> None:
     """Fold the manifest's committed dirs back into one dir (the
     OPTIMIZE job of the index lifecycle, the compact_store twin):
     rewrite the union into a fresh dir, then atomically re-point the
@@ -1155,7 +1155,7 @@ def compact_ivf_index(spark, path: str) -> None:
     ledger.compact(
         spark, path, "lists", "lists_compact", _rewrite,
         read_fn=_ivf_manifest,
-        mutate_fn=lambda p, mu: _mutate_ivf_manifest(p, mu))
+        mutate_fn=lambda p, mu: _mutate_ivf_manifest(p, mu), gc=gc)
 
 
 def vacuum_ivf_index(path: str, grace_secs: float = 86400.0) -> list[str]:

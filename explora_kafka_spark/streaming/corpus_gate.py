@@ -168,11 +168,18 @@ def gate_stream_learning(
     per checkpoint), so a replayed micro-batch no-ops in O(1) metadata
     instead of re-running the signature anti-joins (which were already
     value-converged — the r12 contract — but paid an index scan per
-    replay). The accepted/rejected parquet sinks stay plain appends: a
-    replayed epoch can duplicate THOSE rows (read them with
-    dropDuplicates(doc_id) or point them at a ParquetViewStore for the
-    full guarantee); the indexes — the part that feeds back into
-    verdicts — cannot drift. Within a single micro-batch, mutual
+    replay). The accepted/rejected parquet sinks stay plain appends
+    and are the WEAK link under replay (r13 review): a replayed epoch
+    not only duplicates sink rows, it RE-SCORES the batch against
+    indexes that now contain the batch's own shingles/bands, so
+    previously-accepted docs self-match and land in rejected_path
+    with the OPPOSITE verdict — the same doc can sit in both sinks.
+    Consumers must treat the sinks as at-least-once with
+    first-write-wins semantics (dropDuplicates over doc_id preferring
+    the accepted row, or a ParquetViewStore pointed at the sinks for
+    the full exactly-once guarantee); the indexes — the part that
+    feeds back into verdicts — cannot drift. Within a single
+    micro-batch, mutual
     near-dups are both admitted (the update_semantic_index contract)
     — shrink the trigger or pre-dedup the batch when that matters."""
     from ..operators.contamination import update_shingle_index

@@ -77,7 +77,7 @@ def ivf_index_update_stream(
         if (compact_after is not None
                 and ledger.open_delta_count(index_path, "lists")
                 > compact_after):
-            compact_ivf_index(df.sparkSession, index_path)
+            compact_ivf_index(df.sparkSession, index_path, gc=False)
 
     writer = (
         vec_stream.writeStream
@@ -136,7 +136,7 @@ def dedup_index_update_stream(
         if (compact_after is not None
                 and ledger.open_delta_count(index_path, "bands")
                 > compact_after):
-            compact_dedup_index(df.sparkSession, index_path)
+            compact_dedup_index(df.sparkSession, index_path, gc=False)
 
     writer = (
         doc_stream.writeStream
@@ -178,7 +178,7 @@ def shingle_index_update_stream(
         if (compact_after is not None
                 and ledger.open_delta_count(index_path, "train_shingles")
                 > compact_after):
-            compact_shingle_index(df.sparkSession, index_path)
+            compact_shingle_index(df.sparkSession, index_path, gc=False)
 
     writer = (
         doc_stream.writeStream
@@ -221,7 +221,7 @@ def phash_index_update_stream(
         if (compact_after is not None
                 and ledger.open_delta_count(index_path, "phash")
                 > compact_after):
-            compact_phash_index(df.sparkSession, index_path)
+            compact_phash_index(df.sparkSession, index_path, gc=False)
 
     writer = (
         media_stream.writeStream

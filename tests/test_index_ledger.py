@@ -243,3 +243,44 @@ def test_open_delta_count(tmp_path):
     L.ledger_append(p, "base", "base_delta", _touch_write, batch_id="a")
     L.ledger_append(p, "base", "base_delta", _touch_write, batch_id="b")
     assert L.open_delta_count(p, "base") == 2
+
+
+def test_vacuum_reclaims_folded_base_dir_only_with_manifest(tmp_path):
+    """After a gc=False compaction the EX-base dir is an unmanifested
+    orphan vacuum may reclaim — but on a pre-manifest legacy index the
+    base dir is implicitly committed and untouchable."""
+    p = str(tmp_path)
+    # legacy index: base on disk, NO manifest file
+    _touch_write(os.path.join(p, "base"))
+    assert L.vacuum(p, "base", ("base_delta_",), grace_secs=0) == []
+    # now a ledgered append + a simulated deferred-GC compaction
+    L.ledger_append(p, "base", "base_delta", _touch_write, batch_id="a")
+    _touch_write(os.path.join(p, "base_compact_x"))
+
+    def _swap(manifest):
+        manifest["dirs"] = ["base_compact_x"]
+        return manifest
+
+    L.mutate_manifest(p, _swap, "base")
+    deleted = L.vacuum(p, "base", ("base_delta_", "base_compact_"),
+                       grace_secs=0)
+    assert "base" in deleted  # ex-base reclaimed
+    assert all(d.startswith("base_delta_") or d == "base"
+               for d in deleted)
+    assert os.path.isdir(os.path.join(p, "base_compact_x"))
+
+
+def test_reset_manifest_if_present(tmp_path):
+    p = str(tmp_path)
+    # no manifest: stays manifest-free (legacy bit-compat)
+    L.reset_manifest_if_present(p, "base")
+    assert not os.path.exists(os.path.join(p, L.MANIFEST))
+    # with a manifest carrying deltas + a stream watermark: full reset
+    L.ledger_append(p, "base", "base_delta", _touch_write,
+                    batch_id=7, stream_id="s")
+    L.reset_manifest_if_present(p, "base")
+    m = L.read_manifest(p, "base")
+    assert m == {"dirs": ["base"], "batches": [], "streams": {}}
+    # the stale watermark is gone: epoch 0 applies on the fresh index
+    assert L.ledger_append(p, "base", "base_delta", _touch_write,
+                           batch_id=0, stream_id="s")

@@ -556,3 +556,76 @@ def test_dedup_duplicate_band_rows_cannot_change_check_output(
     want = [tuple(r) for r in D.dedup_check(
         spark, probe, clean, shingle_n=2, num_bands=8).collect()]
     assert got == want and len(got) > 0  # ...output identical
+
+
+def test_rebuild_resets_stale_manifest(spark, docs, tmp_path):
+    """Rebuilding an index in place over a previously stream-appended
+    path must serve ONLY the fresh build (r13 review: the surviving
+    manifest kept the old delta dirs AND a stale stream watermark)."""
+    from explora_kafka_spark.operators import dedup as D
+
+    idx = str(tmp_path / "lsh")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    D.build_dedup_index(base, idx, shingle_n=2, num_bands=8)
+    D.update_dedup_index(delta, idx, num_bands=8, shingle_n=2,
+                         batch_id=5, stream_id="s")
+    # rebuild over the appended index (new corpus snapshot)
+    D.build_dedup_index(docs, idx, shingle_n=2, num_bands=8)
+    assert _band_rows(spark, idx) == docs.count() * 8  # no stale dirs
+    m = json.load(open(os.path.join(idx, "_manifest.json")))
+    assert m["dirs"] == ["bands"] and m["streams"] == {}
+    # a fresh stream on the same scope starts at epoch 0 again
+    assert D.update_dedup_index(delta.limit(0), idx, num_bands=8,
+                                shingle_n=2, batch_id=0,
+                                stream_id="s") is True
+
+
+def test_legacy_append_visible_after_compaction(spark, docs, tmp_path):
+    """A no-id legacy append on a MANIFESTED index must stay visible
+    even after a compaction folded the base dir away (r13 review: the
+    raw base-dir append became permanently invisible)."""
+    from explora_kafka_spark.operators import dedup as D
+
+    idx = str(tmp_path / "lsh")
+    D.build_dedup_index(docs.filter(F.col("doc_id") % 5 != 0), idx,
+                        shingle_n=2, num_bands=8)
+    D.update_dedup_index(docs.filter(F.col("doc_id") % 10 == 0), idx,
+                         num_bands=8, shingle_n=2, batch_id=1)
+    D.compact_dedup_index(spark, idx)  # base 'bands' dir folded away
+    n0 = _band_rows(spark, idx)
+    fresh = docs.filter(F.col("doc_id") % 10 == 5)
+    assert D.update_dedup_index(fresh, idx, num_bands=8,
+                                shingle_n=2) is True  # legacy no-id
+    assert _band_rows(spark, idx) == n0 + fresh.count() * 8
+    # and the value anti-join still converges the legacy replay
+    D.update_dedup_index(fresh, idx, num_bands=8, shingle_n=2)
+    assert _band_rows(spark, idx) == n0 + fresh.count() * 8
+
+
+def test_compact_gc_false_defers_to_vacuum(spark, docs, tmp_path):
+    """The serving-safe OPTIMIZE/VACUUM split: gc=False leaves folded
+    dirs on disk for in-flight readers; vacuum reclaims them (incl.
+    the ex-base dir) after the grace lease, with serving unchanged."""
+    from explora_kafka_spark.operators import dedup as D
+
+    idx = str(tmp_path / "lsh")
+    D.build_dedup_index(docs.filter(F.col("doc_id") % 5 != 0), idx,
+                        shingle_n=2, num_bands=8)
+    D.update_dedup_index(docs.filter(F.col("doc_id") % 5 == 0), idx,
+                         num_bands=8, shingle_n=2, batch_id=1)
+    before = _band_rows(spark, idx)
+    m0 = json.load(open(os.path.join(idx, "_manifest.json")))
+    D.compact_dedup_index(spark, idx, gc=False)
+    m1 = json.load(open(os.path.join(idx, "_manifest.json")))
+    assert len(m1["dirs"]) == 1
+    for d in m0["dirs"]:  # folded dirs still on disk for readers
+        assert os.path.isdir(os.path.join(idx, d))
+    assert _band_rows(spark, idx) == before
+    # inside the lease nothing is reclaimed; past it, everything is
+    assert D.vacuum_dedup_index(idx, grace_secs=3600) == []
+    deleted = D.vacuum_dedup_index(idx, grace_secs=0)
+    assert sorted(deleted) == sorted(m0["dirs"])
+    assert _band_rows(spark, idx) == before
+    on_disk = {d for d in os.listdir(idx) if d.startswith("bands")}
+    assert on_disk == set(m1["dirs"])
