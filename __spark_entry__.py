@@ -3862,68 +3862,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wrapped
 
     return {k: _configured(v) for k, v in {
-        # ROUND-13 ROTATION (VERDICT r12 task #1): window = ivf_list_skew
-        # (the only never-driver-recorded entry, queued past the cap when
-        # it landed late in r12) + all 49 r8-stale entries = exactly 50;
-        # after this round no entry's last driver row predates r9. Below
-        # the cap the bands queue oldest-first (r9 -> r12) for the r14
-        # rotation; NEW round-13 entries queue at the r14 rotation head
-        # (growth-pause pattern, same as ivf_list_skew last round).
-        # - never driver-recorded: the r12 late landing -
-        "ivf_list_skew": q_ivf_list_skew,
-        # - last driver rows r8 (four rounds stale) -
-        "cell_bucket_key": q_cell_bucket_key,
-        "base_view_min_p7": q_base_view_min_p7,
-        "lattice_hour_p6": q_lattice_hour_p6,
-        "history_range_hour": q_history_range_hour,
-        "history_cells_day": q_history_cells_day,
-        "history_raw": q_history_raw,
-        "snapshot_day": q_snapshot_day,
-        "snapshot_prefix_day": q_snapshot_prefix_day,
-        "snapshot_bbox_quad": q_snapshot_bbox_quad,
-        "snapshot_bbox_geohash": q_snapshot_bbox_geohash,
-        "stream_view_hour": q_stream_view_hour,
-        "windowed_base_view": q_windowed_base_view,
-        "ingest_serde": q_ingest_serde,
-        "lattice_month_p7": q_lattice_month_p7,
-        "lattice_minmax_day": q_lattice_minmax_day,
-        "history_prefix_hour": q_history_prefix_hour,
-        "history_interval_1day": q_history_interval_1day,
-        "snapshot_raw": q_snapshot_raw,
-        "snapshot_bbox_quad_z14": q_snapshot_bbox_quad_z14,
-        "compact_store_effect": q_compact_store_effect,
-        "range_join_sessions": q_range_join_sessions,
-        "fingerprint": q_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
-        "ann_topk_lsh": q_ann_topk_lsh,
-        "embedding_near_dup": q_embedding_near_dup,
-        "multimodal_decode": q_multimodal_decode,
-        "bpe_token_count": q_bpe_token_count,
-        "segment_dedup": q_segment_dedup,
-        "dedup_check_batch": q_dedup_check_batch,
-        "char_entropy": q_char_entropy,
-        "kmeans_clusters": q_kmeans_clusters,
-        "kmeans_sizes": q_kmeans_sizes,
-        "kmeans_outliers": q_kmeans_outliers,
-        "decontaminate": q_decontaminate,
-        "term_postings": q_term_postings,
-        "dedup_recall": q_dedup_recall,
-        "corpus_gate": q_corpus_gate,
-        "unigram_bits": q_unigram_bits,
-        "funnel_day": q_funnel_day,
-        "funnel_window_2h": q_funnel_window_2h,
-        "corpus_diff": q_corpus_diff,
-        "bpe_pair_counts": q_bpe_pairs,
-        "corpus_report": q_corpus_report,
-        "multimodal_features": q_multimodal_features,
-        "write_shards": q_write_shards,
-        "bpe_merges": q_bpe_merges,
-        "ann_topk_ivf_quantized": q_ann_topk_ivf_quantized,
-        # --- driver cap line (entries below lose their CORRECTNESS row;
-        #     they still run in bench.py and tools/verify_local.py) ---
-        # - last driver rows r9 -
+        # ROUND-14 ROTATION (VERDICT r13 task #1): window = the 5 NEW r13
+        # ledger/Bloom entries (queued past the cap when they landed) + 45
+        # of the 46 r9-stale entries = exactly 50; the one r9 leftover
+        # (ann_topk_mmr) queues at the r15 rotation head. After this round
+        # the freshness floor moves r9 -> r10 modulo that single leftover.
+        # Below the cap the bands queue oldest-first (r9 leftover, r10,
+        # r11, r12, then the 50 entries just graded in r13); NEW round-14
+        # entries queue past the cap behind the leftover (growth-pause
+        # pattern, same as the r13 landings last round).
+        # - never driver-recorded: the r13 ledger/Bloom landings -
+        "dedup_index_append": q_dedup_index_append,
+        "dedup_band_skew": q_dedup_band_skew,
+        "phash_index_append": q_phash_index_append,
+        "contamination_bloom_audit": q_contamination_bloom_audit,
+        "contamination_bloom_sweep": q_contamination_bloom_sweep,
+        # - last driver rows r9 (four rounds stale) -
         "bpe_encode": q_bpe_encode,
         "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_ivfpq": q_ann_topk_ivfpq,
@@ -3969,6 +3923,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "session_view": q_session_view,
         "winnow_fingerprints": q_winnow_fingerprints,
+        # --- driver cap line (entries below lose their CORRECTNESS row;
+        #     they still run in bench.py and tools/verify_local.py) ---
+        # - last driver row r9 (the one leftover; r15 rotation head) -
         "ann_topk_mmr": q_ann_topk_mmr,
         # - last driver rows r10 -
         "embedding_covariance": q_embedding_covariance,
@@ -4122,14 +4079,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_resize": q_multimodal_resize,
         "asof_hourly_stats": q_asof_hourly_stats,
-        # - NEW round-13 (landed past the 50-slot window — growth-pause
-        #   pattern; r14 rotation head): the index ledger ported to the
-        #   dedup and media tiers -
-        "dedup_index_append": q_dedup_index_append,
-        "dedup_band_skew": q_dedup_band_skew,
-        "phash_index_append": q_phash_index_append,
-        "contamination_bloom_audit": q_contamination_bloom_audit,
-        "contamination_bloom_sweep": q_contamination_bloom_sweep,
+        # - last driver rows r13 (freshest; rotate out last) -
+        "ivf_list_skew": q_ivf_list_skew,
+        # - last driver rows r8 (four rounds stale) -
+        "cell_bucket_key": q_cell_bucket_key,
+        "base_view_min_p7": q_base_view_min_p7,
+        "lattice_hour_p6": q_lattice_hour_p6,
+        "history_range_hour": q_history_range_hour,
+        "history_cells_day": q_history_cells_day,
+        "history_raw": q_history_raw,
+        "snapshot_day": q_snapshot_day,
+        "snapshot_prefix_day": q_snapshot_prefix_day,
+        "snapshot_bbox_quad": q_snapshot_bbox_quad,
+        "snapshot_bbox_geohash": q_snapshot_bbox_geohash,
+        "stream_view_hour": q_stream_view_hour,
+        "windowed_base_view": q_windowed_base_view,
+        "ingest_serde": q_ingest_serde,
+        "lattice_month_p7": q_lattice_month_p7,
+        "lattice_minmax_day": q_lattice_minmax_day,
+        "history_prefix_hour": q_history_prefix_hour,
+        "history_interval_1day": q_history_interval_1day,
+        "snapshot_raw": q_snapshot_raw,
+        "snapshot_bbox_quad_z14": q_snapshot_bbox_quad_z14,
+        "compact_store_effect": q_compact_store_effect,
+        "range_join_sessions": q_range_join_sessions,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_decode": q_multimodal_decode,
+        "bpe_token_count": q_bpe_token_count,
+        "segment_dedup": q_segment_dedup,
+        "dedup_check_batch": q_dedup_check_batch,
+        "char_entropy": q_char_entropy,
+        "kmeans_clusters": q_kmeans_clusters,
+        "kmeans_sizes": q_kmeans_sizes,
+        "kmeans_outliers": q_kmeans_outliers,
+        "decontaminate": q_decontaminate,
+        "term_postings": q_term_postings,
+        "dedup_recall": q_dedup_recall,
+        "corpus_gate": q_corpus_gate,
+        "unigram_bits": q_unigram_bits,
+        "funnel_day": q_funnel_day,
+        "funnel_window_2h": q_funnel_window_2h,
+        "corpus_diff": q_corpus_diff,
+        "bpe_pair_counts": q_bpe_pairs,
+        "corpus_report": q_corpus_report,
+        "multimodal_features": q_multimodal_features,
+        "write_shards": q_write_shards,
+        "bpe_merges": q_bpe_merges,
+        "ann_topk_ivf_quantized": q_ann_topk_ivf_quantized,
     }.items()}
 
 
