@@ -1877,6 +1877,29 @@ def q_dedup_near(spark, sf_dir):
                         shingle_n=2, num_bands=8)
 
 
+def q_dedup_near_capped(spark, sf_dir):
+    """dedup_near with the hot-bucket ANCHOR CAP engaged (round 14,
+    VERDICT r13 task #2 — the pair-generation valve behind the sf1
+    dedup tails): buckets above 4 members emit only anchor×member
+    pairs instead of all C(b,2), linear in bucket size. Buckets at or
+    under the cap are untouched, every member keeps an anchor edge
+    (groups stay connected), and the oracle mirrors the deterministic
+    hash-ranked election bit-for-bit. `lsh_cap_audit` prices what this
+    config drops."""
+    return D.dedup_near(_docs(spark, sf_dir),
+                        shingle_n=2, num_bands=8, max_bucket=4)
+
+
+def q_lsh_cap_audit(spark, sf_dir):
+    """The dropped-mass report behind a max_bucket choice: per band,
+    buckets over the cap and full-vs-capped candidate pair counts —
+    statistic-sized, no pair materialized (pricing a 10¹²-pair bucket
+    costs one count). Companion of dedup_near_capped; the dial
+    dedup_band_skew measures, priced as pairs."""
+    return D.lsh_cap_audit(_docs(spark, sf_dir), max_bucket=4,
+                           shingle_n=2, num_bands=8)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact bigram Jaccard rerank of the LSH candidates."""
     return D.ngram_jaccard_pairs(_docs(spark, sf_dir),
@@ -2043,6 +2066,76 @@ def q_corpus_gate(spark, sf_dir):
         spark, batch,
         _gate_shingle_index(spark, sf_dir), _dedup_index(spark, sf_dir),
         taint_max=0.5, lsh_shingle_n=2, num_bands=8, min_est=0.9,
+    )
+
+
+def q_corpus_gate_bloom(spark, sf_dir):
+    """The admission gate in its SCALE mode (round 14, VERDICT r13
+    task #4): contamination scored by k broadcast probes against the
+    Bloom bitmap folded from the shingle index, instead of the exact
+    `_h` equi-join — the trade r13's bloom audit/sweep priced, now
+    wired into the gate itself. The oracle mirrors the BLOOM scoring
+    bit-for-bit (md5 position family), so this entry validates the
+    sketch path end-to-end; exact-vs-bloom verdict equality on this
+    fixture is pinned separately in tests/test_corpus_gate.py."""
+    from explora_kafka_spark.streaming import corpus_gate as CG
+
+    batch = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    return CG.gate_batch(
+        spark, batch,
+        _gate_shingle_index(spark, sf_dir), _dedup_index(spark, sf_dir),
+        taint_max=0.5, lsh_shingle_n=2, num_bands=8, min_est=0.9,
+        contamination_mode="bloom",
+    )
+
+
+def q_gate_verdicts_read(spark, sf_dir):
+    """First-write-wins committed read over the gate's at-least-once
+    verdict sinks (round 14, VERDICT r13 task #3). The builder stages
+    the sinks ADVERSARIALLY with exactly the corruption the
+    `gate_stream_learning` replay contract describes: epoch 0's
+    verdicts land normally; a simulated replay of epoch 0 re-writes
+    every accepted doc into the REJECTED sink with poisoned scores
+    (what a crashed-and-replayed self-learning epoch does after its
+    index updates committed — the batch self-matches); a later epoch 1
+    re-sends every doc into the opposite sink. `read_gate_verdicts`
+    (earliest epoch wins, accepted wins the within-epoch tie) must
+    resolve all of it back to epoch 0's clean verdicts — which is
+    exactly what the oracle (the uncorrupted gate mirror) computes."""
+    from explora_kafka_spark.streaming import corpus_gate as CG
+
+    batch = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    scored = CG.gate_batch(
+        spark, batch,
+        _gate_shingle_index(spark, sf_dir), _dedup_index(spark, sf_dir),
+        taint_max=0.5, lsh_shingle_n=2, num_bands=8, min_est=0.9,
+    )
+    d = tempfile.mkdtemp(prefix="explora_gate_sinks_")
+    _TMPDIRS.append(d)
+    acc_p, rej_p = f"{d}/acc", f"{d}/rej"
+    epoch0 = (scored.withColumn("_gate_epoch", F.lit(0))
+              .localCheckpoint(eager=True))
+    acc = epoch0.filter(F.col("accepted")).drop("accepted")
+    acc.write.mode("append").parquet(acc_p)
+    epoch0.filter(~F.col("accepted")).drop("accepted") \
+        .write.mode("append").parquet(rej_p)
+    # replayed epoch 0: previously-accepted docs self-match and land
+    # rejected with poisoned scores (same epoch id — the tie case)
+    (acc.withColumn("contamination", F.lit(1.0))
+        .withColumn("n_near_dups", F.lit(1).cast("long"))
+        .write.mode("append").parquet(rej_p))
+    # later epoch 1 re-sends EVERY doc into the opposite sink
+    epoch1 = epoch0.withColumn("_gate_epoch", F.lit(1))
+    epoch1.filter(~F.col("accepted")).drop("accepted") \
+        .write.mode("append").parquet(acc_p)
+    (epoch1.filter(F.col("accepted")).drop("accepted")
+        .withColumn("contamination", F.lit(1.0))
+        .withColumn("n_near_dups", F.lit(2).cast("long"))
+        .write.mode("append").parquet(rej_p))
+    return (
+        CG.read_gate_verdicts(spark, acc_p, rej_p)
+        .select("doc_id", "contamination", "n_near_dups", "accepted")
+        .orderBy("doc_id")
     )
 
 
@@ -3927,6 +4020,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     they still run in bench.py and tools/verify_local.py) ---
         # - last driver row r9 (the one leftover; r15 rotation head) -
         "ann_topk_mmr": q_ann_topk_mmr,
+        # - NEW round-14 (landed past the 50-slot window — growth-pause
+        #   pattern; r15 rotation head behind the r9 leftover): the
+        #   Bloom scale mode wired into the admission gate; the
+        #   first-write-wins committed read over the verdict sinks -
+        #   plus the LSH hot-bucket anchor cap and its pricing audit -
+        "corpus_gate_bloom": q_corpus_gate_bloom,
+        "gate_verdicts_read": q_gate_verdicts_read,
+        "dedup_near_capped": q_dedup_near_capped,
+        "lsh_cap_audit": q_lsh_cap_audit,
         # - last driver rows r10 -
         "embedding_covariance": q_embedding_covariance,
         "semdedup_check_audit": q_semdedup_check_audit,
@@ -4756,6 +4858,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": T.fingerprint_sql(),
         "dedup_exact": D.dedup_exact_sql(),
         "dedup_near": D.dedup_near_sql(shingle_n=2, num_bands=8),
+        "dedup_near_capped": D.dedup_near_sql(shingle_n=2, num_bands=8,
+                                              max_bucket=4),
+        "lsh_cap_audit": D.lsh_cap_audit_sql(max_bucket=4, shingle_n=2,
+                                             num_bands=8),
         "dedup_sweep": D.dedup_sweep_sql(shingle_n=2, num_bands=8),
         "dedup_check_batch": D.dedup_check_sql(shingle_n=2, num_bands=8),
         # streamed-in delta + base == the full corpus as the index side
@@ -5132,6 +5238,14 @@ def oracle_sql() -> dict[str, str]:
                                                  shingle_n=2, num_bands=8),
         "corpus_gate": _CG.gate_batch_sql(taint_max=0.5, lsh_shingle_n=2,
                                           num_bands=8, min_est=0.9),
+        "corpus_gate_bloom": _CG.gate_batch_sql(
+            taint_max=0.5, lsh_shingle_n=2, num_bands=8, min_est=0.9,
+            contamination_mode="bloom"),
+        # the oracle is the UNCORRUPTED gate: equality proves the
+        # reader resolved the staged replay/duplicate sink rows back
+        # to the first-write verdicts
+        "gate_verdicts_read": _CG.gate_batch_sql(
+            taint_max=0.5, lsh_shingle_n=2, num_bands=8, min_est=0.9),
         "unigram_bits": T.unigram_bits_sql(),
         "funnel_day": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')"),

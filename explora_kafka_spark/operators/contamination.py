@@ -298,7 +298,21 @@ def update_shingle_index(
     True if applied, False on a ledger replay no-op. Same
     semantic-tier lifecycle as `semdedup.update_semantic_index` (which
     needs NO ledger: a replayed vector matches itself in the reps
-    store, so its check IS its replay guard)."""
+    store, so its check IS its replay guard).
+
+    **ONE writer per shingle index** (r13 advice): the set-invariant
+    anti-join above reads committed state OUTSIDE the manifest lock —
+    two concurrent writers (e.g. two gate streams sharing an index)
+    would both anti-join against the same snapshot before either
+    commits, and overlapping `_h` rows would land in BOTH committed
+    deltas, multiplying `contamination_check` hit counts. The flock
+    serializes the manifest swap, not the batch-sized anti-join (which
+    must stay outside it — it is a Spark job, not metadata). Fan
+    multiple admission streams into one index through one maintenance
+    writer (distinct epochs, one stream_id), or give each stream its
+    own index and union at read time; `compact_shingle_index` can fold
+    a violated index back to a set (DISTINCT rewrite) as the repair
+    path."""
 
     def _new_h() -> DataFrame:
         return (
@@ -334,10 +348,14 @@ def compact_shingle_index(spark, path: str, gc: bool = True) -> None:
     """Fold accumulated shingle delta dirs back into one
     (`index_ledger.compact`: snapshot-scoped fold, late deltas carried
     over, ledgers kept; `gc=False` defers folded-dir deletion to
-    `vacuum_shingle_index`, the serving-safe mode)."""
+    `vacuum_shingle_index`, the serving-safe mode). The fold rewrites
+    DISTINCT `_h` — a no-op on a healthy index (appends anti-join, so
+    committed dirs are disjoint) and the documented repair path for an
+    index that violated the one-writer rule (`update_shingle_index`):
+    duplicated hashes fold back to the set invariant."""
 
     def _rewrite(union: DataFrame, new_path: str) -> None:
-        union.write.mode("overwrite").parquet(new_path)
+        union.distinct().write.mode("overwrite").parquet(new_path)
 
     ledger.compact(spark, path, "train_shingles",
                    "train_shingles_compact", _rewrite, gc=gc)
@@ -370,6 +388,120 @@ def _bloom_pos_sql(expr: str, i: int, m_bits: int) -> str:
     return (f"CAST(concat('0x', substr(md5(concat('{i}', '|',"
             f" CAST({expr} AS VARCHAR))), 1, 15)) AS BIGINT)"
             f" % {m_bits}")
+
+
+def _batch_shingle_hashes(batch: DataFrame, n: int, key: str) -> DataFrame:
+    """(key, _h): the batch documents' DISTINCT shingle hashes — the
+    probe side shared by `contamination_check`, the Bloom audit and
+    the Bloom gate path. explode_outer + notNull post-filter: same
+    inferred-filter-pushdown dodge as `_keyed_shingle_hashes` (see its
+    docstring)."""
+    return (
+        batch.withColumn("_toks", tokens_col("text"))
+        .select(
+            key,
+            F.explode_outer(
+                F.array_distinct(word_shingles_col("_toks", n))
+            ).alias("_shingle"),
+        )
+        .select(key, _shingle_hash_col(F.col("_shingle")).alias("_h"))
+        .filter(F.col("_h").isNotNull())
+    )
+
+
+def build_bloom_bitmap(spark, index_path: str, m_bits: int = 1 << 21,
+                       k: int = 4) -> DataFrame:
+    """Fold the materialized train-shingle index into an m_bits Bloom
+    bitmap: a STATISTIC-SIZED (<= m_bits/32 rows) table of packed
+    32-bit words `(w int, mask bigint)`, localCheckpointed so the k
+    probe joins it feeds scan the tiny fold, not the index (Spark does
+    not dedupe common subplans — the cluster_source_mi lesson). Bits
+    live in 32-bit words so shift/bit_or arithmetic is exact and
+    overflow-free on BOTH engines. One linear pass over the index;
+    bit_or is commutative, so production can instead MERGE a delta's
+    fold into a stored bitmap incrementally (the HLL property)."""
+    train = read_shingle_index(spark, index_path)
+    pos = F.explode(F.array(*[
+        _bloom_pos_col(F.col("_h"), i, m_bits) for i in range(k)
+    ])).alias("pos")
+    return (
+        train.select(pos)
+        .select(
+            F.expr("CAST(pos DIV 32 AS INT)").alias("w"),
+            F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("m"),
+        )
+        .groupBy("w").agg(F.expr("bit_or(m)").alias("mask"))
+    ).localCheckpoint(eager=True)
+
+
+def _bloom_probe(probes: DataFrame, bitmap: DataFrame, m_bits: int,
+                 k: int) -> DataFrame:
+    """Attach `_bloom` (int 0/1) to a (key, _h) probe table: k
+    md5-family positions per hash, each resolved against the broadcast
+    bitmap's word, hit = all k bits set. k broadcast hash joins against
+    a ~256 KB table — no shuffle of the probe side."""
+    from functools import reduce as _reduce
+    from operator import and_ as _and
+
+    for i in range(k):
+        probes = (
+            probes
+            .withColumn(f"_p{i}", _bloom_pos_col(F.col("_h"), i, m_bits))
+            .withColumn(f"_w{i}", F.expr(f"CAST(_p{i} DIV 32 AS INT)"))
+            .withColumn(f"_b{i}", F.expr(
+                f"shiftleft(1L, CAST(_p{i} % 32 AS INT))"))
+        )
+    for i in range(k):
+        bm = bitmap.select(F.col("w").alias(f"_w{i}"),
+                           F.col("mask").alias(f"_m{i}"))
+        probes = probes.join(F.broadcast(bm), f"_w{i}", "left")
+    bloom_hit = _reduce(_and, [
+        (F.coalesce(F.col(f"_m{i}"), F.lit(0)).bitwiseAND(
+            F.col(f"_b{i}")) != 0)
+        for i in range(k)
+    ])
+    return probes.withColumn("_bloom", bloom_hit.cast("int"))
+
+
+def contamination_check_bloom(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    n: int = 5,
+    m_bits: int = 1 << 21,
+    k: int = 4,
+    key: str = "doc_id",
+    bitmap: DataFrame | None = None,
+) -> DataFrame:
+    """`contamination_check`'s Bloom scale path — SAME output schema
+    (key, n_shingles, n_contaminated, contamination), key-ascending,
+    but scored by k broadcast bitmap probes instead of the `_h`
+    equi-join against the index: the admission gate's per-batch cost
+    drops from an O(index) shuffle join to k lookups against a ~256 KB
+    broadcast the executor holds in L2 (the `contamination_bloom_audit`
+    docstring carries the full trade analysis and the audited
+    false-positive pricing). `n_contaminated` here is the Bloom UPPER
+    BOUND on the exact count — never below it (no false negatives), so
+    a gate thresholding `contamination <= taint_max` in this mode can
+    only over-reject, never leak held-out content. Pass a pre-built
+    `bitmap` (`build_bloom_bitmap`) to amortize the index fold across
+    micro-batches when the index is static between corpus snapshots."""
+    if bitmap is None:
+        bitmap = build_bloom_bitmap(spark, index_path, m_bits, k)
+    probes = _batch_shingle_hashes(batch, n, key)
+    return (
+        _bloom_probe(probes, bitmap, m_bits, k)
+        .groupBy(key)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("_bloom").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+        .orderBy(key)
+    )
 
 
 def contamination_bloom_audit(
@@ -408,56 +540,11 @@ def contamination_bloom_audit(
     incrementally: bit_or is commutative, the HLL property). The
     exact join here exists for the AUDIT — production serves from the
     sketch alone and re-audits on a sample cadence."""
-    from functools import reduce as _reduce
-    from operator import and_ as _and
-
     train = read_shingle_index(spark, index_path)
-    pos = F.explode(F.array(*[
-        _bloom_pos_col(F.col("_h"), i, m_bits) for i in range(k)
-    ])).alias("pos")
-    # localCheckpoint: the bitmap feeds k probe joins and Spark does
-    # not dedupe common subplans — without the cut, the train scan +
-    # k md5s per shingle would run once PER PROBE JOIN (the
-    # cluster_source_mi lesson); the table is statistic-sized
-    # (<= m_bits/32 rows)
-    bitmap = (
-        train.select(pos)
-        .select(
-            F.expr("CAST(pos DIV 32 AS INT)").alias("w"),
-            F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("m"),
-        )
-        .groupBy("w").agg(F.expr("bit_or(m)").alias("mask"))
-    ).localCheckpoint(eager=True)
-    probes = (
-        batch.withColumn("_toks", tokens_col("text"))
-        .select(
-            key,
-            F.explode_outer(
-                F.array_distinct(word_shingles_col("_toks", n))
-            ).alias("_shingle"),
-        )
-        .select(key, _shingle_hash_col(F.col("_shingle")).alias("_h"))
-        .filter(F.col("_h").isNotNull())
-    )
-    for i in range(k):
-        probes = (
-            probes
-            .withColumn(f"_p{i}", _bloom_pos_col(F.col("_h"), i, m_bits))
-            .withColumn(f"_w{i}", F.expr(f"CAST(_p{i} DIV 32 AS INT)"))
-            .withColumn(f"_b{i}", F.expr(
-                f"shiftleft(1L, CAST(_p{i} % 32 AS INT))"))
-        )
-    for i in range(k):
-        bm = bitmap.select(F.col("w").alias(f"_w{i}"),
-                           F.col("mask").alias(f"_m{i}"))
-        probes = probes.join(F.broadcast(bm), f"_w{i}", "left")
-    bloom_hit = _reduce(_and, [
-        (F.coalesce(F.col(f"_m{i}"), F.lit(0)).bitwiseAND(
-            F.col(f"_b{i}")) != 0)
-        for i in range(k)
-    ])
+    bitmap = build_bloom_bitmap(spark, index_path, m_bits, k)
+    probes = _batch_shingle_hashes(batch, n, key)
     scored = (
-        probes.withColumn("_bloom", bloom_hit.cast("int"))
+        _bloom_probe(probes, bitmap, m_bits, k)
         .join(train.withColumn("_hit", F.lit(1)), "_h", "left")
     )
     return (
@@ -644,19 +731,7 @@ def contamination_check(
         read_shingle_index(spark, index_path)
         .withColumn("_hit", F.lit(1))
     )
-    # explode_outer + notNull post-filter: same inferred-filter-pushdown
-    # dodge as _keyed_shingle_hashes (see its docstring)
-    batch_sh = (
-        batch.withColumn("_toks", tokens_col("text"))
-        .select(
-            key,
-            F.explode_outer(
-                F.array_distinct(word_shingles_col("_toks", n))
-            ).alias("_shingle"),
-        )
-        .select(key, _shingle_hash_col(F.col("_shingle")).alias("_h"))
-        .filter(F.col("_h").isNotNull())
-    )
+    batch_sh = _batch_shingle_hashes(batch, n, key)
     return (
         batch_sh.join(train_sh, on="_h", how="left")
         .groupBy(key)

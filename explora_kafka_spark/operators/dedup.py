@@ -23,8 +23,9 @@ from __future__ import annotations
 import hashlib
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from . import index_ledger as ledger
 from .text import norm_sql, tokens_sql
@@ -198,10 +199,25 @@ def banded_signatures(
     )
 
 
+def _bucket_anchor_rank() -> Column:
+    """Deterministic per-bucket rank hash for the hot-bucket cap:
+    md5(band_key | doc_id) spreads anchor selection pseudo-randomly
+    within each bucket (the repo's hash-rank sampling convention) and
+    is reproduced verbatim by the DuckDB mirrors."""
+    return F.md5(F.concat_ws(
+        "|", F.col("band_key"), F.col("doc_id").cast("string")))
+
+
+def _bucket_anchor_rank_sql(doc_col: str = "doc_id") -> str:
+    return (f"md5(concat(band_key, '|', "
+            f"CAST({doc_col} AS VARCHAR)))")
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     num_bands: int = NUM_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: band key = md5 of one signature slice; docs sharing
     any band bucket become a candidate pair (doc_a < doc_b) with
@@ -210,25 +226,72 @@ def lsh_candidate_pairs(
     Plan shape: explode to num_bands rows/doc, shuffle on the band key
     (equi-join), distinct pairs. No cartesian product anywhere — the
     driver test asserts CartesianProduct/BroadcastNestedLoopJoin absent.
-    """
+
+    **`max_bucket` is the hot-bucket pair-generation valve** (r13
+    verdict #4: the one super-linear risk left in the pipeline). The
+    plain band join emits all C(b,2) pairs per bucket — one boilerplate
+    bucket (a shared header, a template page) holding 1M docs at 100 TB
+    means 5·10¹¹ pairs from a single key, and no join strategy saves
+    you from rows you asked for. With `max_bucket=c`, each bucket
+    elects c ANCHORS by a deterministic hash rank and emits only
+    anchor×member pairs: a bucket with b ≤ c members still produces
+    EXACTLY its full C(b,2) set (every member is an anchor — the cap
+    is invisible until it engages), while a hot bucket produces
+    c·(b−c) + C(c,2) pairs — linear in b. Every member keeps an edge
+    to every anchor, so downstream connected components still collapse
+    the bucket into one group; what's lost is only non-anchor↔
+    non-anchor edges, whose endpoints are already mutually reachable
+    through the anchors at the CANDIDATE level (the exact-Jaccard
+    rerank may still cut an anchor edge a dropped edge would have
+    survived — the documented approximation). `lsh_cap_audit` prices
+    the dropped mass per band before you commit to a cap."""
     banded = banded_signatures(sigs, num_bands, rows_per_band)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if max_bucket is None:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+    else:
+        w = (Window.partitionBy("band_idx", "band_key")
+             .orderBy(_bucket_anchor_rank().asc(), F.col("doc_id").asc()))
+        anchors = (
+            banded.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_bucket)
+            .drop("_rk")
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+        a = anchors.alias("a")
+        b = banded.alias("b")
+        # anchor×member join; both orientations of an anchor-anchor
+        # pair normalize to the same (doc_a, doc_b) and est_jaccard is
+        # symmetric, so the dropDuplicates collapse is value-stable
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
     n = F.size("sig_a")
     matches = F.size(F.expr(
         "filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)"
@@ -239,30 +302,66 @@ def lsh_candidate_pairs(
     )
 
 
-def dedup_near(
+def lsh_cap_audit(
     docs: DataFrame,
+    max_bucket: int,
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
     shingle_n: int = 1,
-    min_est: float = 0.0,
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate candidate pairs, sorted for stable
-    output. `min_est` filters by estimated Jaccard."""
-    sigs = minhash_signatures(docs, num_hashes, shingle_n)
-    pairs = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands)
-    if min_est > 0:
-        pairs = pairs.filter(F.col("est_jaccard") >= min_est)
-    return pairs.orderBy("doc_a", "doc_b")
+    """The dropped-mass report behind a `max_bucket` choice: per band,
+    how many buckets exceed the cap and how many candidate pairs the
+    anchor cap would drop vs the full C(b,2) expansion. Read BEFORE
+    committing to a cap — `dedup_band_skew` finds the hot buckets;
+    this prices acting on them. Output, band_idx-ascending:
+
+        (band_idx, n_buckets, n_hot, max_bucket_size,
+         pairs_full, pairs_capped, pairs_dropped)
+
+    Cost: the banding projection + ONE bucket-count aggregation —
+    statistic-sized output, no pair is ever materialized (the audit of
+    a 10¹²-pair bucket costs one count). Exact int64 arithmetic:
+    b·(b−1)/2 stays in-range past 10⁹-member buckets."""
+    banded = banded_signatures(
+        minhash_signatures(docs, num_hashes, shingle_n),
+        num_bands, num_hashes // num_bands,
+    )
+    c = int(max_bucket)
+    anchor_pairs = c * (c - 1) // 2
+    sizes = (
+        banded.groupBy(
+            F.col("band_idx").cast("bigint").alias("band_idx"),
+            "band_key")
+        .agg(F.count("*").alias("b"))
+        .withColumn("_full", F.expr("b * (b - 1) DIV 2"))
+        .withColumn("_capped", F.expr(
+            f"CASE WHEN b <= {c} THEN b * (b - 1) DIV 2"
+            f" ELSE {c} * (b - {c}) + {anchor_pairs} END"))
+    )
+    return (
+        sizes.groupBy("band_idx")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum((F.col("b") > c).cast("long")).alias("n_hot"),
+            F.max("b").alias("max_bucket_size"),
+            F.sum("_full").alias("pairs_full"),
+            F.sum("_capped").alias("pairs_capped"),
+        )
+        .withColumn("pairs_dropped",
+                    F.col("pairs_full") - F.col("pairs_capped"))
+        .orderBy("band_idx")
+    )
 
 
-def dedup_near_sql(
+def lsh_cap_audit_sql(
     table: str = "documents",
+    max_bucket: int = 8,
     num_hashes: int = NUM_HASHES,
     num_bands: int = NUM_BANDS,
     shingle_n: int = 1,
-    min_est: float = 0.0,
 ) -> str:
-    """DuckDB mirror of dedup_near (same hashes, bands, ordering)."""
+    """DuckDB mirror of :func:`lsh_cap_audit` (same banding, same
+    exact integer pair arithmetic)."""
     rows = num_hashes // num_bands
     toks = tokens_sql("text")
     sh = _shingles_expr_duck("_toks", shingle_n)
@@ -276,6 +375,123 @@ def dedup_near_sql(
         f"md5(array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], ','))"
         for b in range(num_bands)
     )
+    c = int(max_bucket)
+    anchor_pairs = c * (c - 1) // 2
+    return f"""
+        WITH t AS (SELECT doc_id, {toks} AS _toks FROM {table}),
+        s AS (SELECT doc_id,
+                     list_distinct([CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) FOR s IN {sh}])
+                         AS _sh FROM t),
+        bh AS (SELECT doc_id, [(h & {_P}) FOR h IN _sh] AS _bh FROM s),
+        sig AS (SELECT doc_id, [{mins}] AS sig FROM bh),
+        banded AS (
+            SELECT doc_id, CAST(u.b - 1 AS BIGINT) AS band_idx,
+                   [{band_keys}][u.b] AS band_key
+            FROM sig, unnest(range(1, {num_bands} + 1)) AS u(b)
+        ),
+        sizes AS (
+            SELECT band_idx, band_key, CAST(count(*) AS BIGINT) AS b
+            FROM banded GROUP BY 1, 2
+        ),
+        priced AS (
+            SELECT band_idx, b,
+                   CAST(b * (b - 1) // 2 AS BIGINT) AS _full,
+                   CAST(CASE WHEN b <= {c} THEN b * (b - 1) // 2
+                        ELSE {c} * (b - {c}) + {anchor_pairs}
+                        END AS BIGINT) AS _capped
+            FROM sizes
+        )
+        SELECT band_idx,
+               count(*) AS n_buckets,
+               CAST(sum(CASE WHEN b > {c} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hot,
+               max(b) AS max_bucket_size,
+               CAST(sum(_full) AS BIGINT) AS pairs_full,
+               CAST(sum(_capped) AS BIGINT) AS pairs_capped,
+               CAST(sum(_full) - sum(_capped) AS BIGINT)
+                   AS pairs_dropped
+        FROM priced
+        GROUP BY band_idx
+        ORDER BY band_idx
+    """
+
+
+def dedup_near(
+    docs: DataFrame,
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_n: int = 1,
+    min_est: float = 0.0,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs, sorted for stable
+    output. `min_est` filters by estimated Jaccard; `max_bucket`
+    engages the hot-bucket anchor cap (`lsh_candidate_pairs`)."""
+    sigs = minhash_signatures(docs, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands,
+                                max_bucket=max_bucket)
+    if min_est > 0:
+        pairs = pairs.filter(F.col("est_jaccard") >= min_est)
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+def dedup_near_sql(
+    table: str = "documents",
+    num_hashes: int = NUM_HASHES,
+    num_bands: int = NUM_BANDS,
+    shingle_n: int = 1,
+    min_est: float = 0.0,
+    max_bucket: int | None = None,
+) -> str:
+    """DuckDB mirror of dedup_near (same hashes, bands, ordering; with
+    `max_bucket`, the same hash-ranked anchor election)."""
+    rows = num_hashes // num_bands
+    toks = tokens_sql("text")
+    sh = _shingles_expr_duck("_toks", shingle_n)
+    mins = ", ".join(
+        "list_min([(({a} * h + {b}) % {p}) FOR h IN _bh])".format(
+            a=_family_params(i)[0], b=_family_params(i)[1], p=_P
+        )
+        for i in range(num_hashes)
+    )
+    band_keys = ", ".join(
+        f"md5(array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], ','))"
+        for b in range(num_bands)
+    )
+    if max_bucket is None:
+        pairs_cte = """
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )"""
+    else:
+        # sig_a/sig_b swap across the two orientations of an
+        # anchor-anchor pair, so the DISTINCT is taken over
+        # (doc_a, doc_b, est) — est is symmetric, the rows collapse
+        rank = _bucket_anchor_rank_sql()
+        pairs_cte = f"""
+        anchors AS (
+            SELECT doc_id, sig, band_idx, band_key FROM (
+                SELECT banded.*, row_number() OVER (
+                    PARTITION BY band_idx, band_key
+                    ORDER BY {rank}, doc_id) AS _rk
+                FROM banded)
+            WHERE _rk <= {int(max_bucket)}
+        ),
+        pairs AS (
+            SELECT DISTINCT
+                   least(a.doc_id, b.doc_id) AS doc_a,
+                   greatest(a.doc_id, b.doc_id) AS doc_b,
+                   a.sig AS sig_a, b.sig AS sig_b
+            FROM anchors a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id <> b.doc_id
+        )"""
+    est = (f"round(len([i FOR i IN range(1, {num_hashes} + 1)"
+           f" IF sig_a[i] = sig_b[i]]) / {num_hashes}.0, 6)")
     return f"""
         WITH t AS (SELECT doc_id, {toks} AS _toks FROM {table}),
         s AS (SELECT doc_id,
@@ -287,21 +503,10 @@ def dedup_near_sql(
             SELECT doc_id, sig, u.b AS band_idx, [{band_keys}][u.b] AS band_key
             FROM sig, unnest(range(1, {num_bands} + 1)) AS u(b)
         ),
-        pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.sig AS sig_a, b.sig AS sig_b
-            FROM banded a JOIN banded b
-              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b,
-               round(len([i FOR i IN range(1, {num_hashes} + 1)
-                          IF sig_a[i] = sig_b[i]]) / {num_hashes}.0, 6)
-                   AS est_jaccard
+        {pairs_cte}
+        SELECT DISTINCT doc_a, doc_b, {est} AS est_jaccard
         FROM pairs
-        WHERE round(len([i FOR i IN range(1, {num_hashes} + 1)
-                         IF sig_a[i] = sig_b[i]]) / {num_hashes}.0, 6)
-              >= {min_est}
+        WHERE {est} >= {min_est}
         ORDER BY doc_a, doc_b
     """
 
@@ -314,7 +519,8 @@ def dedup_near_sql(
 def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 1,
                         min_est: float = 0.0,
                         num_hashes: int = NUM_HASHES,
-                        num_bands: int = NUM_BANDS) -> DataFrame:
+                        num_bands: int = NUM_BANDS,
+                        max_bucket: int | None = None) -> DataFrame:
     """LSH candidates reranked with EXACT Jaccard over distinct word
     n-gram sets. The exact computation touches only candidate pairs —
     the standard two-phase near-dup pipeline (cheap recall, exact
@@ -328,7 +534,8 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 1,
 
     shingled = shingle_sets(docs, shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = signatures_from_shingles(shingled, num_hashes)
-    pairs = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands)
+    pairs = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands,
+                                max_bucket=max_bucket)
     if min_est > 0:
         pairs = pairs.filter(F.col("est_jaccard") >= min_est)
     cand = pairs  # no intermediate sort — the rerank join would destroy it
@@ -361,10 +568,12 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 1,
 def ngram_jaccard_sql(table: str = "documents", shingle_n: int = 1,
                       min_est: float = 0.0,
                       num_hashes: int = NUM_HASHES,
-                      num_bands: int = NUM_BANDS) -> str:
+                      num_bands: int = NUM_BANDS,
+                      max_bucket: int | None = None) -> str:
     inner = dedup_near_sql(table, num_hashes=num_hashes,
                            num_bands=num_bands,
-                           shingle_n=shingle_n, min_est=min_est)
+                           shingle_n=shingle_n, min_est=min_est,
+                           max_bucket=max_bucket)
     toks = tokens_sql("text")
     sh = _shingles_expr_duck("_toks", shingle_n)
     return f"""
@@ -700,7 +909,8 @@ EST_PREFILTER_MARGIN = 0.35
 def dedup_groups(docs: DataFrame, threshold: float = 0.6,
                  shingle_n: int = 1,
                  num_hashes: int = NUM_HASHES,
-                 num_bands: int = NUM_BANDS) -> DataFrame:
+                 num_bands: int = NUM_BANDS,
+                 max_bucket: int | None = None) -> DataFrame:
     """Full near-dup grouping pipeline: LSH candidates → exact-Jaccard
     edges (≥ threshold) → connected components. Output (doc_id,
     group_id) for EVERY document; keeping `group_id == doc_id` rows
@@ -708,7 +918,8 @@ def dedup_groups(docs: DataFrame, threshold: float = 0.6,
     min_est = max(0.0, threshold - EST_PREFILTER_MARGIN)
     pairs = (
         ngram_jaccard_pairs(docs, shingle_n=shingle_n, min_est=min_est,
-                            num_hashes=num_hashes, num_bands=num_bands)
+                            num_hashes=num_hashes, num_bands=num_bands,
+                            max_bucket=max_bucket)
         .select("doc_a", "doc_b", "jaccard")
         .persist()
     )
@@ -732,7 +943,8 @@ def dedup_groups(docs: DataFrame, threshold: float = 0.6,
 def dedup_groups_sql(table: str = "documents", threshold: float = 0.6,
                      shingle_n: int = 1,
                      num_hashes: int = NUM_HASHES,
-                     num_bands: int = NUM_BANDS) -> str:
+                     num_bands: int = NUM_BANDS,
+                     max_bucket: int | None = None) -> str:
     """Recursive-CTE oracle: transitive closure over the same edge set
     (labels = min reachable doc_id). The UNION-dedup bounds the
     recursion; min() is taken outside the recursive term (aggregates are
@@ -740,7 +952,8 @@ def dedup_groups_sql(table: str = "documents", threshold: float = 0.6,
     formula as dedup_groups so the edge sets agree by construction."""
     min_est = max(0.0, threshold - EST_PREFILTER_MARGIN)
     inner = ngram_jaccard_sql(table, shingle_n=shingle_n, min_est=min_est,
-                              num_hashes=num_hashes, num_bands=num_bands)
+                              num_hashes=num_hashes, num_bands=num_bands,
+                              max_bucket=max_bucket)
     return f"""
         WITH RECURSIVE cand AS ({inner}),
         e AS (
@@ -1034,6 +1247,7 @@ def dedup_check(
     num_bands: int = NUM_BANDS,
     shingle_n: int = 1,
     min_est: float = 0.0,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup check of an incoming batch against a MATERIALIZED corpus
     signature index (`build_dedup_index`): (doc_id, match_id,
@@ -1053,11 +1267,29 @@ def dedup_check(
     corpus is NOT re-read as documents — only the stored 8-byte-keyed
     band rows join in, on (band_idx, band_key), a plain hash equi-join.
     A hot band bucket (boilerplate-heavy corpora) is an AQE skew-join
-    case, same story as the one-shot path (tests/test_lsh_skew.py)."""
+    case, same story as the one-shot path (tests/test_lsh_skew.py) —
+    until bucket size itself is the cost: `max_bucket` caps the INDEX
+    side of each bucket to that many hash-ranked anchors (the
+    `lsh_candidate_pairs` valve, serve-time flavor), so one probe
+    meets at most `max_bucket` index rows per band instead of the
+    whole boilerplate bucket. A probe landing in a hot bucket still
+    flags (it always meets the anchors — every near-dup VERDICT
+    survives); what's capped is how many of its match_ids are
+    enumerated. Buckets at or under the cap are returned in full —
+    the cap is invisible until it engages."""
     idx = read_dedup_bands(spark, index_path).select(
         "band_idx", "band_key",
         F.col("doc_id").alias("match_id"), F.col("sig").alias("sig_b"),
     )
+    if max_bucket is not None:
+        w = (Window.partitionBy("band_idx", "band_key")
+             .orderBy(F.md5(F.concat_ws(
+                 "|", F.col("band_key"),
+                 F.col("match_id").cast("string"))).asc(),
+                 F.col("match_id").asc()))
+        idx = (idx.withColumn("_rk", F.row_number().over(w))
+               .filter(F.col("_rk") <= max_bucket)
+               .drop("_rk"))
     bb = banded_signatures(
         minhash_signatures(batch, num_hashes, shingle_n),
         num_bands, num_hashes // num_bands,
@@ -1080,6 +1312,21 @@ def dedup_check(
     return out.orderBy("doc_id", "match_id")
 
 
+def _corpus_b_sql(corpus_pred: str, max_bucket: int | None) -> str:
+    """The index side of `dedup_check_sql`'s band join: the plain
+    predicate slice of `banded`, or (with `max_bucket`) its hash-ranked
+    per-bucket anchor cap — the same election as the Spark serve path."""
+    if max_bucket is None:
+        return f"SELECT * FROM banded WHERE {corpus_pred}"
+    rank = _bucket_anchor_rank_sql()
+    return f"""SELECT doc_id, sig, band_idx, band_key FROM (
+                SELECT banded.*, row_number() OVER (
+                    PARTITION BY band_idx, band_key
+                    ORDER BY {rank}, doc_id) AS _rk
+                FROM banded WHERE {corpus_pred})
+            WHERE _rk <= {int(max_bucket)}"""
+
+
 def dedup_check_sql(
     table: str = "documents",
     batch_pred: str = "doc_id % 5 = 0",
@@ -1088,11 +1335,13 @@ def dedup_check_sql(
     num_bands: int = NUM_BANDS,
     shingle_n: int = 1,
     min_est: float = 0.0,
+    max_bucket: int | None = None,
 ) -> str:
     """DuckDB mirror of `dedup_check` where the index was built over
     `corpus_pred` rows of `table` and the batch is its `batch_pred` rows
     (the oracle recomputes both sides from scratch — same hashes, bands,
-    ordering as `dedup_near_sql`)."""
+    ordering as `dedup_near_sql`; with `max_bucket`, the same
+    hash-ranked index-side anchor cap)."""
     rows = num_hashes // num_bands
     toks = tokens_sql("text")
     sh = _shingles_expr_duck("_toks", shingle_n)
@@ -1120,7 +1369,7 @@ def dedup_check_sql(
             FROM sig, unnest(range(1, {num_bands} + 1)) AS u(b)
         ),
         batch_b AS (SELECT * FROM banded WHERE {batch_pred}),
-        corpus_b AS (SELECT * FROM banded WHERE {corpus_pred}),
+        corpus_b AS ({_corpus_b_sql(corpus_pred, max_bucket)}),
         pairs AS (
             SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_id,
                    {est} AS est_jaccard
@@ -1332,7 +1581,8 @@ def dedup_sweep_sql(
 def near_dup_cluster_profile(docs: DataFrame, threshold: float = 0.6,
                              shingle_n: int = 1,
                              num_hashes: int = NUM_HASHES,
-                             num_bands: int = NUM_BANDS) -> DataFrame:
+                             num_bands: int = NUM_BANDS,
+                             max_bucket: int | None = None) -> DataFrame:
     """Near-dup cluster SIZE profile — the one-page dedup report a
     pipeline reads before committing a threshold: for each group size,
     how many groups, how many documents they hold, and how many a
@@ -1344,7 +1594,8 @@ def near_dup_cluster_profile(docs: DataFrame, threshold: float = 0.6,
     is the already-scale-audited grouping; this adds one group-keyed
     count and one size-keyed rollup, both statistic-sized."""
     g = dedup_groups(docs, threshold=threshold, shingle_n=shingle_n,
-                     num_hashes=num_hashes, num_bands=num_bands)
+                     num_hashes=num_hashes, num_bands=num_bands,
+                     max_bucket=max_bucket)
     sizes = g.groupBy("group_id").agg(F.count("*").alias("group_size"))
     return (
         sizes.groupBy("group_size")
@@ -1362,12 +1613,13 @@ def near_dup_cluster_profile_sql(table: str = "documents",
                                  threshold: float = 0.6,
                                  shingle_n: int = 1,
                                  num_hashes: int = NUM_HASHES,
-                                 num_bands: int = NUM_BANDS) -> str:
+                                 num_bands: int = NUM_BANDS,
+                                 max_bucket: int | None = None) -> str:
     """DuckDB mirror of :func:`near_dup_cluster_profile` (same
     recursive-CTE grouping as `dedup_groups_sql`)."""
     groups = dedup_groups_sql(table, threshold=threshold,
                               shingle_n=shingle_n, num_hashes=num_hashes,
-                              num_bands=num_bands)
+                              num_bands=num_bands, max_bucket=max_bucket)
     return f"""
         WITH g AS ({groups}),
         sizes AS (

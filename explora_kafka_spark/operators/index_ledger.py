@@ -205,8 +205,14 @@ def ledger_append(
         return False
 
     safe_bid = None if bid is None else _safe_component(bid)
+    # 16 hex chars = 64 bits of stream identity: two distinct streams
+    # colliding on the prefix with the same epoch id would share a delta
+    # dir name — the second commit would overwrite the first's data and
+    # double-enter the name in the manifest (r13 advice). 64 bits puts a
+    # collision past any real stream count; the commit-time duplicate-
+    # name guard below is the belt to this suspender.
     tag = (safe_bid if sid is None else
-           f"{hashlib.sha1(sid.encode()).hexdigest()[:8]}_{safe_bid}")
+           f"{hashlib.sha1(sid.encode()).hexdigest()[:16]}_{safe_bid}")
     delta = (f"{delta_prefix}_{tag}" if tag is not None
              else f"{delta_prefix}_{uuid.uuid4().hex[:12]}")
     has_rows = write_fn(os.path.join(path, delta))
@@ -216,7 +222,13 @@ def ledger_append(
     def _commit(manifest: dict) -> dict | None:
         if already_applied(manifest, batch_id, bid, sid):  # under lock
             return None
-        if has_rows:
+        if has_rows and delta not in manifest["dirs"]:
+            # the `not in` guard keeps a dir name single-entry in the
+            # manifest even if two writers ever derive the same delta
+            # name (hash-prefix collision, or a manual re-append under
+            # a reused bare id after a ledger reset): the overwrite
+            # already made the dir single-writer-wins on disk, and a
+            # duplicate manifest entry would double-read it
             manifest["dirs"] = [*manifest["dirs"], delta]
         if sid is not None:
             manifest["streams"][sid] = int(batch_id)
@@ -281,15 +293,20 @@ def vacuum(
     as are `centroids` and every foreign dir). Returns the deleted
     dir names.
 
-    Race hardening (r13 review): each candidate's mtime is re-checked
-    AFTER the locked manifest re-check and immediately before the
-    delete — a replaying epoch that began rewriting the dir mid-vacuum
-    bumps its mtime and the delete is skipped; the grace lease remains
-    the backstop for a writer that opened the dir before the vacuum
-    started. Orphans need no replay coordination beyond that: a
-    replayed epoch rewrites its delta dir with mode=overwrite before
-    committing, so reclaiming genuine debris never loses a batch —
-    the ledger, not the directory, is the source of truth."""
+    Race hardening (r13 review + r13 advice): the manifest re-check,
+    the mtime re-check AND the rmtree all run under the manifest lock —
+    the same lock every append commits under — so a writer racing the
+    delete can never commit a dir vacuum removed: either it committed
+    first (the locked manifest re-check sees it and skips), or its
+    write fails loudly when its staging files vanish and the replaying
+    epoch rewrites the delta from scratch. A writer that re-opened the
+    dir after the listing bumps its mtime and the locked re-check
+    skips it; the grace lease remains the backstop for a writer that
+    opened the dir before the vacuum started. Orphans need no replay
+    coordination beyond that: a replayed epoch rewrites its delta dir
+    with mode=overwrite before committing, so reclaiming genuine
+    debris never loses a batch — the ledger, not the directory, is
+    the source of truth."""
     import shutil as _sh
     import time as _time
 
@@ -309,25 +326,31 @@ def vacuum(
             continue
         if now - os.path.getmtime(full) < grace_secs:
             continue
-        # re-check under the lock: the dir may have committed between
-        # the listing and the delete (the compaction-race discipline)
-        still_orphan = {"v": False}
+        # re-check AND delete under the manifest lock (r13 advice —
+        # TOCTOU): appends commit under this same lock, so a writer
+        # racing the delete can never COMMIT a dir removed here; its
+        # data write fails loudly at job commit (the Spark _temporary
+        # staging dir vanished) and the replaying epoch rewrites the
+        # delta from scratch, instead of committing a dir with part
+        # files silently missing. The mtime re-check inside the lock
+        # skips a writer that re-opened the dir after the listing.
+        removed = {"v": False}
 
-        def _check(manifest: dict) -> None:
-            still_orphan["v"] = d not in manifest["dirs"]
+        def _check_and_delete(manifest: dict) -> None:
+            if d in manifest["dirs"]:
+                return None
+            try:
+                if _time.time() - os.path.getmtime(full) < grace_secs:
+                    return None
+            except FileNotFoundError:
+                return None
+            _sh.rmtree(full, ignore_errors=True)
+            removed["v"] = True
             return None
 
-        mutate_manifest(path, _check, base_dir)
-        if not still_orphan["v"]:
-            continue
-        try:
-            # a writer that started mid-vacuum bumped the mtime — skip
-            if _time.time() - os.path.getmtime(full) < grace_secs:
-                continue
-        except FileNotFoundError:
-            continue
-        _sh.rmtree(full, ignore_errors=True)
-        deleted.append(d)
+        mutate_manifest(path, _check_and_delete, base_dir)
+        if removed["v"]:
+            deleted.append(d)
     return deleted
 
 

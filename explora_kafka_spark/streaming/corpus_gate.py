@@ -40,7 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.contamination import contamination_check
+from ..operators.contamination import (
+    contamination_check, contamination_check_bloom)
 from ..operators.dedup import NUM_BANDS, NUM_HASHES, dedup_check
 
 
@@ -55,6 +56,10 @@ def gate_batch(
     num_bands: int = NUM_BANDS,
     lsh_shingle_n: int = 1,
     min_est: float = 0.0,
+    contamination_mode: str = "exact",
+    bloom_m_bits: int = 1 << 21,
+    bloom_k: int = 4,
+    bloom_bitmap: DataFrame | None = None,
 ) -> DataFrame:
     """Score one document batch: (doc_id, contamination, n_near_dups,
     accepted), doc_id-ascending, one row per batch document. Accepted =
@@ -64,11 +69,37 @@ def gate_batch(
     operator, which drops them; the gate must still emit a verdict).
     The key column is fixed to `doc_id`: `dedup_check`'s output schema
     is doc_id/match_id by contract, so a configurable key here would
-    only pretend to work — rename upstream instead."""
+    only pretend to work — rename upstream instead.
+
+    `contamination_mode="bloom"` is the gate's SCALE path (r13's
+    `contamination_bloom_audit`/`_sweep` priced it; this wires it in):
+    the contamination tier scores against the broadcast Bloom bitmap
+    (`contamination_check_bloom`) instead of the `_h` equi-join —
+    per-batch cost drops from an O(index) shuffle join to k probes
+    against a ~256 KB broadcast. Bloom contamination is an UPPER BOUND
+    (no false negatives), so bloom-mode `accepted` can only be a
+    SUBSET of exact-mode's: the gate over-rejects at the sized
+    false-positive rate, never leaks — the safe direction for a
+    contamination gate, and bit-identical to exact mode whenever no
+    probe false-positive lands (tests pin equality on the fixture;
+    `contamination_bloom_sweep` prices the m_bits dial). Pass
+    `bloom_bitmap` (`build_bloom_bitmap`) to amortize the index fold
+    across micro-batches while the index is static."""
     key = "doc_id"
-    cont = contamination_check(
-        spark, batch, shingle_index, n=shingle_n, key=key
-    ).select(key, "contamination")
+    if contamination_mode == "bloom":
+        cont = contamination_check_bloom(
+            spark, batch, shingle_index, n=shingle_n,
+            m_bits=bloom_m_bits, k=bloom_k, key=key,
+            bitmap=bloom_bitmap,
+        ).select(key, "contamination")
+    elif contamination_mode == "exact":
+        cont = contamination_check(
+            spark, batch, shingle_index, n=shingle_n, key=key
+        ).select(key, "contamination")
+    else:
+        raise ValueError(
+            f"contamination_mode must be 'exact' or 'bloom', "
+            f"got {contamination_mode!r}")
     near = (
         dedup_check(spark, batch, dedup_index,
                     num_hashes=num_hashes, num_bands=num_bands,
@@ -122,7 +153,9 @@ def gate_stream(
         # persist before the two writes: without it each write action
         # re-executes the whole gate (both index joins, batch shingles,
         # signatures) — 2x every micro-batch
-        enriched = batch_df.join(scored, "doc_id").persist()
+        enriched = (batch_df.join(scored, "doc_id")
+                    .withColumn("_gate_epoch", F.lit(int(batch_id)))
+                    .persist())
         try:
             enriched.filter(F.col("accepted")).drop("accepted") \
                 .write.mode("append").parquet(accepted_path)
@@ -174,12 +207,27 @@ def gate_stream_learning(
     indexes that now contain the batch's own shingles/bands, so
     previously-accepted docs self-match and land in rejected_path
     with the OPPOSITE verdict — the same doc can sit in both sinks.
-    Consumers must treat the sinks as at-least-once with
-    first-write-wins semantics (dropDuplicates over doc_id preferring
-    the accepted row, or a ParquetViewStore pointed at the sinks for
-    the full exactly-once guarantee); the indexes — the part that
-    feeds back into verdicts — cannot drift. Within a single
-    micro-batch, mutual
+    Every sink row therefore carries its epoch (`_gate_epoch`) and
+    `read_gate_verdicts` is the committed read — earliest epoch wins,
+    accepted wins the within-epoch tie: first-write-wins as code, not
+    as a consumer convention (r13 review #3 closed, round 14).
+
+    One crash window the ledgers do NOT close (r13 advice): the
+    shingle and dedup commits are exactly-once EACH but not atomic as
+    a PAIR. A driver that dies after the shingle commit and before
+    the dedup commit replays the epoch re-scoring against the
+    now-updated shingle index — `accepted` collapses (self-matching
+    contamination), both update calls are skipped for the empty set,
+    and the next epoch advances the dedup stream watermark past the
+    lost epoch: that batch's band rows never reach the dedup index.
+    The verdict sinks stay consistent (`read_gate_verdicts` resolves
+    the flipped replay rows), but the dedup index under-indexes that
+    one batch — later near-copies of it are caught only by the
+    contamination tier. Closing it takes a durable per-epoch verdict
+    log replayed INTO the index updates instead of re-scoring (the
+    localCheckpoint below is in-memory, not that log) — the
+    documented upgrade if both tiers must advance in lock-step under
+    driver crashes. Within a single micro-batch, mutual
     near-dups are both admitted (the update_semantic_index contract)
     — shrink the trigger or pre-dedup the batch when that matters."""
     from ..operators.contamination import update_shingle_index
@@ -200,6 +248,7 @@ def gate_stream_learning(
         # against the batch's own just-appended content (accepted
         # would collapse to empty and nothing would ever be indexed)
         enriched = (batch_df.join(scored, "doc_id")
+                    .withColumn("_gate_epoch", F.lit(int(batch_id)))
                     .localCheckpoint(eager=True))
         accepted = enriched.filter(F.col("accepted")).drop("accepted")
         accepted.write.mode("append").parquet(accepted_path)
@@ -309,7 +358,9 @@ def gate_stream_full(
             semantic_threshold_pct=semantic_threshold_pct,
             **gate_kwargs,
         )
-        enriched = batch_df.join(scored, "doc_id").persist()
+        enriched = (batch_df.join(scored, "doc_id")
+                    .withColumn("_gate_epoch", F.lit(int(batch_id)))
+                    .persist())
         try:
             enriched.filter(F.col("accepted")).drop("accepted") \
                 .write.mode("append").parquet(accepted_path)
@@ -324,6 +375,64 @@ def gate_stream_full(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def read_gate_verdicts(
+    spark,
+    accepted_path: str,
+    rejected_path: str,
+) -> DataFrame:
+    """FIRST-WRITE-WINS reader over a gate's accepted/rejected sinks —
+    the committed read the sinks' at-least-once contract requires
+    (r13 review #3, turned from documentation into code). Every gate
+    stream stamps each sink row with its foreachBatch epoch
+    (`_gate_epoch`); this reader unions the two sinks, tags the
+    verdict by sink, and keeps ONE row per doc_id:
+
+    - **earliest epoch wins** — a doc re-sent in a later batch keeps
+      its original verdict (the copy was gated against an index that
+      already held the original, so the later row is the rejection of
+      a duplicate, not a better verdict for the doc);
+    - **accepted wins the tie** — a replayed epoch re-scores against
+      indexes that already contain the batch's own content, so a doc
+      the first run accepted self-matches on replay and lands in the
+      REJECTED sink under the SAME epoch id; the accepted row is
+      always the chronologically first write (the self-learning gate
+      only updates indexes with accepted docs), so preferring it
+      within an epoch IS first-write-wins.
+
+    Output: one row per doc_id with the sink rows' columns (scores,
+    `_gate_epoch`) plus the resolved `accepted` verdict. A missing or
+    empty rejected (or accepted) sink reads as empty — a clean
+    all-accept/all-reject run still resolves.
+
+    100 TB: one hash-partitioned window over the union, shuffled on
+    doc_id — the same single shuffle any exactly-once consumer of an
+    at-least-once sink pays (the Delta MERGE equivalent); sink scans
+    prune to the columns the consumer selects."""
+    from pyspark.sql.window import Window
+
+    def _read(path: str, verdict: bool) -> DataFrame | None:
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            return None  # sink never written (no doc took this branch)
+        return df.withColumn("accepted", F.lit(verdict))
+
+    acc = _read(accepted_path, True)
+    rej = _read(rejected_path, False)
+    if acc is None and rej is None:
+        raise ValueError(
+            f"no gate sink readable at {accepted_path} / {rejected_path}")
+    both = (acc if rej is None else rej if acc is None
+            else acc.unionByName(rej))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.col("_gate_epoch").asc(), F.col("accepted").desc()))
+    return (
+        both.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -382,13 +491,20 @@ def gate_batch_sql(
     lsh_shingle_n: int = 1,
     min_est: float = 0.0,
     key: str = "doc_id",
+    contamination_mode: str = "exact",
+    bloom_m_bits: int = 1 << 21,
+    bloom_k: int = 4,
 ) -> str:
     """DuckDB mirror of `gate_batch` where the indexes were built over
     the `corpus_pred` rows of `table` and the batch is its `batch_pred`
     rows — the oracle recomputes both indexes from scratch (exactly what
-    `build_shingle_index` / `build_dedup_index` materialize)."""
+    `build_shingle_index` / `build_dedup_index` materialize). With
+    `contamination_mode="bloom"` the contamination CTE mirrors the
+    Bloom bitmap scoring bit-for-bit (the md5 position family both
+    engines share), not the exact join — so the oracle validates the
+    BLOOM computation, false positives and all."""
     from ..operators.contamination import (
-        _shingle_hash_sql, _shingles_list_sql)
+        _bloom_pos_sql, _shingle_hash_sql, _shingles_list_sql)
     from ..operators.dedup import dedup_check_sql
     from ..operators.text import tokens_sql
 
@@ -397,6 +513,49 @@ def gate_batch_sql(
     h = _shingle_hash_sql("shingle")
     pairs = dedup_check_sql(table, batch_pred, corpus_pred,
                             num_hashes, num_bands, lsh_shingle_n, min_est)
+    if contamination_mode == "bloom":
+        m_bits, k = bloom_m_bits, bloom_k
+        probe_cols = ", ".join(
+            f"CAST({_bloom_pos_sql('_h', i, m_bits)} // 32 AS INT)"
+            f" AS w{i}, CAST(1 AS BIGINT)"
+            f" << CAST({_bloom_pos_sql('_h', i, m_bits)} % 32 AS INT)"
+            f" AS b{i}"
+            for i in range(k)
+        )
+        joins = " ".join(
+            f"LEFT JOIN bitmap m{i} ON m{i}.w = probe.w{i}"
+            for i in range(k)
+        )
+        hit = " AND ".join(
+            f"(coalesce(m{i}.mask, 0) & b{i}) != 0" for i in range(k)
+        )
+        cont_ctes = f"""
+        pos AS (SELECT unnest([{', '.join(
+            _bloom_pos_sql('_h', i, m_bits) for i in range(k))}])
+                    AS pos FROM csh),
+        bitmap AS (
+            SELECT CAST(pos // 32 AS INT) AS w,
+                   bit_or(CAST(1 AS BIGINT)
+                          << CAST(pos % 32 AS INT)) AS mask
+            FROM pos GROUP BY 1
+        ),
+        probe AS (SELECT {key}, _h, {probe_cols} FROM bdist),
+        cont AS (
+            SELECT probe.{key},
+                   round(sum(CASE WHEN {hit} THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS contamination
+            FROM probe {joins}
+            GROUP BY 1
+        ),"""
+    else:
+        cont_ctes = f"""
+        cont AS (
+            SELECT bdist.{key},
+                   round(count(csh._h) * 1.0 / count(*), 6)
+                       AS contamination
+            FROM bdist LEFT JOIN csh ON bdist._h = csh._h
+            GROUP BY 1
+        ),"""
     return f"""
         WITH batch AS (SELECT * FROM {table} WHERE {batch_pred}),
         corpus AS (SELECT * FROM {table} WHERE {corpus_pred}),
@@ -407,12 +566,7 @@ def gate_batch_sql(
         ctok AS (SELECT {toks} AS t FROM corpus),
         csh AS (SELECT DISTINCT {h} AS _h FROM
                 (SELECT unnest({shingles}) AS shingle FROM ctok)),
-        cont AS (
-            SELECT bdist.{key},
-                   round(count(csh._h) * 1.0 / count(*), 6) AS contamination
-            FROM bdist LEFT JOIN csh ON bdist._h = csh._h
-            GROUP BY 1
-        ),
+        {cont_ctes}
         nd AS (
             SELECT {key}, count(*) AS n_near_dups
             FROM ({pairs}) GROUP BY 1

@@ -67,6 +67,42 @@ def test_gate_accepts_fresh_content(spark, indexes):
     assert out["accepted"]
 
 
+def test_gate_bloom_mode_matches_exact(spark, docs, indexes):
+    """contamination_mode='bloom' scores the contamination tier against
+    the broadcast Bloom bitmap instead of the exact index join; at the
+    2^21-bit default the fixture has no false positives, so the two
+    modes are bit-identical row-for-row (the sized-FP divergence is
+    priced by contamination_bloom_sweep, not here)."""
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    exact = _gate(spark, batch, indexes, min_est=0.9).collect()
+    bloom = _gate(spark, batch, indexes, min_est=0.9,
+                  contamination_mode="bloom").collect()
+    assert [r.asDict() for r in exact] == [r.asDict() for r in bloom]
+
+
+def test_gate_bloom_accepts_prebuilt_bitmap(spark, docs, indexes):
+    """A bitmap built once (the static-index amortization) gives the
+    same verdicts as the per-call fold — the micro-batch reuse path."""
+    from explora_kafka_spark.operators.contamination import (
+        build_bloom_bitmap)
+
+    sh, _ = indexes
+    bitmap = build_bloom_bitmap(spark, sh)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    fresh = _gate(spark, batch, indexes, min_est=0.9,
+                  contamination_mode="bloom").collect()
+    reused = _gate(spark, batch, indexes, min_est=0.9,
+                   contamination_mode="bloom",
+                   bloom_bitmap=bitmap).collect()
+    assert [r.asDict() for r in fresh] == [r.asDict() for r in reused]
+
+
+def test_gate_rejects_unknown_contamination_mode(spark, docs, indexes):
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    with pytest.raises(ValueError, match="contamination_mode"):
+        _gate(spark, batch, indexes, contamination_mode="hll")
+
+
 def test_gate_short_doc_gets_verdict(spark, indexes):
     """< 5 tokens -> no shingles -> contamination 0, still a row."""
     short = spark.createDataFrame(
@@ -308,6 +344,87 @@ def test_learning_gate_rejects_cross_batch_copy(spark, docs, tmp_path):
     learned = next(r for r in rej if r["doc_id"] in (7000, 7001))
     assert learned["contamination"] == 1.0
     assert learned["n_near_dups"] >= 1
+
+
+def test_read_gate_verdicts_stable_under_replay(spark, docs, tmp_path):
+    """Replay the ENTIRE learning stream (checkpoint wiped, same sinks,
+    same indexes — the worst replay a crash recovery can produce):
+    every epoch re-scores against indexes that already contain its own
+    content, so previously-accepted docs land in the rejected sink with
+    flipped verdicts under the same epoch ids. `read_gate_verdicts`
+    must return bit-identical verdicts before and after the replay —
+    first-write-wins as code (r13 review #3). The ledger side is also
+    pinned: the replayed epochs must not re-append to the indexes."""
+    import shutil
+
+    from explora_kafka_spark.operators.index_ledger import read_manifest
+    from explora_kafka_spark.streaming.corpus_gate import (
+        gate_stream_learning, read_gate_verdicts)
+
+    corpus = docs.filter(F.col("doc_id") < 100)
+    build_shingle_index(corpus, str(tmp_path / "sh"))
+    build_dedup_index(corpus, str(tmp_path / "lsh"), shingle_n=2,
+                      num_bands=8)
+    fresh_a = ("an improbable ultramarine casserole deputizes the "
+               "quietest of seventeen harmonicas while glaciers "
+               "annotate the velvet monsoon ledger")
+    fresh_b = ("quixotic marmalade turbines serenade the ninth "
+               "adjacent lighthouse while cartographers misplace "
+               "an entire trombone of compliments")
+    leak = docs.filter(F.col("doc_id") == 1).collect()[0]["text"]
+    f1 = spark.createDataFrame([(7000, fresh_a), (7002, leak)],
+                               "doc_id bigint, text string")
+    f2 = spark.createDataFrame([(7001, fresh_a), (7003, fresh_b)],
+                               "doc_id bigint, text string")
+    f1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    f2.coalesce(1).write.mode("append").parquet(str(tmp_path / "in"))
+    schema = spark.read.parquet(str(tmp_path / "in")).schema
+
+    def _run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "in"))
+        )
+        q = gate_stream_learning(
+            spark, stream, str(tmp_path / "sh"), str(tmp_path / "lsh"),
+            str(tmp_path / "acc"), str(tmp_path / "rej"),
+            str(tmp_path / "ckpt"),
+            lsh_shingle_n=2, num_bands=8, min_est=0.9,
+        )
+        q.awaitTermination(300)
+
+    _run()
+    first = {r["doc_id"]: (r["contamination"], r["n_near_dups"],
+                           r["_gate_epoch"], r["accepted"])
+             for r in read_gate_verdicts(
+                 spark, str(tmp_path / "acc"),
+                 str(tmp_path / "rej")).collect()}
+    assert set(first) == {7000, 7001, 7002, 7003}
+    assert first[7000][3] and first[7003][3]          # fresh: admitted
+    assert not first[7001][3] and not first[7002][3]  # copy/leak: no
+    sh_dirs = read_manifest(str(tmp_path / "sh"), "train_shingles")
+    lsh_dirs = read_manifest(str(tmp_path / "lsh"), "bands")
+
+    # wipe ONLY the checkpoint: same sinks, same (already-learned)
+    # indexes — every epoch replays against state that contains it
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    _run()
+    replayed = {r["doc_id"]: (r["contamination"], r["n_near_dups"],
+                              r["_gate_epoch"], r["accepted"])
+                for r in read_gate_verdicts(
+                    spark, str(tmp_path / "acc"),
+                    str(tmp_path / "rej")).collect()}
+    assert replayed == first
+    # the replay DID poison the raw rejected sink (same doc in both
+    # sinks) — the reader, not a clean sink, is what held the line
+    rej_ids = {r["doc_id"] for r in
+               spark.read.parquet(str(tmp_path / "rej")).collect()}
+    assert 7000 in rej_ids or 7003 in rej_ids
+    # and the index ledgers no-opped: same committed dirs, same epochs
+    assert read_manifest(str(tmp_path / "sh"),
+                         "train_shingles") == sh_dirs
+    assert read_manifest(str(tmp_path / "lsh"), "bands") == lsh_dirs
 
 
 def test_scored_gate_adds_only_the_classifier_tier(spark, sf_dir):

@@ -126,3 +126,99 @@ def test_band_width_knob_bounds_bucket_selectivity(spark):
     wide = D.lsh_candidate_pairs(sigs, num_bands=8, rows_per_band=2).count()
     narrow = D.lsh_candidate_pairs(sigs, num_bands=16, rows_per_band=1).count()
     assert wide < narrow, (wide, narrow)
+
+
+def test_anchor_cap_invisible_until_it_engages(spark):
+    """max_bucket at or above the largest bucket is a no-op: identical
+    pair set, identical estimates (the cap's contract — buckets at or
+    under the cap emit their full C(b,2) expansion)."""
+    sigs = _sigs(spark, n_hot=40, n_cold=40)
+    uncapped = sorted(tuple(r) for r in
+                      D.lsh_candidate_pairs(sigs).collect())
+    lazy_cap = sorted(tuple(r) for r in
+                      D.lsh_candidate_pairs(sigs, max_bucket=10_000)
+                      .collect())
+    assert uncapped == lazy_cap
+
+
+def test_anchor_cap_bounds_hot_bucket_linear(spark):
+    """A 50-member bucket of IDENTICAL signatures (collides in all 8
+    bands) emits C(50,2)=1225 pairs uncapped; with max_bucket=5 each
+    band's bucket emits only anchor×member pairs — c·(b−c)+C(c,2)=235
+    per band, and the cross-band union stays far under the quadratic
+    count while every member keeps at least one anchor edge (the
+    connectivity the downstream grouping needs)."""
+    rows = [(i, [7] * 16) for i in range(50)]
+    sigs = spark.createDataFrame(rows, "doc_id: long, sig: array<long>")
+    assert D.lsh_candidate_pairs(sigs).count() == 50 * 49 // 2
+    capped = D.lsh_candidate_pairs(sigs, max_bucket=5).collect()
+    # >= one band's anchor star, <= the union of 8 per-band stars
+    assert 5 * 45 + 10 <= len(capped) <= 8 * (5 * 45 + 10)
+    assert len(capped) < 50 * 49 // 2
+    touched = {r["doc_a"] for r in capped} | {r["doc_b"] for r in capped}
+    assert touched == set(range(50))
+    assert all(r["est_jaccard"] == 1.0 for r in capped)
+
+
+def test_anchor_cap_keeps_clique_grouped(spark):
+    """dedup_groups with the cap engaged still collapses an identical-
+    text clique into ONE group: anchors keep every member connected at
+    the candidate level, and identical docs survive the exact-Jaccard
+    rerank on every anchor edge."""
+    text = ("the selfsame boilerplate paragraph repeated verbatim "
+            "across every single mirrored page of the template site")
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(30)] + [(100, "something quite else "
+                                          "entirely different here")],
+        "doc_id: long, text: string")
+    groups = D.dedup_groups(docs, threshold=0.6, shingle_n=2,
+                            num_bands=8, max_bucket=3).collect()
+    by_id = {r["doc_id"]: r["group_id"] for r in groups}
+    assert {by_id[i] for i in range(30)} == {0}
+    assert by_id[100] == 100
+
+
+def test_anchor_cap_preserves_dedup_check_verdicts(spark, tmp_path):
+    """Serve-time cap on dedup_check: the SET of flagged batch docs is
+    unchanged (every probe still meets its bucket's anchors); only the
+    per-probe match enumeration shrinks."""
+    text = ("the selfsame boilerplate paragraph repeated verbatim "
+            "across every single mirrored page of the template site")
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(40)], "doc_id: long, text: string")
+    D.build_dedup_index(corpus, str(tmp_path / "lsh"), shingle_n=2,
+                        num_bands=8)
+    batch = spark.createDataFrame(
+        [(900, text), (901, "fresh unrelated content nothing shared "
+                            "with the boilerplate clique at all")],
+        "doc_id: long, text: string")
+    full = D.dedup_check(spark, batch, str(tmp_path / "lsh"),
+                         shingle_n=2, num_bands=8).collect()
+    capped = D.dedup_check(spark, batch, str(tmp_path / "lsh"),
+                           shingle_n=2, num_bands=8,
+                           max_bucket=4).collect()
+    assert {r["doc_id"] for r in full} == {900}
+    assert {r["doc_id"] for r in capped} == {900}
+    assert len(capped) < len(full) == 40
+    # at most num_bands × max_bucket anchors enumerated per probe
+    assert len(capped) <= 8 * 4
+
+
+def test_cap_audit_prices_the_drop(spark):
+    """lsh_cap_audit's integer pair arithmetic: on a corpus with one
+    50-member identical-text bucket per band, pairs_full = C(50,2) and
+    pairs_capped = c·(b−c)+C(c,2) for every band; dropped = the
+    difference. The audit never materializes a pair."""
+    text = ("the selfsame boilerplate paragraph repeated verbatim "
+            "across every single mirrored page of the template site")
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(50)], "doc_id: long, text: string")
+    audit = D.lsh_cap_audit(docs, max_bucket=5, shingle_n=2,
+                            num_bands=8).collect()
+    assert len(audit) == 8
+    for r in audit:
+        assert r["n_buckets"] == 1 and r["n_hot"] == 1
+        assert r["max_bucket_size"] == 50
+        assert r["pairs_full"] == 50 * 49 // 2
+        assert r["pairs_capped"] == 5 * 45 + 10
+        assert r["pairs_dropped"] == r["pairs_full"] - r["pairs_capped"]

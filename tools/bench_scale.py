@@ -113,6 +113,16 @@ HEADLINE = [
     # (stream-appended indexes served + the band shard-skew audit)
     "dedup_index_append", "dedup_band_skew", "phash_index_append",
     "contamination_bloom_audit", "contamination_bloom_sweep",
+    # round-14 wave: the Bloom scale mode wired into the gate + the
+    # first-write-wins committed read over the verdict sinks + the
+    # hot-bucket anchor cap (the *_capped probe twins run the three
+    # documented sf1 dedup tails WITH the cap engaged, next to their
+    # uncapped originals — the before/after of the r13 verdict's
+    # "one missing scale valve")
+    "corpus_gate_bloom", "gate_verdicts_read",
+    "dedup_near_capped", "lsh_cap_audit",
+    "dedup_groups_capped", "group_aware_split_capped",
+    "near_dup_cluster_profile_capped",
 ]
 
 
@@ -272,7 +282,45 @@ def _q_ann_recall_drift_budgeted(spark, sf_dir):
         spark, emb, EE._ivf_stale_index(spark, sf_dir), query_mod=qm)
 
 
+def _q_dedup_groups_capped(spark, sf_dir):
+    """dedup_groups with the hot-bucket anchor cap engaged (probe twin
+    of the uncapped headline entry — the r13-verdict scale valve). The
+    replica generator makes every doc a 10-clique member, so band
+    buckets carry ~10× the members at sf1; max_bucket=20 (2× the
+    clique width) leaves organic buckets untouched and bounds the
+    boilerplate blow-up to linear."""
+    from explora_kafka_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.dedup_groups(docs, threshold=0.6, shingle_n=2,
+                          num_bands=8, max_bucket=20)
+
+
+def _q_group_aware_split_capped(spark, sf_dir):
+    """group_aware_split riding the capped dedup pass (same sizing
+    rationale as _q_dedup_groups_capped)."""
+    from explora_kafka_spark.operators import sampling as SMP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return SMP.group_aware_split(docs, threshold=0.6, shingle_n=2,
+                                 num_bands=8, max_bucket=20)
+
+
+def _q_near_dup_cluster_profile_capped(spark, sf_dir):
+    """near_dup_cluster_profile riding the capped dedup pass (same
+    sizing rationale as _q_dedup_groups_capped)."""
+    from explora_kafka_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.near_dup_cluster_profile(docs, threshold=0.6, shingle_n=2,
+                                      num_bands=8, max_bucket=20)
+
+
 OVERRIDES = {"semantic_dedup": _q_semantic_dedup_rekeyed,
+             "dedup_groups_capped": _q_dedup_groups_capped,
+             "group_aware_split_capped": _q_group_aware_split_capped,
+             "near_dup_cluster_profile_capped":
+                 _q_near_dup_cluster_profile_capped,
              "ann_recall_drift": _q_ann_recall_drift_budgeted,
              "knn_pagerank": _q_knn_pagerank_rekeyed,
              "semantic_groups": _q_semantic_groups_rekeyed,
