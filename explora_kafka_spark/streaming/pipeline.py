@@ -535,6 +535,47 @@ def compact_store(spark: SparkSession, store: ParquetViewStore) -> None:
     store._commit(new_v, old[1] if old else None, old[0] if old else None)
 
 
+def vacuum_store(store: ParquetViewStore,
+                 grace_secs: float = 86400.0) -> list[str]:
+    """Reclaim crash-orphaned VERSION dirs — the view store's VACUUM,
+    completing its lakehouse maintenance pair (`compact_store` is the
+    OPTIMIZE; r13 verdict #6). A `merge`/`compact_store`/`expire_store`
+    that dies between writing its `v_*` dir and the pointer swap leaves
+    the dir on disk forever: invisible to readers (the pointer is the
+    source of truth, so correctness is unaffected) but holding a full
+    version of data. Deletes every `v_*` dir that is neither the
+    current version nor in the retained history and is older than
+    `grace_secs`; returns the deleted names.
+
+    Safety model (simpler than `index_ledger.vacuum`'s locked delete,
+    for a structural reason): version names are fresh uuids, NEVER
+    reused — an orphan can never become current later, and an
+    IN-FLIGHT writer's dir is always newly created, so its mtime is
+    inside any sane grace lease. The lease is therefore the only
+    coordination needed; it must exceed the longest version write
+    (same write-lease rule as the index ledger). Single maintenance
+    writer per store, as everywhere in this module."""
+    import time as _time
+
+    live = set(store.list_versions())
+    cur = store.current_version()
+    if cur:
+        live.add(cur)
+    now = _time.time()
+    deleted: list[str] = []
+    for d in sorted(os.listdir(store.path)):
+        full = os.path.join(store.path, d)
+        if not (d.startswith("v_") and os.path.isdir(full)):
+            continue
+        if d in live:
+            continue
+        if now - os.path.getmtime(full) < grace_secs:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        deleted.append(d)
+    return deleted
+
+
 def streaming_view_pipeline(
     readings_stream: DataFrame,
     store: ParquetViewStore,

@@ -850,3 +850,49 @@ def test_stream_static_enrichment_equals_batch(spark, tmp_path):
     bt = {(r.segment, r.ts.strftime("%H"), r.n_events, float(r.sum_value))
           for r in batch}
     assert got <= bt and len(bt) == 4  # batch keeps the open window too
+
+
+def test_vacuum_store_reclaims_crashed_version_only(spark, tmp_path):
+    """The store's VACUUM half (compact_store being the OPTIMIZE): a
+    merge that died between writing its v_* dir and the pointer swap
+    leaves an orphan; vacuum_store reclaims it after the grace lease
+    while never touching the current version, the retained history, a
+    fresh in-flight write, or foreign files."""
+    import os
+    import time
+
+    from explora_kafka_spark.plans.views import view_lattice
+
+    readings = load_readings(spark, SF_DIR)
+    delta = view_lattice(readings, precisions=(6,),
+                         resolutions=("min",), persist=False)
+    store = P.ParquetViewStore(str(tmp_path / "store"), keep_versions=2)
+    store.merge(spark, delta, batch_id=0)
+    store.merge(spark, delta, batch_id=1)
+    live_before = set(store.list_versions())
+    before_rows = store.read(spark).count()
+
+    # a crashed merge: version dir written, pointer never swapped
+    orphan = os.path.join(str(tmp_path / "store"), "v_deadbeef0000")
+    os.makedirs(os.path.join(orphan, "res=min"))
+    open(os.path.join(orphan, "res=min", "part-0.parquet"), "w").write("x")
+    old = time.time() - 7200
+    os.utime(os.path.join(orphan, "res=min", "part-0.parquet"),
+             (old, old))
+    os.utime(os.path.join(orphan, "res=min"), (old, old))
+    os.utime(orphan, (old, old))
+    # a FRESH in-flight write (mtime now) and a foreign dir
+    fresh = os.path.join(str(tmp_path / "store"), "v_inflight000000")
+    os.makedirs(fresh)
+    foreign = os.path.join(str(tmp_path / "store"), "centroids")
+    os.makedirs(foreign)
+
+    deleted = P.vacuum_store(store, grace_secs=3600)
+    assert deleted == ["v_deadbeef0000"]
+    assert not os.path.exists(orphan)
+    assert os.path.exists(fresh) and os.path.exists(foreign)
+    assert set(store.list_versions()) == live_before
+    assert store.read(spark).count() == before_rows
+    assert store.last_batch_id() == 1
+    # idempotent: nothing left to reclaim
+    assert P.vacuum_store(store, grace_secs=3600) == []

@@ -89,6 +89,40 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "BroadcastNestedLoopJoin anywhere.",
         [r"Join", r"Exchange hashpartitioning"],
     ),
+    "dedup_near_capped": (
+        "Hot-bucket anchor cap (round 14): anchor election compiles to "
+        "a PARTIAL WindowGroupLimit BEFORE the bucket-key exchange — "
+        "each map task forwards at most cap rows per bucket, so the "
+        "election's shuffle is bounded map-side and the hot bucket "
+        "never lands whole on one reducer; the anchor x member "
+        "equi-join then replaces the full self-join. Still no "
+        "CartesianProduct / BroadcastNestedLoopJoin anywhere.",
+        [r"WindowGroupLimit", r"Join", r"Exchange hashpartitioning"],
+    ),
+    "lsh_cap_audit": (
+        "Cap pricing (round 14): TWO hash aggregations (bucket sizes, "
+        "then per-band rollup) over the banding projection — no join, "
+        "no pair row ever materialized; pricing a 10^12-pair bucket "
+        "costs one count.",
+        [r"HashAggregate", r"Exchange hashpartitioning"],
+    ),
+    "corpus_gate_bloom": (
+        "Admission gate, Bloom mode (round 14): the contamination tier "
+        "is k BROADCAST probes against the statistic-sized bitmap word "
+        "table — the shingle index's `_h` equi-join is GONE from the "
+        "plan (the bitmap fold enters as Scan ExistingRDD); the "
+        "near-dup band join is unchanged.",
+        [r"BroadcastHashJoin", r"Scan ExistingRDD", r"Join"],
+    ),
+    "gate_verdicts_read": (
+        "First-write-wins sink read (round 14): ONE doc_id-partitioned "
+        "row_number window over the two sink scans' union — the single "
+        "shuffle any exactly-once consumer of an at-least-once sink "
+        "pays, and the rank=1 limit compiles to a PARTIAL "
+        "WindowGroupLimit that drops losing duplicates map-side before "
+        "the exchange; sink scans stay column-pruned.",
+        [r"WindowGroupLimit", r"Exchange hashpartitioning", r"FileScan"],
+    ),
     "contamination_bloom_audit": (
         "Bloom sketch path (round 13): the k membership probes are "
         "BROADCAST hash joins against the statistic-sized bitmap word "
