@@ -3617,6 +3617,22 @@ def q_phash_near_dup(spark, sf_dir):
     return _MM.phash_near_dup(media)
 
 
+def q_phash_capped(spark, sf_dir):
+    """phash_near_dup with the hot-bucket ANCHOR CAP engaged (round 14
+    — the valve on the media tier, where a re-encoded logo or template
+    thumbnail repeated across a crawl shares ONE phash and so one
+    bucket in EVERY band): same perturbed-twin corpus as
+    phash_near_dup; max_bucket=8 over 8-bit band values engages on the
+    fixture's ~40-member average buckets, and the oracle mirrors the
+    md5-ranked anchor election bit-for-bit."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pert = (docs.filter(F.col("doc_id") % 50 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.expr("concat('zzz', substr(text, 4))").alias("text")))
+    media = _MM.media_from_documents(docs.unionByName(pert))
+    return _MM.phash_near_dup(media, max_bucket=8)
+
+
 def q_proximity_pairs(spark, sf_dir):
     """Grid-bucketed spatial self-join (operators/spatial.py): user
     pairs observed in the same hour within 300 km — planner-inlined
@@ -3844,6 +3860,18 @@ def q_simhash_near_dup(spark, sf_dir):
     return D.simhash_near_dup(_docs(spark, sf_dir), hamming_max=3)
 
 
+def q_simhash_capped(spark, sf_dir):
+    """simhash_near_dup with the hot-bucket ANCHOR CAP engaged (round
+    14 — the dedup_near_capped valve extended to the hamming-banded
+    family, where byte-identical boilerplate shares ONE fingerprint
+    and so one bucket per band): 8-bit band values over the fixture
+    put ~40 docs in an average bucket, so max_bucket=8 genuinely
+    engages; buckets at or under 8 are untouched and the oracle
+    mirrors the md5-ranked anchor election bit-for-bit."""
+    return D.simhash_near_dup(_docs(spark, sf_dir), hamming_max=3,
+                              max_bucket=8)
+
+
 def q_source_quality_profile(spark, sf_dir):
     """Per-source corpus health report: doc/token totals, integer-µunit
     deterministic mean quality, low-quality share."""
@@ -4029,6 +4057,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gate_verdicts_read": q_gate_verdicts_read,
         "dedup_near_capped": q_dedup_near_capped,
         "lsh_cap_audit": q_lsh_cap_audit,
+        #   ... and the cap extended to the two hamming-banded
+        #   families (one shared fp_banded_pairs implementation) -
+        "simhash_capped": q_simhash_capped,
+        "phash_capped": q_phash_capped,
         # - last driver rows r10 -
         "embedding_covariance": q_embedding_covariance,
         "semdedup_check_audit": q_semdedup_check_audit,
@@ -4862,6 +4894,13 @@ def oracle_sql() -> dict[str, str]:
                                               max_bucket=4),
         "lsh_cap_audit": D.lsh_cap_audit_sql(max_bucket=4, shingle_n=2,
                                              num_bands=8),
+        "simhash_capped": D.simhash_near_dup_sql(hamming_max=3,
+                                                 max_bucket=8),
+        "phash_capped": _MM.phash_near_dup_sql(
+            table="(SELECT doc_id, text FROM documents UNION ALL"
+                  " SELECT doc_id + 1000000, 'zzz' || substr(text, 4)"
+                  " FROM documents WHERE doc_id % 50 = 0) aug",
+            max_bucket=8),
         "dedup_sweep": D.dedup_sweep_sql(shingle_n=2, num_bands=8),
         "dedup_check_batch": D.dedup_check_sql(shingle_n=2, num_bands=8),
         # streamed-in delta + base == the full corpus as the index side

@@ -633,11 +633,113 @@ def simhash_sql(table: str = "documents", bits: int = 32) -> str:
     """
 
 
+def fp_banded_pairs(banded: DataFrame, id_col: str, fp_col: str,
+                    max_bucket: int | None = None) -> DataFrame:
+    """Candidate pairs over an integer-banded fingerprint table
+    `(id_col, fp_col, band, val)` — the shared pair-generation step of
+    the two hamming-banded families (`simhash_near_dup` on text,
+    `multimodal.phash_near_dup` on media). Uncapped: all C(b,2) pairs
+    per (band, val) bucket. With `max_bucket=c`, the LSH hot-bucket
+    anchor cap (`lsh_candidate_pairs`) on integer band values: each
+    bucket elects c anchors by the deterministic rank
+    md5(band|val|id) and emits only anchor×member pairs — linear in
+    bucket size, invisible until it engages (a bucket with b ≤ c
+    members still produces exactly its full expansion: every member
+    is an anchor). The hot-bucket case here is WORSE than MinHash
+    LSH's: byte-identical boilerplate shares the exact fingerprint,
+    so one template bucket holds every copy in EVERY band. Capping
+    trades the families' pigeonhole 100% pairwise recall for
+    anchor-mediated recall: every member keeps an edge to every
+    anchor of its buckets, so groups stay connected at the candidate
+    level; only non-anchor↔non-anchor pairs are dropped (priced by
+    the same `lsh_cap_audit` arithmetic on these buckets).
+
+    Output: distinct (`{id}_a`, `{id}_b`, fp_a, fp_b), id_a < id_b.
+    """
+    ida, idb = f"{id_col}_a", f"{id_col}_b"
+    if max_bucket is None:
+        a = banded.select(F.col(id_col).alias(ida),
+                          F.col(fp_col).alias("fp_a"), "band", "val")
+        b = banded.select(F.col(id_col).alias(idb),
+                          F.col(fp_col).alias("fp_b"), "band", "val")
+        return (
+            a.join(b, ["band", "val"])
+            .filter(F.col(ida) < F.col(idb))
+            .select(ida, idb, "fp_a", "fp_b")
+            .distinct()
+        )
+    rank = F.md5(F.concat_ws("|", F.col("band"), F.col("val"),
+                             F.col(id_col)))
+    w = (Window.partitionBy("band", "val")
+         .orderBy(rank.asc(), F.col(id_col).asc()))
+    anchors = (
+        banded.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_bucket)
+        .drop("_rk")
+    )
+    a = anchors.select(F.col(id_col).alias("_ida"),
+                       F.col(fp_col).alias("_fpa"), "band", "val")
+    b = banded.select(F.col(id_col).alias("_idb"),
+                      F.col(fp_col).alias("_fpb"), "band", "val")
+    # anchor×member; both orientations of an anchor-anchor pair
+    # normalize to the same (id_a, id_b) with fp_a/fp_b swapped —
+    # hamming is symmetric, so the pair-key dedup is value-stable
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias(ida),
+            F.greatest("_ida", "_idb").alias(idb),
+            F.col("_fpa").alias("fp_a"),
+            F.col("_fpb").alias("fp_b"),
+        )
+        .dropDuplicates([ida, idb])
+    )
+
+
+def fp_banded_pairs_sql(id_col: str, fp_col: str, a_name: str,
+                        b_name: str, max_bucket: int | None = None) -> str:
+    """DuckDB mirror of :func:`fp_banded_pairs`: the `pairs` CTE body
+    over a `banded({id_col}, {fp_col}, band, val)` CTE (shared by
+    `simhash_near_dup_sql` and `multimodal.phash_near_dup_sql`).
+    Emits (a_name, b_name, fp_a, fp_b); the anchor election reproduces
+    the Spark md5 rank bit-for-bit. Callers must take their FINAL
+    select DISTINCT: an anchor-anchor pair surfaces in both
+    orientations with fp_a/fp_b swapped (hamming symmetric)."""
+    if max_bucket is None:
+        return f"""pairs AS (
+            SELECT DISTINCT a.{id_col} AS {a_name}, b.{id_col} AS {b_name},
+                   a.{fp_col} AS fp_a, b.{fp_col} AS fp_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.val = b.val
+             AND a.{id_col} < b.{id_col}
+        )"""
+    return f"""anchors AS (
+            SELECT {id_col}, {fp_col}, band, val FROM (
+                SELECT banded.*, row_number() OVER (
+                    PARTITION BY band, val
+                    ORDER BY md5(concat_ws('|', band, val, {id_col})),
+                             {id_col}) AS _rk
+                FROM banded)
+            WHERE _rk <= {int(max_bucket)}
+        ),
+        pairs AS (
+            SELECT DISTINCT
+                   least(a.{id_col}, b.{id_col}) AS {a_name},
+                   greatest(a.{id_col}, b.{id_col}) AS {b_name},
+                   a.{fp_col} AS fp_a, b.{fp_col} AS fp_b
+            FROM anchors a JOIN banded b
+              ON a.band = b.band AND a.val = b.val
+             AND a.{id_col} <> b.{id_col}
+        )"""
+
+
 def simhash_near_dup(
     docs: DataFrame,
     hamming_max: int = 3,
     bits: int = 32,
     num_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming-banded candidate join + exact
     popcount filter — the pair-generation step the `simhash` fingerprint
@@ -650,6 +752,14 @@ def simhash_near_dup(
     probabilistic MinHash banding. Candidates are only same-band pairs
     (never all-pairs), and the final test is one xor + bit_count per
     candidate. Output (ordered): doc_a, doc_b, hamming ≤ hamming_max.
+
+    `max_bucket` is the hot-bucket anchor cap (`fp_banded_pairs`) —
+    byte-identical boilerplate shares one fingerprint and so one
+    bucket per band; the cap bounds that bucket's pair expansion to
+    linear, trading pigeonhole pairwise recall for anchor-mediated
+    recall (every member keeps all its anchor edges, and an
+    identical-fingerprint clique survives the hamming filter on every
+    one of them).
     """
     assert num_bands > hamming_max, "pigeonhole needs num_bands > hamming_max"
     assert bits % num_bands == 0
@@ -668,23 +778,13 @@ def simhash_near_dup(
     banded = sh.select("doc_id", "simhash", bands.alias("b")).select(
         "doc_id", "simhash", "b.band", "b.val"
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"),
-        "band", "val",
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"),
-        "band", "val",
-    )
-    pairs = (
-        a.join(b, ["band", "val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-    )
-    ham = F.expr("bit_count(sim_a ^ sim_b)")
+    pairs = fp_banded_pairs(banded, "doc_id", "simhash",
+                            max_bucket=max_bucket)
+    ham = F.expr("bit_count(fp_a ^ fp_b)")
     return (
-        pairs.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        pairs.select(F.col("doc_id_a").alias("doc_a"),
+                     F.col("doc_id_b").alias("doc_b"),
+                     ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= hamming_max)
         .orderBy("doc_a", "doc_b")
     )
@@ -695,8 +795,10 @@ def simhash_near_dup_sql(
     hamming_max: int = 3,
     bits: int = 32,
     num_bands: int = 4,
+    max_bucket: int | None = None,
 ) -> str:
-    """DuckDB mirror of `simhash_near_dup` (same bands, xor + bit_count)."""
+    """DuckDB mirror of `simhash_near_dup` (same bands, xor + bit_count;
+    `max_bucket` mirrors the anchor election bit-for-bit)."""
     width = bits // num_bands
     mask = (1 << width) - 1
     inner = simhash_sql(table, bits=bits)
@@ -705,20 +807,16 @@ def simhash_near_dup_sql(
         f"(simhash >> {i * width}) & {mask} AS val FROM sh"
         for i in range(num_bands)
     )
+    pairs_cte = fp_banded_pairs_sql("doc_id", "simhash", "doc_a", "doc_b",
+                                    max_bucket=max_bucket)
     return f"""
         WITH sh AS ({inner}),
         banded AS ({band_rows}),
-        pairs AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.simhash AS sim_a, b.simhash AS sim_b
-            FROM banded a
-            JOIN banded b
-              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
-        )
-        SELECT doc_a, doc_b,
-               CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+        {pairs_cte}
+        SELECT DISTINCT doc_a, doc_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
         FROM pairs
-        WHERE bit_count(xor(sim_a, sim_b)) <= {hamming_max}
+        WHERE bit_count(xor(fp_a, fp_b)) <= {hamming_max}
         ORDER BY doc_a, doc_b
     """
 

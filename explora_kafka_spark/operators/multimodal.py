@@ -375,6 +375,7 @@ def phash_near_dup(
     hamming_max: int = 7,
     num_bands: int = 8,
     bits: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Perceptual near-dup media pairs: hamming-banded candidate join +
     exact popcount — the simhash_near_dup machinery on the 64-bit
@@ -385,9 +386,15 @@ def phash_near_dup(
 
     100 TB: identical scale story to simhash_near_dup — candidates are
     same-band pairs only (never all-pairs), one xor+bit_count per
-    candidate; a hot band value is the LSH hot-bucket AQE case."""
+    candidate; a hot band value is the LSH hot-bucket case, and
+    `max_bucket` is the same anchor-cap valve (`dedup.fp_banded_pairs`
+    — a re-encoded logo or template thumbnail repeated across a crawl
+    shares ONE phash, so its bucket holds every copy in every band;
+    the cap bounds that expansion to linear, every member keeping its
+    anchor edges)."""
     assert num_bands > hamming_max, "pigeonhole needs num_bands > hamming_max"
     assert bits % num_bands == 0
+    from .dedup import fp_banded_pairs
     width = bits // num_bands
     mask = (1 << width) - 1
     ph = media_phash(media, bits=bits)
@@ -402,19 +409,13 @@ def phash_near_dup(
     )
     banded = ph.select("media_id", "phash", bands.alias("b")).select(
         "media_id", "phash", "b.band", "b.val")
-    a = banded.select(F.col("media_id").alias("media_a"),
-                      F.col("phash").alias("ph_a"), "band", "val")
-    b = banded.select(F.col("media_id").alias("media_b"),
-                      F.col("phash").alias("ph_b"), "band", "val")
-    pairs = (
-        a.join(b, ["band", "val"])
-        .filter(F.col("media_a") < F.col("media_b"))
-        .select("media_a", "media_b", "ph_a", "ph_b")
-        .distinct()
-    )
-    ham = F.expr("bit_count(ph_a ^ ph_b)")
+    pairs = fp_banded_pairs(banded, "media_id", "phash",
+                            max_bucket=max_bucket)
+    ham = F.expr("bit_count(fp_a ^ fp_b)")
     return (
-        pairs.select("media_a", "media_b", ham.cast("int").alias("hamming"))
+        pairs.select(F.col("media_id_a").alias("media_a"),
+                     F.col("media_id_b").alias("media_b"),
+                     ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= hamming_max)
         .orderBy("media_a", "media_b")
     )
@@ -477,9 +478,11 @@ def phash_near_dup_sql(
     hamming_max: int = 7,
     num_bands: int = 8,
     bits: int = 64,
+    max_bucket: int | None = None,
 ) -> str:
     """DuckDB mirror of :func:`phash_near_dup` (same bands, xor +
-    bit_count)."""
+    bit_count; `max_bucket` mirrors the anchor election bit-for-bit)."""
+    from .dedup import fp_banded_pairs_sql
     width = bits // num_bands
     mask = (1 << width) - 1
     band_rows = " UNION ALL ".join(
@@ -487,20 +490,17 @@ def phash_near_dup_sql(
         f" (phash >> {i * width}) & {mask} AS val FROM ph"
         for i in range(num_bands)
     )
+    pairs_cte = fp_banded_pairs_sql("media_id", "phash",
+                                    "media_a", "media_b",
+                                    max_bucket=max_bucket)
     return f"""
         WITH {_phash_cte(table, bits)},
         banded AS ({band_rows}),
-        cand AS (
-            SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
-                   a.phash AS ph_a, b.phash AS ph_b
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.val = b.val
-             AND a.media_id < b.media_id
-        )
-        SELECT media_a, media_b,
-               CAST(bit_count(xor(ph_a, ph_b)) AS INT) AS hamming
-        FROM cand
-        WHERE bit_count(xor(ph_a, ph_b)) <= {hamming_max}
+        {pairs_cte}
+        SELECT DISTINCT media_a, media_b,
+               CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(fp_a, fp_b)) <= {hamming_max}
         ORDER BY media_a, media_b
     """
 

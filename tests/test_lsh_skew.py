@@ -222,3 +222,81 @@ def test_cap_audit_prices_the_drop(spark):
         assert r["pairs_full"] == 50 * 49 // 2
         assert r["pairs_capped"] == 5 * 45 + 10
         assert r["pairs_dropped"] == r["pairs_full"] - r["pairs_capped"]
+
+
+# ---------------------------------------------------------------------------
+# the anchor cap on the hamming-banded families (round 14 follow-through:
+# fp_banded_pairs shared by simhash_near_dup and phash_near_dup)
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_cap_invisible_until_it_engages(spark):
+    """max_bucket at or above the largest band bucket is a no-op on the
+    hamming-banded family too: identical (doc_a, doc_b, hamming) set."""
+    docs = spark.createDataFrame(
+        [(i, f"wholly distinct document number {i} with its own words "
+             f"{i * 7} and {i * 13}") for i in range(30)],
+        "doc_id: long, text: string")
+    full = sorted(tuple(r) for r in D.simhash_near_dup(docs).collect())
+    lazy = sorted(tuple(r) for r in
+                  D.simhash_near_dup(docs, max_bucket=10_000).collect())
+    assert full == lazy
+
+
+def test_simhash_cap_bounds_identical_fingerprint_clique(spark):
+    """Byte-identical boilerplate shares ONE simhash, so one bucket per
+    band holds every copy — the family's worst hot-bucket case. With
+    max_bucket=c the clique emits anchor×member pairs only (bounded by
+    num_bands per-band stars), every member keeps an anchor edge, and
+    every surviving pair has hamming 0 (identical fingerprints pass
+    the exact filter on every anchor edge)."""
+    text = ("the selfsame boilerplate paragraph repeated verbatim "
+            "across every single mirrored page of the template site")
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(40)], "doc_id: long, text: string")
+    assert D.simhash_near_dup(docs).count() == 40 * 39 // 2
+    capped = D.simhash_near_dup(docs, max_bucket=5).collect()
+    assert 5 * 35 + 10 <= len(capped) <= 4 * (5 * 35 + 10)
+    assert len(capped) < 40 * 39 // 2
+    touched = {r["doc_a"] for r in capped} | {r["doc_b"] for r in capped}
+    assert touched == set(range(40))
+    assert all(r["hamming"] == 0 for r in capped)
+
+
+def test_simhash_capped_pairs_subset_and_deterministic(spark):
+    """Capped pairs ⊆ uncapped pairs (the cap only removes candidates,
+    never invents them), and the anchor election is deterministic
+    under repartitioning (md5 rank + id tie-break, not row order)."""
+    docs = spark.createDataFrame(
+        [(i, ("shared template header boilerplate " * 3
+              if i % 3 == 0 else f"unique content {i} " * 4) + str(i))
+         for i in range(60)],
+        "doc_id: long, text: string")
+    full = {(r["doc_a"], r["doc_b"]) for r in
+            D.simhash_near_dup(docs).collect()}
+    capped = sorted(tuple(r) for r in
+                    D.simhash_near_dup(docs, max_bucket=3).collect())
+    assert {(a, b) for a, b, _ in capped} <= full
+    again = sorted(tuple(r) for r in
+                   D.simhash_near_dup(docs.repartition(13), max_bucket=3)
+                   .collect())
+    assert capped == again
+
+
+def test_phash_cap_bounds_identical_payload_clique(spark):
+    """The media tier: identical payloads share one phash; the cap
+    bounds the bucket's expansion while keeping every member anchored
+    (hamming 0 on every anchor edge)."""
+    from explora_kafka_spark.operators import multimodal as MM
+    payload = ("the very same encoded thumbnail payload bytes repeated "
+               "across every mirrored page of the template site")
+    docs = spark.createDataFrame(
+        [(i, payload) for i in range(30)], "doc_id: long, text: string")
+    media = MM.media_from_documents(docs)
+    assert MM.phash_near_dup(media).count() == 30 * 29 // 2
+    capped = MM.phash_near_dup(media, max_bucket=4).collect()
+    assert 4 * 26 + 6 <= len(capped) <= 8 * (4 * 26 + 6)
+    assert len(capped) < 30 * 29 // 2
+    touched = {r["media_a"] for r in capped} | {r["media_b"] for r in capped}
+    assert touched == set(range(30))
+    assert all(r["hamming"] == 0 for r in capped)

@@ -123,6 +123,10 @@ HEADLINE = [
     "dedup_near_capped", "lsh_cap_audit",
     "dedup_groups_capped", "group_aware_split_capped",
     "near_dup_cluster_profile_capped",
+    # ... and the cap extended to the two hamming-banded families,
+    # probed next to their uncapped originals (phash_near_dup was
+    # already a headline row; simhash_near_dup joins it here)
+    "simhash_near_dup", "simhash_capped", "phash_capped",
 ]
 
 

@@ -99,6 +99,15 @@ CASES: dict[str, tuple[str, list[str]]] = {
         "CartesianProduct / BroadcastNestedLoopJoin anywhere.",
         [r"WindowGroupLimit", r"Join", r"Exchange hashpartitioning"],
     ),
+    "simhash_capped": (
+        "The anchor cap on the hamming-banded family (round 14, shared "
+        "fp_banded_pairs — phash_capped compiles identically): the "
+        "same partial WindowGroupLimit lands BEFORE the (band, val) "
+        "exchange, so an identical-fingerprint boilerplate bucket is "
+        "bounded map-side in every band; the anchor x member equi-join "
+        "replaces the full self-join.",
+        [r"WindowGroupLimit", r"Join", r"Exchange hashpartitioning"],
+    ),
     "lsh_cap_audit": (
         "Cap pricing (round 14): TWO hash aggregations (bucket sizes, "
         "then per-band rollup) over the banding projection — no join, "
