@@ -1338,6 +1338,32 @@ def q_phash_check(spark, sf_dir):
                            _PHASH_IDX[sf_dir])
 
 
+def q_phash_check_capped(spark, sf_dir):
+    """phash_check with the index-side anchor cap engaged (round 14 —
+    dedup_check's serve-time valve on the media tier): every probe
+    landing in a stored bucket meets only its 8 md5-elected anchors
+    instead of enumerating the whole bucket; same fixture as
+    phash_check, oracle mirrors the election bit-for-bit (match_id
+    becomes the smallest matching ANCHOR id)."""
+    configure(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    if sf_dir not in _PHASH_IDX:
+        d = tempfile.mkdtemp(prefix="explora_phashidx_")
+        _TMPDIRS.append(d)
+        _MM.build_phash_index(_MM.media_from_documents(docs), d)
+        _PHASH_IDX[sf_dir] = d
+    probe = docs.filter(F.col("doc_id") % 50 == 0)
+    batch = (
+        probe.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                     F.expr("concat('zzz', substr(text, 4))").alias("text"))
+        .unionByName(
+            probe.select((F.col("doc_id") + 2000000).alias("doc_id"),
+                         F.reverse("text").alias("text")))
+    )
+    return _MM.phash_check(spark, _MM.media_from_documents(batch),
+                           _PHASH_IDX[sf_dir], max_bucket=8)
+
+
 _PHASH_APPEND_IDX: dict[str, str] = {}
 
 
@@ -4061,6 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   families (one shared fp_banded_pairs implementation) -
         "simhash_capped": q_simhash_capped,
         "phash_capped": q_phash_capped,
+        "phash_check_capped": q_phash_check_capped,
         # - last driver rows r10 -
         "embedding_covariance": q_embedding_covariance,
         "semdedup_check_audit": q_semdedup_check_audit,
@@ -4900,6 +4927,16 @@ def oracle_sql() -> dict[str, str]:
             table="(SELECT doc_id, text FROM documents UNION ALL"
                   " SELECT doc_id + 1000000, 'zzz' || substr(text, 4)"
                   " FROM documents WHERE doc_id % 50 = 0) aug",
+            max_bucket=8),
+        "phash_check_capped": _MM.phash_check_sql(
+            table="documents", corpus_pred="doc_id < 1000000",
+            batch_sql="SELECT doc_id + 1000000 AS doc_id,"
+                      " 'zzz' || substr(text, 4) AS text"
+                      " FROM documents WHERE doc_id % 50 = 0"
+                      " UNION ALL"
+                      " SELECT doc_id + 2000000 AS doc_id,"
+                      " reverse(text) AS text"
+                      " FROM documents WHERE doc_id % 50 = 0",
             max_bucket=8),
         "dedup_sweep": D.dedup_sweep_sql(shingle_n=2, num_bands=8),
         "dedup_check_batch": D.dedup_check_sql(shingle_n=2, num_bands=8),

@@ -604,6 +604,7 @@ def phash_check(
     hamming_max: int = 7,
     num_bands: int = 8,
     bits: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Check an incoming media batch against the materialized
     perceptual-hash index WITHOUT rescanning the corpus: hash the
@@ -616,7 +617,18 @@ def phash_check(
 
     100 TB: batch-sized hashing + a banded equi-join against the
     stored table — per-batch cost independent of corpus size once the
-    index is bucketed/partitioned by band value."""
+    index is bucketed/partitioned by band value. `max_bucket` is the
+    serve-time face of the hot-bucket anchor cap (`dedup_check`'s
+    twin on the media tier): a stored template/logo bucket holding b
+    copies makes every probe landing there enumerate b rows; with
+    the cap each probe meets only the bucket's c md5-elected anchors
+    (identical machinery and rank as `dedup.fp_banded_pairs`,
+    mirrored bit-for-bit by the oracle). For a byte-identical stored
+    clique the verdict is unchanged (hamming 0 against every
+    anchor); a near-dup within hamming_max of only NON-anchors can
+    slip through — the same documented approximation as the
+    pair-generation cap, priced by the bucket-size audits. With the
+    cap, `match_id` is the smallest matching ANCHOR id."""
     assert num_bands > hamming_max
     width = bits // num_bands
     mask = (1 << width) - 1
@@ -637,6 +649,17 @@ def phash_check(
     banded_i = idx.select("media_id", "phash", bands.alias("b")).select(
         F.col("media_id").alias("stored_id"),
         F.col("phash").alias("ph_i"), "b.band", "b.val")
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+        rank = F.md5(F.concat_ws("|", F.col("band"), F.col("val"),
+                                 F.col("stored_id")))
+        w = (Window.partitionBy("band", "val")
+             .orderBy(rank.asc(), F.col("stored_id").asc()))
+        banded_i = (
+            banded_i.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+        )
     hits = (
         banded_b.join(banded_i, ["band", "val"])
         .filter(F.expr(f"bit_count(ph_b ^ ph_i) <= {hamming_max}"))
@@ -659,12 +682,14 @@ def phash_check_sql(
     hamming_max: int = 7,
     num_bands: int = 8,
     bits: int = 64,
+    max_bucket: int | None = None,
 ) -> str:
     """DuckDB mirror of :func:`phash_check`: the index side is
     `{table}` rows matching `corpus_pred`; the batch side is
     `batch_sql` (a query producing (doc_id, text); defaults to the
     non-corpus rows). Both recomputed from scratch — the
-    dedup_check_batch oracle pattern."""
+    dedup_check_batch oracle pattern. `max_bucket` mirrors the
+    index-side anchor election bit-for-bit."""
     width = bits // num_bands
     mask = (1 << width) - 1
     if batch_sql is None:
@@ -679,11 +704,20 @@ def phash_check_sql(
         f"(SELECT doc_id, text FROM {table} WHERE {corpus_pred}) corpus",
         bits)
     batch_cte = _phash_cte(f"({batch_sql}) batch", bits, sfx="2")
+    bi_body = band_rows.format(src="ph")
+    if max_bucket is not None:
+        bi_body = f"""SELECT media_id, phash, band, val FROM (
+                SELECT raw.*, row_number() OVER (
+                    PARTITION BY band, val
+                    ORDER BY md5(concat_ws('|', band, val, media_id)),
+                             media_id) AS _rk
+                FROM ({bi_body}) raw)
+            WHERE _rk <= {int(max_bucket)}"""
     return f"""
         WITH {idx_cte},
         {batch_cte},
         bb AS ({band_rows.format(src="ph2")}),
-        bi AS ({band_rows.format(src="ph")}),
+        bi AS ({bi_body}),
         hits AS (
             SELECT b.media_id, min(i.media_id) AS match_id
             FROM bb b JOIN bi i ON b.band = i.band AND b.val = i.val

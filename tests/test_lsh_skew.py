@@ -300,3 +300,35 @@ def test_phash_cap_bounds_identical_payload_clique(spark):
     touched = {r["media_a"] for r in capped} | {r["media_b"] for r in capped}
     assert touched == set(range(30))
     assert all(r["hamming"] == 0 for r in capped)
+
+
+def test_phash_check_cap_preserves_identical_clique_verdicts(spark, tmp_path):
+    """Serve-time cap on phash_check: a probe identical to a stored
+    40-copy template still flags (hamming 0 against every anchor) and
+    match_id becomes the smallest ANCHOR id — present in the uncapped
+    match set; a novel probe stays novel."""
+    from explora_kafka_spark.operators import multimodal as MM
+    payload = ("the very same encoded thumbnail payload bytes repeated "
+               "across every mirrored page of the template site")
+    corpus = spark.createDataFrame(
+        [(i, payload) for i in range(40)], "doc_id: long, text: string")
+    MM.build_phash_index(MM.media_from_documents(corpus),
+                         str(tmp_path / "ph"))
+    batch = spark.createDataFrame(
+        [(900, payload), (901, "completely different bytes with nothing "
+                               "shared at all in any block of the hash")],
+        "doc_id: long, text: string")
+    full = {r["media_id"]: (r["is_dup"], r["match_id"]) for r in
+            MM.phash_check(spark, MM.media_from_documents(batch),
+                           str(tmp_path / "ph")).collect()}
+    capped = {r["media_id"]: (r["is_dup"], r["match_id"]) for r in
+              MM.phash_check(spark, MM.media_from_documents(batch),
+                             str(tmp_path / "ph"), max_bucket=4).collect()}
+    assert full[900][0] is True and capped[900][0] is True
+    assert capped[900][1] in set(range(40))
+    assert full[901] == (False, None) and capped[901] == (False, None)
+    # determinism of the election under index re-read
+    again = {r["media_id"]: (r["is_dup"], r["match_id"]) for r in
+             MM.phash_check(spark, MM.media_from_documents(batch),
+                            str(tmp_path / "ph"), max_bucket=4).collect()}
+    assert capped == again
