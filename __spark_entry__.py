@@ -2165,6 +2165,55 @@ def q_gate_verdicts_read(spark, sf_dir):
     )
 
 
+_GATE_VLOG: dict[str, str] = {}
+
+
+def q_gate_verdict_log(spark, sf_dir):
+    """The learning gate's durable per-epoch verdict log (round 14 —
+    the artifact that closes the r13-advice cross-index crash window:
+    every epoch's verdicts commit through the ledger BEFORE any sink
+    write or index update, and a replayed epoch reads them back
+    instead of re-scoring). The builder commits two epochs of
+    gate_batch verdicts (the % 5 == 0 batch split even/odd) through
+    the exactly-once ledger, then returns the committed-union read —
+    replay-idempotent by construction (the bench's second run no-ops
+    both appends and reads identical state). Oracle: the two epochs'
+    gate mirrors unioned with their epoch stamps."""
+    from explora_kafka_spark.operators import index_ledger as _ledger
+    from explora_kafka_spark.streaming import corpus_gate as CG
+
+    sh, lsh = (_gate_shingle_index(spark, sf_dir),
+               _dedup_index(spark, sf_dir))
+    if sf_dir not in _GATE_VLOG:
+        d = tempfile.mkdtemp(prefix="explora_gate_vlog_")
+        _TMPDIRS.append(d)
+        _GATE_VLOG[sf_dir] = d
+    log = _GATE_VLOG[sf_dir]
+    CG._init_verdict_log(log)
+    for epoch in (0, 1):
+        batch = _docs(spark, sf_dir).filter(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 2 == epoch))
+        scored = CG.gate_batch(
+            spark, batch, sh, lsh,
+            taint_max=0.5, lsh_shingle_n=2, num_bands=8, min_est=0.9,
+        ).withColumn("_gate_epoch", F.lit(epoch))
+
+        def _w(delta_path, _df=scored):
+            _df.localCheckpoint(eager=True) \
+               .write.mode("overwrite").parquet(delta_path)
+            return True
+
+        _ledger.ledger_append(log, "gate_verdicts",
+                              "gate_verdicts_delta", _w,
+                              epoch, stream_id="gate_vlog_fixture")
+    return (
+        CG.read_gate_verdict_log(spark, log)
+        .select("doc_id", "contamination", "n_near_dups", "accepted",
+                "_gate_epoch")
+        .orderBy("doc_id")
+    )
+
+
 def q_source_dedup_profile(spark, sf_dir):
     """Per-source duplicate rates ("which feed sends copies?"): digest
     projection + one source-keyed distinct-count aggregation."""
@@ -4088,6 +4137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_capped": q_simhash_capped,
         "phash_capped": q_phash_capped,
         "phash_check_capped": q_phash_check_capped,
+        #   ... and the durable per-epoch verdict log that closes the
+        #   r13-advice cross-index crash window -
+        "gate_verdict_log": q_gate_verdict_log,
         # - last driver rows r10 -
         "embedding_covariance": q_embedding_covariance,
         "semdedup_check_audit": q_semdedup_check_audit,
@@ -5322,6 +5374,19 @@ def oracle_sql() -> dict[str, str]:
         # to the first-write verdicts
         "gate_verdicts_read": _CG.gate_batch_sql(
             taint_max=0.5, lsh_shingle_n=2, num_bands=8, min_est=0.9),
+        "gate_verdict_log": (
+            "SELECT * FROM ("
+            "SELECT v0.*, 0 AS _gate_epoch FROM ("
+            + _CG.gate_batch_sql(
+                batch_pred="doc_id % 5 = 0 AND doc_id % 2 = 0",
+                taint_max=0.5, lsh_shingle_n=2, num_bands=8,
+                min_est=0.9)
+            + ") v0 UNION ALL SELECT v1.*, 1 AS _gate_epoch FROM ("
+            + _CG.gate_batch_sql(
+                batch_pred="doc_id % 5 = 0 AND doc_id % 2 = 1",
+                taint_max=0.5, lsh_shingle_n=2, num_bands=8,
+                min_est=0.9)
+            + ") v1) ORDER BY doc_id"),
         "unigram_bits": T.unigram_bits_sql(),
         "funnel_day": _FN.funnel_sql(
             table="(SELECT * FROM events WHERE ts < '2024-01-02')"),

@@ -173,6 +173,68 @@ def gate_stream(
     )
 
 
+def gate_verdict_log_path(checkpoint: str) -> str:
+    """Default location of a learning gate's durable per-epoch verdict
+    log: a sibling of the stream checkpoint (`{checkpoint}_verdicts`) —
+    wiped checkpoints (the replay case the log exists for) leave it
+    standing."""
+    return checkpoint.rstrip("/") + "_verdicts"
+
+
+def _init_verdict_log(path: str) -> None:
+    """Mint an EMPTY manifest for a fresh verdict log. Unlike the index
+    families, the log has no built base dir — without an explicit
+    manifest, `index_ledger.read_manifest` would default `dirs` to the
+    (nonexistent) base and every reader would trip on it."""
+    import os
+
+    from ..operators import index_ledger as ledger
+
+    os.makedirs(path, exist_ok=True)
+    if not os.path.exists(os.path.join(path, ledger.MANIFEST)):
+        ledger.commit_manifest(
+            path, {"dirs": [], "batches": [], "streams": {}})
+
+
+def read_gate_verdict_log(spark, log_path: str) -> DataFrame:
+    """The committed verdict history: one row per (doc, epoch) with the
+    full score columns + `accepted` + `_gate_epoch` — the
+    exactly-once source the sinks are derived from. Committed-union
+    read (`index_ledger.committed_union`); raises if the log has no
+    committed epoch yet."""
+    from ..operators import index_ledger as ledger
+
+    dirs = ledger.read_manifest(log_path, "gate_verdicts")["dirs"]
+    if not dirs:
+        raise ValueError(f"verdict log at {log_path} has no committed "
+                         "epoch")
+    return ledger.committed_union(spark, log_path, "gate_verdicts")
+
+
+def compact_verdict_log(spark, log_path: str, gc: bool = True) -> None:
+    """Fold accumulated per-epoch delta dirs into one (the family's
+    OPTIMIZE; plain union rewrite — epochs stay distinguishable via
+    the `_gate_epoch` column, so replay reads are unaffected)."""
+    from ..operators import index_ledger as ledger
+
+    def _rewrite(union: DataFrame, new_path: str) -> None:
+        union.write.mode("overwrite").parquet(new_path)
+
+    ledger.compact(spark, log_path, "gate_verdicts",
+                   "gate_verdicts_compact", _rewrite, gc=gc)
+
+
+def vacuum_verdict_log(log_path: str,
+                       grace_secs: float = 86400.0) -> list[str]:
+    """Delete crash-orphaned verdict delta/compact dirs older than the
+    grace lease (`index_ledger.vacuum`)."""
+    from ..operators import index_ledger as ledger
+
+    return ledger.vacuum(
+        log_path, "gate_verdicts",
+        ("gate_verdicts_delta_", "gate_verdicts_compact_"), grace_secs)
+
+
 def gate_stream_learning(
     spark,
     doc_stream: DataFrame,
@@ -185,6 +247,7 @@ def gate_stream_learning(
     shingle_n: int = 5,
     lsh_shingle_n: int = 1,
     num_bands: int = NUM_BANDS,
+    verdict_log: str | None = None,
     **gate_kwargs,
 ):
     """The SELF-LEARNING admission gate: after each micro-batch's
@@ -212,44 +275,75 @@ def gate_stream_learning(
     accepted wins the within-epoch tie: first-write-wins as code, not
     as a consumer convention (r13 review #3 closed, round 14).
 
-    One crash window the ledgers do NOT close (r13 advice): the
-    shingle and dedup commits are exactly-once EACH but not atomic as
-    a PAIR. A driver that dies after the shingle commit and before
-    the dedup commit replays the epoch re-scoring against the
-    now-updated shingle index — `accepted` collapses (self-matching
-    contamination), both update calls are skipped for the empty set,
-    and the next epoch advances the dedup stream watermark past the
-    lost epoch: that batch's band rows never reach the dedup index.
-    The verdict sinks stay consistent (`read_gate_verdicts` resolves
-    the flipped replay rows), but the dedup index under-indexes that
-    one batch — later near-copies of it are caught only by the
-    contamination tier. Closing it takes a durable per-epoch verdict
-    log replayed INTO the index updates instead of re-scoring (the
-    localCheckpoint below is in-memory, not that log) — the
-    documented upgrade if both tiers must advance in lock-step under
-    driver crashes. Within a single micro-batch, mutual
+    The r13-advice cross-index crash window is CLOSED as of round 14
+    by the DURABLE PER-EPOCH VERDICT LOG: each epoch's scored verdicts
+    commit through their own ledger (`{checkpoint}_verdicts` by
+    default — `gate_verdict_log_path`) BEFORE any sink write or index
+    update, and a replayed epoch reads its verdicts back from the log
+    instead of re-scoring. The failure that motivated it: a driver
+    dying after the shingle commit but before the dedup commit used
+    to replay the epoch re-scoring against the now-updated shingle
+    index — `accepted` collapsed (self-matching contamination), both
+    update calls were skipped for the empty set, and the next epoch
+    advanced the dedup watermark past the lost epoch, permanently
+    under-indexing that batch. Now the replay recovers the ORIGINAL
+    accepted set from the log and re-attempts both updates — each
+    no-ops if already committed, commits if its half was lost: the
+    two indexes advance in lock-step under any crash point, because
+    every downstream effect of an epoch is a deterministic function
+    of one atomically-committed artifact. (Sink rows may still
+    duplicate across replays — but with IDENTICAL verdicts now, never
+    contradictory ones; `read_gate_verdicts` remains the committed
+    read for the re-sent-doc case.) A crash BEFORE the log commit
+    re-scores against indexes the epoch never touched — the r12
+    value-convergence contract. Within a single micro-batch, mutual
     near-dups are both admitted (the update_semantic_index contract)
     — shrink the trigger or pre-dedup the batch when that matters."""
+    from ..operators import index_ledger as ledger
     from ..operators.contamination import update_shingle_index
     from ..operators.dedup import update_dedup_index
+
+    log_path = verdict_log or gate_verdict_log_path(checkpoint)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        scored = gate_batch(
-            spark, batch_df, shingle_index, dedup_index,
-            taint_max=taint_max, shingle_n=shingle_n,
-            lsh_shingle_n=lsh_shingle_n, num_bands=num_bands,
-            **gate_kwargs,
-        )
-        # eager checkpoint, NOT persist: the index appends below call
-        # refreshByPath on the very stores this verdict's plan scans,
-        # which would invalidate a cache and re-evaluate the verdict
-        # against the batch's own just-appended content (accepted
-        # would collapse to empty and nothing would ever be indexed)
-        enriched = (batch_df.join(scored, "doc_id")
-                    .withColumn("_gate_epoch", F.lit(int(batch_id)))
-                    .localCheckpoint(eager=True))
+        _init_verdict_log(log_path)
+        state: dict[str, DataFrame] = {}
+
+        def _write(delta_path: str) -> bool:
+            scored = gate_batch(
+                spark, batch_df, shingle_index, dedup_index,
+                taint_max=taint_max, shingle_n=shingle_n,
+                lsh_shingle_n=lsh_shingle_n, num_bands=num_bands,
+                **gate_kwargs,
+            )
+            # eager checkpoint, NOT persist: the index appends below
+            # call refreshByPath on the very stores this verdict's
+            # plan scans, which would invalidate a cache and
+            # re-evaluate the verdict against the batch's own
+            # just-appended content (accepted would collapse to empty
+            # and nothing would ever be indexed)
+            enriched = (batch_df.join(scored, "doc_id")
+                        .withColumn("_gate_epoch", F.lit(int(batch_id)))
+                        .localCheckpoint(eager=True))
+            enriched.write.mode("overwrite").parquet(delta_path)
+            state["df"] = enriched
+            return True
+
+        applied = ledger.ledger_append(
+            log_path, "gate_verdicts", "gate_verdicts_delta", _write,
+            batch_id, stream_id=checkpoint)
+        if applied:
+            enriched = state["df"]
+        else:
+            # replayed epoch: the durable log, not a re-score, is the
+            # verdict source — the indexes may already contain this
+            # batch, and re-scoring against them flips verdicts
+            enriched = (
+                read_gate_verdict_log(spark, log_path)
+                .filter(F.col("_gate_epoch") == int(batch_id))
+                .localCheckpoint(eager=True))
         accepted = enriched.filter(F.col("accepted")).drop("accepted")
         accepted.write.mode("append").parquet(accepted_path)
         enriched.filter(~F.col("accepted")).drop("accepted") \

@@ -348,13 +348,14 @@ def test_learning_gate_rejects_cross_batch_copy(spark, docs, tmp_path):
 
 def test_read_gate_verdicts_stable_under_replay(spark, docs, tmp_path):
     """Replay the ENTIRE learning stream (checkpoint wiped, same sinks,
-    same indexes — the worst replay a crash recovery can produce):
-    every epoch re-scores against indexes that already contain its own
-    content, so previously-accepted docs land in the rejected sink with
-    flipped verdicts under the same epoch ids. `read_gate_verdicts`
-    must return bit-identical verdicts before and after the replay —
-    first-write-wins as code (r13 review #3). The ledger side is also
-    pinned: the replayed epochs must not re-append to the indexes."""
+    same indexes — the worst replay a crash recovery can produce).
+    Since round 14 each epoch's verdicts are recovered from the durable
+    verdict log instead of re-scored, so the replayed sink rows carry
+    IDENTICAL verdicts (duplicated, never contradictory) and
+    `read_gate_verdicts` returns bit-identical verdicts before and
+    after. The ledger side is also pinned: the replayed epochs must
+    not re-append to the indexes, and the verdict log itself must
+    no-op."""
     import shutil
 
     from explora_kafka_spark.operators.index_ledger import read_manifest
@@ -416,15 +417,30 @@ def test_read_gate_verdicts_stable_under_replay(spark, docs, tmp_path):
                     spark, str(tmp_path / "acc"),
                     str(tmp_path / "rej")).collect()}
     assert replayed == first
-    # the replay DID poison the raw rejected sink (same doc in both
-    # sinks) — the reader, not a clean sink, is what held the line
+    # the verdict log held the line at the SINK level too: the
+    # replayed rows are duplicates with the ORIGINAL verdicts, so the
+    # admitted docs never appear in the rejected sink (pre-r14 the
+    # replay re-scored against the learned indexes and flipped them)
     rej_ids = {r["doc_id"] for r in
                spark.read.parquet(str(tmp_path / "rej")).collect()}
-    assert 7000 in rej_ids or 7003 in rej_ids
-    # and the index ledgers no-opped: same committed dirs, same epochs
+    assert 7000 not in rej_ids and 7003 not in rej_ids
+    acc = spark.read.parquet(str(tmp_path / "acc")).collect()
+    assert sorted(r["doc_id"] for r in acc) == [7000, 7000, 7003, 7003]
+    # and every ledger no-opped: same committed dirs, same epochs
     assert read_manifest(str(tmp_path / "sh"),
                          "train_shingles") == sh_dirs
     assert read_manifest(str(tmp_path / "lsh"), "bands") == lsh_dirs
+    from explora_kafka_spark.streaming.corpus_gate import (
+        gate_verdict_log_path, read_gate_verdict_log)
+    log = gate_verdict_log_path(str(tmp_path / "ckpt"))
+    assert read_manifest(log, "gate_verdicts")["streams"] \
+        == {str(tmp_path / "ckpt"): 1}
+    # the log holds exactly one verdict row per (doc, epoch)
+    logged = read_gate_verdict_log(spark, log).collect()
+    assert sorted(r["doc_id"] for r in logged) == [7000, 7001, 7002,
+                                                   7003]
+    assert {r["doc_id"]: r["accepted"] for r in logged} \
+        == {d: first[d][3] for d in first}
 
 
 def test_scored_gate_adds_only_the_classifier_tier(spark, sf_dir):
@@ -449,3 +465,82 @@ def test_scored_gate_adds_only_the_classifier_tier(spark, sf_dir):
         if f["accepted"] and not s["quality_ok"]:
             clf_only += 1
     assert clf_only > 0
+
+
+def test_verdict_log_heals_half_committed_index_pair(spark, docs,
+                                                     tmp_path):
+    """The r13-advice cross-index crash window, now closed: a driver
+    that died AFTER the shingle commit but BEFORE the dedup commit
+    left epoch 0 half-applied (shingle index contains the batch,
+    dedup index does not, verdict log committed). Pre-r14 the replay
+    re-scored against the self-containing shingle index, accepted
+    collapsed to empty, and the dedup index lost the epoch's bands
+    forever. Now the replay reads the ORIGINAL verdicts from the log
+    and re-attempts both updates — the shingle one no-ops, the dedup
+    one commits: the indexes advance in lock-step."""
+    from explora_kafka_spark.operators.contamination import (
+        update_shingle_index)
+    from explora_kafka_spark.operators.dedup import dedup_check
+    from explora_kafka_spark.operators.index_ledger import read_manifest
+    from explora_kafka_spark.streaming.corpus_gate import (
+        _init_verdict_log, gate_batch, gate_stream_learning,
+        gate_verdict_log_path)
+    from explora_kafka_spark.operators import index_ledger as ledger
+
+    corpus = docs.filter(F.col("doc_id") < 100)
+    build_shingle_index(corpus, str(tmp_path / "sh"))
+    build_dedup_index(corpus, str(tmp_path / "lsh"), shingle_n=2,
+                      num_bands=8)
+    text = ("a clandestine rhubarb sonata recalibrates the eleventh "
+            "iridescent pergola while archivists bottle the last "
+            "unlabeled thunderstorm of the fiscal equinox")
+    batch = spark.createDataFrame([(8000, text)],
+                                  "doc_id bigint, text string")
+    ckpt = str(tmp_path / "ckpt")
+    log = gate_verdict_log_path(ckpt)
+    kw = dict(lsh_shingle_n=2, num_bands=8, min_est=0.9)
+
+    # ---- manufacture the half-committed crash state for epoch 0 ----
+    scored = gate_batch(spark, batch, str(tmp_path / "sh"),
+                        str(tmp_path / "lsh"), **kw)
+    assert scored.collect()[0]["accepted"]
+    enriched = (batch.join(scored, "doc_id")
+                .withColumn("_gate_epoch", F.lit(0))
+                .localCheckpoint(eager=True))
+    _init_verdict_log(log)
+
+    def _w(delta_path):
+        enriched.write.mode("overwrite").parquet(delta_path)
+        return True
+
+    assert ledger.ledger_append(log, "gate_verdicts",
+                                "gate_verdicts_delta", _w,
+                                0, stream_id=ckpt)
+    update_shingle_index(spark, batch, str(tmp_path / "sh"), n=5,
+                         batch_id=0, stream_id=ckpt)
+    # (crash here: dedup update never ran; checkpoint dir never
+    # written — Spark will replay epoch 0 from scratch)
+    assert read_manifest(str(tmp_path / "lsh"), "bands")["streams"] \
+        == {}
+
+    # ---- recovery: run the learning stream over the same batch ----
+    batch.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "in"))
+    stream = (spark.readStream.schema(batch.schema)
+              .parquet(str(tmp_path / "in")))
+    q = gate_stream_learning(
+        spark, stream, str(tmp_path / "sh"), str(tmp_path / "lsh"),
+        str(tmp_path / "acc"), str(tmp_path / "rej"), ckpt, **kw)
+    q.awaitTermination(300)
+
+    # the doc was accepted (from the log — a re-score would have
+    # rejected it against its own shingles) and the dedup index got
+    # its bands
+    acc = spark.read.parquet(str(tmp_path / "acc")).collect()
+    assert [r["doc_id"] for r in acc] == [8000]
+    assert read_manifest(str(tmp_path / "lsh"), "bands")["streams"] \
+        == {ckpt: 0}
+    resent = batch.withColumn("doc_id", F.lit(8001))
+    chk = dedup_check(spark, resent, str(tmp_path / "lsh"),
+                      shingle_n=2, num_bands=8)
+    assert {r["match_id"] for r in chk.collect()} == {8000}
