@@ -2115,6 +2115,23 @@ def q_corpus_gate_bloom(spark, sf_dir):
     )
 
 
+def q_corpus_gate_capped(spark, sf_dir):
+    """The admission gate with the serve-time anchor cap on its
+    near-dup tier (round 14 late wave — dedup_max_bucket forwards to
+    dedup_check, so a boilerplate bucket in the stored index stops
+    costing every probe batch its enumeration). Oracle mirrors the
+    capped index-side election bit-for-bit."""
+    from explora_kafka_spark.streaming import corpus_gate as CG
+
+    batch = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    return CG.gate_batch(
+        spark, batch,
+        _gate_shingle_index(spark, sf_dir), _dedup_index(spark, sf_dir),
+        taint_max=0.5, lsh_shingle_n=2, num_bands=8, min_est=0.9,
+        dedup_max_bucket=8,
+    )
+
+
 def q_gate_verdicts_read(spark, sf_dir):
     """First-write-wins committed read over the gate's at-least-once
     verdict sinks (round 14, VERDICT r13 task #3). The builder stages
@@ -4140,6 +4157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   ... and the durable per-epoch verdict log that closes the
         #   r13-advice cross-index crash window -
         "gate_verdict_log": q_gate_verdict_log,
+        #   ... and the serve-time cap threaded through the gate's
+        #   near-dup tier -
+        "corpus_gate_capped": q_corpus_gate_capped,
         # - last driver rows r10 -
         "embedding_covariance": q_embedding_covariance,
         "semdedup_check_audit": q_semdedup_check_audit,
@@ -5369,6 +5389,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_gate_bloom": _CG.gate_batch_sql(
             taint_max=0.5, lsh_shingle_n=2, num_bands=8, min_est=0.9,
             contamination_mode="bloom"),
+        "corpus_gate_capped": _CG.gate_batch_sql(
+            taint_max=0.5, lsh_shingle_n=2, num_bands=8, min_est=0.9,
+            dedup_max_bucket=8),
         # the oracle is the UNCORRUPTED gate: equality proves the
         # reader resolved the staged replay/duplicate sink rows back
         # to the first-write verdicts

@@ -60,6 +60,7 @@ def gate_batch(
     bloom_m_bits: int = 1 << 21,
     bloom_k: int = 4,
     bloom_bitmap: DataFrame | None = None,
+    dedup_max_bucket: int | None = None,
 ) -> DataFrame:
     """Score one document batch: (doc_id, contamination, n_near_dups,
     accepted), doc_id-ascending, one row per batch document. Accepted =
@@ -84,7 +85,17 @@ def gate_batch(
     probe false-positive lands (tests pin equality on the fixture;
     `contamination_bloom_sweep` prices the m_bits dial). Pass
     `bloom_bitmap` (`build_bloom_bitmap`) to amortize the index fold
-    across micro-batches while the index is static."""
+    across micro-batches while the index is static.
+
+    `dedup_max_bucket` forwards the serve-time hot-bucket anchor cap
+    to the near-dup tier (`dedup_check`): a boilerplate bucket in the
+    STORED index stops costing every probe batch its full enumeration
+    — each probe meets only the bucket's anchors. The gate only
+    consumes `n_near_dups > 0`, and an identical/near-identical probe
+    still matches its bucket's anchors, so verdicts are preserved for
+    the clique case (the documented non-anchor near-miss
+    approximation applies; `dedup_band_skew` is the dial that says
+    when the stored index needs it)."""
     key = "doc_id"
     if contamination_mode == "bloom":
         cont = contamination_check_bloom(
@@ -103,7 +114,8 @@ def gate_batch(
     near = (
         dedup_check(spark, batch, dedup_index,
                     num_hashes=num_hashes, num_bands=num_bands,
-                    shingle_n=lsh_shingle_n, min_est=min_est)
+                    shingle_n=lsh_shingle_n, min_est=min_est,
+                    max_bucket=dedup_max_bucket)
         .groupBy(key)
         .agg(F.count("*").alias("n_near_dups"))
     )
@@ -588,6 +600,7 @@ def gate_batch_sql(
     contamination_mode: str = "exact",
     bloom_m_bits: int = 1 << 21,
     bloom_k: int = 4,
+    dedup_max_bucket: int | None = None,
 ) -> str:
     """DuckDB mirror of `gate_batch` where the indexes were built over
     the `corpus_pred` rows of `table` and the batch is its `batch_pred`
@@ -606,7 +619,8 @@ def gate_batch_sql(
     shingles = _shingles_list_sql("t", shingle_n)
     h = _shingle_hash_sql("shingle")
     pairs = dedup_check_sql(table, batch_pred, corpus_pred,
-                            num_hashes, num_bands, lsh_shingle_n, min_est)
+                            num_hashes, num_bands, lsh_shingle_n, min_est,
+                            max_bucket=dedup_max_bucket)
     if contamination_mode == "bloom":
         m_bits, k = bloom_m_bits, bloom_k
         probe_cols = ", ".join(

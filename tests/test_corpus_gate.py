@@ -544,3 +544,33 @@ def test_verdict_log_heals_half_committed_index_pair(spark, docs,
     chk = dedup_check(spark, resent, str(tmp_path / "lsh"),
                       shingle_n=2, num_bands=8)
     assert {r["match_id"] for r in chk.collect()} == {8000}
+
+
+def test_gate_dedup_cap_preserves_boilerplate_verdicts(spark, tmp_path):
+    """dedup_max_bucket through the gate: with a 40-copy boilerplate
+    clique in the stored index, a re-sent copy is still rejected (it
+    matches the bucket's anchors) and fresh content still passes —
+    only the per-probe candidate enumeration shrinks."""
+    text = ("the selfsame boilerplate paragraph repeated verbatim "
+            "across every single mirrored page of the template site")
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(40)], "doc_id: long, text: string")
+    build_shingle_index(corpus, str(tmp_path / "sh"))
+    build_dedup_index(corpus, str(tmp_path / "lsh"), shingle_n=2,
+                      num_bands=8)
+    batch = spark.createDataFrame(
+        [(900, text), (901, "fresh unrelated content nothing shared "
+                            "with the boilerplate clique at all")],
+        "doc_id: long, text: string")
+    kw = dict(lsh_shingle_n=2, num_bands=8, min_est=0.9)
+    full = {r["doc_id"]: r for r in gate_batch(
+        spark, batch, str(tmp_path / "sh"), str(tmp_path / "lsh"),
+        **kw).collect()}
+    capped = {r["doc_id"]: r for r in gate_batch(
+        spark, batch, str(tmp_path / "sh"), str(tmp_path / "lsh"),
+        dedup_max_bucket=4, **kw).collect()}
+    assert not full[900]["accepted"] and not capped[900]["accepted"]
+    assert full[901]["accepted"] and capped[901]["accepted"]
+    # the enumeration really shrank: <= num_bands x cap anchors
+    assert 1 <= capped[900]["n_near_dups"] <= 8 * 4
+    assert capped[900]["n_near_dups"] < full[900]["n_near_dups"] == 40

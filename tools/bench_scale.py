@@ -127,7 +127,7 @@ HEADLINE = [
     # probed next to their uncapped originals (phash_near_dup was
     # already a headline row; simhash_near_dup joins it here)
     "simhash_near_dup", "simhash_capped", "phash_capped",
-    "phash_check_capped", "gate_verdict_log",
+    "phash_check_capped", "gate_verdict_log", "corpus_gate_capped",
 ]
 
 
