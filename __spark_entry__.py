@@ -3952,6 +3952,14 @@ def q_simhash_near_dup(spark, sf_dir):
     return D.simhash_near_dup(_docs(spark, sf_dir), hamming_max=3)
 
 
+def q_simhash_cap_audit(spark, sf_dir):
+    """The dropped-mass report behind simhash_capped's max_bucket=8
+    (round 14 — lsh_cap_audit's hamming twin, fp_cap_audit): per band,
+    buckets over the cap and full-vs-capped pair counts; statistic-
+    sized, no pair materialized."""
+    return D.simhash_cap_audit(_docs(spark, sf_dir), max_bucket=8)
+
+
 def q_simhash_capped(spark, sf_dir):
     """simhash_near_dup with the hot-bucket ANCHOR CAP engaged (round
     14 — the dedup_near_capped valve extended to the hamming-banded
@@ -4152,6 +4160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   ... and the cap extended to the two hamming-banded
         #   families (one shared fp_banded_pairs implementation) -
         "simhash_capped": q_simhash_capped,
+        "simhash_cap_audit": q_simhash_cap_audit,
         "phash_capped": q_phash_capped,
         "phash_check_capped": q_phash_check_capped,
         #   ... and the durable per-epoch verdict log that closes the
@@ -4995,6 +5004,7 @@ def oracle_sql() -> dict[str, str]:
                                              num_bands=8),
         "simhash_capped": D.simhash_near_dup_sql(hamming_max=3,
                                                  max_bucket=8),
+        "simhash_cap_audit": D.simhash_cap_audit_sql(max_bucket=8),
         "phash_capped": _MM.phash_near_dup_sql(
             table="(SELECT doc_id, text FROM documents UNION ALL"
                   " SELECT doc_id + 1000000, 'zzz' || substr(text, 4)"

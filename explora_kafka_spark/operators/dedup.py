@@ -734,6 +734,118 @@ def fp_banded_pairs_sql(id_col: str, fp_col: str, a_name: str,
         )"""
 
 
+def fp_cap_audit(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """`lsh_cap_audit`'s arithmetic on an integer-banded fingerprint
+    table (columns band, val) — the dropped-mass report behind a
+    `max_bucket` choice for the hamming-banded families ("no silent
+    caps": every valve ships with the audit that prices it). Output,
+    band-ascending: (band, n_buckets, n_hot, max_bucket_size,
+    pairs_full, pairs_capped, pairs_dropped). Same cost shape as the
+    MinHash audit: one bucket-count aggregation + a per-band rollup,
+    statistic-sized, no pair materialized."""
+    c = int(max_bucket)
+    anchor_pairs = c * (c - 1) // 2
+    sizes = (
+        banded.groupBy(F.col("band").cast("bigint").alias("band"), "val")
+        .agg(F.count("*").alias("b"))
+        .withColumn("_full", F.expr("b * (b - 1) DIV 2"))
+        .withColumn("_capped", F.expr(
+            f"CASE WHEN b <= {c} THEN b * (b - 1) DIV 2"
+            f" ELSE {c} * (b - {c}) + {anchor_pairs} END"))
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum((F.col("b") > c).cast("long")).alias("n_hot"),
+            F.max("b").alias("max_bucket_size"),
+            F.sum("_full").alias("pairs_full"),
+            F.sum("_capped").alias("pairs_capped"),
+        )
+        .withColumn("pairs_dropped",
+                    F.col("pairs_full") - F.col("pairs_capped"))
+        .orderBy("band")
+    )
+
+
+def simhash_cap_audit(
+    docs: DataFrame,
+    max_bucket: int,
+    bits: int = 32,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Price a `simhash_near_dup(max_bucket=...)` choice: per band,
+    buckets over the cap and full-vs-capped pair counts over the
+    SimHash banding (`fp_cap_audit`). The hamming twin of
+    `lsh_cap_audit` — read before engaging the valve; an
+    identical-fingerprint boilerplate clique shows up as one hot
+    bucket in EVERY band here."""
+    assert bits % num_bands == 0
+    width = bits // num_bands
+    mask = (1 << width) - 1
+    sh = simhash(docs, bits=bits)
+    bands = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"(simhash >> {i * width}) & {mask}").alias("val"),
+            )
+            for i in range(num_bands)
+        ])
+    )
+    banded = sh.select("doc_id", bands.alias("b")).select(
+        "b.band", "b.val")
+    return fp_cap_audit(banded, max_bucket)
+
+
+def simhash_cap_audit_sql(
+    table: str = "documents",
+    max_bucket: int = 8,
+    bits: int = 32,
+    num_bands: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`simhash_cap_audit` (same banding, same
+    exact integer pair arithmetic as `lsh_cap_audit_sql`)."""
+    width = bits // num_bands
+    mask = (1 << width) - 1
+    inner = simhash_sql(table, bits=bits)
+    band_rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS band,"
+        f" (simhash >> {i * width}) & {mask} AS val FROM sh"
+        for i in range(num_bands)
+    )
+    c = int(max_bucket)
+    anchor_pairs = c * (c - 1) // 2
+    return f"""
+        WITH sh AS ({inner}),
+        banded AS ({band_rows}),
+        sizes AS (
+            SELECT band, val, CAST(count(*) AS BIGINT) AS b
+            FROM banded GROUP BY 1, 2
+        ),
+        priced AS (
+            SELECT band, b,
+                   CAST(b * (b - 1) // 2 AS BIGINT) AS _full,
+                   CAST(CASE WHEN b <= {c} THEN b * (b - 1) // 2
+                        ELSE {c} * (b - {c}) + {anchor_pairs}
+                        END AS BIGINT) AS _capped
+            FROM sizes
+        )
+        SELECT band,
+               count(*) AS n_buckets,
+               CAST(sum(CASE WHEN b > {c} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hot,
+               max(b) AS max_bucket_size,
+               CAST(sum(_full) AS BIGINT) AS pairs_full,
+               CAST(sum(_capped) AS BIGINT) AS pairs_capped,
+               CAST(sum(_full) - sum(_capped) AS BIGINT)
+                   AS pairs_dropped
+        FROM priced
+        GROUP BY band
+        ORDER BY band
+    """
+
+
 def simhash_near_dup(
     docs: DataFrame,
     hamming_max: int = 3,

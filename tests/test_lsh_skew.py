@@ -332,3 +332,25 @@ def test_phash_check_cap_preserves_identical_clique_verdicts(spark, tmp_path):
              MM.phash_check(spark, MM.media_from_documents(batch),
                             str(tmp_path / "ph"), max_bucket=4).collect()}
     assert capped == again
+
+
+def test_simhash_cap_audit_prices_the_identical_clique(spark):
+    """fp_cap_audit on the hamming banding: a 50-copy identical-text
+    clique is one hot bucket in EVERY band — pairs_full = C(50,2) per
+    band, pairs_capped = c·(b−c)+C(c,2), dropped = the difference; no
+    pair materialized."""
+    text = ("the selfsame boilerplate paragraph repeated verbatim "
+            "across every single mirrored page of the template site")
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(50)], "doc_id: long, text: string")
+    audit = D.simhash_cap_audit(docs, max_bucket=5).collect()
+    assert len(audit) == 4
+    for r in audit:
+        assert r["n_buckets"] == 1 and r["n_hot"] == 1
+        assert r["max_bucket_size"] == 50
+        assert r["pairs_full"] == 50 * 49 // 2
+        assert r["pairs_capped"] == 5 * 45 + 10
+        assert r["pairs_dropped"] == r["pairs_full"] - r["pairs_capped"]
+    # and a cap above every bucket drops nothing
+    lazy = D.simhash_cap_audit(docs, max_bucket=100).collect()
+    assert all(r["pairs_dropped"] == 0 and r["n_hot"] == 0 for r in lazy)

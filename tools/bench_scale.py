@@ -128,6 +128,7 @@ HEADLINE = [
     # already a headline row; simhash_near_dup joins it here)
     "simhash_near_dup", "simhash_capped", "phash_capped",
     "phash_check_capped", "gate_verdict_log", "corpus_gate_capped",
+    "simhash_cap_audit",
 ]
 
 
