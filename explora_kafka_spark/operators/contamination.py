@@ -651,30 +651,67 @@ def contamination_bloom_sweep(
     independent filters (fp_ppm is expected, not guaranteed, to fall
     with m — the sweep measures, it does not assume).
 
-    Cost: one audit per rung (train bitmap fold + batch probes) —
-    len(m_list) linear passes, the kmeans_inertia_sweep shape."""
-    from functools import reduce as _reduce
-
-    rungs = []
-    for m_bits in m_list:
-        agg = (
-            contamination_bloom_audit(spark, batch, index_path, n,
-                                      m_bits, k, key)
-            .agg(
-                F.sum("n_shingles").alias("n_shingles"),
-                F.sum("n_contaminated").alias("n_contaminated"),
-                F.sum("n_bloom_hits").alias("n_bloom_hits"),
-            )
-            .select(
-                F.lit(m_bits).cast("bigint").alias("m_bits"),
-                "n_shingles", "n_contaminated", "n_bloom_hits",
-                F.expr("(n_bloom_hits - n_contaminated) * 1000000"
-                       " DIV greatest(n_shingles - n_contaminated, 1)")
-                .alias("fp_ppm"),
-            )
+    Cost (optimization round 14, guide §2.4 — remove redundant passes):
+    the probe-shingle derivation and the exact `_h` index join are
+    RUNG-INVARIANT, so they run ONCE; only the k bitmap probes differ
+    per rung. One pass folds every rung's bitmap from a single index
+    scan (positions tagged by m, grouped by (m, word)); the scored
+    probe table chains the per-rung broadcast probes and reduces in a
+    single global aggregate, unpivoted to one row per rung. The former
+    shape ran the FULL audit per rung — len(m_list) tokenize/shingle
+    passes over the batch, len(m_list) index folds and len(m_list)
+    exact joins; every number is bit-identical (global sums equal the
+    summed per-key audit rows), so the DuckDB mirror is unchanged."""
+    train = read_shingle_index(spark, index_path)
+    # one fold, every rung: ~sum(m/32) rows, statistic-sized
+    entries = [
+        F.struct(
+            F.lit(m).cast("bigint").alias("m"),
+            _bloom_pos_col(F.col("_h"), i, m).alias("pos"),
         )
-        rungs.append(agg)
-    return _reduce(lambda a, b: a.unionByName(b), rungs).orderBy("m_bits")
+        for m in m_list for i in range(k)
+    ]
+    bitmaps = (
+        train.select(F.explode(F.array(*entries)).alias("e"))
+        .select(
+            F.col("e.m").alias("m"),
+            F.expr("CAST(e.pos DIV 32 AS INT)").alias("w"),
+            F.expr("shiftleft(1L, CAST(e.pos % 32 AS INT))").alias("mk"),
+        )
+        .groupBy("m", "w").agg(F.expr("bit_or(mk)").alias("mask"))
+    ).localCheckpoint(eager=True)
+    scored = (
+        _batch_shingle_hashes(batch, n, key)
+        .join(train.withColumn("_hit", F.lit(1)), "_h", "left")
+    )
+    tmp = [f"_{x}{i}" for i in range(k) for x in ("p", "w", "b", "m")]
+    for m in m_list:
+        bm = bitmaps.filter(F.col("m") == m).select("w", "mask")
+        scored = (
+            _bloom_probe(scored, bm, m, k)
+            .withColumnRenamed("_bloom", f"_bl_{m}")
+            .drop(*tmp)
+        )
+    agg = scored.agg(
+        F.count("*").alias("n_shingles"),
+        F.count("_hit").alias("n_contaminated"),
+        *[F.sum(f"_bl_{m}").alias(f"_hits_{m}") for m in m_list],
+    )
+    rows = agg.select(F.explode(F.array(*[
+        F.struct(
+            F.lit(m).cast("bigint").alias("m_bits"),
+            F.col("n_shingles"),
+            F.col("n_contaminated"),
+            F.col(f"_hits_{m}").alias("n_bloom_hits"),
+        )
+        for m in m_list
+    ])).alias("r")).select("r.*")
+    return rows.select(
+        "m_bits", "n_shingles", "n_contaminated", "n_bloom_hits",
+        F.expr("(n_bloom_hits - n_contaminated) * 1000000"
+               " DIV greatest(n_shingles - n_contaminated, 1)")
+        .alias("fp_ppm"),
+    ).orderBy("m_bits")
 
 
 def contamination_bloom_sweep_sql(

@@ -80,74 +80,90 @@ def ngram_repetition(
 
     Output (ordered by doc_id): doc_id, then one round-6 fraction column
     per requested n.
+
+    Plan shape (optimization round 14, guide §2.3/§2.4): the former
+    implementation EXPLODED every n-gram of every document (one row per
+    token per n), shuffled all of them for a (doc, n, gram) count,
+    shuffled the counts again for the per-doc rollup, and joined the
+    rollup back to the corpus — 2 full gram-table exchanges + 1 join
+    whose shuffled bytes grow with total corpus tokens × |ns|. The gram
+    counting is a PER-DOCUMENT statistic, so it now computes entirely
+    within the row: per n, sort the gram array and fold it with one
+    ``aggregate`` run-length pass (equal grams are adjacent after the
+    sort; a run of length c of gram g contributes c·length(g) chars —
+    exactly the old ``cnt * length(gram)``). Zero exchanges, zero
+    joins; at 100 TB nothing leaves the scan task. Integer char counts
+    are identical, so every rounded fraction (and the DuckDB oracle)
+    is unchanged bit-for-bit.
     """
     all_ns = sorted(set(top_ns) | set(dup_ns))
     # The explode of a 1-element array is a Generate node — a hard
     # projection-collapse barrier. Without it, CollapseProject inlines
     # the tokenizer split into every per-gram lambda below and codegen
     # re-splits the whole document for each gram index: O(tokens²)/doc
-    # (25 s at sf0.1; this shape is ~3 s, and unlike a window-lead
-    # formulation it adds no shuffle). Exactly one row out per doc —
-    # the wrapping array always has one element.
+    # (25 s at sf0.1). Exactly one row out per doc — the wrapping array
+    # always has one element.
     tokenized = docs.select(
         "doc_id",
         F.length(norm_col("text")).alias("nch"),
         F.explode(F.array(tokens_col("text"))).alias("toks"),
     )
-    toks = F.col("toks")
-    size = F.size(toks)
 
-    def _gram_fn(n: int):
-        # single-parameter closure: a 2-arg lambda would make pyspark
-        # pass (element, index) and clobber the bound n
-        def f(i):
-            return F.struct(
-                F.lit(n).alias("n"),
-                F.array_join(F.slice(toks, i, n), " ").alias("gram"),
-            )
+    def _gram_sql(n: int) -> str:
+        return (
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(1, size(toks) - {n - 1}), "
+            f"i -> array_join(slice(toks, i, {n}), ' ')) "
+            f"ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
 
-        return f
+    def _runlen_sql(n: int) -> str:
+        """(top, dup) char totals via one run-length fold over the
+        sorted gram array: top = chars of the most frequent gram, dup =
+        total chars of grams occurring >= 2 times."""
+        close_top = "greatest(acc.top, acc.run * length(acc.prev))"
+        close_dup = ("acc.dup + IF(acc.run >= 2, "
+                     "acc.run * length(acc.prev), CAST(0 AS BIGINT))")
+        return f"""aggregate(
+            array_sort({_gram_sql(n)}),
+            named_struct('prev', CAST(NULL AS STRING),
+                         'run', CAST(0 AS BIGINT),
+                         'top', CAST(0 AS BIGINT),
+                         'dup', CAST(0 AS BIGINT)),
+            (acc, x) -> CASE
+                WHEN acc.prev IS NULL THEN named_struct(
+                    'prev', x, 'run', CAST(1 AS BIGINT),
+                    'top', acc.top, 'dup', acc.dup)
+                WHEN x = acc.prev THEN named_struct(
+                    'prev', x, 'run', acc.run + CAST(1 AS BIGINT),
+                    'top', acc.top, 'dup', acc.dup)
+                ELSE named_struct(
+                    'prev', x, 'run', CAST(1 AS BIGINT),
+                    'top', {close_top}, 'dup', {close_dup})
+            END,
+            acc -> named_struct(
+                'top', CASE WHEN acc.prev IS NULL
+                            THEN acc.top ELSE {close_top} END,
+                'dup', CASE WHEN acc.prev IS NULL
+                            THEN acc.dup ELSE {close_dup} END)
+        )"""
 
-    gram_arrays = [
-        F.when(
-            size >= n,
-            F.transform(F.sequence(F.lit(1), size - n + 1), _gram_fn(n)),
-        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
-        for n in all_ns
-    ]
-    base = tokenized.select(
+    # second Generate barrier: the stats structs must be materialized
+    # attributes before the final projection references .top/.dup —
+    # otherwise CollapseProject re-inlines (and re-evaluates) each n's
+    # sort+fold once per field reference
+    stats = tokenized.select(
         "doc_id",
         "nch",
-        F.flatten(F.array(*gram_arrays)).alias("grams"),
+        F.explode(F.array(F.struct(*[
+            F.expr(_runlen_sql(n)).alias(f"_st{n}") for n in all_ns
+        ]))).alias("_st"),
     )
-    counts = (
-        base.select("doc_id", "nch", F.explode("grams").alias("g"))
-        .groupBy("doc_id", "nch", "g.n", "g.gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("chars", F.col("cnt") * F.length("gram"))
-    )
-    aggs = []
-    for n in sorted(top_ns):
-        aggs.append(
-            F.max(F.when(F.col("n") == n, F.col("chars")))
-            .alias(f"_top{n}")
-        )
-    for n in sorted(dup_ns):
-        aggs.append(
-            F.sum(
-                F.when((F.col("n") == n) & (F.col("cnt") >= 2),
-                       F.col("chars"))
-            ).alias(f"_dup{n}")
-        )
-    per_doc = counts.groupBy("doc_id", "nch").agg(*aggs)
-    # left join keeps documents too short for every requested n
-    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
     cols = [F.col("doc_id")]
     for n in sorted(top_ns):
         cols.append(
             F.round(
-                F.coalesce(F.col(f"_top{n}"), F.lit(0))
-                / F.greatest(F.col("nch"), F.lit(1)),
+                F.col(f"_st._st{n}.top") / F.greatest(F.col("nch"), F.lit(1)),
                 6,
             ).alias(f"top_{n}gram_frac")
         )
@@ -155,14 +171,14 @@ def ngram_repetition(
         cols.append(
             F.round(
                 F.least(
-                    F.coalesce(F.col(f"_dup{n}"), F.lit(0))
+                    F.col(f"_st._st{n}.dup")
                     / F.greatest(F.col("nch"), F.lit(1)),
                     F.lit(1.0),
                 ),
                 6,
             ).alias(f"dup_{n}gram_frac")
         )
-    return out.select(*cols).orderBy("doc_id")
+    return stats.select(*cols).orderBy("doc_id")
 
 
 def ngram_repetition_sql(

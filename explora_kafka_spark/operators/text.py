@@ -1246,43 +1246,53 @@ def winnow_fingerprints(
     pos is the 1-based k-gram start, fp the 39-bit hash (join-ready
     for cross-doc overlap detection, the contamination-shingle shape).
 
-    100 TB: one position explode (output-sized: L−k+1 rows/doc), one
-    doc-keyed shuffle for the w-bounded ROWS window, one distinct on
-    the selected rows — all keys well-spread (doc ids)."""
+    100 TB (optimization round 14, guide §2.4): the selection is a
+    PER-DOCUMENT computation, so it runs entirely within the row — the
+    former shape exploded every character position (L−k+1 rows/doc),
+    paid a doc-keyed exchange for the w-bounded ROWS window, and a
+    second exchange for the cross-row DISTINCT. Now the composite-key
+    array is built once per row (Generate barrier so the md5 pass is
+    not re-inlined per window), each window's min is an
+    ``array_min(slice(...))`` (O(L·w) comparisons/doc, w tiny), the
+    per-doc DISTINCT collapses to ``array_distinct`` before the
+    output-sized explode — zero shuffles end to end; at scale nothing
+    leaves the scan task. Identical composite keys, window frames and
+    boundary rule → identical rows (the DuckDB mirror is unchanged)."""
     n_h = f"greatest(length(_norm) - {k - 1}, 0)"
-    grams = docs.select(
+    comp = (
+        f"transform(sequence(1, {n_h}), pos -> "
+        f"(CAST(conv(substring(md5(substring(_norm, pos, {k})), 1, 15),"
+        f" 16, 10) AS BIGINT) & {_WINNOW_HASH_MASK}) "
+        f"* {1 << _WINNOW_POS_BITS} + ({_WINNOW_POS_MAX} - pos))"
+    )
+    # explode of a 1-element array = Generate barrier: `_cs` must be a
+    # materialized attribute, or CollapseProject inlines the md5 pass
+    # into every window's slice and the scan goes O(L²·w)
+    comps = docs.select(
         F.col(key), norm_col("text").alias("_norm")
     ).select(
         key,
-        F.expr(n_h).alias("_n"),
         F.explode(F.expr(
-            f"CASE WHEN {n_h} < 1 THEN array() "
-            f"ELSE sequence(1, {n_h}) END")).alias("pos"),
-        F.col("_norm"),
+            f"CASE WHEN {n_h} < 1 THEN array(CAST(array() AS ARRAY<BIGINT>))"
+            f" ELSE array({comp}) END")).alias("_cs"),
+    )
+    # rightmost-min of each w-window = plain min of the composite key
+    # over the window slice; docs with 0 < n_h < w take the single
+    # global min (the standard boundary rule, unchanged)
+    selected = (
+        f"CASE WHEN size(_cs) < 1 THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"WHEN size(_cs) < {w} THEN array(array_min(_cs)) "
+        f"ELSE transform(sequence({w}, size(_cs)), "
+        f"j -> array_min(slice(_cs, j - {w - 1}, {w}))) END"
+    )
+    sel = comps.select(
+        key,
+        F.explode(F.expr(f"array_distinct({selected})")).alias("_minc"),
     ).select(
-        key, "_n", "pos",
-        F.expr(
-            f"(CAST(conv(substring(md5(substring(_norm, pos, {k})), 1, 15),"
-            f" 16, 10) AS BIGINT) & {_WINNOW_HASH_MASK}) "
-            f"* {1 << _WINNOW_POS_BITS} + ({_WINNOW_POS_MAX} - pos)"
-        ).alias("_c"),
-    )
-    from pyspark.sql.window import Window
-
-    frame = (
-        Window.partitionBy(key).orderBy("pos")
-        .rowsBetween(-(w - 1), 0)
-    )
-    sel = (
-        grams.withColumn("_minc", F.min("_c").over(frame))
-        .filter(F.col("pos") >= F.least(F.lit(w), F.col("_n")))
-        .select(
-            key,
-            (F.lit(_WINNOW_POS_MAX) - F.col("_minc") % (1 << _WINNOW_POS_BITS))
-            .alias("pos"),
-            F.expr(f"_minc DIV {1 << _WINNOW_POS_BITS}").alias("fp"),
-        )
-        .distinct()
+        key,
+        (F.lit(_WINNOW_POS_MAX) - F.col("_minc") % (1 << _WINNOW_POS_BITS))
+        .alias("pos"),
+        F.expr(f"_minc DIV {1 << _WINNOW_POS_BITS}").alias("fp"),
     )
     return sel.orderBy(key, "pos")
 
