@@ -58,7 +58,8 @@ def kmeans_stride(n_rows: int, k: int) -> int:
     return max(n_rows // k, 1)
 
 
-def _assign(mu: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign(mu: DataFrame, cent: DataFrame,
+            cent_rows: list | None = None) -> DataFrame:
     """(vid, m, cid, _d2): nearest centroid by integer squared distance,
     ties to the smaller cid.
 
@@ -82,7 +83,8 @@ def _assign(mu: DataFrame, cent: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    rows = (sorted(cent.collect(), key=lambda r: r["cid"])
+            if cent_rows is None else cent_rows)
     if not rows:  # empty corpus → empty assignment (same schema)
         return mu.sparkSession.createDataFrame(
             [], "vid bigint, m array<bigint>, cid int, _d2 bigint")
@@ -122,7 +124,11 @@ def _assign(mu: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def _update(assigned: DataFrame) -> DataFrame:
-    """(cid, cm): per-cluster integer-µunit mean, rebuilt as an array."""
+    """(cid, cm): per-cluster integer-µunit mean, rebuilt as an array.
+
+    Kept for the degenerate/explicit-assignment path; the Lloyd loop
+    itself uses :func:`_partial_update` (optimization round 14), which
+    never materializes the per-row assignment at all."""
     ex = assigned.select("cid", F.posexplode("m").alias("dim", "v"))
     per_dim = ex.groupBy("cid", "dim").agg(
         F.floor(
@@ -133,6 +139,80 @@ def _update(assigned: DataFrame) -> DataFrame:
         F.expr(
             "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)"
         ).alias("cm")
+    )
+
+
+def _partial_update(mu: DataFrame, cent_rows: list) -> DataFrame:
+    """One fused Lloyd update pass: assign + per-task partial sums in a
+    single Arrow kernel, emitting AT MOST k rows per task — (cid, n,
+    s[d]) int64 partials — then a k-row final merge.
+
+    Optimization round 14 (guide §2.3/§8 "shuffle metadata, not
+    payloads"): the former loop materialized the full per-row
+    assignment out of Python (vid + the d-dim vector + cid + d2 for
+    every corpus row) and EXPLODED it into d (cid, dim, v) rows
+    through two exchanges, only to reduce it straight back to k·d
+    numbers. Nothing downstream of an intermediate iteration needs
+    per-row output — only the k×(d+1) partial sums — so the kernel now
+    folds them per task (np.add.at on int64, exact in any order) and
+    the shuffle carries k rows per task. The per-dim mean keeps the
+    exact op sequence floor(CAST(sum AS DOUBLE)/CAST(n AS DOUBLE) +
+    0.5): BIGINT sums are order-independent, so every centroid is
+    bit-identical to the explode formulation and the DuckDB mirrors.
+    At 100 TB this turns each intermediate Lloyd pass from a
+    corpus-sized Python round-trip + d× explode shuffle into one scan
+    emitting k rows per task."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    C = np.stack([np.asarray(r["cm"], dtype=np.int64) for r in cent_rows])
+    c2 = (C * C).sum(axis=1)
+    d = C.shape[1]
+    k = len(cent_rows)
+    mc = int(np.abs(C).max()) if C.size else 0
+
+    def _check(mx: int) -> None:
+        if d * (mx + mc) ** 2 >= 2**62:
+            raise OverflowError(
+                f"_partial_update int64 envelope exceeded: dim={d}, "
+                f"max|x|={mx}, max|c|={mc} (need dim*(mx+mc)^2 < 2^62)")
+
+    _check(0)
+
+    def _kern(batches):
+        n = np.zeros(k, dtype=np.int64)
+        s = np.zeros((k, d), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["m"]])
+            _check(int(np.abs(X).max()))
+            D = ((X * X).sum(axis=1)[:, None]
+                 - 2 * (X @ C.T) + c2[None, :])
+            idx = D.argmin(axis=1)
+            n += np.bincount(idx, minlength=k)
+            np.add.at(s, idx, X)
+        hit = np.flatnonzero(n)
+        if len(hit) == 0:
+            return
+        yield pd.DataFrame({
+            "cid": cids[hit].astype("int32"),
+            "n": n[hit],
+            "s": [s[i].tolist() for i in hit],
+        })
+
+    partials = mu.mapInPandas(_kern, "cid int, n bigint, s array<bigint>")
+    zero = f"transform(sequence(1, {d}), i -> 0L)"
+    return (
+        partials.groupBy("cid")
+        .agg(F.sum("n").alias("_n"),
+             F.expr(f"aggregate(collect_list(s), {zero},"
+                    " (acc, x) -> zip_with(acc, x, (a, b) -> a + b))"
+                    ).alias("_s"))
+        .select("cid", F.expr(
+            "transform(_s, x -> CAST(floor(CAST(x AS DOUBLE)"
+            " / CAST(_n AS DOUBLE) + 0.5D) AS BIGINT))").alias("cm"))
     )
 
 
@@ -162,27 +242,49 @@ def _final_assignment(
     key: str,
     vec_col: str,
     n_rows: int | None,
+    prepared_mu: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared Lloyd loop. Returns (assigned, cent): the final
     (vid, m, cid, _d2) assignment AND the (cid, cm) centroid table it
     was made under (for index materialization / out-of-corpus
-    assignment — operators/semdedup.py's incremental check)."""
+    assignment — operators/semdedup.py's incremental check).
+
+    Optimization round 14 (guide §1.2/§5): the µunit projection `mu`
+    is persisted once per run — the init-seed collect, each
+    iteration's update pass, and the final assignment previously each
+    re-ran the parquet scan + the repartition exchange + the 1e6
+    float→int conversion (3-4 full re-derivations per run; one per
+    rung-consumer in the sweeps). `localCheckpoint` (not `persist`):
+    the columnar cache re-encodes array columns row-by-row through the
+    generic ColumnType path — measured SLOWER than re-scanning at
+    sf0.1 — while the checkpoint stores the exchange's UnsafeRow
+    blocks as-is (the connected_components/kcenter pattern).
+    `prepared_mu` lets sweep callers share one materialized µ table
+    across rungs. The init-centroid collect is done here (not inside
+    `_assign`) so the centroid dimensionality is in hand for the
+    width-wise `_update`."""
+    if prepared_mu is not None:
+        mu = prepared_mu
+    else:
+        mu = emb.select(
+            F.col(key).alias("vid"),
+            F.expr(_MU_COL.format(vec=vec_col)).alias("m"),
+        ).localCheckpoint(eager=True)
     if n_rows is None:
-        n_rows = emb.count()
+        n_rows = mu.count()
     stride = kmeans_stride(n_rows, k)
-    mu = emb.select(
-        F.col(key).alias("vid"),
-        F.expr(_MU_COL.format(vec=vec_col)).alias("m"),
-    )
     cent = (
         mu.filter((F.col("vid") % stride == 0) & (F.col("vid") < k * stride))
         .select((F.col("vid") / stride).cast("int").alias("cid"),
                 F.col("m").alias("cm"))
     )
-    assigned = _assign(mu, cent)
+    cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
     for _ in range(iters - 1):
-        cent = _update(assigned).localCheckpoint(eager=True)
-        assigned = _assign(mu, cent)
+        if not cent_rows:
+            break
+        cent = _partial_update(mu, cent_rows).localCheckpoint(eager=True)
+        cent_rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    assigned = _assign(mu, cent, cent_rows)
     return assigned, cent
 
 
@@ -658,18 +760,36 @@ def kmeans_inertia_sweep(
     Arrow argmin kernel, no shuffle on the assignment side) and a
     1-row aggregate per rung; the rung table is len(ks) rows, the
     window over it trivial."""
+    # Optimization round 14: ONE persisted µ table shared by every rung
+    # (each rung formerly re-scanned + re-converted the corpus 3×), and
+    # the rungs' driver-side Lloyd loops run from a small thread pool so
+    # their jobs overlap (guide §2.6 "overlap independent jobs") — the
+    # rungs are independent by construction and each rung's exact
+    # integer result is unchanged by scheduling. Futures are read in ks
+    # order, so the output row order is deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+
+    mu = emb.select(
+        F.col(key).alias("vid"),
+        F.expr(_MU_COL.format(vec=vec_col)).alias("m"),
+    ).localCheckpoint(eager=True)
     if n_rows is None:
-        n_rows = emb.count()
-    per = None
-    for k in ks:
+        n_rows = mu.count()
+
+    def _rung(k: int) -> DataFrame:
         assigned, _ = _final_assignment(emb, k, iters, key, vec_col,
-                                        n_rows)
-        row = assigned.agg(
+                                        n_rows, prepared_mu=mu)
+        return assigned.agg(
             F.count("*").alias("n_vectors"),
             F.sum("_d2").alias("inertia_mu2"),
         ).select(F.lit(k).cast("int").alias("k"), "n_vectors",
                  "inertia_mu2")
-        per = row if per is None else per.unionByName(row)
+
+    with ThreadPoolExecutor(max_workers=len(ks)) as pool:
+        rows = list(pool.map(_rung, ks))
+    per = rows[0]
+    for row in rows[1:]:
+        per = per.unionByName(row)
     w = Window.orderBy("k")
     return (
         per.withColumn("_prev", F.lag("inertia_mu2").over(w))

@@ -226,3 +226,32 @@ def test_kmeans_inertia_sweep_hand_values(spark):
         [(1, 10**12), (2, 0)]
     assert out[0]["drop_pct"] is None
     assert out[1]["drop_pct"] == 100.0
+
+
+def test_partial_update_matches_explode_update(spark):
+    # The fused assign+partial-sum kernel (optimization round 14) must
+    # produce bit-identical centroids to the explicit
+    # _assign -> _update(explode) formulation it replaced.
+    from pyspark.sql import functions as F
+
+    from explora_kafka_spark.operators import clustering as CL
+
+    vecs = [[0.1, -0.2], [0.4, 0.9], [-0.3, 0.5], [0.8, 0.8],
+            [0.0, 0.0], [1.0, -1.0], [0.2, 0.2], [0.6, -0.4]]
+    emb = _emb(spark, vecs).repartition(3)
+    mu = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.expr(CL._MU_COL.format(vec="embedding")).alias("m"),
+    )
+    stride = CL.kmeans_stride(len(vecs), 3)
+    cent = mu.filter(
+        (F.col("vid") % stride == 0) & (F.col("vid") < 3 * stride)
+    ).select((F.col("vid") / stride).cast("int").alias("cid"),
+             F.col("m").alias("cm"))
+    rows = sorted(cent.collect(), key=lambda r: r["cid"])
+
+    old = {r["cid"]: list(r["cm"])
+           for r in CL._update(CL._assign(mu, cent, rows)).collect()}
+    new = {r["cid"]: list(r["cm"])
+           for r in CL._partial_update(mu, rows).collect()}
+    assert old == new and len(old) > 0
