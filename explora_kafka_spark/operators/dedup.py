@@ -526,13 +526,15 @@ def ngram_jaccard_pairs(docs: DataFrame, shingle_n: int = 1,
     the standard two-phase near-dup pipeline (cheap recall, exact
     precision).
 
-    The shingle sets are computed ONCE and persisted: signatures, the
-    band join, and the rerank join all reuse them (without the persist,
+    The shingle sets are computed ONCE and materialized: signatures,
+    the band join, and the rerank join all reuse them (without it,
     Spark re-derives the shingle arrays for each of the four lineage
-    branches)."""
-    from pyspark import StorageLevel
-
-    shingled = shingle_sets(docs, shingle_n).persist(StorageLevel.MEMORY_AND_DISK)
+    branches). `localCheckpoint`, not `persist` (optimization round
+    14, the clustering.py µ-table finding): the columnar cache
+    re-encodes the array<bigint> shingle column element-by-element
+    through the generic ColumnType path — measurably slower to build
+    AND to read than checkpointed UnsafeRow blocks."""
+    shingled = shingle_sets(docs, shingle_n).localCheckpoint(eager=True)
     sigs = signatures_from_shingles(shingled, num_hashes)
     pairs = lsh_candidate_pairs(sigs, num_bands, num_hashes // num_bands,
                                 max_bucket=max_bucket)
