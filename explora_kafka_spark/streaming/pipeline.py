@@ -188,13 +188,39 @@ def _with_ts_month(lattice: DataFrame) -> DataFrame:
     )
 
 
-def _write_store_layout(lattice_with_tsm: DataFrame, dest: str) -> None:
+# Target rows per range-partitioned store-write task. A lattice row is
+# ~60-80 B on disk, so the default (4M rows) lands output files in the
+# 128-256 MB band the optimization guide (§6) wants; a deployment dials
+# it per row width. Deriving the writer count from the delta's rows
+# (ceil(rows / this)) instead of the session's fixed shuffle-partition
+# count means a micro-batch writes a few well-filled files per version
+# instead of shuffle.partitions near-empty ones, and a backfill scales
+# its writer count with its rows.
+_STORE_ROWS_PER_FILE = int(
+    os.environ.get("SPARK_GRAFT_STORE_ROWS_PER_FILE", "4000000"))
+
+
+def _write_store_layout(lattice_with_tsm: DataFrame, dest: str,
+                        rows: int | None = None) -> None:
     """Query-optimal physical layout: directory-partitioned on the view
     selection keys + month, range-spread on gh (one slice ≠ one task —
-    VERDICT r1 #3), (gh, ts)-sorted within files for min/max skipping."""
+    VERDICT r1 #3), (gh, ts)-sorted within files for min/max skipping.
+
+    `rows` (when the caller already knows it — every merge path holds
+    the delta/merged frame persisted, so counting it is a cache read,
+    and compaction's input is a bare parquet scan whose count touches
+    only row-group metadata) sizes the range shuffle to
+    ceil(rows / _STORE_ROWS_PER_FILE) tasks instead of the session's
+    fixed shuffle-partition count; with an explicit count the range
+    sampling pass is also cheaper to satisfy from the persisted input."""
+    range_cols = ("metric_id", "precision", "res", "ts_m", "gh")
+    if rows is not None:
+        n = max(1, -(-rows // _STORE_ROWS_PER_FILE))
+        spread = lattice_with_tsm.repartitionByRange(n, *range_cols)
+    else:
+        spread = lattice_with_tsm.repartitionByRange(*range_cols)
     (
-        lattice_with_tsm
-        .repartitionByRange("metric_id", "precision", "res", "ts_m", "gh")
+        spread
         .sortWithinPartitions("gh", "ts")
         .write.mode("overwrite")
         .partitionBy(*STORE_PARTITION_COLS)
@@ -419,7 +445,9 @@ class ParquetViewStore:
             new_v = f"v_{uuid.uuid4().hex[:12]}"
             new_dir = os.path.join(self.path, new_v)
             if old_v is None:
-                _write_store_layout(delta, new_dir)
+                # delta is persisted above, so the sizing count is a
+                # cache read
+                _write_store_layout(delta, new_dir, rows=delta.count())
                 self._commit(new_v, effective_bid, None)
                 return True
             old_raw = self._read_raw(spark)
@@ -450,7 +478,7 @@ class ParquetViewStore:
                 # persist before the layout write: repartitionByRange's
                 # sampling pass would otherwise execute the whole merge
                 # aggregation a second time per micro-batch
-                _write_store_layout(merged, new_dir)
+                _write_store_layout(merged, new_dir, rows=merged.count())
             finally:
                 merged.unpersist()
             self._link_untouched(os.path.join(self.path, old_v), new_dir)
@@ -530,7 +558,10 @@ def compact_store(spark: SparkSession, store: ParquetViewStore) -> None:
     if current is None:
         return
     new_v = f"v_{uuid.uuid4().hex[:12]}"
-    _write_store_layout(current, os.path.join(store.path, new_v))
+    # count() over a bare parquet read touches only row-group metadata
+    # (empty read schema) — cheap relative to the rewrite it sizes
+    _write_store_layout(current, os.path.join(store.path, new_v),
+                        rows=current.count())
     old = store._read_pointer()
     store._commit(new_v, old[1] if old else None, old[0] if old else None)
 

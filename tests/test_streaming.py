@@ -150,6 +150,33 @@ def _partition_inodes(store):
     return out
 
 
+def test_store_layout_write_is_row_adaptive(spark, tmp_path):
+    """The range-partitioned store write derives its writer count from
+    the delta's rows (ceil(rows / _STORE_ROWS_PER_FILE)), not from
+    spark.sql.shuffle.partitions: a small merge lands exactly ONE
+    parquet file per leaf partition dir instead of one near-empty file
+    per shuffle partition (optimization round 14, guide §6 file
+    sizing)."""
+    import os
+
+    readings = load_readings(spark, SF_DIR)
+    delta = view_lattice(readings, precisions=(6,), resolutions=("min",),
+                         persist=False)
+    store = P.ParquetViewStore(str(tmp_path / "store"))
+    assert store.merge(spark, delta, batch_id=0)
+    root = str(tmp_path / "store" / store.current_version())
+    leaf_dirs = 0
+    for dirpath, _dirs, files in os.walk(root):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if pq:
+            leaf_dirs += 1
+            assert len(pq) == 1, (
+                f"{dirpath}: a {delta.count()}-row delta must write one "
+                f"range task, got {len(pq)} files"
+            )
+    assert leaf_dirs > 0
+
+
 def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
     """The partition-pruned MERGE: a delta touching one metric must
     hard-link (not rewrite) every other partition — per-batch cost
