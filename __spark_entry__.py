@@ -2719,36 +2719,42 @@ def q_waiting_supplier(spark, sf_dir):
     the fixture's columns (no commit/receipt dates — 'late' = shipped
     more than 60 days after the order date): suppliers that were the
     SOLE late shipper on a multi-supplier order, ranked by how often.
-    The classic EXISTS / NOT-EXISTS pair collapses to ONE aggregation
-    over the broadcast-dated lineitem scan (optimization round 14,
-    guide §2.4/§3.1): per order, count DISTINCT suppliers, DISTINCT
-    late suppliers, and the max late supplier in a single
-    orderkey-keyed exchange — sole-late-on-a-multi-supplier-order is
-    the filter (_n_late = 1 AND _n_supp >= 2). The former shape paid
-    three lineitem-derived exchanges (late-pair distinct, the sole
+    The classic EXISTS / NOT-EXISTS pair collapses to a two-level
+    aggregation over the dated lineitem scan (optimization round 14,
+    guide §2.3/§2.4): level 1 folds lines to distinct (order,
+    supplier) pairs with an any-late flag, level 2 groups pairs by
+    order — count(*) is the distinct supplier count, sum(late) the
+    distinct late-supplier count, max(when(late, supp)) the sole late
+    supplier; sole-late-on-a-multi-supplier-order is the filter
+    (_n_late = 1 AND _n_supp >= 2). The former shape paid three
+    lineitem-derived exchanges (late-pair distinct, the sole
     aggregate, the separate multi-supplier aggregate) plus a semi
-    join; this is 2 exchanges total (order agg + name agg) and one
-    lineitem scan. Top 10 by (numwait DESC, s_name) unchanged."""
+    join; a single multi-count_distinct aggregate was measured WORSE
+    (the Expand node triples the aggregation input). This is one
+    lineitem scan, both exchanges map-side partially aggregated, no
+    Expand. Top 10 by (numwait DESC, s_name) unchanged."""
     configure(spark)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate")
-    flagged = (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             "l_orderkey", "l_suppkey",
             (F.col("l_shipdate")
              > F.expr("o_orderdate + INTERVAL 60 DAYS")).alias("_late"),
         )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.col("_late").cast("int")).alias("_late"))
     )
     sole = (
-        flagged.groupBy("l_orderkey")
+        pairs.groupBy("l_orderkey")
         .agg(
-            F.count_distinct("l_suppkey").alias("_n_supp"),
-            F.count_distinct(
-                F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
-            F.max(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_supp"),
+            F.count("*").alias("_n_supp"),
+            F.sum("_late").alias("_n_late"),
+            F.max(F.when(F.col("_late") == 1,
+                         F.col("l_suppkey"))).alias("_supp"),
         )
         .filter((F.col("_n_late") == 1) & (F.col("_n_supp") >= 2))
     )
