@@ -1093,12 +1093,18 @@ def label_propagation(
             .groupBy("vid", "lab")
             .agg(F.count("*").alias("c"))
         )
-        w = Window.partitionBy("vid").orderBy(F.col("c").desc(),
-                                              F.col("lab").asc())
+        # argmax by (c DESC, lab ASC) as a max(struct) aggregate, not a
+        # window (optimization round 14, guide §2.3): struct comparison
+        # is field-ordered, so max((c, -lab)) IS "most votes, ties to
+        # the smaller label" — partial-aggregated map-side (the second
+        # exchange ships ≤ one row per vid instead of every (vid, lab)
+        # vote row) and no per-partition sort. Same pick, bit-exact.
         pick = (
-            votes.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vid", F.col("lab").alias("plab"))
+            votes.groupBy("vid")
+            .agg(F.max(F.struct(
+                F.col("c"), (-F.col("lab")).alias("nl"), F.col("lab"),
+            )).alias("m"))
+            .select("vid", F.col("m.lab").alias("plab"))
         )
         labels = (
             labels.join(pick, "vid", "left")
