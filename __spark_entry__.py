@@ -1624,12 +1624,13 @@ def q_ingest_serde(spark, sf_dir):
         F.when(F.col("event_id") % 97 == 0, F.substring("value", 1, 10))
         .otherwise(F.col("value")).alias("value")
     )
-    # persist: the decode output feeds BOTH the dead-letter stats and the
-    # engine chain — one JSON-parse pass instead of two (unpersisted
-    # below once the two tiny aggregates are materialized)
-    from pyspark import StorageLevel
-
-    decoded = SP.decode_readings(wire).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize: the decode output feeds BOTH the dead-letter stats
+    # and the engine chain — one JSON-parse pass instead of two.
+    # localCheckpoint, not persist (optimization round 14, the
+    # µ-table/shingle finding): the columnar cache re-encodes the
+    # string-heavy decode row-by-row; checkpointed UnsafeRow blocks are
+    # cheaper to build and to read twice.
+    decoded = SP.decode_readings(wire).localCheckpoint(eager=True)
     decode_stats = decoded.agg(
         F.count("*").alias("n_total"),
         F.sum(F.col("_corrupt").cast("long")).alias("n_corrupt"),
@@ -1656,11 +1657,11 @@ def q_ingest_serde(spark, sf_dir):
         "n_kept", "sum_kept",
     )
     out = a.unionByName(b)
-    # materialize the 2-row summary while the decode cache is hot, then
-    # release it — the returned frame is a LocalTableScan, so a later
-    # driver .collect() cannot re-trigger the JSON passes
+    # materialize the 2-row summary while the checkpoint blocks are hot
+    # — the returned frame is a LocalTableScan, so a later driver
+    # .collect() cannot re-trigger the JSON passes; the checkpointed
+    # RDD is reclaimed by the ContextCleaner once `decoded` drops
     rows = out.collect()
-    decoded.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
