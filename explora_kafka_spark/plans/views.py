@@ -174,6 +174,52 @@ def view_lattice(
     return out
 
 
+def lattice_partials(
+    readings: DataFrame,
+    precisions: Sequence[int] = DEFAULT_PRECISIONS,
+    resolutions: Iterable[str] = VIEW_RESOLUTIONS,
+) -> DataFrame:
+    """Cell-partial form of the lattice: one row per reading × lattice
+    coordinate (precision × resolution), carrying the single-row partial
+    aggregate (count=1, sum=min=max=value). Built with ONE scan of the
+    readings — `inline` over a per-row array of the P·R coordinate
+    structs — so no branch of the lattice re-reads the source. Zero
+    shuffles; `aggregate_partials` (or any A2-algebra merge) folds it to
+    exactly the `view_lattice` rows, which is what lets the streaming
+    MERGE aggregate batch + store in one pass instead of materializing a
+    delta lattice first (optimization guide §2.3/§2.4)."""
+    resolutions = [r for r in VIEW_RESOLUTIONS if r in set(resolutions)]
+    precisions = sorted(precisions, reverse=True)
+    coords = [
+        F.struct(
+            F.lit(p).cast("int").alias("precision"),
+            F.lit(res).alias("res"),
+            F.substring("geohash", 1, p).alias("gh"),
+            truncate_ts_col("ts", res).alias("ts"),
+        )
+        for p in precisions
+        for res in resolutions
+    ]
+    return readings.select(
+        "metric_id",
+        F.inline(F.array(*coords)),
+        F.lit(1).cast("long").alias("count"),
+        F.col("value").alias("sum"),
+        F.col("value").alias("min"),
+        F.col("value").alias("max"),
+    )
+
+
+def aggregate_partials(partials: DataFrame) -> DataFrame:
+    """Fold cell-partial (or already-aggregated) lattice rows to the final
+    lattice (A2 merge algebra): one aggregation, map-side partials."""
+    return (
+        partials.groupBy("metric_id", "precision", "res", "gh", "ts")
+        .agg(*_agg_cols())
+        .transform(_with_avg)
+    )
+
+
 def materialize_views(lattice: DataFrame, path: str) -> None:
     """Write the lattice partitioned for query-time pruning.
 
@@ -202,12 +248,9 @@ def incremental_update(existing: DataFrame, delta_lattice: DataFrame) -> DataFra
     Batch twin of the streaming foreachBatch MERGE (streaming/pipeline.py);
     parity with the per-record incremental aggregator IngestStream.java:84-92.
     """
-    return (
+    return aggregate_partials(
         existing.select("metric_id", "precision", "res", "gh", "ts",
                         "count", "sum", "min", "max")
         .unionByName(delta_lattice.select("metric_id", "precision", "res", "gh",
                                           "ts", "count", "sum", "min", "max"))
-        .groupBy("metric_id", "precision", "res", "gh", "ts")
-        .agg(*_agg_cols())
-        .transform(_with_avg)
     )

@@ -39,7 +39,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.timeutil import VIEW_RESOLUTIONS
-from ..plans.views import DEFAULT_PRECISIONS, incremental_update, view_lattice
+from ..plans.views import (
+    DEFAULT_PRECISIONS,
+    aggregate_partials,
+    incremental_update,
+    lattice_partials,
+)
 
 #: AirQualityReading wire schema (model/AirQualityReading.java:7-15;
 #: ksql-setup.sql:6). Unknown JSON fields are ignored by from_json, matching
@@ -487,6 +492,103 @@ class ParquetViewStore:
         finally:
             delta.unpersist()
 
+    def merge_readings(
+        self,
+        spark: SparkSession,
+        readings: DataFrame,
+        precisions=DEFAULT_PRECISIONS,
+        resolutions=VIEW_RESOLUTIONS,
+        batch_id: int | None = None,
+    ) -> bool:
+        """Fused MERGE of a raw micro-batch (optimization guide §2.3/§2.4):
+        instead of materializing a delta lattice (one aggregation per
+        lattice branch) and re-aggregating it against the store (a second
+        shuffle of the same cells), the batch's readings are mapped to
+        cell-partial form (`lattice_partials` — one scan, zero shuffles)
+        and folded into the store's touched rows with ONE aggregation.
+        The count/sum/min/max algebra is associative-commutative, so the
+        result is the same lattice `merge(view_lattice(batch))` commits
+        (pinned by tests/test_streaming.py::
+        test_merge_readings_equals_delta_merge).
+
+        The partition-key preflight gets cheaper for the same reason:
+        precision/res are compile-time lattice coordinates and ts_m is
+        resolution-invariant (UTC date_trunc at min/hour/day/month grain
+        never leaves the month), so the distinct runs over just
+        (metric_id, yyyyMM(ts)) of the raw batch — a two-column
+        column-pruned pass instead of executing the whole delta plan.
+
+        Same exactly-once contract as `merge`; callers guard empty
+        batches (foreachBatch already skips them)."""
+        last = self.last_batch_id()
+        if batch_id is not None and last is not None and batch_id <= last:
+            return False
+        effective_bid = batch_id if batch_id is not None else last
+        resolutions = [r for r in VIEW_RESOLUTIONS
+                       if r in set(resolutions)]
+        precisions = sorted(precisions, reverse=True)
+        partials = lattice_partials(
+            readings, precisions=precisions, resolutions=resolutions)
+        # ---- partition-key preflight (see merge(): null keys would
+        # silently double-count on read) ----
+        batch_keys = (
+            readings.select(
+                "metric_id",
+                F.date_format("ts", "yyyyMM").cast("int").alias("ts_m"))
+            .distinct().collect()
+        )
+        if not batch_keys:
+            return False
+        for r in batch_keys:
+            nulls = [c for c in ("metric_id", "ts_m") if r[c] is None]
+            if nulls:
+                raise ValueError(
+                    f"batch has NULL partition key(s) {nulls}; "
+                    "route null-keyed records to a dead-letter sink "
+                    "before merging"
+                )
+        old_v = self.current_version()
+        new_v = f"v_{uuid.uuid4().hex[:12]}"
+        new_dir = os.path.join(self.path, new_v)
+        old_v_linked = None
+        if old_v is None:
+            merged = _with_ts_month(aggregate_partials(partials))
+        else:
+            old_raw = self._read_raw(spark)
+            if "ts_m" not in old_raw.columns:
+                # legacy flat store: one full migrating rewrite (see merge)
+                merged = _with_ts_month(
+                    incremental_update(old_raw, partials))
+                old_v_linked = None
+            else:
+                key_col = F.struct(
+                    *[F.col(c) for c in STORE_PARTITION_COLS])
+                key_lits = [
+                    F.struct(F.lit(r["metric_id"]), F.lit(p), F.lit(res),
+                             F.lit(r["ts_m"]))
+                    for r in batch_keys
+                    for p in precisions
+                    for res in resolutions
+                ]
+                existing_touched = old_raw.filter(
+                    key_col.isin(*key_lits)).drop("ts_m")
+                merged = _with_ts_month(
+                    incremental_update(existing_touched, partials))
+                old_v_linked = old_v
+        merged = merged.persist()
+        try:
+            # persist before the layout write: repartitionByRange's
+            # sampling pass would otherwise run the merge aggregation
+            # a second time per micro-batch
+            _write_store_layout(merged, new_dir, rows=merged.count())
+        finally:
+            merged.unpersist()
+        if old_v_linked is not None:
+            self._link_untouched(
+                os.path.join(self.path, old_v_linked), new_dir)
+        self._commit(new_v, effective_bid, old_v)
+        return True
+
 
 def expire_store(store: ParquetViewStore, min_ts_m: int) -> int:
     """Retention sweep (TTL): commit a new store version WITHOUT the
@@ -628,12 +730,13 @@ def streaming_view_pipeline(
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
             return
-        delta = view_lattice(
-            batch_df, precisions=precisions, resolutions=resolutions,
-            persist=False,
+        # fused MERGE: batch partials + store folded in ONE aggregation
+        # (batch_id makes it exactly-once under replays)
+        store.merge_readings(
+            batch_df.sparkSession, batch_df,
+            precisions=precisions, resolutions=resolutions,
+            batch_id=batch_id,
         )
-        # batch_id makes the merge exactly-once under replays
-        store.merge(batch_df.sparkSession, delta, batch_id=batch_id)
 
     return (
         filtered.writeStream.outputMode("update")

@@ -177,6 +177,61 @@ def test_store_layout_write_is_row_adaptive(spark, tmp_path):
     assert leaf_dirs > 0
 
 
+def test_merge_readings_equals_delta_merge(spark, tmp_path):
+    """The fused MERGE (`merge_readings`: batch mapped to cell-partial
+    form and folded with the store in ONE aggregation) commits exactly
+    the store that the two-pass `merge(view_lattice(batch))` shape
+    commits — the A2 algebra is associative-commutative, so skipping the
+    delta-lattice materialization must not change a single cell
+    (optimization round 14, guide §2.3/§2.4). Covers first write AND an
+    incremental merge, plus the replay guard and partition hard-linking
+    on the fused path."""
+    readings = load_readings(spark, SF_DIR)
+    b0 = readings.filter(F.col("event_id") % 2 == 0)
+    b1 = readings.filter(F.col("event_id") % 2 == 1)
+    kw = dict(precisions=(6,), resolutions=("min", "hour"))
+
+    fused = P.ParquetViewStore(str(tmp_path / "fused"))
+    assert fused.merge_readings(spark, b0, batch_id=0, **kw)
+    assert fused.merge_readings(spark, b1, batch_id=1, **kw)
+    # replay guard holds on the fused path
+    assert not fused.merge_readings(spark, b1, batch_id=1, **kw)
+
+    twopass = P.ParquetViewStore(str(tmp_path / "twopass"))
+    for bid, b in enumerate((b0, b1)):
+        assert twopass.merge(
+            spark, view_lattice(b, persist=False, **kw), batch_id=bid)
+
+    assert _lattice_rows(fused.read(spark)) == _lattice_rows(
+        twopass.read(spark))
+
+    # untouched partitions are hard-linked, not rewritten, on the fused
+    # path too: a click-only batch must leave other metrics' inodes alone
+    before = _partition_inodes(fused)
+    assert fused.merge_readings(
+        spark, b0.filter(F.col("metric_id") == "click"), batch_id=2, **kw)
+    after = _partition_inodes(fused)
+    untouched = {k: v for k, v in before.items()
+                 if "metric_id=click" not in k}
+    for k, v in untouched.items():
+        assert after[k] == v, f"{k} was rewritten by an unrelated batch"
+
+
+def test_merge_readings_rejects_null_partition_keys(spark, tmp_path):
+    """The fused preflight keeps merge()'s null-key guard: a NULL
+    metric_id or ts must fail loudly (nulls write
+    __HIVE_DEFAULT_PARTITION__ and silently double-count on read)."""
+    rows = [("m", None, 1.0), (None, "2024-01-01 00:00:00", 2.0)]
+    df = spark.createDataFrame(
+        rows, "metric_id string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "geohash", F.lit("abcdef"))
+    store = P.ParquetViewStore(str(tmp_path / "store"))
+    with pytest.raises(ValueError, match="NULL partition key"):
+        store.merge_readings(spark, df, batch_id=0,
+                             precisions=(6,), resolutions=("min",))
+
+
 def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
     """The partition-pruned MERGE: a delta touching one metric must
     hard-link (not rewrite) every other partition — per-batch cost
