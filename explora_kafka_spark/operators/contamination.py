@@ -943,12 +943,17 @@ def contamination_sweep(
     cost; the sweep adds ONE |rungs|-column conditional aggregate
     (scalar probe row — the dedup_sweep precedent)."""
     per_doc = contamination(docs, n, weights, key, salt)
-    n_docs = per_doc.count()
-    row = per_doc.agg(*[
-        F.count(F.when(F.col("contamination") * 100 > r, True))
-        .alias(f"_{r}")
-        for r in rungs
-    ]).collect()[0]
+    # ONE execution of the overlap pipeline: n_docs rides the same
+    # aggregate as the rung counters (round 14 — the separate
+    # per_doc.count() ran the whole contamination join a second time)
+    row = per_doc.agg(
+        F.count("*").alias("_n"),
+        *[
+            F.count(F.when(F.col("contamination") * 100 > r, True))
+            .alias(f"_{r}")
+            for r in rungs
+        ]).collect()[0]
+    n_docs = int(row["_n"])
     data = [(int(r), int(row[f"_{r}"]), n_docs - int(row[f"_{r}"]))
             for r in rungs]
     return docs.sparkSession.createDataFrame(
@@ -1091,6 +1096,12 @@ def source_overlap(docs: DataFrame, n: int = 5) -> DataFrame:
         .select("source", _shingle_hash_col(F.col("_shingle")).alias("_h"))
         .filter(F.col("_h").isNotNull())
         .distinct()
+        # materialize once: the per-source distinct set feeds BOTH sides
+        # of the self-join AND the totals broadcast — without the
+        # checkpoint the tokenize/shingle/distinct subtree executes 3×
+        # (round 14; localCheckpoint over persist per the repo's
+        # array-column convention)
+        .localCheckpoint(eager=True)
     )
     totals = sh.groupBy("source").agg(F.count("*").alias("_n_total"))
     pairs = (

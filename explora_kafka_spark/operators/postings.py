@@ -104,68 +104,93 @@ def bm25_search(
     result on either engine. Ranking ties break on the integer score
     then doc id.
 
-    100 TB design: one token-explode shuffle shared with the postings
-    build; the query-term filter prunes the explode output to |terms|
-    keys BEFORE the tf aggregation; idf and the corpus totals are
-    one-row/|terms|-row broadcasts; the only doc-sized joins are
-    equi-joins on the doc key. At serving scale the tf/dl inputs come
-    from the materialized postings instead of raw text — same columns."""
-    toks = (
-        docs.select(key, F.explode(tokens_col("text")).alias("term"))
-        .filter(F.col("term") != "")
-    )
-    dl = toks.groupBy(key).agg(F.count("*").alias("dl"))
-    totals = dl.agg(
-        F.sum("dl").alias("sdl"), F.count("*").alias("n_docs"))
-    tf = (
-        toks.filter(F.col("term").isin(list(terms)))
-        .groupBy("term", key)
-        .agg(F.count("*").alias("tf"))
-    )
-    idf = (
-        tf.groupBy("term").agg(F.count("*").alias("df"))
-        .join(F.broadcast(totals))
-        .select(
-            "term",
-            F.floor(
-                F.log(
-                    ((F.col("n_docs") - F.col("df")).cast("double")
-                     + F.lit(0.5))
-                    / (F.col("df").cast("double") + F.lit(0.5))
-                    + F.lit(1.0)
-                ) * 1e6 + F.lit(0.5)
-            ).cast("bigint").alias("idf_mu"),
-        )
-    )
-    sat = (
-        (F.col("tf").cast("double") * F.lit(k1 + 1.0))
-        / (
-            F.col("tf").cast("double")
-            + F.lit(k1) * (
-                F.lit(1.0 - b)
-                + F.lit(b)
-                * (F.col("dl") * F.col("n_docs")).cast("double")
-                / F.col("sdl").cast("double")
-            )
-        )
-    )
-    contrib = (
-        tf.join(F.broadcast(idf), "term")
-        .join(dl, key)
-        .join(F.broadcast(totals))
+    100 TB design (round 14 — within-row fold, guide §2.3/§2.4): the
+    query-term list is a serving-time literal, so per-doc dl and each
+    term's tf are computed INSIDE the row (array filter folds over the
+    token array — zero corpus shuffles, where the previous shape
+    re-executed the corpus token explode once per consumer of its dl/tf
+    subtrees: ~4 passes); df/n_docs/sdl collapse to ONE one-row
+    broadcast aggregate, scoring is a per-doc projection against that
+    row, and the only remaining corpus-sized operation is the top_k
+    TakeOrdered. Expression shapes (idf µunit floor, the IEEE
+    saturation factor, per-term contribution floor, BIGINT score sum)
+    are literally unchanged, so the scores are bit-identical to the
+    exploded form. At serving scale the tf/dl inputs come from the
+    materialized postings instead of raw text — same columns."""
+    terms = list(dict.fromkeys(terms))  # dedupe, keep order
+    tfc = [f"tf_{i}" for i in range(len(terms))]
+
+    def _tf(term: str):
+        # NB: single-parameter lambda only — F.filter dispatches on the
+        # callable's arity, and a two-parameter form would receive the
+        # ELEMENT INDEX as the second argument
+        return F.size(
+            F.filter("_toks", lambda t: t == F.lit(term))).cast("long")
+
+    stats = (
+        docs.select(key, tokens_col("text").alias("_toks"))
         .select(
             key,
-            F.floor(F.col("idf_mu").cast("double") * sat + F.lit(0.5))
-            .cast("bigint").alias("cmu"),
+            F.size(F.filter("_toks", lambda t: t != F.lit("")))
+            .cast("long").alias("dl"),
+            *[_tf(term).alias(c) for c, term in zip(tfc, terms)],
         )
+        .filter(F.col("dl") > 0)
+    )
+    totals = stats.agg(
+        F.sum("dl").alias("sdl"),
+        F.count("*").alias("n_docs"),
+        *[F.sum((F.col(c) > 0).cast("long")).alias(f"df_{i}")
+          for i, c in enumerate(tfc)],
+    )
+
+    def _idf_mu(i: int):
+        df = F.col(f"df_{i}")
+        return F.floor(
+            F.log(
+                ((F.col("n_docs") - df).cast("double") + F.lit(0.5))
+                / (df.cast("double") + F.lit(0.5))
+                + F.lit(1.0)
+            ) * 1e6 + F.lit(0.5)
+        ).cast("bigint")
+
+    def _sat(c: str):
+        tf = F.col(c)
+        return (
+            (tf.cast("double") * F.lit(k1 + 1.0))
+            / (
+                tf.cast("double")
+                + F.lit(k1) * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * (F.col("dl") * F.col("n_docs")).cast("double")
+                    / F.col("sdl").cast("double")
+                )
+            )
+        )
+
+    def _cmu(i: int, c: str):
+        hit = F.col(c) > 0
+        contrib = F.floor(
+            _idf_mu(i).cast("double") * _sat(c) + F.lit(0.5)
+        ).cast("bigint")
+        return F.when(hit, contrib).otherwise(F.lit(0).cast("bigint"))
+
+    mu = F.lit(0).cast("bigint")
+    hits = F.lit(0).cast("long")
+    for i, c in enumerate(tfc):
+        mu = mu + _cmu(i, c)
+        hits = hits + (F.col(c) > 0).cast("long")
+    scored = (
+        stats.join(F.broadcast(totals))
+        .select(key, hits.alias("n_terms_hit"), mu.alias("mu"))
+        .filter(F.col("n_terms_hit") > 0)
     )
     # TakeOrdered top-k (no global sort/window on the doc-sized side);
     # the rank window then runs over top_k rows only
     w = Window.orderBy(F.col("mu").desc(), F.col(key))
     return (
-        contrib.groupBy(key)
-        .agg(F.count("*").alias("n_terms_hit"),
-             F.sum("cmu").alias("mu"))
+        scored
         .orderBy(F.col("mu").desc(), key)
         .limit(top_k)
         .withColumn("rank", F.row_number().over(w))
