@@ -1842,37 +1842,40 @@ def ann_topk_pq(
         .select(F.col("m").alias("cm"),
                 (F.row_number().over(wcode) - 1).alias("code"))
     )
-    # encode: per (vector, code) the m_sub subspace distances in one
-    # projection, then per-subspace argmin (min_by struct — ties to the
-    # smaller code); codes reassembled in subspace order
-    subds = F.expr(
-        f"transform(sequence(0, {m_sub - 1}),"
-        f" j -> {_pq_subd2('m', 'cm', 'j', sub_dim)})"
+    # single-row codebook (code-ascending), checkpointed so the
+    # scan→sort→limit subtree builds ONCE instead of once per broadcast
+    # consumer (round 14): both the encode argmin and the per-query ADC
+    # tables become WITHIN-ROW folds over this row — zero shuffles,
+    # matching the stated one-pass 100 TB design (the previous shape
+    # posexploded n·m_sub rows through two aggregation exchanges)
+    cb_row = codebook.agg(
+        F.expr("array_sort(collect_list(struct(code, cm)))").alias("_cbs")
+    ).localCheckpoint(eager=True)
+    # encode: per subspace j, argmin over the codebook — array_min over
+    # struct(d2, code) picks the same (smallest d2, ties to the smaller
+    # code) element the exploded min(struct(d2, code)) aggregate did
+    code_j = (
+        f"transform(sequence(0, {m_sub - 1}), j -> "
+        f"array_min(transform(_cbs, cb -> struct("
+        f"{_pq_subd2('m', 'cb.cm', 'j', sub_dim)} AS d2,"
+        f" cb.code AS code))).code)"
     )
     enc = (
-        mu.join(F.broadcast(codebook))
-        .select("vec_id", "code", F.posexplode(subds).alias("sub", "d2"))
-        .groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("d2", "code")).alias("best"))
-        .groupBy("vec_id")
-        .agg(F.expr(
-            "transform(array_sort(collect_list(struct(sub, best.code AS c))),"
-            " s -> s.c)").alias("codes"))
+        mu.join(F.broadcast(cb_row))
+        .select("vec_id", F.expr(code_j).alias("codes"))
     )
-    # per-query ADC tables: codes_ds[code+1][sub+1] = d2(query sub, code sub)
+    # per-query ADC tables: codes_ds[code+1][sub+1] = d2(query sub, code
+    # sub) — _cbs is code-ascending, so the array index == code order of
+    # the previous collect_list(struct(code, ds)) sort
     queries = mu.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"), F.col("m").alias("qm"))
-    qsubds = F.expr(
-        f"transform(sequence(0, {m_sub - 1}),"
-        f" j -> {_pq_subd2('qm', 'cm', 'j', sub_dim)})"
+    cds = (
+        f"transform(_cbs, cb -> transform(sequence(0, {m_sub - 1}),"
+        f" j -> {_pq_subd2('qm', 'cb.cm', 'j', sub_dim)}))"
     )
     adc = (
-        queries.join(F.broadcast(codebook))
-        .select("query_id", "qm", "code", qsubds.alias("ds"))
-        .groupBy("query_id")
-        .agg(F.expr(
-            "transform(array_sort(collect_list(struct(code, ds))),"
-            " s -> s.ds)").alias("codes_ds"))
+        queries.join(F.broadcast(cb_row))
+        .select("query_id", F.expr(cds).alias("codes_ds"))
     )
     approx = F.expr(
         f"aggregate(zip_with(codes, sequence(1, {m_sub}),"
