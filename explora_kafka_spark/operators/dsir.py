@@ -27,10 +27,15 @@ Reference parity: no counterpart — engine-extension surface (the
 data-selection tier of the LLM-pipeline family, alongside
 quality_rules/curriculum_select/epoch_upsample).
 
-100 TB design: 2 corpus-token-sized passes (count + score), both plain
-projections feeding map-side-combined aggregates; every join is either
-broadcast-B-rows or the one-row totals attach ONTO the B-row λ table
-(the unigram_bits constant-attach allowance — never onto the corpus).
+100 TB design: the selection path (`dsir_select`) runs ONE
+corpus-token-sized pass (the gram explode feeding a map-side-combined
+per-(doc, bucket) count aggregation, ≤ B rows per doc on the wire); the
+LM fit and the scoring both fold from that checkpointed count table.
+The bare `dsir_weights` builder keeps two LAZY passes instead so
+column-pruning consumers pay only for what they read (its docstring
+has the measured trade-off). Every join is either broadcast-B-rows or
+the one-row totals attach ONTO the B-row λ table (the unigram_bits
+constant-attach allowance — never onto the corpus).
 The target corpus is typically ≪ raw (Wikipedia vs a web crawl); its
 LM fit prunes to the target partition via the pushed-down predicate.
 """
@@ -88,11 +93,16 @@ def dsir_weights(
     `log_ratio_mu` is Σ grams λ[bucket] in integer µbits (positive ⇒
     target-like), NULL for gram-less documents.
 
-    Two corpus passes exactly (round 10 — previously three): the raw
-    and target bucket LMs come from ONE gram aggregation (the target
-    flag rides the explode, so `cr`/`ct` are two aggregates of the
-    same shuffle), then the scoring join re-scans the grams against
-    the broadcast B-row λ table."""
+    Two LAZY corpus passes (the count pass and the score pass — no
+    materialization barrier anywhere): a consumer that prunes the
+    score columns (e.g. a bare count of the key-complete output — the
+    right side of the final left join is key-unique, so Spark
+    eliminates the join outright) pays nothing for the scoring
+    subtree. `dsir_select` consumes every column and therefore uses
+    the one-pass checkpointed twin `_weights_one_pass` instead; both
+    forms produce bit-identical rows (round 14 — measured here:
+    forcing the one-pass materialization into THIS builder regressed
+    the count-pruned consumers 0.35 s → 1.3-2.0 s at sf0.1)."""
     grams = _doc_grams(docs, key)
     bucketed = grams.select(key,
                             _bucket_col(F.col("gram"), n_buckets)
@@ -105,6 +115,28 @@ def dsir_weights(
         .agg(F.count("*").alias("cr"),
              F.sum(F.col("_is_t").cast("long")).alias("ct"))
     )
+    lam = _lambda_table(docs, both_cnt, n_buckets)
+    scored = (
+        bucketed.join(F.broadcast(lam), "b")
+        .groupBy(key)
+        .agg(F.count("*").alias("n_grams"),
+             F.sum("lam").alias("log_ratio_mu"))
+    )
+    return (
+        docs.select(key).join(scored, key, "left")
+        .select(key,
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.col("log_ratio_mu"))
+        .orderBy(key)
+    )
+
+
+def _lambda_table(docs: DataFrame, both_cnt: DataFrame,
+                  n_buckets: int) -> DataFrame:
+    """(b, lam): the broadcast B-row log-ratio table from a
+    (b, cr, ct) bucket-count aggregate — the shared tail of both
+    weight builders (λ[b] = log2 p̂[b] − log2 q̂[b] in integer µbits,
+    add-one smoothing over the B-bucket spine)."""
     spine = docs.sparkSession.range(n_buckets).select(
         F.col("id").alias("b"))
     counts = (
@@ -114,7 +146,7 @@ def dsir_weights(
                 F.coalesce("ct", F.lit(0)).alias("ct"))
     )
     totals = counts.agg(F.sum("cr").alias("Tr"), F.sum("ct").alias("Tt"))
-    lam = (
+    return (
         counts.join(F.broadcast(totals))
         .select(
             "b",
@@ -127,11 +159,45 @@ def dsir_weights(
             ).cast("bigint").alias("lam"),
         )
     )
+
+
+def _weights_one_pass(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 256,
+    key: str = "doc_id",
+) -> DataFrame:
+    """One-corpus-pass twin of `dsir_weights` for consumers that read
+    every output column (round 14, guide §2.4): the grams are exploded
+    ONCE into a per-(doc, bucket) count table (the groupBy
+    partial-aggregates map-side, so the shuffle ships ≤ B rows per doc
+    per task, never gram occurrences), localCheckpointed, and BOTH the
+    bucket LMs (`cr`/`ct` — sums of the per-doc counts) and the
+    per-doc scores (Σ_b c·λ[b]) fold from it. Integer counts, so every
+    value is bit-identical to `dsir_weights`; kept separate because
+    the eager checkpoint would force the full scoring work onto
+    consumers whose plans prune it (see `dsir_weights`)."""
+    per_doc = (
+        _doc_grams(docs, key,
+                   extra={"_is_t": F.col("lang") == target_lang})
+        .select(key, "_is_t",
+                _bucket_col(F.col("gram"), n_buckets).alias("b"))
+        .groupBy(key, "_is_t", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    both_cnt = (
+        per_doc.groupBy("b")
+        .agg(F.sum("c").alias("cr"),
+             F.sum(F.when(F.col("_is_t"), F.col("c"))
+                   .otherwise(F.lit(0))).alias("ct"))
+    )
+    lam = _lambda_table(docs, both_cnt, n_buckets)
     scored = (
-        bucketed.join(F.broadcast(lam), "b")
+        per_doc.join(F.broadcast(lam), "b")
         .groupBy(key)
-        .agg(F.count("*").alias("n_grams"),
-             F.sum("lam").alias("log_ratio_mu"))
+        .agg(F.sum("c").alias("n_grams"),
+             F.sum(F.col("c") * F.col("lam")).alias("log_ratio_mu"))
     )
     return (
         docs.select(key).join(scored, key, "left")
@@ -155,10 +221,12 @@ def dsir_select(
     the smaller key, gram-less documents never selected). Output
     (key, log_ratio_mu, rank), rank-ascending.
 
-    100 TB: dsir_weights' two passes plus one global top-`top` —
+    100 TB: `_weights_one_pass`'s single gram pass (this consumer
+    reads every weight column, so the checkpointed one-pass form wins
+    — see the two builders' docstrings) plus one global top-`top` —
     Spark executes orderBy+limit as per-partition TakeOrdered then a
     `top`-sized merge, never a full sort materialization."""
-    w = dsir_weights(docs, target_lang, n_buckets, key)
+    w = _weights_one_pass(docs, target_lang, n_buckets, key)
     ranked = (
         w.filter(F.col("log_ratio_mu").isNotNull())
         .orderBy(F.col("log_ratio_mu").desc(), F.col(key).asc())

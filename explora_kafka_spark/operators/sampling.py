@@ -578,25 +578,37 @@ def doremi_weights(
     excess_mu, weight_ppm. weight_ppm feeds `epoch_upsample` directly
     (weight_ppm / (1e6·share) = the per-source epoch factor).
 
-    100 TB design: ONE corpus token scan (shared shape with
-    unigram_bits: token explode → vocab agg → vocab-sided µbit table →
-    source-keyed partial-agg sum); everything after is S-row
-    arithmetic — the step fan-out is S×steps rows, never the corpus.
+    100 TB design: ONE corpus token scan (round 14 — previously the
+    explode subtree re-executed once per consumer: the vocab agg, the
+    scoring join's probe side, and again under each downstream branch
+    of the S-row table, ~4 corpus passes in the plan): the explode
+    folds straight into a (source, token, c) count table (map-side
+    partial agg, vocab-sided × S rows), which is localCheckpointed and
+    feeds BOTH the µbit LM (vocab = counts summed over sources) and
+    the per-source loss sums (Σ c·mu_bits — bit-identical BIGINT to
+    the per-occurrence sum); the S-row `per` table is checkpointed
+    too, so everything after is S-row arithmetic — the step fan-out is
+    S×steps rows, never the corpus.
     """
     from explora_kafka_spark.operators.text import (
-        tokens_col, unigram_mu_table)
+        tokens_col, unigram_mu_from_vocab)
 
-    toks = (
+    src_tok = (
         docs.select("source",
                     F.explode(tokens_col("text")).alias("token"))
         .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    mu = unigram_mu_table(toks)
+    mu = unigram_mu_from_vocab(
+        src_tok.groupBy("token").agg(F.sum("c").alias("c")))
     per = (
-        toks.join(mu, "token")
+        src_tok.join(mu, "token")
         .groupBy("source")
-        .agg(F.count("*").alias("n_tokens"),
-             F.sum("mu_bits").alias("smu"))
+        .agg(F.sum("c").alias("n_tokens"),
+             F.sum(F.col("c") * F.col("mu_bits")).alias("smu"))
+        .localCheckpoint(eager=True)
     )
     base = per.agg(F.sum("smu").alias("tmu"),
                    F.sum("n_tokens").alias("tn"),

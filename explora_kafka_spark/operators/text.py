@@ -651,6 +651,15 @@ def unigram_mu_table(toks: DataFrame) -> DataFrame:
     and `doremi_weights` (operators/sampling.py); `toks` is a
     (…, token) occurrence stream (empty tokens already filtered)."""
     vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    return unigram_mu_from_vocab(vocab)
+
+
+def unigram_mu_from_vocab(vocab: DataFrame) -> DataFrame:
+    """`unigram_mu_table` from an already-counted (token, c) vocabulary —
+    the shared tail for callers that hold per-group token counts (e.g.
+    `doremi_weights`' one-pass (source, token, c) table, whose vocab is
+    a sum over sources). Identical µbit expression, so the LM is
+    bit-identical however the counts were folded."""
     totals = vocab.agg(F.sum("c").alias("T"), F.count("*").alias("V"))
     return (
         vocab.join(F.broadcast(totals))

@@ -109,3 +109,15 @@ def test_matches_duckdb_oracle(spark, sf_dir):
     want = [(int(d), int(n), None if m is None else int(m))
             for d, n, m in con.execute(dsir_weights_sql()).fetchall()]
     assert got == want
+
+
+def test_one_pass_weights_match_lazy_builder(spark):
+    # round 14: dsir_select consumes the checkpointed one-pass twin;
+    # its rows must be bit-identical to the lazy two-pass builder
+    from explora_kafka_spark.operators.dsir import _weights_one_pass
+    rows = [("the cat sat", "en"), ("the cat", "en"),
+            ("der hund lief", "de"), ("the hund", "de"), ("", "en")]
+    docs = _docs(spark, rows)
+    lazy = [tuple(r) for r in dsir_weights(docs).collect()]
+    one = [tuple(r) for r in _weights_one_pass(docs).collect()]
+    assert one == lazy
