@@ -879,7 +879,11 @@ def simhash_near_dup(
     assert bits % num_bands == 0
     width = bits // num_bands
     mask = (1 << width) - 1
-    sh = simhash(docs, bits=bits)
+    # materialize (doc_id, simhash) ONCE (round 14, guide §2.4): the
+    # banded self-join consumes it on both sides, and the fingerprint
+    # projection (tokenize + per-token 60-bit hash + `bits` bit-count
+    # folds per row) would otherwise run twice
+    sh = simhash(docs, bits=bits).localCheckpoint(eager=True)
     bands = F.explode(
         F.array(*[
             F.struct(

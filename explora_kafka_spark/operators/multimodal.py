@@ -397,7 +397,13 @@ def phash_near_dup(
     from .dedup import fp_banded_pairs
     width = bits // num_bands
     mask = (1 << width) - 1
-    ph = media_phash(media, bits=bits)
+    # materialize the (media_id, phash) table ONCE (round 14, guide
+    # §2.4/§4): the banded self-join consumes it on BOTH sides, and
+    # without the checkpoint each side re-runs the mapInPandas
+    # decode+phash Python kernel over every payload — the single most
+    # expensive stage in the query, executed twice for two longs per
+    # row of output. localCheckpoint per the repo convention.
+    ph = media_phash(media, bits=bits).localCheckpoint(eager=True)
     bands = F.explode(
         F.array(*[
             F.struct(
