@@ -377,21 +377,28 @@ def ann_recall_lsh(
     the audit is priced by the sample, not the corpus)."""
     brute = ann_topk_brute(embeddings, query_mod, k, round_to)
     lsh = ann_topk_lsh(embeddings, query_mod, k, num_planes, round_to)
-    hits = (
-        brute.select("query_id", "neighbor_id")
-        .join(lsh.select("query_id", "neighbor_id"),
-              ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
+    return _recall_vs_brute(brute, lsh, k, round_to)
+
+
+def _recall_vs_brute(brute: DataFrame, approx: DataFrame, k: int,
+                     round_to: int) -> DataFrame:
+    """(query_id, recall_at_k) from ONE pass over the brute rows —
+    the shared tail of every `ann_recall_*` audit (round 14, guide
+    §2.4): the approx pairs LEFT-join onto the k brute rows per query
+    and matches are counted per query. The previous shape consumed the
+    brute subtree twice (an inner hits join PLUS a distinct query
+    spine), re-executing the corpus-sized brute window per consumer.
+    count(_hit)/k over the k ever-present brute rows equals the old
+    coalesce(n_hits, 0)/k bit-for-bit (both LONG counts through the
+    identical round(x / float(k)) expression)."""
+    marker = approx.select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit"))
     return (
-        brute.select("query_id").distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), round_to)
-            .alias("recall_at_k"),
-        )
+        brute.select("query_id", "neighbor_id")
+        .join(marker, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.round(F.count("_hit") / F.lit(float(k)), round_to)
+             .alias("recall_at_k"))
         .orderBy("query_id")
     )
 
@@ -1443,28 +1450,24 @@ def ann_recall_drift(
         read_index_lists(spark, index_path)
         .select(F.col("neighbor_id").alias("_ix_id")).distinct()
     )
-    truth = (
+    # ONE pass over the brute rows (round 14, guide §2.4 — previously
+    # the brute subtree executed twice, once under the truth join and
+    # once under the hits join): both left joins ride the same k rows
+    # per query and one aggregate computes both counters
+    return (
         brute.select("query_id", "neighbor_id")
         .join(indexed, F.col("neighbor_id") == F.col("_ix_id"), "left")
+        .join(stale.select("query_id", "neighbor_id",
+                           F.lit(1).alias("_hit")),
+              ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
-        .agg(F.sum(F.when(F.col("_ix_id").isNull(), 1).otherwise(0))
-             .alias("n_truth_unindexed"))
-    )
-    hits = (
-        brute.select("query_id", "neighbor_id")
-        .join(stale.select("query_id", "neighbor_id"),
-              ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return (
-        truth.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)),
-                    round_to).alias("recall_at_k"),
-            "n_truth_unindexed",
+        .agg(
+            F.round(F.count("_hit") / F.lit(float(k)), round_to)
+            .alias("recall_at_k"),
+            F.sum(F.when(F.col("_ix_id").isNull(), 1).otherwise(0))
+            .alias("n_truth_unindexed"),
         )
+        .select("query_id", "recall_at_k", "n_truth_unindexed")
         .orderBy("query_id")
     )
 
@@ -2362,23 +2365,7 @@ def ann_recall_ivf(
     brute = ann_topk_brute(embeddings, query_mod, k, round_to)
     ivf = ann_topk_ivf(embeddings, query_mod, k, n_lists, nprobe,
                        round_to, n_rows)
-    hits = (
-        brute.select("query_id", "neighbor_id")
-        .join(ivf.select("query_id", "neighbor_id"),
-              ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return (
-        brute.select("query_id").distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), round_to)
-            .alias("recall_at_k"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_vs_brute(brute, ivf, k, round_to)
 
 
 def ann_recall_ivf_sql(
@@ -2453,14 +2440,20 @@ def tune_nprobe(
     to the last rung only when no smaller rung meets the target.
 
     100 TB: the audit runs on a query SAMPLE (query_mod) and the corpus
-    is scanned ONCE — brute baseline and the IVF candidate scores (with
-    their probe rank retained) are computed a single time and cached;
-    every rung is then a filter + window over the cached candidates, so
-    adding rungs costs window arithmetic, not corpus passes. The result
-    per rung is bit-identical to `ann_recall_ivf(nprobe=p)` (filtering
-    the probe rank after the candidate join keeps exactly the rows that
-    rung's probes would have produced — the shared DuckDB oracle checks
-    every rung)."""
+    is scanned ONCE — and since per-query hits = |brute_topk ∩ probed
+    lists| (the invariant above), the whole rung ladder collapses to
+    ONE left join of the brute top-k onto the candidates' probe ranks
+    plus ONE |rungs|-column conditional aggregate (round 14, guide
+    §2.3/§2.4 — previously each rung re-ranked the cached candidates
+    with its own window + join + aggregate: 27 jobs / 89 stages for
+    window arithmetic whose outcome the invariant already determines).
+    hits(p) = |{brute neighbor b : pcrank_b ≤ p}| because a brute top-k
+    neighbor outranks every non-top-k candidate under the identical
+    (rounded sim DESC, neighbor_id ASC) order, so it enters the rung's
+    top-k exactly when its list is probed. The result per rung is
+    bit-identical to `ann_recall_ivf(nprobe=p)` (pinned by
+    test_tune_nprobe_rungs_match_direct_audit; the shared DuckDB oracle
+    — which still runs the per-rung window form — checks every rung)."""
     from pyspark.sql.window import Window
 
     if n_rows is None:
@@ -2470,53 +2463,41 @@ def tune_nprobe(
         candidates = nprobe_candidates(nl)
     max_p = int(max(candidates))
 
-    # the two .cache()s below live until the returned DataFrame is
-    # garbage-collected (Spark's ContextCleaner unpersists them then) —
-    # bounded in the driver harness, where each query's objects drop
-    # after its run; a caller holding many tuner results should
-    # unpersist via the usual catalog.clearCache() hygiene
-    brute = (
-        ann_topk_brute(embeddings, query_mod, k, round_to)
-        .select("query_id", "neighbor_id")
-        .cache()
-    )
-    qset = brute.select("query_id").distinct()
+    brute = ann_topk_brute(embeddings, query_mod, k, round_to).select(
+        "query_id", "neighbor_id")
 
     # one corpus scan via the SHARED candidate construction (`_ivf_scored`
     # — the exact code ann_topk_ivf runs, no twin to drift): assignment
-    # and probe ranking are nprobe-independent; each rung is
-    # scored.filter(pcrank <= p)
+    # and probe ranking are nprobe-independent
     scored = _ivf_scored(
         embeddings, query_mod, max_p, round_to, n_rows, n_lists
-    ).cache()
-
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
     )
-    per = []
-    for p in candidates:
-        topk = (
-            scored.filter(F.col("pcrank") <= p)
-            .withColumn("rank", F.row_number().over(wk))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id")
-        )
-        hits = (
-            brute.join(topk, ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count("*").alias("n_hits"))
-        )
-        recall = F.round(
-            F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), round_to
-        )
-        per.append(
-            qset.join(hits, "query_id", "left")
-            .agg(F.round(F.avg(recall), round_to).alias("mean_recall"))
-            .select(F.lit(p).cast("int").alias("nprobe"), "mean_recall")
-        )
-    audit = per[0]
-    for extra in per[1:]:
-        audit = audit.unionAll(extra)
+
+    # LEFT join: a query whose brute neighbors all miss the probed
+    # lists must still contribute k zero-hit rows to its recall
+    bq = brute.join(
+        scored.select("query_id", "neighbor_id", "pcrank"),
+        ["query_id", "neighbor_id"], "left",
+    )
+    perq = bq.groupBy("query_id").agg(*[
+        F.count(F.when(F.col("pcrank") <= p, True)).alias(f"_h{p}")
+        for p in candidates
+    ])
+    # identical expression sequence to the per-rung form: per-query
+    # round(hits/k), mean over queries, round — so values stay
+    # bit-for-bit
+    means = perq.agg(*[
+        F.round(
+            F.avg(F.round(F.col(f"_h{p}") / F.lit(float(k)), round_to)),
+            round_to,
+        ).alias(f"_m{p}")
+        for p in candidates
+    ])
+    audit = means.select(F.inline(F.array(*[
+        F.struct(F.lit(int(p)).cast("int").alias("nprobe"),
+                 F.col(f"_m{p}").alias("mean_recall"))
+        for p in candidates
+    ])))
     w = Window.partitionBy(F.lit(1))
     best = F.min(
         F.when(F.col("mean_recall") >= target_recall, F.col("nprobe"))
@@ -2663,23 +2644,7 @@ def ann_recall_truncated(
     brute = ann_topk_brute(embeddings, query_mod, k, round_to)
     trunc = ann_topk_truncated(embeddings, query_mod, k, keep_dims,
                                round_to)
-    hits = (
-        brute.select("query_id", "neighbor_id")
-        .join(trunc.select("query_id", "neighbor_id"),
-              ["query_id", "neighbor_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return (
-        brute.select("query_id").distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)),
-                    round_to).alias("recall_at_k"),
-        )
-        .orderBy("query_id")
-    )
+    return _recall_vs_brute(brute, trunc, k, round_to)
 
 
 def ann_recall_truncated_sql(
