@@ -45,6 +45,12 @@ def item_lift(events: DataFrame, top: int = 50) -> DataFrame:
         )
         .filter(F.col("item").isNotNull())
         .distinct()
+        # materialize ONCE (round 14, guide §2.4): four consumers
+        # (basket total, item counts, both self-join sides) would each
+        # re-run the scan + per-row JSON extraction + distinct shuffle
+        # — 10 parquet scans in the before-plan for a 3-int-column
+        # table
+        .localCheckpoint(eager=True)
     )
     n_baskets = (
         baskets.select("user_id", "d").distinct()

@@ -1535,6 +1535,11 @@ def ngram_novelty(docs: DataFrame, shingle_n: int = 5) -> DataFrame:
             f"array_distinct({_shingles_expr_spark(shingle_n)})"))
             .alias("_s"))
         .select("doc_id", _shingle_hash_col(F.col("_s")).alias("_h"))
+        # materialize ONCE (round 14, guide §2.4): the doc-frequency
+        # aggregate and the join probe side both consume this table,
+        # and each would otherwise re-run the tokenize + shingle + md5
+        # explode; two longs per shingle — metadata, not payload
+        .localCheckpoint(eager=True)
     )
     dfreq = sh.groupBy("_h").agg(F.count("*").alias("_ndocs"))
     per_doc = (
