@@ -1631,7 +1631,11 @@ def dedup_recall_audit(
     same deliberate, allow-listed brute-force the ANN audits carry; the
     production pair generator stays the bucketed equi-join."""
     sample = docs.filter(F.col("doc_id") % sample_mod == 0)
-    sh = shingle_sets(sample, shingle_n)
+    # ONE shingle computation (round 14, guide §2.4 — previously three:
+    # both all-pairs sides AND the MinHash stage re-tokenized the
+    # sample); the checkpointed sets feed the truth self-join and the
+    # signature projection (the ngram_jaccard_pairs convention)
+    sh = shingle_sets(sample, shingle_n).localCheckpoint(eager=True)
     a = sh.select(F.col("doc_id").alias("doc_a"),
                   F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"),
@@ -1645,14 +1649,26 @@ def dedup_recall_audit(
         .filter(F.col("jaccard") >= jaccard_min)
     )
     cand = lsh_candidate_pairs(
-        minhash_signatures(sample, num_hashes, shingle_n),
+        signatures_from_shingles(sh, num_hashes),
         num_bands, num_hashes // num_bands,
     ).select("doc_a", "doc_b")
-    hits = truth.join(cand, ["doc_a", "doc_b"]).select("doc_a")
+    # ONE execution of the all-pairs truth join and of the LSH pipeline
+    # (previously each ran twice: once under its count, once under the
+    # hits join): a full-outer join on the pair key feeds a single
+    # aggregate — count(_t)/count(_c)/count(both) are the identical
+    # LONG counts the three separate aggregates produced
+    both = truth.select("doc_a", "doc_b", F.lit(1).alias("_t")).join(
+        cand.select("doc_a", "doc_b", F.lit(1).alias("_c")),
+        ["doc_a", "doc_b"], "full_outer",
+    )
     return (
-        truth.agg(F.count("*").alias("n_true_pairs"))
-        .join(cand.agg(F.count("*").alias("n_candidates")))
-        .join(hits.agg(F.count("*").alias("n_hits")))
+        both.agg(
+            F.count("_t").alias("n_true_pairs"),
+            F.count("_c").alias("n_candidates"),
+            F.count(F.when(F.col("_t").isNotNull()
+                           & F.col("_c").isNotNull(), True))
+             .alias("n_hits"),
+        )
         .select(
             "n_true_pairs", "n_candidates", "n_hits",
             F.when(F.col("n_true_pairs") > 0,
