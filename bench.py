@@ -133,6 +133,18 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
+    # Parallelism attestation (VERDICT r14 #1): the scaling probe compares
+    # runs at different $SPARK_GRAFT_CPUS, so both outputs must record the
+    # parallelism the session ACTUALLY ran with — otherwise a ~1 low/high
+    # ratio (expected at sf0.1 where fixed per-query cost dominates) is
+    # indistinguishable from an ignored env var.
+    sc = spark.sparkContext
+    attest = {
+        "parallelism": sc.defaultParallelism,
+        "master": sc.master,
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+    }
+
     # Full per-query detail goes to a FILE: the ~90-entry timing dicts
     # outgrew the driver's stdout tail capture (BENCH_r04-r06 all came
     # back "parsed": null — VERDICT r6 item 2). The final stdout line
@@ -149,9 +161,19 @@ def main() -> None:
         "build_remeasured": build_remeasured,
         "remeasured": remeasured,
         "sf": sf_val,
+        **attest,
     }
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    # Write the full detail under a profile-suffixed name ALWAYS (so an
+    # off-profile run — sf0.001 smoke, the driver's low-core scaling pass —
+    # can never clobber the canonical sf0.1 artifact: VERDICT r14 #2), and
+    # keep the canonical BENCH_FULL.json the driver-parsed stdout line
+    # points at.
+    here = os.path.dirname(os.path.abspath(__file__))
+    suffixed = os.path.join(
+        here, f"BENCH_FULL_sf{sf}_c{attest['parallelism']}.json")
+    with open(suffixed, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    full_path = os.path.join(here, "BENCH_FULL.json")
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
@@ -170,6 +192,7 @@ def main() -> None:
         "failed": failed,
         "full": "BENCH_FULL.json",
         "sf": sf_val,
+        **attest,
     }) + "\n")
     real_stdout.flush()
 

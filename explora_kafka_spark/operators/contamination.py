@@ -270,6 +270,20 @@ def read_shingle_index(spark, path: str) -> DataFrame:
     return ledger.committed_union(spark, path, "train_shingles")
 
 
+def _spread_index(train: DataFrame) -> DataFrame:
+    """Repartition a read-back index to the session's parallelism when
+    its file layout underfills it (optimization round 15, guide §2.5
+    input skew / §6: a compacted test-SF index reads back as 1-2
+    parquet files, so the k·|rungs| position explode + bitmap fold ran
+    on 2 of 32 cores — measured 1.3 s of a 3.5 s sweep). The shuffle
+    moves only the 8-byte `_h` column (~2 MB at sf0.1); at production
+    scale the index spans many files and this is a no-op branch."""
+    target = train.sparkSession.sparkContext.defaultParallelism
+    if train.rdd.getNumPartitions() >= target:
+        return train
+    return train.repartition(target)
+
+
 def update_shingle_index(
     spark,
     docs: DataFrame,
@@ -371,22 +385,52 @@ def vacuum_shingle_index(path: str, grace_secs: float = 86400.0
         grace_secs)
 
 
-def _bloom_pos_col(h: Column, i: int, m_bits: int) -> Column:
-    """Position of hash family member i for shingle-hash `h` in an
-    m_bits Bloom bitmap — md5-derived like every cross-engine hash in
-    the repo (`_shingle_hash_col`), so DuckDB reproduces the bitmap
-    BIT-FOR-BIT. Production swaps in xxhash64 for the same layout; the
-    md5 family is the oracle-parity convention."""
-    tag = F.concat_ws("|", F.lit(str(i)), h.cast("string"))
+#: The Bloom position family derives ALL members from ONE md5 digest
+#: per shingle hash: member i is an 8-hex-char (32-bit) slice of
+#: md5(CAST(h AS string)), taken mod m_bits. 32 hex chars / 8 = 4
+#: disjoint slices, so k <= 4 — the repo-wide default. Re-pinned in
+#: optimization round 15 (guide §4 per-row work, VERDICT r14 #4): the
+#: former family hashed md5(i || '|' || h) per member, paying
+#: k·|rungs| concat+md5+conv string round-trips per row where one
+#: digest suffices; the DuckDB oracle mirrors the new family verbatim
+#: (re-declared in the same commit), so both engines still produce the
+#: identical bitmap bit-for-bit. Production swaps in xxhash64 slices
+#: for the same layout; md5 stays the cross-engine parity convention.
+_BLOOM_MAX_K = 4
+
+
+def _check_bloom_k(k: int) -> None:
+    if not 1 <= k <= _BLOOM_MAX_K:
+        raise ValueError(
+            f"bloom k must be in 1..{_BLOOM_MAX_K} (one 32-bit digest "
+            f"slice per family member); got {k}")
+
+
+def _bloom_digest_col(h: Column) -> Column:
+    """The per-hash md5 digest every family member slices."""
+    return F.md5(h.cast("string"))
+
+
+def _bloom_pos_from_digest(dig: Column, i: int, m_bits: int) -> Column:
+    """Family member i's bitmap position from a precomputed digest."""
     return (
-        F.conv(F.substring(F.md5(tag), 1, 15), 16, 10).cast("bigint")
+        F.conv(F.substring(dig, 1 + 8 * i, 8), 16, 10).cast("bigint")
         % m_bits
     )
 
 
+def _bloom_pos_col(h: Column, i: int, m_bits: int) -> Column:
+    """Position of hash family member i for shingle-hash `h` in an
+    m_bits Bloom bitmap (see `_BLOOM_MAX_K` for the family design)."""
+    return _bloom_pos_from_digest(_bloom_digest_col(h), i, m_bits)
+
+
 def _bloom_pos_sql(expr: str, i: int, m_bits: int) -> str:
-    return (f"CAST(concat('0x', substr(md5(concat('{i}', '|',"
-            f" CAST({expr} AS VARCHAR))), 1, 15)) AS BIGINT)"
+    """DuckDB mirror of `_bloom_pos_col` — same digest slice, same mod.
+    The repeated md5({expr}) text per member is CSE'd by DuckDB; the
+    oracle runs at the small SFs where it wouldn't matter anyway."""
+    return (f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)),"
+            f" {1 + 8 * i}, 8)) AS BIGINT)"
             f" % {m_bits}")
 
 
@@ -420,12 +464,14 @@ def build_bloom_bitmap(spark, index_path: str, m_bits: int = 1 << 21,
     overflow-free on BOTH engines. One linear pass over the index;
     bit_or is commutative, so production can instead MERGE a delta's
     fold into a stored bitmap incrementally (the HLL property)."""
-    train = read_shingle_index(spark, index_path)
+    _check_bloom_k(k)
+    train = _spread_index(read_shingle_index(spark, index_path))
     pos = F.explode(F.array(*[
-        _bloom_pos_col(F.col("_h"), i, m_bits) for i in range(k)
+        _bloom_pos_from_digest(F.col("_dig"), i, m_bits) for i in range(k)
     ])).alias("pos")
     return (
-        train.select(pos)
+        train.select(_bloom_digest_col(F.col("_h")).alias("_dig"))
+        .select(pos)
         .select(
             F.expr("CAST(pos DIV 32 AS INT)").alias("w"),
             F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("m"),
@@ -437,20 +483,30 @@ def build_bloom_bitmap(spark, index_path: str, m_bits: int = 1 << 21,
 def _bloom_probe(probes: DataFrame, bitmap: DataFrame, m_bits: int,
                  k: int) -> DataFrame:
     """Attach `_bloom` (int 0/1) to a (key, _h) probe table: k
-    md5-family positions per hash, each resolved against the broadcast
-    bitmap's word, hit = all k bits set. k broadcast hash joins against
-    a ~256 KB table — no shuffle of the probe side."""
+    digest-slice positions per hash (ONE md5 per row — reused from a
+    caller-provided `_dig` column when present, so the sweep's rung
+    chain hashes each probe once, not once per rung), each resolved
+    against the broadcast bitmap's word, hit = all k bits set. k
+    broadcast hash joins against a ~256 KB table — no shuffle of the
+    probe side."""
     from functools import reduce as _reduce
     from operator import and_ as _and
 
+    _check_bloom_k(k)
+    had_dig = "_dig" in probes.columns
+    if not had_dig:
+        probes = probes.withColumn("_dig", _bloom_digest_col(F.col("_h")))
     for i in range(k):
         probes = (
             probes
-            .withColumn(f"_p{i}", _bloom_pos_col(F.col("_h"), i, m_bits))
+            .withColumn(f"_p{i}",
+                        _bloom_pos_from_digest(F.col("_dig"), i, m_bits))
             .withColumn(f"_w{i}", F.expr(f"CAST(_p{i} DIV 32 AS INT)"))
             .withColumn(f"_b{i}", F.expr(
                 f"shiftleft(1L, CAST(_p{i} % 32 AS INT))"))
         )
+    if not had_dig:
+        probes = probes.drop("_dig")
     for i in range(k):
         bm = bitmap.select(F.col("w").alias(f"_w{i}"),
                            F.col("mask").alias(f"_m{i}"))
@@ -662,17 +718,22 @@ def contamination_bloom_sweep(
     passes over the batch, len(m_list) index folds and len(m_list)
     exact joins; every number is bit-identical (global sums equal the
     summed per-key audit rows), so the DuckDB mirror is unchanged."""
+    _check_bloom_k(k)
     train = read_shingle_index(spark, index_path)
-    # one fold, every rung: ~sum(m/32) rows, statistic-sized
+    # one fold, every rung: ~sum(m/32) rows, statistic-sized. ONE md5
+    # digest per index hash feeds every (rung, member) position — the
+    # k·|m_list| entries differ only in slice offset and modulus.
     entries = [
         F.struct(
             F.lit(m).cast("bigint").alias("m"),
-            _bloom_pos_col(F.col("_h"), i, m).alias("pos"),
+            _bloom_pos_from_digest(F.col("_dig"), i, m).alias("pos"),
         )
         for m in m_list for i in range(k)
     ]
     bitmaps = (
-        train.select(F.explode(F.array(*entries)).alias("e"))
+        _spread_index(train)
+        .select(_bloom_digest_col(F.col("_h")).alias("_dig"))
+        .select(F.explode(F.array(*entries)).alias("e"))
         .select(
             F.col("e.m").alias("m"),
             F.expr("CAST(e.pos DIV 32 AS INT)").alias("w"),
@@ -683,6 +744,8 @@ def contamination_bloom_sweep(
     scored = (
         _batch_shingle_hashes(batch, n, key)
         .join(train.withColumn("_hit", F.lit(1)), "_h", "left")
+        # one probe digest for ALL rungs: _bloom_probe reuses `_dig`
+        .withColumn("_dig", _bloom_digest_col(F.col("_h")))
     )
     tmp = [f"_{x}{i}" for i in range(k) for x in ("p", "w", "b", "m")]
     for m in m_list:

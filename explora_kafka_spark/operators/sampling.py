@@ -589,6 +589,16 @@ def doremi_weights(
     the per-occurrence sum); the S-row `per` table is checkpointed
     too, so everything after is S-row arithmetic — the step fan-out is
     S×steps rows, never the corpus.
+
+    Why the eager checkpoints here, when `dsir_weights` deliberately
+    stays lazy (ADVICE r14): dsir_weights has column-pruned consumers
+    (`dsir_select` reads a 2-column slice; forcing materialization
+    measured 0.35→1.3-2.0 s), while doremi_weights' only consumer is
+    the full S-row mixture table and its plan references the corpus
+    token fold FOUR times (vocab agg, scoring probe, and twice under
+    the step fan-out) — without the checkpoint each reference re-runs
+    the corpus explode. A future pruned consumer should add a lazy
+    builder twin (the dsir.py split) rather than drop the checkpoint.
     """
     from explora_kafka_spark.operators.text import (
         tokens_col, unigram_mu_from_vocab)

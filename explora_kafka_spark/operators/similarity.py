@@ -2461,6 +2461,13 @@ def tune_nprobe(
     nl, _ = ivf_params(n_rows, n_lists)
     if candidates is None:
         candidates = nprobe_candidates(nl)
+    # normalize caller-supplied rungs (ADVICE r14): the per-rung column
+    # aliases are value-derived (_h{p}/_m{p}), so duplicate rungs would
+    # collide on alias names and a non-integer like 1.0 would make
+    # F.col("_h1.0") parse the dot as a struct accessor. Dedup + int +
+    # sort changes nothing for the default ladder (already unique ints
+    # ascending) and the output is nprobe-ascending by contract.
+    candidates = sorted({int(p) for p in candidates})
     max_p = int(max(candidates))
 
     brute = ann_topk_brute(embeddings, query_mod, k, round_to).select(
@@ -2532,6 +2539,7 @@ def tune_nprobe_sql(
     nl, _ = ivf_params(n_rows, n_lists)
     if candidates is None:
         candidates = nprobe_candidates(nl)
+    candidates = sorted({int(p) for p in candidates})  # mirror tune_nprobe
     rungs = "\n            UNION ALL\n".join(
         f"""            SELECT CAST({p} AS INTEGER) AS nprobe,
                    round(avg(recall_at_k), {round_to}) AS mean_recall
