@@ -93,6 +93,26 @@ _DOT = ("aggregate(zip_with(ma, mb, (a, b) -> a * b), 0L,"
 
 _KNN_SCHEMA = "va long, vb long, rank int, d2_mu long"
 
+#: Target rows per partition for the statistic-sized tables the
+#: iterative graph loops (knn_pagerank, label_propagation) checkpoint
+#: every round: 3-4 bigint columns ≈ 24-48 B/row, so 2M rows lands
+#: partitions in the ~50-100 MB band (guide §2.2). The checkpointed
+#: node/edge tables otherwise inherit the SESSION parallelism from the
+#: embedding scan spread, so at bench scale every one of the ~7 stages
+#: a round schedules ran 32 near-empty tasks over 2000 rows — pure
+#: task-launch overhead (measured 5.5→3.9 s on knn_pagerank at sf0.1).
+#: Scale-adaptive by construction: at corpus scale rows/2M partitions
+#: keep real parallelism, and `_sized` only ever narrows (coalesce —
+#: zero shuffle), never widens.
+_ITER_ROWS_PER_PART = 2_000_000
+
+
+def _sized(df: DataFrame, rows: int) -> DataFrame:
+    """Coalesce an iteration table to ceil(rows / _ITER_ROWS_PER_PART)
+    partitions when its current layout overshoots that."""
+    p = max(1, -(-rows // _ITER_ROWS_PER_PART))
+    return df.coalesce(p) if df.rdd.getNumPartitions() > p else df
+
 
 def _cluster_block(pdf):
     """(vids sorted asc, int64 matrix M aligned to vids)."""
@@ -1086,6 +1106,14 @@ def label_propagation(
         seed_lab.alias("slab"),
         seed_lab.alias("lab"),
     ).localCheckpoint(eager=True)
+    # size the loop tables by their rows, not the session parallelism
+    # (see _ITER_ROWS_PER_PART) — one cheap count over the checkpoint
+    # buys 1-task-per-partition-of-data rounds instead of one
+    # near-empty task per embedding-scan partition per stage
+    n = n_rows if n_rows is not None else labels.count()
+    n_parts = max(1, -(-n // _ITER_ROWS_PER_PART))
+    labels = _sized(labels, n)
+    edges = _sized(edges, n * k)
     for _ in range(rounds):
         votes = (
             edges.join(labels.select(F.col("vid").alias("nb"), "lab"), "nb")
@@ -1110,6 +1138,7 @@ def label_propagation(
             labels.join(pick, "vid", "left")
             .select("vid", "slab",
                     F.coalesce("slab", "plab", "lab").alias("lab"))
+            .coalesce(n_parts)
             .localCheckpoint(eager=True)
         )
     return (
@@ -1305,6 +1334,11 @@ def knn_pagerank(
             F.col("od").alias("out_degree"),
             F.lit(None).cast("long").alias("pr_ppb"),
         )
+    # size the loop tables by their rows, not the session parallelism
+    # (see _ITER_ROWS_PER_PART): every round's stages otherwise run one
+    # near-empty task per embedding-scan partition
+    nodes = _sized(nodes, n)
+    edges = _sized(edges, n * k)
     hold = ((100 - damping_pct) * (10**9 // n)) // 100
     pr = nodes.select("vid", "od",
                       F.lit(10**9 // n).cast("long").alias("pr"))
@@ -1328,6 +1362,7 @@ def knn_pagerank(
                  + F.expr(f"{damping_pct} * (coalesce(s, 0)"
                           f" + dm DIV {n}) DIV 100")).alias("pr"),
             )
+            .coalesce(max(1, -(-n // _ITER_ROWS_PER_PART)))
             .localCheckpoint(eager=True)
         )
     return (
