@@ -100,13 +100,39 @@ def build_views(
 ) -> None:
     """Build + materialize the lattice, releasing the cascade caches when
     the write finishes (long-lived sessions would otherwise accumulate
-    one persisted level per build)."""
+    one persisted level per build).
+
+    The per-precision time cascades are materialized CONCURRENTLY
+    before the write (optimization round 15, guide §2.6): each cascade
+    is a sequential chain of persisted rollups, but the chains only
+    share the (eagerly counted) finest-grain base, so a small thread
+    pool overlaps them instead of letting the write's sampling pass
+    walk the whole union sequentially. Every chain still executes its
+    own unchanged plan against the same cached parents, so the stored
+    rows are byte-identical to the sequential build."""
+    from concurrent.futures import ThreadPoolExecutor
+
     persisted: list[DataFrame] = []
+    chains: list[list[DataFrame]] = []
     lattice = view_lattice(
         readings, precisions=precisions, resolutions=resolutions,
-        persist=True, _persisted=persisted,
+        persist=True, _persisted=persisted, _chains=chains,
     )
     try:
+        # the space cascade (each precision's base derives from the
+        # previous one) is materialized sequentially so concurrent time
+        # chains never race an unmaterialized parent cache
+        for chain in chains:
+            chain[0].count()
+        time_chains = [c[1:] for c in chains if len(c) > 1]
+        def _warm(chain: list[DataFrame]) -> None:
+            for df in chain:
+                df.count()
+        if len(time_chains) > 1:
+            with ThreadPoolExecutor(max_workers=len(time_chains)) as pool:
+                list(pool.map(_warm, time_chains))
+        elif time_chains:
+            _warm(time_chains[0])
         materialize_views(lattice, path)
     finally:
         for df in persisted:
@@ -119,6 +145,7 @@ def view_lattice(
     resolutions: Iterable[str] = VIEW_RESOLUTIONS,
     persist: bool = True,
     _persisted: list[DataFrame] | None = None,
+    _chains: list[list[DataFrame]] | None = None,
 ) -> DataFrame:
     """The full multi-resolution lattice as one DataFrame.
 
@@ -146,6 +173,9 @@ def view_lattice(
             level = level.persist(StorageLevel.MEMORY_AND_DISK)
             if _persisted is not None:
                 _persisted.append(level)
+        chain = [level]
+        if _chains is not None:
+            _chains.append(chain)
         v = level
         for res in resolutions:
             if res != "min":
@@ -154,6 +184,7 @@ def view_lattice(
                     v = v.persist(StorageLevel.MEMORY_AND_DISK)
                     if _persisted is not None:
                         _persisted.append(v)
+                    chain.append(v)
             pieces.append(
                 _with_avg(v).select(
                     "metric_id",
