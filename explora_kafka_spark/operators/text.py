@@ -371,8 +371,14 @@ def tfidf(docs: DataFrame, top_per_doc: int = 3) -> DataFrame:
     toks = tokens_col("text")
     terms = docs.select("doc_id", F.explode(toks).alias("token")).filter(
         F.col("token") != "")
-    tf = terms.groupBy("doc_id", "token").agg(F.count("*").alias("tf_count"))
-    doc_len = terms.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    # the (doc_id, token, tf_count) fold is the shared ancestor of tf,
+    # doc_len AND df — checkpoint it so the tokenize+explode runs ONCE
+    # (optimization round 15, guide §2.4: Spark does not dedupe common
+    # subplans, so the former shape re-exploded the corpus three times).
+    # doc_len = Σ tf_count per doc is bit-identical to counting terms.
+    tf = terms.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf_count")).localCheckpoint(eager=True)
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tf_count").alias("doc_len"))
     df_tbl = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     # n_docs stays in-plan as a broadcast single-row cross join — no
     # driver collect, no extra job boundary, one scan of `docs`
@@ -1630,10 +1636,16 @@ def vocab_coverage(
     cls = freq.groupBy("freq").agg(F.count("*").alias("n_toks"))
     w = Window.orderBy(F.col("freq").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow)
+    # the class-cumsum table is consumed TWICE below (the totals
+    # aggregate and the boundary join are both broadcast-built), and
+    # Spark does not dedupe common subplans — without the checkpoint
+    # the corpus explode + vocab fold executes once per consumer
+    # (guide §2.4). Statistic-sized: |classes| ≤ √(2·total).
     cum = cls.select(
         "freq", "n_toks",
         F.sum(F.col("freq") * F.col("n_toks")).over(w).alias("_cum_tok"),
-        F.sum("n_toks").over(w).alias("_cum_voc"))
+        F.sum("n_toks").over(w).alias("_cum_voc")) \
+        .localCheckpoint(eager=True)
     th = docs.sparkSession.createDataFrame(
         [(t,) for t in thresholds_ppm], "threshold_ppm bigint")
     tot = cum.agg(F.max("_cum_tok").alias("_tt"),
